@@ -1,13 +1,408 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.TextFns
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract (SURVEY.md §7): one named query per implemented
+  * operator, each with a DuckDB-equivalent oracle where SQL-expressible.
+  *
+  * Oracle-parity rules used throughout (hash compare is exact):
+  *  - every computed column aliased identically on both sides;
+  *  - integer-ish outputs cast to BIGINT on both sides (Spark int vs
+  *    DuckDB BIGINT would hash-mismatch);
+  *  - timestamps emitted as formatted strings (events.ts is
+  *    nanosecond-precision parquet; Spark truncates to micros — raw
+  *    timestamp output would differ);
+  *  - double aggregates rounded at the edge; all hashing is md5 so both
+  *    engines compute identical signatures;
+  *  - DuckDB regexp_replace needs the 'g' flag to match Spark's
+  *    replace-all semantics.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  val MinhashK = 16
+  val LshBands = 4
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's pickup/dropoff tagged-count union
+    * (consumer/StreamProcessor.scala:44-83) restated on lineitem. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("rel_location_counts")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- aggregation / union (SURVEY §2.4, §2.7) ---
+    "rel_location_counts" -> ((s, d) =>
+      Relational.taggedKeyCounts(t(s, d, "lineitem"),
+        "l_partkey", "pickup_location", "l_suppkey", "dropoff_location")),
+    "rel_pricing_summary" -> ((s, d) =>
+      Relational.pricingSummary(t(s, d, "lineitem"), "1999-01-01")),
+    "rel_rollup" -> ((s, d) =>
+      t(s, d, "lineitem").rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))),
+    "rel_distinct_counts" -> ((s, d) =>
+      t(s, d, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))),
+    "rel_approx_distinct" -> ((s, d) =>
+      t(s, d, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))),
+
+    // --- projection / filter / scalar functions (§2.2, §2.8) ---
+    "rel_filter_project" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_quantity").between(10, 20) && col("l_returnflag") === "R")
+        // raw double product: bit-identical in Spark and DuckDB (no
+        // summation-order noise per-row), whereas round() diverges on
+        // .xx5 ties (Spark shortest-decimal HALF_UP vs binary rounding)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("net_price"))),
+    "rel_null_repair" -> ((s, d) =>
+      t(s, d, "events").select(col("event_id"),
+        date_format(coalesce(col("ts"), to_timestamp(lit("2024-01-01"))),
+          "yyyy-MM-dd HH:mm:ss").as("ts_fixed"),
+        col("ts").isNull.as("was_null"))),
+    "rel_scalar_docs" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        upper(substring(col("text"), 1, 12)).as("head_upper"),
+        concat(col("source"), lit("_"), col("lang")).as("src_lang"),
+        md5(col("text")).as("text_md5"),
+        round(sqrt(col("n_chars")), 4).as("sqrt_chars"))),
+    "rel_scalar_events" -> ((s, d) =>
+      t(s, d, "events").select(col("event_id"),
+        year(col("ts")).cast("long").as("y"),
+        month(col("ts")).cast("long").as("m"),
+        (weekday(col("ts")) + 1).cast("long").as("isodow"),
+        get_json_object(col("props"), "$.k").cast("long").as("json_k"),
+        round(sqrt(col("value")), 4).as("sqrt_value"))),
+
+    // --- sorts / limits / window functions (§2.5, §2.6) ---
+    "rel_topk_users" -> ((s, d) =>
+      Relational.topKByCount(t(s, d, "events"), "user_id", 10)),
+    "rel_batch_slice" -> ((s, d) =>
+      Relational.ordinalSlice(t(s, d, "events"),
+          Seq(col("ts"), col("event_id")), 100, 100)
+        .select(col("event_id"), col("row_num").cast("long").as("row_num"))),
+    "win_analytics" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wv = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      e.select(col("event_id"), col("user_id"),
+        row_number().over(w).cast("long").as("rn"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        rank().over(wv).cast("long").as("value_rank"),
+        round(sum(col("value"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)), 2)
+          .as("running_sum"))
+    }),
+
+    // --- joins (§2.3 gap-fill) ---
+    "join_brand_revenue" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val p = t(s, d, "part")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n_items"))
+    }),
+    "join_multiway" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer"); val su = t(s, d, "supplier")
+      val n = t(s, d, "nation"); val r = t(s, d, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(su), li("l_suppkey") === su("s_suppkey")
+          && su("s_nationkey") === c("c_nationkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n_items"))
+    }),
+    "join_left_orders" -> ((s, d) => {
+      val o = t(s, d, "orders"); val li = t(s, d, "lineitem")
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(col("l_orderkey")).as("n_items"), count(lit(1)).as("n_rows"))
+    }),
+    "join_semi_customers" -> ((s, d) => {
+      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+    "join_anti_customers" -> ((s, d) => {
+      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+    "join_asof_last_order" -> ((s, d) => {
+      val e = t(s, d, "events"); val o = t(s, d, "orders")
+      Relational.asofJoin(e, o, "event_id", "user_id", "ts",
+          "o_custkey", "o_orderdate", "o_orderkey")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("o_orderkey").as("asof_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("asof_orderdate"))
+    }),
+    "join_range_orders" -> ((s, d) => {
+      val e = t(s, d, "events"); val o = t(s, d, "orders")
+      e.join(o, e("user_id") === o("o_custkey")
+          && o("o_orderdate") >= e("ts") - expr("INTERVAL 90 DAYS")
+          && o("o_orderdate") <= e("ts"), "left")
+        .groupBy(e("event_id"))
+        .agg(count(o("o_orderkey")).as("n_orders_90d"))
+    }),
+
+    // --- set operations (§2.7) ---
+    "rel_set_nations" -> ((s, d) => {
+      val cn = t(s, d, "customer").select(col("c_nationkey").as("nationkey")).distinct()
+      val sn = t(s, d, "supplier").select(col("s_nationkey").as("nationkey")).distinct()
+      cn.intersect(sn).withColumn("tag", lit("both"))
+        .unionByName(cn.except(sn).withColumn("tag", lit("cust_only")))
+    }),
+
+    // --- streaming batch analogs (§2.9; streaming forms in graft.streaming) ---
+    "stream_tumbling_counts" -> ((s, d) =>
+      Relational.tumblingCounts(t(s, d, "events"), "ts", "hour", "event_type", "value")),
+    "stream_sessionize" -> ((s, d) =>
+      Relational.sessionize(t(s, d, "events"), "user_id", "ts", "event_id", 1800)),
+
+    // --- text analysis ---
+    "text_stats" -> ((s, d) => {
+      val st = TextAnalysis.textStats(t(s, d, "documents"), "doc_id", "text")
+      st.select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        col("n_words").cast("long").as("n_words"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("lexical_diversity"), col("avg_word_len"))
+    }),
+    "text_quality" -> ((s, d) =>
+      TextAnalysis.qualityScore(t(s, d, "documents"), "doc_id", "text")),
+    "text_lang_id" -> ((s, d) =>
+      TextAnalysis.langId(t(s, d, "documents"), "doc_id", "text")),
+    "text_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprints(t(s, d, "documents"), "doc_id", "text")),
+
+    // --- dedup ---
+    "dedup_exact_groups" -> ((s, d) =>
+      Dedup.exactDupGroups(t(s, d, "documents"), "doc_id", "text")),
+    "dedup_stats" -> ((s, d) =>
+      Dedup.dedupStats(t(s, d, "documents"), "text")),
+    "dedup_minhash_bands" -> ((s, d) =>
+      Dedup.lshBands(t(s, d, "documents"), "doc_id", "text", MinhashK, LshBands)),
+    "dedup_lsh_pairs" -> ((s, d) =>
+      Dedup.lshCandidatePairs(t(s, d, "documents"), "doc_id", "text",
+        MinhashK, LshBands)),
+    "dedup_jaccard_top" -> ((s, d) =>
+      Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", 0.0)
+        .orderBy(col("jaccard").desc, col("a_id"), col("b_id")).limit(20)),
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhash(t(s, d, "documents"), "doc_id", "text")),
+
+    // --- similarity search ---
+    "sim_knn_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
+    }),
+    "sim_nn_blocked" -> ((s, d) =>
+      Similarity.nearestInBlock(t(s, d, "embeddings"), "vec_id", "embedding",
+        "label")),
+    "sim_ann_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.annTopK(emb, emb.filter(col("vec_id") < 10), 5, 64, 4)
+    }),
+
+    // --- multimodal plumbing ---
+    "media_chunks" -> ((s, d) =>
+      Multimodal.chunkFrames(
+          Multimodal.asMediaTable(t(s, d, "documents"), "doc_id", "text"), 256)
+        .select(col("media_id"), col("n_bytes"), col("n_chunks"),
+          col("chunk_idx").cast("long").as("chunk_idx"),
+          col("chunk_offset").cast("long").as("chunk_offset"),
+          col("chunk_sig"))),
+    "media_features" -> ((s, d) =>
+      Multimodal.decodeFeaturesStub(s,
+          Multimodal.asMediaTable(t(s, d, "documents"), "doc_id", "text"))
+        .toDF.select(col("media_id"), col("n_bytes"),
+          round(col("mean_byte"), 4).as("mean_byte"),
+          col("byte_entropy_bucket").cast("long").as("byte_entropy_bucket")))
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  /** Shared DuckDB CTE: normalized words + distinct 3-gram shingles per
+    * doc (documents all have ≥3 words; asserted in DedupSpec). Mirrors
+    * TextFns.normalize/shingles exactly. */
+  private val shingleCte: String =
+    "WITH words AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh " +
+      "FROM words, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) t)"
+
+  private val sigCte: String = {
+    val cols = (0 until MinhashK)
+      .map(i => s"min(md5('$i|' || sh)) AS mh$i").mkString(", ")
+    s", sig AS (SELECT doc_id, $cols FROM sh GROUP BY doc_id)"
+  }
+
+  private val bandSelects: String = {
+    val r = MinhashK / LshBands
+    (0 until LshBands).map { b =>
+      val cols = (b * r until (b + 1) * r).map(i => s"mh$i").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($cols) AS band_hash FROM sig"
+    }.mkString(" UNION ALL ")
+  }
+
+  /** DuckDB cosine with the same float math as VectorFns.cosine:
+    * element-order double accumulation. */
+  private def cosSql(a: String, b: String): String =
+    s"((SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest($a) AS x, unnest($b) AS y) zz) / " +
+      s"(sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest($a) AS x) za)) * " +
+      s"sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest($b) AS y) zb))))"
+
+  private val normSql =
+    "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+  private val wordsSql =
+    "string_split_regex(trim(lower(text)), '\\s+')"
+
+  private val stopListSql =
+    TextAnalysis.Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  def oracleSql: Map[String, String] = Map(
+    "rel_location_counts" ->
+      ("SELECT CAST(l_partkey AS BIGINT) AS location_id, count(*) AS trip_count, 'pickup_location' AS aggregation_type FROM lineitem GROUP BY 1 " +
+        "UNION ALL SELECT CAST(l_suppkey AS BIGINT), count(*), 'dropoff_location' FROM lineitem GROUP BY 1"),
+    "rel_pricing_summary" ->
+      ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_base_price, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, " +
+        "round(avg(l_quantity), 4) AS avg_qty, round(avg(l_extendedprice), 4) AS avg_price, round(avg(l_discount), 4) AS avg_disc, count(*) AS count_order " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-01-01' GROUP BY l_returnflag, l_linestatus"),
+    "rel_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty " +
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
+    "rel_distinct_counts" ->
+      "SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps, count(DISTINCT l_orderkey) AS n_orders FROM lineitem",
+    "rel_filter_project" ->
+      ("SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice * (1 - l_discount) AS net_price " +
+        "FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag = 'R'"),
+    "rel_null_repair" ->
+      ("SELECT event_id, strftime(coalesce(ts, TIMESTAMP '2024-01-01'), '%Y-%m-%d %H:%M:%S') AS ts_fixed, ts IS NULL AS was_null FROM events"),
+    "rel_scalar_docs" ->
+      ("SELECT doc_id, upper(substr(text, 1, 12)) AS head_upper, source || '_' || lang AS src_lang, md5(text) AS text_md5, " +
+        "round(sqrt(n_chars), 4) AS sqrt_chars FROM documents"),
+    "rel_scalar_events" ->
+      ("SELECT event_id, year(ts) AS y, month(ts) AS m, isodow(ts) AS isodow, " +
+        "CAST(json_extract_string(props, '$.k') AS BIGINT) AS json_k, round(sqrt(value), 4) AS sqrt_value FROM events"),
+    "rel_topk_users" ->
+      "SELECT user_id, count(*) AS n FROM events GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10",
+    "rel_batch_slice" ->
+      ("SELECT event_id, row_num FROM (SELECT event_id, CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS row_num FROM events) t " +
+        "WHERE row_num BETWEEN 101 AND 200"),
+    "win_analytics" ->
+      ("SELECT event_id, user_id, CAST(row_number() OVER w AS BIGINT) AS rn, lag(value) OVER w AS prev_value, " +
+        "CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS value_rank, " +
+        "round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 2) AS running_sum " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"),
+    "join_brand_revenue" ->
+      ("SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_items " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand"),
+    "join_multiway" ->
+      ("SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_items " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey " +
+        "JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' GROUP BY n_name"),
+    "join_left_orders" ->
+      ("SELECT o_orderpriority, count(l_orderkey) AS n_items, count(*) AS n_rows " +
+        "FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey GROUP BY o_orderpriority"),
+    "join_semi_customers" ->
+      "SELECT c_custkey, c_name FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    "join_anti_customers" ->
+      "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    "join_asof_last_order" ->
+      ("SELECT e.event_id, e.user_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s, o.o_orderkey AS asof_orderkey, " +
+        "strftime(o.o_orderdate, '%Y-%m-%d') AS asof_orderdate FROM events e LEFT JOIN LATERAL (" +
+        "SELECT o_orderkey, o_orderdate FROM orders o WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts " +
+        "ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o ON true"),
+    "join_range_orders" ->
+      ("SELECT e.event_id, count(o.o_orderkey) AS n_orders_90d FROM events e LEFT JOIN orders o " +
+        "ON o.o_custkey = e.user_id AND o.o_orderdate BETWEEN e.ts - INTERVAL 90 DAY AND e.ts GROUP BY e.event_id"),
+    "rel_set_nations" ->
+      ("SELECT nationkey, 'both' AS tag FROM (SELECT DISTINCT c_nationkey AS nationkey FROM customer INTERSECT SELECT DISTINCT s_nationkey FROM supplier) a " +
+        "UNION ALL SELECT nationkey, 'cust_only' FROM (SELECT DISTINCT c_nationkey AS nationkey FROM customer EXCEPT SELECT DISTINCT s_nationkey FROM supplier) b"),
+    "stream_tumbling_counts" ->
+      ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type, count(*) AS n_events, " +
+        "round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2"),
+    "stream_sessionize" ->
+      ("WITH e AS (SELECT user_id, event_id, ts, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec FROM events), " +
+        "flagged AS (SELECT user_id, event_id, ts, CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "sess AS (SELECT user_id, ts, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM flagged) " +
+        "SELECT user_id, session_seq, count(*) AS n_events, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, " +
+        "strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end FROM sess GROUP BY user_id, session_seq"),
+    "text_stats" ->
+      (s"SELECT doc_id, length(text) AS n_chars, CAST(len($wordsSql) AS BIGINT) AS n_words, " +
+        s"CAST(len(regexp_extract_all($normSql, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens, " +
+        s"round(len(list_distinct($wordsSql)) / len($wordsSql), 4) AS lexical_diversity, " +
+        s"round((length($normSql) - len($wordsSql) + 1) / len($wordsSql), 4) AS avg_word_len FROM documents"),
+    "text_quality" ->
+      (s"SELECT doc_id, round(stop / nw, 4) AS stopword_ratio, " +
+        "round(0.4 * least(nw / 200.0, 1.0) + 0.3 * least(stop / nw * 4.0, 1.0) + 0.3 * (nd / nw), 4) AS quality FROM " +
+        s"(SELECT doc_id, CAST(len(list_filter($wordsSql, x -> x IN $stopListSql)) AS DOUBLE) AS stop, " +
+        s"CAST(len($wordsSql) AS DOUBLE) AS nw, CAST(len(list_distinct($wordsSql)) AS DOUBLE) AS nd FROM documents) t"),
+    "text_lang_id" ->
+      (s"SELECT doc_id, round(stop / nw, 4) AS stopword_ratio, CASE WHEN stop / nw >= 0.05 THEN 'en' ELSE 'unk' END AS lang_guess FROM " +
+        s"(SELECT doc_id, CAST(len(list_filter($wordsSql, x -> x IN $stopListSql)) AS DOUBLE) AS stop, " +
+        s"CAST(len($wordsSql) AS DOUBLE) AS nw FROM documents) t"),
+    "text_fingerprint" ->
+      (s"SELECT doc_id, md5($normSql) AS fingerprint, substr(md5($normSql), 1, 16) AS bucket64 FROM documents"),
+    "dedup_exact_groups" ->
+      (s"SELECT md5($normSql) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1"),
+    "dedup_stats" ->
+      (s"SELECT count(*) AS n_total, count(DISTINCT md5($normSql)) AS n_distinct FROM documents"),
+    "dedup_minhash_bands" ->
+      (shingleCte + sigCte + " " + bandSelects),
+    "dedup_lsh_pairs" ->
+      (shingleCte + sigCte + s", bands AS ($bandSelects) " +
+        "SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a " +
+        "JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id"),
+    "dedup_jaccard_top" ->
+      (shingleCte + ", sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT a_id, b_id, round(i / (sa.n + sb.n - i), 4) AS jaccard FROM inter " +
+        "JOIN sizes sa ON inter.a_id = sa.doc_id JOIN sizes sb ON inter.b_id = sb.doc_id " +
+        "ORDER BY jaccard DESC, a_id, b_id LIMIT 20"),
+    "sim_knn_topk" ->
+      ("WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10), " +
+        "c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings), " +
+        s"scored AS (SELECT q_id, n_id, ${cosSql("q_vec", "n_vec")} AS sim FROM q CROSS JOIN c WHERE n_id <> q_id), " +
+        "ranked AS (SELECT q_id, n_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS \"rank\" FROM scored) " +
+        "SELECT q_id, \"rank\", n_id, round(sim, 4) AS cosine_sim FROM ranked WHERE \"rank\" <= 5"),
+    "sim_nn_blocked" ->
+      ("WITH a AS (SELECT label, vec_id AS a_id, embedding AS a_vec FROM embeddings), " +
+        "b AS (SELECT label, vec_id AS b_id, embedding AS b_vec FROM embeddings), " +
+        s"scored AS (SELECT a_id, b_id, ${cosSql("a_vec", "b_vec")} AS sim FROM a JOIN b USING (label) WHERE a_id <> b_id), " +
+        "ranked AS (SELECT a_id, b_id, sim, row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rn FROM scored) " +
+        "SELECT a_id AS vec_id, b_id AS nn_id, round(sim, 4) AS cosine_sim FROM ranked WHERE rn = 1"),
+    "media_chunks" ->
+      ("WITH m AS (SELECT doc_id AS media_id, text, CAST(strlen(text) AS BIGINT) AS n_bytes, " +
+        "CAST(ceil(strlen(text) / 256.0) AS BIGINT) AS n_chunks FROM documents) " +
+        "SELECT media_id, n_bytes, n_chunks, CAST(t.i AS BIGINT) AS chunk_idx, CAST(t.i * 256 AS BIGINT) AS chunk_offset, " +
+        "md5(substr(text, CAST(t.i * 256 + 1 AS INT), 256)) AS chunk_sig " +
+        "FROM m, LATERAL (SELECT unnest(range(0, m.n_chunks)) AS i) t")
+    // rows-only (no SQL-expressible oracle): rel_approx_distinct (HLL sketch),
+    // dedup_simhash (xxhash64 is Spark-native), sim_ann_lsh (approximate
+    // recall by design), media_features (stubbed decoder).
+  )
 }

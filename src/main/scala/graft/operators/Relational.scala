@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operator surface (SURVEY.md §2.1–§2.8), re-expressed
+  * as composable DataFrame transforms. Every function is a declarative
+  * plan fragment — Catalyst handles pushdown / pruning / join strategy;
+  * nothing here collects to the driver.
+  */
+object Relational {
+
+  /** The reference's flagship shape (consumer/StreamProcessor.scala:44-83):
+    * count rows by two different key columns, tag each branch, and union
+    * them on a shared key name (reference: pickup vs dropoff location).
+    *
+    * Scale: two hash aggregates (map-side partial + final) + a union —
+    * one shuffle per branch on its own key, no join. The tag column is a
+    * literal projection (P1) and the key rename is P6.
+    */
+  def taggedKeyCounts(
+      df: DataFrame,
+      keyA: String, tagA: String,
+      keyB: String, tagB: String,
+      outKey: String = "location_id",
+      countName: String = "trip_count"): DataFrame = {
+    def leg(key: String, tag: String): DataFrame =
+      df.groupBy(col(key).cast("long").as(outKey))
+        .agg(count(lit(1)).as(countName))
+        .withColumn("aggregation_type", lit(tag))
+    leg(keyA, tagA).unionByName(leg(keyB, tagB))
+  }
+
+  /** TPC-H Q1-style pricing summary: multi-measure hash aggregate with an
+    * arithmetic expression inside the sums. Doubles are rounded at the
+    * edge for oracle-stable output. Filter is pushed to the parquet scan
+    * by Catalyst (verify via explain: PushedFilters).
+    */
+  def pricingSummary(lineitem: DataFrame, cutoff: String): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= to_timestamp(lit(cutoff)))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** Deterministic ordinal slice — the producer's batching primitive
+    * (reference: producer/ProducerOperations.scala:131-149) done right:
+    * the ordinal is computed ONCE over a total order with a unique
+    * tie-breaker, then ranges are plain filters. The reference re-ran the
+    * window per batch (O(total) each time).
+    *
+    * Scale note: a global row_number is inherently single-partition at
+    * the window step. For 100 TB use `rangeSliceScalable` below, which
+    * derives per-partition offsets instead of a global sort window.
+    */
+  def ordinalSlice(df: DataFrame, orderCols: Seq[Column],
+      start: Long, n: Long): DataFrame = {
+    val w = Window.orderBy(orderCols: _*)
+    df.withColumn("row_num", row_number().over(w))
+      .filter(col("row_num").between(start + 1, start + n))
+  }
+
+  /** Scalable ordinal assignment: sort by range partitioning (Spark's
+    * orderBy = range-partitioned sort, parallel), then add per-partition
+    * offsets computed from partition sizes — no single-partition window.
+    * Ordinals are 1-based and identical to `ordinalSlice`'s.
+    */
+  def withScalableOrdinal(df: DataFrame, orderCols: Seq[Column],
+      ordinalName: String = "row_num"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val sorted = df.orderBy(orderCols: _*)
+    val schema = sorted.schema.add(ordinalName, LongType, nullable = false)
+    val withId = sorted.rdd
+      .mapPartitionsWithIndex { case (pid, it) =>
+        it.zipWithIndex.map { case (r, i) => (pid, r, i.toLong) }
+      }
+    // partition sizes -> cumulative offsets (tiny driver-side array)
+    val sizes = withId.mapPartitions(it => Iterator(it.size), preservesPartitioning = true)
+      .collect()
+    val offsets = sizes.scanLeft(0L)(_ + _)
+    val bc = df.sparkSession.sparkContext.broadcast(offsets)
+    val rows = withId.map { case (pid, r, i) =>
+      Row.fromSeq(r.toSeq :+ (bc.value(pid) + i + 1))
+    }
+    df.sparkSession.createDataFrame(rows, schema)
+  }
+
+  /** Top-k keys by row count with a deterministic tie-break on the key.
+    * Catalyst plans orderBy+limit as TakeOrderedAndProject (no global
+    * sort materialization). */
+  def topKByCount(df: DataFrame, key: String, k: Int): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col(key))
+      .limit(k)
+
+  /** Batch restatement of a tumbling event-time window aggregation
+    * (streaming form in graft.streaming): bucket by date_trunc, count +
+    * sum. The string-formatted bucket keeps the oracle timestamp-
+    * precision-agnostic. */
+  def tumblingCounts(events: DataFrame, tsCol: String, unit: String,
+      keyCol: String, valueCol: String): DataFrame =
+    events
+      .groupBy(
+        date_format(date_trunc(unit, col(tsCol)), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col(valueCol)), 2).as("sum_value"))
+
+  /** Session windows, batch form: a session is a run of events per user
+    * with gaps < `gapSeconds`. lag → new-session flag → prefix-sum =
+    * session ordinal; then one aggregate per (user, session).
+    * Second-truncated epoch math keeps the oracle precision-agnostic.
+    * Streaming form: session_window() in graft.streaming.
+    */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, gapSeconds: Long): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val sec = unix_timestamp(col(tsCol))
+    val newSession = when(
+      sec - lag(sec, 1).over(byUser) > gapSeconds || lag(sec, 1).over(byUser).isNull,
+      lit(1)).otherwise(lit(0))
+    events
+      .withColumn("session_seq",
+        sum(newSession).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col(tsCol)), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col(tsCol)), "yyyy-MM-dd HH:mm:ss").as("session_end"))
+  }
+
+  /** As-of join: for each left row, the single latest right row with
+    * rightTs <= leftTs under the equi-key, ties broken by `rightTie`
+    * descending. Composed from built-ins: equi+range join, then a
+    * row_number window keyed by the left row id picks the winner.
+    *
+    * Scale: the equi-key bounds the join fan-out (sort-merge on the key);
+    * the window shuffles once on the left id. For a small right side
+    * Catalyst broadcasts it (verify in explain).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      leftId: String, leftKey: String, leftTs: String,
+      rightKey: String, rightTs: String, rightTie: String): DataFrame = {
+    val j = left.join(right,
+      left(leftKey) === right(rightKey) && right(rightTs) <= left(leftTs),
+      "left")
+    val w = Window.partitionBy(left(leftId))
+      .orderBy(right(rightTs).desc, right(rightTie).desc)
+    j.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.functions.VectorFns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding
+  * column. Baseline: brute-force cosine top-k with a broadcast query
+  * side. Scale path: deterministic sign-random-projection LSH bucketing
+  * so only same-bucket candidates are scored.
+  */
+object Similarity {
+
+  /** Brute-force top-k: broadcast the (small) query set against the full
+    * corpus, score cosine per pair, rank per query.
+    *
+    * Plan shape: BroadcastNestedLoopJoin (queries are broadcast — no
+    * shuffle of the corpus), then a window ranked by (sim desc, id) —
+    * the only shuffle is on q_id for the final rank. For very large k·q
+    * use a bounded-heap aggregator instead (future custom
+    * TypedImperativeAggregate).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      col(vecCol).as("q_vec")))
+    val scored = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .join(q, col("n_id") =!= col("q_id"))
+      .withColumn("sim", VectorFns.cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"),
+        round(col("sim"), 4).as("cosine_sim"))
+  }
+
+  /** Per-row nearest neighbor within a blocking key (e.g. a cluster
+    * label or LSH bucket): the blocked form of all-pairs near-dup
+    * detection. Join fan-out is bounded by the largest block, not n².
+    */
+  def nearestInBlock(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String): DataFrame = {
+    val a = df.select(col(blockCol).as("blk"), col(idCol).as("a_id"),
+      col(vecCol).as("a_vec"))
+    val b = df.select(col(blockCol).as("blk"), col(idCol).as("b_id"),
+      col(vecCol).as("b_vec"))
+    val scored = a.join(b, Seq("blk"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("sim", VectorFns.cosine(col("a_vec"), col("b_vec")))
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("sim").desc, col("b_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("a_id").as("vec_id"), col("b_id").as("nn_id"),
+        round(col("sim"), 4).as("cosine_sim"))
+  }
+
+  /** Deterministic sign-random-projection bucket: `planes` pseudo-random
+    * ±1 hyperplanes, plane p's coefficient for dimension d derived from
+    * md5(p|d) (reproducible everywhere, incl. SQL oracles). Bucket id is
+    * the concatenated sign bits — vectors in the same bucket are cosine-
+    * close with high probability.
+    */
+  def srpBucket(vecCol: Column, dims: Int, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = (0 until dims).map { d =>
+        val sign = if (positiveCoeff(p, d)) 1.0 else -1.0
+        element_at(vecCol, d + 1).cast("double") * sign
+      }.reduce(_ + _)
+      when(proj >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  /** Plane coefficient sign, derived from md5 — stable across engines. */
+  def positiveCoeff(plane: Int, dim: Int): Boolean =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$plane|$dim".getBytes("UTF-8"))(0) >= 0
+
+  /** ANN top-k via SRP-LSH: bucket corpus and queries, score only
+    * within-bucket candidates. Recall < 1 by construction (trade for a
+    * join bounded by bucket size); raise recall with fewer planes or
+    * multi-probe. This is the 100 TB path — the bucket join shuffles on
+    * a high-cardinality key instead of broadcasting all queries.
+    */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int, dims: Int,
+      planes: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val bkt = (c: Column) => srpBucket(c, dims, planes)
+    val cb = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      bkt(col(vecCol)).as("bucket"))
+    val qb = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      bkt(col(vecCol)).as("bucket"))
+    val scored = cb.join(qb, Seq("bucket"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("sim", VectorFns.cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"),
+        round(col("sim"), 4).as("cosine_sim"))
+  }
+}

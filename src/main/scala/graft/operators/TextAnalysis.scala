@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-quality operators for a training-data pipeline: token counting,
+  * quality scoring, language ID, fingerprinting. Pure expression trees
+  * over built-ins — per-row, shuffle-free, codegen-friendly; they
+  * compose with any upstream scan and push column pruning down to it.
+  */
+object TextAnalysis {
+
+  /** English-ish stopwords used by the quality / language heuristics. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "in", "to", "is", "it", "for")
+
+  private def wordsCol(textCol: String): Column = TextFns.words(col(textCol))
+
+  /** Per-document surface statistics: char/word/token counts, average
+    * word length, lexical diversity (distinct/total words). */
+  def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = wordsCol(textCol)
+    df.select(
+      col(idCol),
+      length(col(textCol)).as("n_chars"),
+      size(w).as("n_words"),
+      size(TextFns.bpeishTokens(col(textCol))).as("n_tokens"),
+      round(size(array_distinct(w)).cast("double") / size(w), 4)
+        .as("lexical_diversity"),
+      round((length(TextFns.normalize(col(textCol))) - size(w) + 1)
+        .cast("double") / size(w), 4).as("avg_word_len"))
+  }
+
+  /** Heuristic quality score in [0,1]:
+    *   0.4 · length score (words/200 capped at 1)
+    * + 0.3 · stopword score (stopword ratio ×4 capped at 1)
+    * + 0.3 · lexical diversity.
+    * The standard cheap pre-filter shape for corpus curation (length /
+    * stopword / repetition signals).
+    */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = wordsCol(textCol)
+    val nWords = size(w).cast("double")
+    val stop = size(filter(w, t => t.isInCollection(Stopwords))).cast("double")
+    val lenScore = least(nWords / 200.0, lit(1.0))
+    val stopScore = least(stop / nWords * 4.0, lit(1.0))
+    val diversity = size(array_distinct(w)).cast("double") / nWords
+    df.select(
+      col(idCol),
+      round(stop / nWords, 4).as("stopword_ratio"),
+      round(lit(0.4) * lenScore + lit(0.3) * stopScore + lit(0.3) * diversity, 4)
+        .as("quality"))
+  }
+
+  /** Stopword-profile language ID: score = stopword hit ratio; 'en' when
+    * above threshold, else 'unk'. (Real corpora: per-language stopword /
+    * char-n-gram profiles, same plan shape — a per-row expression.)
+    */
+  def langId(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.05): DataFrame = {
+    val w = wordsCol(textCol)
+    val ratio = size(filter(w, t => t.isInCollection(Stopwords)))
+      .cast("double") / size(w)
+    df.select(col(idCol),
+      round(ratio, 4).as("stopword_ratio"),
+      when(ratio >= threshold, lit("en")).otherwise(lit("unk"))
+        .as("lang_guess"))
+  }
+
+  /** Content fingerprints: normalized md5 plus a coarse 16-char prefix
+    * "rolling" bucket (first 64 bits) usable as a shard key. */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      TextFns.fingerprint(col(textCol)).as("fingerprint"),
+      substring(TextFns.fingerprint(col(textCol)), 1, 16).as("bucket64"))
+}

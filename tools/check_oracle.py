@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Dev-only harness mirror: compare graft.Verify parquet dumps against the
+DuckDB oracle SQL, the way the driver's correctness gate does (sort columns
+by name, sort rows, compare values). Run:
+
+    SPARK_GRAFT_CPUS=8 sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_sf001"
+    python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/verify_sf001
+
+Not part of the shipped library (driver-side python only)."""
+import json
+import math
+import sys
+
+import duckdb
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    return repr(v)
+
+def table_key(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(tuple(canon(r[i]) for i in order) for r in rows)
+    return [cols[i] for i in order], out
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            got = con.sql(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            got_cols, got_rows = got.columns, got.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: cannot read spark output: {e}")
+            n_fail += 1
+            continue
+        try:
+            want = con.sql(sql)
+            want_cols, want_rows = want.columns, want.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        gc, gr = table_key(got_cols, got_rows)
+        wc, wr = table_key(want_cols, want_rows)
+        if gc != wc:
+            print(f"FAIL {name}: columns spark={gc} oracle={wc}")
+            n_fail += 1
+            continue
+        if len(gr) != len(wr):
+            print(f"FAIL {name}: rows spark={len(gr)} oracle={len(wr)}")
+            n_fail += 1
+            continue
+        if gr != wr:
+            bad = next(i for i in range(len(gr)) if gr[i] != wr[i])
+            print(f"FAIL {name}: values differ at sorted row {bad}:")
+            print(f"   spark : {gr[bad]}")
+            print(f"   oracle: {wr[bad]}")
+            n_fail += 1
+            continue
+        print(f"PASS {name} ({len(gr)} rows)")
+        n_pass += 1
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
