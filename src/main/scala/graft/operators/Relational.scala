@@ -24,9 +24,12 @@ object Relational {
       keyA: String, tagA: String,
       keyB: String, tagB: String,
       outKey: String = "location_id",
-      countName: String = "trip_count"): DataFrame = {
+      countName: String = "trip_count",
+      keyCast: String = "long"): DataFrame = {
+    // keyCast unifies the two key columns' types for the union —
+    // "string" when the keys are heterogeneous (e.g. id vs category)
     def leg(key: String, tag: String): DataFrame =
-      df.groupBy(col(key).cast("long").as(outKey))
+      df.groupBy(col(key).cast(keyCast).as(outKey))
         .agg(count(lit(1)).as(countName))
         .withColumn("aggregation_type", lit(tag))
     leg(keyA, tagA).unionByName(leg(keyB, tagB))

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The consumer pipeline (SURVEY.md §3.2), idiomatic and idempotent:
+  * one checkpointed foreachBatch sink writing four datasets per
+  * micro-batch — raw, pickup-key counts, dropoff-key counts, combined —
+  * the reference's data contract (consumer/StreamProcessor.scala:142-193)
+  * with its two defects fixed:
+  *
+  *  - batch_id is foreachBatch's real batchId, not a plan-time literal
+  *    (reference bug at StreamProcessor.scala:34-38);
+  *  - each dataset writes to <dir>/<name>/batch_id=N with
+  *    mode("overwrite") — a replayed micro-batch overwrites its own
+  *    directory instead of appending duplicates (reference appends,
+  *    StreamProcessor.scala:156-184, duplicate-prone on recovery).
+  */
+object MultiSink {
+
+  final case class Config(
+      outDir: String,
+      checkpointDir: String,
+      keyA: String, tagA: String,
+      keyB: String, tagB: String,
+      tsCols: Seq[String] = Seq("ts"),
+      format: String = "parquet",
+      triggerSeconds: Long = 10L)
+
+  def start(stream: DataFrame, cfg: Config): StreamingQuery = {
+    def write(df: DataFrame, name: String, batchId: Long): Unit =
+      df.write.mode("overwrite").format(cfg.format)
+        .save(s"${cfg.outDir}/$name/batch_id=$batchId")
+
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", cfg.checkpointDir)
+      .trigger(Trigger.ProcessingTime(s"${cfg.triggerSeconds} seconds"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val repaired = StreamOps.repairNullTs(batch, cfg.tsCols)
+          val stamped = StreamOps.stampBatchMeta(repaired, batchId)
+          // one pass over the source for all four sinks
+          stamped.persist()
+          try {
+            write(stamped, "raw", batchId)
+            val counts = StreamOps.taggedKeyCounts(
+              stamped, cfg.keyA, cfg.tagA, cfg.keyB, cfg.tagB)
+              .withColumn("batch_id", lit(f"batch_$batchId%06d"))
+            counts.persist()
+            try {
+              write(counts.filter(col("aggregation_type") === cfg.tagA),
+                "pickup_agg", batchId)
+              write(counts.filter(col("aggregation_type") === cfg.tagB),
+                "dropoff_agg", batchId)
+              write(counts, "combined_agg", batchId)
+            } finally counts.unpersist()
+          } finally stamped.unpersist()
+        }
+        ()
+      }
+      .start()
+  }
+}

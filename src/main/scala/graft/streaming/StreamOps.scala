@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming transforms (SURVEY.md §2.9): the reference's per-batch
+  * semantics restated correctly, plus the stateful event-time operators
+  * its architecture diagram aspired to but never implemented
+  * (watermarked windows, streaming dedup).
+  */
+object StreamOps {
+
+  /** Per-micro-batch metadata stamp. The reference computes the batch id
+    * ONCE at plan-construction time and injects it as a literal
+    * (consumer/StreamProcessor.scala:34-38) — a run id, not a batch id.
+    * The correct form takes foreachBatch's batchId argument; the column
+    * contract (batch_id string + processing_time) is preserved.
+    */
+  def stampBatchMeta(df: DataFrame, batchId: Long): DataFrame =
+    df.withColumn("batch_id", lit(f"batch_$batchId%06d"))
+      .withColumn("processing_time", current_timestamp())
+
+  /** Null event-time repair (consumer/StreamProcessor.scala:95-101):
+    * missing timestamps fall back to processing time so downstream
+    * event-time logic never sees null. */
+  def repairNullTs(df: DataFrame, tsCols: Seq[String]): DataFrame =
+    tsCols.foldLeft(df)((d, c) =>
+      d.withColumn(c, coalesce(col(c), current_timestamp())))
+
+  /** The reference's flagship per-batch aggregation
+    * (consumer/StreamProcessor.scala:44-83): counts by two key columns,
+    * tagged and unioned on a shared key name. Runs INSIDE foreachBatch
+    * on the micro-batch frame — per-batch counts, not running totals,
+    * exactly the reference's semantics. */
+  def taggedKeyCounts(batch: DataFrame, keyA: String, tagA: String,
+      keyB: String, tagB: String): DataFrame =
+    graft.operators.Relational.taggedKeyCounts(batch, keyA, tagA, keyB, tagB,
+      keyCast = "string")
+
+  /** True streaming tumbling-window counts — the stateful form the
+    * reference never reached: watermark bounds state, window() buckets
+    * event time, partial aggregation happens map-side per micro-batch.
+    * Output mode Update (or Append after watermark close).
+    */
+  def tumblingCounts(stream: DataFrame, tsCol: String, windowLen: String,
+      keyCol: String, watermarkDelay: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col(keyCol), col("n_events"))
+
+  /** Sliding-window variant: window(ts, len, slide). */
+  def slidingCounts(stream: DataFrame, tsCol: String, windowLen: String,
+      slide: String, keyCol: String, watermarkDelay: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen, slide), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col(keyCol), col("n_events"))
+
+  /** Session windows on the stream via the session_window built-in:
+    * state closes `gap` after the last event per key once the watermark
+    * passes. Batch analog: Relational.sessionize (oracle-checked). */
+  def sessionWindows(stream: DataFrame, tsCol: String, keyCol: String,
+      gap: String, watermarkDelay: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col(keyCol), col("n_events"))
+
+  /** Streaming exact dedup with bounded state: duplicates arriving
+    * within the watermark horizon are dropped; state for a key is freed
+    * once the watermark passes its event time. The streaming form of
+    * Dedup.exactDupGroups' keep-first semantics. */
+  def dedupWithinWatermark(stream: DataFrame, tsCol: String,
+      keyCols: Seq[String], watermarkDelay: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Event-time window start/end as plain columns (dashboard-friendly
+    * projection of the struct). */
+  def flattenWindow(df: DataFrame, windowCol: String = "window"): DataFrame =
+    df.select(
+      (col(s"$windowCol.start") +: col(s"$windowCol.end") +:
+        df.columns.filterNot(_ == windowCol).map(col).toSeq): _*)
+
+  /** Time-bucket column usable on both batch and streaming frames. */
+  def timeBucket(ts: Column, unit: String): Column = date_trunc(unit, ts)
+}

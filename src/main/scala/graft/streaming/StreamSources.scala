@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Streaming sources (SURVEY.md §2.1 S2): explicit-schema unbounded
+  * scans. Schema inference is never used on a stream — the reference
+  * makes the same deliberate choice (consumer/FileReader.scala:22-24,
+  * producer/ProducerOperations.scala:21), but declares the schema twice
+  * by hand; here one shared StructType serves producer and consumer.
+  */
+object StreamSources {
+
+  /** The events wire schema — the single source of truth shared by the
+    * replay producer (writer) and the consumer (reader). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType, nullable = true),
+    StructField("ts", TimestampType, nullable = true),
+    StructField("user_id", LongType, nullable = true),
+    StructField("event_type", StringType, nullable = true),
+    StructField("value", DoubleType, nullable = true),
+    StructField("props", StringType, nullable = true)))
+
+  /** Unbounded file-drop scan: the reference's ingestion primitive
+    * (consumer/FileReader.scala:59-63). `maxFilesPerTrigger` paces the
+    * stream (1 = one dropped file per micro-batch, the reference's
+    * Kafka-on-a-filesystem simulation).
+    *
+    * Scale: the file source tracks seen files in the checkpoint log;
+    * at high file counts set cleanSource/maxFileAge upstream. For real
+    * 100 TB ingestion this swaps for a Kafka source with the same
+    * downstream plan — format("kafka") + from_json(value, schema).
+    */
+  def fileStream(spark: SparkSession, dir: String,
+      schema: StructType = eventSchema, format: String = "json",
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .format(format)
+      .load(dir)
+
+  /** Synthetic rate source for tests and load experiments: `timestamp`
+    * + monotonically increasing `value` at rowsPerSecond. */
+  def rateStream(spark: SparkSession, rowsPerSecond: Long): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+}
