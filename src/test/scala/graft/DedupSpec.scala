@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "  The  Quick   brown fox JUMPS over the lazy dog "), // same normalized
+    (3L, "the quick brown fox jumps over the lazy cat"),       // near-dup
+    (4L, "completely different content about spark engines here")
+  ).toDF("doc_id", "text")
+
+  test("exactDupGroups: normalization-equal docs share a group, keep min id") {
+    val out = Dedup.exactDupGroups(docs, "doc_id", "text")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("dedupStats counts distinct normalized contents") {
+    val (total, distinct) = Dedup.dedupStats(docs, "text")
+      .as[(Long, Long)].head()
+    assert(total === 4L && distinct === 3L)
+  }
+
+  test("minhash signatures: equal docs equal, different docs differ") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(sig(1L) === sig(2L))
+    assert(sig(1L) !== sig(4L))
+  }
+
+  test("lshCandidatePairs finds exact and near duplicates, a < b") {
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", 8, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))       // identical: all bands collide
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near-dup
+    pairs.foreach { case (a, b) => assert(a < b) }
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) })
+  }
+
+  test("jaccardPairs: identical docs = 1.0, near-dups high, ordered a < b") {
+    val j = Dedup.jaccardPairs(docs, "doc_id", "text", 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, v) => (a, b) -> v }.toMap
+    assert(j((1L, 2L)) === 1.0)
+    assert(j((1L, 3L)) > 0.5 && j((1L, 3L)) < 1.0)
+    assert(!j.keySet.exists { case (a, b) => a >= b })
+  }
+
+  test("jaccardPairs maxDocFreq drops ultra-common shingles") {
+    // shingle shared by all 4 docs disappears at cap 3 -> no pair left
+    val common = Seq(
+      (1L, "alpha shared tail words"), (2L, "beta shared tail words"),
+      (3L, "gamma shared tail words"), (4L, "delta shared tail words")
+    ).toDF("doc_id", "text")
+    val uncapped = Dedup.jaccardPairs(common, "doc_id", "text", 0.0)
+    val capped = Dedup.jaccardPairs(common, "doc_id", "text", 0.0, maxDocFreq = 3)
+    assert(uncapped.count() === 6L) // all pairs share "shared tail words"
+    assert(capped.count() === 0L)
+  }
+
+  test("simhash: equal docs equal; near-dup hamming < far-dup hamming") {
+    val s = Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(s(1L) === s(2L))
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(s(1L), s(3L)) < ham(s(1L), s(4L)))
+  }
+}

@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val media = Multimodal.asMediaTable(
+    Seq((1L, "a" * 600), (2L, "xy")).toDF("doc_id", "text"), "doc_id", "text")
+
+  test("asMediaTable carries byte length and opaque payload") {
+    val r = media.filter(col("media_id") === 1).head()
+    assert(r.getAs[Long]("n_bytes") === 600L)
+    assert(r.getAs[Array[Byte]]("payload").length === 600)
+  }
+
+  test("chunkFrames: ceil(n/chunk) chunks with correct offsets") {
+    val chunks = Multimodal.chunkFrames(media, 256)
+      .select("media_id", "chunk_idx", "chunk_offset", "n_chunks")
+      .as[(Long, Int, Long, Long)].collect()
+    val doc1 = chunks.filter(_._1 == 1L).sortBy(_._2)
+    assert(doc1.map(c => (c._2, c._3)).toSeq ===
+      Seq((0, 0L), (1, 256L), (2, 512L)))
+    assert(doc1.head._4 === 3L)
+    assert(chunks.filter(_._1 == 2L).map(c => (c._2, c._3)).toSeq ===
+      Seq((0, 0L)))
+  }
+
+  test("decodeFeaturesStub: deterministic mean over payload bytes") {
+    val f = Multimodal.decodeFeaturesStub(spark, media)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(f(1L).mean_byte === 'a'.toDouble) // uniform payload
+    assert(f(1L).byte_entropy_bucket === ('a'.toInt / 32))
+    assert(f(2L).n_bytes === 2L)
+  }
+}

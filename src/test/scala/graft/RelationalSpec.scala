@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("taggedKeyCounts: both legs sum to the row count, tags partition") {
+    val df = Seq((1, 10), (1, 20), (2, 10)).toDF("a", "b")
+    val out = Relational.taggedKeyCounts(df, "a", "ta", "b", "tb").collect()
+    val byTag = out.groupBy(_.getString(2))
+    assert(byTag.keySet === Set("ta", "tb"))
+    byTag.values.foreach(rows => assert(rows.map(_.getLong(1)).sum === 3))
+    assert(out.filter(r => r.getString(2) == "ta" && r.getLong(0) == 1L)
+      .head.getLong(1) === 2)
+  }
+
+  test("ordinalSlice and withScalableOrdinal assign identical ordinals") {
+    val df = (1 to 97).map(i => (i * 37 % 101, i)).toDF("k", "id")
+    val order = Seq(col("k"), col("id"))
+    val a = Relational.ordinalSlice(df, order, 0, 1000)
+      .select("id", "row_num").as[(Int, Int)].collect().toMap
+    val b = Relational.withScalableOrdinal(df, order)
+      .select("id", "row_num").as[(Int, Long)].collect().toMap
+    assert(a.size === 97 && b.size === 97)
+    a.foreach { case (id, rn) => assert(b(id) === rn.toLong, s"id=$id") }
+  }
+
+  test("batch slices are disjoint and cover all rows (parameter sweep)") {
+    for (n <- Seq(1, 7, 23, 40); size <- Seq(1, 3, 10, 25)) {
+      val df = (1 to n).map(i => (i * 13 % 17, i)).toDF("k", "id")
+      val prepared =
+        Relational.withScalableOrdinal(df, Seq(col("k"), col("id")))
+      val batches = (0L to (n / size).toLong).map(b =>
+        prepared.filter(col("row_num").between(b * size + 1, (b + 1) * size))
+          .select("id").as[Int].collect().toSet)
+      assert(batches.map(_.size).sum === n, s"n=$n size=$size")
+      assert(batches.flatten.toSet.size === n, s"n=$n size=$size")
+    }
+  }
+
+  test("asofJoin picks the latest right row at or before the left ts") {
+    val left = Seq((1L, 100L, ts("2024-01-10"))).toDF("id", "k", "ts")
+    val right = Seq(
+      (100L, ts("2024-01-01"), 11L),
+      (100L, ts("2024-01-09"), 12L),
+      (100L, ts("2024-01-11"), 13L), // after left ts: excluded
+      (999L, ts("2024-01-09"), 14L)  // other key: excluded
+    ).toDF("rk", "rts", "rid")
+    val out = Relational.asofJoin(left, right,
+      "id", "k", "ts", "rk", "rts", "rid").select("rid").as[Long].collect()
+    assert(out.toSeq === Seq(12L))
+  }
+
+  test("sessionize splits on gaps > gapSeconds") {
+    val e = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L),
+      (1L, ts("2024-01-01 00:10:00"), 2L), // same session (600s gap)
+      (1L, ts("2024-01-01 02:00:00"), 3L), // new session
+      (2L, ts("2024-01-01 00:00:00"), 4L)
+    ).toDF("user_id", "ts", "event_id")
+    val out = Relational.sessionize(e, "user_id", "ts", "event_id", 1800)
+      .orderBy("user_id", "session_seq")
+      .select("user_id", "session_seq", "n_events")
+      .as[(Long, Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("topKByCount returns k highest with deterministic ties") {
+    val df = (1 to 10).flatMap(i => Seq.fill(i)(i)).toDF("k")
+    val out = Relational.topKByCount(df, "k", 3)
+      .select("k", "n").as[(Int, Long)].collect()
+    assert(out.toSeq === Seq((10, 10L), (9, 9L), (8, 8L)))
+  }
+
+  private def ts(s: String): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(if (s.length == 10) s + " 00:00:00" else s)
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.streaming.{StatefulSessions, StreamOps}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+case class TestEvt(user_id: Long, ts: Timestamp, event_type: String,
+    value: Double)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+  private var n = 0
+  private def fresh(): String = { n += 1; s"graft_stream_spec_$n" }
+
+  test("tumblingCounts aggregates into event-time windows") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[TestEvt]
+    val out = StreamOps.tumblingCounts(in.toDF(), "ts", "1 hour",
+      "event_type", "10 minutes")
+    val name = fresh()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    in.addData(
+      TestEvt(1, ts("2024-01-01 00:05:00"), "click", 1.0),
+      TestEvt(2, ts("2024-01-01 00:55:00"), "click", 1.0),
+      TestEvt(3, ts("2024-01-01 01:05:00"), "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name)
+      .select("window_start", "event_type", "n_events")
+      .as[(Timestamp, String, Long)].collect().toSet
+    assert(rows === Set(
+      (ts("2024-01-01 00:00:00"), "click", 2L),
+      (ts("2024-01-01 01:00:00"), "view", 1L)))
+  }
+
+  test("dedupWithinWatermark drops in-horizon duplicates") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[TestEvt]
+    val out = StreamOps.dedupWithinWatermark(in.toDF(), "ts",
+      Seq("user_id", "event_type"), "1 hour")
+    val name = fresh()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    in.addData(
+      TestEvt(1, ts("2024-01-01 00:00:00"), "click", 1.0),
+      TestEvt(1, ts("2024-01-01 00:10:00"), "click", 2.0), // dup key in horizon
+      TestEvt(1, ts("2024-01-01 00:20:00"), "view", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table(name).count() === 2L)
+  }
+
+  test("stateful sessions emit when the watermark passes session close") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[TestEvt]
+    val sessions = StatefulSessions.sessions(in.toDF(), gapSeconds = 600,
+      watermarkDelay = "0 seconds")
+    val name = fresh()
+    val q = sessions.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    // session: two events 5 min apart
+    in.addData(
+      TestEvt(7, ts("2024-01-01 00:00:00"), "click", 1.0),
+      TestEvt(7, ts("2024-01-01 00:05:00"), "click", 2.0))
+    q.processAllAvailable()
+    assert(spark.table(name).count() === 0L) // watermark hasn't passed close
+    // a much later event advances the watermark past 00:05 + 10min gap
+    in.addData(TestEvt(8, ts("2024-01-01 06:00:00"), "click", 1.0))
+    q.processAllAvailable()
+    // one more batch so the timeout fires after the watermark update
+    in.addData(TestEvt(8, ts("2024-01-01 06:00:01"), "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name)
+      .select("user_id", "n_events", "sum_value")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.toSeq === Seq((7L, 2L, 3.0)))
+  }
+
+  test("stampBatchMeta adds the real batch id") {
+    val df = Seq((1L, "x")).toDF("id", "v")
+    val stamped = StreamOps.stampBatchMeta(df, 42L)
+    assert(stamped.select("batch_id").as[String].head() === "batch_000042")
+    assert(stamped.columns.contains("processing_time"))
+  }
+}

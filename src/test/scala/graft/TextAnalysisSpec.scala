@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.TextFns
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("textStats on a known sentence") {
+    val df = Seq((1L, "The quick brown fox")).toDF("doc_id", "text")
+    val r = TextAnalysis.textStats(df, "doc_id", "text").head()
+    assert(r.getAs[Int]("n_chars") === 19)
+    assert(r.getAs[Int]("n_words") === 4)
+    assert(r.getAs[Int]("n_tokens") === 4)
+    assert(r.getAs[Double]("lexical_diversity") === 1.0)
+    assert(r.getAs[Double]("avg_word_len") === 4.0) // (19-4+1)/4
+  }
+
+  test("bpeish tokens split letters / digits / symbols") {
+    val df = Seq("abc123!x").toDF("t")
+    val toks = df.select(TextFns.bpeishTokens(col("t"))).as[Seq[String]].head()
+    assert(toks === Seq("abc", "123", "!", "x"))
+  }
+
+  test("qualityScore stays in [0,1]; stopword-rich beats gibberish") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and it was a good day for the cat"),
+      (2L, "zzz qqq xxx zzz qqq xxx zzz qqq xxx")
+    ).toDF("doc_id", "text")
+    val q = TextAnalysis.qualityScore(df, "doc_id", "text")
+      .select("doc_id", "quality").as[(Long, Double)].collect().toMap
+    q.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+    assert(q(1L) > q(2L))
+  }
+
+  test("langId: English text flagged en, gibberish unk") {
+    val df = Seq(
+      (1L, "the cat is in the house and it is warm"),
+      (2L, "xyzzy plugh qwerty asdf zxcv")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(df, "doc_id", "text")
+      .select("doc_id", "lang_guess").as[(Long, String)].collect().toMap
+    assert(out(1L) === "en" && out(2L) === "unk")
+  }
+
+  test("fingerprint is whitespace/case invariant, differs across content") {
+    val df = Seq(
+      (1L, "Hello   World"), (2L, " hello world "), (3L, "hello there")
+    ).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprints(df, "doc_id", "text")
+      .select("doc_id", "fingerprint").as[(Long, String)].collect().toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+  }
+
+  test("shingles: n-grams in order; short docs collapse to whole text") {
+    val df = Seq("a b c d", "a b").toDF("t")
+    val sh = df.select(TextFns.shingles(col("t"), 3)).as[Seq[String]].collect()
+    assert(sh(0) === Seq("a b c", "b c d"))
+    assert(sh(1) === Seq("a b"))
+  }
+}
