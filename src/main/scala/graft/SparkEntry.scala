@@ -249,16 +249,24 @@ object SparkEntry {
       "sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh " +
       "FROM words, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) t)"
 
+  /** Mirrors TextFns.shingleHash + minhashPerm: one md5 per shingle,
+    * 28-bit hex-parsed base hash, k integer affine permutations mod
+    * 2^31-1 — exact BIGINT arithmetic in both engines. */
   private val sigCte: String = {
-    val cols = (0 until MinhashK)
-      .map(i => s"min(md5('$i|' || sh)) AS mh$i").mkString(", ")
-    s", sig AS (SELECT doc_id, $cols FROM sh GROUP BY doc_id)"
+    val p = TextFns.MinhashP
+    val cols = (0 until MinhashK).map { i =>
+      val (a, b) = TextFns.permCoeffs(i)
+      s"min((h * $a + $b) % $p) AS mh$i"
+    }.mkString(", ")
+    s", hashed AS (SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 7) AS BIGINT) AS h FROM sh), " +
+      s"sig AS (SELECT doc_id, $cols FROM hashed GROUP BY doc_id)"
   }
 
   private val bandSelects: String = {
     val r = MinhashK / LshBands
     (0 until LshBands).map { b =>
-      val cols = (b * r until (b + 1) * r).map(i => s"mh$i").mkString(" || '|' || ")
+      val cols = (b * r until (b + 1) * r)
+        .map(i => s"CAST(mh$i AS VARCHAR)").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($cols) AS band_hash FROM sig"
     }.mkString(" UNION ALL ")
   }

@@ -14,8 +14,21 @@ import org.apache.spark.sql.functions._
   */
 object VectorFns {
 
-  /** Dot product, accumulated in double in element order. */
+  /** Dot product, accumulated in double in element order. Uses the
+    * codegen'd DotProduct expression when a session is active (the hot
+    * path); falls back to the pure-built-in higher-order form otherwise.
+    * Both compute bit-identical IEEE results. */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        GraftFunctions.register(s)
+        call_function("graft_dot", a, b)
+      case None => hofDot(a, b)
+    }
+
+  /** Higher-order-function formulation: interpreted lambda per element —
+    * correct everywhere, slow on all-pairs joins (see DotProduct). */
+  def hofDot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

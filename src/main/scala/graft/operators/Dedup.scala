@@ -13,6 +13,18 @@ object Dedup {
 
   val ShingleN = 3
 
+  /** (id, hashedShingle) rows: words materialized in their own
+    * projection so the interpreted shingle lambda references an
+    * attribute, not a re-executing regexp split (see TextFns.shingles
+    * perf note); then distinct shingles hashed and exploded. */
+  private def shingleRows(df: DataFrame, idCol: String, textCol: String,
+      hashFn: Column => Column, outName: String): DataFrame =
+    df.select(col(idCol), TextFns.words(col(textCol)).as("__w"))
+      .select(col(idCol),
+        explode(transform(
+          array_distinct(TextFns.shinglesOfWords(col("__w"), ShingleN)),
+          hashFn)).as(outName))
+
   /** Exact-dup groups keyed by the normalized-content fingerprint:
     * one row per distinct content with the surviving (minimum) id and
     * the duplicate count. A single hash aggregate — the 100 TB-safe
@@ -30,18 +42,18 @@ object Dedup {
       count(lit(1)).as("n_total"),
       countDistinct(TextFns.fingerprint(col(textCol))).as("n_distinct"))
 
-  /** MinHash signatures: explode distinct shingles, then ONE hash
-    * aggregate computing all k permutation minima (map-side partial
-    * aggregation makes this a single shuffle keyed by doc id — the
-    * standard scalable formulation; no per-permutation pass).
+  /** MinHash signatures: explode distinct shingles, hash each ONCE
+    * (md5-derived 28-bit base), then ONE hash aggregate computing all k
+    * affine-permutation minima (map-side partial aggregation makes this
+    * a single shuffle keyed by doc id). Integer minima, not string —
+    * k longs per shingle instead of k md5 computations.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    val exploded = df.select(
-      col(idCol),
-      explode(array_distinct(TextFns.shingles(col(textCol), ShingleN))).as("sh"))
+    val exploded = shingleRows(df, idCol, textCol,
+      s => TextFns.shingleHash(s), "h")
     val aggs = (0 until k).map(i =>
-      min(TextFns.minhashExpr(col("sh"), i)).as(s"mh$i"))
+      min(TextFns.minhashPerm(col("h"), i)).as(s"mh$i"))
     exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -64,19 +76,30 @@ object Dedup {
         col("bb.band_hash").as("band_hash"))
   }
 
-  /** LSH candidate pairs: self-join of the band table on the bucket.
-    * Distinct (a < b) pairs. Scale: the join key (band, band_hash) is
-    * high-cardinality and uniform, so the shuffle is balanced; a skewed
-    * bucket (giant dup cluster) is handled by AQE skew-join splitting.
+  /** LSH candidate pairs, single-pass: group the band table by bucket,
+    * collect each bucket's (sorted, distinct) ids, and expand a < b
+    * pairs with array transforms — ONE aggregate instead of a self-join
+    * that would recompute the whole minhash pipeline for both sides and
+    * shuffle it twice.
+    *
+    * Scale: per-bucket state is a duplicate cluster, bounded by cluster
+    * size, not corpus size; a pathological mega-cluster (m ids → m²/2
+    * pairs from one bucket) is the signal to cap or sample upstream —
+    * the same blow-up would hit the self-join formulation as join
+    * fan-out.
     */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, bands: Int): DataFrame = {
     val b = lshBands(df, idCol, textCol, k, bands)
-    val a = b.select(col("band"), col("band_hash"), col(idCol).as("a_id"))
-    val c = b.select(col("band"), col("band_hash"), col(idCol).as("b_id"))
-    a.join(c, Seq("band", "band_hash"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
+    val buckets = b.groupBy(col("band"), col("band_hash"))
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("a_id"), y.as("b_id")))))).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .distinct()
   }
 
   /** Exact n-gram Jaccard similarity for all pairs sharing at least one
@@ -90,9 +113,12 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double, maxDocFreq: Long = 0L): DataFrame = {
-    val sh = df.select(col(idCol).as("doc"),
-        explode(array_distinct(TextFns.shingles(col(textCol), ShingleN))).as("sh"))
-      .distinct()
+    // array_distinct already dedups within a doc — no extra distinct
+    // shuffle; the join key is a 64-bit hash of the shingle, not the
+    // string (smaller shuffle; 64-bit collisions are ~1e-9 at 1e6
+    // distinct shingles)
+    val sh = shingleRows(df, idCol, textCol, s => xxhash64(s), "sh")
+      .withColumnRenamed(idCol, "doc")
     val capped =
       if (maxDocFreq <= 0) sh
       else {

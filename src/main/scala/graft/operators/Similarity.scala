@@ -23,11 +23,16 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // norms are computed per ROW before the join (n + q sqrt's), not per
+    // PAIR after it (2·n·q) — same association as the oracle: d/(nq·nn)
     val q = broadcast(queries.select(col(idCol).as("q_id"),
-      col(vecCol).as("q_vec")))
-    val scored = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      col(vecCol).as("q_vec"),
+      VectorFns.norm2(col(vecCol)).as("q_norm")))
+    val scored = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+        VectorFns.norm2(col(vecCol)).as("n_norm"))
       .join(q, col("n_id") =!= col("q_id"))
-      .withColumn("sim", VectorFns.cosine(col("q_vec"), col("n_vec")))
+      .withColumn("sim", VectorFns.dot(col("q_vec"), col("n_vec"))
+        / (col("q_norm") * col("n_norm")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -43,12 +48,13 @@ object Similarity {
   def nearestInBlock(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String): DataFrame = {
     val a = df.select(col(blockCol).as("blk"), col(idCol).as("a_id"),
-      col(vecCol).as("a_vec"))
+      col(vecCol).as("a_vec"), VectorFns.norm2(col(vecCol)).as("a_norm"))
     val b = df.select(col(blockCol).as("blk"), col(idCol).as("b_id"),
-      col(vecCol).as("b_vec"))
+      col(vecCol).as("b_vec"), VectorFns.norm2(col(vecCol)).as("b_norm"))
     val scored = a.join(b, Seq("blk"))
       .filter(col("a_id") =!= col("b_id"))
-      .withColumn("sim", VectorFns.cosine(col("a_vec"), col("b_vec")))
+      .withColumn("sim", VectorFns.dot(col("a_vec"), col("b_vec"))
+        / (col("a_norm") * col("b_norm")))
     val w = Window.partitionBy(col("a_id"))
       .orderBy(col("sim").desc, col("b_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -89,12 +95,13 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val bkt = (c: Column) => srpBucket(c, dims, planes)
     val cb = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
-      bkt(col(vecCol)).as("bucket"))
+      bkt(col(vecCol)).as("bucket"), VectorFns.norm2(col(vecCol)).as("n_norm"))
     val qb = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      bkt(col(vecCol)).as("bucket"))
+      bkt(col(vecCol)).as("bucket"), VectorFns.norm2(col(vecCol)).as("q_norm"))
     val scored = cb.join(qb, Seq("bucket"))
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("sim", VectorFns.cosine(col("q_vec"), col("n_vec")))
+      .withColumn("sim", VectorFns.dot(col("q_vec"), col("n_vec"))
+        / (col("q_norm") * col("n_norm")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
