@@ -111,7 +111,9 @@ object SparkEntry {
     // --- joins (§2.3 gap-fill) ---
     "join_brand_revenue" -> ((s, d) => {
       val li = t(s, d, "lineitem"); val p = t(s, d, "part")
-      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      // no broadcast hint: part grows with SF (not broadcast-safe at
+      // 100 TB) — size-based planning + AQE pick the strategy
+      li.join(p, li("l_partkey") === p("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"), count(lit(1)).as("n_items"))
@@ -120,9 +122,12 @@ object SparkEntry {
       val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
       val c = t(s, d, "customer"); val su = t(s, d, "supplier")
       val n = t(s, d, "nation"); val r = t(s, d, "region")
+      // broadcast hints only on the fixed-size dims (nation=25,
+      // region=5 rows at every SF); supplier/customer/orders grow with
+      // SF and are left to size-based planning + AQE
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
-        .join(broadcast(su), li("l_suppkey") === su("s_suppkey")
+        .join(su, li("l_suppkey") === su("s_suppkey")
           && su("s_nationkey") === c("c_nationkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
@@ -209,6 +214,9 @@ object SparkEntry {
         .orderBy(col("jaccard").desc, col("a_id"), col("b_id")).limit(20)),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(t(s, d, "documents"), "doc_id", "text")),
+    "dedup_embedding_cos" -> ((s, d) =>
+      Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), "vec_id",
+        "embedding", "label", 0.3)),
 
     // --- similarity search ---
     "sim_knn_topk" -> ((s, d) => {
@@ -391,6 +399,11 @@ object SparkEntry {
         "SELECT a_id, b_id, round(i / (sa.n + sb.n - i), 4) AS jaccard FROM inter " +
         "JOIN sizes sa ON inter.a_id = sa.doc_id JOIN sizes sb ON inter.b_id = sb.doc_id " +
         "ORDER BY jaccard DESC, a_id, b_id LIMIT 20"),
+    "dedup_embedding_cos" ->
+      ("WITH a AS (SELECT label, vec_id AS a_id, embedding AS a_vec FROM embeddings), " +
+        "b AS (SELECT label, vec_id AS b_id, embedding AS b_vec FROM embeddings), " +
+        s"scored AS (SELECT a_id, b_id, ${cosSql("a_vec", "b_vec")} AS sim FROM a JOIN b USING (label) WHERE a_id < b_id) " +
+        "SELECT a_id, b_id, round(sim, 4) AS cosine_sim FROM scored WHERE sim >= 0.3"),
     "sim_knn_topk" ->
       ("WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10), " +
         "c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings), " +

@@ -167,4 +167,27 @@ object Dedup {
   /** Hamming distance between two simhash columns (for near-dup pairing
     * on the signature table). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Embedding-cosine near-duplicate pairs: all (a < b) pairs within a
+    * blocking key whose cosine similarity meets the threshold. The
+    * block bounds the pair fan-out (largest block², not corpus²) — at
+    * scale the block is an SRP-LSH bucket (Similarity.srpBucket) or an
+    * upstream cluster id; the scoring join is identical. Norms are
+    * computed per row before the join; the threshold filters the raw
+    * cosine (rounding only at the output edge).
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    import graft.functions.VectorFns
+    val a = df.select(col(blockCol).as("blk"), col(idCol).as("a_id"),
+      col(vecCol).as("a_vec"), VectorFns.norm2(col(vecCol)).as("a_norm"))
+    val b = df.select(col(blockCol).as("blk"), col(idCol).as("b_id"),
+      col(vecCol).as("b_vec"), VectorFns.norm2(col(vecCol)).as("b_norm"))
+    a.join(b, Seq("blk"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim", VectorFns.dot(col("a_vec"), col("b_vec"))
+        / (col("a_norm") * col("b_norm")))
+      .filter(col("sim") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("cosine_sim"))
+  }
 }

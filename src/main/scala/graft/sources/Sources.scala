@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Batch sources and sinks (SURVEY.md §2.1 S1, S3, S4, S10): explicit
+  * schemas always (inference disabled, the reference's deliberate choice
+  * — producer/ProducerOperations.scala:21); writers are the multi-format
+  * sink contract of the consumer (json/parquet/csv from config,
+  * application.conf:90).
+  */
+object Sources {
+
+  /** The reference's CSV scan contract (producer/ProducerOperations
+    * .scala:75-85): header, separator, quote/escape, PERMISSIVE parse,
+    * empty-string nulls, explicit timestamp/date formats. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      sep: String = ",",
+      timestampFormat: String = "yyyy-MM-dd HH:mm:ss",
+      dateFormat: String = "yyyy-MM-dd"): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("sep", sep)
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .option("mode", "PERMISSIVE")
+      .option("nullValue", "")
+      .option("timestampFormat", timestampFormat)
+      .option("dateFormat", dateFormat)
+      .schema(schema)
+      .csv(path)
+
+  /** JSON-lines scan with explicit schema (the wire format of the
+    * reference's inter-process bus, consumer/FileReader.scala:59-63,
+    * batch form). */
+  def readJson(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Multi-format batch sink (consumer/StreamProcessor.scala:156-184):
+    * format is data, not code. Overwrite by default — append-mode
+    * output paths should be keyed by batch/run id for idempotency (see
+    * graft.streaming.MultiSink). */
+  def write(df: DataFrame, path: String, format: String = "parquet",
+      mode: String = "overwrite", partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.format(format).mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .save(path)
+  }
+
+  /** One-file JSON-lines drop (producer/FileSender.scala:117-132's
+    * contract): a single file per call, for file-drop streaming
+    * simulation. Executor-side write — never collects rows. */
+  def writeJsonBatch(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").json(path)
+
+  /** Format converter (data/transform.ipynb's parquet->CSV step, S10,
+    * done distributed): read any supported format, write any other. */
+  def convert(spark: SparkSession, inPath: String, inFormat: String,
+      outPath: String, outFormat: String,
+      schema: Option[StructType] = None): Unit = {
+    val r = spark.read.format(inFormat)
+    val df = schema.map(r.schema(_)).getOrElse(r).load(inPath)
+    df.write.format(outFormat).mode("overwrite")
+      .option("header", "true").save(outPath)
+  }
+}

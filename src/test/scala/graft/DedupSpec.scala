@@ -62,6 +62,18 @@ class DedupSpec extends SparkSpec {
     assert(capped.count() === 0L)
   }
 
+  test("embeddingNearDupPairs: same-block pairs above threshold only") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f), "x"), (2L, Array(0.99f, 0.14f), "x"), // cos ~ .99
+      (3L, Array(0f, 1f), "x"),                                 // cos ~ 0 to 1
+      (4L, Array(1f, 0f), "y")                                  // other block
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Dedup.embeddingNearDupPairs(
+      vecs, "vec_id", "embedding", "label", 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L)))
+  }
+
   test("simhash: equal docs equal; near-dup hamming < far-dup hamming") {
     val s = Dedup.simhash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap

@@ -1,0 +1,49 @@
+package graft
+
+import graft.sources.Sources
+import java.nio.file.Files
+import org.apache.spark.sql.types._
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType), StructField("name", StringType),
+    StructField("ts", TimestampType)))
+
+  test("readCsv: header, empty-string nulls, timestamp format, permissive") {
+    val dir = Files.createTempDirectory("graft_csv").toFile
+    val f = new java.io.File(dir, "in.csv")
+    Files.writeString(f.toPath,
+      "id,name,ts\n1,alice,2024-01-02 03:04:05\n2,,2024-01-02 03:04:06\nbad-row,x,y\n")
+    val rows = Sources.readCsv(spark, f.getPath, schema).collect()
+    assert(rows.length === 3)
+    val r1 = rows.find(_.getAs[Any]("id") == 1).get
+    assert(r1.getAs[java.sql.Timestamp]("ts").toString === "2024-01-02 03:04:05.0")
+    assert(rows.find(_.getAs[Any]("id") == 2).get.isNullAt(1)) // "" -> null
+    assert(rows.count(_.isNullAt(0)) === 1) // permissive: bad row nulled
+  }
+
+  test("writeJsonBatch produces one file; readJson round-trips") {
+    val dir = Files.createTempDirectory("graft_json").toString + "/drop"
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "name")
+      .withColumn("ts", org.apache.spark.sql.functions.lit(
+        java.sql.Timestamp.valueOf("2024-01-02 03:04:05")))
+    Sources.writeJsonBatch(df, dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(parts.length === 1)
+    val back = Sources.readJson(spark, dir, schema)
+    assert(back.count() === 2)
+    assert(back.schema === schema)
+  }
+
+  test("convert parquet -> csv preserves rows") {
+    val base = Files.createTempDirectory("graft_conv").toString
+    Seq((1, "x"), (2, "y")).toDF("id", "name")
+      .write.parquet(s"$base/in")
+    Sources.convert(spark, s"$base/in", "parquet", s"$base/out", "csv")
+    val out = spark.read.option("header", "true").csv(s"$base/out")
+    assert(out.count() === 2)
+  }
+}
