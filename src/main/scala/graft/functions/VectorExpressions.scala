@@ -76,7 +76,8 @@ object GraftFunctions {
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (cs: Seq[Expression]) => DotProduct(cs(0), cs(1))))
+      (cs: Seq[Expression]) => DotProduct(cs(0), cs(1))),
+    TopKAggregate.registration)
 
   private val registered =
     java.util.Collections.newSetFromMap(

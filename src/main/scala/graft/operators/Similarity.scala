@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.VectorFns
+import graft.functions.{GraftFunctions, VectorFns}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -12,14 +12,30 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Per-query top-k rank via the graft_topk bounded-heap aggregate
+    * (TypedImperativeAggregate): map-side partial aggregation keeps at
+    * most k candidates per (task, query), so the shuffle carries
+    * tasks·k rows per query instead of every scored pair — the
+    * row_number()-window formulation would shuffle all n·q pairs.
+    * Output contract: (q_id, rank, n_id, cosine_sim), rank 1 = best,
+    * ties broken by ascending id. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    GraftFunctions.register(scored.sparkSession)
+    scored.groupBy(col("q_id"))
+      .agg(call_function("graft_topk",
+        col("sim"), col("n_id").cast("long"), lit(k)).as("topk"))
+      .select(col("q_id"), posexplode(col("topk")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("n_id"),
+        round(col("col.score"), 4).as("cosine_sim"))
+  }
+
   /** Brute-force top-k: broadcast the (small) query set against the full
     * corpus, score cosine per pair, rank per query.
     *
     * Plan shape: BroadcastNestedLoopJoin (queries are broadcast — no
-    * shuffle of the corpus), then a window ranked by (sim desc, id) —
-    * the only shuffle is on q_id for the final rank. For very large k·q
-    * use a bounded-heap aggregator instead (future custom
-    * TypedImperativeAggregate).
+    * shuffle of the corpus), then the bounded-heap top-k aggregate
+    * (see rankTopK) — the only shuffle is k rows per (task, query).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -33,12 +49,7 @@ object Similarity {
       .join(q, col("n_id") =!= col("q_id"))
       .withColumn("sim", VectorFns.dot(col("q_vec"), col("n_vec"))
         / (col("q_norm") * col("n_norm")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"),
-        round(col("sim"), 4).as("cosine_sim"))
+    rankTopK(scored, k)
   }
 
   /** Per-row nearest neighbor within a blocking key (e.g. a cluster
@@ -102,11 +113,6 @@ object Similarity {
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("sim", VectorFns.dot(col("q_vec"), col("n_vec"))
         / (col("q_norm") * col("n_norm")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"),
-        round(col("sim"), 4).as("cosine_sim"))
+    rankTopK(scored, k)
   }
 }

@@ -50,6 +50,27 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head._2 === 11L && out.head._3 === 1.0)
   }
 
+  test("graft_topk aggregate matches the row_number window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    // deterministic pseudo-random scores incl. duplicate-score ties
+    val scored = (1 to 500).map { i =>
+      (i % 7L, (i * 31 % 97) / 97.0, i.toLong)
+    }.toDF("q_id", "sim", "n_id")
+    val viaAgg = scored.groupBy(col("q_id"))
+      .agg(call_function("graft_topk", col("sim"), col("n_id"), lit(5)).as("t"))
+      .select(col("q_id"), posexplode(col("t")))
+      .select(col("q_id"), (col("pos") + 1).as("rank"),
+        col("col.id").as("n_id"), col("col.score").as("sim"))
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    val viaWindow = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(viaAgg === viaWindow)
+  }
+
   test("srpBucket is deterministic and splits opposite vectors") {
     val df = Seq((Array(1f, 0f, 0f, 0f), Array(-1f, 0f, 0f, 0f)))
       .toDF("a", "b")
