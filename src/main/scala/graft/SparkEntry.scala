@@ -230,6 +230,11 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       Similarity.annTopK(emb, emb.filter(col("vec_id") < 10), 5, 64, 4)
     }),
+    "sim_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5,
+        nlist = 16, nprobe = 4)
+    }),
 
     // --- multimodal plumbing ---
     "media_chunks" -> ((s, d) =>
@@ -423,7 +428,8 @@ object SparkEntry {
         "md5(substr(text, CAST(t.i * 256 + 1 AS INT), 256)) AS chunk_sig " +
         "FROM m, LATERAL (SELECT unnest(range(0, m.n_chunks)) AS i) t")
     // rows-only (no SQL-expressible oracle): rel_approx_distinct (HLL sketch),
-    // dedup_simhash (xxhash64 is Spark-native), sim_ann_lsh (approximate
-    // recall by design), media_features (stubbed decoder).
+    // dedup_simhash (xxhash64 is Spark-native), sim_ann_lsh / sim_ann_ivf
+    // (approximate recall by design; IVF additionally depends on KMeans
+    // initialization), media_features (stubbed decoder).
   )
 }

@@ -95,6 +95,55 @@ object Similarity {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s"$plane|$dim".getBytes("UTF-8"))(0) >= 0
 
+  /** IVF (inverted-file) ANN top-k: a KMeans coarse quantizer paritions
+    * the corpus into nlist cells; each query probes only its nprobe
+    * nearest cells. The index build is one MLlib fit over (a sample of)
+    * the corpus; assignment is a deterministic argmin over broadcast
+    * centroids; the probe is an equi-join on cell id.
+    *
+    * Scale: the corpus shuffles once at build time (by cell), queries
+    * join on cell — per-query work is corpus/nlist·nprobe instead of
+    * corpus. Recall < 1 by construction (cell-boundary misses), tuned
+    * by nprobe. Centroids are tiny (nlist·dims floats) and broadcast.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int, nprobe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = corpus.select(array_to_vector(col(vecCol)).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .fit(train)
+    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    val spark = corpus.sparkSession
+    val cdf = spark.createDataFrame(
+      centroids.zipWithIndex.map { case (c, i) => (i, c) }.toIndexedSeq)
+      .toDF("cell", "centroid")
+      .withColumn("c_norm", VectorFns.norm2(col("centroid")))
+    // nearest cell(s) by cosine: rank a tiny broadcast cross join
+    def cells(df: DataFrame, id: String, vec: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("__csim").desc, col("cell"))
+      df.join(broadcast(cdf))
+        .withColumn("__csim", VectorFns.dot(col(vec), col("centroid"))
+          / (VectorFns.norm2(col(vec)) * col("c_norm")))
+        .withColumn("__cr", row_number().over(w))
+        .filter(col("__cr") <= n)
+        .drop("centroid", "c_norm", "__csim", "__cr")
+    }
+    val cb = cells(
+      corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+        VectorFns.norm2(col(vecCol)).as("n_norm")), "n_id", "n_vec", 1)
+    val qb = cells(
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        VectorFns.norm2(col(vecCol)).as("q_norm")), "q_id", "q_vec", nprobe)
+    val scored = cb.join(qb, Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("sim", VectorFns.dot(col("q_vec"), col("n_vec"))
+        / (col("q_norm") * col("n_norm")))
+    rankTopK(scored, k)
+  }
+
   /** ANN top-k via SRP-LSH: bucket corpus and queries, score only
     * within-bucket candidates. Recall < 1 by construction (trade for a
     * join bounded by bucket size); raise recall with fewer planes or

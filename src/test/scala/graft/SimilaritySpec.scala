@@ -71,6 +71,21 @@ class SimilaritySpec extends SparkSpec {
     assert(viaAgg === viaWindow)
   }
 
+  test("ivfTopK finds identical vectors (same cell by construction)") {
+    val many = (0 until 40).map { i =>
+      val a = (i % 4).toFloat
+      (i.toLong, Array(a, 4 - a, (i % 3).toFloat, 1f), "x")
+    }
+    val dup = Seq(
+      (100L, Array(9f, 9f, 9f, 9f), "x"),
+      (101L, Array(9f, 9f, 9f, 9f), "x"))
+    val corpus = (many ++ dup).toDF("vec_id", "embedding", "label")
+    val out = Similarity.ivfTopK(corpus,
+      corpus.filter(col("vec_id") === 100), k = 3, nlist = 4, nprobe = 2)
+      .select("rank", "n_id", "cosine_sim").as[(Long, Long, Double)].collect()
+    assert(out.head._2 === 101L && out.head._3 === 1.0)
+  }
+
   test("srpBucket is deterministic and splits opposite vectors") {
     val df = Seq((Array(1f, 0f, 0f, 0f), Array(-1f, 0f, 0f, 0f)))
       .toDF("a", "b")
