@@ -57,6 +57,9 @@ object SparkEntry {
       t(s, d, "lineitem").agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))),
+    "rel_salted_distinct" -> ((s, d) =>
+      Relational.saltedDistinctCount(t(s, d, "lineitem"),
+        "l_returnflag", "l_partkey", 8)),
 
     // --- projection / filter / scalar functions (§2.2, §2.8) ---
     "rel_filter_project" -> ((s, d) =>
@@ -314,6 +317,8 @@ object SparkEntry {
         "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
     "rel_distinct_counts" ->
       "SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps, count(DISTINCT l_orderkey) AS n_orders FROM lineitem",
+    "rel_salted_distinct" ->
+      "SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct FROM lineitem GROUP BY l_returnflag",
     "rel_filter_project" ->
       ("SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice * (1 - l_discount) AS net_price " +
         "FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag = 'R'"),

@@ -145,6 +145,22 @@ object Relational {
         date_format(max(col(tsCol)), "yyyy-MM-dd HH:mm:ss").as("session_end"))
   }
 
+  /** Skew-safe exact distinct count per key. Algebraic aggregates
+    * (sum/count/min/max) survive key skew on their own — map-side
+    * partial aggregation collapses a hot key to one row per task before
+    * the shuffle. Exact DISTINCT does not: every distinct value of the
+    * hot key lands on one reducer. This salts the VALUE space —
+    * distinct sets in different salt buckets are disjoint, so their
+    * counts add — turning one giant reducer state into `salt` bounded
+    * ones. (Joins skew is AQE's job; this covers aggregation skew.)
+    */
+  def saltedDistinctCount(df: DataFrame, key: String, valueCol: String,
+      salt: Int): DataFrame =
+    df.groupBy(col(key), pmod(xxhash64(col(valueCol)), lit(salt)).as("__salt"))
+      .agg(countDistinct(col(valueCol)).as("__d"))
+      .groupBy(col(key))
+      .agg(sum(col("__d")).as("n_distinct"))
+
   /** As-of join: for each left row, the single latest right row with
     * rightTs <= leftTs under the equi-key, ties broken by `rightTie`
     * descending. Composed from built-ins: equi+range join, then a
