@@ -95,26 +95,36 @@ object Dedup {
       .agg(sort_array(collect_set(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
     buckets
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          y => struct(x.as("a_id"), y.as("b_id")))))).as("p"))
+      .select(explode(pairStructs(col("ids"))).as("p"))
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .distinct()
   }
 
+  /** All (a < b) pairs from a SORTED array of ids, as
+    * array<struct<a_id, b_id>> — the shared pair-expansion for
+    * bucket-grouped candidate generation. */
+  private def pairStructs(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)),
+        y => struct(x.as("a_id"), y.as("b_id")))))
+
   /** Exact n-gram Jaccard similarity for all pairs sharing at least one
-    * shingle, via an inverted index (shingle → doc) self-join:
-    * |A∩B| from the join, |A|,|B| from per-doc shingle counts.
+    * shingle, via an inverted index: group by shingle, expand each
+    * posting list into (a < b) pairs, count shared shingles per pair —
+    * |A∩B| — and join per-doc shingle counts for |A|,|B|. One aggregate
+    * replaces the classic posting-list self-join (which shuffles the
+    * full index twice).
     *
-    * Scale: the shingle join explodes on ultra-common shingles —
-    * `maxDocFreq` drops shingles appearing in more than that many docs
-    * (standard df-cap; disabled when 0). Pairs below `minJaccard` are
-    * filtered before output.
+    * Scale: an ultra-common shingle's posting list expands
+    * quadratically — `maxDocFreq` drops shingles appearing in more than
+    * that many docs (standard df-cap; disabled when 0; the self-join
+    * formulation blows up on the same lists as join fan-out). Pairs
+    * below `minJaccard` are filtered before output.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double, maxDocFreq: Long = 0L): DataFrame = {
     // array_distinct already dedups within a doc — no extra distinct
-    // shuffle; the join key is a 64-bit hash of the shingle, not the
+    // shuffle; the posting key is a 64-bit hash of the shingle, not the
     // string (smaller shuffle; 64-bit collisions are ~1e-9 at 1e6
     // distinct shingles)
     val sh = shingleRows(df, idCol, textCol, s => xxhash64(s), "sh")
@@ -127,10 +137,12 @@ object Dedup {
         sh.join(freq, "sh").select(col("doc"), col("sh"))
       }
     val sizes = capped.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-    val inter = capped.select(col("doc").as("a_id"), col("sh"))
-      .join(capped.select(col("doc").as("b_id"), col("sh")), "sh")
-      .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("i"))
+    val inter = capped.groupBy(col("sh"))
+      .agg(sort_array(collect_set(col("doc"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairStructs(col("ids"))).as("p"))
+      .groupBy(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .agg(count(lit(1)).as("i"))
     val withSizes = inter
       .join(sizes.select(col("doc").as("a_id"), col("n").as("na")), "a_id")
       .join(sizes.select(col("doc").as("b_id"), col("n").as("nb")), "b_id")

@@ -163,12 +163,16 @@ object Relational {
 
   /** As-of join: for each left row, the single latest right row with
     * rightTs <= leftTs under the equi-key, ties broken by `rightTie`
-    * descending. Composed from built-ins: equi+range join, then a
-    * row_number window keyed by the left row id picks the winner.
+    * descending. Composed from built-ins: equi+range join, then
+    * max_by over a (rightTs, rightTie) struct picks the winner per
+    * left row.
     *
-    * Scale: the equi-key bounds the join fan-out (sort-merge on the key);
-    * the window shuffles once on the left id. For a small right side
-    * Catalyst broadcasts it (verify in explain).
+    * Scale: the equi-key bounds the join fan-out (sort-merge on the
+    * key); max_by is an algebraic aggregate, so each task collapses a
+    * left row's candidates to ONE row before the shuffle — a
+    * row_number window would shuffle every joined candidate. Unmatched
+    * left rows survive with null right columns (max_by skips null
+    * ordering values).
     */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftId: String, leftKey: String, leftTs: String,
@@ -176,9 +180,13 @@ object Relational {
     val j = left.join(right,
       left(leftKey) === right(rightKey) && right(rightTs) <= left(leftTs),
       "left")
-    val w = Window.partitionBy(left(leftId))
-      .orderBy(right(rightTs).desc, right(rightTie).desc)
-    j.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .drop("__rn")
+    val rightCols = right.columns.toSeq
+    val best = max_by(
+      struct(rightCols.map(right(_)): _*),
+      struct(right(rightTs), right(rightTie)))
+    j.groupBy(left.columns.map(left(_)): _*)
+      .agg(best.as("__best"))
+      .select(left.columns.map(col) ++
+        rightCols.map(c => col(s"__best.$c").as(c)): _*)
   }
 }

@@ -41,7 +41,10 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("asofJoin picks the latest right row at or before the left ts") {
-    val left = Seq((1L, 100L, ts("2024-01-10"))).toDF("id", "k", "ts")
+    val left = Seq(
+      (1L, 100L, ts("2024-01-10")),
+      (2L, 777L, ts("2024-01-10"))  // no matching right rows
+    ).toDF("id", "k", "ts")
     val right = Seq(
       (100L, ts("2024-01-01"), 11L),
       (100L, ts("2024-01-09"), 12L),
@@ -49,8 +52,9 @@ class RelationalSpec extends SparkSpec {
       (999L, ts("2024-01-09"), 14L)  // other key: excluded
     ).toDF("rk", "rts", "rid")
     val out = Relational.asofJoin(left, right,
-      "id", "k", "ts", "rk", "rts", "rid").select("rid").as[Long].collect()
-    assert(out.toSeq === Seq(12L))
+      "id", "k", "ts", "rk", "rts", "rid")
+      .select("id", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(out === Map(1L -> Some(12L), 2L -> None)) // unmatched -> null
   }
 
   test("sessionize splits on gaps > gapSeconds") {
