@@ -186,6 +186,8 @@ object SparkEntry {
       Relational.tumblingCounts(t(s, d, "events"), "ts", "hour", "event_type", "value")),
     "stream_sessionize" -> ((s, d) =>
       Relational.sessionize(t(s, d, "events"), "user_id", "ts", "event_id", 1800)),
+    "stream_sliding_counts" -> ((s, d) =>
+      Relational.slidingCounts(t(s, d, "events"), "ts", 3, 2, "event_type")),
 
     // --- text analysis ---
     "text_stats" -> ((s, d) => {
@@ -370,6 +372,12 @@ object SparkEntry {
     "stream_tumbling_counts" ->
       ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type, count(*) AS n_events, " +
         "round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2"),
+    "stream_sliding_counts" ->
+      ("WITH e AS (SELECT event_type, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t FROM events), " +
+        "c AS (SELECT event_type, t, t - t % 7200 AS s0 FROM e), " +
+        "x AS (SELECT event_type, t, s0 AS ws FROM c UNION ALL SELECT event_type, t, s0 - 7200 FROM c) " +
+        "SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start, event_type, count(*) AS n_events " +
+        "FROM x WHERE ws > t - 10800 GROUP BY 1, 2"),
     "stream_sessionize" ->
       ("WITH e AS (SELECT user_id, event_id, ts, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec FROM events), " +
         "flagged AS (SELECT user_id, event_id, ts, CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s " +

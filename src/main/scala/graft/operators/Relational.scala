@@ -63,7 +63,7 @@ object Relational {
     * window per batch (O(total) each time).
     *
     * Scale note: a global row_number is inherently single-partition at
-    * the window step. For 100 TB use `rangeSliceScalable` below, which
+    * the window step. For 100 TB use `withScalableOrdinal` below, which
     * derives per-partition offsets instead of a global sort window.
     */
   def ordinalSlice(df: DataFrame, orderCols: Seq[Column],
@@ -120,6 +120,32 @@ object Relational {
         col(keyCol))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col(valueCol)), 2).as("sum_value"))
+
+  /** Sliding-window counts, batch form (streaming form:
+    * StreamOps.slidingCounts): an event belongs to `windowLen/slide`
+    * overlapping windows; membership is materialized by exploding the
+    * window-start sequence per event — shuffle volume scales with the
+    * overlap factor, which is why slides much smaller than the window
+    * get expensive at 100 TB (prefer tumbling + rollup downstream).
+    * Hour-granularity slide/length keeps the oracle expressible.
+    */
+  def slidingCounts(events: DataFrame, tsCol: String, windowHours: Int,
+      slideHours: Int, keyCol: String): DataFrame = {
+    val h = 3600L
+    val slide = slideHours * h
+    val len = windowHours * h
+    val sec = unix_timestamp(col(tsCol))
+    // epoch-grid-aligned starts covering t: s ≡ 0 (mod slide), t-len < s <= t
+    val sMax = sec - pmod(sec, lit(slide))
+    val overlaps = (windowHours + slideHours - 1) / slideHours - 1
+    events
+      .select(col(keyCol), sec.as("__sec"),
+        explode(sequence(sMax - overlaps * slide, sMax, lit(slide))).as("ws"))
+      .filter(col("ws") > col("__sec") - len)
+      .groupBy(date_format(timestamp_seconds(col("ws")),
+        "yyyy-MM-dd HH:mm:ss").as("window_start"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+  }
 
   /** Session windows, batch form: a session is a run of events per user
     * with gaps < `gapSeconds`. lag → new-session flag → prefix-sum =
