@@ -21,7 +21,10 @@ object Bench {
     def runAll(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // noop sink: materializes every output row (count() would let
+        // Catalyst prune the projections and under-measure per-row work)
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
         name -> (System.nanoTime() - t0) / 1e9
       }
     runAll() // warmup: codegen, parquet footers, shuffle machinery

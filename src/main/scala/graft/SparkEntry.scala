@@ -48,6 +48,18 @@ object SparkEntry {
       t(s, d, "lineitem").rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n_rows"),
           round(sum(col("l_quantity")), 2).as("sum_qty"))),
+    "rel_cube" -> ((s, d) =>
+      t(s, d, "orders").cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))),
+    "rel_pivot_counts" -> ((s, d) =>
+      t(s, d, "events").groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "error"))
+        .agg(count(lit(1)))
+        .select(col("user_id"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("view"), lit(0L)).as("n_view"),
+          coalesce(col("error"), lit(0L)).as("n_error"))),
     "rel_distinct_counts" -> ((s, d) =>
       t(s, d, "lineitem").agg(
         countDistinct(col("l_partkey")).as("n_parts"),
@@ -317,6 +329,13 @@ object SparkEntry {
     "rel_rollup" ->
       ("SELECT l_returnflag, l_linestatus, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty " +
         "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
+    "rel_cube" ->
+      ("SELECT o_orderpriority, o_orderstatus, count(*) AS n_rows, round(sum(o_totalprice), 2) AS sum_price " +
+        "FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)"),
+    "rel_pivot_counts" ->
+      ("SELECT user_id, count(*) FILTER (WHERE event_type = 'click') AS n_click, " +
+        "count(*) FILTER (WHERE event_type = 'view') AS n_view, " +
+        "count(*) FILTER (WHERE event_type = 'error') AS n_error FROM events GROUP BY user_id"),
     "rel_distinct_counts" ->
       "SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps, count(DISTINCT l_orderkey) AS n_orders FROM lineitem",
     "rel_salted_distinct" ->

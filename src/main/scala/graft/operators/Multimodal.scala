@@ -48,6 +48,31 @@ object Multimodal {
         expr(s"md5(substring(payload, chunk_offset + 1, $chunkBytes))"))
       .drop("payload")
 
+  /** Frame sampling: every `everyN`-th chunk of each payload — the
+    * video keyframe-sampling plan shape (decode cost scales with kept
+    * frames, not stream length). Pure filter over the chunk explode. */
+  def sampleFrames(media: DataFrame, chunkBytes: Int, everyN: Int): DataFrame =
+    chunkFrames(media, chunkBytes)
+      .filter(col("chunk_idx") % everyN === 0)
+
+  /** STUB resize: clamps each payload to `maxBytes` (a real impl decodes
+    * and re-encodes at the target resolution — same single-pass typed
+    * mapPartitions shape as decodeFeaturesStub). Metadata stays honest:
+    * n_bytes reflects the resized payload. */
+  def resizeStub(spark: SparkSession, media: DataFrame,
+      maxBytes: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.select("media_id", "payload", "media_type", "n_bytes")
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val p = if (r.payload.length <= maxBytes) r.payload
+            else java.util.Arrays.copyOf(r.payload, maxBytes)
+          MediaRow(r.media_id, p, r.media_type, p.length.toLong)
+        }
+      }
+  }
+
   /** STUB decode: deterministic per-row "features" from raw bytes via a
     * typed mapPartitions — the exact batch shape a real decoder (JNI
     * codec, ONNX encoder, ...) would use: one partition = one batch,

@@ -27,6 +27,20 @@ class MultimodalSpec extends SparkSpec {
       Seq((0, 0L)))
   }
 
+  test("sampleFrames keeps every n-th chunk") {
+    val kept = Multimodal.sampleFrames(media, 100, 2)
+      .filter(col("media_id") === 1)
+      .select("chunk_idx").as[Int].collect().sorted
+    assert(kept.toSeq === Seq(0, 2, 4)) // 600 bytes -> chunks 0..5
+  }
+
+  test("resizeStub clamps payload and updates n_bytes") {
+    val r = Multimodal.resizeStub(spark, media, 256)
+      .collect().map(m => m.media_id -> m).toMap
+    assert(r(1L).payload.length === 256 && r(1L).n_bytes === 256L)
+    assert(r(2L).payload.length === 2) // under limit: untouched
+  }
+
   test("decodeFeaturesStub: deterministic mean over payload bytes") {
     val f = Multimodal.decodeFeaturesStub(spark, media)
       .collect().map(r => r.media_id -> r).toMap
