@@ -77,5 +77,10 @@ object TextFns {
   val TokenPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
   def bpeishTokens(text: Column): Column =
-    regexp_extract_all(normalize(text), lit(TokenPattern), lit(0))
+    bpeishTokensOfNorm(normalize(text))
+
+  /** Tokens from an already-normalized text column (materialize the
+    * normalization once when several expressions consume it). */
+  def bpeishTokensOfNorm(norm: Column): Column =
+    regexp_extract_all(norm, lit(TokenPattern), lit(0))
 }

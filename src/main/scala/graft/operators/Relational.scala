@@ -187,32 +187,51 @@ object Relational {
       .groupBy(col(key))
       .agg(sum(col("__d")).as("n_distinct"))
 
-  /** As-of join: for each left row, the single latest right row with
-    * rightTs <= leftTs under the equi-key, ties broken by `rightTie`
-    * descending. Composed from built-ins: equi+range join, then
-    * max_by over a (rightTs, rightTie) struct picks the winner per
-    * left row.
+  /** As-of join (merge formulation): for each left row, the single
+    * latest right row with rightTs <= leftTs under the equi-key, ties
+    * broken by `rightTie` descending.
     *
-    * Scale: the equi-key bounds the join fan-out (sort-merge on the
-    * key); max_by is an algebraic aggregate, so each task collapses a
-    * left row's candidates to ONE row before the shuffle — a
-    * row_number window would shuffle every joined candidate. Unmatched
-    * left rows survive with null right columns (max_by skips null
-    * ordering values).
+    * Instead of a range join (whose fan-out is every candidate right
+    * row per left row) this UNIONS both sides into one stream per key,
+    * sorts it by (ts, side, tie), and carries the most recent right row
+    * forward with last(ignoreNulls) over a running window — the
+    * distributed analog of a merge as-of. ONE shuffle (by the key) and
+    * one sort; no join, no candidate blow-up, no aggregate. Right rows
+    * sort before left rows at equal ts (<= semantics) and ascending tie
+    * order makes `last` pick the max tie.
     */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftId: String, leftKey: String, leftTs: String,
       rightKey: String, rightTs: String, rightTie: String): DataFrame = {
-    val j = left.join(right,
-      left(leftKey) === right(rightKey) && right(rightTs) <= left(leftTs),
-      "left")
     val rightCols = right.columns.toSeq
-    val best = max_by(
-      struct(rightCols.map(right(_)): _*),
-      struct(right(rightTs), right(rightTie)))
-    j.groupBy(left.columns.map(left(_)): _*)
-      .agg(best.as("__best"))
-      .select(left.columns.map(col) ++
-        rightCols.map(c => col(s"__best.$c").as(c)): _*)
+    val l = left
+      .withColumn("__key", col(leftKey))
+      .withColumn("__t", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__tie", lit(null).cast(right.schema(rightTie).dataType))
+      .withColumn("__r", lit(null).cast(
+        org.apache.spark.sql.types.StructType(right.schema.fields)))
+    val r = right
+      .withColumn("__key", col(rightKey))
+      .withColumn("__t", col(rightTs))
+      .withColumn("__side", lit(0))
+      .withColumn("__tie", col(rightTie))
+      .withColumn("__r", struct(rightCols.map(col): _*))
+    val lCols = left.columns.toSeq
+    val both = l.select(
+      (lCols.map(col) ++ Seq(col("__key"), col("__t"), col("__side"),
+        col("__tie"), col("__r"))): _*)
+      .unionByName(r.select(
+        (lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          Seq(col("__key"), col("__t"), col("__side"), col("__tie"),
+            col("__r"))): _*))
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__t"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    both
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(lCols.map(col) ++
+        rightCols.map(c => col(s"__asof.$c").as(c)): _*)
   }
 }

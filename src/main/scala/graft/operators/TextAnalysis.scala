@@ -15,21 +15,30 @@ object TextAnalysis {
   val Stopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "in", "to", "is", "it", "for")
 
-  private def wordsCol(textCol: String): Column = TextFns.words(col(textCol))
+  /** Materialize the normalized text + words array once per row before
+    * the consuming expressions — every direct reference to
+    * TextFns.words(text) re-executes the regexp split (see
+    * TextFns.shingles perf note). */
+  private def withWords(df: DataFrame, idCol: String, textCol: String,
+      extra: Column*): DataFrame =
+    df.select((col(idCol) +: extra :+
+      TextFns.normalize(col(textCol)).as("__norm")): _*)
+      .withColumn("__w", split(col("__norm"), " "))
 
   /** Per-document surface statistics: char/word/token counts, average
     * word length, lexical diversity (distinct/total words). */
   def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = wordsCol(textCol)
-    df.select(
-      col(idCol),
-      length(col(textCol)).as("n_chars"),
-      size(w).as("n_words"),
-      size(TextFns.bpeishTokens(col(textCol))).as("n_tokens"),
-      round(size(array_distinct(w)).cast("double") / size(w), 4)
-        .as("lexical_diversity"),
-      round((length(TextFns.normalize(col(textCol))) - size(w) + 1)
-        .cast("double") / size(w), 4).as("avg_word_len"))
+    val w = col("__w")
+    withWords(df, idCol, textCol, length(col(textCol)).as("n_chars"))
+      .select(
+        col(idCol),
+        col("n_chars"),
+        size(w).as("n_words"),
+        size(TextFns.bpeishTokensOfNorm(col("__norm"))).as("n_tokens"),
+        round(size(array_distinct(w)).cast("double") / size(w), 4)
+          .as("lexical_diversity"),
+        round((length(col("__norm")) - size(w) + 1)
+          .cast("double") / size(w), 4).as("avg_word_len"))
   }
 
   /** Heuristic quality score in [0,1]:
@@ -40,13 +49,13 @@ object TextAnalysis {
     * stopword / repetition signals).
     */
   def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = wordsCol(textCol)
+    val w = col("__w")
     val nWords = size(w).cast("double")
     val stop = size(filter(w, t => t.isInCollection(Stopwords))).cast("double")
     val lenScore = least(nWords / 200.0, lit(1.0))
     val stopScore = least(stop / nWords * 4.0, lit(1.0))
     val diversity = size(array_distinct(w)).cast("double") / nWords
-    df.select(
+    withWords(df, idCol, textCol).select(
       col(idCol),
       round(stop / nWords, 4).as("stopword_ratio"),
       round(lit(0.4) * lenScore + lit(0.3) * stopScore + lit(0.3) * diversity, 4)
@@ -59,10 +68,10 @@ object TextAnalysis {
     */
   def langId(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.05): DataFrame = {
-    val w = wordsCol(textCol)
+    val w = col("__w")
     val ratio = size(filter(w, t => t.isInCollection(Stopwords)))
       .cast("double") / size(w)
-    df.select(col(idCol),
+    withWords(df, idCol, textCol).select(col(idCol),
       round(ratio, 4).as("stopword_ratio"),
       when(ratio >= threshold, lit("en")).otherwise(lit("unk"))
         .as("lang_guess"))
