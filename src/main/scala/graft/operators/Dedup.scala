@@ -162,9 +162,12 @@ object Dedup {
     * distance monotone in edit size).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // token hash materialized ONCE per row — as a bare expression the 64
+    // vote aggregates would each re-evaluate xxhash64
     val tok = df.select(col(idCol),
-      explode(TextFns.bpeishTokens(col(textCol))).as("tok"))
-    val h = xxhash64(col("tok"))
+        explode(TextFns.bpeishTokens(col(textCol))).as("tok"))
+      .select(col(idCol), xxhash64(col("tok")).as("__h"))
+    val h = col("__h")
     val votes = (0 until 64).map { i =>
       sum(when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"v$i")

@@ -86,6 +86,25 @@ object StreamOps {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Watermarked stream-stream interval join: left rows match right
+    * rows with the same key whose event time falls in
+    * [leftTs + lowerBound, leftTs + upperBound]. Both sides carry
+    * watermarks so the engine can discard buffered state once no
+    * in-interval match can still arrive — without the time bounds a
+    * stream-stream join would buffer forever. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      lowerBound: String, upperBound: String,
+      watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay).alias("l")
+    val r = right.withWatermark(rightTs, watermarkDelay).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") + expr(s"INTERVAL $lowerBound") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $upperBound"))
+      .drop(col(s"r.$key"))
+  }
+
   /** Event-time window start/end as plain columns (dashboard-friendly
     * projection of the struct). */
   def flattenWindow(df: DataFrame, windowCol: String = "window"): DataFrame =

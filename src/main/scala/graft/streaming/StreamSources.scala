@@ -45,4 +45,22 @@ object StreamSources {
   def rateStream(spark: SparkSession, rowsPerSecond: Long): DataFrame =
     spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond).load()
+
+  /** Kafka-wire value decode: expand a binary/string `value` column
+    * (the Kafka record payload shape) into typed columns via from_json.
+    * The same plan consumes a real Kafka source —
+    * spark.readStream.format("kafka") yields exactly this value column;
+    * no broker exists in this environment, so tests drive it from
+    * memory/file streams carrying encoded values. */
+  def decodeJsonValue(df: org.apache.spark.sql.DataFrame,
+      schema: StructType = eventSchema): org.apache.spark.sql.DataFrame =
+    df.select(org.apache.spark.sql.functions.from_json(
+        org.apache.spark.sql.functions.col("value").cast("string"), schema)
+      .as("__v")).select("__v.*")
+
+  /** Inverse wire encode (producer side of the Kafka contract). */
+  def encodeJsonValue(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.select(org.apache.spark.sql.functions.to_json(
+      org.apache.spark.sql.functions.struct(df.columns.map(
+        org.apache.spark.sql.functions.col): _*)).as("value"))
 }

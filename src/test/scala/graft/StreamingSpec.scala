@@ -2,6 +2,7 @@ package graft
 
 import graft.streaming.{StatefulSessions, StreamOps}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import java.sql.Timestamp
 
 case class TestEvt(user_id: Long, ts: Timestamp, event_type: String,
@@ -78,6 +79,42 @@ class StreamingSpec extends SparkSpec {
       .select("user_id", "n_events", "sum_value")
       .as[(Long, Long, Double)].collect()
     assert(rows.toSeq === Seq((7L, 2L, 3.0)))
+  }
+
+  test("stream-stream interval join matches within time bounds only") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[TestEvt]
+    val buys = MemoryStream[TestEvt]
+    val joined = StreamOps.intervalJoin(
+      clicks.toDF().select(col("user_id"), col("ts").as("click_ts")),
+      buys.toDF().select(col("user_id"), col("ts").as("buy_ts")),
+      "user_id", "click_ts", "buy_ts",
+      "0 seconds", "1 hour", "10 minutes")
+    val name = fresh()
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    clicks.addData(TestEvt(1, ts("2024-01-01 10:00:00"), "click", 1.0))
+    buys.addData(
+      TestEvt(1, ts("2024-01-01 10:30:00"), "buy", 1.0), // in window
+      TestEvt(1, ts("2024-01-01 12:00:00"), "buy", 1.0), // too late
+      TestEvt(2, ts("2024-01-01 10:30:00"), "buy", 1.0)) // other user
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name)
+      .select(col("user_id"), col("buy_ts")).as[(Long, Timestamp)].collect()
+    assert(rows.toSeq === Seq((1L, ts("2024-01-01 10:30:00"))))
+  }
+
+  test("Kafka-wire json value encode/decode round-trips the schema") {
+    val df = Seq(
+      (7L, ts("2024-01-01 01:02:03"), 3L, "click", 2.5, """{"k":1}""")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val wire = graft.streaming.StreamSources.encodeJsonValue(df)
+    assert(wire.columns.toSeq === Seq("value"))
+    val back = graft.streaming.StreamSources.decodeJsonValue(wire)
+    assert(back.schema === graft.streaming.StreamSources.eventSchema)
+    assert(back.select("event_id", "event_type").as[(Long, String)].head()
+      === ((7L, "click")))
   }
 
   test("stampBatchMeta adds the real batch id") {
