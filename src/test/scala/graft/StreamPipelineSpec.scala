@@ -19,8 +19,10 @@ class StreamPipelineSpec extends SparkSpec {
   }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
 
   private def runPipeline(incoming: String, work: String): Long = {
+    // one file per micro-batch (the reference's pacing) -> batch ids
+    // advance per dropped file
     val stream = StreamSources.fileStream(spark, s"$incoming/*",
-      maxFilesPerTrigger = 100)
+      maxFilesPerTrigger = 1)
     val q = MultiSink.start(stream, MultiSink.Config(
       outDir = s"$work/processed", checkpointDir = s"$work/checkpoint",
       keyA = "user_id", tagA = "pickup_location",
@@ -53,6 +55,15 @@ class StreamPipelineSpec extends SparkSpec {
     combined.groupBy("aggregation_type")
       .agg(sum("trip_count").as("s")).as[(String, Long)].collect()
       .foreach { case (tag, s) => assert(s === 60L, tag) }
+
+    // dashboard source: latest-N batches by batch id, top locations
+    import graft.streaming.Dashboard
+    val pickupDir = s"$base/run1/processed/pickup_agg"
+    assert(Dashboard.latestBatchIds(spark, pickupDir, 2) ===
+      Seq("batch_000002", "batch_000001"))
+    val top = Dashboard.topLocations(spark, pickupDir, 3, 3)
+      .as[(String, Long)].collect()
+    assert(top.nonEmpty && top.map(_._2).toSeq.sorted.reverse === top.map(_._2).toSeq)
   }
 
   test("re-delivery of the same batches overwrites instead of appending") {
