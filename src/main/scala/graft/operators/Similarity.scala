@@ -111,9 +111,14 @@ object Similarity {
       vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    // quantizer quality barely moves after a few iterations and random
+    // init beats kmeans|| on wall-clock (one pass less over the data);
+    // at 100 TB fit on a bounded sample — centroids are a coarse grid,
+    // not a model
     val train = corpus.select(array_to_vector(col(vecCol)).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .fit(train)
+      .limit(100000)
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
+      .setInitMode("random").fit(train)
     val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
     val spark = corpus.sparkSession
     val cdf = spark.createDataFrame(

@@ -57,6 +57,22 @@ object Sources {
   def writeJsonBatch(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").json(path)
 
+  /** Bucketed table write: pre-shuffles ONCE at write time so every
+    * later equi-join or aggregation on the bucket key runs with NO
+    * exchange — the co-located-join strategy for fact tables that are
+    * joined on the same key repeatedly (at 100 TB, amortizing one
+    * shuffle across every downstream job is the single biggest join
+    * cost lever). Requires saveAsTable (bucket metadata lives in the
+    * catalog). Readers must keep spark.sql.sources.bucketing.enabled
+    * (default true) and matching bucket counts on both sides.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int, sortCol: Option[String] = None): Unit = {
+    val w = df.write.format("parquet").mode("overwrite")
+      .bucketBy(nBuckets, bucketCol)
+    sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
+  }
+
   /** Format converter (data/transform.ipynb's parquet->CSV step, S10,
     * done distributed): read any supported format, write any other. */
   def convert(spark: SparkSession, inPath: String, inFormat: String,

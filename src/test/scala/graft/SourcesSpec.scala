@@ -38,6 +38,29 @@ class SourcesSpec extends SparkSpec {
     assert(back.schema === schema)
   }
 
+  test("bucketed tables join without a shuffle on the bucket key") {
+    import spark.implicits._
+    val a = (1 to 100).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (1 to 100).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    // disable broadcast so the planner exercises the bucketed
+    // sort-merge path these tables exist for
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      Sources.writeBucketed(a, "graft_bkt_a", "k", 4, sortCol = Some("k"))
+      Sources.writeBucketed(b, "graft_bkt_b", "k", 4, sortCol = Some("k"))
+      val joined = spark.table("graft_bkt_a")
+        .join(spark.table("graft_bkt_b"), "k")
+      assert(joined.count() === 100L)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    }
+  }
+
   test("convert parquet -> csv preserves rows") {
     val base = Files.createTempDirectory("graft_conv").toString
     Seq((1, "x"), (2, "y")).toDF("id", "name")
