@@ -94,19 +94,22 @@ object Dedup {
     val buckets = b.groupBy(col("band"), col("band_hash"))
       .agg(sort_array(collect_set(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
-    buckets
-      .select(explode(pairStructs(col("ids"))).as("p"))
-      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
-      .distinct()
+    expandPairs(buckets, "ids").distinct()
   }
 
-  /** All (a < b) pairs from a SORTED array of ids, as
-    * array<struct<a_id, b_id>> — the shared pair-expansion for
-    * bucket-grouped candidate generation. */
-  private def pairStructs(ids: Column): Column =
-    flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + lit(2), size(ids)),
-        y => struct(x.as("a_id"), y.as("b_id")))))
+  /** All (a < b) pairs from rows holding a SORTED id array: two chained
+    * generators (posexplode the anchor, explode the tail slice). Pairs
+    * STREAM row-by-row through codegen — building the m²/2 pair array
+    * per bucket as one value (the transform/flatten formulation) would
+    * materialize a mega-bucket's entire pair set in a single allocation.
+    */
+  private def expandPairs(buckets: DataFrame, idsCol: String): DataFrame =
+    buckets
+      .select(col(idsCol), posexplode(col(idsCol)))
+      .withColumnRenamed("col", "a_id")
+      .select(col("a_id"),
+        explode(slice(col(idsCol), col("pos") + 2, size(col(idsCol))))
+          .as("b_id"))
 
   /** Exact n-gram Jaccard similarity for all pairs sharing at least one
     * shingle, via an inverted index: group by shingle, expand each
@@ -137,11 +140,11 @@ object Dedup {
         sh.join(freq, "sh").select(col("doc"), col("sh"))
       }
     val sizes = capped.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-    val inter = capped.groupBy(col("sh"))
-      .agg(sort_array(collect_set(col("doc"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(pairStructs(col("ids"))).as("p"))
-      .groupBy(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+    val inter = expandPairs(
+      capped.groupBy(col("sh"))
+        .agg(sort_array(collect_set(col("doc"))).as("ids"))
+        .filter(size(col("ids")) > 1), "ids")
+      .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("i"))
     val withSizes = inter
       .join(sizes.select(col("doc").as("a_id"), col("n").as("na")), "a_id")
