@@ -48,6 +48,24 @@ object SparkEntry {
       t(s, d, "lineitem").rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n_rows"),
           round(sum(col("l_quantity")), 2).as("sum_qty"))),
+    "rel_grouping_sets" -> ((s, d) =>
+      t(s, d, "lineitem").groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))),
+    "rel_array_ops" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens_ws"),
+        array_join(slice(sort_array(array_distinct(
+          split(lower(col("text")), " "))), 1, 3), ",").as("first3_sorted"),
+        element_at(split(col("text"), " "), 1).as("first_word"))),
+    "rel_regex" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        regexp_extract(col("text"), "([A-Za-z]+)", 1).as("first_alpha"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+          .cast("long").as("n_numbers"),
+        regexp_replace(col("text"), "[aeiou]", "_").as("devoweled"))),
     "rel_cube" -> ((s, d) =>
       t(s, d, "orders").cube(col("o_orderpriority"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n_rows"),
@@ -121,6 +139,22 @@ object SparkEntry {
         round(sum(col("value"))
           .over(w.rowsBetween(Window.unboundedPreceding, 0)), 2)
           .as("running_sum"))
+    }),
+
+    "win_ranking_suite" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val byValue = Window.partitionBy(col("user_id"))
+        .orderBy(col("value"), col("event_id"))
+      val range = Window.partitionBy(col("user_id"))
+        .orderBy(unix_timestamp(col("ts")))
+        .rangeBetween(-3600L, 0L)
+      e.select(col("event_id"), col("user_id"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        dense_rank().over(byValue).cast("long").as("value_dense_rank"),
+        ntile(4).over(byValue).cast("long").as("value_quartile"),
+        round(percent_rank().over(byValue), 6).as("value_pct_rank"),
+        count(lit(1)).over(range).as("n_events_prev_hour"))
     }),
 
     // --- joins (§2.3 gap-fill) ---
@@ -329,6 +363,17 @@ object SparkEntry {
     "rel_rollup" ->
       ("SELECT l_returnflag, l_linestatus, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty " +
         "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
+    "rel_grouping_sets" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty " +
+        "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"),
+    "rel_array_ops" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws, " +
+        "array_to_string(list_sort(list_distinct(string_split(lower(text), ' ')))[1:3], ',') AS first3_sorted, " +
+        "string_split(text, ' ')[1] AS first_word FROM documents"),
+    "rel_regex" ->
+      ("SELECT doc_id, regexp_extract(text, '([A-Za-z]+)', 1) AS first_alpha, " +
+        "CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers, " +
+        "regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled FROM documents"),
     "rel_cube" ->
       ("SELECT o_orderpriority, o_orderstatus, count(*) AS n_rows, round(sum(o_totalprice), 2) AS sum_price " +
         "FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)"),
@@ -361,6 +406,15 @@ object SparkEntry {
         "CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS value_rank, " +
         "round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 2) AS running_sum " +
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"),
+    "win_ranking_suite" ->
+      ("SELECT event_id, user_id, lead(value) OVER w AS next_value, " +
+        "CAST(dense_rank() OVER v AS BIGINT) AS value_dense_rank, " +
+        "CAST(ntile(4) OVER v AS BIGINT) AS value_quartile, " +
+        "round(percent_rank() OVER v, 6) AS value_pct_rank, " +
+        "count(*) OVER (PARTITION BY user_id ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT) " +
+        "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_events_prev_hour " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id), " +
+        "v AS (PARTITION BY user_id ORDER BY value, event_id)"),
     "join_brand_revenue" ->
       ("SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_items " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand"),

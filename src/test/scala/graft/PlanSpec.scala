@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression tests: the properties SCALE.md promises must
+  * survive refactors — filters reach the scan, fixed-size dims
+  * broadcast, top-k aggregates partially before the shuffle. */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  test("pricing summary pushes the date filter into the parquet scan") {
+    val plan = planOf("rel_pricing_summary")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      plan)
+  }
+
+  test("filter+project prunes the scan to the referenced columns") {
+    val plan = planOf("rel_filter_project")
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_shipdate") && !read.contains("l_comment"), read)
+    assert(read.contains("l_extendedprice"), read)
+  }
+
+  test("multiway join broadcasts dims and keeps lineitem un-broadcast") {
+    val plan = planOf("join_multiway")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+    // the fact table must never be the build side of a broadcast
+    assert(!plan.contains("BroadcastExchange") ||
+      !plan.linesIterator.exists(l =>
+        l.contains("BroadcastExchange") && l.contains("lineitem")), plan.take(500))
+  }
+
+  test("similarity top-k aggregates partially (two ObjectHashAggregates)") {
+    val plan = planOf("sim_knn_topk")
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan.take(800))
+    assert(plan.contains("graft_dot"), "dot product not in the plan")
+  }
+
+  test("as-of join plans one window pass, no join operator") {
+    val plan = planOf("join_asof_last_order")
+    assert(plan.contains("Window"), plan.take(500))
+    assert(!plan.contains("Join"), s"merge as-of should not join:\n${plan.take(800)}")
+  }
+}
