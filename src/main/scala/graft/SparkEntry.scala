@@ -48,6 +48,14 @@ object SparkEntry {
       t(s, d, "lineitem").rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n_rows"),
           round(sum(col("l_quantity")), 2).as("sum_qty"))),
+    "rel_stats_aggs" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"),
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("qty_price_corr"))),
     "rel_grouping_sets" -> ((s, d) =>
       t(s, d, "lineitem").groupingSets(
           Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
@@ -363,6 +371,12 @@ object SparkEntry {
     "rel_rollup" ->
       ("SELECT l_returnflag, l_linestatus, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty " +
         "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
+    "rel_stats_aggs" ->
+      ("SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS median_qty, " +
+        "round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price, " +
+        "round(stddev_samp(l_quantity), 4) AS sd_qty, " +
+        "round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr " +
+        "FROM lineitem GROUP BY l_returnflag"),
     "rel_grouping_sets" ->
       ("SELECT l_returnflag, l_linestatus, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty " +
         "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"),
