@@ -227,6 +227,21 @@ object SparkEntry {
         .agg(count(o("o_orderkey")).as("n_orders_90d"))
     }),
 
+    // --- null semantics / date math (§2.8 hard corners) ---
+    "rel_null_semantics" -> ((s, d) =>
+      t(s, d, "events").select(col("event_id"),
+        (col("props") <=> lit(null)).as("props_is_null_safe"),
+        nullif(col("event_type"), lit("error")).as("type_or_null"),
+        nvl2(col("ts"), lit("has_ts"), lit("no_ts")).as("ts_flag"))),
+    "rel_date_math" -> ((s, d) =>
+      t(s, d, "orders").select(col("o_orderkey"),
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("due_30d"),
+        datediff(to_date(lit("2025-01-01")), col("o_orderdate")).cast("long")
+          .as("age_days"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        date_format(date_trunc("quarter", col("o_orderdate")), "yyyy-MM-dd")
+          .as("quarter_start"))),
+
     // --- set operations (§2.7) ---
     "rel_set_nations" -> ((s, d) => {
       val cn = t(s, d, "customer").select(col("c_nationkey").as("nationkey")).distinct()
@@ -453,6 +468,15 @@ object SparkEntry {
     "join_range_orders" ->
       ("SELECT e.event_id, count(o.o_orderkey) AS n_orders_90d FROM events e LEFT JOIN orders o " +
         "ON o.o_custkey = e.user_id AND o.o_orderdate BETWEEN e.ts - INTERVAL 90 DAY AND e.ts GROUP BY e.event_id"),
+    "rel_null_semantics" ->
+      ("SELECT event_id, props IS NOT DISTINCT FROM NULL AS props_is_null_safe, " +
+        "nullif(event_type, 'error') AS type_or_null, " +
+        "CASE WHEN ts IS NOT NULL THEN 'has_ts' ELSE 'no_ts' END AS ts_flag FROM events"),
+    "rel_date_math" ->
+      ("SELECT o_orderkey, strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS due_30d, " +
+        "datediff('day', CAST(o_orderdate AS DATE), DATE '2025-01-01') AS age_days, " +
+        "strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end, " +
+        "strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS quarter_start FROM orders"),
     "rel_set_nations" ->
       ("SELECT nationkey, 'both' AS tag FROM (SELECT DISTINCT c_nationkey AS nationkey FROM customer INTERSECT SELECT DISTINCT s_nationkey FROM supplier) a " +
         "UNION ALL SELECT nationkey, 'cust_only' FROM (SELECT DISTINCT c_nationkey AS nationkey FROM customer EXCEPT SELECT DISTINCT s_nationkey FROM supplier) b"),
