@@ -250,6 +250,14 @@ object SparkEntry {
         .unionByName(cn.except(sn).withColumn("tag", lit("cust_only")))
     }),
 
+    "rel_set_all" -> ((s, d) => {
+      val cheap = t(s, d, "lineitem").filter(col("l_quantity") < 3)
+        .select(col("l_suppkey").as("k"))
+      val ret = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_suppkey").as("k"))
+      cheap.exceptAll(ret).groupBy(col("k")).agg(count(lit(1)).as("n"))
+    }),
+
     // --- streaming batch analogs (§2.9; streaming forms in graft.streaming) ---
     "stream_tumbling_counts" -> ((s, d) =>
       Relational.tumblingCounts(t(s, d, "events"), "ts", "hour", "event_type", "value")),
@@ -480,6 +488,10 @@ object SparkEntry {
     "rel_set_nations" ->
       ("SELECT nationkey, 'both' AS tag FROM (SELECT DISTINCT c_nationkey AS nationkey FROM customer INTERSECT SELECT DISTINCT s_nationkey FROM supplier) a " +
         "UNION ALL SELECT nationkey, 'cust_only' FROM (SELECT DISTINCT c_nationkey AS nationkey FROM customer EXCEPT SELECT DISTINCT s_nationkey FROM supplier) b"),
+    "rel_set_all" ->
+      ("SELECT k, count(*) AS n FROM (" +
+        "SELECT l_suppkey AS k FROM lineitem WHERE l_quantity < 3 " +
+        "EXCEPT ALL SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R') t GROUP BY k"),
     "stream_tumbling_counts" ->
       ("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type, count(*) AS n_events, " +
         "round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2"),

@@ -2,6 +2,7 @@ package graft
 
 import graft.sources.Sources
 import java.nio.file.Files
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 class SourcesSpec extends SparkSpec {
@@ -59,6 +60,30 @@ class SourcesSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
       spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
     }
+  }
+
+  test("taxi CSV reads through the shared 19-column schema") {
+    import graft.sources.TaxiSchema
+    val dir = Files.createTempDirectory("graft_taxi").toFile
+    val f = new java.io.File(dir, "trips.csv")
+    Files.writeString(f.toPath,
+      TaxiSchema.schema.fieldNames.mkString(",") + "\n" +
+        "1,2024-01-01 00:10:00,2024-01-01 00:25:00,2.0,3.5,1.0,N,132,75," +
+        "1,17.5,1.0,0.5,3.0,0.0,1.0,23.0,2.5,1.75\n" +
+        "2,2024-01-01 00:12:00,,,4.1,1.0,N,75,132,2,19.0,1.0,0.5,0.0,0.0," +
+        "1.0,21.5,2.5,0.0\n")
+    val df = Sources.readCsv(spark, f.getPath, TaxiSchema.schema)
+    assert(df.schema === TaxiSchema.schema)
+    assert(df.count() === 2)
+    val r = df.filter(col("VendorID") === 1).head()
+    assert(r.getAs[Double]("total_amount") === 23.0)
+    assert(df.filter(col("VendorID") === 2).head()
+      .isNullAt(df.columns.indexOf("tpep_dropoff_datetime")))
+    // the flagship tagged-count shape runs unchanged on the taxi schema
+    val counts = graft.operators.Relational.taggedKeyCounts(df,
+      TaxiSchema.pickupKey, "pickup_location",
+      TaxiSchema.dropoffKey, "dropoff_location")
+    assert(counts.count() === 4) // 132,75 on each leg
   }
 
   test("convert parquet -> csv preserves rows") {
