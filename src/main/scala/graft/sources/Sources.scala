@@ -57,6 +57,28 @@ object Sources {
   def writeJsonBatch(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").json(path)
 
+  /** Small-file compaction: rewrite a dataset into files of
+    * ~targetMB each. Streaming sinks and fine-grained batch writes
+    * produce file sprawl (one micro-batch = N part files); at 100 TB
+    * the resulting listing/footer overhead dominates scan setup and
+    * the NameNode-equivalent metadata. Sizing comes from the actual
+    * on-disk bytes, not a guess; the rewrite is a plain repartition —
+    * no data transformation, safe to run anytime. Writes to a NEW
+    * directory (an in-place rewrite that fails mid-way would destroy
+    * the input).
+    */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+      targetMB: Int = 128, format: String = "parquet"): Long = {
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(path).getLength
+    val parts = math.max(1L, bytes / (targetMB.toLong << 20)).toInt
+    spark.read.format(format).load(inDir)
+      .repartition(parts)
+      .write.format(format).mode("overwrite").save(outDir)
+    parts.toLong
+  }
+
   /** Bucketed table write: pre-shuffles ONCE at write time so every
     * later equi-join or aggregation on the bucket key runs with NO
     * exchange — the co-located-join strategy for fact tables that are

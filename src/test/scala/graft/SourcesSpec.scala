@@ -86,6 +86,19 @@ class SourcesSpec extends SparkSpec {
     assert(counts.count() === 4) // 132,75 on each leg
   }
 
+  test("compact rewrites many small files into few, rows preserved") {
+    val base = Files.createTempDirectory("graft_compact").toString
+    (1 to 1000).toDF("x").repartition(50).write.parquet(s"$base/in")
+    val inFiles = new java.io.File(s"$base/in").listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(inFiles === 50)
+    Sources.compact(spark, s"$base/in", s"$base/out", targetMB = 128)
+    val outFiles = new java.io.File(s"$base/out").listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(outFiles === 1) // tiny dataset -> one target-size file
+    assert(spark.read.parquet(s"$base/out").count() === 1000L)
+  }
+
   test("convert parquet -> csv preserves rows") {
     val base = Files.createTempDirectory("graft_conv").toString
     Seq((1, "x"), (2, "y")).toDF("id", "name")
