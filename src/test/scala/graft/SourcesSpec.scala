@@ -86,6 +86,22 @@ class SourcesSpec extends SparkSpec {
     assert(counts.count() === 4) // 132,75 on each leg
   }
 
+  test("date-partitioned writes prune the scan to matching partitions") {
+    val base = Files.createTempDirectory("graft_part").toString
+    val df = (1 to 300).map(i =>
+      (i.toLong, f"2024-01-${i % 3 + 1}%02d", i * 1.0))
+      .toDF("id", "dt", "value")
+    Sources.write(df, s"$base/t", partitionBy = Seq("dt"))
+    val read = spark.read.parquet(s"$base/t").filter(col("dt") === "2024-01-02")
+    assert(read.count() === 100L)
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(dt"), plan.take(600))
+    // pruned scan must not list the other partitions' files
+    val scanned = read.queryExecution.executedPlan.collectLeaves()
+      .head.toString
+    assert(!scanned.contains("dt=2024-01-01"), scanned.take(400))
+  }
+
   test("compact rewrites many small files into few, rows preserved") {
     val base = Files.createTempDirectory("graft_compact").toString
     (1 to 1000).toDF("x").repartition(50).write.parquet(s"$base/in")
