@@ -266,6 +266,10 @@ object SparkEntry {
     "stream_sliding_counts" -> ((s, d) =>
       Relational.slidingCounts(t(s, d, "events"), "ts", 3, 2, "event_type")),
 
+    "rel_hash_split" -> ((s, d) =>
+      Relational.deterministicSplit(t(s, d, "documents"), "doc_id")
+        .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))),
+
     // --- text analysis ---
     "text_stats" -> ((s, d) => {
       val st = TextAnalysis.textStats(t(s, d, "documents"), "doc_id", "text")
@@ -508,6 +512,10 @@ object SparkEntry {
         "sess AS (SELECT user_id, ts, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM flagged) " +
         "SELECT user_id, session_seq, count(*) AS n_events, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, " +
         "strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end FROM sess GROUP BY user_id, session_seq"),
+    "rel_hash_split" ->
+      ("SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split, count(*) AS n_docs " +
+        "FROM (SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100 AS b FROM documents) t " +
+        "GROUP BY 1"),
     "text_stats" ->
       (s"SELECT doc_id, length(text) AS n_chars, CAST(len($wordsSql) AS BIGINT) AS n_words, " +
         s"CAST(len(regexp_extract_all($normSql, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens, " +

@@ -187,6 +187,26 @@ object Relational {
       .groupBy(col(key))
       .agg(sum(col("__d")).as("n_distinct"))
 
+  /** Deterministic train/val/test assignment: a stable hash of the id
+    * maps each row to a bucket in [0, 100); split boundaries are
+    * cumulative percentages. Hash-based (not random) so the split is
+    * reproducible across runs, engines, and re-partitions — the
+    * property a training pipeline needs so examples never migrate
+    * between train and eval when data is re-processed. The hash is the
+    * md5-derived 28-bit integer (TextFns.shingleHash), exact in any
+    * BIGINT SQL engine.
+    */
+  def deterministicSplit(df: DataFrame, idCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val bucket = pmod(
+      graft.functions.TextFns.shingleHash(col(idCol).cast("string")),
+      lit(100L))
+    df.withColumn("split",
+      when(bucket < trainPct, lit("train"))
+        .when(bucket < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+
   /** As-of join (merge formulation): for each left row, the single
     * latest right row with rightTs <= leftTs under the equi-key, ties
     * broken by `rightTie` descending.

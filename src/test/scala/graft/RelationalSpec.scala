@@ -71,6 +71,19 @@ class RelationalSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
 
+  test("deterministicSplit: stable, covers all rows, respects boundaries") {
+    val df = (1 to 500).map(_.toLong).toDF("id")
+    val s1 = Relational.deterministicSplit(df, "id")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val s2 = Relational.deterministicSplit(df.repartition(7), "id")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(s1 === s2) // reproducible across partitionings
+    val counts = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+    assert(counts.values.sum === 500)
+  }
+
   test("topKByCount returns k highest with deterministic ties") {
     val df = (1 to 10).flatMap(i => Seq.fill(i)(i)).toDF("k")
     val out = Relational.topKByCount(df, "k", 3)
