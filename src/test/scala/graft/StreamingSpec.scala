@@ -81,6 +81,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq === Seq((7L, 2L, 3.0)))
   }
 
+  test("streaming slidingCounts agrees with the oracle-checked batch analog") {
+    implicit val ctx = spark.sqlContext
+    val evts = Seq(
+      TestEvt(1, ts("2024-01-01 00:30:00"), "click", 1.0),
+      TestEvt(2, ts("2024-01-01 01:30:00"), "click", 1.0),
+      TestEvt(3, ts("2024-01-01 03:10:00"), "view", 1.0),
+      TestEvt(4, ts("2024-01-01 05:45:00"), "click", 1.0))
+    val in = MemoryStream[TestEvt]
+    val out = StreamOps.slidingCounts(in.toDF(), "ts", "3 hours", "2 hours",
+      "event_type", "10 minutes")
+    val name = fresh()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    in.addData(evts: _*) // one batch -> one emission per window
+    q.processAllAvailable()
+    q.stop()
+    val streaming = spark.table(name)
+      .select(org.apache.spark.sql.functions.date_format(
+        col("window_start"), "yyyy-MM-dd HH:mm:ss"),
+        col("event_type"), col("n_events"))
+      .as[(String, String, Long)].collect().toSet
+    val batch = graft.operators.Relational.slidingCounts(
+      evts.toDF(), "ts", 3, 2, "event_type")
+      .select("window_start", "event_type", "n_events")
+      .as[(String, String, Long)].collect().toSet
+    assert(streaming === batch)
+  }
+
   test("stream-stream interval join matches within time bounds only") {
     implicit val ctx = spark.sqlContext
     val clicks = MemoryStream[TestEvt]
