@@ -80,11 +80,16 @@ object Similarity {
     * close with high probability.
     */
   def srpBucket(vecCol: Column, dims: Int, planes: Int): Column = {
+    // each plane is a literal ±1 vector dotted via the codegen'd
+    // graft_dot — `planes` tight loops instead of a planes·dims-node
+    // element_at expression tree (the tree form cost more to analyze/
+    // optimize per run than to execute). Multiplying by ±1.0 is exact
+    // and accumulation order is unchanged, so the bucket ids are
+    // bit-identical to the unrolled form.
     val bits = (0 until planes).map { p =>
-      val proj = (0 until dims).map { d =>
-        val sign = if (positiveCoeff(p, d)) 1.0 else -1.0
-        element_at(vecCol, d + 1).cast("double") * sign
-      }.reduce(_ + _)
+      val plane = Array.tabulate(dims)(d =>
+        if (positiveCoeff(p, d)) 1.0f else -1.0f)
+      val proj = VectorFns.dot(vecCol, typedLit(plane))
       when(proj >= 0, lit("1")).otherwise(lit("0"))
     }
     concat(bits: _*)
