@@ -108,6 +108,20 @@ object SparkEntry {
     "rel_salted_distinct" -> ((s, d) =>
       Relational.saltedDistinctCount(t(s, d, "lineitem"),
         "l_returnflag", "l_partkey", 8)),
+    "rel_conditional_agg" -> ((s, d) =>
+      // conditional/ordered aggregate surface: count_if, bool_or/and,
+      // filtered avg, and a DETERMINISTIC argmax — max(struct) orders
+      // lexicographically so ties on price break on the key (max_by
+      // alone picks an arbitrary row among ties)
+      t(s, d, "orders").groupBy(col("o_orderpriority"))
+        .agg(
+          count_if(col("o_totalprice") > 150000).as("n_big"),
+          bool_or(col("o_orderstatus") === "F").as("any_f"),
+          bool_and(col("o_totalprice") > 0).as("all_positive"),
+          max(struct(col("o_totalprice"), col("o_orderkey")))
+            .getField("o_orderkey").as("best_key"),
+          round(avg(when(col("o_orderstatus") === "O", col("o_totalprice"))), 2)
+            .as("avg_open_price"))),
 
     // --- projection / filter / scalar functions (§2.2, §2.8) ---
     "rel_filter_project" -> ((s, d) =>
@@ -137,6 +151,35 @@ object SparkEntry {
         (weekday(col("ts")) + 1).cast("long").as("isodow"),
         get_json_object(col("props"), "$.k").cast("long").as("json_k"),
         round(sqrt(col("value")), 4).as("sqrt_value"))),
+
+    // --- generators / higher-order functions / reshaping (§2.8, §2.10) ---
+    "rel_explode_words" -> ((s, d) =>
+      // generator surface: posexplode of a bounded slice — the lateral-
+      // view shape; the slice caps fan-out at 5 rows per doc
+      t(s, d, "documents")
+        .select(col("doc_id"), posexplode(slice(split(col("text"), " "), 1, 5)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("word"))),
+    "rel_higher_order" -> ((s, d) => {
+      // array lambdas (filter/exists/aggregate/transform) evaluated
+      // per row over a words array materialized ONCE per row
+      val w = col("__w")
+      t(s, d, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("__w"))
+        .select(col("doc_id"),
+          size(filter(w, x => length(x) > 5)).cast("long").as("n_long_words"),
+          exists(w, x => x === "the").as("has_the"),
+          aggregate(w, lit(0L), (acc, x) => acc + length(x)).as("total_chars"),
+          array_max(transform(w, x => length(x))).cast("long")
+            .as("max_word_len"))
+    }),
+    "rel_unpivot" -> ((s, d) =>
+      // wide→long melt: one output row per (row, measure); Catalyst
+      // plans Expand (no shuffle, no join against a measure table)
+      t(s, d, "lineitem").unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "value")),
 
     // --- sorts / limits / window functions (§2.5, §2.6) ---
     "rel_topk_users" -> ((s, d) =>
@@ -179,6 +222,16 @@ object SparkEntry {
         ntile(4).over(byValue).cast("long").as("value_quartile"),
         round(percent_rank().over(byValue), 6).as("value_pct_rank"),
         count(lit(1)).over(range).as("n_events_prev_hour"))
+    }),
+    "win_first_last" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val upToHere = w.rowsBetween(Window.unboundedPreceding, 0)
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      e.select(col("event_id"), col("user_id"),
+        first(col("value")).over(upToHere).as("first_value_user"),
+        last(col("value")).over(full).as("last_value_user"),
+        nth_value(col("value"), 2).over(full).as("second_value_user"))
     }),
 
     // --- joins (§2.3 gap-fill) ---
@@ -241,6 +294,16 @@ object SparkEntry {
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
           col("o_orderkey").as("asof_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("asof_orderdate"))
+    }),
+    "join_bloom_prefilter" -> ((s, d) => {
+      // bloom semi-join reduction: exact customers-with-big-orders
+      // result; the customer side is prefiltered by a broadcast bloom
+      // bitmap before the semi-join shuffle (Relational.bloomSemiJoin)
+      val c = t(s, d, "customer")
+      val hot = t(s, d, "orders").filter(col("o_totalprice") > 200000)
+      Relational.bloomSemiJoin(c, hot, "c_custkey", "o_custkey",
+          expectedItems = 100000L, numBits = 800000L)
+        .select(col("c_custkey"), col("c_name"))
     }),
     "join_range_orders" -> ((s, d) => {
       val e = t(s, d, "events"); val o = t(s, d, "orders")
@@ -308,6 +371,8 @@ object SparkEntry {
       TextAnalysis.langId(t(s, d, "documents"), "doc_id", "text")),
     "text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprints(t(s, d, "documents"), "doc_id", "text")),
+    "text_ngram_freq" -> ((s, d) =>
+      TextAnalysis.ngramFreq(t(s, d, "documents"), "text", 2, 20)),
 
     // --- dedup ---
     "dedup_exact_groups" -> ((s, d) =>
@@ -327,6 +392,17 @@ object SparkEntry {
     "dedup_embedding_cos" -> ((s, d) =>
       Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), "vec_id",
         "embedding", "label", 0.3)),
+    "dedup_keep_best" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.keepBest(docs,
+        TextAnalysis.qualityScore(docs, "doc_id", "text"), "doc_id", "text")
+    }),
+    "dedup_edit_distance" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.editDistancePairs(docs,
+        Dedup.lshCandidatePairs(docs, "doc_id", "text", MinhashK, LshBands),
+        "doc_id", "text", 64)
+    }),
 
     // --- similarity search ---
     "sim_knn_topk" -> ((s, d) => {
@@ -340,6 +416,8 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       Similarity.annTopK(emb, emb.filter(col("vec_id") < 10), 5, 64, 4)
     }),
+    "sim_centroids" -> ((s, d) =>
+      Similarity.labelCentroids(t(s, d, "embeddings"), "label", "embedding")),
     "sim_ann_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5,
@@ -450,6 +528,27 @@ object SparkEntry {
       "SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps, count(DISTINCT l_orderkey) AS n_orders FROM lineitem",
     "rel_salted_distinct" ->
       "SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct FROM lineitem GROUP BY l_returnflag",
+    "rel_conditional_agg" ->
+      ("SELECT o_orderpriority, count(*) FILTER (WHERE o_totalprice > 150000) AS n_big, " +
+        "bool_or(o_orderstatus = 'F') AS any_f, bool_and(o_totalprice > 0) AS all_positive, " +
+        "(max({'p': o_totalprice, 'k': o_orderkey})).k AS best_key, " +
+        "round(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS avg_open_price " +
+        "FROM orders GROUP BY o_orderpriority"),
+    "rel_explode_words" ->
+      ("SELECT doc_id, CAST(t.i AS BIGINT) AS pos, t.word FROM documents, " +
+        "LATERAL (SELECT unnest(string_split(text, ' ')[1:5]) AS word, " +
+        "unnest(range(0, least(len(string_split(text, ' ')), 5))) AS i) t"),
+    "rel_higher_order" ->
+      ("SELECT doc_id, " +
+        "CAST(len(list_filter(string_split(lower(text), ' '), x -> strlen(x) > 5)) AS BIGINT) AS n_long_words, " +
+        "list_contains(string_split(lower(text), ' '), 'the') AS has_the, " +
+        "CAST(list_aggregate(list_transform(string_split(lower(text), ' '), x -> strlen(x)), 'sum') AS BIGINT) AS total_chars, " +
+        "CAST(list_max(list_transform(string_split(lower(text), ' '), x -> strlen(x))) AS BIGINT) AS max_word_len " +
+        "FROM documents"),
+    "rel_unpivot" ->
+      ("SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem"),
     "rel_filter_project" ->
       ("SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice * (1 - l_discount) AS net_price " +
         "FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag = 'R'"),
@@ -480,6 +579,15 @@ object SparkEntry {
         "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_events_prev_hour " +
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id), " +
         "v AS (PARTITION BY user_id ORDER BY value, event_id)"),
+    "win_first_last" ->
+      ("SELECT event_id, user_id, " +
+        "first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_value_user, " +
+        "last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_value_user, " +
+        "nth_value(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_value_user " +
+        "FROM events"),
+    "join_bloom_prefilter" ->
+      ("SELECT c_custkey, c_name FROM customer c WHERE EXISTS " +
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)"),
     "join_brand_revenue" ->
       ("SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_items " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand"),
@@ -556,6 +664,11 @@ object SparkEntry {
         s"CAST(len($wordsSql) AS DOUBLE) AS nw FROM documents) t"),
     "text_fingerprint" ->
       (s"SELECT doc_id, md5($normSql) AS fingerprint, substr(md5($normSql), 1, 16) AS bucket64 FROM documents"),
+    "text_ngram_freq" ->
+      ("WITH words AS (SELECT string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents), " +
+        "bg AS (SELECT array_to_string(w[i:i+1], ' ') AS ngram FROM words, " +
+        "LATERAL (SELECT unnest(range(1, len(w))) AS i) t) " +
+        "SELECT ngram, count(*) AS n FROM bg GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20"),
     "dedup_exact_groups" ->
       (s"SELECT md5($normSql) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1"),
     "dedup_stats" ->
@@ -572,11 +685,32 @@ object SparkEntry {
         "SELECT a_id, b_id, round(i / (sa.n + sb.n - i), 4) AS jaccard FROM inter " +
         "JOIN sizes sa ON inter.a_id = sa.doc_id JOIN sizes sb ON inter.b_id = sb.doc_id " +
         "ORDER BY jaccard DESC, a_id, b_id LIMIT 20"),
+    "dedup_keep_best" ->
+      (s"WITH q AS (SELECT doc_id, round(0.4 * least(nw / 200.0, 1.0) + 0.3 * least(stop / nw * 4.0, 1.0) + 0.3 * (nd / nw), 4) AS quality FROM " +
+        s"(SELECT doc_id, CAST(len(list_filter($wordsSql, x -> x IN $stopListSql)) AS DOUBLE) AS stop, " +
+        s"CAST(len($wordsSql) AS DOUBLE) AS nw, CAST(len(list_distinct($wordsSql)) AS DOUBLE) AS nd FROM documents) t), " +
+        s"h AS (SELECT doc_id, md5($normSql) AS content_hash FROM documents), " +
+        "j AS (SELECT h.content_hash, q.doc_id, q.quality, count(*) OVER (PARTITION BY h.content_hash) AS n_copies, " +
+        "row_number() OVER (PARTITION BY h.content_hash ORDER BY q.quality DESC, q.doc_id DESC) AS rn " +
+        "FROM h JOIN q USING (doc_id)) " +
+        "SELECT content_hash, doc_id AS keep_id, quality AS best_quality, n_copies FROM j WHERE rn = 1"),
+    "dedup_edit_distance" ->
+      (shingleCte + sigCte + s", bands AS ($bandSelects), " +
+        "pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a " +
+        "JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id), " +
+        s"heads AS (SELECT doc_id, substr($normSql, 1, 64) AS head FROM documents) " +
+        "SELECT a_id, b_id, CAST(levenshtein(ha.head, hb.head) AS BIGINT) AS edit_dist FROM pairs " +
+        "JOIN heads ha ON pairs.a_id = ha.doc_id JOIN heads hb ON pairs.b_id = hb.doc_id"),
     "dedup_embedding_cos" ->
       ("WITH a AS (SELECT label, vec_id AS a_id, embedding AS a_vec FROM embeddings), " +
         "b AS (SELECT label, vec_id AS b_id, embedding AS b_vec FROM embeddings), " +
         s"scored AS (SELECT a_id, b_id, ${cosSql("a_vec", "b_vec")} AS sim FROM a JOIN b USING (label) WHERE a_id < b_id) " +
         "SELECT a_id, b_id, round(sim, 4) AS cosine_sim FROM scored WHERE sim >= 0.3"),
+    "sim_centroids" ->
+      ("SELECT label, CAST(t.i AS BIGINT) AS dim, round(avg(CAST(t.x AS DOUBLE)), 4) AS centroid_val, " +
+        "count(*) AS n_vectors FROM embeddings, " +
+        "LATERAL (SELECT unnest(embedding) AS x, unnest(range(0, len(embedding))) AS i) t " +
+        "GROUP BY 1, 2"),
     "sim_knn_topk" ->
       ("WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10), " +
         "c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings), " +

@@ -77,7 +77,25 @@ object GraftFunctions {
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (cs: Seq[Expression]) => DotProduct(cs(0), cs(1))),
-    TopKAggregate.registration)
+    TopKAggregate.registration,
+    // Spark's bloom-filter expressions exist but are NOT in the public
+    // function registry (they back the optimizer's injected runtime
+    // filters); exposing them under graft names makes the semi-join
+    // reduction pattern (Relational.bloomSemiJoin) first-class
+    (FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (cs: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          cs(0), cs(1), cs(2))),
+    (FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (cs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          cs(0), cs(1))))
 
   private val registered =
     java.util.Collections.newSetFromMap(

@@ -186,6 +186,48 @@ object Dedup {
     * on the signature table). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Canonical-document selection: one surviving row per exact-content
+    * group, chosen by (score, id) argmax — the curation step after
+    * dedup ("of these copies, keep the best one"). `scores` is any
+    * (id, quality) frame (e.g. TextAnalysis.qualityScore output). The
+    * window is partitioned by the content hash, so state per task is
+    * one duplicate group; ties on quality (guaranteed for exact dups —
+    * same content ⇒ same score) break deterministically on the id.
+    */
+  def keepBest(df: DataFrame, scores: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = df.select(col(idCol),
+      TextFns.fingerprint(col(textCol)).as("content_hash"))
+    val grp = Window.partitionBy(col("content_hash"))
+    val best = grp.orderBy(col("quality").desc, col(idCol).desc)
+    hashed.join(scores.select(col(idCol), col("quality")), idCol)
+      .withColumn("n_copies", count(lit(1)).over(grp))
+      .withColumn("__rn", row_number().over(best))
+      .filter(col("__rn") === 1)
+      .select(col("content_hash"), col(idCol).as("keep_id"),
+        col("quality").as("best_quality"), col("n_copies"))
+  }
+
+  /** Edit-distance verification of candidate pairs (the refine stage
+    * after LSH): joins each (a_id, b_id) pair to the docs' normalized
+    * text heads and scores Levenshtein distance. Distance on bounded
+    * `headLen`-char prefixes — O(headLen²) per pair, constant-bounded,
+    * instead of O(|doc|²) which is quadratic-blowup territory on long
+    * documents. The join is two hash joins on the id (the pair table is
+    * LSH-bucket-bounded, far smaller than docs² by construction).
+    */
+  def editDistancePairs(df: DataFrame, pairs: DataFrame, idCol: String,
+      textCol: String, headLen: Int = 64): DataFrame = {
+    val heads = df.select(col(idCol),
+      substring(TextFns.normalize(col(textCol)), 1, headLen).as("__head"))
+    pairs
+      .join(heads.select(col(idCol).as("a_id"), col("__head").as("a_head")), "a_id")
+      .join(heads.select(col(idCol).as("b_id"), col("__head").as("b_head")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("a_head"), col("b_head")).cast("long").as("edit_dist"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs within a
     * blocking key whose cosine similarity meets the threshold. The
     * block bounds the pair fan-out (largest block², not corpus²) — at

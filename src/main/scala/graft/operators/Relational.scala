@@ -259,6 +259,35 @@ object Relational {
         .otherwise(lit("test")))
   }
 
+  /** Bloom-filter semi-join reduction: build a bloom filter over the
+    * right side's keys (one aggregate collapsing to a single bitmap),
+    * broadcast it, and prefilter the left side BEFORE the real semi
+    * join. The result is EXACT — bloom filters have no false negatives,
+    * and the false positives that survive the prefilter are removed by
+    * the semi join — but the left side entering the shuffle shrinks to
+    * the true matches plus the false-positive rate. At 100 TB this is
+    * the difference between shuffling the full probe table and shuffling
+    * ~|matches| rows; it's the hand-rolled form of Spark's own runtime
+    * row-level filtering, usable when the optimizer doesn't inject it.
+    */
+  def bloomSemiJoin(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, expectedItems: Long, numBits: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(left.sparkSession)
+    // one aggregated row (the bitmap, numBits/8 bytes) comes to the
+    // driver and re-enters the plan as a foldable literal — the same
+    // shape Spark's injected runtime filter gets from a reused subquery
+    // result, and what BloomFilterMightContain's type check requires
+    val bytes = right
+      .agg(call_function("graft_bloom_agg", xxhash64(col(rightKey)),
+        lit(expectedItems), lit(numBits)).as("__bf"))
+      .head().getAs[Array[Byte]](0)
+    left
+      .filter(call_function("graft_might_contain", lit(bytes),
+        xxhash64(col(leftKey))))
+      .join(right.select(col(rightKey)), col(leftKey) === col(rightKey),
+        "left_semi")
+  }
+
   /** As-of join (merge formulation): for each left row, the single
     * latest right row with rightTs <= leftTs under the equi-key, ties
     * broken by `rightTie` descending.

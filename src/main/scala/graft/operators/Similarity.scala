@@ -154,6 +154,19 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Per-label dimension-wise centroid of an embedding column — the
+    * aggregation IVF/clustering pipelines need (cell refinement, class
+    * prototypes). posexplode + hash aggregate on (label, dim): one
+    * shuffle whose width is labels·dims rows regardless of corpus size;
+    * map-side partial avg keeps the explode from inflating the shuffle.
+    */
+  def labelCentroids(df: DataFrame, labelCol: String,
+      vecCol: String): DataFrame =
+    df.select(col(labelCol), posexplode(col(vecCol)))
+      .groupBy(col(labelCol), col("pos").cast("long").as("dim"))
+      .agg(round(avg(col("col").cast("double")), 4).as("centroid_val"),
+        count(lit(1)).as("n_vectors"))
+
   /** ANN top-k via SRP-LSH: bucket corpus and queries, score only
     * within-bucket candidates. Recall < 1 by construction (trade for a
     * join bounded by bucket size); raise recall with fewer planes or

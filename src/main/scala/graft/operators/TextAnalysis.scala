@@ -77,6 +77,17 @@ object TextAnalysis {
         .as("lang_guess"))
   }
 
+  /** Corpus-level n-gram frequency: top-k word n-grams by occurrence
+    * count (not per-doc-distinct — repeats inside a document count).
+    * The vocabulary-building / contamination-screening primitive. One
+    * explode + one hash aggregate; orderBy+limit plans as
+    * TakeOrderedAndProject (per-partition top-k, k rows shuffled). */
+  def ngramFreq(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    df.select(TextFns.words(col(textCol)).as("__w"))
+      .select(explode(TextFns.shinglesOfWords(col("__w"), n)).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram")).limit(k)
+
   /** Content fingerprints: normalized md5 plus a coarse 16-char prefix
     * "rolling" bucket (first 64 bits) usable as a shard key. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -81,4 +81,22 @@ class DedupSpec extends SparkSpec {
     def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     assert(ham(s(1L), s(3L)) < ham(s(1L), s(4L)))
   }
+
+  test("keepBest keeps one row per content group, max quality then max id") {
+    import graft.operators.TextAnalysis
+    val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
+    val kept = Dedup.keepBest(docs, q, "doc_id", "text")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    // docs 1 and 2 normalize identically (same quality) -> id 2 survives
+    assert(kept === Set((2L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("editDistancePairs: identical pair 0, near-dup pair small positive") {
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("a_id", "b_id")
+    val d = Dedup.editDistancePairs(docs, pairs, "doc_id", "text", 64)
+      .as[(Long, Long, Long)].collect().map { case (a, b, e) => (a, b) -> e }
+      .toMap
+    assert(d((1L, 2L)) === 0L)  // normalization-equal heads
+    assert(d((1L, 3L)) === 3L)  // dog -> cat
+  }
 }

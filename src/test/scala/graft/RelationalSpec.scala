@@ -91,6 +91,32 @@ class RelationalSpec extends SparkSpec {
     assert(out.toSeq === Seq((10, 10L), (9, 9L), (8, 8L)))
   }
 
+  test("groupedQuantiles matches the built-in percentile() bit-for-bit") {
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 400).map(i =>
+      (if (i % 2 == 0) "a" else "b", rnd.nextDouble() * 100, rnd.nextInt(50).toDouble))
+      .toDF("g", "x", "y")
+    val ours = Relational.groupedQuantiles(df, "g",
+      Seq(("x", 0.95, "p95_x"), ("y", 0.5, "med_y")))
+      .select("g", "p95_x", "med_y").as[(String, Double, Double)]
+      .collect().map { case (g, a, b) => g -> (a, b) }.toMap
+    val builtin = df.groupBy(col("g"))
+      .agg(expr("percentile(x, 0.95)").as("p"), expr("percentile(y, 0.5)").as("m"))
+      .select("g", "p", "m").as[(String, Double, Double)]
+      .collect().map { case (g, a, b) => g -> (a, b) }.toMap
+    assert(ours === builtin) // exact equality, not approximate
+  }
+
+  test("bloomSemiJoin equals the plain semi join (exact despite the bloom)") {
+    val left = (1 to 300).map(_.toLong).toDF("k")
+    val right = (1 to 300 by 3).map(_.toLong).toDF("rk")
+    val ours = Relational.bloomSemiJoin(left, right, "k", "rk", 200L, 4096L)
+      .as[Long].collect().toSet
+    val plain = left.join(right, col("k") === col("rk"), "left_semi")
+      .as[Long].collect().toSet
+    assert(ours === plain)
+  }
+
   private def ts(s: String): java.sql.Timestamp =
     java.sql.Timestamp.valueOf(if (s.length == 10) s + " 00:00:00" else s)
 }

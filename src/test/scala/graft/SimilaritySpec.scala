@@ -86,6 +86,19 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head._2 === 101L && out.head._3 === 1.0)
   }
 
+  test("labelCentroids averages per (label, dim) with counts") {
+    val df = Seq(
+      (1L, Array(1f, 3f), "x"), (2L, Array(3f, 5f), "x"),
+      (3L, Array(10f, 20f), "y")
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroids(df, "label", "embedding")
+      .select("label", "dim", "centroid_val", "n_vectors")
+      .as[(String, Long, Double, Long)].collect().toSet
+    assert(out === Set(
+      ("x", 0L, 2.0, 2L), ("x", 1L, 4.0, 2L),
+      ("y", 0L, 10.0, 1L), ("y", 1L, 20.0, 1L)))
+  }
+
   test("srpBucket is deterministic and splits opposite vectors") {
     val df = Seq((Array(1f, 0f, 0f, 0f), Array(-1f, 0f, 0f, 0f)))
       .toDF("a", "b")

@@ -60,4 +60,12 @@ class TextAnalysisSpec extends SparkSpec {
     assert(sh(0) === Seq("a b c", "b c d"))
     assert(sh(1) === Seq("a b"))
   }
+
+  test("ngramFreq counts occurrences (not per-doc distinct), ordered") {
+    val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramFreq(df, "text", 2, 10)
+      .as[(String, Long)].collect().toSeq
+    // "a b" occurs 3 times (twice in doc 1), "b a" and "b c" once each
+    assert(out === Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
 }
