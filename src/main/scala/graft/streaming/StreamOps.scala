@@ -105,6 +105,30 @@ object StreamOps {
       .drop(col(s"r.$key"))
   }
 
+  /** Stream-static enrichment join: each micro-batch joins against the
+    * (slowly-changing) dimension table. The dim side is broadcast — no
+    * stream-side shuffle, no state: the engine re-plans the static side
+    * per micro-batch, which is also what picks up dim refreshes when the
+    * underlying table changes between batches. The standard shape for
+    * attaching reference data (locations, users, rates) to a stream.
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
+  /** Running totals per key — the UNWINDOWED stateful aggregation
+    * (output mode Update/Complete): state is one row per key, updated
+    * every micro-batch, never evicted (no watermark applies to a global
+    * groupBy). Key-cardinality-bounded state is the operator's contract;
+    * unbounded key domains belong in tumblingCounts where the watermark
+    * retires windows.
+    */
+  def runningCounts(stream: DataFrame, keyCol: String,
+      valueCol: String): DataFrame =
+    stream.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol)).as("sum_value"))
+
   /** Event-time window start/end as plain columns (dashboard-friendly
     * projection of the struct). */
   def flattenWindow(df: DataFrame, windowCol: String = "window"): DataFrame =

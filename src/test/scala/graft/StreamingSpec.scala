@@ -37,6 +37,41 @@ class StreamingSpec extends SparkSpec {
       (ts("2024-01-01 01:00:00"), "view", 1L)))
   }
 
+  test("enrichWithDim joins each micro-batch against the static dim") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[TestEvt]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val out = StreamOps.enrichWithDim(in.toDF(), dim, "user_id")
+    val name = fresh()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    in.addData(
+      TestEvt(1, ts("2024-01-01 00:00:00"), "click", 1.0),
+      TestEvt(3, ts("2024-01-01 00:01:00"), "view", 2.0)) // no dim row
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name).select("user_id", "tier")
+      .as[(Long, Option[String])].collect().toSet
+    assert(rows === Set((1L, Some("gold")), (3L, None)))
+  }
+
+  test("runningCounts keeps per-key totals across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[TestEvt]
+    val out = StreamOps.runningCounts(in.toDF(), "user_id", "value")
+    val name = fresh()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    in.addData(TestEvt(1, ts("2024-01-01 00:00:00"), "click", 1.5))
+    q.processAllAvailable()
+    in.addData(TestEvt(1, ts("2024-01-01 00:10:00"), "view", 2.5))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name).select("user_id", "n_events", "sum_value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(rows === Set((1L, 2L, 4.0))) // state carried across batches
+  }
+
   test("dedupWithinWatermark drops in-horizon duplicates") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[TestEvt]
