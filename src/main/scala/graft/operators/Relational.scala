@@ -190,30 +190,64 @@ object Relational {
     * `stack` so they share the single shuffle.
     */
   def groupedQuantiles(df: DataFrame, grp: String,
-      measures: Seq[(String, Double, String)]): DataFrame = {
+      measures: Seq[(String, Double, String)],
+      margin: Double = 0.01, accuracy: Int = 1000): DataFrame = {
+    // Pass A — per-group rank brackets from approx_percentile. GK's
+    // rank error is DETERMINISTICALLY <= n/accuracy, so the values at
+    // p±margin are guaranteed (margin >> 1/accuracy; 100x here) to
+    // bracket the exact quantile's two source rows.
+    val bracketAgg = df.groupBy(col(grp)).agg(
+      measures.map { case (c, p, n) =>
+        val pl = math.max(0.0, p - margin)
+        val ph = math.min(1.0, p + margin)
+        expr(s"approx_percentile(CAST($c AS DOUBLE), array($pl, $ph), $accuracy)")
+          .as(s"__br_$n")
+      }.head,
+      measures.tail.map { case (c, p, n) =>
+        val pl = math.max(0.0, p - margin)
+        val ph = math.min(1.0, p + margin)
+        expr(s"approx_percentile(CAST($c AS DOUBLE), array($pl, $ph), $accuracy)")
+          .as(s"__br_$n")
+      }: _*)
+    // Pass B — one grouped aggregate over the unpivoted measures:
+    // count below the bracket + the in-bracket candidates as a sorted
+    // array (bounded by 2·margin·n values per group — the knob that
+    // keeps per-group state fixed at any scale). The exact quantile's
+    // bracketing rows are picked from the array by global ordinal; no
+    // per-group sort of the full data ever happens.
     val stackExpr = s"stack(${measures.length}, " + measures.map {
       case (c, _, n) => s"'$n', CAST($c AS DOUBLE)"
     }.mkString(", ") + ") AS (__m, __v)"
+    def perMeasure(f: String => Column): Column =
+      measures.foldLeft(lit(null).cast("double")) { case (acc, (_, _, n)) =>
+        when(col("__m") === n, f(n)).otherwise(acc)
+      }
     val pByName = measures.foldLeft(lit(null).cast("double")) {
       case (acc, (_, p, n)) => when(col("__m") === n, lit(p)).otherwise(acc)
     }
-    val w = Window.partitionBy(col(grp), col("__m")).orderBy(col("__v"))
-    val wc = Window.partitionBy(col(grp), col("__m"))
-    val bracketed = df.selectExpr(grp, stackExpr)
-      .withColumn("__rn", row_number().over(w).cast("double") - 1)
-      .withColumn("__pos", pByName * (count(lit(1)).over(wc) - 1).cast("double"))
-      .filter(col("__rn") === floor(col("__pos")) ||
-        col("__rn") === ceil(col("__pos")))
-    val q = bracketed.groupBy(col(grp), col("__m"))
+    val v = col("__v")
+    val picked = df.selectExpr(grp, stackExpr)
+      .filter(v.isNotNull) // percentile/quantile_cont ignore nulls
+      .join(bracketAgg, grp)
+      .withColumn("__lob", perMeasure(n => element_at(col(s"__br_$n"), 1)))
+      .withColumn("__hib", perMeasure(n => element_at(col(s"__br_$n"), 2)))
+      .groupBy(col(grp), col("__m"))
       .agg(
-        min(when(col("__rn") === floor(col("__pos")), col("__v"))).as("__lo"),
-        max(when(col("__rn") === ceil(col("__pos")), col("__v"))).as("__hi"),
-        first(col("__pos")).as("__p"))
+        count(lit(1)).as("__n"),
+        count(when(v < col("__lob"), lit(1))).as("__below"),
+        array_sort(collect_list(
+          when(v >= col("__lob") && v <= col("__hib"), v))).as("__cand"))
+      .withColumn("__pos", pByName * (col("__n") - 1).cast("double"))
+      .withColumn("__lo", element_at(col("__cand"),
+        (floor(col("__pos")) - col("__below") + 1).cast("int")))
+      .withColumn("__hi", element_at(col("__cand"),
+        (ceil(col("__pos")) - col("__below") + 1).cast("int")))
+      // Spark Percentile's exact interpolation, reproduced bit-for-bit
       .withColumn("__q",
-        when(floor(col("__p")) === ceil(col("__p")), col("__lo"))
-          .otherwise((ceil(col("__p")) - col("__p")) * col("__lo") +
-            (col("__p") - floor(col("__p"))) * col("__hi")))
-    q.groupBy(col(grp))
+        when(floor(col("__pos")) === ceil(col("__pos")), col("__lo"))
+          .otherwise((ceil(col("__pos")) - col("__pos")) * col("__lo") +
+            (col("__pos") - floor(col("__pos"))) * col("__hi")))
+    picked.groupBy(col(grp))
       .agg(
         measures.map { case (_, _, n) =>
           min(when(col("__m") === n, col("__q"))).as(n)
