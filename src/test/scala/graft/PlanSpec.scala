@@ -46,4 +46,17 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Window"), plan.take(500))
     assert(!plan.contains("Join"), s"merge as-of should not join:\n${plan.take(800)}")
   }
+
+  test("no query plans an unpartitioned window (single-partition choke)") {
+    // the round-1 bench surfaced Spark's "No Partition Defined for
+    // Window operation" warning; this pins the fix across ALL queries
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (name <- SparkEntry.queries.keys) {
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+      val bad = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$name has an unpartitioned WindowExec")
+    }
+  }
 }
