@@ -123,4 +123,16 @@ class SourcesSpec extends SparkSpec {
     val out = spark.read.option("header", "true").csv(s"$base/out")
     assert(out.count() === 2)
   }
+
+  test("convert parquet -> orc -> parquet round-trips values exactly") {
+    val base = Files.createTempDirectory("graft_orc").toString
+    val in = Seq((1L, "x", 1.5), (2L, "y", -2.25), (3L, null, 0.0))
+      .toDF("id", "name", "v")
+    in.write.parquet(s"$base/p0")
+    Sources.convert(spark, s"$base/p0", "parquet", s"$base/orc", "orc")
+    Sources.convert(spark, s"$base/orc", "orc", s"$base/p1", "parquet")
+    val back = spark.read.parquet(s"$base/p1")
+      .as[(Long, Option[String], Double)].collect().toSet
+    assert(back === in.as[(Long, Option[String], Double)].collect().toSet)
+  }
 }
