@@ -151,6 +151,21 @@ object SparkEntry {
         (weekday(col("ts")) + 1).cast("long").as("isodow"),
         get_json_object(col("props"), "$.k").cast("long").as("json_k"),
         round(sqrt(col("value")), 4).as("sqrt_value"))),
+    "rel_string_pad" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        lpad(col("source"), 8, "*").as("src_lpad"),
+        rpad(col("lang"), 5, "-").as("lang_rpad"),
+        translate(col("source"), "aeiou", "AEIOU").as("src_upvowel"),
+        reverse(col("source")).as("src_rev"),
+        repeat(col("lang"), 3).as("lang_x3"))),
+    "rel_bitwise" -> ((s, d) =>
+      t(s, d, "events").select(col("event_id"),
+        col("event_id").bitwiseAND(lit(255L)).as("lo8"),
+        col("event_id").bitwiseOR(lit(4096L)).as("with_bit12"),
+        col("event_id").bitwiseXOR(col("user_id")).as("xored"),
+        shiftleft(col("event_id"), 2).as("shl2"),
+        shiftright(col("event_id"), 3).as("shr3"),
+        bitwise_not(col("event_id")).as("inverted"))),
 
     // --- generators / higher-order functions / reshaping (§2.8, §2.10) ---
     "rel_explode_words" -> ((s, d) =>
@@ -232,6 +247,14 @@ object SparkEntry {
         first(col("value")).over(upToHere).as("first_value_user"),
         last(col("value")).over(full).as("last_value_user"),
         nth_value(col("value"), 2).over(full).as("second_value_user"))
+    }),
+    "win_moving_avg" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      e.select(col("event_id"), col("user_id"),
+        round(avg(col("value")).over(w.rowsBetween(-2, 0)), 4).as("mov_avg3"),
+        round(max(col("value")).over(w.rowsBetween(-2, 0)), 4).as("mov_max3"),
+        round(sum(col("value")).over(w.rowsBetween(1, 2)), 4).as("next2_sum"))
     }),
 
     // --- joins (§2.3 gap-fill) ---
@@ -432,6 +455,12 @@ object SparkEntry {
           col("chunk_idx").cast("long").as("chunk_idx"),
           col("chunk_offset").cast("long").as("chunk_offset"),
           col("chunk_sig"))),
+    "media_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(
+          Multimodal.asMediaTable(t(s, d, "documents"), "doc_id", "text"),
+          256, 4)
+        .select(col("media_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("chunk_sig"))),
     "media_features" -> ((s, d) =>
       Multimodal.decodeFeaturesStub(s,
           Multimodal.asMediaTable(t(s, d, "documents"), "doc_id", "text"))
@@ -560,6 +589,14 @@ object SparkEntry {
     "rel_scalar_events" ->
       ("SELECT event_id, year(ts) AS y, month(ts) AS m, isodow(ts) AS isodow, " +
         "CAST(json_extract_string(props, '$.k') AS BIGINT) AS json_k, round(sqrt(value), 4) AS sqrt_value FROM events"),
+    "rel_string_pad" ->
+      ("SELECT doc_id, lpad(source, 8, '*') AS src_lpad, rpad(lang, 5, '-') AS lang_rpad, " +
+        "translate(source, 'aeiou', 'AEIOU') AS src_upvowel, reverse(source) AS src_rev, " +
+        "repeat(lang, 3) AS lang_x3 FROM documents"),
+    "rel_bitwise" ->
+      ("SELECT event_id, event_id & 255 AS lo8, event_id | 4096 AS with_bit12, " +
+        "xor(event_id, user_id) AS xored, event_id << 2 AS shl2, event_id >> 3 AS shr3, " +
+        "~event_id AS inverted FROM events"),
     "rel_topk_users" ->
       "SELECT user_id, count(*) AS n FROM events GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10",
     "rel_batch_slice" ->
@@ -588,6 +625,12 @@ object SparkEntry {
     "join_bloom_prefilter" ->
       ("SELECT c_custkey, c_name FROM customer c WHERE EXISTS " +
         "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)"),
+    "win_moving_avg" ->
+      ("SELECT event_id, user_id, " +
+        "round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg3, " +
+        "round(max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_max3, " +
+        "round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING), 4) AS next2_sum " +
+        "FROM events"),
     "join_brand_revenue" ->
       ("SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_items " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand"),
@@ -728,7 +771,12 @@ object SparkEntry {
         "CAST(ceil(strlen(text) / 256.0) AS BIGINT) AS n_chunks FROM documents) " +
         "SELECT media_id, n_bytes, n_chunks, CAST(t.i AS BIGINT) AS chunk_idx, CAST(t.i * 256 AS BIGINT) AS chunk_offset, " +
         "md5(substr(text, CAST(t.i * 256 + 1 AS INT), 256)) AS chunk_sig " +
-        "FROM m, LATERAL (SELECT unnest(range(0, m.n_chunks)) AS i) t")
+        "FROM m, LATERAL (SELECT unnest(range(0, m.n_chunks)) AS i) t"),
+    "media_frames" ->
+      ("WITH m AS (SELECT doc_id AS media_id, text, CAST(ceil(strlen(text) / 256.0) AS BIGINT) AS n_chunks FROM documents) " +
+        "SELECT media_id, CAST(t.i AS BIGINT) AS chunk_idx, " +
+        "md5(substr(text, CAST(t.i * 256 + 1 AS INT), 256)) AS chunk_sig " +
+        "FROM m, LATERAL (SELECT unnest(range(0, m.n_chunks)) AS i) t WHERE t.i % 4 = 0")
     // rows-only (no SQL-expressible oracle): rel_approx_distinct (HLL sketch),
     // dedup_simhash (xxhash64 is Spark-native), sim_ann_lsh / sim_ann_ivf
     // (approximate recall by design; IVF additionally depends on KMeans
