@@ -318,6 +318,32 @@ object SparkEntry {
           col("o_orderkey").as("asof_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("asof_orderdate"))
     }),
+    "join_full_outer" -> ((s, d) => {
+      // both sides pre-aggregated to per-day counts, then full outer on
+      // the day key — days present on one side only survive with a 0
+      val o = t(s, d, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_orders"))
+      val e = t(s, d, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      o.join(e, Seq("day"), "full_outer")
+        .select(col("day"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+    }),
+    "join_cross" -> ((s, d) =>
+      t(s, d, "nation").crossJoin(t(s, d, "region"))
+        .select(col("n_name"), col("r_name"),
+          concat(col("n_name"), lit("/"), col("r_name")).as("pair"))),
+    "rel_scalar_subquery" -> ((s, d) => {
+      // scalar-subquery shape: the single-row aggregate broadcasts and
+      // every probe row compares against it — no shuffle of orders
+      val o = t(s, d, "orders")
+      val avgP = o.agg(avg(col("o_totalprice")).as("__avg"))
+      o.join(broadcast(avgP)).filter(col("o_totalprice") > col("__avg"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
     "join_bloom_prefilter" -> ((s, d) => {
       // bloom semi-join reduction: exact customers-with-big-orders
       // result; the customer side is prefiltered by a broadcast bloom
@@ -625,6 +651,16 @@ object SparkEntry {
     "join_bloom_prefilter" ->
       ("SELECT c_custkey, c_name FROM customer c WHERE EXISTS " +
         "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)"),
+    "join_full_outer" ->
+      ("WITH o AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, count(*) AS n_orders FROM orders GROUP BY 1), " +
+        "e AS (SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events FROM events GROUP BY 1) " +
+        "SELECT COALESCE(o.day, e.day) AS day, COALESCE(n_orders, 0) AS n_orders, COALESCE(n_events, 0) AS n_events " +
+        "FROM o FULL JOIN e ON o.day = e.day"),
+    "join_cross" ->
+      "SELECT n_name, r_name, n_name || '/' || r_name AS pair FROM nation CROSS JOIN region",
+    "rel_scalar_subquery" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)"),
     "win_moving_avg" ->
       ("SELECT event_id, user_id, " +
         "round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg3, " +
