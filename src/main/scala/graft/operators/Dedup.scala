@@ -171,13 +171,17 @@ object Dedup {
         explode(TextFns.bpeishTokens(col(textCol))).as("tok"))
       .select(col(idCol), xxhash64(col("tok")).as("__h"))
     val h = col("__h")
-    val votes = (0 until 64).map { i =>
-      sum(when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"v$i")
+    // votes as plain bit sums: the ±1 vote sum v equals 2·ones − n, so
+    // "v > 0" ⇔ "2·ones > n" — same signature, no per-bit branch in the
+    // aggregate (64 shift+mask+sum columns, all algebraic)
+    val ones = (0 until 64).map { i =>
+      sum(shiftright(h, i).bitwiseAND(1)).as(s"v$i")
     }
-    val voted = tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val voted = tok.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n"), ones: _*)
     val bits = (0 until 64).map(i =>
-      when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      when(col(s"v$i") * 2 > col("__n"), shiftleft(lit(1L), i))
+        .otherwise(lit(0L)))
     voted.select(col(idCol),
       bits.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
   }
