@@ -196,19 +196,23 @@ object Relational {
     // rank error is DETERMINISTICALLY <= n/accuracy, so the values at
     // p±margin are guaranteed (margin >> 1/accuracy; 100x here) to
     // bracket the exact quantile's two source rows.
-    val bracketAgg = df.groupBy(col(grp)).agg(
-      measures.map { case (c, p, n) =>
-        val pl = math.max(0.0, p - margin)
-        val ph = math.min(1.0, p + margin)
+    val bracketCols = measures.flatMap { case (c, p, n) =>
+      val pl = math.max(0.0, p - margin)
+      val ph = math.min(1.0, p + margin)
+      Seq(
         expr(s"approx_percentile(CAST($c AS DOUBLE), array($pl, $ph), $accuracy)")
-          .as(s"__br_$n")
-      }.head,
-      measures.tail.map { case (c, p, n) =>
-        val pl = math.max(0.0, p - margin)
-        val ph = math.min(1.0, p + margin)
-        expr(s"approx_percentile(CAST($c AS DOUBLE), array($pl, $ph), $accuracy)")
-          .as(s"__br_$n")
-      }: _*)
+          .as(s"__br_$n"),
+        count(col(c)).as(s"__bn_$n"))
+    }
+    val bracketAgg = df.groupBy(col(grp))
+      .agg(bracketCols.head, bracketCols.tail: _*)
+    // approx_percentile targets rank p·n where percentile interpolates
+    // at p·(n-1) — a constant ~1-rank convention gap on top of the GK
+    // error. For margin·n >= 4 the margin dominates both (gap <= 3 ranks
+    // once n >= 4/margin, GK error = n/accuracy = margin·n/10); below
+    // that the "bracket" is the whole group — n < 4/margin rows, a
+    // bounded constant, so small groups are exact by construction.
+    val smallN = lit(4.0 / margin)
     // Pass B — one grouped aggregate over the unpivoted measures:
     // count below the bracket + the in-bracket candidates as a sorted
     // array (bounded by 2·margin·n values per group — the knob that
@@ -229,8 +233,12 @@ object Relational {
     val picked = df.selectExpr(grp, stackExpr)
       .filter(v.isNotNull) // percentile/quantile_cont ignore nulls
       .join(bracketAgg, grp)
-      .withColumn("__lob", perMeasure(n => element_at(col(s"__br_$n"), 1)))
-      .withColumn("__hib", perMeasure(n => element_at(col(s"__br_$n"), 2)))
+      .withColumn("__lob", perMeasure(n =>
+        when(col(s"__bn_$n") < smallN, lit(Double.NegativeInfinity))
+          .otherwise(element_at(col(s"__br_$n"), 1))))
+      .withColumn("__hib", perMeasure(n =>
+        when(col(s"__bn_$n") < smallN, lit(Double.PositiveInfinity))
+          .otherwise(element_at(col(s"__br_$n"), 2))))
       .groupBy(col(grp), col("__m"))
       .agg(
         count(lit(1)).as("__n"),

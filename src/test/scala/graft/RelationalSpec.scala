@@ -107,6 +107,27 @@ class RelationalSpec extends SparkSpec {
     assert(ours === builtin) // exact equality, not approximate
   }
 
+  test("groupedQuantiles sweep: sizes x percentiles x ties match percentile()") {
+    val rnd = new scala.util.Random(11)
+    // n spans both quantile paths: whole-group fallback (group < 400
+    // rows) and the approx-bracket path (groups of ~600 and ~1300)
+    for (n <- Seq(1, 2, 3, 10, 101, 901, 2001); ties <- Seq(false, true)) {
+      val df = (1 to n).map { i =>
+        val v = if (ties) (i % 5).toDouble else rnd.nextDouble() * 1000 - 500
+        (if (i % 3 == 0) "a" else "b", v)
+      }.toDF("g", "x")
+      val ps = Seq(0.0, 0.005, 0.5, 0.95, 0.995, 1.0)
+      val measures = ps.zipWithIndex.map { case (p, i) => ("x", p, s"q$i") }
+      val ours = Relational.groupedQuantiles(df, "g", measures)
+        .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+      val builtin = df.groupBy(col("g"))
+        .agg(expr(s"percentile(x, ${ps.head})"),
+          ps.tail.map(p => expr(s"percentile(x, $p)")): _*)
+        .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+      assert(ours === builtin, s"n=$n ties=$ties")
+    }
+  }
+
   test("bloomSemiJoin equals the plain semi join (exact despite the bloom)") {
     val left = (1 to 300).map(_.toLong).toDF("k")
     val right = (1 to 300 by 3).map(_.toLong).toDF("rk")
