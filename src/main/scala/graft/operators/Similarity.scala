@@ -100,11 +100,12 @@ object Similarity {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s"$plane|$dim".getBytes("UTF-8"))(0) >= 0
 
-  /** IVF (inverted-file) ANN top-k: a KMeans coarse quantizer paritions
-    * the corpus into nlist cells; each query probes only its nprobe
-    * nearest cells. The index build is one MLlib fit over (a sample of)
-    * the corpus; assignment is a deterministic argmin over broadcast
-    * centroids; the probe is an equi-join on cell id.
+  /** IVF (inverted-file) ANN top-k: a k-means coarse quantizer
+    * partitions the corpus into nlist cells; each query probes only its
+    * nprobe nearest cells. The index build is a few spherical-Lloyd
+    * DataFrame jobs (fitCentroids); assignment is a deterministic
+    * argmax over broadcast centroids; the probe is an equi-join on
+    * cell id.
     *
     * Scale: the corpus shuffles once at build time (by cell), queries
     * join on cell — per-query work is corpus/nlist·nprobe instead of
@@ -114,17 +115,12 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int, nprobe: Int, idCol: String = "vec_id",
       vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    // quantizer quality barely moves after a few iterations and random
-    // init beats kmeans|| on wall-clock (one pass less over the data);
-    // at 100 TB fit on a bounded sample — centroids are a coarse grid,
-    // not a model
-    val train = corpus.select(array_to_vector(col(vecCol)).as("features"))
-      .limit(100000)
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
-      .setInitMode("random").fit(train)
-    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    // coarse quantizer fit as pure DataFrame aggregation (spherical
+    // Lloyd, fitCentroids below) — one job per iteration, no MLlib
+    // vector conversions in the path; quantizer quality barely moves
+    // after a few iterations (it's a coarse grid, not a model)
+    val centroids = fitCentroids(corpus, idCol, vecCol, nlist,
+      iters = 2, seed = seed)
     val spark = corpus.sparkSession
     val cdf = spark.createDataFrame(
       centroids.zipWithIndex.map { case (c, i) => (i, c) }.toIndexedSeq)
@@ -166,6 +162,60 @@ object Similarity {
       .groupBy(col(labelCol), col("pos").cast("long").as("dim"))
       .agg(round(avg(col("col").cast("double")), 4).as("centroid_val"),
         count(lit(1)).as("n_vectors"))
+
+  /** Spherical k-means for the IVF coarse quantizer, as pure DataFrame
+    * jobs: per iteration, every vector is assigned to its max-cosine
+    * centroid by a per-row argmax expression (nlist codegen'd graft_dot
+    * calls against literal centroid vectors — no join, no shuffle of
+    * the corpus), then centroids update to the per-cell dimension-wise
+    * mean (one hash aggregate; only nlist·dims averaged values reach
+    * the driver). Cosine assignment is scale-invariant in the centroid,
+    * so means need no re-normalization. Deterministic: init picks the k
+    * lowest id-hashes (seeded), iteration count is fixed.
+    *
+    * At 100 TB: each iteration is one scan + one agg of the corpus (or
+    * a bounded sample); driver state is nlist·dims floats. Empty cells
+    * keep their previous centroid.
+    */
+  def fitCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int, seed: Long): Array[Array[Float]] = {
+    // the fit re-reads its input iters+1 times — cache the projected
+    // training set for the duration (at 100 TB: fit on a bounded
+    // SAMPLE and cache that; the quantizer needs distribution shape,
+    // not every row)
+    val train = corpus.select(col(idCol), col(vecCol)).persist()
+    try {
+      val spark = corpus.sparkSession
+      var cents: Array[Array[Float]] = train
+        .select(col(vecCol))
+        .orderBy(xxhash64(col(idCol), lit(seed)))
+        .limit(nlist).collect()
+        .map(_.getSeq[Float](0).toArray)
+      for (_ <- 1 to iters) {
+        // centroids enter as broadcast DATA, not literals — the plan
+        // (and its generated code) is identical every iteration, so
+        // codegen compiles once; only the broadcast payload changes
+        val cdf = spark.createDataFrame(
+          cents.zipWithIndex.map { case (c, i) => (i, c) }.toIndexedSeq)
+          .toDF("cell", "centroid")
+          .withColumn("c_norm", VectorFns.norm2(col("centroid")))
+        val next = cents.map(_.clone())
+        train.join(broadcast(cdf))
+          .withColumn("__sim",
+            VectorFns.dot(col(vecCol), col("centroid")) / col("c_norm"))
+          .groupBy(col(idCol))
+          .agg(max(struct(col("__sim"), col("cell"))).as("b"),
+            first(col(vecCol)).as("__v"))
+          .select(col("b.cell").as("cell"), posexplode(col("__v")))
+          .groupBy(col("cell"), col("pos"))
+          .agg(avg(col("col").cast("double")).as("m"))
+          .collect()
+          .foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat)
+        cents = next
+      }
+      cents
+    } finally { train.unpersist(); () }
+  }
 
   /** ANN top-k via SRP-LSH: bucket corpus and queries, score only
     * within-bucket candidates. Recall < 1 by construction (trade for a
