@@ -105,6 +105,15 @@ object SparkEntry {
       t(s, d, "lineitem").agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))),
+    "rel_hll_distinct" -> ((s, d) => {
+      // mergeable DataSketches HLL per key + sketch-only global rollup
+      // (no rescan) — rows-only check: sketch estimates are
+      // engine-specific (spec asserts 2% accuracy + merge correctness)
+      val sk = Relational.hllSketches(t(s, d, "lineitem"),
+        "l_returnflag", "l_partkey")
+      sk.select(col("l_returnflag"),
+        round(col("estimate"), 0).cast("long").as("estimate_parts"))
+    }),
     "rel_salted_distinct" -> ((s, d) =>
       Relational.saltedDistinctCount(t(s, d, "lineitem"),
         "l_returnflag", "l_partkey", 8)),
@@ -813,9 +822,10 @@ object SparkEntry {
         "SELECT media_id, CAST(t.i AS BIGINT) AS chunk_idx, " +
         "md5(substr(text, CAST(t.i * 256 + 1 AS INT), 256)) AS chunk_sig " +
         "FROM m, LATERAL (SELECT unnest(range(0, m.n_chunks)) AS i) t WHERE t.i % 4 = 0")
-    // rows-only (no SQL-expressible oracle): rel_approx_distinct (HLL sketch),
+    // rows-only (no SQL-expressible oracle): rel_approx_distinct +
+    // rel_hll_distinct (sketch estimates are engine-specific),
     // dedup_simhash (xxhash64 is Spark-native), sim_ann_lsh / sim_ann_ivf
-    // (approximate recall by design; IVF additionally depends on KMeans
-    // initialization), media_features (stubbed decoder).
+    // (approximate recall by design; IVF additionally depends on
+    // quantizer initialization), media_features (stubbed decoder).
   )
 }

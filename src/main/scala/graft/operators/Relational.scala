@@ -301,6 +301,56 @@ object Relational {
         .otherwise(lit("test")))
   }
 
+  /** Tolerant column-subset projection (reference P7: the dashboard
+    * selects display columns, skipping absent ones —
+    * taxi_dashboard.py:143-152): select the requested columns that
+    * exist, in request order. */
+  def selectPresent(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val present = df.columns.toSet
+    df.select(cols.filter(present).map(col): _*)
+  }
+
+  /** Explicitly salted equi-join for skewed keys: the skewed left side
+    * scatters each row into one of `salt` sub-keys (deterministic hash
+    * of `saltBy` — use a per-row unique column), the right side
+    * replicates `salt`× so every sub-key finds its match. Result is
+    * EXACTLY the plain join; a hot key's rows now land on `salt`
+    * reducers instead of one. AQE's skew-join split handles sort-merge
+    * skew automatically — this operator is for when the skew sits in a
+    * non-AQE-splittable spot (e.g. feeding an aggregation that must
+    * stay co-partitioned) or AQE is off. Cost: right side ×salt.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, saltBy: Column, salt: Int): DataFrame = {
+    val l = left.withColumn("__salt", pmod(xxhash64(saltBy), lit(salt.toLong)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salt.toLong - 1))))
+    l.join(r, l(leftKey) === r(rightKey) && l("__salt") === r("__salt"))
+      .drop("__salt")
+  }
+
+  /** Mergeable distinct-count sketches (DataSketches HLL): one sketch
+    * per key, plus the estimate. Unlike approx_count_distinct's opaque
+    * buffer, the SKETCH ITSELF is a first-class binary column —
+    * persist per-partition/per-day sketches once and answer any later
+    * rollup by hll_union without rescanning the data: the pattern that
+    * makes distinct-counting 100 TB-cheap (reaggregation cost is
+    * sketch-count, not row-count).
+    */
+  def hllSketches(df: DataFrame, key: String, valueCol: String,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(col(key))
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
+      .withColumn("estimate", hll_sketch_estimate(col("sketch")))
+
+  /** Roll per-key sketches up to one global estimate — no data rescan,
+    * input is the sketch table. */
+  def hllMergedEstimate(sketches: DataFrame,
+      sketchCol: String = "sketch"): DataFrame =
+    sketches.agg(
+      hll_sketch_estimate(hll_union_agg(col(sketchCol), lit(false)))
+        .as("merged_estimate"))
+
   /** Bloom-filter semi-join reduction: build a bloom filter over the
     * right side's keys (one aggregate collapsing to a single bitmap),
     * broadcast it, and prefilter the left side BEFORE the real semi

@@ -138,6 +138,36 @@ class RelationalSpec extends SparkSpec {
     assert(ours === plain)
   }
 
+  test("selectPresent keeps requested order, skips absent columns") {
+    val df = Seq((1, "a", 2.0)).toDF("x", "y", "z")
+    assert(Relational.selectPresent(df, Seq("z", "missing", "x"))
+      .columns.toSeq === Seq("z", "x"))
+  }
+
+  test("saltedJoin equals the plain join on skewed data") {
+    val left = ((1 to 900).map(_ => 7L) ++ (1 to 100).map(_.toLong))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "id")
+    val right = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("rk", "name")
+    val salted = Relational.saltedJoin(left, right, "k", "rk",
+        saltBy = col("id"), salt = 8)
+      .select("id", "name").as[(Long, String)].collect().toSet
+    val plain = left.join(right, col("k") === col("rk"))
+      .select("id", "name").as[(Long, String)].collect().toSet
+    assert(salted === plain && plain.nonEmpty)
+  }
+
+  test("hll sketches estimate within 2% and merge without rescan") {
+    val df = (1 to 20000).map(i => (if (i % 2 == 0) "a" else "b", i % 5000))
+      .toDF("g", "v")
+    val sk = Relational.hllSketches(df, "g", "v")
+    val est = sk.select("g", "estimate").as[(String, Double)].collect().toMap
+    // per group: evens 2500 distinct, odds 2500 distinct
+    assert(math.abs(est("a") - 2500) / 2500.0 < 0.02, est("a"))
+    assert(math.abs(est("b") - 2500) / 2500.0 < 0.02, est("b"))
+    val merged = Relational.hllMergedEstimate(sk).as[Double].head()
+    assert(math.abs(merged - 5000) / 5000.0 < 0.02, merged)
+  }
+
   private def ts(s: String): java.sql.Timestamp =
     java.sql.Timestamp.valueOf(if (s.length == 10) s + " 00:00:00" else s)
 }
