@@ -411,6 +411,9 @@ object SparkEntry {
     "stream_sliding_counts" -> ((s, d) =>
       Relational.slidingCounts(t(s, d, "events"), "ts", 3, 2, "event_type")),
 
+    "rel_resample_ffill" -> ((s, d) =>
+      Relational.resampleFfill(t(s, d, "events"), "user_id", "ts",
+        "value", 86400L)),
     "rel_hash_split" -> ((s, d) =>
       Relational.deterministicSplit(t(s, d, "documents"), "doc_id")
         .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))),
@@ -732,6 +735,14 @@ object SparkEntry {
         "sess AS (SELECT user_id, ts, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM flagged) " +
         "SELECT user_id, session_seq, count(*) AS n_events, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, " +
         "strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end FROM sess GROUP BY user_id, session_seq"),
+    "rel_resample_ffill" ->
+      ("WITH e AS (SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec, value FROM events WHERE ts IS NOT NULL), " +
+        "s AS (SELECT user_id, sec - sec % 86400 AS slot, round(avg(value), 4) AS v FROM e GROUP BY 1, 2), " +
+        "b AS (SELECT user_id, min(slot) AS lo, max(slot) AS hi FROM s GROUP BY 1), " +
+        "g AS (SELECT user_id, unnest(range(lo, hi + 86400, 86400)) AS slot FROM b), " +
+        "j AS (SELECT g.user_id, g.slot, s.v FROM g LEFT JOIN s ON g.user_id = s.user_id AND g.slot = s.slot) " +
+        "SELECT user_id, strftime(make_timestamp(slot * 1000000), '%Y-%m-%d %H:%M:%S') AS slot_ts, v, " +
+        "last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY slot ROWS UNBOUNDED PRECEDING) AS v_ffill FROM j"),
     "rel_hash_split" ->
       ("SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split, count(*) AS n_docs " +
         "FROM (SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100 AS b FROM documents) t " +

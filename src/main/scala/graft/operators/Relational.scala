@@ -301,6 +301,37 @@ object Relational {
         .otherwise(lit("test")))
   }
 
+  /** Regular-grid resampling with forward fill — the time-series
+    * feature-engineering primitive (one row per (key, step) even where
+    * no events landed; gaps carry the last observation forward).
+    * Grid materialization is explode(sequence(min..max)) per key —
+    * rows = key-count · range/step, independent of event count; the
+    * fill is one watermark-free window whose state is a single value
+    * carried through the per-key sort. Slot values are rounded BEFORE
+    * the fill so propagated values equal their source rows exactly.
+    */
+  def resampleFfill(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, stepSeconds: Long): DataFrame = {
+    val sec = unix_timestamp(col(tsCol))
+    val slot = (sec - pmod(sec, lit(stepSeconds))).as("slot")
+    val slotted = events.filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol), slot)
+      .agg(round(avg(col(valueCol)), 4).as("v"))
+    val grid = slotted.groupBy(col(keyCol))
+      .agg(min(col("slot")).as("__lo"), max(col("slot")).as("__hi"))
+      .select(col(keyCol),
+        explode(sequence(col("__lo"), col("__hi"), lit(stepSeconds)))
+          .as("slot"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("slot"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(slotted, Seq(keyCol, "slot"), "left")
+      .select(col(keyCol),
+        date_format(timestamp_seconds(col("slot")), "yyyy-MM-dd HH:mm:ss")
+          .as("slot_ts"),
+        col("v"),
+        last(col("v"), ignoreNulls = true).over(w).as("v_ffill"))
+  }
+
   /** Tolerant column-subset projection (reference P7: the dashboard
     * selects display columns, skipping absent ones —
     * taxi_dashboard.py:143-152): select the requested columns that
