@@ -26,7 +26,12 @@ object MultiSink {
       keyB: String, tagB: String,
       tsCols: Seq[String] = Seq("ts"),
       format: String = "parquet",
-      triggerSeconds: Long = 10L)
+      triggerSeconds: Long = 10L,
+      // AvailableNow: drain everything already present in micro-batches
+      // (respecting maxFilesPerTrigger etc.), then terminate — the
+      // incremental-batch pattern: a cron-scheduled run catches up from
+      // the checkpoint and exits, no always-on cluster
+      drainOnce: Boolean = false)
 
   def start(stream: DataFrame, cfg: Config): StreamingQuery = {
     def write(df: DataFrame, name: String, batchId: Long): Unit =
@@ -36,7 +41,9 @@ object MultiSink {
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", cfg.checkpointDir)
-      .trigger(Trigger.ProcessingTime(s"${cfg.triggerSeconds} seconds"))
+      .trigger(
+        if (cfg.drainOnce) Trigger.AvailableNow()
+        else Trigger.ProcessingTime(s"${cfg.triggerSeconds} seconds"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val repaired = StreamOps.repairNullTs(batch, cfg.tsCols)

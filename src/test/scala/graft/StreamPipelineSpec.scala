@@ -66,6 +66,26 @@ class StreamPipelineSpec extends SparkSpec {
     assert(top.nonEmpty && top.map(_._2).toSeq.sorted.reverse === top.map(_._2).toSeq)
   }
 
+  test("AvailableNow drain processes the backlog and terminates itself") {
+    val base = Files.createTempDirectory("graft_pipe3").toString
+    val events = mkEvents(40)
+    val prepared = Replay.prepare(events, Seq(col("ts"), col("event_id")))
+    Replay.writeBatches(prepared, s"$base/incoming", 20, 2)
+    prepared.unpersist()
+    val stream = StreamSources.fileStream(spark, s"$base/incoming/*",
+      maxFilesPerTrigger = 1)
+    val q = MultiSink.start(stream, MultiSink.Config(
+      outDir = s"$base/processed", checkpointDir = s"$base/checkpoint",
+      keyA = "user_id", tagA = "pickup_location",
+      keyB = "event_type", tagB = "dropoff_location",
+      drainOnce = true))
+    // no stop() call: AvailableNow terminates on its own once the
+    // backlog is drained (bounded wait as a test guard)
+    assert(q.awaitTermination(120000), "drain did not self-terminate")
+    assert(spark.read.parquet(s"$base/processed/raw/batch_id=*")
+      .count() === 40L)
+  }
+
   test("re-delivery of the same batches overwrites instead of appending") {
     val base = Files.createTempDirectory("graft_pipe2").toString
     val events = mkEvents(30)
