@@ -12,7 +12,9 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.tail.toSeq
       else Seq("rel_pricing_summary", "rel_filter_project", "join_multiway",
-        "join_brand_revenue", "sim_knn_topk", "dedup_lsh_pairs")
+        "join_brand_revenue", "sim_knn_topk", "dedup_lsh_pairs",
+        "rel_stats_aggs", "join_bloom_prefilter", "rel_unpivot",
+        "rel_resample_ffill")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)

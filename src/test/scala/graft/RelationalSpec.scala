@@ -57,6 +57,28 @@ class RelationalSpec extends SparkSpec {
     assert(out === Map(1L -> Some(12L), 2L -> None)) // unmatched -> null
   }
 
+  test("asofJoin matches brute force on randomized data") {
+    val rnd = new scala.util.Random(13)
+    val left = (1 to 200).map(i =>
+      (i.toLong, rnd.nextInt(10).toLong, ts(f"2024-01-${rnd.nextInt(28) + 1}%02d")))
+      .toDF("id", "k", "ts")
+    val right = (1 to 150).map(i =>
+      (rnd.nextInt(10).toLong, ts(f"2024-01-${rnd.nextInt(28) + 1}%02d"), i.toLong))
+      .toDF("rk", "rts", "rid")
+    val out = Relational.asofJoin(left, right,
+      "id", "k", "ts", "rk", "rts", "rid")
+      .select("id", "rid").as[(Long, Option[Long])].collect().toMap
+    val rights = right.as[(Long, java.sql.Timestamp, Long)].collect()
+    val lefts = left.as[(Long, Long, java.sql.Timestamp)].collect()
+    lefts.foreach { case (id, k, lts) =>
+      val expected = rights
+        .filter { case (rk, rts, _) => rk == k && !rts.after(lts) }
+        .sortBy { case (_, rts, rid) => (rts.getTime, rid) }
+        .lastOption.map(_._3)
+      assert(out(id) === expected, s"left id=$id")
+    }
+  }
+
   test("sessionize splits on gaps > gapSeconds") {
     val e = Seq(
       (1L, ts("2024-01-01 00:00:00"), 1L),
