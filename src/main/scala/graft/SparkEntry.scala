@@ -372,6 +372,35 @@ object SparkEntry {
         .agg(count(o("o_orderkey")).as("n_orders_90d"))
     }),
 
+    "rel_sql_q3" -> ((s, d) => {
+      // the SQL entry path (reference P3 runs SQL over a temp view of
+      // the stream): TPC-H Q3 shipping-priority, full Catalyst
+      // parse→analyze→optimize over registered views
+      Seq("customer", "orders", "lineitem")
+        .foreach(n => t(s, d, n).createOrReplaceTempView(n))
+      s.sql("""
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate_s,
+               o_orderpriority
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01'
+          AND l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10""")
+    }),
+    "rel_try_errors" -> ((s, d) =>
+      // error-tolerant scalar surface (bad-record quarantine shape):
+      // try_cast to null on unparseable, try_divide to null on zero
+      t(s, d, "events").select(col("event_id"),
+        expr("try_cast(event_type AS INT)").cast("long").as("type_as_int"),
+        expr("try_cast(get_json_object(props, '$.k') AS INT)").cast("long")
+          .as("json_k_int"),
+        expr("try_divide(value, user_id % 3)").as("safe_div"),
+        get_json_object(col("props"), "$.missing").isNull.as("missing_key"))),
+
     // --- null semantics / date math (§2.8 hard corners) ---
     "rel_null_semantics" -> ((s, d) =>
       t(s, d, "events").select(col("event_id"),
@@ -703,6 +732,17 @@ object SparkEntry {
     "join_range_orders" ->
       ("SELECT e.event_id, count(o.o_orderkey) AS n_orders_90d FROM events e LEFT JOIN orders o " +
         "ON o.o_custkey = e.user_id AND o.o_orderdate BETWEEN e.ts - INTERVAL 90 DAY AND e.ts GROUP BY e.event_id"),
+    "rel_sql_q3" ->
+      ("SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
+        "strftime(o_orderdate, '%Y-%m-%d') AS orderdate_s, o_orderpriority " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-06-01' AND l_shipdate > TIMESTAMP '1998-06-01' " +
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+    "rel_try_errors" ->
+      ("SELECT event_id, CAST(TRY_CAST(event_type AS INT) AS BIGINT) AS type_as_int, " +
+        "CAST(TRY_CAST(json_extract_string(props, '$.k') AS INT) AS BIGINT) AS json_k_int, " +
+        "value / nullif(user_id % 3, 0) AS safe_div, " +
+        "json_extract_string(props, '$.missing') IS NULL AS missing_key FROM events"),
     "rel_null_semantics" ->
       ("SELECT event_id, props IS NOT DISTINCT FROM NULL AS props_is_null_safe, " +
         "nullif(event_type, 'error') AS type_or_null, " +
