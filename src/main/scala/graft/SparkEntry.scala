@@ -363,6 +363,8 @@ object SparkEntry {
           expectedItems = 100000L, numBits = 800000L)
         .select(col("c_custkey"), col("c_name"))
     }),
+    "join_range_binned" -> ((s, d) =>
+      Relational.binnedRangeCount(t(s, d, "events"), "event_id", "ts", 300L)),
     "join_range_orders" -> ((s, d) => {
       val e = t(s, d, "events"); val o = t(s, d, "orders")
       e.join(o, e("user_id") === o("o_custkey")
@@ -729,6 +731,11 @@ object SparkEntry {
         "strftime(o.o_orderdate, '%Y-%m-%d') AS asof_orderdate FROM events e LEFT JOIN LATERAL (" +
         "SELECT o_orderkey, o_orderdate FROM orders o WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts " +
         "ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o ON true"),
+    "join_range_binned" ->
+      ("WITH e AS (SELECT event_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec FROM events WHERE ts IS NOT NULL) " +
+        "SELECT a.event_id, count(b.event_id) AS n_nearby FROM e a " +
+        "LEFT JOIN e b ON b.sec >= a.sec - 300 AND b.sec <= a.sec + 300 AND b.event_id <> a.event_id " +
+        "GROUP BY a.event_id"),
     "join_range_orders" ->
       ("SELECT e.event_id, count(o.o_orderkey) AS n_orders_90d FROM events e LEFT JOIN orders o " +
         "ON o.o_custkey = e.user_id AND o.o_orderdate BETWEEN e.ts - INTERVAL 90 DAY AND e.ts GROUP BY e.event_id"),

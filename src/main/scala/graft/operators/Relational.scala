@@ -301,6 +301,34 @@ object Relational {
         .otherwise(lit("test")))
   }
 
+  /** Binned range self-join: for each event, count other events within
+    * ±windowSeconds — a PURE range predicate, which Spark would
+    * otherwise plan as a broadcast-nested-loop O(n²) join. Binning
+    * equi-izes it: probe rows replicate into the 3 adjacent bins of
+    * width `windowSeconds`, the join becomes a hash join on bin id, and
+    * the exact range predicate filters inside each bin. Fan-out is
+    * 3×|probe| + true-neighbor pairs — data-density-bounded, never n².
+    * The same shape handles any interval/tolerance join (spatial grids,
+    * numeric tolerance matching) at 100 TB.
+    */
+  def binnedRangeCount(events: DataFrame, idCol: String, tsCol: String,
+      windowSeconds: Long): DataFrame = {
+    val sec = unix_timestamp(col(tsCol))
+    val bin = floor(sec / lit(windowSeconds))
+    val a = events.filter(col(tsCol).isNotNull)
+      .select(col(idCol).as("a_id"), sec.as("a_sec"), bin.as("a_bin"))
+    val b = events.filter(col(tsCol).isNotNull)
+      .select(col(idCol).as("b_id"), sec.as("b_sec"),
+        explode(array(bin - 1, bin, bin + 1)).as("b_bin"))
+    a.join(b,
+        a("a_bin") === b("b_bin") &&
+          abs(a("a_sec") - b("b_sec")) <= windowSeconds &&
+          a("a_id") =!= b("b_id"),
+        "left")
+      .groupBy(col("a_id").as(idCol))
+      .agg(count(col("b_id")).as("n_nearby"))
+  }
+
   /** Regular-grid resampling with forward fill — the time-series
     * feature-engineering primitive (one row per (key, step) even where
     * no events landed; gaps carry the last observation forward).
