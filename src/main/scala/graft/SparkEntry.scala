@@ -442,6 +442,10 @@ object SparkEntry {
     "stream_sliding_counts" -> ((s, d) =>
       Relational.slidingCounts(t(s, d, "events"), "ts", 3, 2, "event_type")),
 
+    "rel_cap_per_key" -> ((s, d) =>
+      Relational.capPerKey(t(s, d, "events"), "user_id",
+          Seq(col("ts"), col("event_id")), 5)
+        .select(col("event_id"), col("user_id"), col("rn"))),
     "rel_resample_ffill" -> ((s, d) =>
       Relational.resampleFfill(t(s, d, "events"), "user_id", "ts",
         "value", 86400L)),
@@ -782,6 +786,10 @@ object SparkEntry {
         "sess AS (SELECT user_id, ts, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM flagged) " +
         "SELECT user_id, session_seq, count(*) AS n_events, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, " +
         "strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end FROM sess GROUP BY user_id, session_seq"),
+    "rel_cap_per_key" ->
+      ("SELECT event_id, user_id, rn FROM (SELECT event_id, user_id, " +
+        "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn " +
+        "FROM events) t WHERE rn <= 5"),
     "rel_resample_ffill" ->
       ("WITH e AS (SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec, value FROM events WHERE ts IS NOT NULL), " +
         "s AS (SELECT user_id, sec - sec % 86400 AS slot, round(avg(value), 4) AS v FROM e GROUP BY 1, 2), " +

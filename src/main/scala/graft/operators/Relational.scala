@@ -360,6 +360,21 @@ object Relational {
         last(col("v"), ignoreNulls = true).over(w).as("v_ffill"))
   }
 
+  /** Per-key contribution cap: keep at most `n` rows per key, chosen
+    * by a deterministic order — the curation primitive that stops one
+    * source/domain/user from dominating a training set. Window state is
+    * one counter per key; rows beyond the cap stream out of the sort
+    * without materializing. (A TopK-aggregate formulation ships only k
+    * rows per task when n is small and rows are wide — this window form
+    * keeps ALL columns without a self-join back.)
+    */
+  def capPerKey(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+      n: Int, ordinalName: String = "rn"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    df.withColumn(ordinalName, row_number().over(w).cast("long"))
+      .filter(col(ordinalName) <= n)
+  }
+
   /** Tolerant column-subset projection (reference P7: the dashboard
     * selects display columns, skipping absent ones —
     * taxi_dashboard.py:143-152): select the requested columns that
