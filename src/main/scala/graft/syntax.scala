@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Fluent entry points for the operator library:
+  *
+  * {{{
+  * import graft.syntax._
+  * docs.dedupExactGroups("doc_id", "text")
+  * events.capPerKey("user_id", Seq(col("ts")), 5)
+  * left.asofJoinTo(right, "id", "k", "ts", "rk", "rts", "rid")
+  * }}}
+  *
+  * Thin forwarders only — every method delegates to the operator
+  * objects (Relational / Dedup / Similarity / TextAnalysis), which
+  * remain the canonical, documented surface.
+  */
+object syntax {
+
+  implicit class GraftDataFrameOps(private val df: DataFrame)
+      extends AnyVal {
+
+    // relational
+    def taggedKeyCounts(keyA: String, tagA: String, keyB: String,
+        tagB: String): DataFrame =
+      Relational.taggedKeyCounts(df, keyA, tagA, keyB, tagB)
+    def topKByCount(key: String, k: Int): DataFrame =
+      Relational.topKByCount(df, key, k)
+    def withScalableOrdinal(orderCols: Seq[Column]): DataFrame =
+      Relational.withScalableOrdinal(df, orderCols)
+    def sessionize(userCol: String, tsCol: String, idCol: String,
+        gapSeconds: Long): DataFrame =
+      Relational.sessionize(df, userCol, tsCol, idCol, gapSeconds)
+    def deterministicSplit(idCol: String): DataFrame =
+      Relational.deterministicSplit(df, idCol)
+    def groupedQuantiles(grp: String,
+        measures: Seq[(String, Double, String)]): DataFrame =
+      Relational.groupedQuantiles(df, grp, measures)
+    def capPerKey(keyCol: String, orderCols: Seq[Column],
+        n: Int): DataFrame =
+      Relational.capPerKey(df, keyCol, orderCols, n)
+    def resampleFfill(keyCol: String, tsCol: String, valueCol: String,
+        stepSeconds: Long): DataFrame =
+      Relational.resampleFfill(df, keyCol, tsCol, valueCol, stepSeconds)
+    def asofJoinTo(right: DataFrame, leftId: String, leftKey: String,
+        leftTs: String, rightKey: String, rightTs: String,
+        rightTie: String): DataFrame =
+      Relational.asofJoin(df, right, leftId, leftKey, leftTs,
+        rightKey, rightTs, rightTie)
+    def bloomSemiJoinTo(right: DataFrame, leftKey: String,
+        rightKey: String, expectedItems: Long, numBits: Long): DataFrame =
+      Relational.bloomSemiJoin(df, right, leftKey, rightKey,
+        expectedItems, numBits)
+
+    // dedup
+    def dedupExactGroups(idCol: String, textCol: String): DataFrame =
+      Dedup.exactDupGroups(df, idCol, textCol)
+    def minhashSignatures(idCol: String, textCol: String,
+        k: Int): DataFrame =
+      Dedup.minhashSignatures(df, idCol, textCol, k)
+    def lshCandidatePairs(idCol: String, textCol: String, k: Int,
+        bands: Int): DataFrame =
+      Dedup.lshCandidatePairs(df, idCol, textCol, k, bands)
+    def jaccardPairs(idCol: String, textCol: String,
+        minJaccard: Double, maxDocFreq: Long = 0L): DataFrame =
+      Dedup.jaccardPairs(df, idCol, textCol, minJaccard, maxDocFreq)
+    def simhash(idCol: String, textCol: String): DataFrame =
+      Dedup.simhash(df, idCol, textCol)
+
+    // text
+    def textStats(idCol: String, textCol: String): DataFrame =
+      TextAnalysis.textStats(df, idCol, textCol)
+    def qualityScore(idCol: String, textCol: String): DataFrame =
+      TextAnalysis.qualityScore(df, idCol, textCol)
+    def langId(idCol: String, textCol: String): DataFrame =
+      TextAnalysis.langId(df, idCol, textCol)
+
+    // similarity
+    def knnTopK(queries: DataFrame, k: Int): DataFrame =
+      Similarity.bruteForceTopK(df, queries, k)
+    def labelCentroids(labelCol: String, vecCol: String): DataFrame =
+      Similarity.labelCentroids(df, labelCol, vecCol)
+  }
+}
