@@ -395,9 +395,15 @@ object SparkEntry {
     }),
     "rel_try_errors" -> ((s, d) =>
       // error-tolerant scalar surface (bad-record quarantine shape):
-      // try_cast to null on unparseable, try_divide to null on zero
+      // try_cast to null on unparseable, try_divide to null on zero.
+      // The cast input is MIXED (10% bad) on purpose: Spark's try_cast
+      // pays a caught exception per FAILING row (measured ~10 µs/row),
+      // so quarantine plans should keep failure the rare case — see
+      // SCALE.md
       t(s, d, "events").select(col("event_id"),
-        expr("try_cast(event_type AS INT)").cast("long").as("type_as_int"),
+        expr("try_cast(CASE WHEN event_id % 10 = 0 THEN event_type " +
+          "ELSE CAST(event_id AS STRING) END AS INT)").cast("long")
+          .as("mixed_cast"),
         expr("try_cast(get_json_object(props, '$.k') AS INT)").cast("long")
           .as("json_k_int"),
         expr("try_divide(value, user_id % 3)").as("safe_div"),
@@ -750,7 +756,8 @@ object SparkEntry {
         "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-06-01' AND l_shipdate > TIMESTAMP '1998-06-01' " +
         "GROUP BY l_orderkey, o_orderdate, o_orderpriority ORDER BY revenue DESC, l_orderkey LIMIT 10"),
     "rel_try_errors" ->
-      ("SELECT event_id, CAST(TRY_CAST(event_type AS INT) AS BIGINT) AS type_as_int, " +
+      ("SELECT event_id, CAST(TRY_CAST(CASE WHEN event_id % 10 = 0 THEN event_type " +
+        "ELSE CAST(event_id AS VARCHAR) END AS INT) AS BIGINT) AS mixed_cast, " +
         "CAST(TRY_CAST(json_extract_string(props, '$.k') AS INT) AS BIGINT) AS json_k_int, " +
         "value / nullif(user_id % 3, 0) AS safe_div, " +
         "json_extract_string(props, '$.missing') IS NULL AS missing_key FROM events"),
