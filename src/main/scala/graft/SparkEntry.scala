@@ -812,15 +812,15 @@ object SparkEntry {
     "text_stats" ->
       (s"SELECT doc_id, length(text) AS n_chars, CAST(len($wordsSql) AS BIGINT) AS n_words, " +
         s"CAST(len(regexp_extract_all($normSql, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens, " +
-        s"round(len(list_distinct($wordsSql)) / len($wordsSql), 4) AS lexical_diversity, " +
-        s"round((length($normSql) - len($wordsSql) + 1) / len($wordsSql), 4) AS avg_word_len FROM documents"),
+        s"len(list_distinct($wordsSql)) / len($wordsSql) AS lexical_diversity, " +
+        s"(length($normSql) - len($wordsSql) + 1) / len($wordsSql) AS avg_word_len FROM documents"),
     "text_quality" ->
-      (s"SELECT doc_id, round(stop / nw, 4) AS stopword_ratio, " +
-        "round(0.4 * least(nw / 200.0, 1.0) + 0.3 * least(stop / nw * 4.0, 1.0) + 0.3 * (nd / nw), 4) AS quality FROM " +
+      (s"SELECT doc_id, stop / nw AS stopword_ratio, " +
+        "0.4 * least(nw / 200.0, 1.0) + 0.3 * least(stop / nw * 4.0, 1.0) + 0.3 * (nd / nw) AS quality FROM " +
         s"(SELECT doc_id, CAST(len(list_filter($wordsSql, x -> x IN $stopListSql)) AS DOUBLE) AS stop, " +
         s"CAST(len($wordsSql) AS DOUBLE) AS nw, CAST(len(list_distinct($wordsSql)) AS DOUBLE) AS nd FROM documents) t"),
     "text_lang_id" ->
-      (s"SELECT doc_id, round(stop / nw, 4) AS stopword_ratio, CASE WHEN stop / nw >= 0.05 THEN 'en' ELSE 'unk' END AS lang_guess FROM " +
+      (s"SELECT doc_id, stop / nw AS stopword_ratio, CASE WHEN stop / nw >= 0.05 THEN 'en' ELSE 'unk' END AS lang_guess FROM " +
         s"(SELECT doc_id, CAST(len(list_filter($wordsSql, x -> x IN $stopListSql)) AS DOUBLE) AS stop, " +
         s"CAST(len($wordsSql) AS DOUBLE) AS nw FROM documents) t"),
     "text_fingerprint" ->
@@ -847,7 +847,7 @@ object SparkEntry {
         "JOIN sizes sa ON inter.a_id = sa.doc_id JOIN sizes sb ON inter.b_id = sb.doc_id " +
         "ORDER BY jaccard DESC, a_id, b_id LIMIT 20"),
     "dedup_keep_best" ->
-      (s"WITH q AS (SELECT doc_id, round(0.4 * least(nw / 200.0, 1.0) + 0.3 * least(stop / nw * 4.0, 1.0) + 0.3 * (nd / nw), 4) AS quality FROM " +
+      (s"WITH q AS (SELECT doc_id, 0.4 * least(nw / 200.0, 1.0) + 0.3 * least(stop / nw * 4.0, 1.0) + 0.3 * (nd / nw) AS quality FROM " +
         s"(SELECT doc_id, CAST(len(list_filter($wordsSql, x -> x IN $stopListSql)) AS DOUBLE) AS stop, " +
         s"CAST(len($wordsSql) AS DOUBLE) AS nw, CAST(len(list_distinct($wordsSql)) AS DOUBLE) AS nd FROM documents) t), " +
         s"h AS (SELECT doc_id, md5($normSql) AS content_hash FROM documents), " +
@@ -868,7 +868,8 @@ object SparkEntry {
         s"scored AS (SELECT a_id, b_id, ${cosSql("a_vec", "b_vec")} AS sim FROM a JOIN b USING (label) WHERE a_id < b_id) " +
         "SELECT a_id, b_id, round(sim, 4) AS cosine_sim FROM scored WHERE sim >= 0.3"),
     "sim_centroids" ->
-      ("SELECT label, CAST(t.i AS BIGINT) AS dim, round(avg(CAST(t.x AS DOUBLE)), 4) AS centroid_val, " +
+      ("SELECT label, CAST(t.i AS BIGINT) AS dim, " +
+        "list_aggregate(list_transform(list_sort(list({'k': vec_id, 'v': CAST(t.x AS DOUBLE)})), r -> r.v), 'sum') / count(*) AS centroid_val, " +
         "count(*) AS n_vectors FROM embeddings, " +
         "LATERAL (SELECT unnest(embedding) AS x, unnest(range(0, len(embedding))) AS i) t " +
         "GROUP BY 1, 2"),

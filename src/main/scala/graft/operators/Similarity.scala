@@ -153,15 +153,30 @@ object Similarity {
   /** Per-label dimension-wise centroid of an embedding column — the
     * aggregation IVF/clustering pipelines need (cell refinement, class
     * prototypes). posexplode + hash aggregate on (label, dim): one
-    * shuffle whose width is labels·dims rows regardless of corpus size;
-    * map-side partial avg keeps the explode from inflating the shuffle.
+    * shuffle whose width is labels·dims rows regardless of corpus size.
+    *
+    * The mean is computed as an ORDERED fold over (id, value) pairs
+    * sorted per group, not avg(): parallel avg's summation order is
+    * nondeterministic across engines/partitionings, and rounding the
+    * ±ulp noise flips values that land on rounding boundaries (grid-
+    * valued embeddings put many there — found by the sf0.001 sweep).
+    * The ordered fold is bit-identical everywhere, so the raw double
+    * needs no rounding. State per group is the value list (bounded by
+    * rows-per-label; for unbounded labels switch to avg and DO NOT
+    * round the output).
     */
-  def labelCentroids(df: DataFrame, labelCol: String,
-      vecCol: String): DataFrame =
-    df.select(col(labelCol), posexplode(col(vecCol)))
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String,
+      idCol: String = "vec_id"): DataFrame =
+    df.select(col(labelCol), col(idCol), posexplode(col(vecCol)))
       .groupBy(col(labelCol), col("pos").cast("long").as("dim"))
-      .agg(round(avg(col("col").cast("double")), 4).as("centroid_val"),
+      .agg(
+        sort_array(collect_list(struct(col(idCol).as("k"),
+          col("col").cast("double").as("v")))).as("__ps"),
         count(lit(1)).as("n_vectors"))
+      .select(col(labelCol), col("dim"),
+        (aggregate(col("__ps"), lit(0.0), (acc, p) => acc + p.getField("v"))
+          / col("n_vectors")).as("centroid_val"),
+        col("n_vectors"))
 
   /** Spherical k-means for the IVF coarse quantizer, as pure DataFrame
     * jobs: per iteration, every vector is assigned to its max-cosine

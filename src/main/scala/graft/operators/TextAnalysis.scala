@@ -26,7 +26,13 @@ object TextAnalysis {
       .withColumn("__w", split(col("__norm"), " "))
 
   /** Per-document surface statistics: char/word/token counts, average
-    * word length, lexical diversity (distinct/total words). */
+    * word length, lexical diversity (distinct/total words).
+    *
+    * Ratios are emitted as RAW doubles: per-row arithmetic is
+    * bit-identical across engines, whereas round(x, 4) is the fragile
+    * op — Spark rounds the shortest-decimal repr HALF_UP while SQL
+    * engines round the binary double, so any ratio landing on a .xxxx5
+    * boundary diverges (found by the sf0.001 oracle sweep). */
   def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = col("__w")
     withWords(df, idCol, textCol, length(col(textCol)).as("n_chars"))
@@ -35,10 +41,10 @@ object TextAnalysis {
         col("n_chars"),
         size(w).as("n_words"),
         size(TextFns.bpeishTokensOfNorm(col("__norm"))).as("n_tokens"),
-        round(size(array_distinct(w)).cast("double") / size(w), 4)
+        (size(array_distinct(w)).cast("double") / size(w))
           .as("lexical_diversity"),
-        round((length(col("__norm")) - size(w) + 1)
-          .cast("double") / size(w), 4).as("avg_word_len"))
+        ((length(col("__norm")) - size(w) + 1)
+          .cast("double") / size(w)).as("avg_word_len"))
   }
 
   /** Heuristic quality score in [0,1]:
@@ -55,10 +61,11 @@ object TextAnalysis {
     val lenScore = least(nWords / 200.0, lit(1.0))
     val stopScore = least(stop / nWords * 4.0, lit(1.0))
     val diversity = size(array_distinct(w)).cast("double") / nWords
+    // raw doubles on purpose — see textStats note on round() fragility
     withWords(df, idCol, textCol).select(
       col(idCol),
-      round(stop / nWords, 4).as("stopword_ratio"),
-      round(lit(0.4) * lenScore + lit(0.3) * stopScore + lit(0.3) * diversity, 4)
+      (stop / nWords).as("stopword_ratio"),
+      (lit(0.4) * lenScore + lit(0.3) * stopScore + lit(0.3) * diversity)
         .as("quality"))
   }
 
@@ -72,7 +79,7 @@ object TextAnalysis {
     val ratio = size(filter(w, t => t.isInCollection(Stopwords)))
       .cast("double") / size(w)
     withWords(df, idCol, textCol).select(col(idCol),
-      round(ratio, 4).as("stopword_ratio"),
+      ratio.as("stopword_ratio"),
       when(ratio >= threshold, lit("en")).otherwise(lit("unk"))
         .as("lang_guess"))
   }
