@@ -475,6 +475,8 @@ object SparkEntry {
       TextAnalysis.fingerprints(t(s, d, "documents"), "doc_id", "text")),
     "text_ngram_freq" -> ((s, d) =>
       TextAnalysis.ngramFreq(t(s, d, "documents"), "text", 2, 20)),
+    "text_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionScore(t(s, d, "documents"), "doc_id", "text")),
 
     // --- dedup ---
     "dedup_exact_groups" -> ((s, d) =>
@@ -494,6 +496,11 @@ object SparkEntry {
     "dedup_embedding_cos" -> ((s, d) =>
       Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), "vec_id",
         "embedding", "label", 0.3)),
+    "dedup_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.contamination(docs.filter(col("doc_id") >= 25),
+        docs.filter(col("doc_id") < 25), "doc_id", "text")
+    }),
     "dedup_keep_best" -> ((s, d) => {
       val docs = t(s, d, "documents")
       Dedup.keepBest(docs,
@@ -832,6 +839,16 @@ object SparkEntry {
         "SELECT ngram, count(*) AS n FROM bg GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20"),
     "dedup_exact_groups" ->
       (s"SELECT md5($normSql) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1"),
+    "dedup_contamination" ->
+      (shingleCte + " SELECT a.doc_id, count(*) AS n_shared_shingles FROM sh a " +
+        "JOIN (SELECT DISTINCT sh FROM sh WHERE doc_id < 25) e ON a.sh = e.sh " +
+        "WHERE a.doc_id >= 25 GROUP BY a.doc_id"),
+    "text_repetition" ->
+      ("WITH words AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents), " +
+        "tg AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS sh FROM words, " +
+        "LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) t) " +
+        "SELECT doc_id, count(*) AS n_ngrams, count(DISTINCT sh) AS n_distinct, " +
+        "CAST(count(*) - count(DISTINCT sh) AS DOUBLE) / count(*) AS repetition FROM tg GROUP BY doc_id"),
     "dedup_stats" ->
       (s"SELECT count(*) AS n_total, count(DISTINCT md5($normSql)) AS n_distinct FROM documents"),
     "dedup_minhash_bands" ->

@@ -213,6 +213,26 @@ object Dedup {
         col("quality").as("best_quality"), col("n_copies"))
   }
 
+  /** Train/eval decontamination: training docs sharing at least
+    * `minShared` word-shingles with ANY eval document. The eval side
+    * collapses to a DISTINCT shingle-hash set (benchmarks are small —
+    * the set broadcasts; Catalyst picks that automatically), so the
+    * train corpus is ONE scan + one semi-structured join + one count
+    * aggregate, never a doc×doc comparison. The screening step every
+    * serious training pipeline runs before shipping a dataset.
+    */
+  def contamination(docs: DataFrame, evalDocs: DataFrame, idCol: String,
+      textCol: String, minShared: Long = 1L): DataFrame = {
+    val d = shingleRows(docs, idCol, textCol, s => xxhash64(s), "sh")
+      .withColumnRenamed(idCol, "__doc")
+    val e = shingleRows(evalDocs, idCol, textCol, s => xxhash64(s), "sh")
+      .select(col("sh")).distinct()
+    d.join(e, "sh")
+      .groupBy(col("__doc").as(idCol))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+      .filter(col("n_shared_shingles") >= minShared)
+  }
+
   /** Edit-distance verification of candidate pairs (the refine stage
     * after LSH): joins each (a_id, b_id) pair to the docs' normalized
     * text heads and scores Levenshtein distance. Distance on bounded

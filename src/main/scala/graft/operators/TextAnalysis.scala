@@ -84,6 +84,24 @@ object TextAnalysis {
         .as("lang_guess"))
   }
 
+  /** Within-document repetition: the fraction of word n-grams that are
+    * repeats of an earlier n-gram in the same document — the signal
+    * that catches degenerate/boilerplate/looping text that length and
+    * stopword ratios miss. Pure per-row array expressions (no
+    * shuffle); the ratio is a raw double (bit-stable per-row math).
+    */
+  def repetitionScore(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    df.select(col(idCol), TextFns.words(col(textCol)).as("__w"))
+      .select(col(idCol),
+        TextFns.shinglesOfWords(col("__w"), n).as("__sh"))
+      .select(col(idCol),
+        size(col("__sh")).cast("long").as("n_ngrams"),
+        size(array_distinct(col("__sh"))).cast("long").as("n_distinct"))
+      .withColumn("repetition",
+        (col("n_ngrams") - col("n_distinct")).cast("double")
+          / col("n_ngrams"))
+
   /** Corpus-level n-gram frequency: top-k word n-grams by occurrence
     * count (not per-doc-distinct — repeats inside a document count).
     * The vocabulary-building / contamination-screening primitive. One

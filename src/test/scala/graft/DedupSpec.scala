@@ -91,6 +91,18 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set((2L, 2L), (3L, 1L), (4L, 1L)))
   }
 
+  test("contamination flags train docs sharing shingles with eval docs") {
+    val train = Seq(
+      (10L, "the quick brown fox jumps today"),  // shares shingles with eval 1
+      (11L, "completely unrelated text about databases")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((1L, "the quick brown fox sleeps")).toDF("doc_id", "text")
+    val hits = Dedup.contamination(train, eval_, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(hits.contains(10L) && hits(10L) >= 1L)
+    assert(!hits.contains(11L))
+  }
+
   test("editDistancePairs: identical pair 0, near-dup pair small positive") {
     val pairs = Seq((1L, 2L), (1L, 3L)).toDF("a_id", "b_id")
     val d = Dedup.editDistancePairs(docs, pairs, "doc_id", "text", 64)

@@ -61,6 +61,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(sh(1) === Seq("a b"))
   }
 
+  test("repetitionScore: looping text scores high, varied text zero") {
+    val df = Seq(
+      (1L, "a b c a b c a b c"),   // trigrams repeat
+      (2L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionScore(df, "doc_id", "text")
+      .select("doc_id", "repetition").as[(Long, Double)].collect().toMap
+    assert(r(1L) > 0.5)
+    assert(r(2L) === 0.0)
+  }
+
   test("ngramFreq counts occurrences (not per-doc distinct), ordered") {
     val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
     val out = TextAnalysis.ngramFreq(df, "text", 2, 10)
