@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
 /** End-to-end training-data curation pipeline over the documents table —
   * the batch composition the operator library exists for:
   *
-  *   1. canonical selection: one surviving doc per exact-content group,
+  *   1. decontamination: drop training docs sharing shingles with the
+  *      held-out eval set (Dedup.contamination);
+  *   2. canonical selection: one surviving doc per exact-content group,
   *      best quality copy kept (Dedup.keepBest);
-  *   2. quality + language gating (TextAnalysis);
-  *   3. reproducible train/val/test assignment (deterministicSplit —
+  *   3. quality + language + repetition gating (TextAnalysis);
+  *   4. reproducible train/val/test assignment (deterministicSplit —
   *      content-hash buckets, stable across reprocessing);
-  *   4. split-partitioned parquet layout (downstream readers scan only
+  *   5. split-partitioned parquet layout (downstream readers scan only
   *      their split: partition pruning, no full-table filter).
   *
   * Every stage is a declarative DataFrame transform — the whole pipeline
@@ -37,14 +39,28 @@ object CurateDemo {
     val docs = Tables(spark, sfDir, "documents")
     val quality = TextAnalysis.qualityScore(docs, "doc_id", "text")
     val lang = TextAnalysis.langId(docs, "doc_id", "text")
+    val repetition = TextAnalysis.repetitionScore(docs, "doc_id", "text")
+    // decontamination: treat doc_id < 25 as the held-out eval set;
+    // training docs sharing any shingle with it are excluded
+    val evalSet = docs.filter(col("doc_id") < 25)
+    val train = docs.filter(col("doc_id") >= 25)
+    // minShared = 10: single shared shingles are natural phrase overlap
+    // (at 1, most of this synthetic corpus gets flagged); ten distinct
+    // shared shingles means a genuinely copied span
+    val contaminated = Dedup.contamination(train, evalSet, "doc_id", "text",
+        minShared = 10L)
+      .select(col("doc_id"))
 
-    val kept = Dedup.keepBest(docs, quality, "doc_id", "text")
+    val kept = Dedup.keepBest(train, quality, "doc_id", "text")
       .select(col("keep_id").as("doc_id"), col("best_quality"),
         col("n_copies"))
-    val curated = docs
+    val curated = train
       .join(kept, "doc_id") // survivors only
       .join(lang.select(col("doc_id"), col("lang_guess")), "doc_id")
-      .filter(col("best_quality") >= 0.3 && col("lang_guess") === "en")
+      .join(repetition.select(col("doc_id"), col("repetition")), "doc_id")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .filter(col("best_quality") >= 0.3 && col("lang_guess") === "en" &&
+        col("repetition") < 0.5)
     val split = Relational.deterministicSplit(curated, "doc_id")
 
     split.write.partitionBy("split").mode("overwrite").parquet(outDir)

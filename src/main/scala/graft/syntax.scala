@@ -67,6 +67,9 @@ object syntax {
       Dedup.jaccardPairs(df, idCol, textCol, minJaccard, maxDocFreq)
     def simhash(idCol: String, textCol: String): DataFrame =
       Dedup.simhash(df, idCol, textCol)
+    def contaminationAgainst(evalDocs: DataFrame, idCol: String,
+        textCol: String): DataFrame =
+      Dedup.contamination(df, evalDocs, idCol, textCol)
 
     // text
     def textStats(idCol: String, textCol: String): DataFrame =
@@ -75,6 +78,8 @@ object syntax {
       TextAnalysis.qualityScore(df, idCol, textCol)
     def langId(idCol: String, textCol: String): DataFrame =
       TextAnalysis.langId(df, idCol, textCol)
+    def repetitionScore(idCol: String, textCol: String): DataFrame =
+      TextAnalysis.repetitionScore(df, idCol, textCol)
 
     // similarity
     def knnTopK(queries: DataFrame, k: Int): DataFrame =
