@@ -360,6 +360,22 @@ object Relational {
         last(col("v"), ignoreNulls = true).over(w).as("v_ffill"))
   }
 
+  /** Winsorization: clip a measure to its per-group [pLo, pHi] exact
+    * quantiles — the outlier treatment that keeps rows (unlike a
+    * filter) while bounding the tails feature-wise. Composition of
+    * groupedQuantiles (2 scans, bounded state) + a broadcast-joined
+    * clamp; adds `<col>_clipped` alongside the original.
+    */
+  def winsorize(df: DataFrame, grp: String, valueCol: String,
+      pLo: Double, pHi: Double): DataFrame = {
+    val q = groupedQuantiles(df, grp,
+      Seq((valueCol, pLo, "__qlo"), (valueCol, pHi, "__qhi")))
+    df.join(broadcast(q), grp)
+      .withColumn(s"${valueCol}_clipped",
+        least(greatest(col(valueCol), col("__qlo")), col("__qhi")))
+      .drop("__qlo", "__qhi")
+  }
+
   /** Per-key contribution cap: keep at most `n` rows per key, chosen
     * by a deterministic order — the curation primitive that stops one
     * source/domain/user from dominating a training set. Window state is

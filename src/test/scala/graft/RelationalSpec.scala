@@ -160,6 +160,22 @@ class RelationalSpec extends SparkSpec {
     assert(ours === plain)
   }
 
+  test("winsorize clips to the exact group quantiles, keeps all rows") {
+    val rnd = new scala.util.Random(5)
+    val df = (1 to 1000).map(i =>
+      (if (i % 2 == 0) "a" else "b", rnd.nextDouble() * 100)).toDF("g", "x")
+    val out = Relational.winsorize(df, "g", "x", 0.05, 0.95)
+    assert(out.count() === 1000L)
+    val bounds = Relational.groupedQuantiles(df, "g",
+      Seq(("x", 0.05, "lo"), ("x", 0.95, "hi")))
+      .as[(String, Double, Double)].collect()
+      .map { case (g, lo, hi) => g -> (lo, hi) }.toMap
+    out.select("g", "x_clipped").as[(String, Double)].collect()
+      .foreach { case (g, v) =>
+        assert(v >= bounds(g)._1 && v <= bounds(g)._2, s"$g $v")
+      }
+  }
+
   test("selectPresent keeps requested order, skips absent columns") {
     val df = Seq((1, "a", 2.0)).toDF("x", "y", "z")
     assert(Relational.selectPresent(df, Seq("z", "missing", "x"))
