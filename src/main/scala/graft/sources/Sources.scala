@@ -95,6 +95,27 @@ object Sources {
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
   }
 
+  /** Write with observed data-quality metrics: attaches an Observation
+    * to the frame so the write action ALSO reports row count and
+    * per-column null counts — computed in-flight by the same job, zero
+    * extra scans (the audit pattern for pipeline writes; a second
+    * count()/filter pass at 100 TB is a second pass over 100 TB).
+    * Returns the metric map keyed `rows` and `nulls_<col>`.
+    */
+  def writeObserved(df: DataFrame, path: String,
+      nullCheckCols: Seq[String],
+      format: String = "parquet"): Map[String, Long] = {
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions.{count, lit, sum, when, col => c}
+    val obs = Observation()
+    val metrics = count(lit(1)).as("rows") +:
+      nullCheckCols.map(n =>
+        sum(when(c(n).isNull, 1L).otherwise(0L)).as(s"nulls_$n"))
+    df.observe(obs, metrics.head, metrics.tail: _*)
+      .write.format(format).mode("overwrite").save(path)
+    obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
+  }
+
   /** Format converter (data/transform.ipynb's parquet->CSV step, S10,
     * done distributed): read any supported format, write any other. */
   def convert(spark: SparkSession, inPath: String, inFormat: String,

@@ -124,6 +124,15 @@ class SourcesSpec extends SparkSpec {
     assert(out.count() === 2)
   }
 
+  test("writeObserved reports row and null counts from the write job") {
+    val base = Files.createTempDirectory("graft_obs").toString
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("c")))
+      .toDF("id", "name")
+    val m = Sources.writeObserved(df, s"$base/out", Seq("name"))
+    assert(m("rows") === 3L && m("nulls_name") === 1L)
+    assert(spark.read.parquet(s"$base/out").count() === 3L)
+  }
+
   test("convert parquet -> orc -> parquet round-trips values exactly") {
     val base = Files.createTempDirectory("graft_orc").toString
     val in = Seq((1L, "x", 1.5), (2L, "y", -2.25), (3L, null, 0.0))
