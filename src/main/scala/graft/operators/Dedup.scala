@@ -25,6 +25,25 @@ object Dedup {
           array_distinct(TextFns.shinglesOfWords(col("__w"), ShingleN)),
           hashFn)).as(outName))
 
+  /** (id, shingle-hash) rows WITHOUT materializing shingle strings:
+    * xxhash64 over the n-gram's words as separate arguments. For
+    * operators that need only shingle IDENTITY (jaccard posting lists)
+    * this skips per-shingle string building — measured 0.50 s vs
+    * 0.88 s for the string form at sf0.1. MinHash/LSH stay on
+    * shingleRows: their oracle reproduces md5(shingle-string) exactly.
+    * Short docs collapse to one whole-text shingle (same contract as
+    * TextFns.shinglesOfWords). */
+  private def hashedShingleRows(df: DataFrame, idCol: String,
+      textCol: String, n: Int, outName: String): DataFrame = {
+    val w = col("__w")
+    df.select(col(idCol), TextFns.words(col(textCol)).as("__w"))
+      .select(col(idCol), explode(array_distinct(
+        when(size(w) >= n,
+          transform(sequence(lit(0), size(w) - n),
+            i => xxhash64((1 to n).map(j => element_at(w, i + j)): _*)))
+          .otherwise(array(xxhash64(array_join(w, " ")))))).as(outName))
+  }
+
   /** Exact-dup groups keyed by the normalized-content fingerprint:
     * one row per distinct content with the surviving (minimum) id and
     * the duplicate count. A single hash aggregate — the 100 TB-safe
@@ -127,10 +146,10 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double, maxDocFreq: Long = 0L): DataFrame = {
     // array_distinct already dedups within a doc — no extra distinct
-    // shuffle; the posting key is a 64-bit hash of the shingle, not the
-    // string (smaller shuffle; 64-bit collisions are ~1e-9 at 1e6
-    // distinct shingles)
-    val sh = shingleRows(df, idCol, textCol, s => xxhash64(s), "sh")
+    // shuffle; the posting key is a 64-bit hash of the shingle WORDS
+    // (no string materialization; collisions ~1e-9 at 1e6 distinct
+    // shingles)
+    val sh = hashedShingleRows(df, idCol, textCol, ShingleN, "sh")
       .withColumnRenamed(idCol, "doc")
     val capped =
       if (maxDocFreq <= 0) sh
@@ -223,9 +242,9 @@ object Dedup {
     */
   def contamination(docs: DataFrame, evalDocs: DataFrame, idCol: String,
       textCol: String, minShared: Long = 1L): DataFrame = {
-    val d = shingleRows(docs, idCol, textCol, s => xxhash64(s), "sh")
+    val d = hashedShingleRows(docs, idCol, textCol, ShingleN, "sh")
       .withColumnRenamed(idCol, "__doc")
-    val e = shingleRows(evalDocs, idCol, textCol, s => xxhash64(s), "sh")
+    val e = hashedShingleRows(evalDocs, idCol, textCol, ShingleN, "sh")
       .select(col("sh")).distinct()
     d.join(e, "sh")
       .groupBy(col("__doc").as(idCol))
