@@ -132,10 +132,14 @@ class RelationalSpec extends SparkSpec {
   test("groupedQuantiles sweep: sizes x percentiles x ties match percentile()") {
     val rnd = new scala.util.Random(11)
     // n spans both quantile paths: whole-group fallback (group < 400
-    // rows) and the approx-bracket path (groups of ~600 and ~1300)
+    // rows) and the approx-bracket path (groups of ~600 and ~1300);
+    // nulls must be ignored exactly as percentile() ignores them
     for (n <- Seq(1, 2, 3, 10, 101, 901, 2001); ties <- Seq(false, true)) {
       val df = (1 to n).map { i =>
-        val v = if (ties) (i % 5).toDouble else rnd.nextDouble() * 1000 - 500
+        val v: java.lang.Double =
+          if (i % 11 == 0 && n > 3) null
+          else if (ties) (i % 5).toDouble
+          else rnd.nextDouble() * 1000 - 500
         (if (i % 3 == 0) "a" else "b", v)
       }.toDF("g", "x")
       val ps = Seq(0.0, 0.005, 0.5, 0.95, 0.995, 1.0)
@@ -158,6 +162,20 @@ class RelationalSpec extends SparkSpec {
     val plain = left.join(right, col("k") === col("rk"), "left_semi")
       .as[Long].collect().toSet
     assert(ours === plain)
+  }
+
+  test("saltedDistinctCount equals exact countDistinct under skew") {
+    val rnd = new scala.util.Random(3)
+    val df = (1 to 5000).map { i =>
+      val k = if (i % 10 == 0) "cold" + (i % 7) else "hot" // 90% one key
+      (k, rnd.nextInt(800))
+    }.toDF("k", "v")
+    val salted = Relational.saltedDistinctCount(df, "k", "v", 16)
+      .as[(String, Long)].collect().toMap
+    val exact = df.groupBy(col("k"))
+      .agg(countDistinct(col("v")).as("n")).as[(String, Long)]
+      .collect().toMap
+    assert(salted === exact)
   }
 
   test("winsorize clips to the exact group quantiles, keeps all rows") {
