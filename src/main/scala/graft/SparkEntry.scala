@@ -454,7 +454,7 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("rn"))),
     "rel_resample_ffill" -> ((s, d) =>
       Relational.resampleFfill(t(s, d, "events"), "user_id", "ts",
-        "value", 86400L)),
+        "event_id", "value", 86400L)),
     "rel_hash_split" -> ((s, d) =>
       Relational.deterministicSplit(t(s, d, "documents"), "doc_id")
         .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))),
@@ -805,8 +805,9 @@ object SparkEntry {
         "CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn " +
         "FROM events) t WHERE rn <= 5"),
     "rel_resample_ffill" ->
-      ("WITH e AS (SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec, value FROM events WHERE ts IS NOT NULL), " +
-        "s AS (SELECT user_id, sec - sec % 86400 AS slot, round(avg(value), 4) AS v FROM e GROUP BY 1, 2), " +
+      ("WITH e AS (SELECT user_id, event_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec, value FROM events WHERE ts IS NOT NULL), " +
+        "s AS (SELECT user_id, sec - sec % 86400 AS slot, " +
+        "list_aggregate(list_transform(list_sort(list({'k': event_id, 'v': CAST(value AS DOUBLE)})), r -> r.v), 'sum') / count(*) AS v FROM e GROUP BY 1, 2), " +
         "b AS (SELECT user_id, min(slot) AS lo, max(slot) AS hi FROM s GROUP BY 1), " +
         "g AS (SELECT user_id, unnest(range(lo, hi + 86400, 86400)) AS slot FROM b), " +
         "j AS (SELECT g.user_id, g.slot, s.v FROM g LEFT JOIN s ON g.user_id = s.user_id AND g.slot = s.slot) " +

@@ -200,7 +200,7 @@ object Relational {
       val pl = math.max(0.0, p - margin)
       val ph = math.min(1.0, p + margin)
       Seq(
-        expr(s"approx_percentile(CAST($c AS DOUBLE), array($pl, $ph), $accuracy)")
+        expr(s"approx_percentile(CAST(`$c` AS DOUBLE), array($pl, $ph), $accuracy)")
           .as(s"__br_$n"),
         count(col(c)).as(s"__bn_$n"))
     }
@@ -220,7 +220,7 @@ object Relational {
     // bracketing rows are picked from the array by global ordinal; no
     // per-group sort of the full data ever happens.
     val stackExpr = s"stack(${measures.length}, " + measures.map {
-      case (c, _, n) => s"'$n', CAST($c AS DOUBLE)"
+      case (c, _, n) => s"'$n', CAST(`$c` AS DOUBLE)"
     }.mkString(", ") + ") AS (__m, __v)"
     def perMeasure(f: String => Column): Column =
       measures.foldLeft(lit(null).cast("double")) { case (acc, (_, _, n)) =>
@@ -230,9 +230,12 @@ object Relational {
       case (acc, (_, p, n)) => when(col("__m") === n, lit(p)).otherwise(acc)
     }
     val v = col("__v")
-    val picked = df.selectExpr(grp, stackExpr)
+    // null-SAFE group join: a null group key is a legal group for
+    // percentile(); plain equality would silently drop its rows
+    val br = bracketAgg.withColumnRenamed(grp, "__grp")
+    val picked = df.selectExpr(s"`$grp`", stackExpr)
       .filter(v.isNotNull) // percentile/quantile_cont ignore nulls
-      .join(bracketAgg, grp)
+      .join(br, col(grp) <=> col("__grp"))
       .withColumn("__lob", perMeasure(n =>
         when(col(s"__bn_$n") < smallN, lit(Double.NegativeInfinity))
           .otherwise(element_at(col(s"__br_$n"), 1))))
@@ -255,7 +258,7 @@ object Relational {
         when(floor(col("__pos")) === ceil(col("__pos")), col("__lo"))
           .otherwise((ceil(col("__pos")) - col("__pos")) * col("__lo") +
             (col("__pos") - floor(col("__pos"))) * col("__hi")))
-    picked.groupBy(col(grp))
+    val pivot = picked.groupBy(col(grp))
       .agg(
         measures.map { case (_, _, n) =>
           min(when(col("__m") === n, col("__q"))).as(n)
@@ -263,6 +266,14 @@ object Relational {
         measures.tail.map { case (_, _, n) =>
           min(when(col("__m") === n, col("__q"))).as(n)
         }: _*)
+      .withColumnRenamed(grp, "__g2")
+    // every input group gets an output row — a group whose values are
+    // ALL null has no quantile rows above, but percentile() still emits
+    // it (with null results), so re-anchor on the bracket aggregate's
+    // group set (which grouped the raw input)
+    bracketAgg.select(col(grp))
+      .join(pivot, col(grp) <=> col("__g2"), "left")
+      .select(col(grp) +: measures.map { case (_, _, n) => col(n) }: _*)
   }
 
   /** Skew-safe exact distinct count per key. Algebraic aggregates
@@ -335,16 +346,22 @@ object Relational {
     * Grid materialization is explode(sequence(min..max)) per key —
     * rows = key-count · range/step, independent of event count; the
     * fill is one watermark-free window whose state is a single value
-    * carried through the per-key sort. Slot values are rounded BEFORE
-    * the fill so propagated values equal their source rows exactly.
+    * carried through the per-key sort. Slot values are ORDER-
+    * DETERMINISTIC means (fold over (id, value) pairs sorted per slot)
+    * emitted raw — round(avg(...), n) is oracle-fragile when averages
+    * land on rounding boundaries (see labelCentroids).
     */
   def resampleFfill(events: DataFrame, keyCol: String, tsCol: String,
-      valueCol: String, stepSeconds: Long): DataFrame = {
+      idCol: String, valueCol: String, stepSeconds: Long): DataFrame = {
     val sec = unix_timestamp(col(tsCol))
     val slot = (sec - pmod(sec, lit(stepSeconds))).as("slot")
     val slotted = events.filter(col(tsCol).isNotNull)
       .groupBy(col(keyCol), slot)
-      .agg(round(avg(col(valueCol)), 4).as("v"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("k"),
+        col(valueCol).cast("double").as("x")))).as("__ps"))
+      .select(col(keyCol), col("slot"),
+        (aggregate(col("__ps"), lit(0.0), (acc, p) => acc + p.getField("x"))
+          / size(col("__ps"))).as("v"))
     val grid = slotted.groupBy(col(keyCol))
       .agg(min(col("slot")).as("__lo"), max(col("slot")).as("__hi"))
       .select(col(keyCol),
@@ -369,11 +386,14 @@ object Relational {
   def winsorize(df: DataFrame, grp: String, valueCol: String,
       pLo: Double, pHi: Double): DataFrame = {
     val q = groupedQuantiles(df, grp,
-      Seq((valueCol, pLo, "__qlo"), (valueCol, pHi, "__qhi")))
-    df.join(broadcast(q), grp)
+        Seq((valueCol, pLo, "__qlo"), (valueCol, pHi, "__qhi")))
+      .withColumnRenamed(grp, "__grp")
+    // null-safe join: rows in a null group must survive (and clip
+    // against that group's quantiles), not vanish through an equi join
+    df.join(broadcast(q), col(grp) <=> col("__grp"), "left")
       .withColumn(s"${valueCol}_clipped",
         least(greatest(col(valueCol), col("__qlo")), col("__qhi")))
-      .drop("__qlo", "__qhi")
+      .drop("__grp", "__qlo", "__qhi")
   }
 
   /** Per-key contribution cap: keep at most `n` rows per key, chosen
@@ -451,6 +471,11 @@ object Relational {
     * the difference between shuffling the full probe table and shuffling
     * ~|matches| rows; it's the hand-rolled form of Spark's own runtime
     * row-level filtering, usable when the optimizer doesn't inject it.
+    *
+    * NOTE: EAGER — composing this operator runs one Spark job (the
+    * bloom build over `right`) so the bitmap can enter the plan as the
+    * foldable literal BloomFilterMightContain requires; the returned
+    * frame is lazy as usual.
     */
   def bloomSemiJoin(left: DataFrame, right: DataFrame, leftKey: String,
       rightKey: String, expectedItems: Long, numBits: Long): DataFrame = {

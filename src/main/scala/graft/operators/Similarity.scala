@@ -77,7 +77,9 @@ object Similarity {
     * ±1 hyperplanes, plane p's coefficient for dimension d derived from
     * md5(p|d) (reproducible everywhere, incl. SQL oracles). Bucket id is
     * the concatenated sign bits — vectors in the same bucket are cosine-
-    * close with high probability.
+    * close with high probability. Input must be `array<float>` (the
+    * library's embedding type — graft_dot's contract); cast other
+    * numeric arrays explicitly if needed.
     */
   def srpBucket(vecCol: Column, dims: Int, planes: Int): Column = {
     // each plane is a literal ±1 vector dotted via the codegen'd
@@ -188,17 +190,23 @@ object Similarity {
     * so means need no re-normalization. Deterministic: init picks the k
     * lowest id-hashes (seeded), iteration count is fixed.
     *
-    * At 100 TB: each iteration is one scan + one agg of the corpus (or
-    * a bounded sample); driver state is nlist·dims floats. Empty cells
-    * keep their previous centroid.
+    * At 100 TB: the fit touches only the `fitSampleCap`-row hash
+    * sample (deterministic, cached), so each iteration is a join + two
+    * aggregates over a BOUNDED set regardless of corpus size; driver
+    * state is nlist·dims floats. Empty cells keep their previous
+    * centroid.
     */
   def fitCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, iters: Int, seed: Long): Array[Array[Float]] = {
-    // the fit re-reads its input iters+1 times — cache the projected
-    // training set for the duration (at 100 TB: fit on a bounded
-    // SAMPLE and cache that; the quantizer needs distribution shape,
-    // not every row)
-    val train = corpus.select(col(idCol), col(vecCol)).persist()
+      nlist: Int, iters: Int, seed: Long,
+      fitSampleCap: Int = 100000): Array[Array[Float]] = {
+    // the fit re-reads its input iters+1 times — cap it to a bounded,
+    // deterministic hash-sample and cache THAT (the quantizer needs
+    // distribution shape, not every row; an uncapped fit would persist
+    // and rescan the full corpus iters+1 times)
+    val train = corpus.select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol), lit(seed ^ 0x5ca1e)))
+      .limit(fitSampleCap)
+      .persist()
     try {
       val spark = corpus.sparkSession
       var cents: Array[Array[Float]] = train

@@ -164,6 +164,29 @@ class RelationalSpec extends SparkSpec {
     assert(ours === plain)
   }
 
+  test("groupedQuantiles keeps null-keyed and all-null-value groups") {
+    val df = Seq(
+      (Some("a"), Some(1.0)), (Some("a"), Some(3.0)),
+      (None, Some(5.0)), (None, Some(7.0)),     // null group key
+      (Some("b"), None), (Some("b"), None)      // all-null values
+    ).toDF("g", "x")
+    val ours = Relational.groupedQuantiles(df, "g", Seq(("x", 0.5, "med")))
+      .collect().map(r => Option(r.getString(0)) ->
+        Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    val builtin = df.groupBy(col("g")).agg(expr("percentile(x, 0.5)").as("m"))
+      .collect().map(r => Option(r.getString(0)) ->
+        Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(ours === builtin)
+    assert(ours(None) === Some(6.0) && ours(Some("b")) === None)
+  }
+
+  test("winsorize keeps rows whose group key is null") {
+    val df = Seq((Some("a"), 1.0), (Some("a"), 9.0), (None, 5.0), (None, 6.0))
+      .toDF("g", "x")
+    val out = Relational.winsorize(df, "g", "x", 0.0, 1.0)
+    assert(out.count() === 4L)
+  }
+
   test("saltedDistinctCount equals exact countDistinct under skew") {
     val rnd = new scala.util.Random(3)
     val df = (1 to 5000).map { i =>
