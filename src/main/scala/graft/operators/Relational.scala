@@ -202,9 +202,12 @@ object Relational {
       Seq(
         expr(s"approx_percentile(CAST(`$c` AS DOUBLE), array($pl, $ph), $accuracy)")
           .as(s"__br_$n"),
-        count(col(c)).as(s"__bn_$n"))
+        count(expr(s"`$c`")).as(s"__bn_$n"))
     }
-    val bracketAgg = df.groupBy(col(grp))
+    // backtick-quoted references throughout: special-character column
+    // names (dots, spaces) must work everywhere, not only in the SQL
+    // fragments
+    val bracketAgg = df.groupBy(col(s"`$grp`"))
       .agg(bracketCols.head, bracketCols.tail: _*)
     // approx_percentile targets rank p·n where percentile interpolates
     // at p·(n-1) — a constant ~1-rank convention gap on top of the GK
@@ -230,35 +233,43 @@ object Relational {
       case (acc, (_, p, n)) => when(col("__m") === n, lit(p)).otherwise(acc)
     }
     val v = col("__v")
-    // null-SAFE group join: a null group key is a legal group for
-    // percentile(); plain equality would silently drop its rows
+    // null-SAFE group join, RIGHT OUTER on the bracket aggregate: a
+    // null group key is a legal group for percentile(), and a group
+    // whose values are ALL null has no stacked rows at all but must
+    // still emit an output row (with null quantiles) — the unmatched
+    // bracket row flows through with null __m/__v and pivots to nulls
     val br = bracketAgg.withColumnRenamed(grp, "__grp")
     val picked = df.selectExpr(s"`$grp`", stackExpr)
       .filter(v.isNotNull) // percentile/quantile_cont ignore nulls
-      .join(br, col(grp) <=> col("__grp"))
+      .join(br, col(s"`$grp`") <=> col("__grp"), "right_outer")
       .withColumn("__lob", perMeasure(n =>
         when(col(s"__bn_$n") < smallN, lit(Double.NegativeInfinity))
           .otherwise(element_at(col(s"__br_$n"), 1))))
       .withColumn("__hib", perMeasure(n =>
         when(col(s"__bn_$n") < smallN, lit(Double.PositiveInfinity))
           .otherwise(element_at(col(s"__br_$n"), 2))))
-      .groupBy(col(grp), col("__m"))
+      .groupBy(col("__grp"), col("__m"))
       .agg(
         count(lit(1)).as("__n"),
         count(when(v < col("__lob"), lit(1))).as("__below"),
         array_sort(collect_list(
           when(v >= col("__lob") && v <= col("__hib"), v))).as("__cand"))
       .withColumn("__pos", pByName * (col("__n") - 1).cast("double"))
-      .withColumn("__lo", element_at(col("__cand"),
-        (floor(col("__pos")) - col("__below") + 1).cast("int")))
-      .withColumn("__hi", element_at(col("__cand"),
-        (ceil(col("__pos")) - col("__below") + 1).cast("int")))
+      // the isNotNull guard is load-bearing: a phantom (all-null) group
+      // has __pos null and __cand empty, and ANSI element_at rejects
+      // the never-used index before honoring its null flag
+      .withColumn("__lo", when(col("__pos").isNotNull,
+        element_at(col("__cand"),
+          (floor(col("__pos")) - col("__below") + 1).cast("int"))))
+      .withColumn("__hi", when(col("__pos").isNotNull,
+        element_at(col("__cand"),
+          (ceil(col("__pos")) - col("__below") + 1).cast("int"))))
       // Spark Percentile's exact interpolation, reproduced bit-for-bit
       .withColumn("__q",
         when(floor(col("__pos")) === ceil(col("__pos")), col("__lo"))
           .otherwise((ceil(col("__pos")) - col("__pos")) * col("__lo") +
             (col("__pos") - floor(col("__pos"))) * col("__hi")))
-    val pivot = picked.groupBy(col(grp))
+    picked.groupBy(col("__grp"))
       .agg(
         measures.map { case (_, _, n) =>
           min(when(col("__m") === n, col("__q"))).as(n)
@@ -266,14 +277,8 @@ object Relational {
         measures.tail.map { case (_, _, n) =>
           min(when(col("__m") === n, col("__q"))).as(n)
         }: _*)
-      .withColumnRenamed(grp, "__g2")
-    // every input group gets an output row — a group whose values are
-    // ALL null has no quantile rows above, but percentile() still emits
-    // it (with null results), so re-anchor on the bracket aggregate's
-    // group set (which grouped the raw input)
-    bracketAgg.select(col(grp))
-      .join(pivot, col(grp) <=> col("__g2"), "left")
-      .select(col(grp) +: measures.map { case (_, _, n) => col(n) }: _*)
+      .select(col("__grp").as(grp) +:
+        measures.map { case (_, _, n) => col(n) }: _*)
   }
 
   /** Skew-safe exact distinct count per key. Algebraic aggregates
@@ -355,7 +360,10 @@ object Relational {
       idCol: String, valueCol: String, stepSeconds: Long): DataFrame = {
     val sec = unix_timestamp(col(tsCol))
     val slot = (sec - pmod(sec, lit(stepSeconds))).as("slot")
-    val slotted = events.filter(col(tsCol).isNotNull)
+    // null-valued events are ignored entirely (avg()-style semantics;
+    // without this filter one null would null-poison its slot's fold)
+    val slotted = events
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
       .groupBy(col(keyCol), slot)
       .agg(sort_array(collect_list(struct(col(idCol).as("k"),
         col(valueCol).cast("double").as("x")))).as("__ps"))

@@ -203,9 +203,13 @@ object Similarity {
     // deterministic hash-sample and cache THAT (the quantizer needs
     // distribution shape, not every row; an uncapped fit would persist
     // and rescan the full corpus iters+1 times)
+    // repartition after the limit: orderBy+limit plans as TakeOrdered
+    // into ONE partition — without the spread every Lloyd iteration
+    // would run single-threaded
     val train = corpus.select(col(idCol), col(vecCol))
       .orderBy(xxhash64(col(idCol), lit(seed ^ 0x5ca1e)))
       .limit(fitSampleCap)
+      .repartition(col(idCol))
       .persist()
     try {
       val spark = corpus.sparkSession
