@@ -547,6 +547,14 @@ object SparkEntry {
           256, 4)
         .select(col("media_id"), col("chunk_idx").cast("long").as("chunk_idx"),
           col("chunk_sig"))),
+    "media_windows" -> ((s, d) =>
+      Multimodal.frameWindows(
+          Multimodal.asMediaTable(t(s, d, "documents"), "doc_id", "text"),
+          256, 128)
+        .select(col("media_id"), col("n_windows"),
+          col("window_idx").cast("long").as("window_idx"),
+          col("window_offset").cast("long").as("window_offset"),
+          col("window_sig"))),
     "media_features" -> ((s, d) =>
       Multimodal.decodeFeaturesStub(s,
           Multimodal.asMediaTable(t(s, d, "documents"), "doc_id", "text"))
@@ -909,6 +917,13 @@ object SparkEntry {
         "SELECT media_id, n_bytes, n_chunks, CAST(t.i AS BIGINT) AS chunk_idx, CAST(t.i * 256 AS BIGINT) AS chunk_offset, " +
         "md5(substr(text, CAST(t.i * 256 + 1 AS INT), 256)) AS chunk_sig " +
         "FROM m, LATERAL (SELECT unnest(range(0, m.n_chunks)) AS i) t"),
+    "media_windows" ->
+      ("WITH m AS (SELECT doc_id AS media_id, text, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents), " +
+        "w AS (SELECT media_id, text, n_bytes, CASE WHEN n_bytes <= 256 THEN 1 " +
+        "ELSE CAST(ceil((n_bytes - 256) / 128.0) AS BIGINT) + 1 END AS n_windows FROM m) " +
+        "SELECT media_id, n_windows, CAST(t.i AS BIGINT) AS window_idx, CAST(t.i * 128 AS BIGINT) AS window_offset, " +
+        "md5(substr(text, CAST(t.i * 128 + 1 AS INT), 256)) AS window_sig " +
+        "FROM w, LATERAL (SELECT unnest(range(0, w.n_windows)) AS i) t"),
     "media_frames" ->
       ("WITH m AS (SELECT doc_id AS media_id, text, CAST(ceil(strlen(text) / 256.0) AS BIGINT) AS n_chunks FROM documents) " +
         "SELECT media_id, CAST(t.i AS BIGINT) AS chunk_idx, " +

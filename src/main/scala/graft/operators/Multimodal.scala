@@ -55,6 +55,29 @@ object Multimodal {
     chunkFrames(media, chunkBytes)
       .filter(col("chunk_idx") % everyN === 0)
 
+  /** OVERLAPPING frame windows: a `frameBytes` window every `hopBytes`
+    * — the audio/STFT framing shape (hop < frame ⇒ overlap). Window
+    * count per payload is ceil((n_bytes - frame)/hop)+1, so the
+    * explode fan-out scales with the overlap factor frame/hop — the
+    * same volume×overlap trade documented for slidingCounts. Short
+    * payloads yield one whole-payload window.
+    */
+  def frameWindows(media: DataFrame, frameBytes: Int,
+      hopBytes: Int): DataFrame =
+    media
+      .withColumn("n_windows",
+        when(col("n_bytes") <= frameBytes, lit(1L))
+          .otherwise(ceil((col("n_bytes") - frameBytes).cast("double")
+            / hopBytes).cast("long") + 1))
+      .select(col("media_id"), col("payload"), col("n_bytes"),
+        col("n_windows"),
+        posexplode(sequence(lit(0L), col("n_windows") - 1)))
+      .withColumnRenamed("pos", "window_idx")
+      .withColumn("window_offset", col("col") * hopBytes).drop("col")
+      .withColumn("window_sig",
+        expr(s"md5(substring(payload, window_offset + 1, $frameBytes))"))
+      .drop("payload")
+
   /** STUB resize: clamps each payload to `maxBytes` (a real impl decodes
     * and re-encodes at the target resolution — same single-pass typed
     * mapPartitions shape as decodeFeaturesStub). Metadata stays honest:

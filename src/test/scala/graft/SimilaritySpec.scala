@@ -99,6 +99,29 @@ class SimilaritySpec extends SparkSpec {
       ("y", 0L, 10.0, 1L), ("y", 1L, 20.0, 1L)))
   }
 
+  test("int8 quantization: bounded error, high cosine, constant-safe") {
+    val rnd = new scala.util.Random(9)
+    val vecs = (1 to 50).map(i =>
+      (i.toLong, Array.fill(32)(rnd.nextFloat() * 4 - 2))) :+
+      (99L, Array.fill(32)(1.5f)) // constant vector
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = df.select(col("vec_id"), col("embedding"),
+        Similarity.dequantizeEmbedding(
+          Similarity.quantizeEmbedding(col("embedding"))).as("deq"))
+      .as[(Long, Array[Float], Array[Float])].collect()
+    out.foreach { case (id, orig, deq) =>
+      val range = orig.max - orig.min
+      val maxErr = orig.zip(deq).map { case (a, b) => math.abs(a - b) }.max
+      assert(maxErr <= range / 255.0 + 1e-4, s"id=$id err=$maxErr")
+      if (range > 0) {
+        val dot = orig.zip(deq).map { case (a, b) => a.toDouble * b }.sum
+        val cos = dot / (math.sqrt(orig.map(x => x.toDouble * x).sum) *
+          math.sqrt(deq.map(x => x.toDouble * x).sum))
+        assert(cos > 0.999, s"id=$id cos=$cos")
+      } else assert(deq.forall(_ == orig.head))
+    }
+  }
+
   test("srpBucket is deterministic and splits opposite vectors") {
     val df = Seq((Array(1f, 0f, 0f, 0f), Array(-1f, 0f, 0f, 0f)))
       .toDF("a", "b")
