@@ -60,6 +60,18 @@ case class TopKByScore(
   private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue
   require(kExpr.foldable, "k must be a literal")
 
+  // without this, a float score or int id passes analysis and dies at
+  // execution in update()'s asInstanceOf
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (score.dataType, id.dataType, kExpr.dataType) match {
+      case (DoubleType, LongType, IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_topk expects (double, bigint, int literal), got $other")
+    }
+
   override def children: Seq[Expression] = Seq(score, id, kExpr)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(

@@ -101,9 +101,12 @@ object GraftFunctions {
     java.util.Collections.newSetFromMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
-  /** Idempotent per-session registration (temp-function registry). */
-  def register(spark: SparkSession): Unit =
-    if (!registered.contains(spark)) synchronized {
+  /** Idempotent per-session registration (temp-function registry).
+    * The membership check lives INSIDE the lock: the backing
+    * WeakHashMap-set is not safe to read while another thread
+    * mutates it. */
+  def register(spark: SparkSession): Unit = synchronized {
+    if (!registered.contains(spark)) {
       functions.foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry
           .registerFunction(id, info, builder)
@@ -111,6 +114,7 @@ object GraftFunctions {
       registered.add(spark)
       ()
     }
+  }
 }
 
 /** spark.sql.extensions entry point. */

@@ -27,10 +27,16 @@ object VectorFns {
     }
 
   /** Higher-order-function formulation: interpreted lambda per element —
-    * correct everywhere, slow on all-pairs joins (see DotProduct). */
+    * correct everywhere, slow on all-pairs joins (see DotProduct).
+    * Null products are filtered so the semantics MATCH DotProduct on
+    * edge inputs: mismatched lengths truncate to the shorter side
+    * (zip_with pads with null) and null elements contribute 0, instead
+    * of null-poisoning the whole sum. */
   def hofDot(a: Column, b: Column): Column =
     aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      filter(
+        zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        p => p.isNotNull),
       lit(0.0),
       (acc, x) => acc + x)
 

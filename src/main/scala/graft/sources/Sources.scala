@@ -72,7 +72,9 @@ object Sources {
     val path = new org.apache.hadoop.fs.Path(inDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(path).getLength
-    val parts = math.max(1L, bytes / (targetMB.toLong << 20)).toInt
+    // ceiling, not floor: flooring makes files up to 2x the target
+    val target = targetMB.toLong << 20
+    val parts = math.max(1L, (bytes + target - 1) / target).toInt
     spark.read.format(format).load(inDir)
       .repartition(parts)
       .write.format(format).mode("overwrite").save(outDir)
@@ -121,7 +123,17 @@ object Sources {
   def convert(spark: SparkSession, inPath: String, inFormat: String,
       outPath: String, outFormat: String,
       schema: Option[StructType] = None): Unit = {
-    val r = spark.read.format(inFormat)
+    // CSV input follows the same parse contract as readCsv — without
+    // header=true the header line would land in the output as a
+    // garbage all-null row
+    val r0 = spark.read.format(inFormat)
+    val r =
+      if (inFormat == "csv")
+        r0.option("header", "true").option("mode", "PERMISSIVE")
+          .option("nullValue", "")
+          .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+          .option("dateFormat", "yyyy-MM-dd")
+      else r0
     val df = schema.map(r.schema(_)).getOrElse(r).load(inPath)
     df.write.format(outFormat).mode("overwrite")
       .option("header", "true").save(outPath)

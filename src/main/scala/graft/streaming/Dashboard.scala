@@ -12,24 +12,33 @@ import org.apache.spark.sql.functions._
   */
 object Dashboard {
 
-  /** Latest `n` batch ids present for a dataset. The stamped batch_id
-    * ("batch_000042") is zero-padded, so lexicographic order IS batch
-    * order — no parsing. (The data column shadows the same-named
-    * numeric partition directory key on read.) */
+  /** Latest `n` numeric batch ids for a dataset — a FILESYSTEM listing
+    * of the `batch_id=N` directory names (numeric sort, so no
+    * zero-padding rollover), zero data read. The previous formulation
+    * scanned every batch's rows just to learn the ids. */
+  def latestBatchNumbers(spark: SparkSession, datasetDir: String,
+      n: Int): Seq[Long] = {
+    val path = new org.apache.hadoop.fs.Path(datasetDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong)
+      .sorted(Ordering[Long].reverse).take(n)
+  }
+
+  /** Latest `n` stamped batch ids (the `batch_000042` display form). */
   def latestBatchIds(spark: SparkSession, datasetDir: String,
       n: Int): Seq[String] =
-    spark.read.parquet(s"$datasetDir/batch_id=*")
-      .select(col("batch_id"))
-      .distinct().orderBy(col("batch_id").desc).limit(n)
-      .collect().map(_.getString(0)).toSeq
+    latestBatchNumbers(spark, datasetDir, n).map(StreamOps.formatBatchId)
 
-  /** The newest `n` batches of a dataset, batch id attached. Partition
-    * pruning keeps the scan to exactly those directories. */
+  /** The newest `n` batches of a dataset, batch id attached. Only the
+    * selected directories are ever read — true pruning by path, not a
+    * filter over the full dataset. */
   def latestBatches(spark: SparkSession, datasetDir: String,
       n: Int): DataFrame = {
-    val ids = latestBatchIds(spark, datasetDir, n)
-    spark.read.parquet(s"$datasetDir/batch_id=*")
-      .filter(col("batch_id").isin(ids: _*))
+    val nums = latestBatchNumbers(spark, datasetDir, n)
+    spark.read.parquet(nums.map(b => s"$datasetDir/batch_id=$b"): _*)
   }
 
   /** Top locations by trip count over the latest `n` batches — the

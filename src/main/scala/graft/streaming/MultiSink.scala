@@ -54,7 +54,7 @@ object MultiSink {
             write(stamped, "raw", batchId)
             val counts = StreamOps.taggedKeyCounts(
               stamped, cfg.keyA, cfg.tagA, cfg.keyB, cfg.tagB)
-              .withColumn("batch_id", lit(f"batch_$batchId%06d"))
+              .withColumn("batch_id", lit(StreamOps.formatBatchId(batchId)))
             counts.persist()
             try {
               write(counts.filter(col("aggregation_type") === cfg.tagA),

@@ -51,7 +51,7 @@ object Replay {
     (0L until nBatches).foreach { b =>
       batch(prepared, batchSize, b)
         .coalesce(1).write.mode("overwrite").format(format)
-        .save(f"$dir/batch_$b%06d")
+        .save(s"$dir/${StreamOps.formatBatchId(b)}")
       if (intervalMillis > 0) Thread.sleep(intervalMillis)
     }
   }

@@ -11,9 +11,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * but the pattern extends to any fold).
   *
   * Semantics: a session is a run of events per user with inter-event
-  * gaps < gapSeconds; a session is EMITTED when the event-time
-  * watermark passes its close (EventTimeTimeout), so results are final
-  * — Append output mode.
+  * gaps < gapSeconds. Each batch merges its (sorted) events with the
+  * one OPEN session held in state via interval merging — late events
+  * that fall inside or before the open session merge correctly
+  * (lowering session_start when needed); runs separated by >= gap
+  * close. The LATEST session stays open in state and is emitted when
+  * the event-time watermark passes its close (EventTimeTimeout);
+  * earlier runs close as soon as a later run supersedes them —
+  * best-effort finality, since state holds one open session per key. A
+  * late event arriving after its session was emitted starts a fresh
+  * (duplicate-range) session rather than retracting. For strictly
+  * watermark-final sessions use StreamOps.sessionWindows
+  * (session_window), which buffers per-window state in the engine.
   */
 object StatefulSessions {
 
@@ -47,24 +56,28 @@ object StatefulSessions {
             Iterator.single(out(uid, done))
           } else {
             val gapMs = gapSeconds * 1000L
-            // events within a micro-batch are unordered: sort this
-            // group's slice (bounded by batch size, not stream size)
-            val sorted = it.map(e => (e.ts.getTime, e.value)).toSeq.sortBy(_._1)
+            // interval merge: the open session from state plus this
+            // batch's events, walked in start order — late events
+            // merge into (and may extend the FRONT of) the open
+            // session instead of being glued to its end
+            val items = (state.getOption.toList ++
+              it.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1, e.value)))
+              .sortBy(s => (s.start, s.end))
             var closed = List.empty[SessionOut]
-            var cur = state.getOption
-            sorted.foreach { case (t, v) =>
-              cur match {
-                case Some(s) if t - s.end < gapMs =>
-                  cur = Some(SessionState(s.start, math.max(s.end, t),
-                    s.n + 1, s.sum + v))
+            var open = Option.empty[SessionState]
+            items.foreach { i =>
+              open match {
+                case Some(s) if i.start - s.end < gapMs =>
+                  open = Some(SessionState(s.start, math.max(s.end, i.end),
+                    s.n + i.n, s.sum + i.sum))
                 case Some(s) =>
                   closed ::= out(uid, s)
-                  cur = Some(SessionState(t, t, 1, v))
+                  open = Some(i)
                 case None =>
-                  cur = Some(SessionState(t, t, 1, v))
+                  open = Some(i)
               }
             }
-            cur.foreach { s =>
+            open.foreach { s =>
               state.update(s)
               // fire when the watermark passes the session close + gap
               state.setTimeoutTimestamp(s.end + gapMs)

@@ -16,8 +16,13 @@ object StreamOps {
     * The correct form takes foreachBatch's batchId argument; the column
     * contract (batch_id string + processing_time) is preserved.
     */
+  /** Canonical stamped batch-id string — the ONE formatter shared by
+    * the metadata stamp, the multi-sink counts, and the dashboard
+    * (divergent formats would break the dashboard's id matching). */
+  def formatBatchId(batchId: Long): String = f"batch_$batchId%06d"
+
   def stampBatchMeta(df: DataFrame, batchId: Long): DataFrame =
-    df.withColumn("batch_id", lit(f"batch_$batchId%06d"))
+    df.withColumn("batch_id", lit(formatBatchId(batchId)))
       .withColumn("processing_time", current_timestamp())
 
   /** Null event-time repair (consumer/StreamProcessor.scala:95-101):

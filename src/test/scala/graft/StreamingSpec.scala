@@ -152,6 +152,55 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq === Seq((7L, 2L, 3.0)))
   }
 
+  test("stateful sessions merge late events, lowering session_start") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[TestEvt]
+    val sessions = StatefulSessions.sessions(in.toDF(), gapSeconds = 1800,
+      watermarkDelay = "6 hours")
+    val name = fresh()
+    val q = sessions.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    in.addData(TestEvt(1, ts("2024-01-01 12:00:00"), "click", 1.0))
+    q.processAllAvailable()
+    // LATE event 5 min before the open session's start: must merge and
+    // lower session_start (the old code glued it to the end instead)
+    in.addData(TestEvt(1, ts("2024-01-01 11:55:00"), "click", 2.0))
+    q.processAllAvailable()
+    // a far-later event closes the session (emitted immediately)
+    in.addData(TestEvt(1, ts("2024-01-01 20:00:00"), "click", 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name)
+      .select("session_start", "n_events", "sum_value")
+      .as[(Timestamp, Long, Double)].collect().toSet
+    assert(rows === Set((ts("2024-01-01 11:55:00"), 2L, 3.0)))
+  }
+
+  test("stateful sessions: far-out-of-range late event closes separately") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[TestEvt]
+    val sessions = StatefulSessions.sessions(in.toDF(), gapSeconds = 1800,
+      watermarkDelay = "12 hours")
+    val name = fresh()
+    val q = sessions.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    in.addData(TestEvt(1, ts("2024-01-01 12:00:00"), "click", 1.0))
+    q.processAllAvailable()
+    // 3h before the open session (beyond the gap): its own session,
+    // closed immediately; the open 12:00 session must survive untouched
+    in.addData(TestEvt(1, ts("2024-01-01 09:00:00"), "click", 7.0))
+    q.processAllAvailable()
+    in.addData(TestEvt(1, ts("2024-01-01 20:00:00"), "click", 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name)
+      .select("session_start", "n_events", "sum_value")
+      .as[(Timestamp, Long, Double)].collect().toSet
+    assert(rows === Set(
+      (ts("2024-01-01 09:00:00"), 1L, 7.0),
+      (ts("2024-01-01 12:00:00"), 1L, 1.0)))
+  }
+
   test("streaming slidingCounts agrees with the oracle-checked batch analog") {
     implicit val ctx = spark.sqlContext
     val evts = Seq(
