@@ -33,12 +33,19 @@ object StreamSources {
     */
   def fileStream(spark: SparkSession, dir: String,
       schema: StructType = eventSchema, format: String = "json",
-      maxFilesPerTrigger: Int = 1): DataFrame =
-    spark.readStream
+      maxFilesPerTrigger: Int = 1,
+      // source-side retention: "archive" moves consumed files to
+      // archiveDir, "delete" removes them — without one of these a
+      // long-lived file bus accumulates millions of consumed files and
+      // listing dominates every trigger
+      cleanSource: Option[String] = None,
+      archiveDir: Option[String] = None): DataFrame = {
+    val r0 = spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .schema(schema)
-      .format(format)
-      .load(dir)
+    val r1 = cleanSource.fold(r0)(r0.option("cleanSource", _))
+    val r2 = archiveDir.fold(r1)(r1.option("sourceArchiveDir", _))
+    r2.schema(schema).format(format).load(dir)
+  }
 
   /** Synthetic rate source for tests and load experiments: `timestamp`
     * + monotonically increasing `value` at rowsPerSecond. */

@@ -86,6 +86,36 @@ class StreamPipelineSpec extends SparkSpec {
       .count() === 40L)
   }
 
+  test("cleanSource=archive moves consumed drop files out of the bus dir") {
+    val base = Files.createTempDirectory("graft_pipe4").toString
+    val events = mkEvents(20)
+    val prepared = Replay.prepare(events, Seq(col("ts"), col("event_id")))
+    Replay.writeBatches(prepared, s"$base/incoming", 10, 2)
+    prepared.unpersist()
+    val stream = StreamSources.fileStream(spark, s"$base/incoming/*",
+      maxFilesPerTrigger = 1, cleanSource = Some("archive"),
+      archiveDir = Some(s"$base/archive"))
+    val q = MultiSink.start(stream, MultiSink.Config(
+      outDir = s"$base/processed", checkpointDir = s"$base/checkpoint",
+      keyA = "user_id", tagA = "pickup_location",
+      keyB = "event_type", tagB = "dropoff_location",
+      drainOnce = true))
+    assert(q.awaitTermination(120000))
+    assert(spark.read.parquet(s"$base/processed/raw/batch_id=*")
+      .count() === 20L)
+    // archival is asynchronous but AvailableNow's final commit runs it;
+    // at least one consumed file must have left the incoming tree
+    def countFiles(p: String): Int = {
+      val d = new java.io.File(p)
+      if (!d.exists) 0
+      else d.listFiles.map(f =>
+        if (f.isDirectory) countFiles(f.getPath)
+        else if (f.getName.endsWith(".json")) 1 else 0).sum
+    }
+    assert(countFiles(s"$base/archive") > 0 ||
+      countFiles(s"$base/incoming") < 2)
+  }
+
   test("re-delivery of the same batches overwrites instead of appending") {
     val base = Files.createTempDirectory("graft_pipe2").toString
     val events = mkEvents(30)
