@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Plan-hygiene audit tool: prints the formatted physical plan for the
   * named queries (or a default headline set) so scan pruning
@@ -15,12 +14,7 @@ object Explain {
         "join_brand_revenue", "sim_knn_topk", "dedup_lsh_pairs",
         "rel_stats_aggs", "join_bloom_prefilter", "rel_unpivot",
         "rel_resample_ffill")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.build("4")
     names.foreach { n =>
       println(s"\n===================== $n =====================")
       println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(

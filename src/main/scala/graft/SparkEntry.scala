@@ -662,11 +662,13 @@ object SparkEntry {
         "LATERAL (SELECT unnest(string_split(text, ' ')[1:5]) AS word, " +
         "unnest(range(0, least(len(string_split(text, ' ')), 5))) AS i) t"),
     "rel_higher_order" ->
+      // length() (chars) on both sides — strlen (bytes) would diverge
+      // from Spark's length() on any multibyte character
       ("SELECT doc_id, " +
-        "CAST(len(list_filter(string_split(lower(text), ' '), x -> strlen(x) > 5)) AS BIGINT) AS n_long_words, " +
+        "CAST(len(list_filter(string_split(lower(text), ' '), x -> length(x) > 5)) AS BIGINT) AS n_long_words, " +
         "list_contains(string_split(lower(text), ' '), 'the') AS has_the, " +
-        "CAST(list_aggregate(list_transform(string_split(lower(text), ' '), x -> strlen(x)), 'sum') AS BIGINT) AS total_chars, " +
-        "CAST(list_max(list_transform(string_split(lower(text), ' '), x -> strlen(x))) AS BIGINT) AS max_word_len " +
+        "CAST(list_aggregate(list_transform(string_split(lower(text), ' '), x -> length(x)), 'sum') AS BIGINT) AS total_chars, " +
+        "CAST(list_max(list_transform(string_split(lower(text), ' '), x -> length(x))) AS BIGINT) AS max_word_len " +
         "FROM documents"),
     "rel_unpivot" ->
       ("SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem " +
@@ -911,6 +913,10 @@ object SparkEntry {
         s"scored AS (SELECT a_id, b_id, ${cosSql("a_vec", "b_vec")} AS sim FROM a JOIN b USING (label) WHERE a_id <> b_id), " +
         "ranked AS (SELECT a_id, b_id, sim, row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rn FROM scored) " +
         "SELECT a_id AS vec_id, b_id AS nn_id, round(sim, 4) AS cosine_sim FROM ranked WHERE rn = 1"),
+    // media oracles: DuckDB substr() slices CHARACTERS while the Spark
+    // side slices the UTF-8 payload BYTES — equivalent only on the
+    // (deliberately ASCII) documents corpus; a multibyte corpus needs a
+    // BLOB-slicing oracle
     "media_chunks" ->
       ("WITH m AS (SELECT doc_id AS media_id, text, CAST(strlen(text) AS BIGINT) AS n_bytes, " +
         "CAST(ceil(strlen(text) / 256.0) AS BIGINT) AS n_chunks FROM documents) " +

@@ -26,6 +26,13 @@ object Tables {
     * (legacy conf) and truncate to a microsecond TimestampType with
     * integral division — ns epoch values exceed 2^53, so a double-typed
     * `/` would corrupt the low bits.
+    *
+    * The legacy conf is SESSION-GLOBAL and stays set after the first
+    * events read (deliberate: unsetting mid-session would make reads
+    * order-dependent the other way, since the scan captures the conf at
+    * planning). Any new nanos-typed table must therefore go through
+    * this normalization path too, or its ts column arrives as a raw
+    * Long.
     */
   private def normalizeEventTs(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

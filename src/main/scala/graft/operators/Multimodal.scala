@@ -40,6 +40,10 @@ object Multimodal {
     media
       .withColumn("n_chunks",
         ceil(col("n_bytes").cast("double") / chunkBytes).cast("long"))
+      // zero-byte payloads produce NO chunks — without the guard,
+      // sequence(0, -1) silently yields [0, -1] (descending default
+      // step) and two garbage chunks
+      .filter(col("n_chunks") > 0)
       .select(col("media_id"), col("payload"), col("n_bytes"), col("n_chunks"),
         posexplode(sequence(lit(0L), col("n_chunks") - 1)))
       .withColumnRenamed("pos", "chunk_idx")
