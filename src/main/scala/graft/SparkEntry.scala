@@ -595,6 +595,19 @@ object SparkEntry {
     }.mkString(" UNION ALL ")
   }
 
+  /** SRP bucket as SQL: the ±1 plane signs come from the same public
+    * md5 derivation Similarity.positiveCoeff uses, embedded as literal
+    * sign patterns; the per-plane sum is the same left-to-right double
+    * accumulation graft_dot performs, so bucket ids match bit-for-bit. */
+  private def srpBucketSql(vec: String, dims: Int, planes: Int): String =
+    (0 until planes).map { p =>
+      val terms = (0 until dims).map { d =>
+        val sign = if (Similarity.positiveCoeff(p, d)) "+" else "-"
+        s"$sign CAST($vec[${d + 1}] AS DOUBLE)"
+      }.mkString(" ")
+      s"(CASE WHEN ($terms) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+
   /** DuckDB cosine with the same float math as VectorFns.cosine:
     * element-order double accumulation. */
   private def cosSql(a: String, b: String): String =
@@ -895,6 +908,12 @@ object SparkEntry {
         "b AS (SELECT label, vec_id AS b_id, embedding AS b_vec FROM embeddings), " +
         s"scored AS (SELECT a_id, b_id, ${cosSql("a_vec", "b_vec")} AS sim FROM a JOIN b USING (label) WHERE a_id < b_id) " +
         "SELECT a_id, b_id, round(sim, 4) AS cosine_sim FROM scored WHERE sim >= 0.3"),
+    "sim_ann_lsh" ->
+      (s"WITH c AS (SELECT vec_id AS n_id, embedding AS n_vec, ${srpBucketSql("embedding", 64, 4)} AS bucket FROM embeddings), " +
+        s"q AS (SELECT vec_id AS q_id, embedding AS q_vec, ${srpBucketSql("embedding", 64, 4)} AS bucket FROM embeddings WHERE vec_id < 10), " +
+        s"scored AS (SELECT q_id, n_id, ${cosSql("q_vec", "n_vec")} AS sim FROM q JOIN c USING (bucket) WHERE n_id <> q_id), " +
+        "ranked AS (SELECT q_id, n_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS \"rank\" FROM scored) " +
+        "SELECT q_id, \"rank\", n_id, round(sim, 4) AS cosine_sim FROM ranked WHERE \"rank\" <= 5"),
     "sim_centroids" ->
       ("SELECT label, CAST(t.i AS BIGINT) AS dim, " +
         "list_aggregate(list_transform(list_sort(list({'k': vec_id, 'v': CAST(t.x AS DOUBLE)})), r -> r.v), 'sum') / count(*) AS centroid_val, " +
@@ -937,8 +956,9 @@ object SparkEntry {
         "FROM m, LATERAL (SELECT unnest(range(0, m.n_chunks)) AS i) t WHERE t.i % 4 = 0")
     // rows-only (no SQL-expressible oracle): rel_approx_distinct +
     // rel_hll_distinct (sketch estimates are engine-specific),
-    // dedup_simhash (xxhash64 is Spark-native), sim_ann_lsh / sim_ann_ivf
-    // (approximate recall by design; IVF additionally depends on
+    // dedup_simhash (xxhash64 is Spark-native), sim_ann_ivf (depends on
     // quantizer initialization), media_features (stubbed decoder).
+    // sim_ann_lsh IS oracle-checked: its approximation (SRP buckets) is
+    // deterministic md5-derived math both engines reproduce exactly.
   )
 }
