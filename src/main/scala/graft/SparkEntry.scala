@@ -492,7 +492,10 @@ object SparkEntry {
       Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", 0.0)
         .orderBy(col("jaccard").desc, col("a_id"), col("b_id")).limit(20)),
     "dedup_simhash" -> ((s, d) =>
-      Dedup.simhash(t(s, d, "documents"), "doc_id", "text")),
+      // the PORTABLE (md5-hash) flavor so the signature is
+      // oracle-checkable bit-for-bit; Dedup.simhash (xxhash64) is the
+      // single-engine throughput flavor, spec-tested
+      Dedup.simhashPortable(t(s, d, "documents"), "doc_id", "text")),
     "dedup_embedding_cos" -> ((s, d) =>
       Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), "vec_id",
         "embedding", "label", 0.3)),
@@ -617,6 +620,21 @@ object SparkEntry {
 
   private val normSql =
     "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+  /** Mirrors Dedup.simhashPortable: 60-bit md5 token hashes, majority
+    * vote per bit position, bits recombined as exact powers of two. */
+  private val simhashSql: String = {
+    val bits = 60
+    val votes = (0 until bits).map(i => s"sum((h >> $i) & 1) AS v$i")
+      .mkString(", ")
+    val recombine = (0 until bits).map(i =>
+      s"(CASE WHEN 2 * v$i > n THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"WITH tok AS (SELECT doc_id, unnest(regexp_extract_all($normSql, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS tok FROM documents), " +
+      "h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tok), " +
+      s"v AS (SELECT doc_id, count(*) AS n, $votes FROM h GROUP BY doc_id) " +
+      s"SELECT doc_id, CAST($recombine AS BIGINT) AS simhash FROM v"
+  }
 
   private val wordsSql =
     "string_split_regex(trim(lower(text)), '\\s+')"
@@ -887,6 +905,7 @@ object SparkEntry {
         "SELECT a_id, b_id, round(i / (sa.n + sb.n - i), 4) AS jaccard FROM inter " +
         "JOIN sizes sa ON inter.a_id = sa.doc_id JOIN sizes sb ON inter.b_id = sb.doc_id " +
         "ORDER BY jaccard DESC, a_id, b_id LIMIT 20"),
+    "dedup_simhash" -> simhashSql,
     "dedup_keep_best" ->
       (s"WITH q AS (SELECT doc_id, 0.4 * least(nw / 200.0, 1.0) + 0.3 * least(stop / nw * 4.0, 1.0) + 0.3 * (nd / nw) AS quality FROM " +
         s"(SELECT doc_id, CAST(len(list_filter($wordsSql, x -> x IN $stopListSql)) AS DOUBLE) AS stop, " +
@@ -956,9 +975,9 @@ object SparkEntry {
         "FROM m, LATERAL (SELECT unnest(range(0, m.n_chunks)) AS i) t WHERE t.i % 4 = 0")
     // rows-only (no SQL-expressible oracle): rel_approx_distinct +
     // rel_hll_distinct (sketch estimates are engine-specific),
-    // dedup_simhash (xxhash64 is Spark-native), sim_ann_ivf (depends on
-    // quantizer initialization), media_features (stubbed decoder).
-    // sim_ann_lsh IS oracle-checked: its approximation (SRP buckets) is
-    // deterministic md5-derived math both engines reproduce exactly.
+    // sim_ann_ivf (depends on quantizer initialization), media_features
+    // (stubbed decoder). sim_ann_lsh and dedup_simhash ARE
+    // oracle-checked: their math is md5-derived and deterministic, so
+    // both engines reproduce it exactly.
   )
 }

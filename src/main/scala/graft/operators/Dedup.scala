@@ -209,6 +209,32 @@ object Dedup {
     * on the signature table). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Cross-engine-reproducible simhash: 60-bit token hashes from md5
+    * (first 15 hex chars — exact in any BIGINT SQL engine) instead of
+    * Spark-native xxhash64; same vote math over 60 bit positions.
+    * Slightly slower than `simhash` (md5 per token vs xxhash64) — use
+    * THIS flavor when signatures must match an external system or an
+    * oracle, `simhash` for throughput inside one engine. */
+  def simhashPortable(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val bits = 60
+    val tok = df.select(col(idCol),
+        explode(TextFns.bpeishTokens(col(textCol))).as("tok"))
+      .select(col(idCol),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("__h"))
+    val h = col("__h")
+    val ones = (0 until bits).map { i =>
+      sum(shiftright(h, i).bitwiseAND(1)).as(s"v$i")
+    }
+    val voted = tok.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n"), ones: _*)
+    val bitCols = (0 until bits).map(i =>
+      when(col(s"v$i") * 2 > col("__n"), shiftleft(lit(1L), i))
+        .otherwise(lit(0L)))
+    voted.select(col(idCol),
+      bitCols.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+
   /** Canonical-document selection: one surviving row per exact-content
     * group, chosen by (score, id) argmax — the curation step after
     * dedup ("of these copies, keep the best one"). `scores` is any

@@ -82,6 +82,14 @@ class DedupSpec extends SparkSpec {
     assert(ham(s(1L), s(3L)) < ham(s(1L), s(4L)))
   }
 
+  test("simhashPortable: equal docs equal, hamming monotone (like simhash)") {
+    val s = Dedup.simhashPortable(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(s(1L) === s(2L))
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(s(1L), s(3L)) < ham(s(1L), s(4L)))
+  }
+
   test("keepBest keeps one row per content group, max quality then max id") {
     import graft.operators.TextAnalysis
     val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
