@@ -499,6 +499,11 @@ object SparkEntry {
     "dedup_embedding_cos" -> ((s, d) =>
       Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), "vec_id",
         "embedding", "label", 0.3)),
+    "dedup_clusters" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.duplicateClusters(
+        Dedup.lshCandidatePairs(docs, "doc_id", "text", MinhashK, LshBands))
+    }),
     "dedup_contamination" -> ((s, d) => {
       val docs = t(s, d, "documents")
       Dedup.contamination(docs.filter(col("doc_id") >= 25),
@@ -881,6 +886,18 @@ object SparkEntry {
         "SELECT ngram, count(*) AS n FROM bg GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20"),
     "dedup_exact_groups" ->
       (s"SELECT md5($normSql) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1"),
+    "dedup_clusters" ->
+      // the whole WITH chain must be RECURSIVE for the final member r
+      (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") + sigCte +
+        s", bands AS ($bandSelects), " +
+        "edges AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a " +
+        "JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id), " +
+        "edges2 AS (SELECT a_id AS src, b_id AS dst FROM edges UNION ALL SELECT b_id, a_id FROM edges), " +
+        "nodes AS (SELECT a_id AS id FROM edges UNION SELECT b_id FROM edges), " +
+        "r(id, label) AS (" +
+        "SELECT id, id FROM nodes " +
+        "UNION SELECT e.dst, r.label FROM r JOIN edges2 e ON e.src = r.id) " +
+        "SELECT id, min(label) AS cluster_id FROM r GROUP BY id"),
     "dedup_contamination" ->
       (shingleCte + " SELECT a.doc_id, count(*) AS n_shared_shingles FROM sh a " +
         "JOIN (SELECT DISTINCT sh FROM sh WHERE doc_id < 25) e ON a.sh = e.sh " +

@@ -258,6 +258,51 @@ object Dedup {
         col("quality").as("best_quality"), col("n_copies"))
   }
 
+  /** Duplicate CLUSTERS from candidate pairs — connected components by
+    * iterative min-label propagation: every node starts as its own
+    * cluster id; each round, a node adopts the minimum id among itself
+    * and its neighbors; fixpoint = components labeled by their minimum
+    * member. The step between pair generation (LSH/jaccard) and
+    * canonical selection: transitivity means A~B and B~C must
+    * deduplicate {A,B,C} together even though (A,C) was never a
+    * candidate pair.
+    *
+    * Scale: each round is one join + one min-aggregate over the edge
+    * list — rounds needed = component diameter, and duplicate clusters
+    * are shallow (near-cliques), so a handful of rounds converges;
+    * `maxIters` caps pathological chains. The driver sees only the
+    * per-round change COUNT. Output: (id, cluster_id).
+    */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id"), col("b_id")).persist()
+    try {
+      var labels = edges.select(col("a_id").as("id"))
+        .unionByName(edges.select(col("b_id").as("id")))
+        .distinct()
+        .withColumn("cluster_id", col("id"))
+        .persist()
+      var iters = 0
+      var changed = 1L
+      while (changed > 0 && iters < maxIters) {
+        val nbr = edges.join(labels, edges("b_id") === labels("id"))
+          .select(edges("a_id").as("id"), col("cluster_id"))
+          .unionByName(edges.join(labels, edges("a_id") === labels("id"))
+            .select(edges("b_id").as("id"), col("cluster_id")))
+          .unionByName(labels)
+        val next = nbr.groupBy(col("id"))
+          .agg(min(col("cluster_id")).as("cluster_id"))
+          .persist()
+        changed = next
+          .join(labels.withColumnRenamed("cluster_id", "__old"), "id")
+          .filter(col("cluster_id") =!= col("__old")).count()
+        labels.unpersist()
+        labels = next
+        iters += 1
+      }
+      labels
+    } finally { edges.unpersist(); () }
+  }
+
   /** Train/eval decontamination: training docs sharing at least
     * `minShared` word-shingles with ANY eval document. The eval side
     * collapses to a DISTINCT shingle-hash set (benchmarks are small —

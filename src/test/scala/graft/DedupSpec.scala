@@ -99,6 +99,15 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set((2L, 2L), (3L, 1L), (4L, 1L)))
   }
 
+  test("duplicateClusters: transitivity groups chains, singletons apart") {
+    // A-B, B-C chain plus an unrelated D-E pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val out = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) === 1L && out(2L) === 1L && out(3L) === 1L)
+    assert(out(10L) === 10L && out(11L) === 10L)
+  }
+
   test("contamination flags train docs sharing shingles with eval docs") {
     val train = Seq(
       (10L, "the quick brown fox jumps today"),  // shares shingles with eval 1
