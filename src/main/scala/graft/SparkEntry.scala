@@ -489,7 +489,12 @@ object SparkEntry {
       Dedup.lshCandidatePairs(t(s, d, "documents"), "doc_id", "text",
         MinhashK, LshBands)),
     "dedup_jaccard_top" -> ((s, d) =>
-      Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", 0.0)
+      // df-cap ON: the scale-safe configuration is the exercised one.
+      // 1000 is far above this corpus's max shingle df (25 at sf0.1), so
+      // results are identical to cap-off — at corpus scale the cap drops
+      // ultra-common shingles whose posting lists expand quadratically
+      Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", 0.0,
+          maxDocFreq = 1000L)
         .orderBy(col("jaccard").desc, col("a_id"), col("b_id")).limit(20)),
     "dedup_simhash" -> ((s, d) =>
       // the PORTABLE (md5-hash) flavor so the signature is
@@ -534,7 +539,11 @@ object SparkEntry {
       Similarity.annTopK(emb, emb.filter(col("vec_id") < 10), 5, 64, 4)
     }),
     "sim_centroids" -> ((s, d) =>
-      Similarity.labelCentroids(t(s, d, "embeddings"), "label", "embedding")),
+      // the PORTABLE (ordered-fold) flavor so the oracle hash-matches
+      // bit-for-bit; Similarity.labelCentroids (algebraic avg) is the
+      // bounded-state scale default, spec-proved to agree within 1e-9
+      Similarity.labelCentroidsPortable(t(s, d, "embeddings"), "label",
+        "embedding")),
     "sim_ann_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5,
@@ -564,10 +573,12 @@ object SparkEntry {
           col("window_offset").cast("long").as("window_offset"),
           col("window_sig"))),
     "media_features" -> ((s, d) =>
+      // RAW mean_byte: the per-row integer-sum / count division is
+      // IEEE-exact in both engines, while round(·, 4) diverges on
+      // 4th-decimal ties (sum/n lands on them whenever n | 2·10^4·sum)
       Multimodal.decodeFeaturesStub(s,
           Multimodal.asMediaTable(t(s, d, "documents"), "doc_id", "text"))
-        .toDF.select(col("media_id"), col("n_bytes"),
-          round(col("mean_byte"), 4).as("mean_byte"),
+        .toDF.select(col("media_id"), col("n_bytes"), col("mean_byte"),
           col("byte_entropy_bucket").cast("long").as("byte_entropy_bucket")))
   )
 
@@ -615,6 +626,45 @@ object SparkEntry {
       }.mkString(" ")
       s"(CASE WHEN ($terms) >= 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
+
+  /** The sim_ann_ivf oracle: replays Similarity.fitCentroids +
+    * ivfTopK end-to-end in SQL. Possible because the fit is
+    * deterministic AND portable — md5-derived sample/init ordering,
+    * ordered-fold centroid means with the same float truncation
+    * (CAST AS REAL = Double.toFloat), left-to-right double dot
+    * products — so each unrolled Lloyd iteration reproduces the
+    * broadcast centroids bit-for-bit. Tie conventions mirrored per
+    * stage: fit assignment breaks equal sims to the HIGHEST cell
+    * (Spark max(struct)), probe assignment to the LOWEST (row_number
+    * ASC), final ranking by ascending neighbor id. Assumes the corpus
+    * fits fitCentroids' sample cap (true at every test SF).
+    */
+  private def ivfSql(nlist: Int, nprobe: Int, k: Int, iters: Int,
+      seed: Long): String = {
+    def dot(a: String, b: String) =
+      s"(SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest($a) AS x, unnest($b) AS y) zz)"
+    def nrm(a: String) =
+      s"sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest($a) AS x) zn))"
+    val iterCtes = (1 to iters).map { i =>
+      val prev = s"c${i - 1}"
+      s"s$i AS (SELECT e.vec_id, c.cell, ${dot("e.embedding", "c.cvec")} / c.cnorm AS sim FROM emb e CROSS JOIN $prev c), " +
+        s"a$i AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn FROM s$i) t WHERE rn = 1), " +
+        s"u$i AS (SELECT a.cell, t.dim, CAST(list_aggregate(list_transform(list_sort(list({'k': a.vec_id, 'v': CAST(t.x AS DOUBLE)})), r -> r.v), 'sum') / count(*) AS REAL) AS m " +
+        s"FROM a$i a JOIN emb e USING (vec_id), LATERAL (SELECT unnest(e.embedding) AS x, unnest(range(0, len(e.embedding))) AS dim) t GROUP BY a.cell, t.dim), " +
+        s"n$i AS (SELECT cell, list(m ORDER BY dim) AS cvec FROM u$i GROUP BY cell), " +
+        s"c$i AS (SELECT p.cell, COALESCE(n$i.cvec, p.cvec) AS cvec, ${nrm(s"COALESCE(n$i.cvec, p.cvec)")} AS cnorm FROM $prev p LEFT JOIN n$i USING (cell))"
+    }.mkString(", ")
+    "WITH emb AS (SELECT vec_id, embedding FROM embeddings), " +
+      s"init AS (SELECT cell, cvec FROM (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '|$seed')) AS INT) - 1 AS cell, embedding AS cvec FROM emb) t WHERE cell < $nlist), " +
+      s"c0 AS (SELECT cell, cvec, ${nrm("cvec")} AS cnorm FROM init), " +
+      iterCtes + ", " +
+      s"pc AS (SELECT e.vec_id, e.embedding, ${nrm("e.embedding")} AS vnorm, c.cell, ${dot("e.embedding", "c.cvec")} / (${nrm("e.embedding")} * c.cnorm) AS csim FROM emb e CROSS JOIN c$iters c), " +
+      "cb AS (SELECT vec_id AS n_id, embedding AS n_vec, vnorm AS n_norm, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn FROM pc) t WHERE rn = 1), " +
+      s"qb AS (SELECT vec_id AS q_id, embedding AS q_vec, vnorm AS q_norm, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn FROM pc WHERE vec_id < 10) t WHERE rn <= $nprobe), " +
+      s"scored AS (SELECT q_id, n_id, ${dot("q_vec", "n_vec")} / (q_norm * n_norm) AS sim FROM cb JOIN qb USING (cell) WHERE n_id <> q_id), " +
+      "ranked AS (SELECT q_id, n_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS \"rank\" FROM scored) " +
+      s"SELECT q_id, \"rank\", n_id, round(sim, 4) AS cosine_sim FROM ranked WHERE \"rank\" <= $k"
+  }
 
   /** DuckDB cosine with the same float math as VectorFns.cosine:
     * element-order double accumulation. */
@@ -929,7 +979,7 @@ object SparkEntry {
         s"CAST(len($wordsSql) AS DOUBLE) AS nw, CAST(len(list_distinct($wordsSql)) AS DOUBLE) AS nd FROM documents) t), " +
         s"h AS (SELECT doc_id, md5($normSql) AS content_hash FROM documents), " +
         "j AS (SELECT h.content_hash, q.doc_id, q.quality, count(*) OVER (PARTITION BY h.content_hash) AS n_copies, " +
-        "row_number() OVER (PARTITION BY h.content_hash ORDER BY q.quality DESC, q.doc_id DESC) AS rn " +
+        "row_number() OVER (PARTITION BY h.content_hash ORDER BY q.quality DESC, q.doc_id) AS rn " +
         "FROM h JOIN q USING (doc_id)) " +
         "SELECT content_hash, doc_id AS keep_id, quality AS best_quality, n_copies FROM j WHERE rn = 1"),
     "dedup_edit_distance" ->
@@ -989,12 +1039,22 @@ object SparkEntry {
       ("WITH m AS (SELECT doc_id AS media_id, text, CAST(ceil(strlen(text) / 256.0) AS BIGINT) AS n_chunks FROM documents) " +
         "SELECT media_id, CAST(t.i AS BIGINT) AS chunk_idx, " +
         "md5(substr(text, CAST(t.i * 256 + 1 AS INT), 256)) AS chunk_sig " +
-        "FROM m, LATERAL (SELECT unnest(range(0, m.n_chunks)) AS i) t WHERE t.i % 4 = 0")
+        "FROM m, LATERAL (SELECT unnest(range(0, m.n_chunks)) AS i) t WHERE t.i % 4 = 0"),
+    // the stub decoder's math (mean byte over the UTF-8 payload) is
+    // deterministic and SQL-expressible: per-char ord() summed in
+    // payload order — an exact integer in doubles, so the raw division
+    // is bit-identical to the Spark mapPartitions kernel
+    "media_features" ->
+      ("WITH m AS (SELECT doc_id AS media_id, text, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents), " +
+        "s AS (SELECT media_id, n_bytes, " +
+        "(SELECT sum(CAST(ord(substr(m.text, CAST(t.i AS INT), 1)) AS DOUBLE)) " +
+        "FROM (SELECT unnest(range(1, m.n_bytes + 1)) AS i) t) / m.n_bytes AS mean FROM m) " +
+        "SELECT media_id, n_bytes, mean AS mean_byte, " +
+        "CAST(floor(mean / 32) AS BIGINT) AS byte_entropy_bucket FROM s")
     // rows-only (no SQL-expressible oracle): rel_approx_distinct +
-    // rel_hll_distinct (sketch estimates are engine-specific),
-    // sim_ann_ivf (depends on quantizer initialization), media_features
-    // (stubbed decoder). sim_ann_lsh and dedup_simhash ARE
-    // oracle-checked: their math is md5-derived and deterministic, so
-    // both engines reproduce it exactly.
+    // rel_hll_distinct (sketch estimates are engine-specific).
+    // sim_ann_lsh, sim_ann_ivf, dedup_simhash, and media_features ARE
+    // oracle-checked: their math is md5-derived / integer-exact and
+    // deterministic, so both engines reproduce it exactly.
   )
 }

@@ -241,7 +241,9 @@ object Dedup {
     * (id, quality) frame (e.g. TextAnalysis.qualityScore output). The
     * window is partitioned by the content hash, so state per task is
     * one duplicate group; ties on quality (guaranteed for exact dups —
-    * same content ⇒ same score) break deterministically on the id.
+    * same content ⇒ same score) break to the MINIMUM id — the same
+    * canonical-survivor convention as exactDupGroups, so pipelines
+    * mixing the two operators select the same representative.
     */
   def keepBest(df: DataFrame, scores: DataFrame, idCol: String,
       textCol: String): DataFrame = {
@@ -249,7 +251,7 @@ object Dedup {
     val hashed = df.select(col(idCol),
       TextFns.fingerprint(col(textCol)).as("content_hash"))
     val grp = Window.partitionBy(col("content_hash"))
-    val best = grp.orderBy(col("quality").desc, col(idCol).desc)
+    val best = grp.orderBy(col("quality").desc, col(idCol))
     hashed.join(scores.select(col(idCol), col("quality")), idCol)
       .withColumn("n_copies", count(lit(1)).over(grp))
       .withColumn("__rn", row_number().over(best))
@@ -270,10 +272,16 @@ object Dedup {
     * Scale: each round is one join + one min-aggregate over the edge
     * list — rounds needed = component diameter, and duplicate clusters
     * are shallow (near-cliques), so a handful of rounds converges;
-    * `maxIters` caps pathological chains. The driver sees only the
-    * per-round change COUNT. Output: (id, cluster_id).
+    * `maxIters` caps pathological chains (a WARN is logged and, with
+    * `requireConvergence`, an exception thrown if the cap is hit with
+    * labels still moving — a truncated chain must not masquerade as a
+    * clean clustering). The driver sees only the per-round change COUNT.
+    * Output: (id, cluster_id), returned as an eager local checkpoint —
+    * every iteration cache is released before returning, and the
+    * result's blocks are freed when the caller drops the frame.
     */
-  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20,
+      requireConvergence: Boolean = false): DataFrame = {
     val edges = pairs.select(col("a_id"), col("b_id")).persist()
     try {
       var labels = edges.select(col("a_id").as("id"))
@@ -299,7 +307,18 @@ object Dedup {
         labels = next
         iters += 1
       }
-      labels
+      if (changed > 0) {
+        val msg = s"duplicateClusters stopped at maxIters=$maxIters with " +
+          s"$changed labels still changing — clusters are PARTIALLY merged " +
+          "(component diameter exceeds the iteration cap)"
+        if (requireConvergence) { labels.unpersist(); sys.error(msg) }
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+      }
+      // materialize + truncate lineage, then release the iteration cache
+      // (returning the persisted frame directly leaked one cache per call)
+      val out = labels.localCheckpoint(true)
+      labels.unpersist()
+      out
     } finally { edges.unpersist(); () }
   }
 

@@ -77,26 +77,44 @@ object Relational {
     * orderBy = range-partitioned sort, parallel), then add per-partition
     * offsets computed from partition sizes — no single-partition window.
     * Ordinals are 1-based and identical to `ordinalSlice`'s.
+    *
+    * Single-pass: the sorted data is materialized ONCE as an eager local
+    * checkpoint; the partition-size pass and the final rows both read
+    * the checkpoint blocks instead of re-executing the range sort (the
+    * previous `.rdd` formulation ran the sort twice and dropped
+    * WholeStageCodegen for downstream — see RelationalSpec's scan-count
+    * proof). monotonically_increasing_id encodes (partition, local row
+    * number) post-sort, and range partitioning makes partition ids
+    * globally sort-ordered, so checkpoint-partition offsets + local ids
+    * reconstruct the exact global ordinal. Driver state: one long per
+    * partition (the same bounded array the old sizes pass collected).
+    * EAGER — composing this runs the sort job; blocks are freed when
+    * the returned frame is dropped.
     */
   def withScalableOrdinal(df: DataFrame, orderCols: Seq[Column],
       ordinalName: String = "row_num"): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.LongType
+    // the nondeterministic id pins the projection ABOVE the sort
+    // (Catalyst cannot reorder it below), so ids are assigned in sorted
+    // order within each range partition: pid = upper 31 bits, local row
+    // number = lower 33
     val sorted = df.orderBy(orderCols: _*)
-    val schema = sorted.schema.add(ordinalName, LongType, nullable = false)
-    val withId = sorted.rdd
-      .mapPartitionsWithIndex { case (pid, it) =>
-        it.zipWithIndex.map { case (r, i) => (pid, r, i.toLong) }
-      }
-    // partition sizes -> cumulative offsets (tiny driver-side array)
-    val sizes = withId.mapPartitions(it => Iterator(it.size), preservesPartitioning = true)
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    val pid = shiftrightunsigned(col("__mid"), 33).cast("int")
+    val localIdx = col("__mid").bitwiseAND(lit((1L << 33) - 1))
+    // partition sizes -> cumulative offsets (tiny driver-side array);
+    // reading only __mid from the checkpoint, no re-sort
+    val sizeRows = sorted.groupBy(pid.as("__pid"))
+      .agg(count(lit(1)).as("__n"))
       .collect()
-    val offsets = sizes.scanLeft(0L)(_ + _)
-    val bc = df.sparkSession.sparkContext.broadcast(offsets)
-    val rows = withId.map { case (pid, r, i) =>
-      Row.fromSeq(r.toSeq :+ (bc.value(pid) + i + 1))
-    }
-    df.sparkSession.createDataFrame(rows, schema)
+    val nParts = sizeRows.map(_.getInt(0)).foldLeft(-1)(math.max) + 1
+    val sizes = Array.fill(nParts)(0L)
+    sizeRows.foreach(r => sizes(r.getInt(0)) = r.getLong(1))
+    val offsets = sizes.scanLeft(0L)(_ + _).dropRight(1)
+    sorted
+      .withColumn(ordinalName,
+        element_at(typedLit(offsets), pid + 1) + localIdx + 1)
+      .drop("__mid")
   }
 
   /** Top-k keys by row count with a deterministic tie-break on the key.

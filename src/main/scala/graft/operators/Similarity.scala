@@ -157,17 +157,32 @@ object Similarity {
     * prototypes). posexplode + hash aggregate on (label, dim): one
     * shuffle whose width is labels·dims rows regardless of corpus size.
     *
-    * The mean is computed as an ORDERED fold over (id, value) pairs
-    * sorted per group, not avg(): parallel avg's summation order is
-    * nondeterministic across engines/partitionings, and rounding the
-    * ±ulp noise flips values that land on rounding boundaries (grid-
-    * valued embeddings put many there — found by the sf0.001 sweep).
-    * The ordered fold is bit-identical everywhere, so the raw double
-    * needs no rounding. State per group is the value list (bounded by
-    * rows-per-label; for unbounded labels switch to avg and DO NOT
-    * round the output).
+    * This is the SCALE default: avg() is algebraic — map-side partial
+    * aggregation keeps per-group state at one (sum, count) pair, so a
+    * hot label at 100 TB costs nothing extra. The trade: parallel avg's
+    * summation order is nondeterministic across engines/partitionings,
+    * so the raw double carries ±ulp noise — do NOT round the output and
+    * do NOT hash-compare it across engines; for bit-exact cross-engine
+    * signatures use `labelCentroidsPortable` (the simhash/
+    * simhashPortable split).
     */
-  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String,
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol), posexplode(col(vecCol)))
+      .groupBy(col(labelCol), col("pos").cast("long").as("dim"))
+      .agg(avg(col("col").cast("double")).as("centroid_val"),
+        count(lit(1)).as("n_vectors"))
+
+  /** Cross-engine-reproducible centroids: the mean is an ORDERED fold
+    * over (id, value) pairs sorted per group, not avg() — parallel
+    * avg's ±ulp summation noise flips values that land on rounding
+    * boundaries (grid-valued embeddings put many there — found by the
+    * sf0.001 sweep), while the ordered fold is bit-identical everywhere
+    * (DuckDB mirror: list_sort + list_aggregate). State per group is
+    * the value list — bounded by rows-per-label, so use THIS flavor for
+    * oracle/external-system parity on bounded label groups and
+    * `labelCentroids` (bounded state at any scale) everywhere else.
+    */
+  def labelCentroidsPortable(df: DataFrame, labelCol: String, vecCol: String,
       idCol: String = "vec_id"): DataFrame =
     df.select(col(labelCol), col(idCol), posexplode(col(vecCol)))
       .groupBy(col(labelCol), col("pos").cast("long").as("dim"))
@@ -195,6 +210,15 @@ object Similarity {
     * aggregates over a BOUNDED set regardless of corpus size; driver
     * state is nlist·dims floats. Empty cells keep their previous
     * centroid.
+    *
+    * CROSS-ENGINE REPRODUCIBLE: sample + init orderings are md5-derived
+    * (not Spark-native xxhash64) and the centroid update is an ORDERED
+    * fold over (id, value) pairs, so a SQL engine replays the exact fit
+    * — the sim_ann_ivf DuckDB oracle unrolls these Lloyd iterations and
+    * hash-matches bit-for-bit (portable whenever the corpus fits the
+    * sample cap; above it the sample selection would also need
+    * replaying). The fold's per-(cell,dim) state is bounded by the
+    * sample cap, not the corpus.
     */
   def fitCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int, seed: Long,
@@ -207,17 +231,19 @@ object Similarity {
     // into ONE partition — without the spread every Lloyd iteration
     // would run single-threaded
     val train = corpus.select(col(idCol), col(vecCol))
-      .orderBy(xxhash64(col(idCol), lit(seed ^ 0x5ca1e)))
+      .orderBy(md5(concat_ws("|", col(idCol).cast("string"),
+        lit("sample"), lit(seed.toString))))
       .limit(fitSampleCap)
       .repartition(col(idCol))
       .persist()
     try {
       val spark = corpus.sparkSession
       var cents: Array[Array[Float]] = train
-        .select(col(vecCol))
-        .orderBy(xxhash64(col(idCol), lit(seed)))
+        .select(col(idCol), col(vecCol))
+        .orderBy(md5(concat_ws("|", col(idCol).cast("string"),
+          lit(seed.toString))))
         .limit(nlist).collect()
-        .map(_.getSeq[Float](0).toArray)
+        .map(_.getSeq[Float](1).toArray)
       for (_ <- 1 to iters) {
         // centroids enter as broadcast DATA, not literals — the plan
         // (and its generated code) is identical every iteration, so
@@ -233,9 +259,13 @@ object Similarity {
           .groupBy(col(idCol))
           .agg(max(struct(col("__sim"), col("cell"))).as("b"),
             first(col(vecCol)).as("__v"))
-          .select(col("b.cell").as("cell"), posexplode(col("__v")))
+          .select(col("b.cell").as("cell"), col(idCol), posexplode(col("__v")))
           .groupBy(col("cell"), col("pos"))
-          .agg(avg(col("col").cast("double")).as("m"))
+          .agg(sort_array(collect_list(struct(col(idCol).as("k"),
+            col("col").cast("double").as("v")))).as("__ps"))
+          .select(col("cell"), col("pos"),
+            (aggregate(col("__ps"), lit(0.0), (acc, p) => acc + p.getField("v"))
+              / size(col("__ps"))).as("m"))
           .collect()
           .foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat)
         cents = next

@@ -38,6 +38,11 @@ object Dashboard {
   def latestBatches(spark: SparkSession, datasetDir: String,
       n: Int): DataFrame = {
     val nums = latestBatchNumbers(spark, datasetDir, n)
+    // zero-path spark.read.parquet() throws an opaque schema-inference
+    // error — surface "no batches yet" instead (poll loops should gate
+    // on latestBatchNumbers before reading)
+    require(nums.nonEmpty,
+      s"no batch_id=N partitions under $datasetDir — nothing written yet?")
     spark.read.parquet(nums.map(b => s"$datasetDir/batch_id=$b"): _*)
   }
 

@@ -90,13 +90,26 @@ class DedupSpec extends SparkSpec {
     assert(ham(s(1L), s(3L)) < ham(s(1L), s(4L)))
   }
 
-  test("keepBest keeps one row per content group, max quality then max id") {
+  test("keepBest keeps one row per content group, max quality then MIN id") {
     import graft.operators.TextAnalysis
     val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
     val kept = Dedup.keepBest(docs, q, "doc_id", "text")
       .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
-    // docs 1 and 2 normalize identically (same quality) -> id 2 survives
-    assert(kept === Set((2L, 2L), (3L, 1L), (4L, 1L)))
+    // docs 1 and 2 normalize identically (same quality) -> min id 1
+    // survives: the SAME canonical-survivor convention as exactDupGroups
+    assert(kept === Set((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("keepBest and exactDupGroups agree on the surviving id") {
+    import graft.operators.TextAnalysis
+    val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
+    val viaBest = Dedup.keepBest(docs, q, "doc_id", "text")
+      .select("content_hash", "keep_id").as[(String, Long)].collect().toSet
+    val viaExact = Dedup.exactDupGroups(docs, "doc_id", "text")
+      .select("content_hash", "keep_id").as[(String, Long)].collect().toSet
+    // quality is content-determined, so ties happen exactly on dup groups
+    // and both operators must pick the same representative
+    assert(viaBest === viaExact)
   }
 
   test("duplicateClusters: transitivity groups chains, singletons apart") {
@@ -106,6 +119,19 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(out(1L) === 1L && out(2L) === 1L && out(3L) === 1L)
     assert(out(10L) === 10L && out(11L) === 10L)
+  }
+
+  test("duplicateClusters surfaces non-convergence at the iteration cap") {
+    // a 6-node path needs ~5 label-propagation rounds; maxIters=1 cannot
+    // finish — requireConvergence must throw instead of returning the
+    // partially-merged labels as if they were final
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    assertThrows[RuntimeException] {
+      Dedup.duplicateClusters(chain, maxIters = 1, requireConvergence = true)
+    }
+    // the default still returns (with a WARN) and a full run converges
+    val full = Dedup.duplicateClusters(chain).as[(Long, Long)].collect().toMap
+    assert((1L to 6L).forall(full(_) == 1L))
   }
 
   test("contamination flags train docs sharing shingles with eval docs") {

@@ -27,6 +27,30 @@ class RelationalSpec extends SparkSpec {
     a.foreach { case (id, rn) => assert(b(id) === rn.toLong, s"id=$id") }
   }
 
+  test("withScalableOrdinal sorts once: no shuffle lineage, no input re-scans") {
+    // accumulator-instrumented source: every pass over the input adds n.
+    // Construction may read the input at most twice (orderBy's range-
+    // bounds sampling + the one shuffle write) — the old formulation
+    // ADDITIONALLY re-ran the reduce-side sort on every consumption.
+    val acc = spark.sparkContext.longAccumulator("ordinal-input-scans")
+    val base = spark.range(500).map { x => acc.add(1); x }.toDF("v")
+    val out = Relational.withScalableOrdinal(base, Seq(col("v")))
+    val constructionScans = acc.value
+    assert(constructionScans <= 1000L, "construction: sampling + one sort")
+    // checkpoint truncation is the single-sort proof: with no shuffle
+    // dependency anywhere in the result's lineage, NO consumption can
+    // re-execute the exchange or the reduce-side sort
+    def hasShuffle(rdd: org.apache.spark.rdd.RDD[_]): Boolean =
+      rdd.dependencies.exists {
+        case _: org.apache.spark.ShuffleDependency[_, _, _] => true
+        case d => hasShuffle(d.rdd)
+      }
+    assert(!hasShuffle(out.rdd))
+    assert(out.count() === 500L)
+    assert(out.filter(col("row_num") <= 10).count() === 10L)
+    assert(acc.value === constructionScans, "consumptions re-scanned input")
+  }
+
   test("batch slices are disjoint and cover all rows (parameter sweep)") {
     for (n <- Seq(1, 7, 23, 40); size <- Seq(1, 3, 10, 25)) {
       val df = (1 to n).map(i => (i * 13 % 17, i)).toDF("k", "id")

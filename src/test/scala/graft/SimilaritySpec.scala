@@ -99,6 +99,23 @@ class SimilaritySpec extends SparkSpec {
       ("y", 0L, 10.0, 1L), ("y", 1L, 20.0, 1L)))
   }
 
+  test("labelCentroids (avg) agrees with the portable fold within 1e-9 on sf0.1") {
+    // the scale default (algebraic avg, bounded state) and the oracle
+    // flavor (ordered fold, bit-exact) differ only by summation order —
+    // on the real sf0.1 embeddings the means must agree to ±ulp noise
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val a = Similarity.labelCentroids(emb, "label", "embedding")
+      .select("label", "dim", "centroid_val")
+      .as[(String, Long, Double)].collect()
+      .map { case (l, d, v) => (l, d) -> v }.toMap
+    val b = Similarity.labelCentroidsPortable(emb, "label", "embedding")
+      .select("label", "dim", "centroid_val")
+      .as[(String, Long, Double)].collect()
+      .map { case (l, d, v) => (l, d) -> v }.toMap
+    assert(a.keySet === b.keySet && a.nonEmpty)
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-9, s"at $k") }
+  }
+
   test("int8 quantization: bounded error, high cosine, constant-safe") {
     val rnd = new scala.util.Random(9)
     val vecs = (1 to 50).map(i =>
