@@ -1000,6 +1000,8 @@ object SparkEntry {
         s"scored AS (SELECT q_id, n_id, ${cosSql("q_vec", "n_vec")} AS sim FROM q JOIN c USING (bucket) WHERE n_id <> q_id), " +
         "ranked AS (SELECT q_id, n_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS \"rank\" FROM scored) " +
         "SELECT q_id, \"rank\", n_id, round(sim, 4) AS cosine_sim FROM ranked WHERE \"rank\" <= 5"),
+    "sim_ann_ivf" -> ivfSql(nlist = 16, nprobe = 4, k = 5, iters = 2,
+      seed = 42L),
     "sim_centroids" ->
       ("SELECT label, CAST(t.i AS BIGINT) AS dim, " +
         "list_aggregate(list_transform(list_sort(list({'k': vec_id, 'v': CAST(t.x AS DOUBLE)})), r -> r.v), 'sum') / count(*) AS centroid_val, " +
