@@ -195,9 +195,15 @@ object Relational {
     * value→count map per (task, group) buffer, serialized between the
     * partial and final phases — on a high-cardinality value column the
     * buffers approach the data size and dominate the runtime (measured
-    * 4.9 s of a 40 s bench on one query at sf0.1). This formulation is
-    * ONE shuffle on (group, measure), a within-partition sort, and an
-    * exact pick of the two rows bracketing each quantile position.
+    * 4.9 s of a 40 s bench on one query at sf0.1). This formulation
+    * shuffles on (group, measure, value) for a distinct-value count,
+    * then rank-locates the two bracketing source values with a
+    * partitioned running-count window over the ~2·margin·n in-bracket
+    * distinct values. EXECUTOR MEMORY IS BOUNDED AT ANY GROUP SIZE:
+    * aggregation state is algebraic counts, the window is a streaming
+    * disk-spillable sort, and no per-group value array or map buffer
+    * exists anywhere (an earlier formulation collect_list'ed the
+    * in-bracket values — linear in group size, an OOM at 100 TB).
     *
     * Interpolation reproduces Spark's Percentile formula bit-for-bit —
     * `(ceil(pos)-pos)*lo + (pos-floor(pos))*hi`, integral positions
@@ -234,12 +240,6 @@ object Relational {
     // that the "bracket" is the whole group — n < 4/margin rows, a
     // bounded constant, so small groups are exact by construction.
     val smallN = lit(4.0 / margin)
-    // Pass B — one grouped aggregate over the unpivoted measures:
-    // count below the bracket + the in-bracket candidates as a sorted
-    // array (bounded by 2·margin·n values per group — the knob that
-    // keeps per-group state fixed at any scale). The exact quantile's
-    // bracketing rows are picked from the array by global ordinal; no
-    // per-group sort of the full data ever happens.
     val stackExpr = s"stack(${measures.length}, " + measures.map {
       case (c, _, n) => s"'$n', CAST(`$c` AS DOUBLE)"
     }.mkString(", ") + ") AS (__m, __v)"
@@ -251,43 +251,58 @@ object Relational {
       case (acc, (_, p, n)) => when(col("__m") === n, lit(p)).otherwise(acc)
     }
     val v = col("__v")
-    // null-SAFE group join, RIGHT OUTER on the bracket aggregate: a
-    // null group key is a legal group for percentile(), and a group
-    // whose values are ALL null has no stacked rows at all but must
-    // still emit an output row (with null quantiles) — the unmatched
-    // bracket row flows through with null __m/__v and pivots to nulls
+    // null-SAFE group join (a null group key is a legal group for
+    // percentile()); groups whose values are ALL null have no stacked
+    // rows and re-attach in the final left join below
     val br = bracketAgg.withColumnRenamed(grp, "__grp")
-    val picked = df.selectExpr(s"`$grp`", stackExpr)
+    val bounded = df.selectExpr(s"`$grp`", stackExpr)
       .filter(v.isNotNull) // percentile/quantile_cont ignore nulls
-      .join(br, col(s"`$grp`") <=> col("__grp"), "right_outer")
+      .join(br, col(s"`$grp`") <=> col("__grp"), "inner")
       .withColumn("__lob", perMeasure(n =>
         when(col(s"__bn_$n") < smallN, lit(Double.NegativeInfinity))
           .otherwise(element_at(col(s"__br_$n"), 1))))
       .withColumn("__hib", perMeasure(n =>
         when(col(s"__bn_$n") < smallN, lit(Double.PositiveInfinity))
           .otherwise(element_at(col(s"__br_$n"), 2))))
-      .groupBy(col("__grp"), col("__m"))
-      .agg(
-        count(lit(1)).as("__n"),
-        count(when(v < col("__lob"), lit(1))).as("__below"),
-        array_sort(collect_list(
-          when(v >= col("__lob") && v <= col("__hib"), v))).as("__cand"))
+    // Pass B, bounded-MEMORY at any group size (no value array is ever
+    // materialized): collapse to DISTINCT values first (algebraic
+    // count, map-side combined — a trillion copies of one value cost
+    // one buffer slot), derive each group's total/below-bracket counts
+    // algebraically, and locate the two bracketing source values by
+    // RANK RANGE with a running count over a (group, measure)-
+    // partitioned window — a streaming, disk-spillable sort of the
+    // in-bracket distinct values (≈2·margin·n rows; low-cardinality
+    // measures collapse far below that), never an in-memory per-group
+    // buffer like collect_list or percentile()'s value→count map.
+    val dv = bounded.groupBy(col("__grp"), col("__m"), v)
+      .agg(count(lit(1)).as("__cnt"),
+        min(col("__lob")).as("__lob"), min(col("__hib")).as("__hib"))
+    // null-SAFE re-join (a null group key must find its totals)
+    val tot = dv.groupBy(col("__grp").as("__tgrp"), col("__m").as("__tm"))
+      .agg(sum(col("__cnt")).as("__n"),
+        coalesce(sum(when(v < col("__lob"), col("__cnt"))), lit(0L))
+          .as("__below"))
+    val wRank = Window.partitionBy(col("__grp"), col("__m")).orderBy(v)
+    val ranked = dv.filter(v >= col("__lob") && v <= col("__hib"))
+      .withColumn("__cum",
+        sum(col("__cnt")).over(wRank.rowsBetween(Window.unboundedPreceding, 0)))
+      .join(tot, col("__grp") <=> col("__tgrp") && col("__m") === col("__tm"))
       .withColumn("__pos", pByName * (col("__n") - 1).cast("double"))
-      // the isNotNull guard is load-bearing: a phantom (all-null) group
-      // has __pos null and __cand empty, and ANSI element_at rejects
-      // the never-used index before honoring its null flag
-      .withColumn("__lo", when(col("__pos").isNotNull,
-        element_at(col("__cand"),
-          (floor(col("__pos")) - col("__below") + 1).cast("int"))))
-      .withColumn("__hi", when(col("__pos").isNotNull,
-        element_at(col("__cand"),
-          (ceil(col("__pos")) - col("__below") + 1).cast("int"))))
+      // this value covers 0-based global ranks [__r0, __r1]
+      .withColumn("__r0", col("__below") + col("__cum") - col("__cnt"))
+      .withColumn("__r1", col("__below") + col("__cum") - 1)
+    val picked = ranked.groupBy(col("__grp"), col("__m"))
+      .agg(min(col("__pos")).as("__pos"),
+        min(when(floor(col("__pos")).between(col("__r0"), col("__r1")), v))
+          .as("__lo"),
+        min(when(ceil(col("__pos")).between(col("__r0"), col("__r1")), v))
+          .as("__hi"))
       // Spark Percentile's exact interpolation, reproduced bit-for-bit
       .withColumn("__q",
         when(floor(col("__pos")) === ceil(col("__pos")), col("__lo"))
           .otherwise((ceil(col("__pos")) - col("__pos")) * col("__lo") +
             (col("__pos") - floor(col("__pos"))) * col("__hi")))
-    picked.groupBy(col("__grp"))
+    val byGroup = picked.groupBy(col("__grp"))
       .agg(
         measures.map { case (_, _, n) =>
           min(when(col("__m") === n, col("__q"))).as(n)
@@ -295,6 +310,12 @@ object Relational {
         measures.tail.map { case (_, _, n) =>
           min(when(col("__m") === n, col("__q"))).as(n)
         }: _*)
+      .withColumnRenamed("__grp", "__grp2")
+    // LEFT from the bracket aggregate's group list: every group —
+    // including all-null-value groups with no stacked rows — emits an
+    // output row (null quantiles when nothing was computable)
+    br.select(col("__grp"))
+      .join(byGroup, col("__grp") <=> col("__grp2"), "left")
       .select(col("__grp").as(grp) +:
         measures.map { case (_, _, n) => col(n) }: _*)
   }

@@ -55,4 +55,57 @@ object Dashboard {
       .agg(sum(col("trip_count")).as("trip_count"))
       .orderBy(col("trip_count").desc, col("location_id"))
       .limit(k)
+
+  /** The reference dashboard's three panels (taxi_dashboard.py:127-201)
+    * rendered as console text — latest raw rows (tolerant display-column
+    * subset, P7), then pickup/dropoff top-location bar charts — over a
+    * MultiSink output root. Driver-side data is bounded by construction:
+    * the raw preview is `previewRows` rows, each bar panel `topK` rows;
+    * all heavy lifting (pruned latest-batch reads, the count, the
+    * aggregation) stays in Spark jobs. Missing datasets render as the
+    * reference's "no data yet" notice instead of failing.
+    */
+  def renderPanels(spark: SparkSession, processedDir: String,
+      nBatches: Int = 2, topK: Int = 10, previewRows: Int = 10): String = {
+    val sb = new StringBuilder
+    def panel(title: String)(body: => String): Unit =
+      sb.append(s"== $title ==\n").append(body).append('\n')
+
+    val rawDir = s"$processedDir/raw"
+    if (latestBatchNumbers(spark, rawDir, nBatches).isEmpty)
+      panel("latest trips")("no batches yet")
+    else {
+      val raw = latestBatches(spark, rawDir, nBatches)
+      val display = graft.operators.Relational.selectPresent(raw,
+        Seq("batch_id", "event_id", "ts", "user_id", "event_type", "value"))
+      panel(s"latest trips ($nBatches batches, ${raw.count()} rows)")(
+        fmtTable(display, previewRows))
+    }
+    Seq("pickup_agg" -> "top pickup locations",
+        "dropoff_agg" -> "top dropoff locations").foreach { case (d, title) =>
+      val dir = s"$processedDir/$d"
+      if (latestBatchNumbers(spark, dir, nBatches).isEmpty)
+        panel(title)("no batches yet")
+      else panel(title)(fmtBars(topLocations(spark, dir, nBatches, topK)))
+    }
+    sb.result()
+  }
+
+  /** Bounded tab-separated preview (the st.dataframe analog). */
+  private def fmtTable(df: DataFrame, n: Int): String = {
+    val rows = df.limit(n).collect()
+    (df.columns.mkString("\t") +:
+      rows.map(_.toSeq.map(String.valueOf).mkString("\t"))).mkString("\n")
+  }
+
+  /** Console bar chart (the st.bar_chart analog); input is the already-
+    * bounded (location_id, trip_count) top-k frame. */
+  private def fmtBars(df: DataFrame): String = {
+    val rows = df.collect().map(r =>
+      (String.valueOf(r.get(0)), r.getLong(1)))
+    val max = math.max(1L, if (rows.isEmpty) 1L else rows.map(_._2).max)
+    rows.map { case (id, c) =>
+      f"$id%12s $c%6d ${"#" * ((c * 40) / max).toInt}"
+    }.mkString("\n")
+  }
 }

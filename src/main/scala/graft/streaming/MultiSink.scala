@@ -33,6 +33,41 @@ object MultiSink {
       // the checkpoint and exits, no always-on cluster
       drainOnce: Boolean = false)
 
+  object Config {
+    /** Sink side from the config file's `graft.consumer.output` block
+      * (reference: consumer/MainConsumer.scala:18-37 reading
+      * application.conf) — re-pointing dirs/format/trigger needs no
+      * recompile. Key columns/tags stay code-side: they are the data
+      * contract, not deployment knobs.
+      */
+    def fromConf(c: graft.GraftConfig,
+        keyA: String, tagA: String, keyB: String, tagB: String): Config =
+      Config(
+        outDir = c.str("graft.consumer.output.directory",
+          "/tmp/graft_stream_demo/processed"),
+        checkpointDir = c.str("graft.consumer.output.checkpointDir",
+          "/tmp/graft_stream_demo/checkpoint"),
+        keyA = keyA, tagA = tagA, keyB = keyB, tagB = tagB,
+        format = c.str("graft.consumer.output.format", "parquet"),
+        triggerSeconds = c.long("graft.consumer.output.triggerSeconds", 10L),
+        drainOnce = c.bool("graft.consumer.output.drainOnce", false))
+  }
+
+  /** Console sink (SURVEY §2.1 S6) — the reference's debug output
+    * (consumer/StreamProcessor.scala:199-202), wrapped so pipelines can
+    * tee a stream to the terminal with the same trigger cadence as the
+    * real sink. */
+  def console(stream: DataFrame, numRows: Int = 20,
+      truncate: Boolean = false, triggerSeconds: Long = 10L,
+      mode: String = "append"): StreamingQuery =
+    stream.writeStream
+      .outputMode(mode)
+      .format("console")
+      .option("numRows", numRows)
+      .option("truncate", truncate)
+      .trigger(Trigger.ProcessingTime(s"$triggerSeconds seconds"))
+      .start()
+
   def start(stream: DataFrame, cfg: Config): StreamingQuery = {
     def write(df: DataFrame, name: String, batchId: Long): Unit =
       df.write.mode("overwrite").format(cfg.format)

@@ -19,11 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object Replay {
 
-  /** One-time preparation: ordinal-stamped frame, cached. Ordinals are
-    * 1-based, dense, and deterministic given a total order (callers pass
-    * a unique tie-breaker). */
+  /** One-time preparation: ordinal-stamped frame. Ordinals are 1-based,
+    * dense, and deterministic given a total order (callers pass a
+    * unique tie-breaker). withScalableOrdinal already materializes the
+    * sorted data as an eager checkpoint, so every batch() range filter
+    * reads those blocks — no extra persist layer, no re-sort. */
   def prepare(df: DataFrame, orderCols: Seq[Column]): DataFrame =
-    Relational.withScalableOrdinal(df, orderCols).persist()
+    Relational.withScalableOrdinal(df, orderCols)
 
   /** Number of batches for a prepared frame. */
   def batchCount(prepared: DataFrame, batchSize: Long): Long = {

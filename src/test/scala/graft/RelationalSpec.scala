@@ -204,6 +204,25 @@ class RelationalSpec extends SparkSpec {
     assert(ours(None) === Some(6.0) && ours(Some("b")) === None)
   }
 
+  test("groupedQuantiles: massive-duplicate group matches percentile()") {
+    // a hot group whose values are 99% one duplicate — the distinct-
+    // value collapse must keep state tiny AND land the quantile on the
+    // correct side of the duplicate run (rank-range arithmetic over
+    // counted values, not positions in a materialized array)
+    val rows = (1 to 5000).map(i => ("hot", 42.0)) ++
+      (1 to 25).map(i => ("hot", i.toDouble)) ++
+      (1 to 30).map(i => ("cold", i.toDouble))
+    val df = rows.toDF("g", "x")
+    for (p <- Seq(0.004, 0.01, 0.5, 0.95, 0.999)) {
+      val ours = Relational.groupedQuantiles(df, "g", Seq(("x", p, "q")))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val builtin = df.groupBy(col("g"))
+        .agg(expr(s"percentile(x, $p)").as("q"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(ours === builtin, s"p=$p")
+    }
+  }
+
   test("winsorize keeps rows whose group key is null") {
     val df = Seq((Some("a"), 1.0), (Some("a"), 9.0), (None, 5.0), (None, 6.0))
       .toDF("g", "x")

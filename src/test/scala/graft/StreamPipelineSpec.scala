@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{MultiSink, Replay, StreamSources}
+import graft.streaming.{Dashboard, MultiSink, Replay, StreamSources}
 import java.nio.file.Files
 import java.sql.Timestamp
 import org.apache.spark.sql.functions._
@@ -122,13 +122,39 @@ class StreamPipelineSpec extends SparkSpec {
     val prepared = Replay.prepare(events, Seq(col("ts"), col("event_id")))
     Replay.writeBatches(prepared, s"$base/incoming", 10, 3)
     prepared.unpersist()
+    def allCounts(work: String): Map[String, Long] =
+      Seq("raw", "pickup_agg", "dropoff_agg", "combined_agg").map(d =>
+        d -> spark.read.parquet(s"$work/processed/$d/batch_id=*").count())
+        .toMap
     // two fresh consumers over the same drop dir, same output dir:
     // identical batch ids -> per-batch overwrite -> no duplicates
     assert(runPipeline(s"$base/incoming", s"$base/run") === 30L)
+    val first = allCounts(s"$base/run")
     val checkpoint2 = s"$base/run/checkpoint"
     // wipe the checkpoint so the second run re-delivers everything
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(checkpoint2))
     assert(runPipeline(s"$base/incoming", s"$base/run") === 30L)
+    // exactly-once across ALL FOUR datasets, not just raw: every batch
+    // replayed into the same batch_id directory, zero appended dupes
+    val second = allCounts(s"$base/run")
+    assert(second === first)
+    assert(second("combined_agg") ===
+      second("pickup_agg") + second("dropoff_agg"))
+
+    // the console dashboard renders its three panels over this output:
+    // raw preview header + both top-location bar charts with real bars
+    val panels = Dashboard.renderPanels(spark, s"$base/run/processed")
+    assert(panels.contains("latest trips (2 batches, 20 rows)"))
+    assert(panels.contains("top pickup locations"))
+    assert(panels.contains("top dropoff locations"))
+    assert(panels.contains("#"))
+    assert(panels.contains("batch_id\tevent_id"))
+  }
+
+  test("dashboard renders 'no batches yet' on an empty output root") {
+    val empty = Files.createTempDirectory("graft_dash_empty").toString
+    val panels = Dashboard.renderPanels(spark, empty)
+    assert(panels.linesIterator.count(_.contains("no batches yet")) === 3)
   }
 }

@@ -265,6 +265,18 @@ class StreamingSpec extends SparkSpec {
       === ((7L, "click")))
   }
 
+  test("console sink drains a memory stream and terminates cleanly") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[TestEvt]
+    in.addData(TestEvt(1L, ts("2024-01-01 00:00:00"), "click", 1.0),
+      TestEvt(2L, ts("2024-01-01 00:01:00"), "view", 2.0))
+    val q = graft.streaming.MultiSink.console(in.toDF(), numRows = 5,
+      triggerSeconds = 1L)
+    q.processAllAvailable()
+    q.stop()
+    assert(q.recentProgress.map(_.numInputRows).sum === 2L)
+  }
+
   test("stampBatchMeta adds the real batch id") {
     val df = Seq((1L, "x")).toDF("id", "v")
     val stamped = StreamOps.stampBatchMeta(df, 42L)
