@@ -43,6 +43,31 @@ object GraftConfig {
 
   val empty: GraftConfig = GraftConfig(Map.empty)
 
+  /** THE default for every knob — single source of truth. The bundled
+    * `graft.conf` resource documents the same values (a spec asserts
+    * they never drift), and call sites fall back through here so a
+    * missing resource cannot silently change behavior. */
+  val Defaults: Map[String, String] = Map(
+    "graft.producer.data.sourceDir" -> "/root/testdata/sf0.001",
+    "graft.producer.data.table" -> "events",
+    "graft.producer.data.batchSize" -> "0",
+    "graft.producer.data.intervalSeconds" -> "0",
+    "graft.producer.file.outputDir" -> "/tmp/graft_stream_demo/incoming",
+    "graft.producer.file.format" -> "json",
+    "graft.dashboard.ticks" -> "1",
+    "graft.dashboard.refreshSeconds" -> "5",
+    "graft.dashboard.topK" -> "10",
+    "graft.consumer.spark.appName" -> "graft-stream",
+    "graft.consumer.spark.shufflePartitions" -> "8",
+    "graft.consumer.source.directory" -> "/tmp/graft_stream_demo/incoming",
+    "graft.consumer.source.format" -> "json",
+    "graft.consumer.source.maxFilesPerTrigger" -> "2",
+    "graft.consumer.output.directory" -> "/tmp/graft_stream_demo/processed",
+    "graft.consumer.output.format" -> "parquet",
+    "graft.consumer.output.checkpointDir" -> "/tmp/graft_stream_demo/checkpoint",
+    "graft.consumer.output.triggerSeconds" -> "1",
+    "graft.consumer.output.drainOnce" -> "false")
+
   /** Parse HOCON-subset text into dotted-path entries. */
   def parse(text: String): GraftConfig = {
     val path = mutable.ArrayBuffer.empty[String]
@@ -77,16 +102,20 @@ object GraftConfig {
     if (Files.exists(p)) parse(Files.readString(p)) else empty
   }
 
-  /** The bundled `graft.conf` resource defaults, overlaid by an
-    * optional site file — the reference's load-application.conf-
-    * then-override shape. */
+  /** Layered load — code `Defaults`, then the bundled `graft.conf`
+    * resource, then an optional site file — the reference's
+    * load-application.conf-then-override shape. */
   def loadWithDefaults(confFile: Option[String] = None): GraftConfig = {
+    val base = GraftConfig(Defaults).overlay(resourceConf().entries)
+    confFile.fold(base)(f => base.overlay(load(f).entries))
+  }
+
+  /** The bundled resource alone (for the drift-guard spec). */
+  def resourceConf(): GraftConfig = {
     val in = getClass.getResourceAsStream("/graft.conf")
-    val defaults =
-      if (in == null) empty
-      else try parse(new String(in.readAllBytes(), "UTF-8"))
-      finally in.close()
-    confFile.fold(defaults)(f => defaults.overlay(load(f).entries))
+    if (in == null) empty
+    else try parse(new String(in.readAllBytes(), "UTF-8"))
+    finally in.close()
   }
 
   /** Logical-line split: newline after `{`, around `}` (quote-aware). */
@@ -105,7 +134,9 @@ object GraftConfig {
     parts.toSeq
   }
 
-  /** Comment starts at `#` or `//` outside quotes. */
+  /** Comment starts at `#`, or at `//` only at line start / after
+    * whitespace (so bare URI values — hdfs://, s3a:// — survive),
+    * outside quotes. */
   private def stripComment(line: String): String = {
     var inQuote = false
     var i = 0
@@ -113,7 +144,8 @@ object GraftConfig {
       val c = line.charAt(i)
       if (c == '"') inQuote = !inQuote
       else if (!inQuote && (c == '#' ||
-        (c == '/' && i + 1 < line.length && line.charAt(i + 1) == '/')))
+        (c == '/' && i + 1 < line.length && line.charAt(i + 1) == '/' &&
+          (i == 0 || line.charAt(i - 1).isWhitespace))))
         return line.take(i)
       i += 1
     }

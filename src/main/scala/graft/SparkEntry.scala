@@ -1045,7 +1045,10 @@ object SparkEntry {
     // the stub decoder's math (mean byte over the UTF-8 payload) is
     // deterministic and SQL-expressible: per-char ord() summed in
     // payload order — an exact integer in doubles, so the raw division
-    // is bit-identical to the Spark mapPartitions kernel
+    // is bit-identical to the Spark mapPartitions kernel. Same corpus
+    // assumptions as the other media oracles: ASCII (ord(char) = byte)
+    // and non-empty (documents have >= 3 words; a zero-byte payload
+    // would be Spark 0.0 vs SQL NULL)
     "media_features" ->
       ("WITH m AS (SELECT doc_id AS media_id, text, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents), " +
         "s AS (SELECT media_id, n_bytes, " +

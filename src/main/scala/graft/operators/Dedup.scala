@@ -151,18 +151,19 @@ object Dedup {
     // shingles)
     val sh = hashedShingleRows(df, idCol, textCol, ShingleN, "sh")
       .withColumnRenamed(idCol, "doc")
+    // the df-cap is a FREE filter on the posting lists the index builds
+    // anyway (list length = the shingle's doc frequency) — no separate
+    // frequency aggregate, no join, no second scan of the shingle rows
+    val buckets = sh.groupBy(col("sh"))
+      .agg(sort_array(collect_set(col("doc"))).as("ids"))
     val capped =
-      if (maxDocFreq <= 0) sh
-      else {
-        val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxDocFreq)
-        sh.join(freq, "sh").select(col("doc"), col("sh"))
-      }
-    val sizes = capped.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-    val inter = expandPairs(
-      capped.groupBy(col("sh"))
-        .agg(sort_array(collect_set(col("doc"))).as("ids"))
-        .filter(size(col("ids")) > 1), "ids")
+      if (maxDocFreq <= 0) buckets
+      else buckets.filter(size(col("ids")) <= maxDocFreq)
+    // per-doc shingle counts AFTER the cap (dropped shingles must not
+    // count toward |A|/|B|): explode the surviving posting lists
+    val sizes = capped.select(explode(col("ids")).as("doc"))
+      .groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    val inter = expandPairs(capped.filter(size(col("ids")) > 1), "ids")
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("i"))
     val withSizes = inter
@@ -272,10 +273,13 @@ object Dedup {
     * Scale: each round is one join + one min-aggregate over the edge
     * list — rounds needed = component diameter, and duplicate clusters
     * are shallow (near-cliques), so a handful of rounds converges;
-    * `maxIters` caps pathological chains (a WARN is logged and, with
-    * `requireConvergence`, an exception thrown if the cap is hit with
-    * labels still moving — a truncated chain must not masquerade as a
-    * clean clustering). The driver sees only the per-round change COUNT.
+    * `maxIters` caps pathological chains. If the FINAL permitted round
+    * still changed labels, convergence is unconfirmed (the result may be
+    * truncated, or may have reached the fixpoint on exactly that round —
+    * only a zero-change round proves it): a WARN is logged, and
+    * `requireConvergence` escalates it to an exception so an unproven
+    * clustering can't masquerade as a clean one. The driver sees only
+    * the per-round change COUNT.
     * Output: (id, cluster_id), returned as an eager local checkpoint —
     * every iteration cache is released before returning, and the
     * result's blocks are freed when the caller drops the frame.
@@ -309,8 +313,9 @@ object Dedup {
       }
       if (changed > 0) {
         val msg = s"duplicateClusters stopped at maxIters=$maxIters with " +
-          s"$changed labels still changing — clusters are PARTIALLY merged " +
-          "(component diameter exceeds the iteration cap)"
+          s"$changed labels changed in the final round — convergence NOT " +
+          "confirmed (no zero-change round observed); raise maxIters to " +
+          "verify or accept possibly-truncated clusters"
         if (requireConvergence) { labels.unpersist(); sys.error(msg) }
         org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
       }

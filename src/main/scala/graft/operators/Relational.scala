@@ -88,8 +88,16 @@ object Relational {
     * globally sort-ordered, so checkpoint-partition offsets + local ids
     * reconstruct the exact global ordinal. Driver state: one long per
     * partition (the same bounded array the old sizes pass collected).
-    * EAGER — composing this runs the sort job; blocks are freed when
-    * the returned frame is dropped.
+    *
+    * Chosen trades, explicit: (1) localCheckpoint blocks are executor-
+    * local with TRUNCATED lineage — an executor loss mid-consumption
+    * fails the job (caller retries) instead of recomputing; on flaky
+    * clusters, reliable-checkpoint the input or accept the retry.
+    * (2) A Dataset-level persist would instead pin the cache in
+    * CacheManager with no caller-reachable release (unpersist on the
+    * returned derived frame is a no-op — measured); checkpoint blocks
+    * are RDD-level and freed by the ContextCleaner when the frame is
+    * dropped. EAGER — composing this runs the sort job.
     */
   def withScalableOrdinal(df: DataFrame, orderCols: Seq[Column],
       ordinalName: String = "row_num"): DataFrame = {
@@ -107,6 +115,13 @@ object Relational {
     val sizeRows = sorted.groupBy(pid.as("__pid"))
       .agg(count(lit(1)).as("__n"))
       .collect()
+    // monotonically_increasing_id holds 33 bits of local row number —
+    // a >8.6e9-row range partition would overflow into the pid bits and
+    // corrupt ordinals SILENTLY. Unreachable with sane partition sizing
+    // (it would be a ~0.5 TB single partition), but guard it loudly.
+    require(sizeRows.forall(_.getLong(1) < (1L << 33)),
+      s"withScalableOrdinal: a sort partition exceeds 2^33 rows; " +
+        "repartition the input or raise spark.sql.shuffle.partitions")
     val nParts = sizeRows.map(_.getInt(0)).foldLeft(-1)(math.max) + 1
     val sizes = Array.fill(nParts)(0L)
     sizeRows.foreach(r => sizes(r.getInt(0)) = r.getLong(1))
@@ -251,58 +266,71 @@ object Relational {
       case (acc, (_, p, n)) => when(col("__m") === n, lit(p)).otherwise(acc)
     }
     val v = col("__v")
-    // null-SAFE group join (a null group key is a legal group for
-    // percentile()); groups whose values are ALL null have no stacked
-    // rows and re-attach in the final left join below
+    // null-SAFE group join, RIGHT OUTER on the bracket aggregate: a
+    // null group key is a legal group for percentile(), and a group
+    // whose values are ALL null has no stacked rows at all but must
+    // still emit an output row (with null quantiles) — the unmatched
+    // bracket row flows through the whole pipeline as a null-__m row
+    // (every derived column stays null) so NO re-join against the
+    // group list is ever needed (a second bracketAgg consumption was
+    // a measured third scan of the input)
     val br = bracketAgg.withColumnRenamed(grp, "__grp")
     val bounded = df.selectExpr(s"`$grp`", stackExpr)
       .filter(v.isNotNull) // percentile/quantile_cont ignore nulls
-      .join(br, col(s"`$grp`") <=> col("__grp"), "inner")
+      .join(br, col(s"`$grp`") <=> col("__grp"), "right_outer")
       .withColumn("__lob", perMeasure(n =>
         when(col(s"__bn_$n") < smallN, lit(Double.NegativeInfinity))
           .otherwise(element_at(col(s"__br_$n"), 1))))
       .withColumn("__hib", perMeasure(n =>
         when(col(s"__bn_$n") < smallN, lit(Double.PositiveInfinity))
           .otherwise(element_at(col(s"__br_$n"), 2))))
-    // Pass B, bounded-MEMORY at any group size (no value array is ever
-    // materialized): collapse to DISTINCT values first (algebraic
-    // count, map-side combined — a trillion copies of one value cost
-    // one buffer slot), derive each group's total/below-bracket counts
-    // algebraically, and locate the two bracketing source values by
-    // RANK RANGE with a running count over a (group, measure)-
-    // partitioned window — a streaming, disk-spillable sort of the
-    // in-bracket distinct values (≈2·margin·n rows; low-cardinality
-    // measures collapse far below that), never an in-memory per-group
-    // buffer like collect_list or percentile()'s value→count map.
-    val dv = bounded.groupBy(col("__grp"), col("__m"), v)
+    // Pass B, bounded state at any group size (no value array is ever
+    // materialized): every value maps to a KEY — out-of-bracket values
+    // collapse onto a ±Infinity sentinel, in-bracket values keep their
+    // identity — and ONE aggregate counts rows per (group, measure,
+    // key): algebraic, map-side combined, so a trillion duplicates or
+    // a trillion below-bracket rows each cost one buffer slot. A
+    // running count over the key-ordered partition then gives every
+    // in-bracket value its exact GLOBAL rank range directly (the -Inf
+    // sentinel sorts first and contributes the below-bracket total to
+    // the prefix sum — no separate below/total pass; group sizes come
+    // free from pass A's exact counts). The window input is in-bracket
+    // distinct values + 2 sentinels ≈ 2·margin·n rows, streamed and
+    // disk-spillable — never an in-memory per-group buffer like
+    // collect_list or percentile()'s value→count map. Sentinels can
+    // never be picked: the bracket guarantee puts the target ranks
+    // strictly inside the in-bracket span. (Real ±Inf data values
+    // merging into a sentinel is rank-correct: they ARE the extremes.)
+    val dv = bounded
+      .withColumn("__vk",
+        when(v < col("__lob"), lit(Double.NegativeInfinity))
+          .when(v > col("__hib"), lit(Double.PositiveInfinity))
+          .otherwise(v))
+      .groupBy(col("__grp"), col("__m"), col("__vk"))
       .agg(count(lit(1)).as("__cnt"),
-        min(col("__lob")).as("__lob"), min(col("__hib")).as("__hib"))
-    // null-SAFE re-join (a null group key must find its totals)
-    val tot = dv.groupBy(col("__grp").as("__tgrp"), col("__m").as("__tm"))
-      .agg(sum(col("__cnt")).as("__n"),
-        coalesce(sum(when(v < col("__lob"), col("__cnt"))), lit(0L))
-          .as("__below"))
-    val wRank = Window.partitionBy(col("__grp"), col("__m")).orderBy(v)
-    val ranked = dv.filter(v >= col("__lob") && v <= col("__hib"))
+        min(pByName).as("__p"),
+        min(perMeasure(n => col(s"__bn_$n"))).as("__n"))
+    val vk = col("__vk")
+    val wRank = Window.partitionBy(col("__grp"), col("__m")).orderBy(vk)
+    val ranked = dv
       .withColumn("__cum",
         sum(col("__cnt")).over(wRank.rowsBetween(Window.unboundedPreceding, 0)))
-      .join(tot, col("__grp") <=> col("__tgrp") && col("__m") === col("__tm"))
-      .withColumn("__pos", pByName * (col("__n") - 1).cast("double"))
-      // this value covers 0-based global ranks [__r0, __r1]
-      .withColumn("__r0", col("__below") + col("__cum") - col("__cnt"))
-      .withColumn("__r1", col("__below") + col("__cum") - 1)
+      .withColumn("__pos", col("__p") * (col("__n") - 1).cast("double"))
+      // this key covers 0-based global ranks [__r0, __r1]
+      .withColumn("__r0", col("__cum") - col("__cnt"))
+      .withColumn("__r1", col("__cum") - 1)
     val picked = ranked.groupBy(col("__grp"), col("__m"))
       .agg(min(col("__pos")).as("__pos"),
-        min(when(floor(col("__pos")).between(col("__r0"), col("__r1")), v))
+        min(when(floor(col("__pos")).between(col("__r0"), col("__r1")), vk))
           .as("__lo"),
-        min(when(ceil(col("__pos")).between(col("__r0"), col("__r1")), v))
+        min(when(ceil(col("__pos")).between(col("__r0"), col("__r1")), vk))
           .as("__hi"))
       // Spark Percentile's exact interpolation, reproduced bit-for-bit
       .withColumn("__q",
         when(floor(col("__pos")) === ceil(col("__pos")), col("__lo"))
           .otherwise((ceil(col("__pos")) - col("__pos")) * col("__lo") +
             (col("__pos") - floor(col("__pos"))) * col("__hi")))
-    val byGroup = picked.groupBy(col("__grp"))
+    picked.groupBy(col("__grp"))
       .agg(
         measures.map { case (_, _, n) =>
           min(when(col("__m") === n, col("__q"))).as(n)
@@ -310,12 +338,6 @@ object Relational {
         measures.tail.map { case (_, _, n) =>
           min(when(col("__m") === n, col("__q"))).as(n)
         }: _*)
-      .withColumnRenamed("__grp", "__grp2")
-    // LEFT from the bracket aggregate's group list: every group —
-    // including all-null-value groups with no stacked rows — emits an
-    // output row (null quantiles when nothing was computable)
-    br.select(col("__grp"))
-      .join(byGroup, col("__grp") <=> col("__grp2"), "left")
       .select(col("__grp").as(grp) +:
         measures.map { case (_, _, n) => col(n) }: _*)
   }

@@ -13,16 +13,16 @@ import graft.GraftConfig
 object DashboardDemo {
   def main(args: Array[String]): Unit = {
     val c = GraftConfig.loadWithDefaults(args.find(_.endsWith(".conf")))
+    def d(k: String) = c.str(k, GraftConfig.Defaults(k))
     val processed = args.filterNot(_.endsWith(".conf")).headOption
-      .getOrElse(c.str("graft.consumer.output.directory",
-        "/tmp/graft_stream_demo/processed"))
-    val ticks = c.int("graft.dashboard.ticks", 1)
-    val refreshSeconds = c.long("graft.dashboard.refreshSeconds", 5L)
+      .getOrElse(d("graft.consumer.output.directory"))
+    val ticks = d("graft.dashboard.ticks").toInt
+    val refreshSeconds = d("graft.dashboard.refreshSeconds").toLong
     val spark = graft.GraftSession.build("4")
     (1 to ticks).foreach { i =>
       println(s"--- refresh $i/$ticks (${java.time.Instant.now()}) ---")
       println(Dashboard.renderPanels(spark, processed,
-        topK = c.int("graft.dashboard.topK", 10)))
+        topK = d("graft.dashboard.topK").toInt))
       if (i < ticks) Thread.sleep(refreshSeconds * 1000L)
     }
     spark.stop()

@@ -41,16 +41,18 @@ object MultiSink {
       * contract, not deployment knobs.
       */
     def fromConf(c: graft.GraftConfig,
-        keyA: String, tagA: String, keyB: String, tagB: String): Config =
+        keyA: String, tagA: String, keyB: String, tagB: String): Config = {
+      // fallbacks come from the one Defaults map — a dropped resource
+      // file cannot silently change behavior or drift from the docs
+      def d(k: String) = c.str(k, graft.GraftConfig.Defaults(k))
       Config(
-        outDir = c.str("graft.consumer.output.directory",
-          "/tmp/graft_stream_demo/processed"),
-        checkpointDir = c.str("graft.consumer.output.checkpointDir",
-          "/tmp/graft_stream_demo/checkpoint"),
+        outDir = d("graft.consumer.output.directory"),
+        checkpointDir = d("graft.consumer.output.checkpointDir"),
         keyA = keyA, tagA = tagA, keyB = keyB, tagB = tagB,
-        format = c.str("graft.consumer.output.format", "parquet"),
-        triggerSeconds = c.long("graft.consumer.output.triggerSeconds", 10L),
-        drainOnce = c.bool("graft.consumer.output.drainOnce", false))
+        format = d("graft.consumer.output.format"),
+        triggerSeconds = d("graft.consumer.output.triggerSeconds").toLong,
+        drainOnce = d("graft.consumer.output.drainOnce").toBoolean)
+    }
   }
 
   /** Console sink (SURVEY §2.1 S6) — the reference's debug output

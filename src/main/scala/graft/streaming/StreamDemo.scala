@@ -40,41 +40,41 @@ object StreamDemo {
     val c = GraftConfig.loadWithDefaults(args.find(_.endsWith(".conf")))
       .overlay(positionalOverrides(args.filterNot(_.endsWith(".conf")).toSeq))
     val spark = graft.GraftSession.build(
-      c.int("graft.consumer.spark.shufflePartitions", 8).toString)
+      c.str("graft.consumer.spark.shufflePartitions",
+        GraftConfig.Defaults("graft.consumer.spark.shufflePartitions")))
     run(spark, c)
     spark.stop()
   }
 
   def run(spark: SparkSession, c: GraftConfig): Unit = {
-    val sfDir = c.str("graft.producer.data.sourceDir", "/root/testdata/sf0.001")
-    val table = c.str("graft.producer.data.table", "events")
-    val busDir = c.str("graft.producer.file.outputDir",
-      "/tmp/graft_stream_demo/incoming")
+    // every fallback resolves through the single Defaults map
+    def d(k: String) = c.str(k, GraftConfig.Defaults(k))
+    val sfDir = d("graft.producer.data.sourceDir")
+    val table = d("graft.producer.data.table")
+    val busDir = d("graft.producer.file.outputDir")
     val watchDir = c.str("graft.consumer.source.directory", busDir)
-    val processed = c.str("graft.consumer.output.directory",
-      "/tmp/graft_stream_demo/processed")
-    val checkpoint = c.str("graft.consumer.output.checkpointDir",
-      "/tmp/graft_stream_demo/checkpoint")
+    val processed = d("graft.consumer.output.directory")
+    val checkpoint = d("graft.consumer.output.checkpointDir")
 
     // --- producer: slice the source table into ordered JSON batch drops
     val events = Tables(spark, sfDir, table)
       .select(StreamSources.eventSchema.fieldNames.map(col): _*)
     val prepared = Replay.prepare(events, Seq(col("ts"), col("event_id")))
     val total = prepared.count()
-    val confBatch = c.long("graft.producer.data.batchSize", 0L)
+    val confBatch = d("graft.producer.data.batchSize").toLong
     val batchSize = if (confBatch > 0) confBatch else math.max(1L, total / 5)
     val nBatches = Replay.batchCount(prepared, batchSize)
     Replay.writeBatches(prepared, busDir, batchSize, nBatches,
-      intervalMillis = c.long("graft.producer.data.intervalSeconds", 0L) * 1000L,
-      format = c.str("graft.producer.file.format", "json"))
+      intervalMillis = d("graft.producer.data.intervalSeconds").toLong * 1000L,
+      format = d("graft.producer.file.format"))
     println(s"PRODUCED_BATCHES=$nBatches")
 
     // --- consumer: file stream -> four checkpointed datasets
     // batches land one-subdirectory-each; the file source doesn't
     // recurse, so watch them with a glob
     val stream = StreamSources.fileStream(spark, s"$watchDir/*",
-      format = c.str("graft.consumer.source.format", "json"),
-      maxFilesPerTrigger = c.int("graft.consumer.source.maxFilesPerTrigger", 2))
+      format = d("graft.consumer.source.format"),
+      maxFilesPerTrigger = d("graft.consumer.source.maxFilesPerTrigger").toInt)
     val q = MultiSink.start(stream, MultiSink.Config.fromConf(c,
       keyA = "user_id", tagA = "pickup_location",
       keyB = "event_type", tagB = "dropoff_location"))
@@ -91,7 +91,7 @@ object StreamDemo {
     // --- stateful operators smoke: session windows over the same stream
     val sess = StatefulSessions.sessions(
       StreamSources.fileStream(spark, s"$watchDir/*",
-        format = c.str("graft.consumer.source.format", "json"),
+        format = d("graft.consumer.source.format"),
         maxFilesPerTrigger = 100),
       gapSeconds = 1800L, watermarkDelay = "0 seconds")
     val sq = sess.writeStream.outputMode("append").format("memory")

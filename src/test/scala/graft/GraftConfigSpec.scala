@@ -66,6 +66,26 @@ class GraftConfigSpec extends AnyFunSuite {
     assert(miss.strOpt("graft.producer.file.outputDir").nonEmpty)
   }
 
+  test("bare URI values survive the // comment rule") {
+    val c = GraftConfig.parse(
+      """g {
+        |  a = hdfs://namenode:8020/data   // trailing comment still works
+        |  b = s3a://bucket/prefix
+        |  c = "http://quoted/kept"  # hash comment
+        |}""".stripMargin)
+    assert(c.str("g.a", "") === "hdfs://namenode:8020/data")
+    assert(c.str("g.b", "") === "s3a://bucket/prefix")
+    assert(c.str("g.c", "") === "http://quoted/kept")
+  }
+
+  test("bundled graft.conf never drifts from the code Defaults") {
+    val res = GraftConfig.resourceConf()
+    assert(res.entries.nonEmpty, "resource missing from classpath")
+    // every key present in the resource must exist in Defaults with the
+    // SAME value, and vice versa — one source of truth, two renderings
+    assert(res.entries === GraftConfig.Defaults)
+  }
+
   test("malformed input fails loudly") {
     assertThrows[IllegalArgumentException](GraftConfig.parse("a { b = 1"))
     assertThrows[IllegalArgumentException](GraftConfig.parse("}"))
