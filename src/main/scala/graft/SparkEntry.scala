@@ -28,6 +28,8 @@ object SparkEntry {
 
   val MinhashK = 16
   val LshBands = 4
+  /** Fixed retrieval query for the BM25 scorer (real corpus terms). */
+  val Bm25Terms: Seq[String] = Seq("stream", "join", "spark")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's pickup/dropoff tagged-count union
@@ -477,6 +479,9 @@ object SparkEntry {
       TextAnalysis.ngramFreq(t(s, d, "documents"), "text", 2, 20)),
     "text_repetition" -> ((s, d) =>
       TextAnalysis.repetitionScore(t(s, d, "documents"), "doc_id", "text")),
+    "text_bm25" -> ((s, d) =>
+      TextAnalysis.bm25Scores(t(s, d, "documents"), "doc_id", "text",
+        Bm25Terms)),
 
     // --- dedup ---
     "dedup_exact_groups" -> ((s, d) =>
@@ -538,6 +543,11 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       Similarity.annTopK(emb, emb.filter(col("vec_id") < 10), 5, 64, 4)
     }),
+    "sim_rerank" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.annTopKRerank(emb, emb.filter(col("vec_id") < 10), 5, 64, 4,
+        rerankFactor = 3)
+    }),
     "sim_centroids" -> ((s, d) =>
       // the PORTABLE (ordered-fold) flavor so the oracle hash-matches
       // bit-for-bit; Similarity.labelCentroids (algebraic avg) is the
@@ -572,6 +582,13 @@ object SparkEntry {
           col("window_idx").cast("long").as("window_idx"),
           col("window_offset").cast("long").as("window_offset"),
           col("window_sig"))),
+    "media_resize" -> ((s, d) =>
+      // stub resize = clamp to maxBytes; metadata + content signature
+      // of the clamped payload are SQL-checkable on the ASCII corpus
+      Multimodal.resizeStub(s,
+          Multimodal.asMediaTable(t(s, d, "documents"), "doc_id", "text"), 300)
+        .toDF.select(col("media_id"), col("n_bytes"),
+          md5(col("payload")).as("payload_sig"))),
     "media_features" -> ((s, d) =>
       // RAW mean_byte: the per-row integer-sum / count division is
       // IEEE-exact in both engines, while round(·, 4) diverges on
@@ -666,6 +683,42 @@ object SparkEntry {
       s"SELECT q_id, \"rank\", n_id, round(sim, 4) AS cosine_sim FROM ranked WHERE \"rank\" <= $k"
   }
 
+  /** The sim_rerank oracle: replays annTopKRerank code-for-code — int8
+    * quantize/dequantize per vector (floor(y+0.5) codes CAST AS
+    * TINYINT, midpoint reconstruction CAST AS REAL — all pure double
+    * math, bit-identical), SRP buckets from the shared md5 plane signs,
+    * quantized-cosine shortlist of k·factor per query (ties to the
+    * ascending id like graft_topk), then exact re-rank of the
+    * shortlist on the original vectors. */
+  private def rerankSql(dims: Int, planes: Int, k: Int,
+      factor: Int): String = {
+    def dot(a: String, b: String) =
+      s"(SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest($a) AS x, unnest($b) AS y) zz)"
+    def nrm(a: String) =
+      s"sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest($a) AS x) zn))"
+    // quantize -> dequantize of one element, exactly as
+    // Similarity.quantizeEmbedding/dequantizeEmbedding compose
+    val deq =
+      "CAST(lo + (CAST(CAST((CASE WHEN hi - lo = 0 THEN 0.0 " +
+        "ELSE floor((CAST(x AS DOUBLE) - lo) / (hi - lo) * 255 + 0.5) - 128 END) " +
+        "AS TINYINT) AS DOUBLE) + 128.0) / 255.0 * (hi - lo) AS REAL)"
+    "WITH emb AS (SELECT vec_id, embedding FROM embeddings), " +
+      "qz AS (SELECT vec_id, embedding, CAST(list_min(embedding) AS DOUBLE) AS lo, " +
+      "CAST(list_max(embedding) AS DOUBLE) AS hi FROM emb), " +
+      s"dq AS (SELECT vec_id, embedding, list_transform(embedding, x -> $deq) AS dqv, " +
+      s"${srpBucketSql("embedding", dims, planes)} AS bucket FROM qz), " +
+      s"q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket, ${nrm("embedding")} AS q_norm FROM dq WHERE vec_id < 10), " +
+      s"cand AS (SELECT q.q_id, c.vec_id AS n_id, ${dot("q.q_vec", "c.dqv")} / (q.q_norm * ${nrm("c.dqv")}) AS qsim " +
+      "FROM dq c JOIN q USING (bucket) WHERE c.vec_id <> q.q_id), " +
+      "short AS (SELECT q_id, n_id FROM (SELECT q_id, n_id, " +
+      "row_number() OVER (PARTITION BY q_id ORDER BY qsim DESC, n_id) AS rn FROM cand) t " +
+      s"WHERE rn <= ${k * factor}), " +
+      s"exact AS (SELECT s.q_id, s.n_id, ${dot("eq.embedding", "en.embedding")} / (${nrm("eq.embedding")} * ${nrm("en.embedding")}) AS sim " +
+      "FROM short s JOIN emb eq ON eq.vec_id = s.q_id JOIN emb en ON en.vec_id = s.n_id), " +
+      "ranked AS (SELECT q_id, n_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS \"rank\" FROM exact) " +
+      s"SELECT q_id, \"rank\", n_id, round(sim, 4) AS cosine_sim FROM ranked WHERE \"rank\" <= $k"
+  }
+
   /** DuckDB cosine with the same float math as VectorFns.cosine:
     * element-order double accumulation. */
   private def cosSql(a: String, b: String): String =
@@ -697,7 +750,28 @@ object SparkEntry {
   private val stopListSql =
     TextAnalysis.Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** Mirrors TextAnalysis.bm25Scores verbatim: same constants, same
+    * expression shape and associativity, so the only cross-engine
+    * daylight is ulp-level log() noise absorbed by round(.,4). */
+  private def bm25Sql(terms: Seq[String], k1: Double, b: Double): String = {
+    val termExprs = terms.zipWithIndex.map { case (t, i) =>
+      val tf = s"CAST(len(list_filter(w, x -> x = '$t')) AS DOUBLE)"
+      s"(ln((__N - __df_$i + 0.5) / (__df_$i + 0.5) + 1.0) * ($tf * ${k1 + 1.0}) / " +
+        s"($tf + $k1 * (${1.0 - b} + $b * dl / (__sumdl / __N))))"
+    }.mkString(" + ")
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(count(*) FILTER (WHERE list_contains(w, '$t')) AS DOUBLE) AS __df_$i"
+    }.mkString(", ")
+    s"WITH base AS (SELECT doc_id, $wordsSql AS w, CAST(len($wordsSql) AS DOUBLE) AS dl FROM documents), " +
+      s"stats AS (SELECT CAST(count(*) AS DOUBLE) AS __N, sum(dl) AS __sumdl, $dfCols FROM base) " +
+      s"SELECT doc_id, round($termExprs, 4) AS bm25 FROM base, stats"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "text_bm25" -> bm25Sql(Bm25Terms, k1 = 1.2, b = 0.75),
+    "media_resize" ->
+      ("SELECT doc_id AS media_id, CAST(least(strlen(text), 300) AS BIGINT) AS n_bytes, " +
+        "md5(substr(text, 1, 300)) AS payload_sig FROM documents"),
     "rel_location_counts" ->
       ("SELECT CAST(l_partkey AS BIGINT) AS location_id, count(*) AS trip_count, 'pickup_location' AS aggregation_type FROM lineitem GROUP BY 1 " +
         "UNION ALL SELECT CAST(l_suppkey AS BIGINT), count(*), 'dropoff_location' FROM lineitem GROUP BY 1"),
@@ -1002,6 +1076,7 @@ object SparkEntry {
         "SELECT q_id, \"rank\", n_id, round(sim, 4) AS cosine_sim FROM ranked WHERE \"rank\" <= 5"),
     "sim_ann_ivf" -> ivfSql(nlist = 16, nprobe = 4, k = 5, iters = 2,
       seed = 42L),
+    "sim_rerank" -> rerankSql(dims = 64, planes = 4, k = 5, factor = 3),
     "sim_centroids" ->
       ("SELECT label, CAST(t.i AS BIGINT) AS dim, " +
         "list_aggregate(list_transform(list_sort(list({'k': vec_id, 'v': CAST(t.x AS DOUBLE)})), r -> r.v), 'sum') / count(*) AS centroid_val, " +

@@ -285,10 +285,15 @@ object Similarity {
     val lo = array_min(vecCol).cast("double")
     val hi = array_max(vecCol).cast("double")
     val scale = hi - lo
+    // floor(y + 0.5) instead of round(y): identical HALF_UP for the
+    // non-negative y here, but PURE double math — round() on an
+    // integer boundary tie differs across engines (Spark rounds the
+    // shortest-decimal repr, SQL engines the binary double), which
+    // would break the sim_rerank oracle's code-for-code replay
     struct(lo.cast("float").as("lo"), hi.cast("float").as("hi"),
       transform(vecCol, x =>
         (when(scale === 0, lit(0.0))
-          .otherwise(round((x.cast("double") - lo) / scale * 255) - 128))
+          .otherwise(floor((x.cast("double") - lo) / scale * 255 + 0.5) - 128))
           .cast("tinyint")).as("codes"))
   }
 
@@ -306,6 +311,48 @@ object Similarity {
     * multi-probe. This is the 100 TB path — the bucket join shuffles on
     * a high-cardinality key instead of broadcasting all queries.
     */
+  /** ANN with int8-quantized candidate scoring + full-precision
+    * re-rank — the production FAISS-style pattern that makes the int8
+    * compression (quantizeEmbedding) load-bearing: candidate
+    * generation runs over vectors 4× smaller (less candidate-join
+    * shuffle and cache traffic at 100 TB), and only the k·rerankFactor
+    * survivors per query are re-scored on full-precision embeddings
+    * (one bounded join). Same SRP bucketing as annTopK; with a
+    * rerankFactor covering every candidate the result equals annTopK
+    * exactly (spec-asserted), smaller factors trade recall for a
+    * smaller exact-scoring join.
+    */
+  def annTopKRerank(corpus: DataFrame, queries: DataFrame, k: Int,
+      dims: Int, planes: Int, rerankFactor: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val bkt = (c: Column) => srpBucket(c, dims, planes)
+    // candidate side carries only the dequantized int8 approximation
+    val cb = corpus.select(col(idCol).as("n_id"),
+      bkt(col(vecCol)).as("bucket"),
+      dequantizeEmbedding(quantizeEmbedding(col(vecCol))).as("n_dq"))
+    val qb = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      bkt(col(vecCol)).as("bucket"), VectorFns.norm2(col(vecCol)).as("q_norm"))
+    val shortlist = cb.join(qb, Seq("bucket"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("qsim", VectorFns.dot(col("q_vec"), col("n_dq"))
+        / (col("q_norm") * VectorFns.norm2(col("n_dq"))))
+      .groupBy(col("q_id"))
+      .agg(call_function("graft_topk", col("qsim"),
+        col("n_id").cast("long"), lit(k * rerankFactor)).as("topk"))
+      .select(col("q_id"), explode(col("topk")).as("cand"))
+      .select(col("q_id"), col("cand.id").as("n_id"))
+    // exact re-rank of the shortlist on full-precision vectors
+    val cx = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      VectorFns.norm2(col(vecCol)).as("n_norm"))
+    val qx = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      VectorFns.norm2(col(vecCol)).as("q_norm"))
+    val scored = shortlist.join(cx, "n_id").join(qx, "q_id")
+      .withColumn("sim", VectorFns.dot(col("q_vec"), col("n_vec"))
+        / (col("q_norm") * col("n_norm")))
+    rankTopK(scored, k)
+  }
+
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int, dims: Int,
       planes: Int, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {

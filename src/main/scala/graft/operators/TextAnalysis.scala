@@ -113,6 +113,45 @@ object TextAnalysis {
       .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("ngram")).limit(k)
 
+  /** BM25 relevance of every document against a fixed term set — the
+    * retrieval scorer a curation pipeline uses to mine topical subsets
+    * ("find docs about X") or to weight near-query documents during
+    * decontamination triage. Corpus statistics (N, Σdl, per-term df)
+    * collapse to ONE broadcast row (the scalar-subquery shape —
+    * rel_scalar_subquery); per-document scoring is then a pure
+    * expression tree over the words array: no shuffle of the corpus,
+    * no UDF, term count fixed at plan time.
+    *
+    * Determinism: tf/df/N are exact integers, Σdl an exact integer sum
+    * in doubles (order-independent), and the per-row float math is a
+    * fixed-shape expression mirrored verbatim by the DuckDB oracle —
+    * log() may differ by an ulp across libm implementations, so the
+    * score rounds at the output edge (irrational values never sit on
+    * rounding-tie boundaries, unlike grid-valued ratios).
+    */
+  def bm25Scores(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val base = df.select(col(idCol), TextFns.words(col(textCol)).as("__w"))
+      .withColumn("__dl", size(col("__w")).cast("double"))
+    val statCols =
+      count(lit(1)).cast("double").as("__N") +:
+        sum(col("__dl")).as("__sumdl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          count_if(array_contains(col("__w"), t)).cast("double").as(s"__df_$i")
+        }
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("__w"), w => w === lit(t))).cast("double")
+      val dfT = col(s"__df_$i")
+      val idf = log((col("__N") - dfT + 0.5) / (dfT + 0.5) + 1.0)
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("__dl") / (col("__sumdl") / col("__N"))))
+    }.reduce(_ + _)
+    base.join(broadcast(stats))
+      .select(col(idCol), round(score, 4).as("bm25"))
+  }
+
   /** Content fingerprints: normalized md5 plus a coarse 16-char prefix
     * "rolling" bucket (first 64 bits) usable as a shard key. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -99,6 +99,27 @@ class SimilaritySpec extends SparkSpec {
       ("y", 0L, 10.0, 1L), ("y", 1L, 20.0, 1L)))
   }
 
+  test("annTopKRerank: full-coverage factor equals annTopK exactly") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rank", "n_id", "cosine_sim")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    // a factor covering every same-bucket candidate makes the re-rank
+    // score ALL candidates exactly -> identical to the exact annTopK
+    val full = rows(Similarity.annTopKRerank(emb, q, 5, 64, 4,
+      rerankFactor = 1000))
+    val exact = rows(Similarity.annTopK(emb, q, 5, 64, 4))
+    assert(full === exact && exact.nonEmpty)
+    // the production factor returns k rows per query drawn from the
+    // same buckets (recall <= 1 by construction, never extra rows)
+    val small = rows(Similarity.annTopKRerank(emb, q, 5, 64, 4,
+      rerankFactor = 2))
+    assert(small.map(r => (r._1, r._3))
+      .subsetOf(rows(Similarity.annTopK(emb, q, 200, 64, 4))
+        .map(r => (r._1, r._3))))
+  }
+
   test("labelCentroids (avg) agrees with the portable fold within 1e-9 on sf0.1") {
     // the scale default (algebraic avg, bounded state) and the oracle
     // flavor (ordered fold, bit-exact) differ only by summation order —

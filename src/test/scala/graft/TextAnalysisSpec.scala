@@ -72,6 +72,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(2L) === 0.0)
   }
 
+  test("bm25: matching docs outrank non-matching; tf and rarity help") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "spark streams join the batch world"),       // 1x spark
+      (2L, "spark spark spark everywhere in spark"),    // heavy tf
+      (3L, "nothing relevant lives here at all"),       // no match
+      (4L, "rareword appears once in this doc")         // rare term
+    ).toDF("doc_id", "text")
+    val s = TextAnalysis.bm25Scores(docs, "doc_id", "text",
+        Seq("spark", "rareword"))
+      .as[(Long, Double)].collect().toMap
+    assert(s(3L) === 0.0)
+    assert(s(2L) > s(1L))                  // higher tf, same term
+    assert(s(1L) > 0.0 && s(4L) > 0.0)
+    // "rareword" (df=1) carries more idf than "spark" (df=2)
+    assert(s(4L) > s(1L))
+  }
+
   test("ngramFreq counts occurrences (not per-doc distinct), ordered") {
     val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
     val out = TextAnalysis.ngramFreq(df, "text", 2, 10)
