@@ -286,20 +286,21 @@ object Dedup {
     */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20,
       requireConvergence: Boolean = false): DataFrame = {
-    val edges = pairs.select(col("a_id"), col("b_id")).persist()
+    // symmetrize ONCE (src -> dst and back), so each round is a single
+    // join instead of two passes over the directed pair list
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist()
     try {
-      var labels = edges.select(col("a_id").as("id"))
-        .unionByName(edges.select(col("b_id").as("id")))
+      var labels = edges.select(col("src").as("id"))
         .distinct()
         .withColumn("cluster_id", col("id"))
         .persist()
       var iters = 0
       var changed = 1L
       while (changed > 0 && iters < maxIters) {
-        val nbr = edges.join(labels, edges("b_id") === labels("id"))
-          .select(edges("a_id").as("id"), col("cluster_id"))
-          .unionByName(edges.join(labels, edges("a_id") === labels("id"))
-            .select(edges("b_id").as("id"), col("cluster_id")))
+        val nbr = edges.join(labels, edges("src") === labels("id"))
+          .select(edges("dst").as("id"), col("cluster_id"))
           .unionByName(labels)
         val next = nbr.groupBy(col("id"))
           .agg(min(col("cluster_id")).as("cluster_id"))
