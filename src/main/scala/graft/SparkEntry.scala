@@ -460,6 +460,12 @@ object SparkEntry {
     "rel_hash_split" -> ((s, d) =>
       Relational.deterministicSplit(t(s, d, "documents"), "doc_id")
         .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))),
+    "rel_sample_by_key" -> ((s, d) =>
+      // downweight the two dominant event types, keep the rest intact;
+      // the kept row set is a pure hash filter, stable at any SF
+      Relational.deterministicSampleByKey(t(s, d, "events"), "event_type",
+          "event_id", Map("view" -> 0.25, "click" -> 0.5))
+        .select(col("event_id"), col("event_type"))),
 
     // --- text analysis ---
     "text_stats" -> ((s, d) => {
@@ -542,6 +548,11 @@ object SparkEntry {
     "sim_ann_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.annTopK(emb, emb.filter(col("vec_id") < 10), 5, 64, 4)
+    }),
+    "sim_ann_multiprobe" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.annTopKMultiProbe(emb, emb.filter(col("vec_id") < 10), 5,
+        64, 4)
     }),
     "sim_rerank" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -716,6 +727,23 @@ object SparkEntry {
       s"exact AS (SELECT s.q_id, s.n_id, ${dot("eq.embedding", "en.embedding")} / (${nrm("eq.embedding")} * ${nrm("en.embedding")}) AS sim " +
       "FROM short s JOIN emb eq ON eq.vec_id = s.q_id JOIN emb en ON en.vec_id = s.n_id), " +
       "ranked AS (SELECT q_id, n_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS \"rank\" FROM exact) " +
+      s"SELECT q_id, \"rank\", n_id, round(sim, 4) AS cosine_sim FROM ranked WHERE \"rank\" <= $k"
+  }
+
+  /** The sim_ann_multiprobe oracle: the sim_ann_lsh shape plus the
+    * query-side probe fan-out — each query's bucket string and its
+    * `planes` one-bit flips, built with the same substring surgery as
+    * Similarity.annTopKMultiProbe. */
+  private def multiProbeSql(dims: Int, planes: Int, k: Int): String = {
+    val flips = (0 until planes).map { i =>
+      s"substr(b0, 1, $i) || (CASE WHEN substr(b0, ${i + 1}, 1) = '1' THEN '0' ELSE '1' END) || " +
+        s"substr(b0, ${i + 2}, ${planes - i - 1})"
+    }.mkString(", ")
+    s"WITH c AS (SELECT vec_id AS n_id, embedding AS n_vec, ${srpBucketSql("embedding", dims, planes)} AS bucket FROM embeddings), " +
+      s"q0 AS (SELECT vec_id AS q_id, embedding AS q_vec, ${srpBucketSql("embedding", dims, planes)} AS b0 FROM embeddings WHERE vec_id < 10), " +
+      s"q AS (SELECT q_id, q_vec, t.bucket FROM q0, LATERAL (SELECT unnest([b0, $flips]) AS bucket) t), " +
+      s"scored AS (SELECT q_id, n_id, ${cosSql("q_vec", "n_vec")} AS sim FROM q JOIN c USING (bucket) WHERE n_id <> q_id), " +
+      "ranked AS (SELECT q_id, n_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS \"rank\" FROM scored) " +
       s"SELECT q_id, \"rank\", n_id, round(sim, 4) AS cosine_sim FROM ranked WHERE \"rank\" <= $k"
   }
 
@@ -987,6 +1015,10 @@ object SparkEntry {
       ("SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split, count(*) AS n_docs " +
         "FROM (SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100 AS b FROM documents) t " +
         "GROUP BY 1"),
+    "rel_sample_by_key" ->
+      ("SELECT event_id, event_type FROM events " +
+        "WHERE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 7) AS BIGINT) % 10000 < " +
+        "CASE event_type WHEN 'view' THEN 2500 WHEN 'click' THEN 5000 ELSE 10000 END"),
     "text_stats" ->
       (s"SELECT doc_id, length(text) AS n_chars, CAST(len($wordsSql) AS BIGINT) AS n_words, " +
         s"CAST(len(regexp_extract_all($normSql, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens, " +
@@ -1077,6 +1109,7 @@ object SparkEntry {
     "sim_ann_ivf" -> ivfSql(nlist = 16, nprobe = 4, k = 5, iters = 2,
       seed = 42L),
     "sim_rerank" -> rerankSql(dims = 64, planes = 4, k = 5, factor = 3),
+    "sim_ann_multiprobe" -> multiProbeSql(dims = 64, planes = 4, k = 5),
     "sim_centroids" ->
       ("SELECT label, CAST(t.i AS BIGINT) AS dim, " +
         "list_aggregate(list_transform(list_sort(list({'k': vec_id, 'v': CAST(t.x AS DOUBLE)})), r -> r.v), 'sum') / count(*) AS centroid_val, " +

@@ -378,6 +378,32 @@ object Relational {
         .otherwise(lit("test")))
   }
 
+  /** Deterministic per-key fractional sampling: keep ~`fraction` of
+    * each key's rows, chosen by a stable content hash of the row id —
+    * the dataset-balancing primitive that DOWNWEIGHTS overrepresented
+    * sources/domains by rate (capPerKey bounds absolute counts; this
+    * scales proportionally). Hash-based, not random: the same row is
+    * kept or dropped on every rerun, engine, and partitioning — eval
+    * sets stay disjoint from train across reprocessing. Selection is
+    * a per-row filter (no shuffle, no state): id-hash mod 10000 <
+    * fraction·10000, so per-key realized rates concentrate tightly
+    * around the target at any volume. Keys absent from `fractions`
+    * keep `defaultFraction`.
+    */
+  def deterministicSampleByKey(df: DataFrame, keyCol: String, idCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 1.0): DataFrame = {
+    val bucket = pmod(
+      graft.functions.TextFns.shingleHash(col(idCol).cast("string")),
+      lit(10000L))
+    val threshold = fractions.toSeq.sortBy(_._1).foldLeft(
+      lit(math.round(defaultFraction * 10000))) {
+      case (acc, (k, f)) =>
+        when(col(keyCol) === k, lit(math.round(f * 10000))).otherwise(acc)
+    }
+    df.filter(bucket < threshold)
+  }
+
   /** Binned range self-join: for each event, count other events within
     * ±windowSeconds — a PURE range predicate, which Spark would
     * otherwise plan as a broadcast-nested-loop O(n²) join. Binning

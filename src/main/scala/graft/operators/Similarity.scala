@@ -311,6 +311,39 @@ object Similarity {
     * multi-probe. This is the 100 TB path — the bucket join shuffles on
     * a high-cardinality key instead of broadcasting all queries.
     */
+  /** Multi-probe SRP-LSH ANN: each query also probes every bucket at
+    * Hamming distance 1 from its own (one sign bit flipped), so a
+    * near-neighbor that landed just across one hyperplane is still a
+    * candidate — the standard recall lever that costs NOTHING on the
+    * corpus side (still one bucket per vector; only the tiny query set
+    * fans out ×(planes+1)). A corpus vector has exactly one bucket and
+    * probe buckets are distinct, so no (q, n) pair repeats. Same
+    * contract as annTopK.
+    */
+  def annTopKMultiProbe(corpus: DataFrame, queries: DataFrame, k: Int,
+      dims: Int, planes: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val bkt = (c: Column) => srpBucket(c, dims, planes)
+    val cb = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      bkt(col(vecCol)).as("bucket"), VectorFns.norm2(col(vecCol)).as("n_norm"))
+    val qBase = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      bkt(col(vecCol)).as("__b0"), VectorFns.norm2(col(vecCol)).as("q_norm"))
+    val b0 = col("__b0")
+    val probes = array(b0 +: (0 until planes).map { i =>
+      val flipped = when(substring(b0, i + 1, 1) === "1", lit("0"))
+        .otherwise(lit("1"))
+      concat(substring(b0, 1, i), flipped,
+        substring(b0, i + 2, planes - i - 1))
+    }: _*)
+    val qb = qBase.select(col("q_id"), col("q_vec"), col("q_norm"),
+      explode(probes).as("bucket"))
+    val scored = cb.join(qb, Seq("bucket"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("sim", VectorFns.dot(col("q_vec"), col("n_vec"))
+        / (col("q_norm") * col("n_norm")))
+    rankTopK(scored, k)
+  }
+
   /** ANN with int8-quantized candidate scoring + full-precision
     * re-rank — the production FAISS-style pattern that makes the int8
     * compression (quantizeEmbedding) load-bearing: candidate

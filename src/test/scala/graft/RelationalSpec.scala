@@ -130,6 +130,25 @@ class RelationalSpec extends SparkSpec {
     assert(counts.values.sum === 500)
   }
 
+  test("deterministicSampleByKey: stable, rate-accurate, key-independent") {
+    val df = (1 to 8000).map(i =>
+      (i.toLong, if (i % 2 == 0) "hot" else "cold")).toDF("id", "k")
+    def kept(fr: Map[String, Double]) =
+      Relational.deterministicSampleByKey(df, "k", "id", fr)
+        .select("id").as[Long].collect().toSet
+    val a = kept(Map("hot" -> 0.25))
+    // reruns are identical (hash, not random)
+    assert(a === kept(Map("hot" -> 0.25)))
+    // realized per-key rates near target; unlisted key untouched
+    val hotKept = a.count(_ % 2 == 0) / 4000.0
+    assert(math.abs(hotKept - 0.25) < 0.05)
+    assert(a.count(_ % 2 == 1) === 4000)
+    // a row's fate depends only on ITS id + ITS key's fraction: adding
+    // another key's fraction never changes hot's selection
+    val b = kept(Map("hot" -> 0.25, "cold" -> 0.5))
+    assert(a.filter(_ % 2 == 0) === b.filter(_ % 2 == 0))
+  }
+
   test("topKByCount returns k highest with deterministic ties") {
     val df = (1 to 10).flatMap(i => Seq.fill(i)(i)).toDF("k")
     val out = Relational.topKByCount(df, "k", 3)

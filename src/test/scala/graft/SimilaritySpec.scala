@@ -99,6 +99,23 @@ class SimilaritySpec extends SparkSpec {
       ("y", 0L, 10.0, 1L), ("y", 1L, 20.0, 1L)))
   }
 
+  test("annTopKMultiProbe: recall never below single-probe, same contract") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    def kth(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rank", "cosine_sim")
+        .as[(Long, Long, Double)].collect()
+        .groupBy(_._1).map { case (id, rs) => id -> rs.map(_._3).min }
+    val single = kth(Similarity.annTopK(emb, q, 5, 64, 4))
+    val multi = kth(Similarity.annTopKMultiProbe(emb, q, 5, 64, 4))
+    // multi-probe candidates are a superset (own bucket is probed too),
+    // so the worst kept similarity can only improve per query
+    single.foreach { case (id, s) =>
+      assert(multi(id) >= s - 1e-12, s"query $id")
+    }
+    assert(multi.nonEmpty)
+  }
+
   test("annTopKRerank: full-coverage factor equals annTopK exactly") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 5)
