@@ -512,6 +512,9 @@ object SparkEntry {
       // oracle-checkable bit-for-bit; Dedup.simhash (xxhash64) is the
       // single-engine throughput flavor, spec-tested
       Dedup.simhashPortable(t(s, d, "documents"), "doc_id", "text")),
+    "dedup_simhash_pairs" -> ((s, d) =>
+      // EXACT hamming<=3 pairs via pigeonhole banding (no recall loss)
+      Dedup.simhashNearDupPairs(t(s, d, "documents"), "doc_id", "text", 3)),
     "dedup_embedding_cos" -> ((s, d) =>
       Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), "vec_id",
         "embedding", "label", 0.3)),
@@ -1079,6 +1082,16 @@ object SparkEntry {
         "JOIN sizes sa ON inter.a_id = sa.doc_id JOIN sizes sb ON inter.b_id = sb.doc_id " +
         "ORDER BY jaccard DESC, a_id, b_id LIMIT 20"),
     "dedup_simhash" -> simhashSql,
+    "dedup_simhash_pairs" ->
+      // bands join mirrors the pigeonhole construction; the brute xor/
+      // bit_count hamming then applies the exact threshold
+      (s"WITH s AS ($simhashSql), " +
+        "b AS (SELECT doc_id, simhash, t.band, (simhash >> (t.band * 15)) & 32767 AS bv " +
+        "FROM s, LATERAL (SELECT unnest(range(0, 4)) AS band) t), " +
+        "p AS (SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id, " +
+        "CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT) AS hamming_dist " +
+        "FROM b a JOIN b b2 ON a.band = b2.band AND a.bv = b2.bv AND a.doc_id < b2.doc_id) " +
+        "SELECT a_id, b_id, hamming_dist FROM p WHERE hamming_dist <= 3"),
     "dedup_keep_best" ->
       (s"WITH q AS (SELECT doc_id, 0.4 * least(nw / 200.0, 1.0) + 0.3 * least(stop / nw * 4.0, 1.0) + 0.3 * (nd / nw) AS quality FROM " +
         s"(SELECT doc_id, CAST(len(list_filter($wordsSql, x -> x IN $stopListSql)) AS DOUBLE) AS stop, " +

@@ -210,6 +210,44 @@ object Dedup {
     * on the signature table). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** EXACT simhash near-duplicate pairs: every (a < b) pair whose
+    * portable 60-bit signatures differ in at most `maxDist` bit
+    * positions. Pigeonhole banding makes it scale AND stay exact: the
+    * signature splits into maxDist+1 equal bit-slices, and a pair
+    * within maxDist must agree on at least one slice verbatim — so
+    * candidates come from grouping on (band, band-bits), never an
+    * all-pairs join, and the exact hamming filter only ever REMOVES
+    * false candidates (no recall loss, unlike MinHash-LSH). Per-bucket
+    * state is bounded by near-dup cluster size, same as
+    * lshCandidatePairs. Output: (a_id, b_id, hamming_dist).
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val bits = 60
+    val nBands = maxDist + 1
+    require(bits % nBands == 0,
+      s"maxDist=$maxDist needs ${nBands} equal bands of $bits bits; " +
+        "choose maxDist+1 dividing 60 (e.g. 2, 3, 4, 5)")
+    val width = bits / nBands
+    val sig = simhashPortable(df, idCol, textCol)
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * width)
+          .bitwiseAND(lit((1L << width) - 1)).as("bv"))
+    }
+    val buckets = sig
+      .select(col(idCol), col("simhash"), explode(array(bandCols: _*)).as("bb"))
+      .groupBy(col("bb.band").as("band"), col("bb.bv").as("bv"))
+      .agg(sort_array(collect_set(
+        struct(col(idCol).as("id"), col("simhash").as("sh")))).as("members"))
+      .filter(size(col("members")) > 1)
+    expandPairs(buckets, "members")
+      .select(col("a_id.id").as("a_id"), col("b_id.id").as("b_id"),
+        hamming(col("a_id.sh"), col("b_id.sh")).cast("long").as("hamming_dist"))
+      .filter(col("hamming_dist") <= maxDist)
+      .distinct()
+  }
+
   /** Cross-engine-reproducible simhash: 60-bit token hashes from md5
     * (first 15 hex chars — exact in any BIGINT SQL engine) instead of
     * Spark-native xxhash64; same vote math over 60 bit positions.

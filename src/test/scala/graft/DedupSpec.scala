@@ -90,6 +90,29 @@ class DedupSpec extends SparkSpec {
     assert(ham(s(1L), s(3L)) < ham(s(1L), s(4L)))
   }
 
+  test("simhashNearDupPairs equals brute-force hamming pairs (pigeonhole)") {
+    // a corpus with exact dups, near-dups, and unrelated docs
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, " THE  quick brown fox jumps over the lazy dog tonight"),
+      (3L, "the quick brown fox jumps over the lazy cat tonight"),
+      (4L, "the quick brown fox leaps over the lazy cat today"),
+      (5L, "completely different content about spark engines here now"),
+      (6L, "entirely unrelated words describing database internals deeply")
+    ).toDF("doc_id", "text")
+    val banded = Dedup.simhashNearDupPairs(corpus, "doc_id", "text", 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force over all signature pairs — banding must lose NOTHING
+    val sig = Dedup.simhashPortable(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val brute = (for {
+      a <- sig.keys; b <- sig.keys if a < b
+      d = java.lang.Long.bitCount(sig(a) ^ sig(b)) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(banded === brute)
+    assert(banded.contains((1L, 2L, 0L))) // normalized-identical pair
+  }
+
   test("keepBest keeps one row per content group, max quality then MIN id") {
     import graft.operators.TextAnalysis
     val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
