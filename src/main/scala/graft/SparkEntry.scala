@@ -1020,7 +1020,7 @@ object SparkEntry {
         "GROUP BY 1"),
     "rel_sample_by_key" ->
       ("SELECT event_id, event_type FROM events " +
-        "WHERE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 7) AS BIGINT) % 10000 < " +
+        "WHERE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|sample'), 1, 7) AS BIGINT) % 10000 < " +
         "CASE event_type WHEN 'view' THEN 2500 WHEN 'click' THEN 5000 ELSE 10000 END"),
     "text_stats" ->
       (s"SELECT doc_id, length(text) AS n_chars, CAST(len($wordsSql) AS BIGINT) AS n_words, " +

@@ -388,13 +388,18 @@ object Relational {
     * a per-row filter (no shuffle, no state): id-hash mod 10000 <
     * fraction·10000, so per-key realized rates concentrate tightly
     * around the target at any volume. Keys absent from `fractions`
-    * keep `defaultFraction`.
+    * keep `defaultFraction`. The hash is DOMAIN-SEPARATED from
+    * deterministicSplit's (a "|sample" salt): the raw id hash would
+    * make sampling arithmetically correlated with split assignment
+    * (H%100 = (H%10000)%100 — e.g. a 0.5% sample would land entirely
+    * inside the train split).
     */
   def deterministicSampleByKey(df: DataFrame, keyCol: String, idCol: String,
       fractions: Map[String, Double],
       defaultFraction: Double = 1.0): DataFrame = {
     val bucket = pmod(
-      graft.functions.TextFns.shingleHash(col(idCol).cast("string")),
+      graft.functions.TextFns.shingleHash(
+        concat(col(idCol).cast("string"), lit("|sample"))),
       lit(10000L))
     val threshold = fractions.toSeq.sortBy(_._1).foldLeft(
       lit(math.round(defaultFraction * 10000))) {

@@ -347,8 +347,9 @@ object Similarity {
   /** ANN with int8-quantized candidate scoring + full-precision
     * re-rank — the production FAISS-style pattern that makes the int8
     * compression (quantizeEmbedding) load-bearing: candidate
-    * generation runs over vectors 4× smaller (less candidate-join
-    * shuffle and cache traffic at 100 TB), and only the k·rerankFactor
+    * generation ships int8 code structs through the bucket join —
+    * 4× less candidate-join shuffle and cache traffic at 100 TB,
+    * dequantized on the probe side — and only the k·rerankFactor
     * survivors per query are re-scored on full-precision embeddings
     * (one bounded join). Same SRP bucketing as annTopK; with a
     * rerankFactor covering every candidate the result equals annTopK
@@ -360,16 +361,21 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
     val bkt = (c: Column) => srpBucket(c, dims, planes)
-    // candidate side carries only the dequantized int8 approximation
+    // the candidate side carries the int8 STRUCT through the bucket
+    // join — that is where the 4× shrink pays (the exchange ships
+    // codes, not floats); the dequantized norm is a per-ROW scalar
+    // computed before the join (never per pair — see bruteForceTopK)
+    val nq = quantizeEmbedding(col(vecCol))
     val cb = corpus.select(col(idCol).as("n_id"),
-      bkt(col(vecCol)).as("bucket"),
-      dequantizeEmbedding(quantizeEmbedding(col(vecCol))).as("n_dq"))
+      bkt(col(vecCol)).as("bucket"), nq.as("n_q"),
+      VectorFns.norm2(dequantizeEmbedding(nq)).as("n_dqn"))
     val qb = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       bkt(col(vecCol)).as("bucket"), VectorFns.norm2(col(vecCol)).as("q_norm"))
     val shortlist = cb.join(qb, Seq("bucket"))
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("qsim", VectorFns.dot(col("q_vec"), col("n_dq"))
-        / (col("q_norm") * VectorFns.norm2(col("n_dq"))))
+      .withColumn("qsim",
+        VectorFns.dot(col("q_vec"), dequantizeEmbedding(col("n_q")))
+          / (col("q_norm") * col("n_dqn")))
       .groupBy(col("q_id"))
       .agg(call_function("graft_topk", col("qsim"),
         col("n_id").cast("long"), lit(k * rerankFactor)).as("topk"))

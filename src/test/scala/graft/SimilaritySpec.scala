@@ -105,13 +105,18 @@ class SimilaritySpec extends SparkSpec {
     def kth(df: org.apache.spark.sql.DataFrame) =
       df.select("q_id", "rank", "cosine_sim")
         .as[(Long, Long, Double)].collect()
-        .groupBy(_._1).map { case (id, rs) => id -> rs.map(_._3).min }
+        .groupBy(_._1).map { case (id, rs) =>
+          id -> (rs.size, rs.map(_._3).min)
+        }
     val single = kth(Similarity.annTopK(emb, q, 5, 64, 4))
     val multi = kth(Similarity.annTopKMultiProbe(emb, q, 5, 64, 4))
-    // multi-probe candidates are a superset (own bucket is probed too),
-    // so the worst kept similarity can only improve per query
-    single.foreach { case (id, s) =>
-      assert(multi(id) >= s - 1e-12, s"query $id")
+    // multi-probe candidates are a superset (own bucket is probed too):
+    // with a FULL k from single-probe the worst kept similarity can
+    // only improve; an underfilled single-probe list instead gets at
+    // least as many rows back (extra probes can only add candidates)
+    single.foreach { case (id, (n, s)) =>
+      if (n == 5) assert(multi(id)._2 >= s - 1e-12, s"query $id")
+      else assert(multi(id)._1 >= n, s"query $id")
     }
     assert(multi.nonEmpty)
   }
