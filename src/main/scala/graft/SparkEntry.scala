@@ -775,6 +775,28 @@ object SparkEntry {
       s"SELECT doc_id, CAST($recombine AS BIGINT) AS simhash FROM v"
   }
 
+  /** Mirrors Dedup.simhashNearDupPairs' generalized pigeonhole: one
+    * UNION ALL branch per C(maxDist+cleanBlocks, cleanBlocks) block
+    * combination, key = the clean blocks' bits concatenated. */
+  private def simhashPairSql(maxDist: Int, cleanBlocks: Int): String = {
+    val bits = 60
+    val nBlocks = maxDist + cleanBlocks
+    val width = bits / nBlocks
+    val mask = (1L << width) - 1
+    val bandSelects = (0 until nBlocks).combinations(cleanBlocks)
+      .toSeq.zipWithIndex.map { case (blocks, c) =>
+        val key = blocks.zipWithIndex.map { case (b, pos) =>
+          s"(((simhash >> ${b * width}) & $mask) << ${pos * width})"
+        }.mkString(" | ")
+        s"SELECT doc_id, simhash, $c AS band, $key AS bv FROM s"
+      }.mkString(" UNION ALL ")
+    s"WITH s AS ($simhashSql), b AS ($bandSelects), " +
+      "p AS (SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id, " +
+      "CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT) AS hamming_dist " +
+      "FROM b a JOIN b b2 ON a.band = b2.band AND a.bv = b2.bv AND a.doc_id < b2.doc_id) " +
+      s"SELECT a_id, b_id, hamming_dist FROM p WHERE hamming_dist <= $maxDist"
+  }
+
   private val wordsSql =
     "string_split_regex(trim(lower(text)), '\\s+')"
 
@@ -1083,15 +1105,9 @@ object SparkEntry {
         "ORDER BY jaccard DESC, a_id, b_id LIMIT 20"),
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" ->
-      // bands join mirrors the pigeonhole construction; the brute xor/
-      // bit_count hamming then applies the exact threshold
-      (s"WITH s AS ($simhashSql), " +
-        "b AS (SELECT doc_id, simhash, t.band, (simhash >> (t.band * 15)) & 32767 AS bv " +
-        "FROM s, LATERAL (SELECT unnest(range(0, 4)) AS band) t), " +
-        "p AS (SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id, " +
-        "CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT) AS hamming_dist " +
-        "FROM b a JOIN b b2 ON a.band = b2.band AND a.bv = b2.bv AND a.doc_id < b2.doc_id) " +
-        "SELECT a_id, b_id, hamming_dist FROM p WHERE hamming_dist <= 3"),
+      // combination-banding join mirrors the generalized pigeonhole; the
+      // brute xor/bit_count hamming then applies the exact threshold
+      simhashPairSql(maxDist = 3, cleanBlocks = 2),
     "dedup_keep_best" ->
       (s"WITH q AS (SELECT doc_id, 0.4 * least(nw / 200.0, 1.0) + 0.3 * least(stop / nw * 4.0, 1.0) + 0.3 * (nd / nw) AS quality FROM " +
         s"(SELECT doc_id, CAST(len(list_filter($wordsSql, x -> x IN $stopListSql)) AS DOUBLE) AS stop, " +

@@ -212,29 +212,48 @@ object Dedup {
 
   /** EXACT simhash near-duplicate pairs: every (a < b) pair whose
     * portable 60-bit signatures differ in at most `maxDist` bit
-    * positions. Pigeonhole banding makes it scale AND stay exact: the
-    * signature splits into maxDist+1 equal bit-slices, and a pair
-    * within maxDist must agree on at least one slice verbatim — so
-    * candidates come from grouping on (band, band-bits), never an
-    * all-pairs join, and the exact hamming filter only ever REMOVES
-    * false candidates (no recall loss, unlike MinHash-LSH). Per-bucket
+    * positions. Generalized pigeonhole banding (Manku et al.'s
+    * permuted-table design, WWW'07) makes it scale AND stay exact: the
+    * signature splits into `maxDist + cleanBlocks` equal bit-slices —
+    * a pair within maxDist has differing bits in at most maxDist
+    * slices, so at least `cleanBlocks` slices agree verbatim, so the
+    * pair shares a key in at least one of the C(blocks, cleanBlocks)
+    * combination tables keyed on a cleanBlocks-slice concatenation.
+    * Candidates come from grouping on (table, key), never an all-pairs
+    * join, and the exact hamming filter only ever REMOVES false
+    * candidates (no recall loss, unlike MinHash-LSH).
+    *
+    * `cleanBlocks` is the scale knob: key width = cleanBlocks·60/
+    * (maxDist+cleanBlocks) bits, and expected candidate volume on
+    * near-uniform signatures is ~C(blocks,q)·n²/2^keyWidth. At
+    * maxDist=3 the q=1 degenerate form (the round-3 shape) has 15-bit
+    * keys — n²/2^15 per table, all-pairs deferred rather than avoided —
+    * while the q=2 default gives 10 tables of 24-bit keys (~64× fewer
+    * candidates) and q=3 gives 20 tables of 30-bit keys. Per-bucket
     * state is bounded by near-dup cluster size, same as
     * lshCandidatePairs. Output: (a_id, b_id, hamming_dist).
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3, cleanBlocks: Int = 2): DataFrame = {
     val bits = 60
-    val nBands = maxDist + 1
-    require(bits % nBands == 0,
-      s"maxDist=$maxDist needs ${nBands} equal bands of $bits bits; " +
-        "choose maxDist+1 dividing 60 (e.g. 2, 3, 4, 5)")
-    val width = bits / nBands
+    require(cleanBlocks >= 1, "cleanBlocks must be >= 1")
+    val nBlocks = maxDist + cleanBlocks
+    require(bits % nBlocks == 0,
+      s"maxDist=$maxDist, cleanBlocks=$cleanBlocks needs $nBlocks equal " +
+        s"blocks of $bits bits; choose maxDist+cleanBlocks dividing 60 " +
+        "(e.g. 4, 5, 6, 10)")
+    val width = bits / nBlocks
+    val mask = (1L << width) - 1
     val sig = simhashPortable(df, idCol, textCol)
-    val bandCols = (0 until nBands).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * width)
-          .bitwiseAND(lit((1L << width) - 1)).as("bv"))
-    }
+    // one struct per block combination: table id + concatenated key
+    val bandCols = (0 until nBlocks).combinations(cleanBlocks)
+      .toSeq.zipWithIndex.map { case (blocks, c) =>
+        val key = blocks.zipWithIndex.map { case (b, pos) =>
+          shiftleft(shiftright(col("simhash"), b * width)
+            .bitwiseAND(lit(mask)), pos * width)
+        }.reduce(_ bitwiseOR _)
+        struct(lit(c).as("band"), key.as("bv"))
+      }
     val buckets = sig
       .select(col(idCol), col("simhash"), explode(array(bandCols: _*)).as("bb"))
       .groupBy(col("bb.band").as("band"), col("bb.bv").as("bv"))
