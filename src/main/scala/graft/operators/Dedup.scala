@@ -228,8 +228,9 @@ object Dedup {
     * near-uniform signatures is ~C(blocks,q)·n²/2^keyWidth. At
     * maxDist=3 the q=1 degenerate form (the round-3 shape) has 15-bit
     * keys — n²/2^15 per table, all-pairs deferred rather than avoided —
-    * while the q=2 default gives 10 tables of 24-bit keys (~64× fewer
-    * candidates) and q=3 gives 20 tables of 30-bit keys. Per-bucket
+    * while the q=2 default gives 10 tables of 24-bit keys (~205× fewer
+    * candidates: C(4,1)/2^15 vs C(5,2)/2^24) and q=3 gives 20 tables of
+    * 30-bit keys. Per-bucket
     * state is bounded by near-dup cluster size, same as
     * lshCandidatePairs. Output: (a_id, b_id, hamming_dist).
     */

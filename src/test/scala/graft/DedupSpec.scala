@@ -100,17 +100,22 @@ class DedupSpec extends SparkSpec {
       (5L, "completely different content about spark engines here now"),
       (6L, "entirely unrelated words describing database internals deeply")
     ).toDF("doc_id", "text")
-    val banded = Dedup.simhashNearDupPairs(corpus, "doc_id", "text", 3)
-      .as[(Long, Long, Long)].collect().toSet
-    // brute force over all signature pairs — banding must lose NOTHING
+    // brute force over all signature pairs — banding must lose NOTHING,
+    // at EVERY cleanBlocks parameterization (q=1 legacy 4×15-bit shape,
+    // q=2 default, q=3 wide): all of maxDist+q ∈ {4,5,6} divide 60
     val sig = Dedup.simhashPortable(corpus, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
     val brute = (for {
       a <- sig.keys; b <- sig.keys if a < b
       d = java.lang.Long.bitCount(sig(a) ^ sig(b)) if d <= 3
     } yield (a, b, d.toLong)).toSet
-    assert(banded === brute)
-    assert(banded.contains((1L, 2L, 0L))) // normalized-identical pair
+    for (q <- Seq(1, 2, 3)) {
+      val banded =
+        Dedup.simhashNearDupPairs(corpus, "doc_id", "text", 3, cleanBlocks = q)
+          .as[(Long, Long, Long)].collect().toSet
+      assert(banded === brute, s"cleanBlocks=$q")
+      assert(banded.contains((1L, 2L, 0L))) // normalized-identical pair
+    }
   }
 
   test("keepBest keeps one row per content group, max quality then MIN id") {
