@@ -30,6 +30,12 @@ object SparkEntry {
   val LshBands = 4
   /** Fixed retrieval query for the BM25 scorer (real corpus terms). */
   val Bm25Terms: Seq[String] = Seq("stream", "join", "spark")
+  /** Sequence-packing parameters (token budget per pack, hash groups). */
+  val PackBudget = 256L
+  val PackGroups = 32
+  /** Per-source token budgets for the token-budget sampler; sources
+    * absent here are unlimited. */
+  val TokenBudgets: Map[String, Long] = Map("src0" -> 500L, "src1" -> 800L)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's pickup/dropoff tagged-count union
@@ -488,6 +494,13 @@ object SparkEntry {
     "text_bm25" -> ((s, d) =>
       TextAnalysis.bm25Scores(t(s, d, "documents"), "doc_id", "text",
         Bm25Terms)),
+    "text_pack" -> ((s, d) =>
+      Packing.packSequences(t(s, d, "documents"), "doc_id", "text",
+        budget = PackBudget, numGroups = PackGroups)),
+    "rel_token_budget" -> ((s, d) =>
+      Packing.tokenBudgetSampleByKey(t(s, d, "documents"), "source",
+          "doc_id", "text", TokenBudgets)
+        .select(col("doc_id"), col("source"))),
 
     // --- dedup ---
     "dedup_exact_groups" -> ((s, d) =>
@@ -781,6 +794,11 @@ object SparkEntry {
   private def simhashPairSql(maxDist: Int, cleanBlocks: Int): String = {
     val bits = 60
     val nBlocks = maxDist + cleanBlocks
+    // same contract as the Scala operator: a non-dividing block count
+    // would silently truncate the key width (recall-safe but divergent)
+    require(bits % nBlocks == 0,
+      s"maxDist=$maxDist, cleanBlocks=$cleanBlocks needs $nBlocks equal " +
+        s"blocks of $bits bits; choose maxDist+cleanBlocks dividing 60")
     val width = bits / nBlocks
     val mask = (1L << width) - 1
     val bandSelects = (0 until nBlocks).combinations(cleanBlocks)
@@ -799,6 +817,48 @@ object SparkEntry {
 
   private val wordsSql =
     "string_split_regex(trim(lower(text)), '\\s+')"
+
+  private val tokensSql =
+    s"CAST(len(regexp_extract_all($normSql, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)"
+
+  /** Mirrors Packing.packSequences: same hash groups and (hash, id)
+    * order; the sequential next-fit walk replays as a linear recursive
+    * CTE per group (recursion depth = max group size — fine at oracle
+    * SF; the Spark side walks each group in a streaming task). */
+  private def packSql(budget: Long, groups: Int): String =
+    "WITH RECURSIVE base AS (SELECT doc_id, " +
+      "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|pack'), 1, 7) AS BIGINT) AS h, " +
+      s"CAST(least($tokensSql, $budget) AS BIGINT) AS t FROM documents), " +
+      s"o AS (SELECT doc_id, h % $groups AS g, h, t, " +
+      s"row_number() OVER (PARTITION BY h % $groups ORDER BY h, doc_id) AS rn FROM base), " +
+      "packed AS (" +
+      "SELECT g, rn, doc_id, t, t AS fill, CAST(0 AS BIGINT) AS pack FROM o WHERE rn = 1 " +
+      "UNION ALL " +
+      "SELECT o.g, o.rn, o.doc_id, o.t, " +
+      s"CASE WHEN p.fill + o.t > $budget THEN o.t ELSE p.fill + o.t END AS fill, " +
+      s"CASE WHEN p.fill + o.t > $budget THEN p.pack + 1 ELSE p.pack END AS pack " +
+      "FROM o JOIN packed p ON o.g = p.g AND o.rn = p.rn + 1) " +
+      "SELECT CAST(g AS VARCHAR) || '-' || CAST(pack AS VARCHAR) AS pack_id, " +
+      "count(*) AS n_docs, CAST(sum(t) AS BIGINT) AS total_tokens, " +
+      s"CAST(sum(t) AS DOUBLE) / $budget AS fill_ratio, " +
+      "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn) AS doc_ids " +
+      "FROM packed GROUP BY g, pack"
+
+  /** Mirrors Packing.tokenBudgetSampleByKey — the oracle replays the
+    * NAIVE key-partitioned running sum (the bucketed plan is a pure
+    * execution-shape change; PackingSpec proves row equality). */
+  private def tokenBudgetSql(budgets: Map[String, Long],
+      defaultBudget: Long): String = {
+    val cases = budgets.toSeq.sortBy(_._1)
+      .map { case (k, b) => s"WHEN '$k' THEN $b" }.mkString(" ")
+    "SELECT doc_id, source FROM (SELECT doc_id, source, " +
+      "coalesce(sum(t) OVER (PARTITION BY source ORDER BY h, doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx, " +
+      s"CASE source $cases ELSE $defaultBudget END AS b " +
+      "FROM (SELECT doc_id, source, " +
+      "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|budget'), 1, 7) AS BIGINT) AS h, " +
+      s"$tokensSql AS t FROM documents) z) zz WHERE b < 0 OR pfx < b"
+  }
 
   private val stopListSql =
     TextAnalysis.Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -822,6 +882,8 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "text_bm25" -> bm25Sql(Bm25Terms, k1 = 1.2, b = 0.75),
+    "text_pack" -> packSql(PackBudget, PackGroups),
+    "rel_token_budget" -> tokenBudgetSql(TokenBudgets, defaultBudget = -1L),
     "media_resize" ->
       ("SELECT doc_id AS media_id, CAST(least(strlen(text), 300) AS BIGINT) AS n_bytes, " +
         "md5(substr(text, 1, 300)) AS payload_sig FROM documents"),

@@ -1,0 +1,157 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-economy operators for training-data assembly: sequence packing
+  * (fill fixed token-budget rows from variable-length documents) and
+  * per-source token-budget sampling (apply mixture weights by token
+  * count, not row count). Both are hash-deterministic — the same input
+  * produces the same packs / kept set on every run, engine, and
+  * partitioning — so results are reproducible and oracle-checkable.
+  */
+object Packing {
+
+  /** BPE-ish token count of a text column (the same tokenizer as
+    * TextAnalysis.textStats' n_tokens — one corpus-wide token
+    * definition keeps budgets comparable across operators). */
+  def tokenCount(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    size(TextFns.bpeishTokens(text)).cast("long")
+
+  /** Sequence packing: assign every document to a pack so that no
+    * pack's token total exceeds `budget` — the batch-assembly step
+    * before LLM training (padding waste = 1 − fill_ratio). Greedy
+    * sequential next-fit over a deterministic order: documents are
+    * hash-assigned to `numGroups` independent groups, ordered within
+    * each group by (hash, id), and packed by a single forward walk —
+    * a doc that would overflow the open pack closes it and starts the
+    * next. Docs longer than the budget are truncated to exactly
+    * `budget` tokens (they fill a pack alone).
+    *
+    * Scale shape: the only sequential step is the per-group walk, run
+    * as mapPartitions over a repartition(group)+sortWithinPartitions
+    * exchange — O(1) state per task (no per-group buffers, unlike an
+    * ordered-fold formulation which would hold a group's docs in one
+    * aggregate value). `numGroups` is the parallelism knob: size it so
+    * a group's docs fit a task's input split (groups ≈ corpus/10k docs
+    * at 100 TB); packing quality is unaffected since packs never span
+    * groups. The final per-pack rollup is one hash aggregate.
+    *
+    * Output: one row per pack — (pack_id, n_docs, total_tokens,
+    * fill_ratio, doc_ids) with doc_ids comma-joined in pack order.
+    * Requires a numeric id column (the deterministic order ties on id
+    * cross-engine; string ids would collate differently per engine).
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      budget: Long, numGroups: Int = 256): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(numGroups > 0, "numGroups must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val h = TextFns.shingleHash(
+      concat(col(idCol).cast("string"), lit("|pack")))
+    val base = df.select(
+      pmod(h, lit(numGroups.toLong)).as("g"),
+      h.as("h"),
+      col(idCol).cast("long").as("id"),
+      least(tokenCount(col(textCol)), lit(budget)).as("t"))
+    // groups are contiguous sorted runs within a partition; the walk
+    // resets its (fill, pack) state on every group change. t <= budget
+    // by construction, so "fill + t > budget" can only trip on a
+    // non-empty open pack — every doc lands in exactly one pack.
+    val walked = base
+      .repartition(col("g"))
+      .sortWithinPartitions(col("g"), col("h"), col("id"))
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        var curG = 0L; var fill = 0L; var pack = 0L; var pos = 0L
+        var started = false
+        it.map { case (g, _, id, t) =>
+          if (!started || g != curG) {
+            started = true; curG = g; pack = 0L; fill = t; pos = 0L
+          } else if (fill + t > budget) { pack += 1; fill = t }
+          else fill += t
+          pos += 1
+          (g, pack, pos, id, t)
+        }
+      }
+      .toDF("g", "pack", "pos", "id", "t")
+    walked.groupBy(col("g"), col("pack"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("total_tokens"),
+        sort_array(collect_list(struct(col("pos"), col("id")))).as("__ps"))
+      .select(
+        concat(col("g").cast("string"), lit("-"),
+          col("pack").cast("string")).as("pack_id"),
+        col("n_docs"), col("total_tokens"),
+        (col("total_tokens").cast("double") / budget).as("fill_ratio"),
+        array_join(transform(col("__ps"),
+          p => p.getField("id").cast("string")), ",").as("doc_ids"))
+  }
+
+  /** Token-budget sampling per key: keep each key's rows — in a
+    * deterministic hash order — until the key's TOKEN budget is met,
+    * then drop the rest. This is how mixture weights are actually
+    * applied to a training corpus (a source's contribution is its
+    * token count, not its row count; deterministicSampleByKey scales
+    * rows by rate, this caps tokens absolutely). The row that crosses
+    * the budget is kept (it completes the budget); keys absent from
+    * `budgets` keep `defaultBudget`, and a negative budget means
+    * unlimited. The order hash is DOMAIN-SEPARATED ("|budget" salt)
+    * from both deterministicSplit's and deterministicSampleByKey's,
+    * so budget cuts never correlate with split assignment or row
+    * sampling.
+    *
+    * Scale shape: a key's rows must see a running token prefix — but a
+    * single window partitioned by key would sort each key on ONE
+    * reducer, and the overrepresented sources this operator exists to
+    * cap are exactly the hot keys. Instead the prefix splits in two:
+    * per-(key, bucket) token sums (one partial-agg shuffle; `buckets`
+    * = high bits of the order hash, so bucket order IS hash order),
+    * a bucket-level running sum (a window over ≤`buckets` rows per
+    * key), joined back and completed by a row-level window partitioned
+    * by (key, bucket) — per-reducer work drops by the bucket count,
+    * ~1/buckets of the key. Output rows are EXACTLY the naive
+    * key-partitioned window's (spec-verified).
+    */
+  def tokenBudgetSampleByKey(df: DataFrame, keyCol: String, idCol: String,
+      textCol: String, budgets: Map[String, Long],
+      defaultBudget: Long = -1L, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0 &&
+      buckets <= (1 << 28), "buckets must be a power of two <= 2^28")
+    val shift = 28 - Integer.numberOfTrailingZeros(buckets)
+    val inCols = df.columns.toSeq
+    val budgetCol = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
+      case (acc, (k, b)) => when(col(keyCol) === k, lit(b)).otherwise(acc)
+    }
+    val withH = df
+      .withColumn("__h", TextFns.shingleHash(
+        concat(col(idCol).cast("string"), lit("|budget"))))
+      .withColumn("__t", tokenCount(col(textCol)))
+      .withColumn("__b", shiftright(col("__h"), shift))
+    // bucket token totals, then the exclusive bucket prefix — tiny
+    // (keys × buckets rows), so the window and the join-back are cheap
+    val bucketSums = withH
+      .groupBy(col(keyCol).as("__k"), col("__b").as("__bb"))
+      .agg(sum(col("__t")).as("__bt"))
+    val wb = Window.partitionBy(col("__k")).orderBy(col("__bb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketPfx = bucketSums
+      .withColumn("__bpfx", coalesce(sum(col("__bt")).over(wb), lit(0L)))
+      .select(col("__k"), col("__bb"), col("__bpfx"))
+    // row prefix = bucket prefix + within-bucket exclusive prefix;
+    // the within-bucket window partitions on (key, bucket) — a hot
+    // key's sort spreads over `buckets` reducers instead of one
+    val wr = Window.partitionBy(col(keyCol), col("__b"))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withH
+      .join(bucketPfx,
+        col(keyCol) === col("__k") && col("__b") === col("__bb"))
+      .withColumn("__pfx",
+        col("__bpfx") + coalesce(sum(col("__t")).over(wr), lit(0L)))
+      .filter(budgetCol < 0 || col("__pfx") < budgetCol)
+      .select(inCols.map(col): _*)
+  }
+}

@@ -1,0 +1,160 @@
+package graft
+
+import graft.functions.TextFns
+import graft.operators.Packing
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(n: Int) = {
+    // deterministic variable-length docs: id i repeats a word mix so
+    // token counts spread over [3, ~40]
+    (1 to n).map { i =>
+      val words = Seq.fill(3 + (i * 7) % 38)(s"w${i % 11}")
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  test("packSequences: every doc packed exactly once, no pack over budget") {
+    val docs = corpus(120)
+    val budget = 64L
+    val packs = Packing.packSequences(docs, "doc_id", "text", budget, 8)
+      .collect()
+    assert(packs.map(_.getAs[Long]("n_docs")).sum === 120L)
+    val packedIds = packs
+      .flatMap(_.getAs[String]("doc_ids").split(",")).map(_.toLong)
+    assert(packedIds.length === 120)
+    assert(packedIds.toSet === (1L to 120L).toSet)
+    packs.foreach { p =>
+      assert(p.getAs[Long]("total_tokens") <= budget)
+      assert(p.getAs[Double]("fill_ratio") ===
+        p.getAs[Long]("total_tokens").toDouble / budget)
+    }
+  }
+
+  test("packSequences truncates an oversize doc into a full pack of its own") {
+    val docs = Seq(
+      (1L, Seq.fill(200)("big").mkString(" ")), // 200 tokens > budget 64
+      (2L, "small doc here"),
+      (3L, "another small doc")
+    ).toDF("doc_id", "text")
+    val packs = Packing.packSequences(docs, "doc_id", "text", 64L, 2)
+      .collect()
+    val big = packs.find(_.getAs[String]("doc_ids").split(",").contains("1"))
+    assert(big.isDefined)
+    assert(big.get.getAs[String]("doc_ids") === "1") // alone in its pack
+    assert(big.get.getAs[Long]("total_tokens") === 64L) // truncated to budget
+    assert(packs.map(_.getAs[Long]("n_docs")).sum === 3L)
+  }
+
+  test("packSequences is deterministic under input repartitioning") {
+    val docs = corpus(90)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Packing.packSequences(df, "doc_id", "text", 64L, 8)
+        .collect().map(_.toSeq).toSet
+    assert(run(docs) === run(docs.repartition(7)))
+  }
+
+  test("packSequences packs within a group in (hash, id) order, next-fit") {
+    // single group -> the walk is one deterministic sequence; replay it
+    val docs = corpus(40)
+    val budget = 64L
+    val ordered = docs
+      .select(col("doc_id"),
+        TextFns.shingleHash(
+          concat(col("doc_id").cast("string"), lit("|pack"))).as("h"),
+        least(Packing.tokenCount(col("text")), lit(budget)).as("t"))
+      .orderBy(col("h"), col("doc_id"))
+      .as[(Long, Long, Long)].collect()
+    var fill = 0L; var pack = 0L
+    val expected = ordered.map { case (id, _, t) =>
+      if (fill == 0L) fill = t
+      else if (fill + t > budget) { pack += 1; fill = t }
+      else fill += t
+      (id, pack)
+    }.groupBy(_._2).map { case (p, xs) => p -> xs.map(_._1).mkString(",") }
+    val got = Packing.packSequences(docs, "doc_id", "text", budget, 1)
+      .collect()
+      .map(r => r.getAs[String]("pack_id").split("-")(1).toLong ->
+        r.getAs[String]("doc_ids")).toMap
+    assert(got === expected)
+  }
+
+  private val keyedDocs = (1 to 200).map { i =>
+    val words = Seq.fill(5 + (i * 13) % 30)(s"t${i % 7}")
+    (i.toLong, s"src${i % 4}", words.mkString(" "))
+  }.toDF("doc_id", "source", "text")
+
+  private val someBudgets = Map("src0" -> 120L, "src1" -> 300L, "src2" -> 1L)
+
+  /** Naive single-window reference: one running sum per key. */
+  private def naiveTokenBudget(df: org.apache.spark.sql.DataFrame,
+      budgets: Map[String, Long]): Set[Long] = {
+    val budgetCol = budgets.toSeq.sortBy(_._1).foldLeft(lit(-1L)) {
+      case (acc, (k, b)) => when(col("source") === k, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("__h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__h", TextFns.shingleHash(
+        concat(col("doc_id").cast("string"), lit("|budget"))))
+      .withColumn("__t", Packing.tokenCount(col("text")))
+      .withColumn("__pfx", coalesce(sum(col("__t")).over(w), lit(0L)))
+      .filter(budgetCol < 0 || col("__pfx") < budgetCol)
+      .select(col("doc_id")).as[Long].collect().toSet
+  }
+
+  test("tokenBudgetSampleByKey: bucketed plan equals the naive window") {
+    val got = Packing.tokenBudgetSampleByKey(keyedDocs, "source", "doc_id",
+        "text", someBudgets, buckets = 16)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(got === naiveTokenBudget(keyedDocs, someBudgets))
+  }
+
+  test("tokenBudgetSampleByKey respects budgets; crossing row completes them") {
+    val kept = Packing.tokenBudgetSampleByKey(keyedDocs, "source", "doc_id",
+        "text", someBudgets, buckets = 16)
+      .withColumn("__t", Packing.tokenCount(col("text")))
+      .groupBy(col("source"))
+      .agg(sum(col("__t")).as("tok"), max(col("__t")).as("maxt"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("tok"), r.getAs[Long]("maxt"), r.getAs[Long]("n")))
+      .toMap
+    // capped keys: kept tokens stay under budget + one doc (the
+    // crossing row is kept), and are at least the budget when the key
+    // has enough tokens; src2's budget of 1 keeps exactly one row
+    assert(kept("src0")._1 >= 120L && kept("src0")._1 < 120L + kept("src0")._2)
+    assert(kept("src1")._1 >= 300L && kept("src1")._1 < 300L + kept("src1")._2)
+    assert(kept("src2")._3 === 1L)
+    // unlimited key keeps everything
+    assert(kept("src3")._3 === 50L)
+  }
+
+  test("tokenBudgetSampleByKey: kept set is a prefix of the hash order") {
+    val kept = Packing.tokenBudgetSampleByKey(keyedDocs, "source", "doc_id",
+        "text", someBudgets, buckets = 16)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val ordered = keyedDocs
+      .withColumn("__h", TextFns.shingleHash(
+        concat(col("doc_id").cast("string"), lit("|budget"))))
+      .filter(col("source") === "src0")
+      .orderBy(col("__h"), col("doc_id"))
+      .select(col("doc_id")).as[Long].collect()
+    val keptInOrder = ordered.map(kept.contains)
+    // once a row is dropped, every later row in the order is dropped too
+    assert(!keptInOrder.dropWhile(identity).contains(true))
+    assert(keptInOrder.head) // the first row always fits (pfx = 0)
+  }
+
+  test("tokenBudgetSampleByKey is stable under repartitioning") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Packing.tokenBudgetSampleByKey(df, "source", "doc_id", "text",
+          someBudgets, buckets = 16)
+        .select(col("doc_id")).as[Long].collect().toSet
+    assert(run(keyedDocs) === run(keyedDocs.repartition(11)))
+  }
+}
