@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFns
 import graft.operators._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -36,6 +36,22 @@ object SparkEntry {
   /** Per-source token budgets for the token-budget sampler; sources
     * absent here are unlimited. */
   val TokenBudgets: Map[String, Long] = Map("src0" -> 500L, "src1" -> 800L)
+
+  /** Deterministic PII seeding for the redaction query: the synthetic
+    * corpus has no PII, so emails/phones/SSNs derive from doc_id (mod
+    * classes leave some docs clean); `redactSql` replays the identical
+    * construction so the redactor is exercised on non-zero hit counts. */
+  private def piiSeededText: Column = concat(
+    col("text"),
+    when(col("doc_id") % 3 === 0,
+      concat(lit(" reach user"), col("doc_id").cast("string"),
+        lit("@mail.example.com soon"))).otherwise(lit("")),
+    when(col("doc_id") % 5 === 0,
+      concat(lit(" call 415-867-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" today"))).otherwise(lit("")),
+    when(col("doc_id") % 7 === 0,
+      lit(" id 123-45-6789 on file")).otherwise(lit("")))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's pickup/dropoff tagged-count union
@@ -497,6 +513,13 @@ object SparkEntry {
     "text_pack" -> ((s, d) =>
       Packing.packSequences(t(s, d, "documents"), "doc_id", "text",
         budget = PackBudget, numGroups = PackGroups)),
+    "text_redact" -> ((s, d) =>
+      // the corpus has no real PII, so the query seeds deterministic
+      // emails/phones/SSNs from doc_id (same expression replayed in the
+      // oracle) — the redactor runs against non-trivial hit counts
+      TextAnalysis.redactPii(
+        t(s, d, "documents").select(col("doc_id"), piiSeededText.as("text")),
+        "doc_id", "text")),
     "rel_token_budget" -> ((s, d) =>
       Packing.tokenBudgetSampleByKey(t(s, d, "documents"), "source",
           "doc_id", "text", TokenBudgets)
@@ -552,6 +575,11 @@ object SparkEntry {
         Dedup.lshCandidatePairs(docs, "doc_id", "text", MinhashK, LshBands),
         "doc_id", "text", 64)
     }),
+    "dedup_curation" -> ((s, d) =>
+      // shared-stage pipeline: the LSH pair table is materialized once
+      // and feeds BOTH edit-distance refine and cluster labeling
+      Dedup.curationReport(t(s, d, "documents"), "doc_id", "text",
+        MinhashK, LshBands)),
 
     // --- similarity search ---
     "sim_knn_topk" -> ((s, d) => {
@@ -860,6 +888,29 @@ object SparkEntry {
       s"$tokensSql AS t FROM documents) z) zz WHERE b < 0 OR pfx < b"
   }
 
+  /** Mirrors TextAnalysis.redactPii over the same seeded text: one CTE
+    * per pattern stage, counts on the stage input, masks chained in
+    * PiiPatterns order; DuckDB regexp_replace needs the explicit 'g'
+    * flag to match Spark's replace-all default. */
+  private def redactSql: String = {
+    val seeded = "text || " +
+      "CASE WHEN doc_id % 3 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example.com soon' ELSE '' END || " +
+      "CASE WHEN doc_id % 5 = 0 THEN ' call 415-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today' ELSE '' END || " +
+      "CASE WHEN doc_id % 7 = 0 THEN ' id 123-45-6789 on file' ELSE '' END"
+    val pats = TextAnalysis.PiiPatterns
+    val ctes = pats.zipWithIndex.map { case ((name, pat, repl), i) =>
+      val carried = pats.take(i).map { case (n, _, _) => s"n_$n, " }.mkString
+      s"s${i + 1} AS (SELECT doc_id, $carried" +
+        s"CAST(len(regexp_extract_all(t$i, '$pat')) AS BIGINT) AS n_$name, " +
+        s"regexp_replace(t$i, '$pat', '$repl', 'g') AS t${i + 1} FROM s$i)"
+    }.mkString(", ")
+    val nCols = pats.map { case (n, _, _) => s"n_$n" }
+    s"WITH s0 AS (SELECT doc_id, $seeded AS t0 FROM documents), $ctes " +
+      s"SELECT doc_id, t${pats.size} AS clean_text, ${nCols.mkString(", ")}, " +
+      s"CAST(${nCols.map(n => s"$n").mkString(" + ")} AS BIGINT) AS n_pii " +
+      s"FROM s${pats.size}"
+  }
+
   private val stopListSql =
     TextAnalysis.Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
@@ -883,6 +934,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "text_bm25" -> bm25Sql(Bm25Terms, k1 = 1.2, b = 0.75),
     "text_pack" -> packSql(PackBudget, PackGroups),
+    "text_redact" -> redactSql,
     "rel_token_budget" -> tokenBudgetSql(TokenBudgets, defaultBudget = -1L),
     "media_resize" ->
       ("SELECT doc_id AS media_id, CAST(least(strlen(text), 300) AS BIGINT) AS n_bytes, " +
@@ -1186,6 +1238,27 @@ object SparkEntry {
         s"heads AS (SELECT doc_id, substr($normSql, 1, 64) AS head FROM documents) " +
         "SELECT a_id, b_id, CAST(levenshtein(ha.head, hb.head) AS BIGINT) AS edit_dist FROM pairs " +
         "JOIN heads ha ON pairs.a_id = ha.doc_id JOIN heads hb ON pairs.b_id = hb.doc_id"),
+    "dedup_curation" ->
+      // shared `pairs` CTE feeds both the edit-distance refine and the
+      // recursive-CTE cluster labels — the SQL mirror of the
+      // materialize-once pipeline
+      (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") + sigCte +
+        s", bands AS ($bandSelects), " +
+        "pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a " +
+        "JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id), " +
+        s"heads AS (SELECT doc_id, substr($normSql, 1, 64) AS head FROM documents), " +
+        "refined AS (SELECT a_id, b_id, CAST(levenshtein(ha.head, hb.head) AS BIGINT) AS edit_dist FROM pairs " +
+        "JOIN heads ha ON pairs.a_id = ha.doc_id JOIN heads hb ON pairs.b_id = hb.doc_id), " +
+        "edges2 AS (SELECT a_id AS src, b_id AS dst FROM pairs UNION ALL SELECT b_id, a_id FROM pairs), " +
+        "nodes AS (SELECT a_id AS id FROM pairs UNION SELECT b_id FROM pairs), " +
+        "r(id, label) AS (SELECT id, id FROM nodes " +
+        "UNION SELECT e.dst, r.label FROM r JOIN edges2 e ON e.src = r.id), " +
+        "clusters AS (SELECT id, min(label) AS cluster_id FROM r GROUP BY id), " +
+        "sizes AS (SELECT cluster_id, count(*) AS n_docs FROM clusters GROUP BY 1), " +
+        "pc AS (SELECT c.cluster_id, count(*) AS n_pairs, min(edit_dist) AS min_edit, " +
+        "max(edit_dist) AS max_edit FROM refined JOIN clusters c ON refined.a_id = c.id GROUP BY 1) " +
+        "SELECT pc.cluster_id, n_docs, n_pairs, min_edit, max_edit " +
+        "FROM pc JOIN sizes USING (cluster_id)"),
     "dedup_embedding_cos" ->
       ("WITH a AS (SELECT label, vec_id AS a_id, embedding AS a_vec FROM embeddings), " +
         "b AS (SELECT label, vec_id AS b_id, embedding AS b_vec FROM embeddings), " +

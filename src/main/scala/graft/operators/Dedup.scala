@@ -447,4 +447,39 @@ object Dedup {
       .filter(col("sim") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("cosine_sim"))
   }
+
+  /** Shared-stage curation report: the multi-stage shape a real
+    * curation run uses — the LSH candidate-pair table is materialized
+    * ONCE (eager localCheckpoint) and feeds BOTH downstream refine
+    * stages, edit-distance verification and connected-component cluster
+    * labeling, instead of each stage rebuilding the minhash pipeline
+    * from raw text (the per-query formulation recomputes the
+    * shingle→signature→band chain per consumer — Spark does NOT reuse
+    * forked DAG branches across actions). Input scan multiplicity is
+    * exactly 2 — one for the pair materialization, one for the
+    * edit-distance text heads — regardless of cluster iteration count
+    * (spec-pinned with a per-row accumulator).
+    *
+    * Output: one row per duplicate cluster — (cluster_id, n_docs,
+    * n_pairs, min_edit, max_edit); every candidate pair lands in
+    * exactly one cluster (both endpoints share it by construction).
+    */
+  def curationReport(df: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int, headLen: Int = 64): DataFrame = {
+    val pairs = lshCandidatePairs(df, idCol, textCol, k, bands)
+      .localCheckpoint(true)
+    val refined = editDistancePairs(df, pairs, idCol, textCol, headLen)
+    val clusters = duplicateClusters(pairs)
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"))
+    refined
+      .join(clusters.withColumnRenamed("id", "a_id"), "a_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("edit_dist")).as("min_edit"),
+        max(col("edit_dist")).as("max_edit"))
+      .join(sizes, "cluster_id")
+      .select(col("cluster_id"), col("n_docs"), col("n_pairs"),
+        col("min_edit"), col("max_edit"))
+  }
 }

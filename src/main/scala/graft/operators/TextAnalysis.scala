@@ -159,4 +159,44 @@ object TextAnalysis {
       col(idCol),
       TextFns.fingerprint(col(textCol)).as("fingerprint"),
       substring(TextFns.fingerprint(col(textCol)), 1, 16).as("bucket64"))
+
+  /** PII mask patterns applied IN ORDER: (name, regex, replacement).
+    * Patterns deliberately use only character classes, exact-count
+    * quantifiers and `\b` — constructs on which Java's leftmost-first
+    * and RE2's leftmost-longest matching coincide, so the redaction is
+    * bit-identical across engines (no ambiguous alternation). Order
+    * matters where patterns could nest (an email's local part contains
+    * digits): each pattern counts and masks the PREVIOUS stage's
+    * output, never the raw text. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b", "<PHONE>"),
+    ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"))
+
+  /** PII redaction + quarantine signal: masks each pattern in
+    * `patterns` sequentially and emits per-pattern hit counts plus the
+    * total — the curation step between quality gating and packing
+    * (mask what's redactable, quarantine rows where `n_pii` exceeds a
+    * policy threshold). Pure per-row regexp expressions: shuffle-free,
+    * embarrassingly parallel, and idempotent (mask tokens contain no
+    * pattern-matchable characters, so redact∘redact = redact —
+    * spec-pinned). Counts are taken on the stage input (before that
+    * stage's mask), so a phone inside an already-masked email is never
+    * double-counted. Output: (id, clean_text, n_<pattern>…, n_pii). */
+  def redactPii(df: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[(String, String, String)] = PiiPatterns): DataFrame = {
+    val staged = patterns.zipWithIndex.foldLeft(
+      df.select(col(idCol), col(textCol).as("__t0"))) {
+      case (d, ((name, pat, repl), i)) =>
+        d.withColumn(s"n_$name",
+            regexp_count(col(s"__t$i"), lit(pat)).cast("long"))
+          .withColumn(s"__t${i + 1}", regexp_replace(col(s"__t$i"), pat, repl))
+    }
+    val countCols = patterns.map { case (n, _, _) => col(s"n_$n") }
+    staged.select(
+      (col(idCol) +:
+        col(s"__t${patterns.size}").as("clean_text") +:
+        countCols :+
+        countCols.reduce(_ + _).as("n_pii")): _*)
+  }
 }

@@ -97,4 +97,56 @@ class TextAnalysisSpec extends SparkSpec {
     // "a b" occurs 3 times (twice in doc 1), "b a" and "b c" once each
     assert(out === Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
   }
+
+  private def redact(rows: (Long, String)*) =
+    TextAnalysis.redactPii(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_email"),
+          r.getAs[Long]("n_phone"), r.getAs[Long]("n_ssn"),
+          r.getAs[Long]("n_pii")))).toMap
+
+  test("redactPii masks emails, phones and SSNs with per-pattern counts") {
+    val out = redact(
+      (1L, "mail a.b+c%d@sub.example.co.uk or x9@y.io today"),
+      (2L, "call 415-867-5309 or 415-867-5310"),
+      (3L, "ssn 078-05-1120 on record"),
+      (4L, "mixed: u@v.com, 415-867-5309, 078-05-1120"))
+    assert(out(1L) === (("mail <EMAIL> or <EMAIL> today", 2L, 0L, 0L, 2L)))
+    assert(out(2L) === (("call <PHONE> or <PHONE>", 0L, 2L, 0L, 2L)))
+    assert(out(3L) === (("ssn <SSN> on record", 0L, 0L, 1L, 1L)))
+    assert(out(4L) === (("mixed: <EMAIL>, <PHONE>, <SSN>", 1L, 1L, 1L, 3L)))
+  }
+
+  test("redactPii adversarial: boundaries, overlaps, near-misses") {
+    val out = redact(
+      // \b keeps a phone/ssn from matching inside a longer digit run
+      (1L, "order 9415-867-53091 and 1078-05-11201 stay"),
+      // ssn-shaped middle group ({2} digits) is not a phone and
+      // vice versa; both present, each matched by exactly one pattern
+      (2L, "p 415-867-5309 s 078-05-1120"),
+      // an email's digits are masked at the email stage, so the phone
+      // stage sees <EMAIL> and counts nothing inside it
+      (3L, "415-867-5309x@example.com"),
+      // no PII at all: text passes through byte-identical
+      (4L, "plain words with numbers 12345 and dots a.b"))
+    assert(out(1L) === (("order 9415-867-53091 and 1078-05-11201 stay",
+      0L, 0L, 0L, 0L)))
+    assert(out(2L) === (("p <PHONE> s <SSN>", 0L, 1L, 1L, 2L)))
+    assert(out(3L) === (("<EMAIL>", 1L, 0L, 0L, 1L)))
+    assert(out(4L) === (("plain words with numbers 12345 and dots a.b",
+      0L, 0L, 0L, 0L)))
+  }
+
+  test("redactPii is idempotent: redacting redacted text changes nothing") {
+    val once = redact(
+      (1L, "u@v.com and 415-867-5309 and 078-05-1120"),
+      (2L, "clean"))
+    val twice = TextAnalysis.redactPii(
+        once.toSeq.map { case (id, (t, _, _, _, _)) => (id, t) }
+          .toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_pii")))).toMap
+    assert(twice(1L) === ((once(1L)._1, 0L)))
+    assert(twice(2L) === (("clean", 0L)))
+  }
 }
