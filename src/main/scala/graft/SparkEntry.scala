@@ -477,8 +477,11 @@ object SparkEntry {
           Seq(col("ts"), col("event_id")), 5)
         .select(col("event_id"), col("user_id"), col("rn"))),
     "rel_resample_ffill" -> ((s, d) =>
-      Relational.resampleFfill(t(s, d, "events"), "user_id", "ts",
-        "event_id", "value", 86400L)),
+      // portable flavor: the oracle's list_sort+list_aggregate fold is
+      // bit-identical; the algebraic resampleFfill is the scale default
+      // (spec proves 1e-9 agreement)
+      Relational.resampleFfillPortable(t(s, d, "events"), "user_id",
+        "ts", "event_id", "value", 86400L)),
     "rel_hash_split" -> ((s, d) =>
       Relational.deterministicSplit(t(s, d, "documents"), "doc_id")
         .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, RelationalGroupedDataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -443,25 +443,61 @@ object Relational {
     * Grid materialization is explode(sequence(min..max)) per key —
     * rows = key-count · range/step, independent of event count; the
     * fill is one watermark-free window whose state is a single value
-    * carried through the per-key sort. Slot values are ORDER-
-    * DETERMINISTIC means (fold over (id, value) pairs sorted per slot)
-    * emitted raw — round(avg(...), n) is oracle-fragile when averages
-    * land on rounding boundaries (see labelCentroids).
+    * carried through the per-key sort.
+    *
+    * THE SCALE DEFAULT: slot means are a plain algebraic `avg` — the
+    * aggregation state per (key, slot) is (sum, count) regardless of
+    * how many events land in a hot slot. The oracle-facing flavor with
+    * order-deterministic folds is [[resampleFfillPortable]] (the
+    * labelCentroids / simhash convention).
     */
   def resampleFfill(events: DataFrame, keyCol: String, tsCol: String,
-      idCol: String, valueCol: String, stepSeconds: Long): DataFrame = {
+      valueCol: String, stepSeconds: Long): DataFrame =
+    gridFfill(
+      slottedEvents(events, keyCol, tsCol, valueCol, stepSeconds)
+        .agg(avg(col(valueCol).cast("double")).as("v")),
+      keyCol, stepSeconds)
+
+  /** Oracle-portable flavor of [[resampleFfill]]: slot values are
+    * ORDER-DETERMINISTIC means (fold over (id, value) pairs sorted per
+    * slot) emitted raw — round(avg(...), n) is oracle-fragile when
+    * averages land on rounding boundaries (see labelCentroids), and the
+    * unordered sum is not bit-reproducible across partitionings. Per-
+    * slot state holds the slot's value list — bounded by events/slot,
+    * so use [[resampleFfill]] (bounded state at any slot size) as the
+    * default and this flavor where bit-reproducibility matters.
+    */
+  def resampleFfillPortable(events: DataFrame, keyCol: String,
+      tsCol: String, idCol: String, valueCol: String,
+      stepSeconds: Long): DataFrame =
+    gridFfill(
+      slottedEvents(events, keyCol, tsCol, valueCol, stepSeconds)
+        .agg(sort_array(collect_list(struct(col(idCol).as("k"),
+          col(valueCol).cast("double").as("x")))).as("__ps"))
+        .select(col(keyCol), col("slot"),
+          (aggregate(col("__ps"), lit(0.0),
+            (acc, p) => acc + p.getField("x"))
+            / size(col("__ps"))).as("v")),
+      keyCol, stepSeconds)
+
+  /** Shared head of the resample flavors: bucket events into step-
+    * aligned epoch slots, dropping rows a mean must ignore (null-valued
+    * events would null-poison the portable fold; avg() skips them).
+    */
+  private def slottedEvents(events: DataFrame, keyCol: String,
+      tsCol: String, valueCol: String,
+      stepSeconds: Long): RelationalGroupedDataset = {
     val sec = unix_timestamp(col(tsCol))
     val slot = (sec - pmod(sec, lit(stepSeconds))).as("slot")
-    // null-valued events are ignored entirely (avg()-style semantics;
-    // without this filter one null would null-poison its slot's fold)
-    val slotted = events
+    events
       .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
       .groupBy(col(keyCol), slot)
-      .agg(sort_array(collect_list(struct(col(idCol).as("k"),
-        col(valueCol).cast("double").as("x")))).as("__ps"))
-      .select(col(keyCol), col("slot"),
-        (aggregate(col("__ps"), lit(0.0), (acc, p) => acc + p.getField("x"))
-          / size(col("__ps"))).as("v"))
+  }
+
+  /** Shared tail of the resample flavors: materialize the per-key
+    * min..max slot grid and forward-fill the slot means over it. */
+  private def gridFfill(slotted: DataFrame, keyCol: String,
+      stepSeconds: Long): DataFrame = {
     val grid = slotted.groupBy(col(keyCol))
       .agg(min(col("slot")).as("__lo"), max(col("slot")).as("__hi"))
       .select(col(keyCol),

@@ -40,10 +40,9 @@ object syntax {
     def capPerKey(keyCol: String, orderCols: Seq[Column],
         n: Int): DataFrame =
       Relational.capPerKey(df, keyCol, orderCols, n)
-    def resampleFfill(keyCol: String, tsCol: String, idCol: String,
-        valueCol: String, stepSeconds: Long): DataFrame =
-      Relational.resampleFfill(df, keyCol, tsCol, idCol, valueCol,
-        stepSeconds)
+    def resampleFfill(keyCol: String, tsCol: String, valueCol: String,
+        stepSeconds: Long): DataFrame =
+      Relational.resampleFfill(df, keyCol, tsCol, valueCol, stepSeconds)
     def asofJoinTo(right: DataFrame, leftId: String, leftKey: String,
         leftTs: String, rightKey: String, rightTs: String,
         rightTie: String): DataFrame =

@@ -309,6 +309,35 @@ class RelationalSpec extends SparkSpec {
     assert(math.abs(merged - 5000) / 5000.0 < 0.02, merged)
   }
 
+  test("resampleFfill (avg) agrees with the portable fold within 1e-9") {
+    // the scale default (algebraic avg, bounded slot state) and the
+    // oracle flavor (ordered fold, bit-exact) differ only by summation
+    // order — on a hot-slot workload the grids and means must coincide
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 3000).map { i =>
+      val key = "k" + (i % 5)
+      // 10 coarse slots, one of them hot (half of all events)
+      val slotIdx = if (i % 2 == 0) 3 else rnd.nextInt(10)
+      val sec = slotIdx * 3600L + rnd.nextInt(3600)
+      (key, ts("2024-01-01 00:00:00").toLocalDateTime
+        .plusSeconds(sec).toString.replace('T', ' '), i.toLong,
+        rnd.nextDouble() * 100 - 50)
+    }
+    val df = rows.toDF("user_id", "tss", "event_id", "value")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val a = Relational.resampleFfill(df, "user_id", "ts", "value", 3600L)
+      .select("user_id", "slot_ts", "v_ffill")
+      .as[(String, String, Double)].collect()
+      .map { case (k, s, v) => (k, s) -> v }.toMap
+    val b = Relational.resampleFfillPortable(df, "user_id", "ts",
+        "event_id", "value", 3600L)
+      .select("user_id", "slot_ts", "v_ffill")
+      .as[(String, String, Double)].collect()
+      .map { case (k, s, v) => (k, s) -> v }.toMap
+    assert(a.keySet === b.keySet && a.nonEmpty)
+    a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-9, s"at $k") }
+  }
+
   private def ts(s: String): java.sql.Timestamp =
     java.sql.Timestamp.valueOf(if (s.length == 10) s + " 00:00:00" else s)
 }
