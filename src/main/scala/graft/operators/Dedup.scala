@@ -294,6 +294,42 @@ object Dedup {
       bitCols.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
   }
 
+  /** Per-row (stateless) portable simhash: the same 60-bit signature as
+    * [[simhashPortable]] computed as a pure expression tree over the
+    * row's own token array — no explode, no groupBy, no shuffle. This
+    * is the STREAMING flavor: an append-only stream gains a signature
+    * column without a stateful aggregation, so the only state in a
+    * signature-dedup pipeline is the dropDuplicates watermark store
+    * (see StreamOps.nearDupDedupWithinWatermark). Token hashes and the
+    * vote array are materialized in their own projections — the 60
+    * signature-bit terms reference the vote ATTRIBUTE, so the fold
+    * runs once per row, not 60× — and the fold itself is one pass with
+    * 60 zip-adds per token: the same total work as the batch explode,
+    * kept local to the row. A doc with no tokens gets signature 0
+    * (the batch flavor emits no row for it — both mean "no content").
+    */
+  def withSimhashColumn(df: DataFrame, textCol: String,
+      outCol: String = "simhash"): DataFrame = {
+    val bits = 60
+    val hashes = transform(TextFns.bpeishTokens(col(textCol)),
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    val votes = aggregate(col("__sh_hashes"),
+      array_repeat(lit(0L), bits),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(0), lit(bits - 1)),
+          i => bit_get(h, i).cast("long")),
+        _ + _))
+    val sig = (0 until bits).map(i =>
+      when(element_at(col("__sh_votes"), i + 1) * 2 > col("__sh_n"),
+        lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    df.withColumn("__sh_hashes", hashes)
+      .withColumn("__sh_n", size(col("__sh_hashes")))
+      .withColumn("__sh_votes", votes)
+      .withColumn(outCol, sig)
+      .drop("__sh_hashes", "__sh_n", "__sh_votes")
+  }
+
   /** Canonical-document selection: one surviving row per exact-content
     * group, chosen by (score, id) argmax — the curation step after
     * dedup ("of these copies, keep the best one"). `scores` is any

@@ -91,6 +91,24 @@ object StreamOps {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming NEAR-dup dedup on content signature: each row gains the
+    * per-row portable simhash (a stateless expression —
+    * Dedup.withSimhashColumn, bit-identical to the batch signature) and
+    * duplicates-by-signature within the watermark horizon are dropped.
+    * Catches reformatted re-posts of the same content (token-multiset-
+    * identical docs share a signature: case, whitespace, layout), not
+    * just byte-identical rows, while the dedup state is keyed by a
+    * single long instead of the raw text — the streaming face of the
+    * simhash dedup surface. First-in-horizon wins, same as
+    * [[dedupWithinWatermark]].
+    */
+  def nearDupDedupWithinWatermark(stream: DataFrame, tsCol: String,
+      textCol: String, watermarkDelay: String,
+      signatureCol: String = "simhash"): DataFrame =
+    graft.operators.Dedup.withSimhashColumn(stream, textCol, signatureCol)
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq(signatureCol))
+
   /** Watermarked stream-stream interval join: left rows match right
     * rows with the same key whose event time falls in
     * [leftTs + lowerBound, leftTs + upperBound]. Both sides carry

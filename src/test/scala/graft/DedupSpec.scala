@@ -90,6 +90,26 @@ class DedupSpec extends SparkSpec {
     assert(ham(s(1L), s(3L)) < ham(s(1L), s(4L)))
   }
 
+  test("withSimhashColumn matches the batch simhashPortable bit-for-bit") {
+    // the per-row expression flavor (streaming: no explode, no groupBy)
+    // and the batch explode+agg flavor must produce the SAME signature
+    // on every tokenized doc — same hashes, same votes, same threshold
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "Eta", "THETA", "iota", "kappa", "12", "345", "!", "?")
+    val corpus = ((1 to 120).map { i =>
+      (i.toLong, Seq.fill(3 + rnd.nextInt(40))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } :+ (999L, "")).toDF("doc_id", "text")
+    val perRow = Dedup.withSimhashColumn(corpus, "text")
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    val batch = Dedup.simhashPortable(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    batch.foreach { case (id, s) => assert(perRow(id) === s, s"doc $id") }
+    assert(perRow(999L) === 0L) // no tokens → signature 0 (batch: no row)
+    assert(!batch.contains(999L))
+  }
+
   test("simhashNearDupPairs equals brute-force hamming pairs (pigeonhole)") {
     // a corpus with exact dups, near-dups, and unrelated docs
     val corpus = Seq(

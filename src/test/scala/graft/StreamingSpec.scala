@@ -8,6 +8,8 @@ import java.sql.Timestamp
 case class TestEvt(user_id: Long, ts: Timestamp, event_type: String,
     value: Double)
 
+case class TestDoc(doc_id: Long, ts: Timestamp, text: String)
+
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
@@ -123,6 +125,31 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     assert(spark.table(name).count() === 2L)
+  }
+
+  test("nearDupDedup drops reformatted content by signature, keeps first") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[TestDoc]
+    val out = StreamOps.nearDupDedupWithinWatermark(in.toDF(), "ts",
+      "text", "1 hour")
+    val name = fresh()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    in.addData(
+      TestDoc(1, ts("2024-01-01 00:00:00"),
+        "the quick brown fox jumps over the lazy dog"),
+      // token-multiset-identical re-post: case + whitespace differ,
+      // bytes differ, signature identical → dropped
+      TestDoc(2, ts("2024-01-01 00:05:00"),
+        "  The  Quick   brown fox JUMPS over the lazy dog "),
+      TestDoc(3, ts("2024-01-01 00:10:00"),
+        "completely different content about spark engines here"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table(name).select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L))
+    // the survivor carries its signature column for downstream joins
+    assert(spark.table(name).columns.contains("simhash"))
   }
 
   test("stateful sessions emit when the watermark passes session close") {
