@@ -57,6 +57,7 @@ object GraftConfig {
     "graft.dashboard.ticks" -> "1",
     "graft.dashboard.refreshSeconds" -> "5",
     "graft.dashboard.topK" -> "10",
+    "graft.dashboard.htmlFile" -> "",
     "graft.consumer.spark.appName" -> "graft-stream",
     "graft.consumer.spark.shufflePartitions" -> "8",
     "graft.consumer.source.directory" -> "/tmp/graft_stream_demo/incoming",

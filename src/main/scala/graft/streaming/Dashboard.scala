@@ -56,56 +56,115 @@ object Dashboard {
       .orderBy(col("trip_count").desc, col("location_id"))
       .limit(k)
 
-  /** The reference dashboard's three panels (taxi_dashboard.py:127-201)
-    * rendered as console text — latest raw rows (tolerant display-column
-    * subset, P7), then pickup/dropoff top-location bar charts — over a
-    * MultiSink output root. Driver-side data is bounded by construction:
-    * the raw preview is `previewRows` rows, each bar panel `topK` rows;
-    * all heavy lifting (pruned latest-batch reads, the count, the
-    * aggregation) stays in Spark jobs. Missing datasets render as the
-    * reference's "no data yet" notice instead of failing.
-    */
-  def renderPanels(spark: SparkSession, processedDir: String,
-      nBatches: Int = 2, topK: Int = 10, previewRows: Int = 10): String = {
-    val sb = new StringBuilder
-    def panel(title: String)(body: => String): Unit =
-      sb.append(s"== $title ==\n").append(body).append('\n')
+  /** One dashboard panel's BOUNDED, already-collected data — the
+    * renderer-independent form both the console and HTML emitters
+    * consume, so data access (pruned latest-batch reads, counts,
+    * aggregations — all Spark jobs) lives in exactly one place. */
+  sealed trait Panel { def title: String }
+  final case class TablePanel(title: String, header: Seq[String],
+      rows: Seq[Seq[String]]) extends Panel
+  final case class BarPanel(title: String,
+      bars: Seq[(String, Long)]) extends Panel
+  final case class NoticePanel(title: String, text: String) extends Panel
 
+  /** The reference dashboard's three panels (taxi_dashboard.py:127-201)
+    * as data — latest raw rows (tolerant display-column subset, P7),
+    * then pickup/dropoff top-location bar charts — over a MultiSink
+    * output root. Driver-side data is bounded by construction: the raw
+    * preview is `previewRows` rows, each bar panel `topK` rows. Missing
+    * datasets become the reference's "no data yet" notice instead of
+    * failing. */
+  def collectPanels(spark: SparkSession, processedDir: String,
+      nBatches: Int = 2, topK: Int = 10,
+      previewRows: Int = 10): Seq[Panel] = {
     val rawDir = s"$processedDir/raw"
-    if (latestBatchNumbers(spark, rawDir, nBatches).isEmpty)
-      panel("latest trips")("no batches yet")
-    else {
-      val raw = latestBatches(spark, rawDir, nBatches)
-      val display = graft.operators.Relational.selectPresent(raw,
-        Seq("batch_id", "event_id", "ts", "user_id", "event_type", "value"))
-      panel(s"latest trips ($nBatches batches, ${raw.count()} rows)")(
-        fmtTable(display, previewRows))
-    }
-    Seq("pickup_agg" -> "top pickup locations",
-        "dropoff_agg" -> "top dropoff locations").foreach { case (d, title) =>
+    val rawPanel =
+      if (latestBatchNumbers(spark, rawDir, nBatches).isEmpty)
+        NoticePanel("latest trips", "no batches yet")
+      else {
+        val raw = latestBatches(spark, rawDir, nBatches)
+        val display = graft.operators.Relational.selectPresent(raw,
+          Seq("batch_id", "event_id", "ts", "user_id", "event_type", "value"))
+        TablePanel(
+          s"latest trips ($nBatches batches, ${raw.count()} rows)",
+          display.columns.toSeq,
+          display.limit(previewRows).collect()
+            .map(_.toSeq.map(String.valueOf)).toSeq)
+      }
+    rawPanel +: Seq("pickup_agg" -> "top pickup locations",
+        "dropoff_agg" -> "top dropoff locations").map { case (d, title) =>
       val dir = s"$processedDir/$d"
       if (latestBatchNumbers(spark, dir, nBatches).isEmpty)
-        panel(title)("no batches yet")
-      else panel(title)(fmtBars(topLocations(spark, dir, nBatches, topK)))
+        NoticePanel(title, "no batches yet")
+      else BarPanel(title,
+        topLocations(spark, dir, nBatches, topK).collect()
+          .map(r => (String.valueOf(r.get(0)), r.getLong(1))).toSeq)
     }
-    sb.result()
   }
 
-  /** Bounded tab-separated preview (the st.dataframe analog). */
-  private def fmtTable(df: DataFrame, n: Int): String = {
-    val rows = df.limit(n).collect()
-    (df.columns.mkString("\t") +:
-      rows.map(_.toSeq.map(String.valueOf).mkString("\t"))).mkString("\n")
+  /** The three panels rendered as console text. */
+  def renderPanels(spark: SparkSession, processedDir: String,
+      nBatches: Int = 2, topK: Int = 10, previewRows: Int = 10): String =
+    collectPanels(spark, processedDir, nBatches, topK, previewRows).map {
+      case NoticePanel(t, txt) => s"== $t ==\n$txt\n"
+      case TablePanel(t, header, rows) =>
+        s"== $t ==\n" + (header.mkString("\t") +:
+          rows.map(_.mkString("\t"))).mkString("\n") + "\n"
+      case BarPanel(t, bars) =>
+        val max = math.max(1L, if (bars.isEmpty) 1L else bars.map(_._2).max)
+        s"== $t ==\n" + bars.map { case (id, c) =>
+          f"$id%12s $c%6d ${"#" * ((c * 40) / max).toInt}"
+        }.mkString("\n") + "\n"
+    }.mkString
+
+  /** The three panels as a self-contained HTML page — the engine-side
+    * analog of the reference's auto-refreshing Streamlit UI
+    * (taxi_dashboard.py:127-206 + its 5 s rerun loop): a
+    * `<meta http-equiv="refresh">` tag makes any static file server —
+    * or a file:// URL — a live dashboard over a MultiSink output root.
+    * Values are HTML-escaped; bars are proportional-width divs. */
+  def renderHtml(spark: SparkSession, processedDir: String,
+      nBatches: Int = 2, topK: Int = 10, previewRows: Int = 10,
+      refreshSeconds: Long = 5L): String = {
+    val body = collectPanels(spark, processedDir, nBatches, topK,
+        previewRows).map {
+      case NoticePanel(t, txt) =>
+        s"<section><h2>${esc(t)}</h2><p>${esc(txt)}</p></section>"
+      case TablePanel(t, header, rows) =>
+        s"<section><h2>${esc(t)}</h2><table><thead><tr>" +
+          header.map(h => s"<th>${esc(h)}</th>").mkString +
+          "</tr></thead><tbody>" +
+          rows.map(r => "<tr>" +
+            r.map(v => s"<td>${esc(v)}</td>").mkString + "</tr>").mkString +
+          "</tbody></table></section>"
+      case BarPanel(t, bars) =>
+        val max = math.max(1L, if (bars.isEmpty) 1L else bars.map(_._2).max)
+        s"<section><h2>${esc(t)}</h2>" + bars.map { case (id, c) =>
+          val pct = (c * 100) / max
+          s"""<div class="row"><span class="lbl">${esc(id)}</span>""" +
+            s"""<span class="bar" style="width:$pct%"></span>""" +
+            s"""<span class="val">$c</span></div>"""
+        }.mkString + "</section>"
+    }.mkString
+    s"""<!DOCTYPE html>
+       |<html><head><meta charset="utf-8">
+       |<meta http-equiv="refresh" content="$refreshSeconds">
+       |<title>graft dashboard</title>
+       |<style>
+       |body{font-family:sans-serif;margin:2em}
+       |table{border-collapse:collapse}
+       |th,td{border:1px solid #ccc;padding:2px 8px;font-size:13px}
+       |.row{display:flex;align-items:center;margin:2px 0}
+       |.lbl{width:8em;text-align:right;margin-right:8px}
+       |.bar{background:#4a78c4;height:14px;display:inline-block}
+       |.val{margin-left:8px}
+       |</style></head>
+       |<body><p>refreshed ${java.time.Instant.now()}</p>
+       |$body</body></html>
+       |""".stripMargin
   }
 
-  /** Console bar chart (the st.bar_chart analog); input is the already-
-    * bounded (location_id, trip_count) top-k frame. */
-  private def fmtBars(df: DataFrame): String = {
-    val rows = df.collect().map(r =>
-      (String.valueOf(r.get(0)), r.getLong(1)))
-    val max = math.max(1L, if (rows.isEmpty) 1L else rows.map(_._2).max)
-    rows.map { case (id, c) =>
-      f"$id%12s $c%6d ${"#" * ((c * 40) / max).toInt}"
-    }.mkString("\n")
-  }
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
 }

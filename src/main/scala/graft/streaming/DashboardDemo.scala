@@ -18,11 +18,20 @@ object DashboardDemo {
       .getOrElse(d("graft.consumer.output.directory"))
     val ticks = d("graft.dashboard.ticks").toInt
     val refreshSeconds = d("graft.dashboard.refreshSeconds").toLong
+    val topK = d("graft.dashboard.topK").toInt
+    val htmlFile = d("graft.dashboard.htmlFile")
     val spark = graft.GraftSession.build("4")
     (1 to ticks).foreach { i =>
       println(s"--- refresh $i/$ticks (${java.time.Instant.now()}) ---")
-      println(Dashboard.renderPanels(spark, processed,
-        topK = d("graft.dashboard.topK").toInt))
+      println(Dashboard.renderPanels(spark, processed, topK = topK))
+      // the web face of the same panels: a static file any browser (or
+      // file server) re-reads on its own meta-refresh cadence — the
+      // engine-side analog of the reference's Streamlit rerun loop
+      if (htmlFile.nonEmpty)
+        java.nio.file.Files.write(java.nio.file.Paths.get(htmlFile),
+          Dashboard.renderHtml(spark, processed, topK = topK,
+            refreshSeconds = refreshSeconds)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       if (i < ticks) Thread.sleep(refreshSeconds * 1000L)
     }
     spark.stop()

@@ -150,11 +150,23 @@ class StreamPipelineSpec extends SparkSpec {
     assert(panels.contains("top dropoff locations"))
     assert(panels.contains("#"))
     assert(panels.contains("batch_id\tevent_id"))
+
+    // the HTML face of the SAME panels: auto-refresh tag, a table row
+    // per preview row, a proportional bar div per location
+    val html = Dashboard.renderHtml(spark, s"$base/run/processed",
+      refreshSeconds = 7L)
+    assert(html.contains("""<meta http-equiv="refresh" content="7">"""))
+    assert(html.contains("latest trips (2 batches, 20 rows)"))
+    assert(html.contains("<th>batch_id</th>"))
+    assert(html.contains("""style="width:100%""""))
+    assert(html.count(_ == '<') === html.count(_ == '>')) // well-formed-ish
   }
 
   test("dashboard renders 'no batches yet' on an empty output root") {
     val empty = Files.createTempDirectory("graft_dash_empty").toString
     val panels = Dashboard.renderPanels(spark, empty)
     assert(panels.linesIterator.count(_.contains("no batches yet")) === 3)
+    val html = Dashboard.renderHtml(spark, empty)
+    assert(html.sliding(17).count(_ == "no batches yet</p") === 3)
   }
 }
