@@ -491,6 +491,21 @@ object SparkEntry {
       Relational.deterministicSampleByKey(t(s, d, "events"), "event_type",
           "event_id", Map("view" -> 0.25, "click" -> 0.5))
         .select(col("event_id"), col("event_type"))),
+    "rel_histogram" -> ((s, d) =>
+      // [0, 400) in 16 bins of exactly 25.0 (exact double literals in
+      // both engines); values reach ~490 so the overflow bucket is live
+      Relational.histogram(t(s, d, "events"), "value", 0.0, 400.0, 16)),
+    "rel_zscore" -> ((s, d) =>
+      // portable flavor: ordered-fold group stats are bit-identical to
+      // the oracle's list_sort+list_aggregate; zscoreOutliers (algebraic
+      // avg/stddev_pop) is the scale default — spec proves 1e-9 agreement
+      Relational.zscoreOutliersPortable(t(s, d, "events"), "event_type",
+          "value", 2.0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("z"), col("is_outlier"))),
+    "rel_train_order" -> ((s, d) =>
+      Relational.trainingOrder(t(s, d, "documents"), "doc_id", "epoch0")
+        .select(col("doc_id"), col("shuffle_rank"))),
 
     // --- text analysis ---
     "text_stats" -> ((s, d) => {
@@ -523,6 +538,19 @@ object SparkEntry {
       TextAnalysis.redactPii(
         t(s, d, "documents").select(col("doc_id"), piiSeededText.as("text")),
         "doc_id", "text")),
+    "text_line_dedup" -> ((s, d) =>
+      // the synthetic corpus has no newlines, so the delimiter is the
+      // word boundary — same operator, line granularity is a parameter
+      TextAnalysis.dedupLines(t(s, d, "documents"), "doc_id", "text",
+        delim = " ")),
+    "text_boilerplate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      // corpus-relative threshold so the query is meaningful at any SF;
+      // the count is one cheap job on the doc table
+      val minDocs = math.ceil(0.6 * docs.count()).toLong
+      TextAnalysis.removeBoilerplate(docs, "doc_id", "text",
+        minDocs, delim = " ")
+    }),
     "rel_token_budget" -> ((s, d) =>
       Packing.tokenBudgetSampleByKey(t(s, d, "documents"), "source",
           "doc_id", "text", TokenBudgets)
@@ -938,6 +966,25 @@ object SparkEntry {
     "text_bm25" -> bm25Sql(Bm25Terms, k1 = 1.2, b = 0.75),
     "text_pack" -> packSql(PackBudget, PackGroups),
     "text_redact" -> redactSql,
+    "text_line_dedup" ->
+      // DuckDB lambdas index from 1 and list_position returns the FIRST
+      // match — "first occurrence" is list_position(ws, x) = i, the
+      // mirror of Spark's array_position(lines, l) == i + 1
+      ("WITH l AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) " +
+        "SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_lines, " +
+        "CAST(len(list_distinct(ws)) AS BIGINT) AS n_kept, " +
+        "array_to_string(list_filter(ws, (x, i) -> list_position(ws, x) = i), ' ') AS text_deduped FROM l"),
+    "text_boilerplate" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "l AS (SELECT doc_id, t.line, t.pos FROM d, LATERAL (SELECT unnest(ws) AS line, unnest(range(1, len(ws) + 1)) AS pos) t), " +
+        "freq AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM l) dl GROUP BY line " +
+        "HAVING count(*) >= (SELECT CAST(ceil(0.6 * count(*)) AS BIGINT) FROM documents)), " +
+        "kept AS (SELECT doc_id, pos, line FROM l WHERE line NOT IN (SELECT line FROM freq)), " +
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, string_agg(line, ' ' ORDER BY pos) AS text_clean FROM kept GROUP BY doc_id) " +
+        "SELECT d2.doc_id, CAST(len(string_split(d2.text, ' ')) AS BIGINT) AS n_lines, " +
+        "CAST(len(string_split(d2.text, ' ')) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed, " +
+        "coalesce(a.text_clean, '') AS text_clean " +
+        "FROM documents d2 LEFT JOIN agg a ON d2.doc_id = a.doc_id"),
     "rel_token_budget" -> tokenBudgetSql(TokenBudgets, defaultBudget = -1L),
     "media_resize" ->
       ("SELECT doc_id AS media_id, CAST(least(strlen(text), 300) AS BIGINT) AS n_bytes, " +
@@ -1161,6 +1208,28 @@ object SparkEntry {
       ("SELECT event_id, event_type FROM events " +
         "WHERE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|sample'), 1, 7) AS BIGINT) % 10000 < " +
         "CASE event_type WHEN 'view' THEN 2500 WHEN 'click' THEN 5000 ELSE 10000 END"),
+    "rel_histogram" ->
+      ("WITH b AS (SELECT CASE WHEN v < 0.0 THEN -1 WHEN v >= 400.0 THEN 16 " +
+        "ELSE least(CAST(floor((v - 0.0) / 25.0) AS BIGINT), 15) END AS bucket " +
+        "FROM (SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL) t) " +
+        // bare 25.0 parses as DECIMAL in DuckDB — cast so edges are DOUBLE
+        "SELECT bucket, CASE WHEN bucket >= 0 AND bucket < 16 THEN CAST(0.0 AS DOUBLE) + bucket * CAST(25.0 AS DOUBLE) END AS bucket_lo, " +
+        "CASE WHEN bucket >= 0 AND bucket < 16 THEN CAST(0.0 AS DOUBLE) + (bucket + 1) * CAST(25.0 AS DOUBLE) END AS bucket_hi, " +
+        "count(*) AS n FROM b GROUP BY 1"),
+    "rel_zscore" ->
+      // mirrors zscoreOutliersPortable: mean and variance from ordered
+      // folds over the group's SORTED value list (bit-identical to
+      // Spark's sort_array + aggregate), then per-row standardization
+      ("WITH s AS (SELECT event_type, list_sort(list(CAST(value AS DOUBLE))) AS vs FROM events GROUP BY 1), " +
+        "m AS (SELECT event_type, vs, list_aggregate(vs, 'sum') / len(vs) AS mu FROM s), " +
+        "st AS (SELECT event_type, mu, sqrt(list_aggregate(list_transform(vs, x -> (x - mu) * (x - mu)), 'sum') / len(vs)) AS sd FROM m) " +
+        "SELECT e.event_id, e.event_type, e.value, " +
+        "CASE WHEN st.sd > 0 THEN (CAST(e.value AS DOUBLE) - st.mu) / st.sd END AS z, " +
+        "coalesce(abs(CASE WHEN st.sd > 0 THEN (CAST(e.value AS DOUBLE) - st.mu) / st.sd END) > 2.0, false) AS is_outlier " +
+        "FROM events e JOIN st USING (event_type)"),
+    "rel_train_order" ->
+      ("SELECT doc_id, CAST(row_number() OVER (ORDER BY md5('epoch0|' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS shuffle_rank " +
+        "FROM documents"),
     "text_stats" ->
       (s"SELECT doc_id, length(text) AS n_chars, CAST(len($wordsSql) AS BIGINT) AS n_words, " +
         s"CAST(len(regexp_extract_all($normSql, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens, " +

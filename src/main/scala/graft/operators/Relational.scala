@@ -532,6 +532,111 @@ object Relational {
       .drop("__grp", "__qlo", "__qhi")
   }
 
+  /** Fixed-width histogram of a measure over [lo, hi): `nBuckets`
+    * equal bins plus explicit underflow (bucket -1) and overflow
+    * (bucket = nBuckets) rows — the distribution-profiling primitive
+    * behind length/quality/score dashboards. One hash aggregate over a
+    * per-row bucket expression; state is ≤ nBuckets + 2 groups
+    * regardless of row count, so the plan is a map-side-combined
+    * single shuffle at any scale. The in-range bucket index is clamped
+    * with least(): (v-lo)/width can round UP to nBuckets when v sits
+    * one ulp under hi. Bin edges are recomputed from the index (self-
+    * describing output; out-of-range rows carry null edges). Null
+    * measures are excluded — they belong in a null-count profile, not
+    * a bin. Output: (bucket, bucket_lo, bucket_hi, n).
+    */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets > 0 && hi > lo, "need hi > lo and nBuckets > 0")
+    val width = (hi - lo) / nBuckets
+    val v = col(valueCol).cast("double")
+    val bucket = when(v < lo, lit(-1L))
+      .when(v >= hi, lit(nBuckets.toLong))
+      .otherwise(least(floor((v - lit(lo)) / lit(width)).cast("long"),
+        lit(nBuckets - 1L)))
+    val inRange = col("bucket") >= 0 && col("bucket") < nBuckets
+    df.filter(v.isNotNull)
+      .select(bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        when(inRange, lit(lo) + col("bucket") * lit(width)).as("bucket_lo"),
+        when(inRange, lit(lo) + (col("bucket") + 1) * lit(width))
+          .as("bucket_hi"),
+        col("n"))
+  }
+
+  /** Per-group z-score outlier flagging: every row gains its group's
+    * standardized score and an |z| > threshold flag — the numeric
+    * outlier gate of a curation pipeline (winsorize bounds values;
+    * this marks rows for inspection or removal). THE SCALE DEFAULT:
+    * group stats are algebraic avg/stddev_pop — (sum, sum², n) state
+    * per group at any group size — broadcast back onto the rows, which
+    * never shuffle. Degenerate groups (one row, or all-equal values ⇒
+    * sd = 0) get z = null / is_outlier = false: no division blow-up.
+    * Output: input columns + (z, is_outlier).
+    */
+  def zscoreOutliers(df: DataFrame, grp: String, valueCol: String,
+      threshold: Double): DataFrame = {
+    val stats = df.groupBy(col(grp))
+      .agg(avg(col(valueCol).cast("double")).as("__mu"),
+        stddev_pop(col(valueCol).cast("double")).as("__sd"))
+      .withColumnRenamed(grp, "__grp")
+    zscoreAttach(df, stats, grp, valueCol, threshold)
+  }
+
+  /** Oracle-portable flavor of [[zscoreOutliers]]: group mean and
+    * variance from ORDER-DETERMINISTIC folds over the group's sorted
+    * value list (bit-reproducible across engines and partitionings —
+    * the resampleFfill/labelCentroids convention), at the cost of
+    * per-group state holding the value list. Use the algebraic default
+    * at scale; spec proves 1e-9 agreement.
+    */
+  def zscoreOutliersPortable(df: DataFrame, grp: String, valueCol: String,
+      threshold: Double): DataFrame = {
+    val stats = df.groupBy(col(grp))
+      .agg(sort_array(collect_list(col(valueCol).cast("double")))
+        .as("__vs"))
+      .select(col(grp).as("__grp"), col("__vs"),
+        (aggregate(col("__vs"), lit(0.0), _ + _) / size(col("__vs")))
+          .as("__mu"))
+      .select(col("__grp"), col("__mu"),
+        sqrt(aggregate(col("__vs"), lit(0.0),
+          (acc, x) => acc + (x - col("__mu")) * (x - col("__mu")))
+          / size(col("__vs"))).as("__sd"))
+    zscoreAttach(df, stats, grp, valueCol, threshold)
+  }
+
+  /** Shared tail of the z-score flavors: broadcast the per-group
+    * (mean, sd) table onto the rows (null-safe on the group key) and
+    * standardize. */
+  private def zscoreAttach(df: DataFrame, stats: DataFrame, grp: String,
+      valueCol: String, threshold: Double): DataFrame =
+    df.join(broadcast(stats), col(grp) <=> col("__grp"), "left")
+      .withColumn("z",
+        when(col("__sd") > 0,
+          (col(valueCol).cast("double") - col("__mu")) / col("__sd")))
+      .withColumn("is_outlier",
+        coalesce(abs(col("z")) > threshold, lit(false)))
+      .drop("__grp", "__mu", "__sd")
+
+  /** Deterministic global training order: a stable pseudo-random
+    * permutation of the dataset, assigned as a dense rank — the
+    * "shuffle the corpus before epoch 0" step, reproducible across
+    * reruns, engines, and partitionings because the sort key is a
+    * content hash of (seed, id), not a random draw. Changing the seed
+    * is a fresh permutation; the id tie-break makes the order total
+    * even under hash collisions. Built on [[withScalableOrdinal]] —
+    * ONE range-partitioned sort, no global coordination beyond it.
+    */
+  def trainingOrder(df: DataFrame, idCol: String, seed: String,
+      rankName: String = "shuffle_rank"): DataFrame =
+    withScalableOrdinal(
+      df.withColumn("__shuffle_key",
+        md5(concat(lit(seed), lit("|"), col(idCol).cast("string")))),
+      Seq(col("__shuffle_key"), col(idCol)), rankName)
+      .drop("__shuffle_key")
+
   /** Per-key contribution cap: keep at most `n` rows per key, chosen
     * by a deterministic order — the curation primitive that stops one
     * source/domain/user from dominating a training set. Window state is

@@ -199,4 +199,72 @@ object TextAnalysis {
         countCols :+
         countCols.reduce(_ + _).as("n_pii")): _*)
   }
+
+  /** Intra-document line dedup (the RefinedWeb/CCNet cleanup step:
+    * navigation menus, repeated headers, chat quoting): keep only the
+    * FIRST occurrence of each line within a document and reassemble the
+    * text in original order. Pure per-row expression — the first-
+    * occurrence filter is `array_position(lines, l) == index`, so the
+    * operator is shuffle-free and composes with any scan. Work per row
+    * is O(lines²) line comparisons, bounded by document size (the
+    * cross-DOCUMENT analog with unbounded cardinality is
+    * [[removeBoilerplate]]). `delim` is a literal separator used for
+    * both split and rejoin (the synthetic corpus has no newlines, so
+    * the exercised query runs word-level with " "; specs cover "\n").
+    * Output: (id, n_lines, n_kept, text_deduped).
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      delim: String = "\n"): DataFrame = {
+    val esc = java.util.regex.Pattern.quote(delim)
+    df.withColumn("__lines", split(col(textCol), esc))
+      .select(col(idCol),
+        size(col("__lines")).cast("long").as("n_lines"),
+        size(array_distinct(col("__lines"))).cast("long").as("n_kept"),
+        array_join(
+          filter(col("__lines"),
+            (l, i) => array_position(col("__lines"), l) === i + 1),
+          delim).as("text_deduped"))
+  }
+
+  /** Cross-document boilerplate removal: a line occurring in at least
+    * `minDocs` DISTINCT documents is dropped from every document
+    * (cookie banners, footers, license headers — the corpus-frequency
+    * complement of [[dedupLines]]). Two shuffles by construction: one
+    * distinct+count keyed on the line to build the frequency table,
+    * one re-aggregation keyed on the doc to reassemble texts. The
+    * boilerplate table is the SMALL side (lines above a corpus-wide
+    * threshold) and is broadcast into the anti join — document rows
+    * never shuffle for the membership test. Line order inside a doc is
+    * preserved via posexplode + an ordered fold. Output:
+    * (id, n_lines, n_removed, text_clean).
+    */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Long, delim: String = "\n"): DataFrame = {
+    val esc = java.util.regex.Pattern.quote(delim)
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), esc)).as(Seq("pos", "line")))
+    val frequent = lines.select(col(idCol), col("line")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("line"))
+    lines
+      .join(broadcast(frequent), Seq("line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col("pos"), col("line")))),
+            _.getField("line")),
+          delim).as("text_clean"))
+      // docs whose EVERY line was boilerplate drop out of the agg —
+      // restore them with an empty text (removal is not a row filter)
+      .join(df.select(col(idCol),
+        size(split(col(textCol), esc)).cast("long").as("n_lines")),
+        Seq(idCol), "right")
+      .select(col(idCol), col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
 }

@@ -338,6 +338,64 @@ class RelationalSpec extends SparkSpec {
     a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-9, s"at $k") }
   }
 
+  test("histogram: bins, clamped top edge, explicit under/overflow") {
+    val df = Seq(-5.0, 0.0, 0.5, 9.99999999, 10.0, 25.0, 99.9, 100.0, 123.0)
+      .map(Tuple1(_)).toDF("v")
+      .union(Seq(Tuple1(null.asInstanceOf[java.lang.Double]))
+        .toDF("v").select(col("v").cast("double")))
+    val out = Relational.histogram(df, "v", 0.0, 100.0, 10)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), r.getLong(3)))).toMap
+    assert(out(-1L) === ((None, None, 1L)))           // -5.0
+    assert(out(0L) === ((Some(0.0), Some(10.0), 3L))) // 0, 0.5, 9.99…
+    assert(out(1L) === ((Some(10.0), Some(20.0), 1L)))
+    assert(out(2L) === ((Some(20.0), Some(30.0), 1L)))
+    assert(out(9L) === ((Some(90.0), Some(100.0), 1L))) // 99.9
+    assert(out(10L) === ((None, None, 2L)))           // 100.0, 123.0
+    assert(out.values.map(_._3).sum === 9L)           // null excluded
+  }
+
+  test("zscoreOutliers flags tails, degenerate groups stay quiet") {
+    val df = (Seq.fill(20)(10.0) ++ Seq(10.5, 9.5, 100.0)).map(("a", _))
+      .++(Seq(("b", 5.0), ("b", 5.0), ("c", 1.0))) // sd=0 and singleton
+      .toDF("g", "v")
+    val out = Relational.zscoreOutliers(df, "g", "v", 3.0)
+    val flagged = out.filter(col("is_outlier"))
+      .select("g", "v").as[(String, Double)].collect().toSet
+    assert(flagged === Set(("a", 100.0)))
+    assert(out.filter(col("g") =!= "a").filter(col("z").isNotNull)
+      .count() === 0L)
+    assert(out.count() === 26L) // flagging, not filtering
+  }
+
+  test("zscoreOutliers (algebraic) agrees with the portable fold 1e-9") {
+    val rnd = new scala.util.Random(23)
+    val df = (1 to 4000).map(i =>
+      ("g" + i % 3, rnd.nextDouble() * 100 - 50)).toDF("g", "v")
+    def zs(d: org.apache.spark.sql.DataFrame) =
+      d.select("g", "v", "z").as[(String, Double, Double)]
+        .collect().map { case (g, v, z) => (g, v) -> z }.toMap
+    val a = zs(Relational.zscoreOutliers(df, "g", "v", 2.0))
+    val b = zs(Relational.zscoreOutliersPortable(df, "g", "v", 2.0))
+    assert(a.keySet === b.keySet && a.nonEmpty)
+    a.foreach { case (k, z) => assert(math.abs(z - b(k)) < 1e-9, s"at $k") }
+  }
+
+  test("trainingOrder: a total permutation, stable under repartitioning") {
+    val df = (1 to 500).map(i => (i.toLong, s"payload$i")).toDF("id", "p")
+    val once = Relational.trainingOrder(df, "id", "epoch0")
+      .select("id", "shuffle_rank").as[(Long, Long)].collect().toMap
+    assert(once.values.toSeq.sorted === (1L to 500L))
+    val again = Relational.trainingOrder(df.repartition(13), "id", "epoch0")
+      .select("id", "shuffle_rank").as[(Long, Long)].collect().toMap
+    assert(again === once)
+    val reseeded = Relational.trainingOrder(df, "id", "epoch1")
+      .select("id", "shuffle_rank").as[(Long, Long)].collect().toMap
+    assert(reseeded !== once)
+    // a hash order, not the input order
+    assert(once.toSeq.sortBy(_._2).map(_._1) !== (1L to 500L).toSeq)
+  }
+
   private def ts(s: String): java.sql.Timestamp =
     java.sql.Timestamp.valueOf(if (s.length == 10) s + " 00:00:00" else s)
 }

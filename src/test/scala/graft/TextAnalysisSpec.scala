@@ -149,4 +149,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(twice(1L) === ((once(1L)._1, 0L)))
     assert(twice(2L) === (("clean", 0L)))
   }
+
+  test("dedupLines keeps first occurrence, preserves order, counts") {
+    val docs = Seq(
+      (1L, "menu\nintro text\nmenu\nbody text\nintro text\nfooter"),
+      (2L, "only\nunique\nlines"),
+      (3L, "same\nsame\nsame")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLines(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((6L, 4L, "menu\nintro text\nbody text\nfooter")))
+    assert(out(2L) === ((3L, 3L, "only\nunique\nlines")))
+    assert(out(3L) === ((3L, 1L, "same")))
+  }
+
+  test("removeBoilerplate drops corpus-frequent lines from every doc") {
+    val docs = Seq(
+      (1L, "unique one\nCOOKIE BANNER\nreal content here"),
+      (2L, "COOKIE BANNER\nother prose\nfine print"),
+      (3L, "COOKIE BANNER\nfine print"),
+      (4L, "nothing shared at all")
+    ).toDF("doc_id", "text")
+    // banner in 3 docs, "fine print" in 2, others in 1
+    val out = TextAnalysis.removeBoilerplate(docs, "doc_id", "text",
+        minDocs = 2L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((3L, 1L, "unique one\nreal content here")))
+    assert(out(2L) === ((3L, 2L, "other prose")))
+    assert(out(3L) === ((2L, 2L, ""))) // all-boilerplate doc SURVIVES
+    assert(out(4L) === ((1L, 0L, "nothing shared at all")))
+  }
 }
