@@ -47,6 +47,31 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"merge as-of should not join:\n${plan.take(800)}")
   }
 
+  test("dedupLines plans zero exchanges (pure per-row expression)") {
+    val plan = planOf("text_line_dedup")
+    assert(!plan.contains("Exchange"), plan.take(800))
+  }
+
+  test("boilerplate removal broadcasts the frequent-line table") {
+    val plan = planOf("text_boilerplate")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(800))
+  }
+
+  test("histogram is one shuffle with map-side partial aggregation") {
+    val plan = planOf("rel_histogram")
+    assert("Exchange".r.findAllIn(plan).size === 1, plan.take(800))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(800))
+  }
+
+  test("zscore broadcasts group stats back; rows never shuffle") {
+    val plan = planOf("rel_zscore")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    // the only exchanges feed the stats agg + its broadcast, never the
+    // probe-side event rows
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+  }
+
   test("no query plans an unpartitioned window (single-partition choke)") {
     // the round-1 bench surfaced Spark's "No Partition Defined for
     // Window operation" warning; this pins the fix across ALL queries
