@@ -538,6 +538,12 @@ object SparkEntry {
       TextAnalysis.redactPii(
         t(s, d, "documents").select(col("doc_id"), piiSeededText.as("text")),
         "doc_id", "text")),
+    "rel_profile" -> ((s, d) =>
+      Relational.profile(t(s, d, "events"),
+        Seq("event_id", "ts", "user_id", "event_type", "value", "props"))),
+    "text_chunks" -> ((s, d) =>
+      TextAnalysis.chunkWords(t(s, d, "documents"), "doc_id", "text",
+        chunkSize = 12, overlap = 4)),
     "text_line_dedup" -> ((s, d) =>
       // the synthetic corpus has no newlines, so the delimiter is the
       // word boundary — same operator, line granularity is a parameter

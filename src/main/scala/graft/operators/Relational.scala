@@ -637,6 +637,30 @@ object Relational {
       Seq(col("__shuffle_key"), col(idCol)), rankName)
       .drop("__shuffle_key")
 
+  /** One-pass column profiling: per requested column, row count, null
+    * count, and EXACT distinct count — the dataset health check before
+    * any curation decision (schema drift, null explosions, key
+    * collapse). Columns are stringified and unpivoted so the plan is
+    * one narrow generate + ONE hash aggregate keyed by column name —
+    * no per-column job, and none of the expand-operator blowup of
+    * multi-column countDistinct in a single agg. Row volume into the
+    * agg is rows × columns but two fields wide, map-side combined;
+    * distinct state is bounded by the distinct-value count per column.
+    * Stringification stays engine-internal (the output carries counts,
+    * never values), so counts are exact for any round-trippable type.
+    * Output: (col_name, n_rows, n_nulls, n_distinct).
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    df.select(cols.map(c => col(c).cast("string").as(c)): _*)
+      .unpivot(Array.empty[Column], cols.map(col).toArray,
+        "col_name", "val")
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("val").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col("val")).as("n_distinct"))
+  }
+
   /** Per-key contribution cap: keep at most `n` rows per key, chosen
     * by a deterministic order — the curation primitive that stops one
     * source/domain/user from dominating a training set. Window state is

@@ -200,6 +200,36 @@ object TextAnalysis {
         countCols.reduce(_ + _).as("n_pii")): _*)
   }
 
+  /** Overlapping word-window chunking — the RAG / embedding-prep
+    * splitter: fixed `chunkSize`-word chunks starting every
+    * `chunkSize - overlap` words, so consecutive chunks share `overlap`
+    * words of context. Chunk starts are a pure expression
+    * (transform over sequence + slice) evaluated per row, then ONE
+    * posexplode — no shuffle, output rows = Σ ceil(words/stride),
+    * proportional to corpus size. The tail chunk may be shorter than
+    * `chunkSize` (greedy splitting; n_words carries the real length).
+    * Output: (id, chunk_id, n_words, chunk_text).
+    */
+  def chunkWords(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int, delim: String = " "): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    val esc = java.util.regex.Pattern.quote(delim)
+    df.withColumn("__ws", split(col(textCol), esc))
+      .withColumn("__chunks",
+        transform(
+          sequence(lit(0),
+            floor((size(col("__ws")) - 1).cast("double") / stride)
+              .cast("int")),
+          k => slice(col("__ws"), k * stride + 1, lit(chunkSize))))
+      .select(col(idCol),
+        posexplode(col("__chunks")).as(Seq("chunk_id", "__c")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        size(col("__c")).cast("long").as("n_words"),
+        array_join(col("__c"), delim).as("chunk_text"))
+  }
+
   /** Intra-document line dedup (the RefinedWeb/CCNet cleanup step:
     * navigation menus, repeated headers, chat quoting): keep only the
     * FIRST occurrence of each line within a document and reassemble the

@@ -381,6 +381,21 @@ class RelationalSpec extends SparkSpec {
     a.foreach { case (k, z) => assert(math.abs(z - b(k)) < 1e-9, s"at $k") }
   }
 
+  test("profile counts rows, nulls and exact distincts per column") {
+    val df = Seq(
+      (Some(1L), Some("a"), Some(1.5)),
+      (Some(2L), Some("a"), None),
+      (Some(2L), None, Some(2.5)),
+      (None, Some("b"), Some(1.5))
+    ).toDF("id", "s", "v")
+    val out = Relational.profile(df, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("id") === ((4L, 1L, 2L)))
+    assert(out("s") === ((4L, 1L, 2L)))
+    assert(out("v") === ((4L, 1L, 2L)))
+  }
+
   test("trainingOrder: a total permutation, stable under repartitioning") {
     val df = (1 to 500).map(i => (i.toLong, s"payload$i")).toDF("id", "p")
     val once = Relational.trainingOrder(df, "id", "epoch0")

@@ -164,6 +164,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) === ((3L, 1L, "same")))
   }
 
+  test("chunkWords: overlap shared, full coverage, short tail kept") {
+    val docs = Seq((1L, (1 to 20).map("w" + _).mkString(" ")),
+      (2L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkWords(docs, "doc_id", "text",
+        chunkSize = 8, overlap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    // stride 5: starts at 0, 5, 10, 15 → 4 chunks for 20 words
+    assert(out((1L, 0L)) === ((8L, (1 to 8).map("w" + _).mkString(" "))))
+    assert(out((1L, 1L)) === ((8L, (6 to 13).map("w" + _).mkString(" "))))
+    assert(out((1L, 3L)) === ((5L, (16 to 20).map("w" + _).mkString(" "))))
+    assert(!out.contains((1L, 4L)))
+    // consecutive chunks share exactly `overlap` words
+    assert(out((1L, 0L))._2.split(" ").takeRight(3) ===
+      out((1L, 1L))._2.split(" ").take(3))
+    // a doc shorter than chunkSize is one whole-doc chunk
+    assert(out((2L, 0L)) === ((3L, "a b c")) && !out.contains((2L, 1L)))
+  }
+
   test("removeBoilerplate drops corpus-frequent lines from every doc") {
     val docs = Seq(
       (1L, "unique one\nCOOKIE BANNER\nreal content here"),
