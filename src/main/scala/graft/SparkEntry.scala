@@ -549,14 +549,11 @@ object SparkEntry {
       // word boundary — same operator, line granularity is a parameter
       TextAnalysis.dedupLines(t(s, d, "documents"), "doc_id", "text",
         delim = " ")),
-    "text_boilerplate" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      // corpus-relative threshold so the query is meaningful at any SF;
-      // the count is one cheap job on the doc table
-      val minDocs = math.ceil(0.6 * docs.count()).toLong
-      TextAnalysis.removeBoilerplate(docs, "doc_id", "text",
-        minDocs, delim = " ")
-    }),
+    "text_boilerplate" -> ((s, d) =>
+      // corpus-relative threshold (60% of docs), derived IN-PLAN so
+      // query construction is pure — no driver-side count job
+      TextAnalysis.removeBoilerplateFrac(t(s, d, "documents"),
+        "doc_id", "text", 0.6, delim = " ")),
     "rel_token_budget" -> ((s, d) =>
       Packing.tokenBudgetSampleByKey(t(s, d, "documents"), "source",
           "doc_id", "text", TokenBudgets)
@@ -968,8 +965,38 @@ object SparkEntry {
       s"SELECT doc_id, round($termExprs, 4) AS bm25 FROM base, stats"
   }
 
+  /** Mirrors Relational.profile (the exact oracle flavor): one UNION ALL
+    * branch per column. Distinct counts are taken over VARCHAR casts on
+    * BOTH engines — each engine's cast is injective for these scalar
+    * types, so the counts agree even where the string renderings differ
+    * (e.g. Spark vs DuckDB double formatting). count(DISTINCT) skips
+    * NULLs in both engines, matching Spark's countDistinct. */
+  private def profileSql(table: String, cols: Seq[String]): String =
+    cols.map(c =>
+      s"SELECT '$c' AS col_name, count(*) AS n_rows, " +
+        s"count(*) - count($c) AS n_nulls, " +
+        s"count(DISTINCT CAST($c AS VARCHAR)) AS n_distinct FROM $table")
+      .mkString(" UNION ALL ")
+
+  /** Mirrors TextAnalysis.chunkWords: chunk starts every `stride` words
+    * (integer-division count of starts = Spark's floor((n-1)/stride)),
+    * list_slice is 1-based inclusive so [k*stride+1, k*stride+chunkSize]
+    * is Spark's slice(ws, k*stride+1, chunkSize) — the tail chunk
+    * truncates identically. */
+  private def chunksSql(chunkSize: Int, overlap: Int): String = {
+    val stride = chunkSize - overlap
+    s"WITH l AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+      s"c AS (SELECT doc_id, ws, unnest(range(0, (len(ws) - 1) // $stride + 1)) AS k FROM l) " +
+      s"SELECT doc_id, CAST(k AS BIGINT) AS chunk_id, " +
+      s"CAST(len(list_slice(ws, k * $stride + 1, k * $stride + $chunkSize)) AS BIGINT) AS n_words, " +
+      s"array_to_string(list_slice(ws, k * $stride + 1, k * $stride + $chunkSize), ' ') AS chunk_text FROM c"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "text_bm25" -> bm25Sql(Bm25Terms, k1 = 1.2, b = 0.75),
+    "rel_profile" -> profileSql("events",
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props")),
+    "text_chunks" -> chunksSql(chunkSize = 12, overlap = 4),
     "text_pack" -> packSql(PackBudget, PackGroups),
     "text_redact" -> redactSql,
     "text_line_dedup" ->
@@ -1226,13 +1253,19 @@ object SparkEntry {
       // mirrors zscoreOutliersPortable: mean and variance from ordered
       // folds over the group's SORTED value list (bit-identical to
       // Spark's sort_array + aggregate), then per-row standardization
-      ("WITH s AS (SELECT event_type, list_sort(list(CAST(value AS DOUBLE))) AS vs FROM events GROUP BY 1), " +
+      // NULL hygiene mirrors Spark exactly: collect_list skips nulls →
+      // the stats CTE filters them (DuckDB list() would keep them,
+      // skewing mu/sd); zscoreAttach's null-safe left join keeps
+      // null-keyed rows → LEFT JOIN ... IS NOT DISTINCT FROM. Latent at
+      // current SFs (no nulls in events.value/event_type) but the
+      // oracle should not be weaker than the operator it checks.
+      ("WITH s AS (SELECT event_type, list_sort(list(CAST(value AS DOUBLE))) AS vs FROM events WHERE value IS NOT NULL GROUP BY 1), " +
         "m AS (SELECT event_type, vs, list_aggregate(vs, 'sum') / len(vs) AS mu FROM s), " +
         "st AS (SELECT event_type, mu, sqrt(list_aggregate(list_transform(vs, x -> (x - mu) * (x - mu)), 'sum') / len(vs)) AS sd FROM m) " +
         "SELECT e.event_id, e.event_type, e.value, " +
         "CASE WHEN st.sd > 0 THEN (CAST(e.value AS DOUBLE) - st.mu) / st.sd END AS z, " +
         "coalesce(abs(CASE WHEN st.sd > 0 THEN (CAST(e.value AS DOUBLE) - st.mu) / st.sd END) > 2.0, false) AS is_outlier " +
-        "FROM events e JOIN st USING (event_type)"),
+        "FROM events e LEFT JOIN st ON e.event_type IS NOT DISTINCT FROM st.event_type"),
     "rel_train_order" ->
       ("SELECT doc_id, CAST(row_number() OVER (ORDER BY md5('epoch0|' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS shuffle_rank " +
         "FROM documents"),

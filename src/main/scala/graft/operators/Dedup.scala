@@ -310,6 +310,10 @@ object Dedup {
     */
   def withSimhashColumn(df: DataFrame, textCol: String,
       outCol: String = "simhash"): DataFrame = {
+    val tmp = Seq("__sh_hashes", "__sh_n", "__sh_votes")
+    require(!df.columns.exists(tmp.contains),
+      s"input already has a ${tmp.mkString("/")} column — rename it; " +
+        "these names are reserved scratch space of withSimhashColumn")
     val bits = 60
     val hashes = transform(TextFns.bpeishTokens(col(textCol)),
       t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))

@@ -644,13 +644,34 @@ object Relational {
     * one narrow generate + ONE hash aggregate keyed by column name —
     * no per-column job, and none of the expand-operator blowup of
     * multi-column countDistinct in a single agg. Row volume into the
-    * agg is rows × columns but two fields wide, map-side combined;
-    * distinct state is bounded by the distinct-value count per column.
+    * agg is rows × columns but two fields wide, map-side combined.
     * Stringification stays engine-internal (the output carries counts,
     * never values), so counts are exact for any round-trippable type.
+    *
+    * THE ORACLE FLAVOR: exact countDistinct shuffles the distinct
+    * (col_name, value) set — for a unique-key column that is every row
+    * of the table. Use [[profileApprox]] as the scale default (the
+    * simhash/centroids/zscore flavor convention); this exact form is
+    * the cross-engine-checkable one.
     * Output: (col_name, n_rows, n_nulls, n_distinct).
     */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileAgg(df, cols, countDistinct(col("val")))
+
+  /** THE SCALE DEFAULT flavor of [[profile]]: n_distinct from an
+    * `approx_count_distinct` HLL++ sketch (relative error `rsd`,
+    * default 5%). State per (column) group is one fixed-size sketch
+    * regardless of cardinality — no distinct-value shuffle, so a
+    * unique-key column costs the same as a constant one. Same output
+    * schema as [[profile]]; spec bounds the relative error against the
+    * exact flavor. */
+  def profileApprox(df: DataFrame, cols: Seq[String],
+      rsd: Double = 0.05): DataFrame =
+    profileAgg(df, cols, approx_count_distinct(col("val"), rsd))
+
+  /** Shared unpivot + single hash-agg body of the profile flavors. */
+  private def profileAgg(df: DataFrame, cols: Seq[String],
+      distinctAgg: Column): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     df.select(cols.map(c => col(c).cast("string").as(c)): _*)
       .unpivot(Array.empty[Column], cols.map(col).toArray,
@@ -658,7 +679,7 @@ object Relational {
       .groupBy(col("col_name"))
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("val").isNull, 1L).otherwise(0L)).as("n_nulls"),
-        countDistinct(col("val")).as("n_distinct"))
+        distinctAgg.as("n_distinct"))
   }
 
   /** Per-key contribution cap: keep at most `n` rows per key, chosen

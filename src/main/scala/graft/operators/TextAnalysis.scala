@@ -214,6 +214,9 @@ object TextAnalysis {
       chunkSize: Int, overlap: Int, delim: String = " "): DataFrame = {
     require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
       "need 0 <= overlap < chunkSize")
+    require(!df.columns.contains("__ws") && !df.columns.contains("__chunks"),
+      "input already has a __ws/__chunks column — rename it; these names " +
+        "are reserved scratch space of chunkWords")
     val stride = chunkSize - overlap
     val esc = java.util.regex.Pattern.quote(delim)
     df.withColumn("__ws", split(col(textCol), esc))
@@ -269,13 +272,39 @@ object TextAnalysis {
     * (id, n_lines, n_removed, text_clean).
     */
   def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
-      minDocs: Long, delim: String = "\n"): DataFrame = {
+      minDocs: Long, delim: String = "\n"): DataFrame =
+    boilerplateDrop(df, idCol, textCol, delim,
+      freq => freq.filter(col("n_docs") >= minDocs))
+
+  /** Corpus-relative flavor of [[removeBoilerplate]]: the threshold is
+    * `ceil(minDocFrac * corpus size)`, derived INSIDE the plan (a
+    * one-row count aggregate broadcast onto the line-frequency table)
+    * so building the DataFrame stays pure — no driver-side count job
+    * at construction time, and the threshold re-derives correctly if
+    * the same plan is run over a different snapshot of the input. */
+  def removeBoilerplateFrac(df: DataFrame, idCol: String, textCol: String,
+      minDocFrac: Double, delim: String = "\n"): DataFrame = {
+    require(minDocFrac > 0.0 && minDocFrac <= 1.0,
+      "need 0 < minDocFrac <= 1")
+    boilerplateDrop(df, idCol, textCol, delim, freq => {
+      val thresh = df.agg(
+        ceil(lit(minDocFrac) * count(lit(1))).cast("long").as("__min_docs"))
+      freq.crossJoin(broadcast(thresh))
+        .filter(col("n_docs") >= col("__min_docs"))
+    })
+  }
+
+  /** Shared body of the boilerplate flavors; `keepFrequent` applies the
+    * threshold to the (line, n_docs) frequency table. */
+  private def boilerplateDrop(df: DataFrame, idCol: String,
+      textCol: String, delim: String,
+      keepFrequent: DataFrame => DataFrame): DataFrame = {
     val esc = java.util.regex.Pattern.quote(delim)
     val lines = df.select(col(idCol),
       posexplode(split(col(textCol), esc)).as(Seq("pos", "line")))
-    val frequent = lines.select(col(idCol), col("line")).distinct()
-      .groupBy(col("line")).agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") >= minDocs)
+    val frequent = keepFrequent(
+      lines.select(col(idCol), col("line")).distinct()
+        .groupBy(col("line")).agg(count(lit(1)).as("n_docs")))
       .select(col("line"))
     lines
       .join(broadcast(frequent), Seq("line"), "left_anti")

@@ -105,7 +105,14 @@ object Dashboard {
   /** The three panels rendered as console text. */
   def renderPanels(spark: SparkSession, processedDir: String,
       nBatches: Int = 2, topK: Int = 10, previewRows: Int = 10): String =
-    collectPanels(spark, processedDir, nBatches, topK, previewRows).map {
+    renderPanelsText(
+      collectPanels(spark, processedDir, nBatches, topK, previewRows))
+
+  /** Render already-collected panels as console text — so a caller
+    * emitting BOTH faces (console + HTML) runs the panel Spark jobs
+    * once per tick and renders twice from the same Seq[Panel]. */
+  def renderPanelsText(panels: Seq[Panel]): String =
+    panels.map {
       case NoticePanel(t, txt) => s"== $t ==\n$txt\n"
       case TablePanel(t, header, rows) =>
         s"== $t ==\n" + (header.mkString("\t") +:
@@ -125,9 +132,15 @@ object Dashboard {
     * Values are HTML-escaped; bars are proportional-width divs. */
   def renderHtml(spark: SparkSession, processedDir: String,
       nBatches: Int = 2, topK: Int = 10, previewRows: Int = 10,
+      refreshSeconds: Long = 5L): String =
+    renderHtmlFromPanels(
+      collectPanels(spark, processedDir, nBatches, topK, previewRows),
+      refreshSeconds)
+
+  /** HTML face over already-collected panels (see [[renderPanelsText]]). */
+  def renderHtmlFromPanels(panels: Seq[Panel],
       refreshSeconds: Long = 5L): String = {
-    val body = collectPanels(spark, processedDir, nBatches, topK,
-        previewRows).map {
+    val body = panels.map {
       case NoticePanel(t, txt) =>
         s"<section><h2>${esc(t)}</h2><p>${esc(txt)}</p></section>"
       case TablePanel(t, header, rows) =>

@@ -23,14 +23,15 @@ object DashboardDemo {
     val spark = graft.GraftSession.build("4")
     (1 to ticks).foreach { i =>
       println(s"--- refresh $i/$ticks (${java.time.Instant.now()}) ---")
-      println(Dashboard.renderPanels(spark, processed, topK = topK))
+      // collect once per tick; both faces render from the same panels
+      val panels = Dashboard.collectPanels(spark, processed, topK = topK)
+      println(Dashboard.renderPanelsText(panels))
       // the web face of the same panels: a static file any browser (or
       // file server) re-reads on its own meta-refresh cadence — the
       // engine-side analog of the reference's Streamlit rerun loop
       if (htmlFile.nonEmpty)
         java.nio.file.Files.write(java.nio.file.Paths.get(htmlFile),
-          Dashboard.renderHtml(spark, processed, topK = topK,
-            refreshSeconds = refreshSeconds)
+          Dashboard.renderHtmlFromPanels(panels, refreshSeconds)
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       if (i < ticks) Thread.sleep(refreshSeconds * 1000L)
     }

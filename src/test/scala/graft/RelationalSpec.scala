@@ -396,6 +396,33 @@ class RelationalSpec extends SparkSpec {
     assert(out("v") === ((4L, 1L, 2L)))
   }
 
+  test("profileApprox: same rows/nulls, distinct within the sketch bound") {
+    // cardinalities from 1 (constant) to n (unique key) — the unique
+    // column is exactly the case where the exact flavor's distinct
+    // shuffle melts at scale and the sketch must stand in
+    val n = 5000
+    val df = (1 to n).map(i =>
+      (i.toLong, s"u${i % 37}", if (i % 10 == 0) None else Some("k")))
+      .toDF("id", "u", "c")
+    val exact = Relational.profile(df, Seq("id", "u", "c"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val approx = Relational.profileApprox(df, Seq("id", "u", "c"), rsd = 0.02)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (c, (rows, nulls, dist)) =>
+      val (eRows, eNulls, eDist) = exact(c)
+      assert(rows === eRows && nulls === eNulls, s"counts at $c")
+      // HLL++ rsd=0.02: allow 5 relative sigma (and an absolute floor
+      // of 1 for the tiny-cardinality columns, where the sketch is
+      // exact anyway)
+      val tol = math.max(1.0, 5 * 0.02 * eDist)
+      assert(math.abs(dist - eDist) <= tol,
+        s"distinct at $c: approx $dist vs exact $eDist")
+    }
+  }
+
   test("trainingOrder: a total permutation, stable under repartitioning") {
     val df = (1 to 500).map(i => (i.toLong, s"payload$i")).toDF("id", "p")
     val once = Relational.trainingOrder(df, "id", "epoch0")

@@ -199,5 +199,13 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) === ((3L, 2L, "other prose")))
     assert(out(3L) === ((2L, 2L, ""))) // all-boilerplate doc SURVIVES
     assert(out(4L) === ((1L, 0L, "nothing shared at all")))
+
+    // the corpus-relative flavor derives ceil(0.5 * 4) = 2 IN-PLAN and
+    // must agree with the absolute form row-for-row
+    val frac = TextAnalysis.removeBoilerplateFrac(docs, "doc_id", "text",
+        minDocFrac = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(frac === out)
   }
 }
