@@ -585,6 +585,17 @@ object SparkEntry {
     "dedup_simhash_pairs" -> ((s, d) =>
       // EXACT hamming<=3 pairs via pigeonhole banding (no recall loss)
       Dedup.simhashNearDupPairs(t(s, d, "documents"), "doc_id", "text", 3)),
+    "dedup_incremental" -> ((s, d) => {
+      // the arrival path: 90% of the corpus is the pre-built signature
+      // index, every 10th doc is the "new batch" probing it — nothing
+      // over the corpus recomputes per probe
+      val docs = t(s, d, "documents")
+      Dedup.incrementalNearDups(
+        docs.filter(col("doc_id") % 10 === 0),
+        Dedup.simhashBandIndex(docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text"),
+        "doc_id", "text")
+    }),
     "dedup_embedding_cos" -> ((s, d) =>
       Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), "vec_id",
         "embedding", "label", 0.3)),
@@ -1333,6 +1344,15 @@ object SparkEntry {
       // combination-banding join mirrors the generalized pigeonhole; the
       // brute xor/bit_count hamming then applies the exact threshold
       simhashPairSql(maxDist = 3, cleanBlocks = 2),
+    "dedup_incremental" ->
+      // banding has EXACT recall (pigeonhole), so the oracle is the
+      // brute-force hamming join between the new/corpus halves — any
+      // banding bug that drops or invents a candidate hash-mismatches
+      (s"WITH s AS ($simhashSql) " +
+        "SELECT n.doc_id AS new_id, c.doc_id AS dup_of, " +
+        "CAST(bit_count(xor(n.simhash, c.simhash)) AS BIGINT) AS hamming_dist " +
+        "FROM s n JOIN s c ON n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0 " +
+        "AND bit_count(xor(n.simhash, c.simhash)) <= 3"),
     "dedup_keep_best" ->
       (s"WITH q AS (SELECT doc_id, 0.4 * least(nw / 200.0, 1.0) + 0.3 * least(stop / nw * 4.0, 1.0) + 0.3 * (nd / nw) AS quality FROM " +
         s"(SELECT doc_id, CAST(len(list_filter($wordsSql, x -> x IN $stopListSql)) AS DOUBLE) AS stop, " +

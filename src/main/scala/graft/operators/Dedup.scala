@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFns
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Document deduplication at training-pipeline scale: exact, MinHash+LSH,
@@ -108,12 +108,50 @@ object Dedup {
     * fan-out.
     */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int, bands: Int): DataFrame = {
+      k: Int, bands: Int, maxBucket: Int = 0,
+      capMetrics: Option[Observation] = None): DataFrame = {
     val b = lshBands(df, idCol, textCol, k, bands)
     val buckets = b.groupBy(col("band"), col("band_hash"))
       .agg(sort_array(collect_set(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
-    expandPairs(buckets, "ids").distinct()
+    expandPairs(capBuckets(buckets, "ids", maxBucket, capMetrics), "ids")
+      .distinct()
+  }
+
+  /** Mega-bucket guard: cap every bucket's member array at `maxBucket`
+    * elements via a DETERMINISTIC pseudo-random sample (members ordered
+    * by their xxhash64, first maxBucket kept, re-sorted) — the scale
+    * valve for a pathological cluster whose single bucket would expand
+    * to m²/2 pairs and park one reducer for hours. Recall outside
+    * capped buckets is untouched: the cap rewrites only arrays longer
+    * than maxBucket. Hash-ordered sampling (not head-of-list) keeps
+    * the sample unbiased w.r.t. id assignment, and identical across
+    * runs/partitionings — reruns produce the same pairs. `maxBucket
+    * <= 0` disables (exact mode, the oracle-checked configuration).
+    * Pass an [[Observation]] to get (n_capped_buckets,
+    * n_dropped_members) after the action completes — the WARN counter
+    * without a second scan. */
+  private def capBuckets(buckets: DataFrame, idsCol: String,
+      maxBucket: Int, obs: Option[Observation]): DataFrame = {
+    if (maxBucket <= 0) buckets
+    else {
+      require(maxBucket >= 2, "maxBucket must be >= 2 to emit any pair")
+      val over = size(col(idsCol)) > maxBucket
+      val observed = obs.map(o => buckets.observe(o,
+        sum(when(over, 1L).otherwise(0L)).as("n_capped_buckets"),
+        sum(when(over, size(col(idsCol)) - maxBucket).otherwise(0L))
+          .as("n_dropped_members"))).getOrElse(buckets)
+      observed.withColumn(idsCol,
+        when(!over, col(idsCol)).otherwise(
+          // order by member hash, keep maxBucket, restore sorted order
+          // (expandPairs requires a SORTED array for a < b expansion)
+          array_sort(slice(
+            transform(
+              array_sort(transform(col(idsCol),
+                m => struct(xxhash64(m).as("o"), m.as("m")))),
+              s => s.getField("m")),
+            1, maxBucket))))
+    }
   }
 
   /** All (a < b) pairs from rows holding a SORTED id array: two chained
@@ -235,7 +273,33 @@ object Dedup {
     * lshCandidatePairs. Output: (a_id, b_id, hamming_dist).
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3, cleanBlocks: Int = 2): DataFrame = {
+      maxDist: Int = 3, cleanBlocks: Int = 2, maxBucket: Int = 0,
+      capMetrics: Option[Observation] = None): DataFrame = {
+    val sig = simhashPortable(df, idCol, textCol)
+    val buckets = sig
+      .select(col(idCol), col("simhash"),
+        explode(simhashBandCols(col("simhash"), maxDist, cleanBlocks))
+          .as("bb"))
+      .groupBy(col("bb.band").as("band"), col("bb.bv").as("bv"))
+      .agg(sort_array(collect_set(
+        struct(col(idCol).as("id"), col("simhash").as("sh")))).as("members"))
+      .filter(size(col("members")) > 1)
+    expandPairs(capBuckets(buckets, "members", maxBucket, capMetrics),
+        "members")
+      .select(col("a_id.id").as("a_id"), col("b_id.id").as("b_id"),
+        hamming(col("a_id.sh"), col("b_id.sh")).cast("long").as("hamming_dist"))
+      .filter(col("hamming_dist") <= maxDist)
+      .distinct()
+  }
+
+  /** The combination-table band keys for a 60-bit simhash column — one
+    * struct (table id, key) per cleanBlocks-subset of the signature's
+    * maxDist+cleanBlocks bit-slices (see [[simhashNearDupPairs]] for
+    * the pigeonhole argument). Shared by the batch pair finder, the
+    * persistent index builder, and the incremental probe, so all three
+    * band IDENTICALLY — an index built today answers probes forever. */
+  private def simhashBandCols(sh: Column, maxDist: Int,
+      cleanBlocks: Int): Column = {
     val bits = 60
     require(cleanBlocks >= 1, "cleanBlocks must be >= 1")
     val nBlocks = maxDist + cleanBlocks
@@ -245,28 +309,80 @@ object Dedup {
         "(e.g. 4, 5, 6, 10)")
     val width = bits / nBlocks
     val mask = (1L << width) - 1
-    val sig = simhashPortable(df, idCol, textCol)
-    // one struct per block combination: table id + concatenated key
-    val bandCols = (0 until nBlocks).combinations(cleanBlocks)
+    array((0 until nBlocks).combinations(cleanBlocks)
       .toSeq.zipWithIndex.map { case (blocks, c) =>
         val key = blocks.zipWithIndex.map { case (b, pos) =>
-          shiftleft(shiftright(col("simhash"), b * width)
+          shiftleft(shiftright(sh, b * width)
             .bitwiseAND(lit(mask)), pos * width)
         }.reduce(_ bitwiseOR _)
         struct(lit(c).as("band"), key.as("bv"))
-      }
-    val buckets = sig
-      .select(col(idCol), col("simhash"), explode(array(bandCols: _*)).as("bb"))
-      .groupBy(col("bb.band").as("band"), col("bb.bv").as("bv"))
-      .agg(sort_array(collect_set(
-        struct(col(idCol).as("id"), col("simhash").as("sh")))).as("members"))
-      .filter(size(col("members")) > 1)
-    expandPairs(buckets, "members")
-      .select(col("a_id.id").as("a_id"), col("b_id.id").as("b_id"),
-        hamming(col("a_id.sh"), col("b_id.sh")).cast("long").as("hamming_dist"))
+      }: _*)
+  }
+
+  /** Attach exploded band keys to any frame holding a simhash column:
+    * each row becomes C(maxDist+cleanBlocks, cleanBlocks) rows carrying
+    * (band, bv). Pure expression + one generator — works on BATCH and
+    * STREAMING frames alike, which is what lets a stream probe a static
+    * [[simhashBandIndex]] (StreamOps.incrementalNearDupFlags). */
+  def withBandKeys(df: DataFrame, shCol: String, maxDist: Int = 3,
+      cleanBlocks: Int = 2): DataFrame = {
+    require(!df.columns.contains("__bb"),
+      "input already has a __bb column — rename it; the name is " +
+        "reserved scratch space of withBandKeys")
+    df.withColumn("__bb",
+        explode(simhashBandCols(col(shCol), maxDist, cleanBlocks)))
+      .withColumn("band", col("__bb.band"))
+      .withColumn("bv", col("__bb.bv"))
+      .drop("__bb")
+  }
+
+  /** The persistent signature index of a corpus: one row per (band
+    * table, band key, member) — `(band, bv, corpus_id, corpus_sh)`.
+    * THE PRODUCTION SHAPE AT 100 TB: the corpus is signed and banded
+    * ONCE, the result persisted (parquet, ideally bucketed by
+    * (band, bv)); arriving batches probe it via
+    * [[incrementalNearDups]] without ever re-reading corpus text.
+    * Size = n docs × C(maxDist+cleanBlocks, cleanBlocks) rows of four
+    * fixed-width fields (10 rows/doc at the defaults) — a fraction of
+    * the text it replaces. */
+  def simhashBandIndex(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3, cleanBlocks: Int = 2): DataFrame =
+    simhashPortable(df, idCol, textCol)
+      .select(col(idCol).as("corpus_id"), col("simhash").as("corpus_sh"),
+        explode(simhashBandCols(col("simhash"), maxDist, cleanBlocks))
+          .as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bv").as("bv"),
+        col("corpus_id"), col("corpus_sh"))
+
+  /** Incremental near-dup detection: flag each NEW document whose
+    * signature is within `maxDist` bits of any indexed corpus document
+    * — without recomputing anything over the corpus. The new batch is
+    * signed and banded with the same tables as the index, equi-joined
+    * on (band, bv) (the new side is the small one — size-based
+    * planning broadcasts it against a corpus-scale index), and the
+    * exact hamming filter removes band false-positives. Recall is
+    * exact by the same pigeonhole argument as [[simhashNearDupPairs]]:
+    * a (new, corpus) pair within maxDist shares at least one band key.
+    * `maxDist`/`cleanBlocks` MUST match the index build — the band
+    * keys are meaningless otherwise.
+    * Output: (new_id, dup_of, hamming_dist), one row per matching
+    * corpus doc; anti-join on new_id to admit only novel documents.
+    */
+  def incrementalNearDups(newDocs: DataFrame, index: DataFrame,
+      idCol: String, textCol: String,
+      maxDist: Int = 3, cleanBlocks: Int = 2): DataFrame =
+    simhashPortable(newDocs, idCol, textCol)
+      .select(col(idCol).as("new_id"), col("simhash"),
+        explode(simhashBandCols(col("simhash"), maxDist, cleanBlocks))
+          .as("bb"))
+      .select(col("new_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+      .join(index, Seq("band", "bv"))
+      .select(col("new_id"), col("corpus_id").as("dup_of"),
+        hamming(col("simhash"), col("corpus_sh")).cast("long")
+          .as("hamming_dist"))
       .filter(col("hamming_dist") <= maxDist)
       .distinct()
-  }
 
   /** Cross-engine-reproducible simhash: 60-bit token hashes from md5
     * (first 15 hex chars — exact in any BIGINT SQL engine) instead of

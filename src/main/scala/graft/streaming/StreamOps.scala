@@ -109,6 +109,44 @@ object StreamOps {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(Seq(signatureCol))
 
+  /** Streaming incremental near-dup detection against a STATIC corpus
+    * signature index (the output of Dedup.simhashBandIndex, typically
+    * read back from parquet): each arriving document gains its per-row
+    * stateless signature (Dedup.withSimhashColumn — bit-identical to
+    * the batch/index signature), bands with the SAME combination
+    * tables as the index, and stream-static equi-joins on (band, bv);
+    * the exact hamming filter removes band false-positives. This is
+    * the production arrival path at 100 TB: the corpus is indexed
+    * once, each micro-batch probes it — no corpus rescan, no
+    * stream-side state beyond the emit-dedup below. A pair within
+    * maxDist shares a band key (pigeonhole — see
+    * Dedup.simhashNearDupPairs), so recall vs the batch probe is
+    * exact. Matches found via MULTIPLE band tables collapse through
+    * dropDuplicatesWithinWatermark on (new_id, dup_of) — state keyed
+    * by two longs, retired at the watermark horizon.
+    * Emits (new_id, tsCol, dup_of, hamming_dist) — inner-join
+    * semantics: only flagged arrivals; anti-join the source stream on
+    * new_id for the novel ones. `maxDist`/`cleanBlocks` MUST match
+    * the index build.
+    */
+  def incrementalNearDupFlags(stream: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, tsCol: String,
+      watermarkDelay: String, maxDist: Int = 3,
+      cleanBlocks: Int = 2): DataFrame = {
+    val sig = "__sig"
+    val dist = graft.operators.Dedup.hamming(col(sig), col("corpus_sh"))
+    graft.operators.Dedup.withBandKeys(
+        graft.operators.Dedup.withSimhashColumn(stream, textCol, sig),
+        sig, maxDist, cleanBlocks)
+      .withWatermark(tsCol, watermarkDelay)
+      .join(index, Seq("band", "bv"))
+      .filter(dist <= maxDist)
+      .select(col(idCol).as("new_id"), col(tsCol),
+        col("corpus_id").as("dup_of"),
+        dist.cast("long").as("hamming_dist"))
+      .dropDuplicatesWithinWatermark(Seq("new_id", "dup_of"))
+  }
+
   /** Watermarked stream-stream interval join: left rows match right
     * rows with the same key whose event time falls in
     * [leftTs + lowerBound, leftTs + upperBound]. Both sides carry

@@ -138,6 +138,89 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incrementalNearDups equals brute-force new-vs-corpus hamming") {
+    val all = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, " THE  quick brown fox jumps over the lazy dog tonight"),
+      (3L, "the quick brown fox jumps over the lazy cat tonight"),
+      (4L, "the quick brown fox leaps over the lazy cat today"),
+      (5L, "completely different content about spark engines here now"),
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // dup of 1/2
+      (20L, "entirely unrelated words describing database internals deeply"),
+      (30L, "the quick brown fox jumps over the lazy cat tonight") // dup of 3
+    ).toDF("doc_id", "text")
+    val corpus = all.filter(col("doc_id") < 10)
+    val fresh = all.filter(col("doc_id") >= 10)
+    val index = Dedup.simhashBandIndex(corpus, "doc_id", "text")
+    val got = Dedup.incrementalNearDups(fresh, index, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force: every (new, corpus) signature pair within 3 bits
+    val sig = Dedup.simhashPortable(all, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val brute = (for {
+      n <- Seq(10L, 20L, 30L); c <- 1L to 5L
+      d = java.lang.Long.bitCount(sig(n) ^ sig(c)) if d <= 3
+    } yield (n, c, d.toLong)).toSet
+    assert(got === brute)
+    assert(got.contains((10L, 1L, 0L)) && got.contains((30L, 3L, 0L)))
+    // the novel doc is flagged against nothing
+    assert(!got.exists(_._1 == 20L))
+  }
+
+  test("maxBucket caps a planted mega-cluster, leaves the rest exact") {
+    // 30 identical docs = one mega-bucket per band; 1 near-dup pair
+    // (ids 1, 2) entirely outside it
+    val mega = (100L until 130L).map(i =>
+      (i, "this exact boilerplate sentence repeats across the corpus"))
+    val outside = Seq(
+      (1L, "a genuinely unique document about streaming engines today"),
+      (2L, "a genuinely unique document about streaming engines tonight"))
+    val corpus = (mega ++ outside).toDF("doc_id", "text")
+    val full = Dedup.lshCandidatePairs(corpus, "doc_id", "text", 8, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(full.count { case (a, b) => a >= 100L && b >= 100L } === 30 * 29 / 2)
+    val obs = new org.apache.spark.sql.Observation()
+    val capped = Dedup.lshCandidatePairs(corpus, "doc_id", "text", 8, 4,
+        maxBucket = 5, capMetrics = Some(obs))
+      .as[(Long, Long)].collect().toSet
+    // identical docs collide in every band with the same members, so the
+    // deterministic hash-ordered sample picks the same 5 ids in each →
+    // exactly C(5,2) mega pairs survive
+    assert(capped.count { case (a, b) => a >= 100L && b >= 100L } === 10)
+    // recall outside the capped bucket is untouched
+    assert(full.filter { case (a, b) => a < 100L && b < 100L } ===
+      capped.filter { case (a, b) => a < 100L && b < 100L })
+    assert(capped.subsetOf(full))
+    // the observation is the WARN counter: 4 band buckets capped,
+    // 25 members dropped from each
+    val m = obs.get
+    assert(m("n_capped_buckets") === 4L && m("n_dropped_members") === 100L)
+    // deterministic: a rerun samples identically
+    val again = Dedup.lshCandidatePairs(corpus.repartition(7), "doc_id",
+        "text", 8, 4, maxBucket = 5)
+      .as[(Long, Long)].collect().toSet
+    assert(again === capped)
+  }
+
+  test("maxBucket on simhashNearDupPairs keeps pairs a subset, exact outside") {
+    val mega = (100L until 120L).map(i =>
+      (i, "this exact boilerplate sentence repeats across the corpus"))
+    val outside = Seq(
+      (1L, "a genuinely unique document about streaming engines today"),
+      (2L, "a genuinely unique document about streaming engines tonight"))
+    val corpus = (mega ++ outside).toDF("doc_id", "text")
+    val full = Dedup.simhashNearDupPairs(corpus, "doc_id", "text", 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val capped = Dedup.simhashNearDupPairs(corpus, "doc_id", "text", 3,
+        maxBucket = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped.subsetOf(full))
+    assert(capped.count { case (a, b, _) => a >= 100L && b >= 100L } <
+      full.count { case (a, b, _) => a >= 100L && b >= 100L })
+    assert(full.filter { case (a, b, _) => a < 100L && b < 100L } ===
+      capped.filter { case (a, b, _) => a < 100L && b < 100L })
+  }
+
   test("keepBest keeps one row per content group, max quality then MIN id") {
     import graft.operators.TextAnalysis
     val q = TextAnalysis.qualityScore(docs, "doc_id", "text")

@@ -58,6 +58,15 @@ class PlanSpec extends SparkSpec {
       plan.take(800))
   }
 
+  test("incremental dedup probes the index with an equi-join, no fan-out") {
+    val plan = planOf("dedup_incremental")
+    // the (band, bv) probe must plan a hash equi-join — a nested-loop
+    // or cartesian here would rescan the corpus index per probe row
+    assert(plan.contains("HashJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
   test("histogram is one shuffle with map-side partial aggregation") {
     val plan = planOf("rel_histogram")
     assert("Exchange".r.findAllIn(plan).size === 1, plan.take(800))

@@ -152,6 +152,38 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table(name).columns.contains("simhash"))
   }
 
+  test("incrementalNearDupFlags probes a static index per micro-batch") {
+    implicit val ctx = spark.sqlContext
+    // corpus indexed ONCE (batch); arrivals probe it stream-static
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different content about spark engines here now"))
+      .toDF("doc_id", "text")
+    val index = graft.operators.Dedup
+      .simhashBandIndex(corpus, "doc_id", "text")
+    val in = MemoryStream[TestDoc]
+    val out = StreamOps.incrementalNearDupFlags(in.toDF(), index,
+      "doc_id", "text", "ts", "1 hour")
+    val name = fresh()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    in.addData(
+      // reformatted re-post of corpus doc 1 → flagged (signature match)
+      TestDoc(10, ts("2024-01-01 00:00:00"),
+        "  THE  quick brown fox JUMPS over the lazy dog tonight "),
+      // novel content → not emitted (inner-join semantics)
+      TestDoc(20, ts("2024-01-01 00:05:00"),
+        "entirely unrelated words describing database internals deeply"))
+    q.processAllAvailable()
+    q.stop()
+    val flags = spark.table(name)
+      .select("new_id", "dup_of", "hamming_dist")
+      .as[(Long, Long, Long)].collect().toSet
+    // one flag row despite the match appearing in all 10 band tables —
+    // the within-watermark dedup collapsed them
+    assert(flags === Set((10L, 1L, 0L)))
+  }
+
   test("stateful sessions emit when the watermark passes session close") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[TestEvt]
