@@ -531,6 +531,12 @@ object SparkEntry {
     "text_pack" -> ((s, d) =>
       Packing.packSequences(t(s, d, "documents"), "doc_id", "text",
         budget = PackBudget, numGroups = PackGroups)),
+    "text_pack_chunks" -> ((s, d) =>
+      // RAG splitter → batch assembler: pack the overlapping word
+      // chunks, a doc's chunks adjacent in pack order
+      Packing.packChunks(t(s, d, "documents"), "doc_id", "text",
+        chunkSize = 12, overlap = 4, budget = PackBudget,
+        numGroups = PackGroups)),
     "text_redact" -> ((s, d) =>
       // the corpus has no real PII, so the query seeds deterministic
       // emails/phones/SSNs from doc_id (same expression replayed in the
@@ -1003,8 +1009,44 @@ object SparkEntry {
       s"array_to_string(list_slice(ws, k * $stride + 1, k * $stride + $chunkSize), ' ') AS chunk_text FROM c"
   }
 
+  /** Mirrors Packing.packChunks: the chunksSql window replay feeds the
+    * same recursive-CTE next-fit walk as packSql, ordered by
+    * (h, doc_id, chunk_id) so a doc's chunks stay adjacent. */
+  private def packChunksSql(chunkSize: Int, overlap: Int, budget: Long,
+      groups: Int): String = {
+    val stride = chunkSize - overlap
+    val ctNorm = "regexp_replace(trim(lower(ct)), '\\s+', ' ', 'g')"
+    val ctTokens =
+      s"len(regexp_extract_all($ctNorm, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))"
+    "WITH RECURSIVE ch AS (SELECT doc_id, ws, " +
+      s"unnest(range(0, (len(ws) - 1) // $stride + 1)) AS k " +
+      "FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) l), " +
+      "c2 AS (SELECT doc_id, CAST(k AS BIGINT) AS cid, " +
+      s"array_to_string(list_slice(ws, k * $stride + 1, k * $stride + $chunkSize), ' ') AS ct FROM ch), " +
+      "base AS (SELECT doc_id, cid, " +
+      "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|pack'), 1, 7) AS BIGINT) AS h, " +
+      s"CAST(least($ctTokens, $budget) AS BIGINT) AS t FROM c2), " +
+      s"o AS (SELECT doc_id, cid, h % $groups AS g, h, t, " +
+      s"row_number() OVER (PARTITION BY h % $groups ORDER BY h, doc_id, cid) AS rn FROM base), " +
+      "packed AS (" +
+      "SELECT g, rn, doc_id, cid, t, t AS fill, CAST(0 AS BIGINT) AS pack FROM o WHERE rn = 1 " +
+      "UNION ALL " +
+      "SELECT o.g, o.rn, o.doc_id, o.cid, o.t, " +
+      s"CASE WHEN p.fill + o.t > $budget THEN o.t ELSE p.fill + o.t END AS fill, " +
+      s"CASE WHEN p.fill + o.t > $budget THEN p.pack + 1 ELSE p.pack END AS pack " +
+      "FROM o JOIN packed p ON o.g = p.g AND o.rn = p.rn + 1) " +
+      "SELECT CAST(g AS VARCHAR) || '-' || CAST(pack AS VARCHAR) AS pack_id, " +
+      "count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs, " +
+      "CAST(sum(t) AS BIGINT) AS total_tokens, " +
+      s"CAST(sum(t) AS DOUBLE) / $budget AS fill_ratio, " +
+      "string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(cid AS VARCHAR), ',' ORDER BY rn) AS chunk_ids " +
+      "FROM packed GROUP BY g, pack"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "text_bm25" -> bm25Sql(Bm25Terms, k1 = 1.2, b = 0.75),
+    "text_pack_chunks" -> packChunksSql(chunkSize = 12, overlap = 4,
+      budget = PackBudget, groups = PackGroups),
     "rel_profile" -> profileSql("events",
       Seq("event_id", "ts", "user_id", "event_type", "value", "props")),
     "text_chunks" -> chunksSql(chunkSize = 12, overlap = 4),

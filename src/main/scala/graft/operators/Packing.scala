@@ -90,6 +90,74 @@ object Packing {
           p => p.getField("id").cast("string")), ",").as("doc_ids"))
   }
 
+  /** RAG-splitter → batch-assembler compose: chunk every document into
+    * overlapping word windows ([[TextAnalysis.chunkWords]]) and pack
+    * the CHUNKS into token-budget rows ([[packSequences]]' greedy
+    * next-fit walk) such that a document's chunks stay ADJACENT in
+    * walk order — the group hash is the DOC's (so all of a doc's
+    * chunks land in one group) and the within-group order is
+    * (doc hash, doc id, chunk id). A doc may still straddle a pack
+    * boundary (next-fit closes a full pack mid-doc — padding waste,
+    * not adjacency, is the packing objective) but its chunks are never
+    * interleaved with another doc's. Chunks longer than `budget`
+    * tokens truncate to exactly `budget` (same rule as
+    * packSequences). Scale shape identical to packSequences: one
+    * repartition+sort exchange, O(1)-state walk, one rollup agg;
+    * chunking adds no shuffle (pure expression + one posexplode).
+    * Output: (pack_id, n_chunks, n_docs, total_tokens, fill_ratio,
+    * chunk_ids) with chunk_ids "docId:chunkId" comma-joined in pack
+    * order.
+    */
+  def packChunks(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int, budget: Long,
+      numGroups: Int = 256): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(numGroups > 0, "numGroups must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val chunks = TextAnalysis.chunkWords(df, idCol, textCol,
+      chunkSize, overlap)
+    val h = TextFns.shingleHash(
+      concat(col(idCol).cast("string"), lit("|pack")))
+    val base = chunks.select(
+      pmod(h, lit(numGroups.toLong)).as("g"),
+      h.as("h"),
+      col(idCol).cast("long").as("id"),
+      col("chunk_id").as("cid"),
+      least(tokenCount(col("chunk_text")), lit(budget)).as("t"))
+    val walked = base
+      .repartition(col("g"))
+      .sortWithinPartitions(col("g"), col("h"), col("id"), col("cid"))
+      .as[(Long, Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        var curG = 0L; var fill = 0L; var pack = 0L; var pos = 0L
+        var started = false
+        it.map { case (g, _, id, cid, t) =>
+          if (!started || g != curG) {
+            started = true; curG = g; pack = 0L; fill = t; pos = 0L
+          } else if (fill + t > budget) { pack += 1; fill = t }
+          else fill += t
+          pos += 1
+          (g, pack, pos, id, cid, t)
+        }
+      }
+      .toDF("g", "pack", "pos", "id", "cid", "t")
+    walked.groupBy(col("g"), col("pack"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("id")).as("n_docs"),
+        sum(col("t")).as("total_tokens"),
+        sort_array(collect_list(
+          struct(col("pos"), col("id"), col("cid")))).as("__ps"))
+      .select(
+        concat(col("g").cast("string"), lit("-"),
+          col("pack").cast("string")).as("pack_id"),
+        col("n_chunks"), col("n_docs"), col("total_tokens"),
+        (col("total_tokens").cast("double") / budget).as("fill_ratio"),
+        array_join(transform(col("__ps"),
+          p => concat(p.getField("id").cast("string"), lit(":"),
+            p.getField("cid").cast("string"))), ",").as("chunk_ids"))
+  }
+
   /** Token-budget sampling per key: keep each key's rows — in a
     * deterministic hash order — until the key's TOKEN budget is met,
     * then drop the rest. This is how mixture weights are actually

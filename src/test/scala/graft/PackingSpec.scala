@@ -106,6 +106,43 @@ class PackingSpec extends SparkSpec {
       .select(col("doc_id")).as[Long].collect().toSet
   }
 
+  test("packChunks: every chunk packed once, docs contiguous, budget held") {
+    val docs = corpus(60)
+    val budget = 48L
+    val packs = Packing.packChunks(docs, "doc_id", "text",
+      chunkSize = 12, overlap = 4, budget = budget, numGroups = 4).collect()
+    // chunk inventory: exactly the chunkWords output, each packed once
+    val expected = graft.operators.TextAnalysis
+      .chunkWords(docs, "doc_id", "text", 12, 4)
+      .select("doc_id", "chunk_id").as[(Long, Long)].collect().toSet
+    val packed = packs.flatMap(_.getAs[String]("chunk_ids").split(","))
+      .map { s => val Array(d, c) = s.split(":"); (d.toLong, c.toLong) }
+    assert(packed.length === expected.size)
+    assert(packed.toSet === expected)
+    packs.foreach { p =>
+      assert(p.getAs[Long]("total_tokens") <= budget)
+      // ADJACENCY: within a pack, a doc's chunks form one contiguous
+      // run in ascending chunk order
+      val ids = p.getAs[String]("chunk_ids").split(",")
+        .map { s => val Array(d, c) = s.split(":"); (d.toLong, c.toLong) }
+      val runs = ids.map(_._1).foldLeft(List.empty[Long]) {
+        case (acc, d) if acc.headOption.contains(d) => acc
+        case (acc, d) => d :: acc
+      }
+      assert(runs.distinct.size === runs.size,
+        s"doc interleaved in pack: ${ids.mkString(",")}")
+      ids.groupBy(_._1).values.foreach { cs =>
+        assert(cs.map(_._2).toSeq === cs.map(_._2).toSeq.sorted,
+          "chunk order broken")
+      }
+    }
+    // determinism under repartitioning
+    val again = Packing.packChunks(docs.repartition(7), "doc_id", "text",
+      chunkSize = 12, overlap = 4, budget = budget, numGroups = 4)
+      .collect().map(_.toSeq).toSet
+    assert(again === packs.map(_.toSeq).toSet)
+  }
+
   test("tokenBudgetSampleByKey: bucketed plan equals the naive window") {
     val got = Packing.tokenBudgetSampleByKey(keyedDocs, "source", "doc_id",
         "text", someBudgets, buckets = 16)
