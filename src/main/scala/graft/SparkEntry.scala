@@ -602,6 +602,29 @@ object SparkEntry {
           "doc_id", "text"),
         "doc_id", "text")
     }),
+    "dedup_incremental_exact" -> ((s, d) => {
+      // exact-fingerprint flavor; the corpus has no natural exact dups
+      // so the arrival batch is SEEDED: every 7th doc re-posted
+      // reformatted (fresh id, uppercased text) — each must flag back
+      // to its original through the normalized fingerprint. The index
+      // is the exactDupGroups table the curation pipeline persists
+      // anyway.
+      val docs = t(s, d, "documents")
+      val arrivals = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          upper(col("text")).as("text"))
+      Dedup.incrementalExactDups(arrivals,
+        Dedup.exactDupGroups(docs, "doc_id", "text"), "doc_id", "text")
+    }),
+    "dedup_incremental_lsh" -> ((s, d) => {
+      // same arrival split, MinHash-LSH candidate flavor
+      val docs = t(s, d, "documents")
+      Dedup.incrementalLshCandidates(
+        docs.filter(col("doc_id") % 10 === 0),
+        Dedup.lshBandIndex(docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", MinhashK, LshBands),
+        "doc_id", "text", MinhashK, LshBands)
+    }),
     "dedup_embedding_cos" -> ((s, d) =>
       Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), "vec_id",
         "embedding", "label", 0.3)),
@@ -1395,6 +1418,20 @@ object SparkEntry {
         "CAST(bit_count(xor(n.simhash, c.simhash)) AS BIGINT) AS hamming_dist " +
         "FROM s n JOIN s c ON n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0 " +
         "AND bit_count(xor(n.simhash, c.simhash)) <= 3"),
+    "dedup_incremental_exact" ->
+      (s"WITH idx AS (SELECT md5($normSql) AS content_hash, min(doc_id) AS dup_of " +
+        "FROM documents GROUP BY 1), " +
+        "arr AS (SELECT doc_id + 100000 AS new_id, upper(text) AS text " +
+        "FROM documents WHERE doc_id % 7 = 0) " +
+        s"SELECT a.new_id, i.dup_of, md5($normSql) AS content_hash " +
+        s"FROM arr a JOIN idx i ON md5($normSql) = i.content_hash"),
+    "dedup_incremental_lsh" ->
+      // band collision between the halves — same candidate semantics as
+      // dedup_lsh_pairs restricted to cross-batch pairs
+      (shingleCte + sigCte + s", bands AS ($bandSelects), " +
+        "n AS (SELECT doc_id AS new_id, band, band_hash FROM bands WHERE doc_id % 10 = 0), " +
+        "c AS (SELECT doc_id AS dup_of, band, band_hash FROM bands WHERE doc_id % 10 <> 0) " +
+        "SELECT DISTINCT new_id, dup_of FROM n JOIN c USING (band, band_hash)"),
     "dedup_keep_best" ->
       (s"WITH q AS (SELECT doc_id, 0.4 * least(nw / 200.0, 1.0) + 0.3 * least(stop / nw * 4.0, 1.0) + 0.3 * (nd / nw) AS quality FROM " +
         s"(SELECT doc_id, CAST(len(list_filter($wordsSql, x -> x IN $stopListSql)) AS DOUBLE) AS stop, " +

@@ -319,6 +319,51 @@ object Dedup {
       }: _*)
   }
 
+  /** Exact-dup flavor of the incremental probe: flag each NEW document
+    * whose normalized-content fingerprint already exists in the corpus
+    * index ([[exactDupGroups]] output — one (content_hash, keep_id,
+    * n_copies) row per distinct content, a fraction of the corpus and
+    * the natural thing to persist). One equi-join on the md5 key —
+    * size-based planning broadcasts a small arrival batch; nothing
+    * over the corpus recomputes. Output: (new_id, dup_of,
+    * content_hash); anti-join the batch on new_id for the novel docs,
+    * union the survivors' hashes into the index to advance it.
+    */
+  def incrementalExactDups(newDocs: DataFrame, index: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    newDocs.select(col(idCol).as("new_id"),
+        TextFns.fingerprint(col(textCol)).as("content_hash"))
+      .join(index.select(col("content_hash"),
+        col("keep_id").as("dup_of")), Seq("content_hash"))
+      .select(col("new_id"), col("dup_of"), col("content_hash"))
+
+  /** The persistent MinHash-LSH band index of a corpus — the
+    * [[lshBands]] table renamed for probing: (band, band_hash,
+    * corpus_id). Persist it (bucketed by (band, band_hash) for
+    * exchange-free probes) and feed [[incrementalLshCandidates]];
+    * `k`/`bands` MUST match between build and probe. */
+  def lshBandIndex(df: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int): DataFrame =
+    lshBands(df, idCol, textCol, k, bands)
+      .select(col("band"), col("band_hash"), col(idCol).as("corpus_id"))
+
+  /** Incremental MinHash-LSH candidates: NEW documents × persisted
+    * [[lshBandIndex]] — a (new, corpus) pair surfaces iff some band of
+    * their signatures collides, the same candidate semantics as
+    * [[lshCandidatePairs]] restricted to cross-batch pairs. Unlike the
+    * simhash probe there is no exact distance filter here (MinHash
+    * collision is probabilistic, as in the batch operator) — refine
+    * survivors with jaccard/editDistance as usual. Output: (new_id,
+    * dup_of) distinct.
+    */
+  def incrementalLshCandidates(newDocs: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, k: Int, bands: Int): DataFrame =
+    lshBands(newDocs, idCol, textCol, k, bands)
+      .select(col("band"), col("band_hash"), col(idCol).as("new_id"))
+      .join(index, Seq("band", "band_hash"))
+      .select(col("new_id"), col("corpus_id").as("dup_of"))
+      .distinct()
+
   /** Attach exploded band keys to any frame holding a simhash column:
     * each row becomes C(maxDist+cleanBlocks, cleanBlocks) rows carrying
     * (band, bv). Pure expression + one generator — works on BATCH and

@@ -91,10 +91,20 @@ object Sources {
     * (default true) and matching bucket counts on both sides.
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-      nBuckets: Int, sortCol: Option[String] = None): Unit = {
+      nBuckets: Int, sortCol: Option[String] = None): Unit =
+    writeBucketed(df, table, Seq(bucketCol), nBuckets, sortCol.toSeq)
+
+  /** Multi-column bucketing — for composite join keys (e.g. a signature
+    * index probed on (band, bv)): bucket on ALL the keys so the stored
+    * partitioning matches the join's required distribution exactly and
+    * the index side plans with zero exchanges. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      nBuckets: Int, sortCols: Seq[String]): Unit = {
+    require(bucketCols.nonEmpty, "need at least one bucket column")
     val w = df.write.format("parquet").mode("overwrite")
-      .bucketBy(nBuckets, bucketCol)
-    sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.isEmpty) w else w.sortBy(sortCols.head, sortCols.tail: _*))
+      .saveAsTable(table)
   }
 
   /** Write with observed data-quality metrics: attaches an Observation

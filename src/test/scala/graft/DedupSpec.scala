@@ -167,6 +167,47 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists(_._1 == 20L))
   }
 
+  test("incrementalExactDups flags fingerprint matches against the index") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different content about spark engines here")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "  The  Quick   brown fox JUMPS over the lazy dog "), // = 1
+      (20L, "genuinely novel content never indexed before")
+    ).toDF("doc_id", "text")
+    val index = Dedup.exactDupGroups(corpus, "doc_id", "text")
+    val got = Dedup.incrementalExactDups(fresh, index, "doc_id", "text")
+      .select("new_id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(got === Set((10L, 1L)))
+  }
+
+  test("incrementalLshCandidates = cross-batch slice of the batch pairs") {
+    val all = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy cat tonight"),
+      (5L, "completely different content about spark engines here now"),
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (20L, "entirely unrelated words describing database internals deeply")
+    ).toDF("doc_id", "text")
+    val corpus = all.filter(col("doc_id") < 10)
+    val fresh = all.filter(col("doc_id") >= 10)
+    val got = Dedup.incrementalLshCandidates(fresh,
+        Dedup.lshBandIndex(corpus, "doc_id", "text", 8, 4),
+        "doc_id", "text", 8, 4)
+      .as[(Long, Long)].collect().toSet
+    // same candidate semantics as the batch operator restricted to
+    // (corpus, new) pairs — band collision, batch halves on both sides
+    val batchAll: Set[(Long, Long)] =
+      Dedup.lshCandidatePairs(all, "doc_id", "text", 8, 4)
+        .as[(Long, Long)].collect().toSet
+    val batch = batchAll
+      .filter { case (a, b) => a < 10 && b >= 10 }
+      .map { case (a, b) => (b, a) }
+    assert(got === batch)
+    assert(got.contains((10L, 1L))) // identical doc: all bands collide
+  }
+
   test("maxBucket caps a planted mega-cluster, leaves the rest exact") {
     // 30 identical docs = one mega-bucket per band; 1 near-dup pair
     // (ids 1, 2) entirely outside it

@@ -62,6 +62,48 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("bucketed signature index probes with zero index-side exchanges") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // the 100 TB arrival shape end-to-end: band index persisted
+    // BUCKETED on the probe keys, arrivals signed statelessly — the
+    // only exchange in the whole probe plan is the arrival side's
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different content about spark engines here now"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, " THE quick brown fox jumps over the lazy dog tonight "),
+      (20L, "entirely unrelated words describing database internals deeply"))
+      .toDF("doc_id", "text")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      Sources.writeBucketed(
+        Dedup.simhashBandIndex(corpus, "doc_id", "text"),
+        "graft_band_idx", Seq("band", "bv"), 4, Seq("band", "bv"))
+      val probe = Dedup.withBandKeys(
+        Dedup.withSimhashColumn(fresh, "text", "sig"), "sig")
+        .join(spark.table("graft_band_idx"), Seq("band", "bv"))
+        .filter(Dedup.hamming(col("sig"), col("corpus_sh")) <= 3)
+        .select(col("doc_id").as("new_id"), col("corpus_id").as("dup_of"))
+        .distinct()
+      assert(probe.as[(Long, Long)].collect().toSet === Set((10L, 1L)))
+      val plan = probe.queryExecution.executedPlan.toString
+      // distinct adds its own exchange; the JOIN itself must show
+      // exactly one (the arrival side) — the index reads pre-hashed
+      val joinPlan = Dedup.withBandKeys(
+        Dedup.withSimhashColumn(fresh, "text", "sig"), "sig")
+        .join(spark.table("graft_band_idx"), Seq("band", "bv"))
+        .queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(joinPlan).size === 1,
+        s"expected only the arrival-side exchange:\n$joinPlan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.sql("DROP TABLE IF EXISTS graft_band_idx")
+    }
+  }
+
   test("taxi CSV reads through the shared 19-column schema") {
     import graft.sources.TaxiSchema
     val dir = Files.createTempDirectory("graft_taxi").toFile
