@@ -550,6 +550,18 @@ object SparkEntry {
     "text_chunks" -> ((s, d) =>
       TextAnalysis.chunkWords(t(s, d, "documents"), "doc_id", "text",
         chunkSize = 12, overlap = 4)),
+    "text_self_info" -> ((s, d) =>
+      // PORTABLE flavor (ordered fold) so the mean is oracle-checkable;
+      // selfInfoScore (algebraic avg) is the scale default, spec-tied
+      TextAnalysis.selfInfoScorePortable(t(s, d, "documents"),
+        "doc_id", "text")),
+    "text_gopher" -> ((s, d) =>
+      // thresholds chosen to BISECT this corpus (words 10-99 median 56,
+      // mean word len 3.7-5.3) so both keep outcomes are exercised
+      TextAnalysis.gopherRules(t(s, d, "documents"), "doc_id", "text",
+        minWords = 40, maxWords = 100000,
+        minMeanWordLen = 3.0, maxMeanWordLen = 4.5,
+        maxSymbolRatio = 0.1, minStopwords = 2)),
     "text_line_dedup" -> ((s, d) =>
       // the synthetic corpus has no newlines, so the delimiter is the
       // word boundary — same operator, line granularity is a parameter
@@ -637,6 +649,15 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       Dedup.contamination(docs.filter(col("doc_id") >= 25),
         docs.filter(col("doc_id") < 25), "doc_id", "text")
+    }),
+    "dedup_cluster_split" -> ((s, d) => {
+      // leakage-safe split: near-dup clusters (LSH pairs) assign as a
+      // unit, singletons fall back to their deterministicSplit bucket
+      val docs = t(s, d, "documents")
+      Dedup.clusterSafeSplit(docs, "doc_id",
+          Dedup.lshCandidatePairs(docs, "doc_id", "text",
+            MinhashK, LshBands))
+        .select(col("doc_id"), col("split_key"), col("split"))
     }),
     "dedup_keep_best" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -1070,6 +1091,29 @@ object SparkEntry {
     "text_bm25" -> bm25Sql(Bm25Terms, k1 = 1.2, b = 0.75),
     "text_pack_chunks" -> packChunksSql(chunkSize = 12, overlap = 4,
       budget = PackBudget, groups = PackGroups),
+    "text_self_info" ->
+      // mirrors selfInfoScorePortable: same unigram model, surprisal
+      // folded over the SORTED list (ordered-fold convention); the
+      // ln() engine-ulp daylight is absorbed by round(.,4) (bm25
+      // precedent)
+      (s"WITH tok AS (SELECT doc_id, unnest(regexp_extract_all($normSql, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS tok FROM documents), " +
+        "freq AS (SELECT tok, count(*) AS n FROM tok GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_n FROM freq), " +
+        "i AS (SELECT doc_id, ln(CAST(total_n AS DOUBLE)) - ln(CAST(n AS DOUBLE)) AS info FROM tok JOIN freq USING (tok), tot) " +
+        "SELECT doc_id, count(*) AS n_tokens, " +
+        "round(list_aggregate(list_sort(list(info)), 'sum') / count(*), 4) AS self_info " +
+        "FROM i GROUP BY doc_id"),
+    "text_gopher" ->
+      (s"SELECT doc_id, CAST(len($wordsSql) AS BIGINT) AS n_words, " +
+        s"(length($normSql) - len($wordsSql) + 1) / len($wordsSql) AS mean_word_len, " +
+        s"(len(string_split_regex(text, '#')) - 1 + len(string_split_regex(text, '\\.\\.\\.')) - 1) / len($wordsSql) AS symbol_ratio, " +
+        s"CAST(len(list_intersect($wordsSql, ${TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")})) AS BIGINT) AS n_stop_distinct, " +
+        s"(len($wordsSql) >= 40 AND len($wordsSql) <= 100000 " +
+        s"AND (length($normSql) - len($wordsSql) + 1) / len($wordsSql) >= 3.0 " +
+        s"AND (length($normSql) - len($wordsSql) + 1) / len($wordsSql) <= 4.5 " +
+        s"AND (len(string_split_regex(text, '#')) - 1 + len(string_split_regex(text, '\\.\\.\\.')) - 1) / len($wordsSql) <= 0.1 " +
+        s"AND len(list_intersect($wordsSql, ${TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")})) >= 2) AS keep " +
+        "FROM documents"),
     "rel_profile" -> profileSql("events",
       Seq("event_id", "ts", "user_id", "event_type", "value", "props")),
     "text_chunks" -> chunksSql(chunkSize = 12, overlap = 4),
@@ -1432,6 +1476,24 @@ object SparkEntry {
         "n AS (SELECT doc_id AS new_id, band, band_hash FROM bands WHERE doc_id % 10 = 0), " +
         "c AS (SELECT doc_id AS dup_of, band, band_hash FROM bands WHERE doc_id % 10 <> 0) " +
         "SELECT DISTINCT new_id, dup_of FROM n JOIN c USING (band, band_hash)"),
+    "dedup_cluster_split" ->
+      // recursive-CTE cluster labels (the dedup_clusters mirror), then
+      // the deterministicSplit bucket hash applied to the coalesced key
+      (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") + sigCte +
+        s", bands AS ($bandSelects), " +
+        "pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a " +
+        "JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id), " +
+        "edges2 AS (SELECT a_id AS src, b_id AS dst FROM pairs UNION ALL SELECT b_id, a_id FROM pairs), " +
+        "nodes AS (SELECT a_id AS id FROM pairs UNION SELECT b_id FROM pairs), " +
+        "r(id, label) AS (SELECT id, id FROM nodes " +
+        "UNION SELECT e.dst, r.label FROM r JOIN edges2 e ON e.src = r.id), " +
+        "clusters AS (SELECT id, min(label) AS cluster_id FROM r GROUP BY id), " +
+        "k AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS split_key " +
+        "FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id), " +
+        "b2 AS (SELECT doc_id, split_key, " +
+        "CAST('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 7) AS BIGINT) % 100 AS h FROM k) " +
+        "SELECT doc_id, split_key, CASE WHEN h < 80 THEN 'train' " +
+        "WHEN h < 90 THEN 'val' ELSE 'test' END AS split FROM b2"),
     "dedup_keep_best" ->
       (s"WITH q AS (SELECT doc_id, 0.4 * least(nw / 200.0, 1.0) + 0.3 * least(stop / nw * 4.0, 1.0) + 0.3 * (nd / nw) AS quality FROM " +
         s"(SELECT doc_id, CAST(len(list_filter($wordsSql, x -> x IN $stopListSql)) AS DOUBLE) AS stop, " +

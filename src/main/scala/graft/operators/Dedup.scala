@@ -587,6 +587,40 @@ object Dedup {
     } finally { edges.unpersist(); () }
   }
 
+  /** Leakage-safe train/val/test split: assign splits at NEAR-DUP
+    * CLUSTER granularity so two copies (or near-copies) of one
+    * document can never straddle train and eval — the decontamination-
+    * by-construction step a per-row split silently violates (a
+    * reformatted re-post of a training doc landing in test is
+    * leakage). `pairs` is any (a_id, b_id) near-dup pair table (LSH,
+    * simhash, jaccard — caller's choice of family and threshold); the
+    * split key is the doc's connected-component label from
+    * [[duplicateClusters]], falling back to the doc's own id for
+    * singletons — so un-clustered docs get EXACTLY the assignment of
+    * Relational.deterministicSplit (same hash, same buckets:
+    * consistent when pipelines mix the two). One label join against
+    * the (pairs-bounded, small) cluster table; the split itself stays
+    * a per-row hash expression. Output: input columns + (split_key,
+    * split).
+    */
+  def clusterSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10,
+      maxIters: Int = 20): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      "need trainPct > 0, valPct >= 0, trainPct + valPct <= 100")
+    val labels = duplicateClusters(pairs, maxIters)
+      .select(col("id").as("__cs_id"), col("cluster_id"))
+    val bucket = pmod(
+      TextFns.shingleHash(col("split_key").cast("string")), lit(100L))
+    df.join(labels, col(idCol) === col("__cs_id"), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("split",
+        when(bucket < trainPct, lit("train"))
+          .when(bucket < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")))
+      .drop("__cs_id", "cluster_id")
+  }
+
   /** Train/eval decontamination: training docs sharing at least
     * `minShared` word-shingles with ANY eval document. The eval side
     * collapses to a DISTINCT shingle-hash set (benchmarks are small —

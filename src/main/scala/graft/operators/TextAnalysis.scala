@@ -200,6 +200,90 @@ object TextAnalysis {
         countCols.reduce(_ + _).as("n_pii")): _*)
   }
 
+  /** Unigram self-information quality score — the CCNet-shape
+    * statistical filter one step up from heuristic ratios: a document's
+    * score is the mean surprisal −ln(n_tok/N) of its tokens under the
+    * corpus's own unigram model (token frequencies n_tok over total
+    * count N). Low = built from common tokens (boilerplate, templates);
+    * high = rare-token soup (garbled text, lists of ids). Two corpus
+    * aggregates build the model: a vocab-bounded frequency table and a
+    * one-row total (broadcast); scoring is then one join on the token —
+    * vocabulary-bounded, never doc×doc.
+    * THE SCALE DEFAULT: algebraic avg over each doc's token surprisals
+    * — (sum, count) state per doc at any length. Scores are
+    * round(·, 4): the ln() ulp may differ across engines (the bm25
+    * convention). Output: (id, n_tokens, self_info).
+    */
+  def selfInfoScore(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    selfInfoAgg(df, idCol, textCol,
+      (info, _) => avg(info))
+
+  /** Oracle-portable flavor of [[selfInfoScore]]: the doc mean from an
+    * ORDER-DETERMINISTIC fold over the sorted surprisal list
+    * (bit-reproducible across engines/partitionings — the zscore/
+    * centroids convention), at the cost of per-doc state holding the
+    * token surprisals. Spec proves 1e-9 agreement with the default. */
+  def selfInfoScorePortable(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    selfInfoAgg(df, idCol, textCol, (info, n) =>
+      aggregate(sort_array(collect_list(info)), lit(0.0), _ + _) / n)
+
+  /** Shared body of the self-information flavors: `mean` builds the
+    * per-doc average from (surprisal column, token count column). */
+  private def selfInfoAgg(df: DataFrame, idCol: String, textCol: String,
+      mean: (Column, Column) => Column): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(TextFns.bpeishTokens(col(textCol))).as("__tok"))
+    // distinct names on the frequency side: freq shares lineage with
+    // tok (a self-join), so joining on a same-named column would be
+    // an ambiguous reference
+    val freq = tok.select(col("__tok").as("__ftok"))
+      .groupBy(col("__ftok")).agg(count(lit(1)).as("__n"))
+    val total = freq.agg(sum(col("__n")).as("__total_n"))
+    val info = log(col("__total_n").cast("double")) -
+      log(col("__n").cast("double"))
+    tok.join(freq, col("__tok") === col("__ftok"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(mean(info, count(lit(1))), 4).as("self_info"))
+  }
+
+  /** Gopher-style rule filter (Rae et al. 2021's quality heuristics,
+    * the industry-standard cheap gate): word-count bounds, mean-word-
+    * length bounds, symbol-to-word ratio (hash + ellipsis), and a
+    * minimum count of DISTINCT stopwords present. Pure per-row
+    * expressions — emits every signal plus the conjunction as `keep`,
+    * so pipelines can audit which rule fired before filtering.
+    * Output: (id, n_words, mean_word_len, symbol_ratio,
+    * n_stop_distinct, keep).
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minStopwords: Int = 2): DataFrame = {
+    val w = col("__w")
+    val nWords = size(w)
+    val meanLen = (length(col("__norm")) - nWords + 1)
+      .cast("double") / nWords
+    val symbols = size(split(col("__raw"), "#")) - 1 +
+      size(split(col("__raw"), "\\.\\.\\.")) - 1
+    val symRatio = symbols.cast("double") / nWords
+    val nStop = size(array_intersect(w,
+      array(Stopwords.map(lit): _*)))
+    withWords(df, idCol, textCol, col(textCol).as("__raw"))
+      .select(col(idCol),
+        nWords.cast("long").as("n_words"),
+        meanLen.as("mean_word_len"),
+        symRatio.as("symbol_ratio"),
+        nStop.cast("long").as("n_stop_distinct"),
+        (nWords >= minWords && nWords <= maxWords &&
+          meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen &&
+          symRatio <= maxSymbolRatio &&
+          nStop >= minStopwords).as("keep"))
+  }
+
   /** Overlapping word-window chunking — the RAG / embedding-prep
     * splitter: fixed `chunkSize`-word chunks starting every
     * `chunkSize - overlap` words, so consecutive chunks share `overlap`

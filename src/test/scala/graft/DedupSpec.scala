@@ -262,6 +262,35 @@ class DedupSpec extends SparkSpec {
       capped.filter { case (a, b, _) => a < 100L && b < 100L })
   }
 
+  test("clusterSafeSplit: clusters split as a unit, singletons unchanged") {
+    // 1-2 near-dup pair, 3 unrelated, 4 unrelated
+    val docsX = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, " THE  quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different content about spark engines here now"),
+      (4L, "entirely unrelated words describing database internals deeply")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.lshCandidatePairs(docsX, "doc_id", "text", 8, 4)
+    val out = Dedup.clusterSafeSplit(docsX, "doc_id", pairs)
+      .select("doc_id", "split_key", "split")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(out.size === 4)
+    // the near-dup pair shares key AND split (min-id label)
+    assert(out(1L) === out(2L) && out(1L)._1 === 1L)
+    // singletons keep their own id as key and EXACTLY the
+    // deterministicSplit assignment (same hash, same buckets)
+    val rowSplit = graft.operators.Relational
+      .deterministicSplit(docsX, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    Seq(3L, 4L).foreach { id =>
+      assert(out(id)._1 === id && out(id)._2 === rowSplit(id))
+    }
+    out.values.foreach { case (_, s) =>
+      assert(Set("train", "val", "test").contains(s))
+    }
+  }
+
   test("keepBest keeps one row per content group, max quality then MIN id") {
     import graft.operators.TextAnalysis
     val q = TextAnalysis.qualityScore(docs, "doc_id", "text")

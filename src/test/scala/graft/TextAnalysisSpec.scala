@@ -183,6 +183,53 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out((2L, 0L)) === ((3L, "a b c")) && !out.contains((2L, 1L)))
   }
 
+  test("selfInfoScore: common-token docs score low, flavors agree") {
+    // "common common ..." tokens dominate the corpus → low surprisal;
+    // doc 3 is all rare singletons → high surprisal
+    val docs = Seq(
+      (1L, Seq.fill(20)("common").mkString(" ")),
+      (2L, Seq.fill(10)("common").mkString(" ") + " middling middling"),
+      (3L, "unique rare singular tokens everywhere")
+    ).toDF("doc_id", "text")
+    val dflt = TextAnalysis.selfInfoScore(docs, "doc_id", "text")
+      .select("doc_id", "n_tokens", "self_info")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(dflt(1L)._1 === 20L)
+    assert(dflt(1L)._2 < dflt(2L)._2 && dflt(2L)._2 < dflt(3L)._2)
+    // flavor agreement: both round to 4 decimals; the algebraic and
+    // ordered-fold means may straddle a rounding boundary by at most
+    // one ulp of the grid
+    val port = TextAnalysis.selfInfoScorePortable(docs, "doc_id", "text")
+      .select("doc_id", "self_info").as[(Long, Double)].collect().toMap
+    dflt.foreach { case (id, (_, s)) =>
+      assert(math.abs(s - port(id)) <= 1.01e-4, s"doc $id")
+    }
+  }
+
+  test("gopherRules: each rule gates; signals reported per doc") {
+    val stop20 = Seq.fill(10)("the of").mkString(" ")
+    val docs = Seq(
+      // passes everything: 21 words, mean len ~3, stopwords present
+      (1L, s"$stop20 information"),
+      (2L, "too short"),                            // word-count gate
+      (3L, Seq.fill(25)("a").mkString(" ")),        // mean word len < 3
+      (4L, s"$stop20 " + "#### #### ####"),         // symbol ratio
+      (5L, Seq.fill(21)("word").mkString(" "))      // no stopwords
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text",
+        minWords = 5, maxWords = 100, minMeanWordLen = 2.0,
+        maxMeanWordLen = 10.0, maxSymbolRatio = 0.1, minStopwords = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    assert(out(1L)._5 === true)
+    assert(out(2L)._5 === false && out(2L)._1 === 2L)        // n_words
+    assert(out(3L)._5 === false && out(3L)._2 < 2.0)         // mean len
+    assert(out(4L)._5 === false && out(4L)._3 > 0.1)         // symbols
+    assert(out(5L)._5 === false && out(5L)._4 === 0L)        // stopwords
+  }
+
   test("removeBoilerplate drops corpus-frequent lines from every doc") {
     val docs = Seq(
       (1L, "unique one\nCOOKIE BANNER\nreal content here"),
