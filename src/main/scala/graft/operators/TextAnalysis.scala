@@ -229,26 +229,50 @@ object TextAnalysis {
     selfInfoAgg(df, idCol, textCol, (info, n) =>
       aggregate(sort_array(collect_list(info)), lit(0.0), _ + _) / n)
 
+  /** The frozen unigram model of a corpus: one (token, surprisal) row
+    * per vocabulary entry — surprisal = ln(N) − ln(n_tok). This is the
+    * PERSISTABLE artifact of the self-information pipeline: fit once on
+    * the reference corpus, score any batch ([[scoreAgainstModel]]) or
+    * stream (StreamOps.selfInfoWithinWindow) against it without
+    * re-reading the corpus. Vocabulary-bounded (orders of magnitude
+    * below corpus rows). Columns are deliberately internal-named
+    * (__ftok, __info) so scoring joins never collide with user data. */
+  def selfInfoModel(df: DataFrame, textCol: String): DataFrame = {
+    val freq = df
+      .select(explode(TextFns.bpeishTokens(col(textCol))).as("__ftok"))
+      .groupBy(col("__ftok")).agg(count(lit(1)).as("__n"))
+    val total = freq.agg(sum(col("__n")).as("__total_n"))
+    freq.crossJoin(broadcast(total))
+      .select(col("__ftok"),
+        (log(col("__total_n").cast("double")) -
+          log(col("__n").cast("double"))).as("__info"))
+  }
+
+  /** Score documents against a FROZEN [[selfInfoModel]] — the arrival
+    * path: the production model stays fixed while new batches are
+    * scored (algebraic mean; out-of-vocabulary tokens are skipped by
+    * the inner join — they have no model probability). Same output as
+    * [[selfInfoScore]]; that operator is this one with the model fit
+    * on the scored corpus itself. */
+  def scoreAgainstModel(df: DataFrame, model: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol),
+        explode(TextFns.bpeishTokens(col(textCol))).as("__tok"))
+      .join(model, col("__tok") === col("__ftok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("__info")), 4).as("self_info"))
+
   /** Shared body of the self-information flavors: `mean` builds the
     * per-doc average from (surprisal column, token count column). */
   private def selfInfoAgg(df: DataFrame, idCol: String, textCol: String,
-      mean: (Column, Column) => Column): DataFrame = {
-    val tok = df.select(col(idCol),
-      explode(TextFns.bpeishTokens(col(textCol))).as("__tok"))
-    // distinct names on the frequency side: freq shares lineage with
-    // tok (a self-join), so joining on a same-named column would be
-    // an ambiguous reference
-    val freq = tok.select(col("__tok").as("__ftok"))
-      .groupBy(col("__ftok")).agg(count(lit(1)).as("__n"))
-    val total = freq.agg(sum(col("__n")).as("__total_n"))
-    val info = log(col("__total_n").cast("double")) -
-      log(col("__n").cast("double"))
-    tok.join(freq, col("__tok") === col("__ftok"))
-      .crossJoin(broadcast(total))
+      mean: (Column, Column) => Column): DataFrame =
+    df.select(col(idCol),
+        explode(TextFns.bpeishTokens(col(textCol))).as("__tok"))
+      .join(selfInfoModel(df, textCol), col("__tok") === col("__ftok"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
-        round(mean(info, count(lit(1))), 4).as("self_info"))
-  }
+        round(mean(col("__info"), count(lit(1))), 4).as("self_info"))
 
   /** Gopher-style rule filter (Rae et al. 2021's quality heuristics,
     * the industry-standard cheap gate): word-count bounds, mean-word-

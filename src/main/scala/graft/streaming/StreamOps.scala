@@ -109,6 +109,32 @@ object StreamOps {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(Seq(signatureCol))
 
+  /** Streaming self-information scoring against a FROZEN unigram model
+    * (TextAnalysis.selfInfoModel output, typically read back from
+    * parquet) — the fit-batch / score-stream shape of the CCNet-style
+    * statistical quality filter: arriving documents explode to tokens,
+    * stream-static join the (vocabulary-bounded) model for per-token
+    * surprisal, and re-aggregate to a per-doc mean inside an
+    * event-time window so state retires at the watermark (a bare
+    * groupBy(id) would hold every doc id forever). A document's tokens
+    * arrive in its own single row, so the windowed re-agg sees them
+    * together — the window is state hygiene, not semantics. Algebraic
+    * mean (the streaming-compatible flavor); OOV tokens are skipped by
+    * the inner join, as in the batch scorer. Output: (window, id,
+    * n_tokens, self_info).
+    */
+  def selfInfoWithinWindow(stream: DataFrame, model: DataFrame,
+      idCol: String, textCol: String, tsCol: String,
+      windowDuration: String, watermarkDelay: String): DataFrame =
+    stream.select(col(idCol), col(tsCol),
+        explode(graft.functions.TextFns.bpeishTokens(col(textCol)))
+          .as("__tok"))
+      .withWatermark(tsCol, watermarkDelay)
+      .join(model, col("__tok") === col("__ftok"))
+      .groupBy(window(col(tsCol), windowDuration), col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("__info")), 4).as("self_info"))
+
   /** Streaming incremental near-dup detection against a STATIC corpus
     * signature index (the output of Dedup.simhashBandIndex, typically
     * read back from parquet): each arriving document gains its per-row

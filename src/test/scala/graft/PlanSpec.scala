@@ -67,6 +67,30 @@ class PlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
 
+  test("self-info scores through equi-joins; only the 1-row total nests") {
+    val plan = planOf("text_self_info")
+    // the token-frequency attach must be a hash equi-join (vocab-
+    // bounded); the single BroadcastNestedLoopJoin is the intended
+    // 1-row corpus-total broadcast — anything more is a fan-out bug
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+      plan.take(800))
+  }
+
+  test("gopher rules plan zero exchanges (pure per-row gate)") {
+    val plan = planOf("text_gopher")
+    assert(!plan.contains("Exchange"), plan.take(800))
+  }
+
+  test("incremental exact-dedup probes the fingerprint index hash-joined") {
+    val plan = planOf("dedup_incremental_exact")
+    assert(plan.contains("HashJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
   test("histogram is one shuffle with map-side partial aggregation") {
     val plan = planOf("rel_histogram")
     assert("Exchange".r.findAllIn(plan).size === 1, plan.take(800))

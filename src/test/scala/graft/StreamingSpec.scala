@@ -152,6 +152,45 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table(name).columns.contains("simhash"))
   }
 
+  test("streaming self-info against a frozen model equals batch scoring") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val corpus = Seq(
+      (1L, "the the the quick brown fox fox"),
+      (2L, "the lazy dog sleeps while the fox runs"),
+      (3L, "entirely different words about engines")
+    ).toDF("doc_id", "text")
+    val model = TextAnalysis.selfInfoModel(corpus, "text")
+    val arrivals = Seq(
+      TestDoc(10, ts("2024-01-01 00:00:00"), "the quick fox"),
+      TestDoc(20, ts("2024-01-01 00:01:00"), "lazy dog engines oovtoken"))
+    val in = MemoryStream[TestDoc]
+    val out = StreamOps.selfInfoWithinWindow(in.toDF(), model,
+      "doc_id", "text", "ts", "10 minutes", "1 hour")
+    val name = fresh()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    in.addData(arrivals: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name)
+      .select("doc_id", "n_tokens", "self_info")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val batch = TextAnalysis.scoreAgainstModel(
+        arrivals.toDF().select(col("doc_id"), col("text")),
+        model, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet === batch.keySet && got.keySet === Set(10L, 20L))
+    got.foreach { case (id, (n, s)) =>
+      assert(n === batch(id)._1, s"n_tokens at $id")
+      assert(math.abs(s - batch(id)._2) <= 1.01e-4, s"score at $id")
+    }
+    // OOV token skipped: doc 20 has 4 words, 3 in-vocabulary
+    assert(got(20L)._1 === 3L)
+  }
+
   test("incrementalNearDupFlags probes a static index per micro-batch") {
     implicit val ctx = spark.sqlContext
     // corpus indexed ONCE (batch); arrivals probe it stream-static
