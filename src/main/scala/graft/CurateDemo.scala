@@ -10,9 +10,14 @@ import org.apache.spark.sql.functions._
   *      held-out eval set (Dedup.contamination);
   *   2. canonical selection: one surviving doc per exact-content group,
   *      best quality copy kept (Dedup.keepBest);
-  *   3. quality + language + repetition gating (TextAnalysis);
-  *   4. reproducible train/val/test assignment (deterministicSplit —
-  *      content-hash buckets, stable across reprocessing);
+  *   3. rule gate (TextAnalysis.gopherRules: word-count / word-length /
+  *      symbol / stopword bounds), then quality + language + repetition
+  *      scoring gates (TextAnalysis);
+  *   4. leakage-safe train/val/test assignment
+  *      (Dedup.clusterSafeSplit — near-dup LSH clusters assign as a
+  *      unit, so a reformatted copy of a train doc can never land in
+  *      test; singletons keep the content-hash-bucket assignment,
+  *      stable across reprocessing);
   *   5. split-partitioned parquet layout (downstream readers scan only
   *      their split: partition pruning, no full-table filter).
   *
@@ -46,14 +51,25 @@ object CurateDemo {
     val kept = Dedup.keepBest(train, quality, "doc_id", "text")
       .select(col("keep_id").as("doc_id"), col("best_quality"),
         col("n_copies"))
+    // rule gate first: every signal is a per-row expression, so this
+    // is the cheapest cut (thresholds sized to this corpus's 10-99
+    // word docs — see the text_gopher query)
+    val rules = TextAnalysis.gopherRules(train, "doc_id", "text",
+        minWords = 15, maxWords = 100000, minMeanWordLen = 3.0,
+        maxMeanWordLen = 10.0, maxSymbolRatio = 0.1, minStopwords = 1)
+      .filter(col("keep")).select(col("doc_id"))
     val curated = train
       .join(kept, "doc_id") // survivors only
+      .join(rules, "doc_id")
       .join(lang.select(col("doc_id"), col("lang_guess")), "doc_id")
       .join(repetition.select(col("doc_id"), col("repetition")), "doc_id")
       .join(contaminated, Seq("doc_id"), "left_anti")
       .filter(col("best_quality") >= 0.3 && col("lang_guess") === "en" &&
         col("repetition") < 0.5)
-    val split = Relational.deterministicSplit(curated, "doc_id")
+    // leakage-safe assignment: near-dup clusters split as a unit
+    val split = Dedup.clusterSafeSplit(curated, "doc_id",
+        Dedup.lshCandidatePairs(curated, "doc_id", "text", 16, 4))
+      .drop("split_key")
 
     split.write.partitionBy("split").mode("overwrite").parquet(outDir)
 
