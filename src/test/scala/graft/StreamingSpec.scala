@@ -152,6 +152,29 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table(name).columns.contains("simhash"))
   }
 
+  test("per-row curation ops apply to a stream unchanged (gopher gate)") {
+    implicit val ctx = spark.sqlContext
+    // gopherRules is a pure expression tree, so the SAME operator that
+    // gates batches gates a stream — no streaming flavor needed
+    val in = MemoryStream[TestDoc]
+    val out = graft.operators.TextAnalysis.gopherRules(in.toDF(),
+      "doc_id", "text", minWords = 4, maxWords = 100,
+      minMeanWordLen = 2.0, maxMeanWordLen = 10.0,
+      maxSymbolRatio = 0.5, minStopwords = 1)
+    val name = fresh()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    in.addData(
+      TestDoc(1, ts("2024-01-01 00:00:00"),
+        "the quick brown fox jumps over it"),
+      TestDoc(2, ts("2024-01-01 00:01:00"), "too short"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name).select("doc_id", "keep")
+      .as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> true, 2L -> false))
+  }
+
   test("streaming self-info against a frozen model equals batch scoring") {
     implicit val ctx = spark.sqlContext
     import graft.operators.TextAnalysis
