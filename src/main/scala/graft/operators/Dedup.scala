@@ -555,26 +555,37 @@ object Dedup {
         .distinct()
         .withColumn("cluster_id", col("id"))
         .persist()
+      // fixpoint witness: labels only ever DECREASE (min over the
+      // neighborhood including self), so the label sum strictly
+      // decreases iff any label changed — one narrow agg on the
+      // persisted frame per round instead of a join+filter+count job
+      // (cuts the per-round job count; measured 2.50 s → see commit).
+      // decimal(38,0): a long sum could overflow on wide-id corpora.
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+      var curSum = labelSum(labels)
       var iters = 0
-      var changed = 1L
-      while (changed > 0 && iters < maxIters) {
+      var converged = false
+      while (!converged && iters < maxIters) {
         val nbr = edges.join(labels, edges("src") === labels("id"))
           .select(edges("dst").as("id"), col("cluster_id"))
           .unionByName(labels)
         val next = nbr.groupBy(col("id"))
           .agg(min(col("cluster_id")).as("cluster_id"))
           .persist()
-        changed = next
-          .join(labels.withColumnRenamed("cluster_id", "__old"), "id")
-          .filter(col("cluster_id") =!= col("__old")).count()
+        val nextSum = labelSum(next)
+        converged = (curSum == null && nextSum == null) ||
+          (curSum != null && nextSum != null &&
+            curSum.compareTo(nextSum) == 0)
+        curSum = nextSum
         labels.unpersist()
         labels = next
         iters += 1
       }
-      if (changed > 0) {
+      if (!converged) {
         val msg = s"duplicateClusters stopped at maxIters=$maxIters with " +
-          s"$changed labels changed in the final round — convergence NOT " +
-          "confirmed (no zero-change round observed); raise maxIters to " +
+          "labels still changing in the final round — convergence NOT " +
+          "confirmed (no fixpoint round observed); raise maxIters to " +
           "verify or accept possibly-truncated clusters"
         if (requireConvergence) { labels.unpersist(); sys.error(msg) }
         org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
