@@ -228,6 +228,23 @@ object Relational {
     * measures: (valueCol, p, outName); all measures are unpivoted via
     * `stack` so they share the single shuffle.
     */
+  /** THE SCALE-DEFAULT flavor of [[groupedQuantiles]]: the GK sketch's
+    * answer taken directly (rank error deterministically ≤ n/accuracy,
+    * state per (group, measure) bounded by the sketch — one pass, one
+    * shuffle, no window). The exact operator is this sketch plus a
+    * rank-refinement pass; use this one when a bounded-rank-error
+    * quantile suffices (monitoring, winsor bounds on huge groups).
+    * Same output schema as [[groupedQuantiles]]; spec proves equality
+    * on groups smaller than `accuracy` (where GK is exact). */
+  def groupedQuantilesApprox(df: DataFrame, grp: String,
+      measures: Seq[(String, Double, String)],
+      accuracy: Int = 10000): DataFrame = {
+    val aggs = measures.map { case (c, p, n) =>
+      percentile_approx(col(c).cast("double"), lit(p), lit(accuracy)).as(n)
+    }
+    df.groupBy(col(grp)).agg(aggs.head, aggs.tail: _*)
+  }
+
   def groupedQuantiles(df: DataFrame, grp: String,
       measures: Seq[(String, Double, String)],
       margin: Double = 0.01, accuracy: Int = 1000): DataFrame = {

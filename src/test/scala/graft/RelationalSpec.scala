@@ -172,6 +172,33 @@ class RelationalSpec extends SparkSpec {
     assert(ours === builtin) // exact equality, not approximate
   }
 
+  test("groupedQuantilesApprox: exact below the sketch accuracy") {
+    // GK with accuracy > n is exact — on these 200-row groups the
+    // sketch flavor must agree with the exact operator's values up to
+    // interpolation (GK returns a SOURCE value; exact interpolates, so
+    // compare against the built-in's bracketing source rows)
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 400).map(i =>
+      (if (i % 2 == 0) "a" else "b", rnd.nextDouble() * 100))
+      .toDF("g", "x")
+    val approx = Relational.groupedQuantilesApprox(df, "g",
+        Seq(("x", 0.5, "med"), ("x", 0.95, "p95")))
+      .select("g", "med", "p95").as[(String, Double, Double)]
+      .collect().map { case (g, a, b) => g -> (a, b) }.toMap
+    val vals = df.as[(String, Double)].collect()
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).sorted }
+    approx.foreach { case (g, (med, p95)) =>
+      val v = vals(g); val n = v.length
+      def bracket(p: Double): (Double, Double) = {
+        val r = p * (n - 1)
+        (v(r.floor.toInt), v(r.ceil.toInt))
+      }
+      val (ml, mh) = bracket(0.5); val (pl, ph) = bracket(0.95)
+      assert(med >= ml && med <= mh, s"median at $g")
+      assert(p95 >= pl && p95 <= ph, s"p95 at $g")
+    }
+  }
+
   test("groupedQuantiles sweep: sizes x percentiles x ties match percentile()") {
     val rnd = new scala.util.Random(11)
     // n spans both quantile paths: whole-group fallback (group < 400
