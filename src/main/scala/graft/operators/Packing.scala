@@ -115,16 +115,35 @@ object Packing {
     require(numGroups > 0, "numGroups must be positive")
     val spark = df.sparkSession
     import spark.implicits._
-    val chunks = TextAnalysis.chunkWords(df, idCol, textCol,
-      chunkSize, overlap)
+    val stride = chunkSize - overlap
     val h = TextFns.shingleHash(
       concat(col(idCol).cast("string"), lit("|pack")))
-    val base = chunks.select(
-      pmod(h, lit(numGroups.toLong)).as("g"),
-      h.as("h"),
-      col(idCol).cast("long").as("id"),
-      col("chunk_id").as("cid"),
-      least(tokenCount(col("chunk_text")), lit(budget)).as("t"))
+    // a chunk's token count is the SUM of its words' counts (the
+    // BPE-ish tokenizer never matches across whitespace), so tokenize
+    // each word ONCE per doc and fold slices — the chunk-text route
+    // would re-run the regex over every overlapping chunk (~1.5× the
+    // text at 12/4) and materialize the chunk strings just to count
+    // them. Same chunk grid as TextAnalysis.chunkWords (spec-pinned).
+    val wordCounts = transform(col("__ws"),
+      w => size(TextFns.bpeishTokens(w)).cast("long"))
+    val base = df
+      .withColumn("__ws", split(col(textCol),
+        java.util.regex.Pattern.quote(" ")))
+      .withColumn("__wtc", wordCounts)
+      .select(
+        pmod(h, lit(numGroups.toLong)).as("g"),
+        h.as("h"),
+        col(idCol).cast("long").as("id"),
+        posexplode(transform(
+          sequence(lit(0),
+            floor((size(col("__ws")) - 1).cast("double") / stride)
+              .cast("int")),
+          k => least(
+            aggregate(slice(col("__wtc"), k * stride + 1, lit(chunkSize)),
+              lit(0L), _ + _),
+            lit(budget)))).as(Seq("cid", "t")))
+      .select(col("g"), col("h"), col("id"),
+        col("cid").cast("long").as("cid"), col("t"))
     val walked = base
       .repartition(col("g"))
       .sortWithinPartitions(col("g"), col("h"), col("id"), col("cid"))
