@@ -550,6 +550,26 @@ object SparkEntry {
     "text_chunks" -> ((s, d) =>
       TextAnalysis.chunkWords(t(s, d, "documents"), "doc_id", "text",
         chunkSize = 12, overlap = 4)),
+    "text_source_report" -> ((s, d) => {
+      // the curation dashboard: per source, volume, rule-gate pass
+      // count, and mean quality — the composition a data engineer runs
+      // before deciding mixture weights. Mean via ordered fold (the
+      // oracle-portable convention for grid-valued averages).
+      val docs = t(s, d, "documents")
+      val g = TextAnalysis.gopherRules(docs, "doc_id", "text",
+          minWords = 40, maxWords = 100000, minMeanWordLen = 3.0,
+          maxMeanWordLen = 4.5, maxSymbolRatio = 0.1, minStopwords = 2)
+        .select(col("doc_id"), col("keep"))
+      val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality"))
+      docs.select(col("doc_id"), col("source"))
+        .join(g, "doc_id").join(q, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+          round(aggregate(sort_array(collect_list(col("quality"))),
+            lit(0.0), _ + _) / count(lit(1)), 4).as("avg_quality"))
+    }),
     "text_self_info" -> ((s, d) =>
       // PORTABLE flavor (ordered fold) so the mean is oracle-checkable;
       // selfInfoScore (algebraic avg) is the scale default, spec-tied
@@ -1091,6 +1111,22 @@ object SparkEntry {
     "text_bm25" -> bm25Sql(Bm25Terms, k1 = 1.2, b = 0.75),
     "text_pack_chunks" -> packChunksSql(chunkSize = 12, overlap = 4,
       budget = PackBudget, groups = PackGroups),
+    "text_source_report" ->
+      // quality expr = the text_quality mirror; keep = the text_gopher
+      // mirror; mean via list_sort fold (ordered-fold convention)
+      (s"WITH q AS (SELECT doc_id, 0.4 * least(nw / 200.0, 1.0) + 0.3 * least(stop / nw * 4.0, 1.0) + 0.3 * (nd / nw) AS quality FROM " +
+        s"(SELECT doc_id, CAST(len(list_filter($wordsSql, x -> x IN $stopListSql)) AS DOUBLE) AS stop, " +
+        s"CAST(len($wordsSql) AS DOUBLE) AS nw, CAST(len(list_distinct($wordsSql)) AS DOUBLE) AS nd FROM documents) t), " +
+        s"g AS (SELECT doc_id, (len($wordsSql) >= 40 AND len($wordsSql) <= 100000 " +
+        s"AND (length($normSql) - len($wordsSql) + 1) / len($wordsSql) >= 3.0 " +
+        s"AND (length($normSql) - len($wordsSql) + 1) / len($wordsSql) <= 4.5 " +
+        s"AND (len(string_split_regex(text, '#')) - 1 + len(string_split_regex(text, '\\.\\.\\.')) - 1) / len($wordsSql) <= 0.1 " +
+        s"AND len(list_intersect($wordsSql, ${TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")})) >= 2) AS keep FROM documents), " +
+        "j AS (SELECT d.source, q.quality, g.keep FROM documents d JOIN q USING (doc_id) JOIN g USING (doc_id)) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep, " +
+        "round(list_aggregate(list_sort(list(quality)), 'sum') / count(*), 4) AS avg_quality " +
+        "FROM j GROUP BY source"),
     "text_self_info" ->
       // mirrors selfInfoScorePortable: same unigram model, surprisal
       // folded over the SORTED list (ordered-fold convention); the

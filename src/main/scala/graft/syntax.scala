@@ -70,6 +70,13 @@ object syntax {
     def contaminationAgainst(evalDocs: DataFrame, idCol: String,
         textCol: String): DataFrame =
       Dedup.contamination(df, evalDocs, idCol, textCol)
+    def clusterSafeSplit(idCol: String, pairs: DataFrame): DataFrame =
+      Dedup.clusterSafeSplit(df, idCol, pairs)
+    def incrementalNearDups(index: DataFrame, idCol: String,
+        textCol: String): DataFrame =
+      Dedup.incrementalNearDups(df, index, idCol, textCol)
+    def simhashBandIndex(idCol: String, textCol: String): DataFrame =
+      Dedup.simhashBandIndex(df, idCol, textCol)
 
     // text
     def textStats(idCol: String, textCol: String): DataFrame =
@@ -80,6 +87,19 @@ object syntax {
       TextAnalysis.langId(df, idCol, textCol)
     def repetitionScore(idCol: String, textCol: String): DataFrame =
       TextAnalysis.repetitionScore(df, idCol, textCol)
+    def gopherRules(idCol: String, textCol: String): DataFrame =
+      TextAnalysis.gopherRules(df, idCol, textCol)
+    def selfInfoScore(idCol: String, textCol: String): DataFrame =
+      TextAnalysis.selfInfoScore(df, idCol, textCol)
+    def chunkWords(idCol: String, textCol: String, chunkSize: Int,
+        overlap: Int): DataFrame =
+      TextAnalysis.chunkWords(df, idCol, textCol, chunkSize, overlap)
+    def packSequences(idCol: String, textCol: String,
+        budget: Long): DataFrame =
+      Packing.packSequences(df, idCol, textCol, budget)
+    def packChunks(idCol: String, textCol: String, chunkSize: Int,
+        overlap: Int, budget: Long): DataFrame =
+      Packing.packChunks(df, idCol, textCol, chunkSize, overlap, budget)
 
     // similarity
     def knnTopK(queries: DataFrame, k: Int): DataFrame =

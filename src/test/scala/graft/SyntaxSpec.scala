@@ -17,5 +17,21 @@ class SyntaxSpec extends SparkSpec {
       .toDF("id", "k", "v")
     assert(events.capPerKey("k", Seq(col("id")), 2).count() === 6L)
     assert(events.topKByCount("k", 1).as[(Int, Long)].head()._2 === 7L)
+    // round-7 forwarders
+    assert(docs.gopherRules("doc_id", "text").columns.contains("keep"))
+    assert(docs.selfInfoScore("doc_id", "text").collect().toSet ===
+      graft.operators.TextAnalysis.selfInfoScore(docs, "doc_id", "text")
+        .collect().toSet)
+    assert(docs.chunkWords("doc_id", "text", 2, 1).count() ===
+      graft.operators.TextAnalysis
+        .chunkWords(docs, "doc_id", "text", 2, 1).count())
+    assert(docs.packChunks("doc_id", "text", 2, 1, 10L).collect().toSet ===
+      graft.operators.Packing
+        .packChunks(docs, "doc_id", "text", 2, 1, 10L).collect().toSet)
+    val index = docs.filter(col("doc_id") < 3)
+      .simhashBandIndex("doc_id", "text")
+    assert(docs.filter(col("doc_id") >= 3)
+      .incrementalNearDups(index, "doc_id", "text").columns.toSeq ===
+      Seq("new_id", "dup_of", "hamming_dist"))
   }
 }
