@@ -274,6 +274,105 @@ object Similarity {
     } finally { train.unpersist(); () }
   }
 
+  /** Product-quantization codebooks (Jégou et al. 2011, the FAISS
+    * IndexPQ pattern): the embedding's `dims` coordinates split into
+    * `m` equal sub-vectors and each sub-space is quantized
+    * INDEPENDENTLY to `ksub` centroids by the portable DataFrame Lloyd
+    * ([[fitCentroids]] on the slice, seed offset per sub-space so
+    * inits decorrelate). A vector compresses to m small codes —
+    * m·log2(ksub) bits (log-scale smaller than int8) — and inner
+    * products against it become m table lookups. Fit cost is bounded
+    * by fitCentroids' deterministic sample cap per sub-space. */
+  def fitPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int, ksub: Int, iters: Int, seed: Long,
+      fitSampleCap: Int = 100000): Array[Array[Array[Float]]] = {
+    require(m > 0 && dims % m == 0,
+      "dims must split into m equal sub-vectors")
+    val dsub = dims / m
+    (0 until m).map { j =>
+      fitCentroids(
+        corpus.select(col(idCol),
+          slice(col(vecCol), j * dsub + 1, dsub).as(vecCol)),
+        idCol, vecCol, ksub, iters, seed + j, fitSampleCap)
+    }.toArray
+  }
+
+  /** PQ encoding as a pure expression: per sub-space the code of the
+    * NEAREST centroid in L2 — minimize ‖c‖² − 2⟨sub, c⟩ (the row-
+    * constant ‖sub‖² drops out), ties to the lower code (array_min's
+    * struct ordering). L2, not the fit's cosine assignment, because
+    * magnitude matters at encode time: a near-zero sub-vector must
+    * quantize to a small centroid, not to whichever direction its
+    * noise happens to point (the failure mode a cosine rule has on
+    * sparse blocks). Output array<int> of m codes. Codebooks embed as
+    * literals: the per-row cost is m·ksub·dsub fused multiply-adds,
+    * paid ONCE per corpus vector at index-build time. */
+  def pqEncode(vecCol: Column,
+      codebooks: Array[Array[Array[Float]]]): Column =
+    array(codebooks.zipWithIndex.map { case (cb, j) =>
+      val dsub = cb(0).length
+      val sub = slice(vecCol, j * dsub + 1, dsub)
+      val cands = cb.zipWithIndex.map { case (cent, c) =>
+        val cn2 = cent.map(x => x.toDouble * x).sum
+        val d = lit(cn2) - (0 until dsub).map(i =>
+          element_at(sub, i + 1).cast("double") * (2.0 * cent(i)))
+          .reduce(_ + _)
+        struct(d.as("d"), lit(c).as("c"))
+      }
+      array_min(array(cands: _*)).getField("c")
+    }: _*)
+
+  /** PQ-ADC top-k — compressed-domain brute force (FAISS IndexPQ
+    * search): the corpus travels as m codes per vector, each query row
+    * materializes its per-sub-space dot-product table against the
+    * literal codebooks, and a pair's approximate cosine is m table
+    * lookups over Σ_j dot(q_j, c_{j,code_j}) with the reconstruction
+    * norm recovered EXACTLY from the codes (sub-spaces are orthogonal
+    * coordinate blocks, so ‖recon‖² = Σ_j ‖c_{j,code_j}‖², a literal
+    * lookup). Same plan shape as [[bruteForceTopK]] — queries
+    * broadcast, corpus never shuffles, bounded-heap top-k — but the
+    * corpus side is ~dims·4/m/4 × smaller through the scan and each
+    * pair costs m lookups instead of dims multiplies. Approximation
+    * error comes only from reconstruction (no sampling): spec pins
+    * recall against the exact scan. Output contract as
+    * [[bruteForceTopK]] with `cosine_sim` the ADC approximation.
+    */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      codebooks: Array[Array[Array[Float]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    // query-side tables: dt[j][c] = dot(q_sub_j, c); literal n2[j][c]
+    val dt = array(codebooks.zipWithIndex.map { case (cb, j) =>
+      val dsub = cb(0).length
+      val sub = slice(col("q_vec"), j * dsub + 1, dsub)
+      array(cb.map { cent =>
+        (0 until dsub).map(i =>
+          element_at(sub, i + 1).cast("double") * cent(i).toDouble)
+          .reduce(_ + _)
+      }: _*)
+    }: _*)
+    val n2 = array(codebooks.map(cb =>
+      array(cb.map(cent =>
+        lit(cent.map(x => x.toDouble * x).sum)): _*)): _*)
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+        col(vecCol).as("q_vec"),
+        VectorFns.norm2(col(vecCol)).as("q_norm"))
+      .withColumn("dt", dt))
+    val enc = corpus.select(col(idCol).as("n_id"),
+      pqEncode(col(vecCol), codebooks).as("codes"))
+    val ip = (0 until m).map(j =>
+      element_at(element_at(col("dt"), j + 1),
+        element_at(col("codes"), j + 1) + 1)).reduce(_ + _)
+    val rn2 = (0 until m).map(j =>
+      element_at(element_at(n2, j + 1),
+        element_at(col("codes"), j + 1) + 1)).reduce(_ + _)
+    val scored = enc.join(q, col("n_id") =!= col("q_id"))
+      .withColumn("sim",
+        when(col("q_norm") > 0 && rn2 > 0,
+          ip / (col("q_norm") * sqrt(rn2))).otherwise(lit(0.0)))
+    rankTopK(scored, k)
+  }
+
   /** Per-vector int8 quantization: each embedding becomes a
     * (lo, hi, codes: array<tinyint>) struct — 4× smaller than
     * array<float>, the lever that shrinks embedding shuffles/storage at

@@ -182,6 +182,64 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PQ: codes in range, encode deterministic, ADC recall vs exact") {
+    // clustered synthetic set: 8 well-separated direction clusters in
+    // 8 dims, 8 members each with small deterministic jitter
+    val rnd = new scala.util.Random(5)
+    val base = (0 until 8).map { c =>
+      Array.tabulate(8)(i => if (i == c) 1f else 0f)
+    }
+    val corpus = (0 until 64).map { i =>
+      val c = i % 8
+      val v = base(c).clone()
+      (0 until 8).foreach(j => v(j) += (rnd.nextFloat() - 0.5f) * 0.1f)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val cb = Similarity.fitPqCodebooks(corpus, "vec_id", "embedding",
+      dims = 8, m = 4, ksub = 4, iters = 3, seed = 42L)
+    assert(cb.length === 4 && cb.forall(_.length === 4) &&
+      cb.forall(_.forall(_.length === 2)))
+    // codes bounded and deterministic under repartitioning
+    val codes = corpus.select(col("vec_id"),
+        Similarity.pqEncode(col("embedding"), cb).as("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes.values.forall(cs => cs.length == 4 &&
+      cs.forall(c => c >= 0 && c < 4)))
+    val again = corpus.repartition(7).select(col("vec_id"),
+        Similarity.pqEncode(col("embedding"), cb).as("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(again === codes)
+    // ADC top-k vs the exact scan. PQ has ZERO within-cell resolution
+    // (members sharing codes tie, break by id), so the guarantee to
+    // pin is CLUSTER recall: every ADC neighbor must come from the
+    // query's own cluster (i % 8), and the exact NN's cluster is the
+    // query's — the shortlist an exact re-rank would then resolve,
+    // exactly the int8-rerank composition pattern.
+    val queries = corpus.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(corpus, queries, 1)
+      .filter(col("rank") === 1)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toMap
+    exact.foreach { case (q, n) => assert(n % 8 === q % 8) }
+    val adc = Similarity.pqAdcTopK(corpus, queries, 3, cb)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    assert(adc.keySet.size === 8)
+    val clusterHits = adc.map { case (q, ns) =>
+      ns.count(_ % 8 == q % 8) }.sum
+    assert(clusterHits >= 22,
+      s"cluster recall too low: $clusterHits/24 ($adc)")
+    // scores are valid cosines
+    val sims = Similarity.pqAdcTopK(corpus, queries, 3, cb)
+      .select("cosine_sim").as[Double].collect()
+    assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
+    // plan shape: queries broadcast against the code-compressed corpus
+    // (no corpus shuffle before the bounded-heap top-k aggregate)
+    val plan = Similarity.pqAdcTopK(corpus, queries, 3, cb)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan.take(600))
+  }
+
   test("srpBucket is deterministic and splits opposite vectors") {
     val df = Seq((Array(1f, 0f, 0f, 0f), Array(-1f, 0f, 0f, 0f)))
       .toDF("a", "b")
