@@ -14,6 +14,14 @@ object Bench {
     // absent = the driver's full sweep, unchanged
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // a typo'd name must fail loudly, not print a valid-looking
+    // zero-query measurement
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: " +
+          unknown.mkString(", "))
+    }
     val spark = GraftSession.build("32")
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def runAll(): Seq[(String, Double)] =

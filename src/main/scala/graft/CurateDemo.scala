@@ -66,12 +66,18 @@ object CurateDemo {
       .join(contaminated, Seq("doc_id"), "left_anti")
       .filter(col("best_quality") >= 0.3 && col("lang_guess") === "en" &&
         col("repetition") < 0.5)
-    // leakage-safe assignment: near-dup clusters split as a unit
-    val split = Dedup.clusterSafeSplit(curated, "doc_id",
-        Dedup.lshCandidatePairs(curated, "doc_id", "text", 16, 4))
-      .drop("split_key")
-
-    split.write.partitionBy("split").mode("overwrite").parquet(outDir)
+    // leakage-safe assignment: near-dup clusters split as a unit.
+    // curated is consumed by MULTIPLE actions from here (the pair
+    // pipeline inside duplicateClusters, its iteration jobs, and the
+    // final write) — persist it so the 5-join pyramid above evaluates
+    // once, not per action
+    curated.persist()
+    try {
+      val split = Dedup.clusterSafeSplit(curated, "doc_id",
+          Dedup.lshCandidatePairs(curated, "doc_id", "text", 16, 4))
+        .drop("split_key")
+      split.write.partitionBy("split").mode("overwrite").parquet(outDir)
+    } finally { curated.unpersist(); () }
 
     val total = docs.count()
     val out = spark.read.parquet(outDir)

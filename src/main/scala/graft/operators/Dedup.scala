@@ -371,9 +371,11 @@ object Dedup {
     * [[simhashBandIndex]] (StreamOps.incrementalNearDupFlags). */
   def withBandKeys(df: DataFrame, shCol: String, maxDist: Int = 3,
       cleanBlocks: Int = 2): DataFrame = {
-    require(!df.columns.contains("__bb"),
-      "input already has a __bb column — rename it; the name is " +
-        "reserved scratch space of withBandKeys")
+    val taken = Seq("__bb", "band", "bv").filter(df.columns.contains)
+    require(taken.isEmpty,
+      s"input already has ${taken.mkString("/")} column(s) — rename " +
+        "them; __bb is reserved scratch space and band/bv are the " +
+        "output key columns of withBandKeys")
     df.withColumn("__bb",
         explode(simhashBandCols(col(shCol), maxDist, cleanBlocks)))
       .withColumn("band", col("__bb.band"))
@@ -615,11 +617,15 @@ object Dedup {
     * split).
     */
   def clusterSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
-      trainPct: Int = 80, valPct: Int = 10,
-      maxIters: Int = 20): DataFrame = {
+      trainPct: Int = 80, valPct: Int = 10, maxIters: Int = 20,
+      requireConvergence: Boolean = true): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
       "need trainPct > 0, valPct >= 0, trainPct + valPct <= 100")
-    val labels = duplicateClusters(pairs, maxIters)
+    // STRICT by default, unlike bare duplicateClusters: an unconverged
+    // clustering means two members of one component can carry different
+    // split keys — silently voiding the no-leakage guarantee that is
+    // this operator's entire purpose. Opt out only for exploration.
+    val labels = duplicateClusters(pairs, maxIters, requireConvergence)
       .select(col("id").as("__cs_id"), col("cluster_id"))
     val bucket = pmod(
       TextFns.shingleHash(col("split_key").cast("string")), lit(100L))

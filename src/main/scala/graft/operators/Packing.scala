@@ -56,29 +56,9 @@ object Packing {
       pmod(h, lit(numGroups.toLong)).as("g"),
       h.as("h"),
       col(idCol).cast("long").as("id"),
+      lit(0L).as("cid"), // whole docs: a degenerate single-chunk grid
       least(tokenCount(col(textCol)), lit(budget)).as("t"))
-    // groups are contiguous sorted runs within a partition; the walk
-    // resets its (fill, pack) state on every group change. t <= budget
-    // by construction, so "fill + t > budget" can only trip on a
-    // non-empty open pack — every doc lands in exactly one pack.
-    val walked = base
-      .repartition(col("g"))
-      .sortWithinPartitions(col("g"), col("h"), col("id"))
-      .as[(Long, Long, Long, Long)]
-      .mapPartitions { it =>
-        var curG = 0L; var fill = 0L; var pack = 0L; var pos = 0L
-        var started = false
-        it.map { case (g, _, id, t) =>
-          if (!started || g != curG) {
-            started = true; curG = g; pack = 0L; fill = t; pos = 0L
-          } else if (fill + t > budget) { pack += 1; fill = t }
-          else fill += t
-          pos += 1
-          (g, pack, pos, id, t)
-        }
-      }
-      .toDF("g", "pack", "pos", "id", "t")
-    walked.groupBy(col("g"), col("pack"))
+    packWalk(base, budget).groupBy(col("g"), col("pack"))
       .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("total_tokens"),
         sort_array(collect_list(struct(col("pos"), col("id")))).as("__ps"))
       .select(
@@ -88,6 +68,37 @@ object Packing {
         (col("total_tokens").cast("double") / budget).as("fill_ratio"),
         array_join(transform(col("__ps"),
           p => p.getField("id").cast("string")), ",").as("doc_ids"))
+  }
+
+  /** THE next-fit walk — the one sequential state machine both packing
+    * flavors share (a boundary-rule change here changes both, and must
+    * be mirrored in their recursive-CTE oracles). Items arrive as
+    * (g, h, id, cid, t) and leave as (g, pack, pos, id, cid, t):
+    * groups are contiguous sorted runs within a partition — order
+    * (g, h, id, cid) — and the walk resets its (fill, pack) state on
+    * every group change. t <= budget by construction upstream, so
+    * "fill + t > budget" can only trip on a non-empty open pack —
+    * every item lands in exactly one pack. */
+  private def packWalk(base: DataFrame, budget: Long): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    base
+      .repartition(col("g"))
+      .sortWithinPartitions(col("g"), col("h"), col("id"), col("cid"))
+      .as[(Long, Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        var curG = 0L; var fill = 0L; var pack = 0L; var pos = 0L
+        var started = false
+        it.map { case (g, _, id, cid, t) =>
+          if (!started || g != curG) {
+            started = true; curG = g; pack = 0L; fill = t; pos = 0L
+          } else if (fill + t > budget) { pack += 1; fill = t }
+          else fill += t
+          pos += 1
+          (g, pack, pos, id, cid, t)
+        }
+      }
+      .toDF("g", "pack", "pos", "id", "cid", "t")
   }
 
   /** RAG-splitter → batch-assembler compose: chunk every document into
@@ -144,24 +155,7 @@ object Packing {
             lit(budget)))).as(Seq("cid", "t")))
       .select(col("g"), col("h"), col("id"),
         col("cid").cast("long").as("cid"), col("t"))
-    val walked = base
-      .repartition(col("g"))
-      .sortWithinPartitions(col("g"), col("h"), col("id"), col("cid"))
-      .as[(Long, Long, Long, Long, Long)]
-      .mapPartitions { it =>
-        var curG = 0L; var fill = 0L; var pack = 0L; var pos = 0L
-        var started = false
-        it.map { case (g, _, id, cid, t) =>
-          if (!started || g != curG) {
-            started = true; curG = g; pack = 0L; fill = t; pos = 0L
-          } else if (fill + t > budget) { pack += 1; fill = t }
-          else fill += t
-          pos += 1
-          (g, pack, pos, id, cid, t)
-        }
-      }
-      .toDF("g", "pack", "pos", "id", "cid", "t")
-    walked.groupBy(col("g"), col("pack"))
+    packWalk(base, budget).groupBy(col("g"), col("pack"))
       .agg(count(lit(1)).as("n_chunks"),
         countDistinct(col("id")).as("n_docs"),
         sum(col("t")).as("total_tokens"),

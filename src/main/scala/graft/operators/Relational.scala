@@ -234,8 +234,11 @@ object Relational {
     * shuffle, no window). The exact operator is this sketch plus a
     * rank-refinement pass; use this one when a bounded-rank-error
     * quantile suffices (monitoring, winsor bounds on huge groups).
-    * Same output schema as [[groupedQuantiles]]; spec proves equality
-    * on groups smaller than `accuracy` (where GK is exact). */
+    * Same output schema as [[groupedQuantiles]] but NOT value-equal
+    * even on small groups: GK returns a SOURCE value while the exact
+    * flavor interpolates (quantile_cont) — the spec bounds this one by
+    * the exact quantile's two bracketing source rows. Never substitute
+    * it into an oracle-checked path. */
   def groupedQuantilesApprox(df: DataFrame, grp: String,
       measures: Seq[(String, Double, String)],
       accuracy: Int = 10000): DataFrame = {
