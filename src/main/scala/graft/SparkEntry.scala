@@ -36,6 +36,13 @@ object SparkEntry {
   /** Per-source token budgets for the token-budget sampler; sources
     * absent here are unlimited. */
   val TokenBudgets: Map[String, Long] = Map("src0" -> 500L, "src1" -> 800L)
+  /** Product-quantization parameters for sim_ann_pq / sim_ann_ivfpq:
+    * 64-dim embeddings → 4 sub-spaces of 16 dims, 8 centroids each
+    * (codes = 4 bytes/vector vs 256 bytes of float — the compression
+    * the family exists for), 2 Lloyd iterations (the ivf convention). */
+  val PqM = 4
+  val PqKsub = 8
+  val PqIters = 2
 
   /** Deterministic PII seeding for the redaction query: the synthetic
     * corpus has no PII, so emails/phones/SSNs derive from doc_id (mod
@@ -729,6 +736,16 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5,
         nlist = 16, nprobe = 4)
     }),
+    "sim_ann_pq" -> ((s, d) => {
+      // compressed-domain brute force: fit per-sub-space codebooks
+      // (portable Lloyd, seed offset per sub-space), encode the corpus
+      // to PqM codes, ADC-score against broadcast queries. The oracle
+      // replays fit+encode+scan bit-for-bit (pqSql).
+      val emb = t(s, d, "embeddings")
+      val cb = Similarity.fitPqCodebooks(emb, "vec_id", "embedding",
+        dims = 64, m = PqM, ksub = PqKsub, iters = PqIters, seed = 42L)
+      Similarity.pqAdcTopK(emb, emb.filter(col("vec_id") < 10), 5, cb)
+    }),
 
     // --- multimodal plumbing ---
     "media_chunks" -> ((s, d) =>
@@ -849,6 +866,69 @@ object SparkEntry {
       "cb AS (SELECT vec_id AS n_id, embedding AS n_vec, vnorm AS n_norm, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn FROM pc) t WHERE rn = 1), " +
       s"qb AS (SELECT vec_id AS q_id, embedding AS q_vec, vnorm AS q_norm, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn FROM pc WHERE vec_id < 10) t WHERE rn <= $nprobe), " +
       s"scored AS (SELECT q_id, n_id, ${dot("q_vec", "n_vec")} / (q_norm * n_norm) AS sim FROM cb JOIN qb USING (cell) WHERE n_id <> q_id), " +
+      "ranked AS (SELECT q_id, n_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS \"rank\" FROM scored) " +
+      s"SELECT q_id, \"rank\", n_id, round(sim, 4) AS cosine_sim FROM ranked WHERE \"rank\" <= $k"
+  }
+
+  /** The sim_ann_pq oracle: replays fitPqCodebooks + pqEncode +
+    * pqAdcTopK end-to-end in SQL. Per sub-space j the ivfSql unrolled-
+    * Lloyd pattern runs on the 1-based slice [j·dsub+1, (j+1)·dsub]
+    * with seed seed+j — bit-reproducible for the same reasons
+    * (md5-derived init order, ordered-fold means CAST AS REAL,
+    * left-to-right double dots). Encode is the deterministic L2 argmin
+    * over d = ‖c‖² − 2⟨sub, c⟩, ties to the LOWER code (Spark
+    * array_min struct order → ORDER BY d, cell); doubling a float sum
+    * is exact in IEEE754, so Σ(2·sub·c) — Spark's form — equals
+    * 2·Σ(sub·c) — this form — bit-for-bit. ADC recombines per-
+    * sub-space query dots and literal squared norms in sub-space order
+    * (SQL + is left-associative like Spark's reduce), with the same
+    * zero-norm→0.0 guard. */
+  private def pqSql(dims: Int, m: Int, ksub: Int, k: Int, iters: Int,
+      seed: Long): String = {
+    require(m > 0 && dims % m == 0, "dims must split into m sub-vectors")
+    val dsub = dims / m
+    def dot(a: String, b: String) =
+      s"(SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest($a) AS x, unnest($b) AS y) zz)"
+    def nrm(a: String) =
+      s"sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest($a) AS x) zn))"
+    def sumsq(a: String) =
+      s"(SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest($a) AS x) zs)"
+    val subCtes = (0 until m).map { j =>
+      val sd = seed + j
+      val p = s"j$j"
+      val iterCtes = (1 to iters).map { i =>
+        val prev = s"${p}c${i - 1}"
+        s"${p}s$i AS (SELECT e.vec_id, c.cell, ${dot("e.sv", "c.cvec")} / c.cnorm AS sim FROM ${p}e e CROSS JOIN $prev c), " +
+          s"${p}a$i AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn FROM ${p}s$i) t WHERE rn = 1), " +
+          s"${p}u$i AS (SELECT a.cell, t.dim, CAST(list_aggregate(list_transform(list_sort(list({'k': a.vec_id, 'v': CAST(t.x AS DOUBLE)})), r -> r.v), 'sum') / count(*) AS REAL) AS m " +
+          s"FROM ${p}a$i a JOIN ${p}e e USING (vec_id), LATERAL (SELECT unnest(e.sv) AS x, unnest(range(0, len(e.sv))) AS dim) t GROUP BY a.cell, t.dim), " +
+          s"${p}n$i AS (SELECT cell, list(m ORDER BY dim) AS cvec FROM ${p}u$i GROUP BY cell), " +
+          s"${p}c$i AS (SELECT pp.cell, COALESCE(${p}n$i.cvec, pp.cvec) AS cvec, ${nrm(s"COALESCE(${p}n$i.cvec, pp.cvec)")} AS cnorm FROM $prev pp LEFT JOIN ${p}n$i USING (cell))"
+      }.mkString(", ")
+      s"${p}e AS (SELECT vec_id, list_slice(embedding, ${j * dsub + 1}, ${j * dsub + dsub}) AS sv FROM emb), " +
+        s"${p}init AS (SELECT cell, cvec FROM (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '|$sd')) AS INT) - 1 AS cell, sv AS cvec FROM ${p}e) t WHERE cell < $ksub), " +
+        s"${p}c0 AS (SELECT cell, cvec, ${nrm("cvec")} AS cnorm FROM ${p}init), " +
+        iterCtes + ", " +
+        s"${p}cb AS (SELECT cell, cvec, ${sumsq("cvec")} AS cn2 FROM ${p}c$iters), " +
+        s"${p}encd AS (SELECT e.vec_id, c.cell, c.cn2 - 2 * ${dot("e.sv", "c.cvec")} AS d FROM ${p}e e CROSS JOIN ${p}cb c), " +
+        s"${p}enc AS (SELECT vec_id, cell AS code FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn FROM ${p}encd) t WHERE rn = 1), " +
+        s"${p}qd AS (SELECT e.vec_id AS q_id, c.cell, ${dot("e.sv", "c.cvec")} AS qdot, c.cn2 FROM ${p}e e CROSS JOIN ${p}cb c WHERE e.vec_id < 10)"
+    }.mkString(", ")
+    val codeJoins = (1 until m)
+      .map(j => s"JOIN j${j}enc e$j USING (vec_id)").mkString(" ")
+    val codeCols = (0 until m).map(j => s"e$j.code AS c$j").mkString(", ")
+    val qdJoins = (0 until m)
+      .map(j => s"JOIN j${j}qd q$j ON q$j.q_id = qn.q_id AND q$j.cell = n.c$j")
+      .mkString(" ")
+    val ip = (0 until m).map(j => s"q$j.qdot").mkString(" + ")
+    val rn2 = (0 until m).map(j => s"q$j.cn2").mkString(" + ")
+    "WITH emb AS (SELECT vec_id, embedding FROM embeddings), " +
+      subCtes + ", " +
+      s"codes AS (SELECT e0.vec_id, $codeCols FROM j0enc e0 $codeJoins), " +
+      s"qn AS (SELECT vec_id AS q_id, ${nrm("embedding")} AS q_norm FROM emb WHERE vec_id < 10), " +
+      s"scored AS (SELECT qn.q_id, n.vec_id AS n_id, " +
+      s"CASE WHEN qn.q_norm > 0 AND $rn2 > 0 THEN ($ip) / (qn.q_norm * sqrt($rn2)) ELSE 0.0 END AS sim " +
+      s"FROM codes n CROSS JOIN qn $qdJoins WHERE n.vec_id <> qn.q_id), " +
       "ranked AS (SELECT q_id, n_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS \"rank\" FROM scored) " +
       s"SELECT q_id, \"rank\", n_id, round(sim, 4) AS cosine_sim FROM ranked WHERE \"rank\" <= $k"
   }
@@ -1578,6 +1658,8 @@ object SparkEntry {
         s"scored AS (SELECT q_id, n_id, ${cosSql("q_vec", "n_vec")} AS sim FROM q JOIN c USING (bucket) WHERE n_id <> q_id), " +
         "ranked AS (SELECT q_id, n_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS \"rank\" FROM scored) " +
         "SELECT q_id, \"rank\", n_id, round(sim, 4) AS cosine_sim FROM ranked WHERE \"rank\" <= 5"),
+    "sim_ann_pq" -> pqSql(dims = 64, m = PqM, ksub = PqKsub, k = 5,
+      iters = PqIters, seed = 42L),
     "sim_ann_ivf" -> ivfSql(nlist = 16, nprobe = 4, k = 5, iters = 2,
       seed = 42L),
     "sim_rerank" -> rerankSql(dims = 64, planes = 4, k = 5, factor = 3),

@@ -621,6 +621,14 @@ object Dedup {
       requireConvergence: Boolean = true): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
       "need trainPct > 0, valPct >= 0, trainPct + valPct <= 100")
+    val taken = Seq("split_key", "split", "cluster_id", "__cs_id")
+      .filter(df.columns.contains)
+    require(taken.isEmpty,
+      s"input already has ${taken.mkString("/")} column(s) — rename " +
+        "them; split_key/split are clusterSafeSplit's output columns " +
+        "and cluster_id/__cs_id are reserved scratch space (a " +
+        "pre-existing column would be silently overwritten or make " +
+        "the label join ambiguous)")
     // STRICT by default, unlike bare duplicateClusters: an unconverged
     // clustering means two members of one component can carry different
     // split keys — silently voiding the no-leakage guarantee that is

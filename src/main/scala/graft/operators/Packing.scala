@@ -124,6 +124,13 @@ object Packing {
       numGroups: Int = 256): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(numGroups > 0, "numGroups must be positive")
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      "need 0 <= overlap < chunkSize (the chunkWords contract)")
+    val takenCols = Seq("__ws", "__wtc").filter(df.columns.contains)
+    require(takenCols.isEmpty,
+      s"input already has ${takenCols.mkString("/")} column(s) — rename " +
+        "them; these names are reserved scratch space of packChunks " +
+        "(the chunkWords convention)")
     val spark = df.sparkSession
     import spark.implicits._
     val stride = chunkSize - overlap

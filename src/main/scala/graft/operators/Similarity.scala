@@ -278,8 +278,9 @@ object Similarity {
     * IndexPQ pattern): the embedding's `dims` coordinates split into
     * `m` equal sub-vectors and each sub-space is quantized
     * INDEPENDENTLY to `ksub` centroids by the portable DataFrame Lloyd
-    * ([[fitCentroids]] on the slice, seed offset per sub-space so
-    * inits decorrelate). A vector compresses to m small codes —
+    * (bit-identical to [[fitCentroids]] on each slice, seed offset per
+    * sub-space so inits decorrelate — but executed as ONE joint set of
+    * jobs, see inline note). A vector compresses to m small codes —
     * m·log2(ksub) bits (log-scale smaller than int8) — and inner
     * products against it become m table lookups. Fit cost is bounded
     * by fitCentroids' deterministic sample cap per sub-space. */
@@ -289,12 +290,80 @@ object Similarity {
     require(m > 0 && dims % m == 0,
       "dims must split into m equal sub-vectors")
     val dsub = dims / m
-    (0 until m).map { j =>
-      fitCentroids(
-        corpus.select(col(idCol),
-          slice(col(vecCol), j * dsub + 1, dsub).as(vecCol)),
-        idCol, vecCol, ksub, iters, seed + j, fitSampleCap)
-    }.toArray
+    val spark = corpus.sparkSession
+    // JOINT fit: the m sub-space problems are independent, so they run
+    // as ONE set of DataFrame jobs with the sub-space index as an extra
+    // grouping key — one corpus scan (the exploded frame carries each
+    // vector's dims floats exactly once, just re-sliced) and ONE driver
+    // round-trip per Lloyd iteration, instead of m sequential
+    // fitCentroids calls each scanning and collecting on its own
+    // (m·iters·2 actions — measured 3-4× this form's wall clock).
+    // Every per-sub-space quantity (sample order, init order,
+    // assignment, ordered-fold means) is computed with the SAME
+    // expressions as fitCentroids at seed+j, so the result is
+    // bit-identical to the sequential form — the sim_ann_pq oracle
+    // replays the sequential definition and hash-matches this fit.
+    val subSeed = (col("sub").cast("long") + seed).cast("string")
+    val base = corpus
+      .select(col(idCol).as("__id"), explode(array((0 until m).map(j =>
+        struct(lit(j).as("sub"),
+          slice(col(vecCol), j * dsub + 1, dsub).as("sv"))): _*)).as("__s"))
+      .select(col("__s.sub").as("sub"), col("__id"), col("__s.sv").as("sv"))
+    // per-sub-space deterministic hash-sample (fitCentroids' cap, keyed
+    // md5(id|sample|seed+j)); one bounded window per sub-space replaces
+    // m orderBy+limit corpus scans
+    val sampleKey = md5(concat_ws("|", col("__id").cast("string"),
+      lit("sample"), subSeed))
+    val wSample = Window.partitionBy(col("sub")).orderBy(sampleKey)
+    val train = base
+      .withColumn("__rk", row_number().over(wSample))
+      .filter(col("__rk") <= fitSampleCap)
+      .drop("__rk")
+      .repartition(col("sub"), col("__id"))
+      .persist()
+    try {
+      // init: the ksub lowest md5(id|seed+j) per sub-space, cell = rank-1
+      val wInit = Window.partitionBy(col("sub"))
+        .orderBy(md5(concat_ws("|", col("__id").cast("string"), subSeed)))
+      val init = train
+        .withColumn("__cell", row_number().over(wInit) - 1)
+        .filter(col("__cell") < ksub)
+        .select(col("sub"), col("__cell"), col("sv"))
+        .collect()
+      val cents = Array.ofDim[Array[Float]](m, ksub)
+      init.foreach(r =>
+        cents(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray)
+      for (_ <- 1 to iters) {
+        // centroids as broadcast DATA (plan identical every iteration,
+        // codegen compiles once — the fitCentroids convention)
+        val cdf = spark.createDataFrame(
+          (for (j <- 0 until m; c <- 0 until ksub)
+            yield (j, c, cents(j)(c))).toIndexedSeq)
+          .toDF("sub", "cell", "centroid")
+          .withColumn("c_norm", VectorFns.norm2(col("centroid")))
+        val next = cents.map(_.map(_.clone()))
+        train.join(broadcast(cdf), Seq("sub"))
+          .withColumn("__sim",
+            VectorFns.dot(col("sv"), col("centroid")) / col("c_norm"))
+          .groupBy(col("sub"), col("__id"))
+          .agg(max(struct(col("__sim"), col("cell"))).as("b"),
+            first(col("sv")).as("__v"))
+          .select(col("sub"), col("b.cell").as("cell"), col("__id"),
+            posexplode(col("__v")))
+          .groupBy(col("sub"), col("cell"), col("pos"))
+          .agg(sort_array(collect_list(struct(col("__id").as("k"),
+            col("col").cast("double").as("v")))).as("__ps"))
+          .select(col("sub"), col("cell"), col("pos"),
+            (aggregate(col("__ps"), lit(0.0), (acc, p) => acc + p.getField("v"))
+              / size(col("__ps"))).as("m"))
+          .collect()
+          .foreach(r =>
+            next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+              r.getDouble(3).toFloat)
+        (0 until m).foreach(j => cents(j) = next(j))
+      }
+      cents
+    } finally { train.unpersist(); () }
   }
 
   /** PQ encoding as a pure expression: per sub-space the code of the
@@ -306,7 +375,18 @@ object Similarity {
     * noise happens to point (the failure mode a cosine rule has on
     * sparse blocks). Output array<int> of m codes. Codebooks embed as
     * literals: the per-row cost is m·ksub·dsub fused multiply-adds,
-    * paid ONCE per corpus vector at index-build time. */
+    * paid ONCE per corpus vector at index-build time.
+    *
+    * PARAMETER BOUND: the literal embedding builds an expression tree
+    * of ~m·ksub·dsub arithmetic nodes (= dims·ksub). That is the
+    * CODEBOOK size, not the corpus — fine through dims·ksub ≈ 10⁵
+    * (e.g. 768 dims × 128 centroids), but FAISS-maximal configs
+    * (ksub=256 on 768 dims ⇒ ~200k nodes) push Catalyst
+    * analysis/codegen past its comfort zone long before data scale
+    * matters. Above that, ship the codebooks as a broadcast table
+    * joined per sub-space (the fitCentroids broadcast-payload
+    * pattern) instead of literals; at PQ's usual ksub ≤ 256 with
+    * dsub ≤ 8 the literal form stays small and codegen-fused. */
   def pqEncode(vecCol: Column,
       codebooks: Array[Array[Array[Float]]]): Column =
     array(codebooks.zipWithIndex.map { case (cb, j) =>
@@ -335,8 +415,11 @@ object Similarity {
     * pair costs m lookups instead of dims multiplies. Approximation
     * error comes only from reconstruction (no sampling): spec pins
     * recall against the exact scan. Output contract as
-    * [[bruteForceTopK]] with `cosine_sim` the ADC approximation.
-    */
+    * [[bruteForceTopK]] with `cosine_sim` the ADC approximation —
+    * EXCEPT degenerate vectors: a zero-norm query or all-zero
+    * reconstruction scores sim 0.0 here (explicit guard, so the
+    * compressed scan never emits NaN), where bruteForceTopK divides
+    * directly and yields NaN for a zero-norm side. */
   def pqAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       codebooks: Array[Array[Array[Float]]],
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -347,6 +347,15 @@ class DedupSpec extends SparkSpec {
     assert(!hits.contains(11L))
   }
 
+  test("clusterSafeSplit rejects reserved output/scratch columns") {
+    val pairs = Seq((1L, 2L)).toDF("a_id", "b_id")
+    Seq("split_key", "split", "cluster_id", "__cs_id").foreach { c =>
+      assertThrows[IllegalArgumentException] {
+        Dedup.clusterSafeSplit(docs.withColumn(c, lit(1)), "doc_id", pairs)
+      }
+    }
+  }
+
   test("editDistancePairs: identical pair 0, near-dup pair small positive") {
     val pairs = Seq((1L, 2L), (1L, 3L)).toDF("a_id", "b_id")
     val d = Dedup.editDistancePairs(docs, pairs, "doc_id", "text", 64)

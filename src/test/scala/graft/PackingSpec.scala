@@ -187,6 +187,20 @@ class PackingSpec extends SparkSpec {
     assert(keptInOrder.head) // the first row always fits (pfx = 0)
   }
 
+  test("packChunks rejects reserved scratch columns and bad chunk params") {
+    val docs = corpus(5)
+    Seq("__ws", "__wtc").foreach { c =>
+      assertThrows[IllegalArgumentException] {
+        Packing.packChunks(docs.withColumn(c, lit(1)), "doc_id", "text",
+          chunkSize = 12, overlap = 4, budget = 64L)
+      }
+    }
+    assertThrows[IllegalArgumentException] {
+      Packing.packChunks(docs, "doc_id", "text",
+        chunkSize = 4, overlap = 4, budget = 64L)
+    }
+  }
+
   test("tokenBudgetSampleByKey is stable under repartitioning") {
     def run(df: org.apache.spark.sql.DataFrame) =
       Packing.tokenBudgetSampleByKey(df, "source", "doc_id", "text",
