@@ -557,26 +557,15 @@ object SparkEntry {
     "text_chunks" -> ((s, d) =>
       TextAnalysis.chunkWords(t(s, d, "documents"), "doc_id", "text",
         chunkSize = 12, overlap = 4)),
-    "text_source_report" -> ((s, d) => {
-      // the curation dashboard: per source, volume, rule-gate pass
-      // count, and mean quality — the composition a data engineer runs
-      // before deciding mixture weights. Mean via ordered fold (the
-      // oracle-portable convention for grid-valued averages).
-      val docs = t(s, d, "documents")
-      val g = TextAnalysis.gopherRules(docs, "doc_id", "text",
-          minWords = 40, maxWords = 100000, minMeanWordLen = 3.0,
-          maxMeanWordLen = 4.5, maxSymbolRatio = 0.1, minStopwords = 2)
-        .select(col("doc_id"), col("keep"))
-      val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
-        .select(col("doc_id"), col("quality"))
-      docs.select(col("doc_id"), col("source"))
-        .join(g, "doc_id").join(q, "doc_id")
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
-          round(aggregate(sort_array(collect_list(col("quality"))),
-            lit(0.0), _ + _) / count(lit(1)), 4).as("avg_quality"))
-    }),
+    "text_source_report" -> ((s, d) =>
+      // the PORTABLE (ordered-fold) flavor so the per-source mean is
+      // oracle-checkable bit-for-bit; TextAnalysis.sourceReport
+      // (algebraic avg — bounded state per source at any corpus size)
+      // is the scale default, spec-tied to this flavor
+      TextAnalysis.sourceReportPortable(t(s, d, "documents"), "source",
+        "doc_id", "text", minWords = 40, maxWords = 100000,
+        minMeanWordLen = 3.0, maxMeanWordLen = 4.5,
+        maxSymbolRatio = 0.1, minStopwords = 2)),
     "text_self_info" -> ((s, d) =>
       // PORTABLE flavor (ordered fold) so the mean is oracle-checkable;
       // selfInfoScore (algebraic avg) is the scale default, spec-tied

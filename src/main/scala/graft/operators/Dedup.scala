@@ -383,6 +383,54 @@ object Dedup {
       .drop("__bb")
   }
 
+  /** Attach exploded MinHash-LSH band keys to any frame as PURE
+    * PER-ROW expressions + one generator — no groupBy, so it works on
+    * BATCH and STREAMING frames alike ([[lshBands]] aggregates
+    * exploded shingle rows: same values, but a stateful aggregation on
+    * a stream). Each row becomes `bands` rows carrying
+    * (band, band_hash), keyed bit-identically to [[lshBands]] /
+    * [[lshBandIndex]]: the per-permutation minimum runs over the same
+    * distinct-shingle hash set (array_min vs the groupBy min — same
+    * multiset, same integer math) and the band hash is md5 over the
+    * same '|'-joined minima — so an index built by the batch path
+    * answers probes banded by this one (DedupSpec proves key
+    * equality). This is what lets a stream probe a static
+    * [[lshBandIndex]] (StreamOps.incrementalLshFlags).
+    * `k`/`bands` MUST match the index build.
+    */
+  def withLshBandKeys(df: DataFrame, textCol: String, k: Int,
+      bands: Int): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val taken = Seq("__lw", "__lsh", "__lmh", "__lbb", "band", "band_hash")
+      .filter(df.columns.contains)
+    require(taken.isEmpty,
+      s"input already has ${taken.mkString("/")} column(s) — rename " +
+        "them; __lw/__lsh/__lmh/__lbb are reserved scratch space and " +
+        "band/band_hash are the output key columns of withLshBandKeys")
+    val r = k / bands
+    // words → hashed shingles → k minima, each materialized in its own
+    // projection: HOF lambdas re-evaluate non-attribute operands per
+    // element (see TextFns.shingles perf note)
+    val mins = array((0 until k).map(i =>
+      array_min(transform(col("__lsh"),
+        h => TextFns.minhashPerm(h, i)))): _*)
+    val bandCols = (0 until bands).map { b =>
+      val rowCols = (b * r until (b + 1) * r)
+        .map(i => element_at(col("__lmh"), i + 1))
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", rowCols: _*)).as("band_hash"))
+    }
+    df.withColumn("__lw", TextFns.words(col(textCol)))
+      .withColumn("__lsh", transform(
+        array_distinct(TextFns.shinglesOfWords(col("__lw"), ShingleN)),
+        s => TextFns.shingleHash(s)))
+      .withColumn("__lmh", mins)
+      .withColumn("__lbb", explode(array(bandCols: _*)))
+      .withColumn("band", col("__lbb.band"))
+      .withColumn("band_hash", col("__lbb.band_hash"))
+      .drop("__lw", "__lsh", "__lmh", "__lbb")
+  }
+
   /** The persistent signature index of a corpus: one row per (band
     * table, band key, member) — `(band, bv, corpus_id, corpus_sh)`.
     * THE PRODUCTION SHAPE AT 100 TB: the corpus is signed and banded

@@ -308,6 +308,64 @@ object TextAnalysis {
           nStop >= minStopwords).as("keep"))
   }
 
+  /** Per-source curation report — volume, rule-gate pass count, and
+    * mean quality per source: the numbers a data engineer reads before
+    * deciding mixture weights. Composes [[gopherRules]] (same
+    * threshold parameters) and [[qualityScore]], then ONE hash
+    * aggregate keyed by source.
+    * THE SCALE DEFAULT: the mean is algebraic avg(quality) — map-side
+    * partial aggregation keeps per-source state at one (sum, count)
+    * pair, so a source with billions of documents costs nothing extra.
+    * The trade (the selfInfoScore/labelCentroids convention): parallel
+    * avg's summation order carries ±ulp noise across engines and
+    * partitionings, so for bit-exact cross-engine comparison use
+    * [[sourceReportPortable]]. Output: (source, n_docs, n_keep,
+    * avg_quality rounded to 4).
+    */
+  def sourceReport(df: DataFrame, sourceCol: String, idCol: String,
+      textCol: String, minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minStopwords: Int = 2): DataFrame =
+    sourceReportAgg(df, sourceCol, idCol, textCol, minWords, maxWords,
+      minMeanWordLen, maxMeanWordLen, maxSymbolRatio, minStopwords,
+      (q, _) => avg(q))
+
+  /** Oracle-portable flavor of [[sourceReport]]: the per-source mean
+    * quality from an ORDER-DETERMINISTIC fold over the sorted quality
+    * list (bit-reproducible across engines/partitionings), at the cost
+    * of per-source state holding every document's score — group size
+    * is corpus/sources, so use THIS flavor for oracle parity and the
+    * algebraic default everywhere at scale. Spec proves rounding-grid
+    * agreement with the default.
+    */
+  def sourceReportPortable(df: DataFrame, sourceCol: String, idCol: String,
+      textCol: String, minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minStopwords: Int = 2): DataFrame =
+    sourceReportAgg(df, sourceCol, idCol, textCol, minWords, maxWords,
+      minMeanWordLen, maxMeanWordLen, maxSymbolRatio, minStopwords,
+      (q, n) => aggregate(sort_array(collect_list(q)), lit(0.0), _ + _) / n)
+
+  /** Shared body of the source-report flavors: `mean` builds the
+    * per-source average from (quality column, doc count column). */
+  private def sourceReportAgg(df: DataFrame, sourceCol: String,
+      idCol: String, textCol: String, minWords: Int, maxWords: Int,
+      minMeanWordLen: Double, maxMeanWordLen: Double,
+      maxSymbolRatio: Double, minStopwords: Int,
+      mean: (Column, Column) => Column): DataFrame = {
+    val g = gopherRules(df, idCol, textCol, minWords, maxWords,
+        minMeanWordLen, maxMeanWordLen, maxSymbolRatio, minStopwords)
+      .select(col(idCol), col("keep"))
+    val q = qualityScore(df, idCol, textCol)
+      .select(col(idCol), col("quality"))
+    df.select(col(idCol), col(sourceCol))
+      .join(g, idCol).join(q, idCol)
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        round(mean(col("quality"), count(lit(1))), 4).as("avg_quality"))
+  }
+
   /** Overlapping word-window chunking — the RAG / embedding-prep
     * splitter: fixed `chunkSize`-word chunks starting every
     * `chunkSize - overlap` words, so consecutive chunks share `overlap`

@@ -173,6 +173,53 @@ object StreamOps {
       .dropDuplicatesWithinWatermark(Seq("new_id", "dup_of"))
   }
 
+  /** Streaming EXACT-dup probe against a static corpus fingerprint
+    * index (Dedup.exactDupGroups output, read back from parquet): each
+    * arriving document gains its per-row normalized-content
+    * fingerprint and stream-static equi-joins the index on the md5
+    * key. STATELESS end-to-end — the fingerprint is a per-row
+    * expression, the index holds exactly ONE row per distinct content
+    * so the join cannot fan out, and a stream-static inner join keeps
+    * no state store — hence no watermark parameter (nothing to
+    * retire). The streaming face of Dedup.incrementalExactDups; same
+    * inner-join semantics (only flagged arrivals emit; anti-join the
+    * source stream on new_id for the novel ones). Output:
+    * (new_id, tsCol, dup_of, content_hash).
+    */
+  def incrementalExactDupFlags(stream: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, tsCol: String): DataFrame =
+    stream.select(col(idCol).as("new_id"), col(tsCol),
+        graft.functions.TextFns.fingerprint(col(textCol))
+          .as("content_hash"))
+      .join(index.select(col("content_hash"),
+        col("keep_id").as("dup_of")), Seq("content_hash"))
+      .select(col("new_id"), col(tsCol), col("dup_of"),
+        col("content_hash"))
+
+  /** Streaming MinHash-LSH candidate probe against a static corpus
+    * band index (Dedup.lshBandIndex output, read back from parquet):
+    * each arriving document gains its per-row band keys
+    * (Dedup.withLshBandKeys — bit-identical to the batch/index
+    * banding) and stream-static equi-joins the index on
+    * (band, band_hash). Candidate semantics as
+    * Dedup.incrementalLshCandidates (probabilistic collision, no
+    * distance filter — refine survivors with jaccard/editDistance);
+    * matches colliding in MULTIPLE bands collapse through
+    * dropDuplicatesWithinWatermark on (new_id, dup_of) — state keyed
+    * by two ids, retired at the watermark horizon, the
+    * incrementalNearDupFlags pattern. `k`/`bands` MUST match the
+    * index build. Output: (new_id, tsCol, dup_of).
+    */
+  def incrementalLshFlags(stream: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, tsCol: String,
+      watermarkDelay: String, k: Int, bands: Int): DataFrame =
+    graft.operators.Dedup.withLshBandKeys(stream, textCol, k, bands)
+      .withWatermark(tsCol, watermarkDelay)
+      .join(index, Seq("band", "band_hash"))
+      .select(col(idCol).as("new_id"), col(tsCol),
+        col("corpus_id").as("dup_of"))
+      .dropDuplicatesWithinWatermark(Seq("new_id", "dup_of"))
+
   /** Watermarked stream-stream interval join: left rows match right
     * rows with the same key whose event time falls in
     * [leftTs + lowerBound, leftTs + upperBound]. Both sides carry

@@ -41,6 +41,24 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) })
   }
 
+  test("withLshBandKeys matches lshBands keys bit-for-bit") {
+    // the per-row (streaming-capable) banding must produce exactly the
+    // batch aggregation's (id, band, band_hash) set — an index built by
+    // lshBandIndex answers probes banded by withLshBandKeys
+    val batch = Dedup.lshBands(docs, "doc_id", "text", 8, 4)
+      .select("doc_id", "band", "band_hash")
+      .as[(Long, Int, String)].collect().toSet
+    val perRow = Dedup.withLshBandKeys(docs, "text", 8, 4)
+      .select("doc_id", "band", "band_hash")
+      .as[(Long, Int, String)].collect().toSet
+    assert(perRow === batch)
+    // reserved-column guard
+    assertThrows[IllegalArgumentException] {
+      Dedup.withLshBandKeys(docs.withColumn("band_hash", lit(1)),
+        "text", 8, 4)
+    }
+  }
+
   test("jaccardPairs: identical docs = 1.0, near-dups high, ordered a < b") {
     val j = Dedup.jaccardPairs(docs, "doc_id", "text", 0.0)
       .as[(Long, Long, Double)].collect()

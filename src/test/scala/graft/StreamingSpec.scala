@@ -246,6 +246,63 @@ class StreamingSpec extends SparkSpec {
     assert(flags === Set((10L, 1L, 0L)))
   }
 
+  test("incrementalExactDupFlags probes the fingerprint index statelessly") {
+    implicit val ctx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different content about spark engines here now"))
+      .toDF("doc_id", "text")
+    val index = graft.operators.Dedup.exactDupGroups(corpus, "doc_id", "text")
+    val in = MemoryStream[TestDoc]
+    val out = StreamOps.incrementalExactDupFlags(in.toDF(), index,
+      "doc_id", "text", "ts")
+    val name = fresh()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    in.addData(
+      // reformatted re-post of corpus doc 1 → flagged via the
+      // normalized fingerprint (case + whitespace noise survives)
+      TestDoc(10, ts("2024-01-01 00:00:00"),
+        "  THE  Quick brown fox JUMPS over the lazy dog tonight "),
+      // novel content → not emitted (inner-join semantics)
+      TestDoc(20, ts("2024-01-01 00:05:00"),
+        "entirely unrelated words describing database internals deeply"))
+    q.processAllAvailable()
+    q.stop()
+    val flags = spark.table(name).select("new_id", "dup_of")
+      .as[(Long, Long)].collect().toSet
+    assert(flags === Set((10L, 1L)))
+  }
+
+  test("incrementalLshFlags probes the band index, collapses multi-band hits") {
+    implicit val ctx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different content about spark engines here now"))
+      .toDF("doc_id", "text")
+    val index = graft.operators.Dedup
+      .lshBandIndex(corpus, "doc_id", "text", 8, 4)
+    val in = MemoryStream[TestDoc]
+    val out = StreamOps.incrementalLshFlags(in.toDF(), index,
+      "doc_id", "text", "ts", "1 hour", 8, 4)
+    val name = fresh()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    in.addData(
+      // identical content (fresh id) → every band collides; the
+      // within-watermark dedup must collapse the 4 hits to one row
+      TestDoc(10, ts("2024-01-01 00:00:00"),
+        "the quick brown fox jumps over the lazy dog tonight"),
+      // novel content → not emitted
+      TestDoc(20, ts("2024-01-01 00:05:00"),
+        "entirely unrelated words describing database internals deeply"))
+    q.processAllAvailable()
+    q.stop()
+    val flags = spark.table(name).select("new_id", "dup_of")
+      .as[(Long, Long)].collect().toSet
+    assert(flags === Set((10L, 1L)))
+  }
+
   test("stateful sessions emit when the watermark passes session close") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[TestEvt]

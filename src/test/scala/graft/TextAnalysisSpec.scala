@@ -207,6 +207,35 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("sourceReport: per-source counts correct, flavors agree") {
+    val stop20 = Seq.fill(10)("the of").mkString(" ")
+    // srcA: one passing doc + one too-short doc; srcB: one passing doc
+    val docs = Seq(
+      (1L, "srcA", s"$stop20 information"),
+      (2L, "srcA", "too short"),
+      (3L, "srcB", s"$stop20 different content here")
+    ).toDF("doc_id", "source", "text")
+    def run(fn: (org.apache.spark.sql.DataFrame, String, String, String,
+        Int, Int, Double, Double, Double, Int) => org.apache.spark.sql.DataFrame) =
+      fn(docs, "source", "doc_id", "text",
+          20, 100000, 2.0, 10.0, 0.1, 2)
+        .select("source", "n_docs", "n_keep", "avg_quality")
+        .as[(String, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val dflt = run(TextAnalysis.sourceReport)
+    assert(dflt("srcA")._1 === 2L && dflt("srcA")._2 === 1L)
+    assert(dflt("srcB")._1 === 1L && dflt("srcB")._2 === 1L)
+    assert(dflt.values.forall(v => v._3 > 0.0 && v._3 <= 1.0))
+    // flavor agreement: both round to 4 decimals; the algebraic and
+    // ordered-fold means may straddle a rounding boundary by at most
+    // one ulp of the grid (the selfInfoScore convention)
+    val port = run(TextAnalysis.sourceReportPortable)
+    dflt.foreach { case (src, (n, k, q)) =>
+      assert(port(src)._1 === n && port(src)._2 === k)
+      assert(math.abs(q - port(src)._3) <= 1.01e-4, s"source $src")
+    }
+  }
+
   test("gopherRules: each rule gates; signals reported per doc") {
     val stop20 = Seq.fill(10)("the of").mkString(" ")
     val docs = Seq(
