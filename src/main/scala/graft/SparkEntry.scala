@@ -510,6 +510,23 @@ object SparkEntry {
           "value", 2.0)
         .select(col("event_id"), col("event_type"), col("value"),
           col("z"), col("is_outlier"))),
+    "rel_anomaly_model" -> ((s, d) => {
+      // the frozen-model arrival path (the incremental-dedup split
+      // pattern): per-type stats fit ONCE on the 90% "historical"
+      // slice, every 10th event is the "arrival batch" scored against
+      // them — nothing over the history recomputes per probe. Portable
+      // stats so the oracle replays the fit bit-for-bit; zscoreStats
+      // (algebraic) is the scale default, spec-tied. Same operator
+      // runs the stream shape (StreamOps.zscoreAgainstStats).
+      val ev = t(s, d, "events")
+      Relational.zscoreAgainstStats(
+          ev.filter(col("event_id") % 10 === 0),
+          Relational.zscoreStatsPortable(
+            ev.filter(col("event_id") % 10 =!= 0), "event_type", "value"),
+          "event_type", "value", 2.0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("z"), col("is_outlier"))
+    }),
     "rel_train_order" -> ((s, d) =>
       Relational.trainingOrder(t(s, d, "documents"), "doc_id", "epoch0")
         .select(col("doc_id"), col("shuffle_rank"))),
@@ -1491,6 +1508,17 @@ object SparkEntry {
         "CASE WHEN st.sd > 0 THEN (CAST(e.value AS DOUBLE) - st.mu) / st.sd END AS z, " +
         "coalesce(abs(CASE WHEN st.sd > 0 THEN (CAST(e.value AS DOUBLE) - st.mu) / st.sd END) > 2.0, false) AS is_outlier " +
         "FROM events e LEFT JOIN st ON e.event_type IS NOT DISTINCT FROM st.event_type"),
+    "rel_anomaly_model" ->
+      // the rel_zscore mirror with the fit/score split: stats from the
+      // historical slice only, standardization over the arrival slice
+      ("WITH s AS (SELECT event_type, list_sort(list(CAST(value AS DOUBLE))) AS vs FROM events WHERE value IS NOT NULL AND event_id % 10 <> 0 GROUP BY 1), " +
+        "m AS (SELECT event_type, vs, list_aggregate(vs, 'sum') / len(vs) AS mu FROM s), " +
+        "st AS (SELECT event_type, mu, sqrt(list_aggregate(list_transform(vs, x -> (x - mu) * (x - mu)), 'sum') / len(vs)) AS sd FROM m) " +
+        "SELECT e.event_id, e.event_type, e.value, " +
+        "CASE WHEN st.sd > 0 THEN (CAST(e.value AS DOUBLE) - st.mu) / st.sd END AS z, " +
+        "coalesce(abs(CASE WHEN st.sd > 0 THEN (CAST(e.value AS DOUBLE) - st.mu) / st.sd END) > 2.0, false) AS is_outlier " +
+        "FROM (SELECT * FROM events WHERE event_id % 10 = 0) e " +
+        "LEFT JOIN st ON e.event_type IS NOT DISTINCT FROM st.event_type"),
     "rel_train_order" ->
       ("SELECT doc_id, CAST(row_number() OVER (ORDER BY md5('epoch0|' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS shuffle_rank " +
         "FROM documents"),

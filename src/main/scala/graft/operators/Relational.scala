@@ -597,13 +597,24 @@ object Relational {
     * Output: input columns + (z, is_outlier).
     */
   def zscoreOutliers(df: DataFrame, grp: String, valueCol: String,
-      threshold: Double): DataFrame = {
-    val stats = df.groupBy(col(grp))
+      threshold: Double): DataFrame =
+    zscoreAgainstStats(df, zscoreStats(df, grp, valueCol), grp, valueCol,
+      threshold)
+
+  /** The frozen per-group (mean, sd) table behind [[zscoreOutliers]] —
+    * the PERSISTABLE artifact of the anomaly pipeline (the
+    * selfInfoModel convention): fit ONCE on the reference window,
+    * write to parquet, then score any batch ([[zscoreAgainstStats]])
+    * or stream (StreamOps.zscoreAgainstStats) against it without
+    * re-reading the history. Algebraic avg/stddev_pop — (sum, sum²,
+    * n) state per group at any group size, THE SCALE DEFAULT. Columns
+    * deliberately internal-named (__grp, __mu, __sd) so scoring joins
+    * never collide with user data. */
+  def zscoreStats(df: DataFrame, grp: String, valueCol: String): DataFrame =
+    df.groupBy(col(grp))
       .agg(avg(col(valueCol).cast("double")).as("__mu"),
         stddev_pop(col(valueCol).cast("double")).as("__sd"))
       .withColumnRenamed(grp, "__grp")
-    zscoreAttach(df, stats, grp, valueCol, threshold)
-  }
 
   /** Oracle-portable flavor of [[zscoreOutliers]]: group mean and
     * variance from ORDER-DETERMINISTIC folds over the group's sorted
@@ -613,8 +624,18 @@ object Relational {
     * at scale; spec proves 1e-9 agreement.
     */
   def zscoreOutliersPortable(df: DataFrame, grp: String, valueCol: String,
-      threshold: Double): DataFrame = {
-    val stats = df.groupBy(col(grp))
+      threshold: Double): DataFrame =
+    zscoreAgainstStats(df, zscoreStatsPortable(df, grp, valueCol), grp,
+      valueCol, threshold)
+
+  /** Oracle-portable flavor of [[zscoreStats]]: mean and variance from
+    * ORDER-DETERMINISTIC folds over each group's sorted value list —
+    * bit-reproducible across engines, per-group state holds the list.
+    * Fit THIS flavor when frozen stats must replay in an external
+    * system/oracle; [[zscoreStats]] everywhere else. */
+  def zscoreStatsPortable(df: DataFrame, grp: String,
+      valueCol: String): DataFrame =
+    df.groupBy(col(grp))
       .agg(sort_array(collect_list(col(valueCol).cast("double")))
         .as("__vs"))
       .select(col(grp).as("__grp"), col("__vs"),
@@ -624,13 +645,17 @@ object Relational {
         sqrt(aggregate(col("__vs"), lit(0.0),
           (acc, x) => acc + (x - col("__mu")) * (x - col("__mu")))
           / size(col("__vs"))).as("__sd"))
-    zscoreAttach(df, stats, grp, valueCol, threshold)
-  }
 
-  /** Shared tail of the z-score flavors: broadcast the per-group
-    * (mean, sd) table onto the rows (null-safe on the group key) and
-    * standardize. */
-  private def zscoreAttach(df: DataFrame, stats: DataFrame, grp: String,
+  /** Score rows against a FROZEN [[zscoreStats]] table — the arrival
+    * path (the scoreAgainstModel pattern): the stats stay fixed while
+    * new batches or streams are standardized against them. Broadcast
+    * join (null-safe on the group key) + per-row expressions — no
+    * shuffle of the scored rows, no state, so the SAME operator runs
+    * on a streaming frame (StreamOps.zscoreAgainstStats). Groups
+    * absent from the stats (novel keys) and degenerate groups (sd=0)
+    * get z = null / is_outlier = false. [[zscoreOutliers]] is this
+    * operator with stats fit on the scored frame itself. */
+  def zscoreAgainstStats(df: DataFrame, stats: DataFrame, grp: String,
       valueCol: String, threshold: Double): DataFrame =
     df.join(broadcast(stats), col(grp) <=> col("__grp"), "left")
       .withColumn("z",

@@ -220,6 +220,26 @@ object StreamOps {
         col("corpus_id").as("dup_of"))
       .dropDuplicatesWithinWatermark(Seq("new_id", "dup_of"))
 
+  /** Streaming anomaly scores against FROZEN per-key stats — the
+    * reference's designed-but-never-built ML stage (diagram.xml:10-17:
+    * CSV → stream → "ML anomaly detection" → sinks) realized as the
+    * score-against-model pattern: fit Relational.zscoreStats batch-side
+    * on the reference window (persist to parquet), then every arriving
+    * row standardizes against the broadcast stats table — a STATELESS
+    * stream-static join + per-row expressions, no watermark, no state
+    * store; refreshing the model is re-planned per micro-batch like
+    * any static side ([[enrichWithDim]]). Novel keys (no stats row)
+    * and degenerate groups (sd = 0) score z = null /
+    * is_outlier = false. Output: input columns + (z, is_outlier) —
+    * the batch analog rel_zscore oracle-checks the math; this wrapper
+    * is the frozen-model stream shape (spec: stream scores ==
+    * batch-scored arrivals).
+    */
+  def zscoreAgainstStats(stream: DataFrame, stats: DataFrame,
+      grp: String, valueCol: String, threshold: Double): DataFrame =
+    graft.operators.Relational.zscoreAgainstStats(stream, stats, grp,
+      valueCol, threshold)
+
   /** Watermarked stream-stream interval join: left rows match right
     * rows with the same key whose event time falls in
     * [leftTs + lowerBound, leftTs + upperBound]. Both sides carry

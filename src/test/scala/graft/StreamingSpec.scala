@@ -303,6 +303,48 @@ class StreamingSpec extends SparkSpec {
     assert(flags === Set((10L, 1L)))
   }
 
+  test("zscoreAgainstStats scores a stream against frozen stats") {
+    implicit val ctx = spark.sqlContext
+    // frozen model: clicks centered at 10 (sd 2), views constant (sd 0)
+    val history = Seq(
+      (1L, "click", 8.0), (2L, "click", 12.0),
+      (3L, "view", 5.0), (4L, "view", 5.0)
+    ).toDF("event_id", "event_type", "value")
+    val stats = graft.operators.Relational
+      .zscoreStats(history, "event_type", "value")
+    val in = MemoryStream[TestEvt]
+    val out = StreamOps.zscoreAgainstStats(in.toDF(), stats,
+      "event_type", "value", 2.0)
+    val name = fresh()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    in.addData(
+      TestEvt(10, ts("2024-01-01 00:00:00"), "click", 16.0), // z = 3 → outlier
+      TestEvt(11, ts("2024-01-01 00:01:00"), "click", 11.0), // z = 0.5
+      TestEvt(12, ts("2024-01-01 00:02:00"), "view", 9.0),   // sd 0 → null z
+      TestEvt(13, ts("2024-01-01 00:03:00"), "scroll", 1.0)) // novel key
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name)
+      .select("user_id", "z", "is_outlier")
+      .as[(Long, Option[Double], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows(10L) === ((Some(3.0), true)))
+    assert(rows(11L) === ((Some(0.5), false)))
+    assert(rows(12L) === ((None, false))) // degenerate group: no blow-up
+    assert(rows(13L) === ((None, false))) // novel key: kept, unscored
+    // the stream scores equal the batch operator's on the same arrivals
+    val arrivals = Seq((10L, "click", 16.0), (11L, "click", 11.0),
+      (12L, "view", 9.0), (13L, "scroll", 1.0))
+      .toDF("user_id", "event_type", "value")
+    val batch = graft.operators.Relational
+      .zscoreAgainstStats(arrivals, stats, "event_type", "value", 2.0)
+      .select("user_id", "z", "is_outlier")
+      .as[(Long, Option[Double], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(batch === rows)
+  }
+
   test("stateful sessions emit when the watermark passes session close") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[TestEvt]
