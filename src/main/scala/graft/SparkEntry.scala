@@ -752,6 +752,16 @@ object SparkEntry {
         dims = 64, m = PqM, ksub = PqKsub, iters = PqIters, seed = 42L)
       Similarity.pqAdcTopK(emb, emb.filter(col("vec_id") < 10), 5, cb)
     }),
+    "sim_ann_ivfpq" -> ((s, d) => {
+      // the FAISS IndexIVFPQ composition: same coarse quantizer as
+      // sim_ann_ivf (nlist/nprobe/seed identical), same codebooks as
+      // sim_ann_pq — the ADC scan restricted to the probed cells
+      val emb = t(s, d, "embeddings")
+      val cb = Similarity.fitPqCodebooks(emb, "vec_id", "embedding",
+        dims = 64, m = PqM, ksub = PqKsub, iters = PqIters, seed = 42L)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), 5,
+        nlist = 16, nprobe = 4, cb)
+    }),
 
     // --- multimodal plumbing ---
     "media_chunks" -> ((s, d) =>
@@ -889,52 +899,104 @@ object SparkEntry {
     * sub-space query dots and literal squared norms in sub-space order
     * (SQL + is left-associative like Spark's reduce), with the same
     * zero-norm→0.0 guard. */
-  private def pqSql(dims: Int, m: Int, ksub: Int, k: Int, iters: Int,
+  private def oSqlDot(a: String, b: String) =
+    s"(SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest($a) AS x, unnest($b) AS y) zz)"
+  private def oSqlNrm(a: String) =
+    s"sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest($a) AS x) zn))"
+  private def oSqlSumsq(a: String) =
+    s"(SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest($a) AS x) zs)"
+
+  /** The per-sub-space CTE chain shared by the sim_ann_pq and
+    * sim_ann_ivfpq oracles: for each sub-space j, the slice view, the
+    * unrolled Lloyd fit at seed+j, the final codebook with squared
+    * norms, the corpus encode (jXenc), the per-query dot table (jXqd),
+    * and the joined `codes` table (vec_id, c0..c{m-1}). */
+  private def pqSubCtes(dims: Int, m: Int, ksub: Int, iters: Int,
       seed: Long): String = {
-    require(m > 0 && dims % m == 0, "dims must split into m sub-vectors")
     val dsub = dims / m
-    def dot(a: String, b: String) =
-      s"(SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest($a) AS x, unnest($b) AS y) zz)"
-    def nrm(a: String) =
-      s"sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest($a) AS x) zn))"
-    def sumsq(a: String) =
-      s"(SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest($a) AS x) zs)"
     val subCtes = (0 until m).map { j =>
       val sd = seed + j
       val p = s"j$j"
       val iterCtes = (1 to iters).map { i =>
         val prev = s"${p}c${i - 1}"
-        s"${p}s$i AS (SELECT e.vec_id, c.cell, ${dot("e.sv", "c.cvec")} / c.cnorm AS sim FROM ${p}e e CROSS JOIN $prev c), " +
+        s"${p}s$i AS (SELECT e.vec_id, c.cell, ${oSqlDot("e.sv", "c.cvec")} / c.cnorm AS sim FROM ${p}e e CROSS JOIN $prev c), " +
           s"${p}a$i AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn FROM ${p}s$i) t WHERE rn = 1), " +
           s"${p}u$i AS (SELECT a.cell, t.dim, CAST(list_aggregate(list_transform(list_sort(list({'k': a.vec_id, 'v': CAST(t.x AS DOUBLE)})), r -> r.v), 'sum') / count(*) AS REAL) AS m " +
           s"FROM ${p}a$i a JOIN ${p}e e USING (vec_id), LATERAL (SELECT unnest(e.sv) AS x, unnest(range(0, len(e.sv))) AS dim) t GROUP BY a.cell, t.dim), " +
           s"${p}n$i AS (SELECT cell, list(m ORDER BY dim) AS cvec FROM ${p}u$i GROUP BY cell), " +
-          s"${p}c$i AS (SELECT pp.cell, COALESCE(${p}n$i.cvec, pp.cvec) AS cvec, ${nrm(s"COALESCE(${p}n$i.cvec, pp.cvec)")} AS cnorm FROM $prev pp LEFT JOIN ${p}n$i USING (cell))"
+          s"${p}c$i AS (SELECT pp.cell, COALESCE(${p}n$i.cvec, pp.cvec) AS cvec, ${oSqlNrm(s"COALESCE(${p}n$i.cvec, pp.cvec)")} AS cnorm FROM $prev pp LEFT JOIN ${p}n$i USING (cell))"
       }.mkString(", ")
       s"${p}e AS (SELECT vec_id, list_slice(embedding, ${j * dsub + 1}, ${j * dsub + dsub}) AS sv FROM emb), " +
         s"${p}init AS (SELECT cell, cvec FROM (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '|$sd')) AS INT) - 1 AS cell, sv AS cvec FROM ${p}e) t WHERE cell < $ksub), " +
-        s"${p}c0 AS (SELECT cell, cvec, ${nrm("cvec")} AS cnorm FROM ${p}init), " +
+        s"${p}c0 AS (SELECT cell, cvec, ${oSqlNrm("cvec")} AS cnorm FROM ${p}init), " +
         iterCtes + ", " +
-        s"${p}cb AS (SELECT cell, cvec, ${sumsq("cvec")} AS cn2 FROM ${p}c$iters), " +
-        s"${p}encd AS (SELECT e.vec_id, c.cell, c.cn2 - 2 * ${dot("e.sv", "c.cvec")} AS d FROM ${p}e e CROSS JOIN ${p}cb c), " +
+        s"${p}cb AS (SELECT cell, cvec, ${oSqlSumsq("cvec")} AS cn2 FROM ${p}c$iters), " +
+        s"${p}encd AS (SELECT e.vec_id, c.cell, c.cn2 - 2 * ${oSqlDot("e.sv", "c.cvec")} AS d FROM ${p}e e CROSS JOIN ${p}cb c), " +
         s"${p}enc AS (SELECT vec_id, cell AS code FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn FROM ${p}encd) t WHERE rn = 1), " +
-        s"${p}qd AS (SELECT e.vec_id AS q_id, c.cell, ${dot("e.sv", "c.cvec")} AS qdot, c.cn2 FROM ${p}e e CROSS JOIN ${p}cb c WHERE e.vec_id < 10)"
+        s"${p}qd AS (SELECT e.vec_id AS q_id, c.cell, ${oSqlDot("e.sv", "c.cvec")} AS qdot, c.cn2 FROM ${p}e e CROSS JOIN ${p}cb c WHERE e.vec_id < 10)"
     }.mkString(", ")
     val codeJoins = (1 until m)
       .map(j => s"JOIN j${j}enc e$j USING (vec_id)").mkString(" ")
     val codeCols = (0 until m).map(j => s"e$j.code AS c$j").mkString(", ")
+    subCtes + ", " +
+      s"codes AS (SELECT e0.vec_id, $codeCols FROM j0enc e0 $codeJoins)"
+  }
+
+  /** The ADC scoring fragments over the `codes` alias n and a query
+    * alias `q` carrying (q_id, q_norm): per-sub-space qd joins, the
+    * recombined inner product, and the reconstruction squared norm. */
+  private def pqAdcFragments(m: Int, q: String): (String, String, String) = {
     val qdJoins = (0 until m)
-      .map(j => s"JOIN j${j}qd q$j ON q$j.q_id = qn.q_id AND q$j.cell = n.c$j")
+      .map(j => s"JOIN j${j}qd q$j ON q$j.q_id = $q.q_id AND q$j.cell = n.c$j")
       .mkString(" ")
     val ip = (0 until m).map(j => s"q$j.qdot").mkString(" + ")
     val rn2 = (0 until m).map(j => s"q$j.cn2").mkString(" + ")
+    (qdJoins, ip, rn2)
+  }
+
+  private def pqSql(dims: Int, m: Int, ksub: Int, k: Int, iters: Int,
+      seed: Long): String = {
+    require(m > 0 && dims % m == 0, "dims must split into m sub-vectors")
+    val (qdJoins, ip, rn2) = pqAdcFragments(m, "qn")
     "WITH emb AS (SELECT vec_id, embedding FROM embeddings), " +
-      subCtes + ", " +
-      s"codes AS (SELECT e0.vec_id, $codeCols FROM j0enc e0 $codeJoins), " +
-      s"qn AS (SELECT vec_id AS q_id, ${nrm("embedding")} AS q_norm FROM emb WHERE vec_id < 10), " +
+      pqSubCtes(dims, m, ksub, iters, seed) + ", " +
+      s"qn AS (SELECT vec_id AS q_id, ${oSqlNrm("embedding")} AS q_norm FROM emb WHERE vec_id < 10), " +
       s"scored AS (SELECT qn.q_id, n.vec_id AS n_id, " +
       s"CASE WHEN qn.q_norm > 0 AND $rn2 > 0 THEN ($ip) / (qn.q_norm * sqrt($rn2)) ELSE 0.0 END AS sim " +
       s"FROM codes n CROSS JOIN qn $qdJoins WHERE n.vec_id <> qn.q_id), " +
+      "ranked AS (SELECT q_id, n_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS \"rank\" FROM scored) " +
+      s"SELECT q_id, \"rank\", n_id, round(sim, 4) AS cosine_sim FROM ranked WHERE \"rank\" <= $k"
+  }
+
+  /** The sim_ann_ivfpq oracle: ivfSql's coarse quantizer CTEs (prefix
+    * v, same seed/iters → identical cells to sim_ann_ivf) compose with
+    * pqSubCtes' codebooks/codes — the scan is the pqSql ADC scoring
+    * restricted to (corpus cell = probed cell) pairs instead of the
+    * full cross join. */
+  private def ivfPqSql(nlist: Int, nprobe: Int, k: Int, iters: Int,
+      seed: Long, dims: Int, m: Int, ksub: Int): String = {
+    require(m > 0 && dims % m == 0, "dims must split into m sub-vectors")
+    val iterCtes = (1 to iters).map { i =>
+      val prev = s"vc${i - 1}"
+      s"vs$i AS (SELECT e.vec_id, c.cell, ${oSqlDot("e.embedding", "c.cvec")} / c.cnorm AS sim FROM emb e CROSS JOIN $prev c), " +
+        s"va$i AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn FROM vs$i) t WHERE rn = 1), " +
+        s"vu$i AS (SELECT a.cell, t.dim, CAST(list_aggregate(list_transform(list_sort(list({'k': a.vec_id, 'v': CAST(t.x AS DOUBLE)})), r -> r.v), 'sum') / count(*) AS REAL) AS m " +
+        s"FROM va$i a JOIN emb e USING (vec_id), LATERAL (SELECT unnest(e.embedding) AS x, unnest(range(0, len(e.embedding))) AS dim) t GROUP BY a.cell, t.dim), " +
+        s"vn$i AS (SELECT cell, list(m ORDER BY dim) AS cvec FROM vu$i GROUP BY cell), " +
+        s"vc$i AS (SELECT p.cell, COALESCE(vn$i.cvec, p.cvec) AS cvec, ${oSqlNrm(s"COALESCE(vn$i.cvec, p.cvec)")} AS cnorm FROM $prev p LEFT JOIN vn$i USING (cell))"
+    }.mkString(", ")
+    val (qdJoins, ip, rn2) = pqAdcFragments(m, "vqb")
+    "WITH emb AS (SELECT vec_id, embedding FROM embeddings), " +
+      s"vinit AS (SELECT cell, cvec FROM (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '|$seed')) AS INT) - 1 AS cell, embedding AS cvec FROM emb) t WHERE cell < $nlist), " +
+      s"vc0 AS (SELECT cell, cvec, ${oSqlNrm("cvec")} AS cnorm FROM vinit), " +
+      iterCtes + ", " +
+      s"vpc AS (SELECT e.vec_id, ${oSqlNrm("e.embedding")} AS vnorm, c.cell, ${oSqlDot("e.embedding", "c.cvec")} / (${oSqlNrm("e.embedding")} * c.cnorm) AS csim FROM emb e CROSS JOIN vc$iters c), " +
+      "vcb AS (SELECT vec_id AS n_id, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn FROM vpc) t WHERE rn = 1), " +
+      s"vqb AS (SELECT vec_id AS q_id, vnorm AS q_norm, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn FROM vpc WHERE vec_id < 10) t WHERE rn <= $nprobe), " +
+      pqSubCtes(dims, m, ksub, iters, seed) + ", " +
+      s"scored AS (SELECT vqb.q_id, vcb.n_id, " +
+      s"CASE WHEN vqb.q_norm > 0 AND $rn2 > 0 THEN ($ip) / (vqb.q_norm * sqrt($rn2)) ELSE 0.0 END AS sim " +
+      s"FROM vcb JOIN vqb USING (cell) JOIN codes n ON n.vec_id = vcb.n_id $qdJoins WHERE vcb.n_id <> vqb.q_id), " +
       "ranked AS (SELECT q_id, n_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS \"rank\" FROM scored) " +
       s"SELECT q_id, \"rank\", n_id, round(sim, 4) AS cosine_sim FROM ranked WHERE \"rank\" <= $k"
   }
@@ -1677,6 +1739,8 @@ object SparkEntry {
         "SELECT q_id, \"rank\", n_id, round(sim, 4) AS cosine_sim FROM ranked WHERE \"rank\" <= 5"),
     "sim_ann_pq" -> pqSql(dims = 64, m = PqM, ksub = PqKsub, k = 5,
       iters = PqIters, seed = 42L),
+    "sim_ann_ivfpq" -> ivfPqSql(nlist = 16, nprobe = 4, k = 5, iters = 2,
+      seed = 42L, dims = 64, m = PqM, ksub = PqKsub),
     "sim_ann_ivf" -> ivfSql(nlist = 16, nprobe = 4, k = 5, iters = 2,
       seed = 42L),
     "sim_rerank" -> rerankSql(dims = 64, planes = 4, k = 5, factor = 3),

@@ -123,33 +123,43 @@ object Similarity {
     // after a few iterations (it's a coarse grid, not a model)
     val centroids = fitCentroids(corpus, idCol, vecCol, nlist,
       iters = 2, seed = seed)
-    val spark = corpus.sparkSession
-    val cdf = spark.createDataFrame(
-      centroids.zipWithIndex.map { case (c, i) => (i, c) }.toIndexedSeq)
-      .toDF("cell", "centroid")
-      .withColumn("c_norm", VectorFns.norm2(col("centroid")))
-    // nearest cell(s) by cosine: rank a tiny broadcast cross join
-    def cells(df: DataFrame, id: String, vec: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("__csim").desc, col("cell"))
-      df.join(broadcast(cdf))
-        .withColumn("__csim", VectorFns.dot(col(vec), col("centroid"))
-          / (VectorFns.norm2(col(vec)) * col("c_norm")))
-        .withColumn("__cr", row_number().over(w))
-        .filter(col("__cr") <= n)
-        .drop("centroid", "c_norm", "__csim", "__cr")
-    }
-    val cb = cells(
+    val cdf = centroidFrame(corpus, centroids)
+    val cb = nearestCells(
       corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
-        VectorFns.norm2(col(vecCol)).as("n_norm")), "n_id", "n_vec", 1)
-    val qb = cells(
+        VectorFns.norm2(col(vecCol)).as("n_norm")), cdf, "n_id", "n_vec", 1)
+    val qb = nearestCells(
       queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-        VectorFns.norm2(col(vecCol)).as("q_norm")), "q_id", "q_vec", nprobe)
+        VectorFns.norm2(col(vecCol)).as("q_norm")), cdf, "q_id", "q_vec",
+      nprobe)
     val scored = cb.join(qb, Seq("cell"))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("sim", VectorFns.dot(col("q_vec"), col("n_vec"))
         / (col("q_norm") * col("n_norm")))
     rankTopK(scored, k)
+  }
+
+  /** Broadcast-ready (cell, centroid, c_norm) frame from a fit result. */
+  private def centroidFrame(corpus: DataFrame,
+      centroids: Array[Array[Float]]): DataFrame =
+    corpus.sparkSession.createDataFrame(
+      centroids.zipWithIndex.map { case (c, i) => (i, c) }.toIndexedSeq)
+      .toDF("cell", "centroid")
+      .withColumn("c_norm", VectorFns.norm2(col("centroid")))
+
+  /** Nearest `n` coarse cells by cosine for each row: rank a tiny
+    * broadcast cross join against the centroid frame (ties to the
+    * LOWEST cell — row_number ASC). Shared by the IVF and IVFPQ
+    * probes so both assign identically. */
+  private def nearestCells(df: DataFrame, cdf: DataFrame, id: String,
+      vec: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(id))
+      .orderBy(col("__csim").desc, col("cell"))
+    df.join(broadcast(cdf))
+      .withColumn("__csim", VectorFns.dot(col(vec), col("centroid"))
+        / (VectorFns.norm2(col(vec)) * col("c_norm")))
+      .withColumn("__cr", row_number().over(w))
+      .filter(col("__cr") <= n)
+      .drop("centroid", "c_norm", "__csim", "__cr")
   }
 
   /** Per-label dimension-wise centroid of an embedding column — the
@@ -423,36 +433,86 @@ object Similarity {
   def pqAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       codebooks: Array[Array[Array[Float]]],
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val m = codebooks.length
-    // query-side tables: dt[j][c] = dot(q_sub_j, c); literal n2[j][c]
-    val dt = array(codebooks.zipWithIndex.map { case (cb, j) =>
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+        col(vecCol).as("q_vec"),
+        VectorFns.norm2(col(vecCol)).as("q_norm"))
+      .withColumn("dt", pqDtCol(codebooks, col("q_vec"))))
+    val enc = corpus.select(col(idCol).as("n_id"),
+      pqEncode(col(vecCol), codebooks).as("codes"))
+    val scored = enc.join(q, col("n_id") =!= col("q_id"))
+      .withColumn("sim", pqAdcSim(codebooks))
+    rankTopK(scored, k)
+  }
+
+  /** Query-side ADC dot tables: dt[j][c] = ⟨q_sub_j, codebook_j[c]⟩,
+    * materialized once per query row (shared by the brute-force and
+    * IVF-pruned ADC scans). */
+  private def pqDtCol(codebooks: Array[Array[Array[Float]]],
+      qVec: Column): Column =
+    array(codebooks.zipWithIndex.map { case (cb, j) =>
       val dsub = cb(0).length
-      val sub = slice(col("q_vec"), j * dsub + 1, dsub)
+      val sub = slice(qVec, j * dsub + 1, dsub)
       array(cb.map { cent =>
         (0 until dsub).map(i =>
           element_at(sub, i + 1).cast("double") * cent(i).toDouble)
           .reduce(_ + _)
       }: _*)
     }: _*)
+
+  /** The ADC cosine approximation over columns (dt, codes, q_norm):
+    * ip and the exact reconstruction norm are m table lookups each
+    * (the squared-norm table embeds as literals), with the zero-norm
+    * guard — see [[pqAdcTopK]]'s output-contract note. */
+  private def pqAdcSim(codebooks: Array[Array[Array[Float]]]): Column = {
+    val m = codebooks.length
     val n2 = array(codebooks.map(cb =>
       array(cb.map(cent =>
         lit(cent.map(x => x.toDouble * x).sum)): _*)): _*)
-    val q = broadcast(queries.select(col(idCol).as("q_id"),
-        col(vecCol).as("q_vec"),
-        VectorFns.norm2(col(vecCol)).as("q_norm"))
-      .withColumn("dt", dt))
-    val enc = corpus.select(col(idCol).as("n_id"),
-      pqEncode(col(vecCol), codebooks).as("codes"))
     val ip = (0 until m).map(j =>
       element_at(element_at(col("dt"), j + 1),
         element_at(col("codes"), j + 1) + 1)).reduce(_ + _)
     val rn2 = (0 until m).map(j =>
       element_at(element_at(n2, j + 1),
         element_at(col("codes"), j + 1) + 1)).reduce(_ + _)
-    val scored = enc.join(q, col("n_id") =!= col("q_id"))
-      .withColumn("sim",
-        when(col("q_norm") > 0 && rn2 > 0,
-          ip / (col("q_norm") * sqrt(rn2))).otherwise(lit(0.0)))
+    when(col("q_norm") > 0 && rn2 > 0,
+      ip / (col("q_norm") * sqrt(rn2))).otherwise(lit(0.0))
+  }
+
+  /** IVF+PQ top-k — the FAISS IndexIVFPQ composition: the coarse
+    * quantizer restricts the ADC scan to each query's nprobe cells, so
+    * per-query work drops from corpus·m lookups ([[pqAdcTopK]]'s
+    * compressed brute force) to corpus/nlist·nprobe·m, AND the
+    * candidates travel as m codes instead of dims floats. The corpus
+    * side — (cell, codes) per vector — is the persisted IVFPQ index
+    * shape: coarse-assign + encode ONCE, probe forever. Coarse
+    * assignment is [[ivfTopK]]'s exactly (shared nearestCells — ties
+    * to the lowest cell); encoding and ADC scoring are
+    * [[pqAdcTopK]]'s exactly (shared pqEncode/pqDtCol/pqAdcSim, same
+    * zero-norm contract). Recall < 1 from BOTH cell-boundary misses
+    * (tune nprobe) and reconstruction error (tune m·ksub) — spec pins
+    * it against the exact scan next to the IVF baseline.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int, nprobe: Int, codebooks: Array[Array[Array[Float]]],
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42L): DataFrame = {
+    val centroids = fitCentroids(corpus, idCol, vecCol, nlist,
+      iters = 2, seed = seed)
+    val cdf = centroidFrame(corpus, centroids)
+    // the index side: ONE cell + m codes per corpus vector
+    val cb = nearestCells(
+        corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec")),
+        cdf, "n_id", "n_vec", 1)
+      .select(col("n_id"), col("cell"),
+        pqEncode(col("n_vec"), codebooks).as("codes"))
+    val qb = nearestCells(
+        queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+          VectorFns.norm2(col(vecCol)).as("q_norm")),
+        cdf, "q_id", "q_vec", nprobe)
+      .withColumn("dt", pqDtCol(codebooks, col("q_vec")))
+    val scored = cb.join(qb, Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("sim", pqAdcSim(codebooks))
     rankTopK(scored, k)
   }
 

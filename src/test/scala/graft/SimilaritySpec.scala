@@ -240,6 +240,46 @@ class SimilaritySpec extends SparkSpec {
     assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan.take(600))
   }
 
+  test("ivfPqTopK: cell-pruned ADC recall tracks the IVF baseline") {
+    // same clustered fixture as the PQ test: 8 direction clusters in
+    // 8 dims, 8 members each
+    val rnd = new scala.util.Random(5)
+    val base = (0 until 8).map { c =>
+      Array.tabulate(8)(i => if (i == c) 1f else 0f)
+    }
+    val corpus = (0 until 64).map { i =>
+      val c = i % 8
+      val v = base(c).clone()
+      (0 until 8).foreach(j => v(j) += (rnd.nextFloat() - 0.5f) * 0.1f)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 8)
+    val cb = Similarity.fitPqCodebooks(corpus, "vec_id", "embedding",
+      dims = 8, m = 4, ksub = 4, iters = 3, seed = 42L)
+    def clusterHits(df: org.apache.spark.sql.DataFrame): Int =
+      df.select("q_id", "n_id").as[(Long, Long)].collect()
+        .count { case (q, n) => n % 8 == q % 8 }
+    // at equal probe width the composition loses only within-cell
+    // resolution vs plain IVF (reconstruction error), never cluster
+    // membership on well-separated clusters — recall must track the
+    // IVF baseline, not collapse
+    val ivf = clusterHits(Similarity.ivfTopK(corpus, queries, 3,
+      nlist = 8, nprobe = 2))
+    val ivfpq = clusterHits(Similarity.ivfPqTopK(corpus, queries, 3,
+      nlist = 8, nprobe = 2, cb))
+    assert(ivf >= 20, s"ivf baseline degenerate: $ivf/24")
+    assert(ivfpq >= ivf - 2, s"ivfpq $ivfpq vs ivf $ivf")
+    // scores are valid cosines and per-query results are ranked
+    val out = Similarity.ivfPqTopK(corpus, queries, 3,
+      nlist = 8, nprobe = 2, cb)
+      .select("q_id", "rank", "cosine_sim")
+      .as[(Long, Long, Double)].collect()
+    assert(out.forall(r => r._3 >= -1.0001 && r._3 <= 1.0001))
+    out.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted === (1L to rs.length))
+    }
+  }
+
   test("srpBucket is deterministic and splits opposite vectors") {
     val df = Seq((Array(1f, 0f, 0f, 0f), Array(-1f, 0f, 0f, 0f)))
       .toDF("a", "b")
