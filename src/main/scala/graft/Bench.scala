@@ -46,7 +46,16 @@ object Bench {
     // failed queries are NAMED, not silently timed-to-exception — a
     // broken query must never read as a performance win
     val fails = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fails,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fails,"sf":"$sfDir"}"""
+    println(json)
+    // the driver's stdout capture keeps only a tail — at 100+ queries
+    // that truncates the per-query map, so the full line ALSO lands in
+    // a file the round archive picks up (cwd = the repo)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")),
+      json + "\n")
     spark.stop()
   }
 }

@@ -479,6 +479,47 @@ object Dedup {
       .filter(col("hamming_dist") <= maxDist)
       .distinct()
 
+  /** Advance a persisted [[simhashBandIndex]] with a new batch —
+    * the maintenance half of the incremental loop: probe arrivals
+    * ([[incrementalNearDups]]), then fold the admitted ones into the
+    * index so the NEXT batch sees them. Signatures are per-document
+    * (independent of the rest of the corpus), so advancing is a pure
+    * union — band rows for the new docs only, nothing over the
+    * existing index recomputes — plus an idempotency dedup on
+    * (band, bv, corpus_id) so re-advancing an overlapping batch (a
+    * replayed micro-batch, an at-least-once upstream) cannot double
+    * rows. DedupSpec proves advance(index(A), B) == rebuild(A ∪ B)
+    * row-for-row. Ids must be unique across batches (the reserved-id
+    * contract of every incremental operator here); `maxDist`/
+    * `cleanBlocks` MUST match the original build. */
+  def advanceSimhashIndex(index: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String, maxDist: Int = 3,
+      cleanBlocks: Int = 2): DataFrame =
+    index.unionByName(
+        simhashBandIndex(newDocs, idCol, textCol, maxDist, cleanBlocks))
+      .dropDuplicates("band", "bv", "corpus_id")
+
+  /** Advance a persisted [[exactDupGroups]] fingerprint index with a
+    * new batch: new-batch groups union in, colliding content hashes
+    * MERGE (keep_id = min across batches — exactly the rebuilt
+    * table's min; counts add). One aggregate over index ∪ new-groups;
+    * the spec proves advance == rebuild bit-for-bit. */
+  def advanceExactIndex(index: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    index.unionByName(exactDupGroups(newDocs, idCol, textCol))
+      .groupBy(col("content_hash"))
+      .agg(min(col("keep_id")).as("keep_id"),
+        sum(col("n_copies")).as("n_copies"))
+
+  /** Advance a persisted [[lshBandIndex]] with a new batch: MinHash
+    * signatures are per-document, so the new docs' band rows union in
+    * unchanged (same pure-union + idempotency-dedup shape as
+    * [[advanceSimhashIndex]]). `k`/`bands` MUST match the build. */
+  def advanceLshIndex(index: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String, k: Int, bands: Int): DataFrame =
+    index.unionByName(lshBandIndex(newDocs, idCol, textCol, k, bands))
+      .dropDuplicates("band", "band_hash", "corpus_id")
+
   /** Cross-engine-reproducible simhash: 60-bit token hashes from md5
     * (first 15 hex chars — exact in any BIGINT SQL engine) instead of
     * Spark-native xxhash64; same vote math over 60 bit positions.

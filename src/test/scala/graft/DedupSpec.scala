@@ -365,6 +365,45 @@ class DedupSpec extends SparkSpec {
     assert(!hits.contains(11L))
   }
 
+  test("advance*Index equals a batch rebuild of the grown corpus") {
+    val a = docs.filter(col("doc_id") <= 2)
+    val b = docs.filter(col("doc_id") > 2)
+    // simhash band index: advance == rebuild, and re-advancing the
+    // same batch (an at-least-once replay) changes nothing
+    val shAdv = Dedup.advanceSimhashIndex(
+      Dedup.simhashBandIndex(a, "doc_id", "text"), b, "doc_id", "text")
+    val shReb = Dedup.simhashBandIndex(docs, "doc_id", "text")
+    def shSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("band", "bv", "corpus_id", "corpus_sh")
+        .as[(Int, Long, Long, Long)].collect().toSet
+    assert(shSet(shAdv) === shSet(shReb))
+    assert(shSet(Dedup.advanceSimhashIndex(shAdv, b, "doc_id", "text"))
+      === shSet(shReb))
+    // exact fingerprint index: colliding hashes merge to the rebuilt
+    // (min keep_id, summed counts) — docs 1 and 2 share content, so
+    // the A-index group for doc 1/2 merges with nothing and doc 3/4
+    // groups append; split the shared pair across batches too
+    val a2 = docs.filter(col("doc_id") % 2 === 1) // 1, 3
+    val b2 = docs.filter(col("doc_id") % 2 === 0) // 2 (dup of 1), 4
+    val exAdv = Dedup.advanceExactIndex(
+      Dedup.exactDupGroups(a2, "doc_id", "text"), b2, "doc_id", "text")
+    def exSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("content_hash", "keep_id", "n_copies")
+        .as[(String, Long, Long)].collect().toSet
+    assert(exSet(exAdv) === exSet(Dedup.exactDupGroups(docs, "doc_id", "text")))
+    // lsh band index: advance == rebuild + idempotent re-advance
+    val lshAdv = Dedup.advanceLshIndex(
+      Dedup.lshBandIndex(a, "doc_id", "text", 8, 4), b, "doc_id", "text",
+      8, 4)
+    def lshSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("band", "band_hash", "corpus_id")
+        .as[(Int, String, Long)].collect().toSet
+    assert(lshSet(lshAdv)
+      === lshSet(Dedup.lshBandIndex(docs, "doc_id", "text", 8, 4)))
+    assert(lshSet(Dedup.advanceLshIndex(lshAdv, b, "doc_id", "text", 8, 4))
+      === lshSet(lshAdv))
+  }
+
   test("clusterSafeSplit rejects reserved output/scratch columns") {
     val pairs = Seq((1L, 2L)).toDF("a_id", "b_id")
     Seq("split_key", "split", "cluster_id", "__cs_id").foreach { c =>
