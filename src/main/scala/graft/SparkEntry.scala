@@ -755,12 +755,14 @@ object SparkEntry {
     "sim_ann_ivfpq" -> ((s, d) => {
       // the FAISS IndexIVFPQ composition: same coarse quantizer as
       // sim_ann_ivf (nlist/nprobe/seed identical), same codebooks as
-      // sim_ann_pq — the ADC scan restricted to the probed cells
+      // sim_ann_pq — both index artifacts from ONE joint fit, the ADC
+      // scan restricted to the probed cells
       val emb = t(s, d, "embeddings")
-      val cb = Similarity.fitPqCodebooks(emb, "vec_id", "embedding",
-        dims = 64, m = PqM, ksub = PqKsub, iters = PqIters, seed = 42L)
+      val (coarse, cb) = Similarity.fitIvfPq(emb, "vec_id", "embedding",
+        dims = 64, nlist = 16, m = PqM, ksub = PqKsub, iters = PqIters,
+        seed = 42L)
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), 5,
-        nlist = 16, nprobe = 4, cb)
+        nprobe = 4, coarse, cb)
     }),
 
     // --- multimodal plumbing ---

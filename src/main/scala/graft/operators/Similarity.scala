@@ -300,30 +300,78 @@ object Similarity {
     require(m > 0 && dims % m == 0,
       "dims must split into m equal sub-vectors")
     val dsub = dims / m
+    val fit = jointLloyd(corpus, idCol,
+      (0 until m).map(j => LloydProblem(j,
+        slice(col(vecCol), j * dsub + 1, dsub), ksub,
+        (seed + j).toString)),
+      iters, fitSampleCap)
+    (0 until m).map(fit).toArray
+  }
+
+  /** Fit the COMPLETE IVFPQ index artifacts — coarse quantizer
+    * centroids AND product-quantization codebooks — in one joint fit:
+    * the full-vector problem rides the same exploded frame as the m
+    * sub-space problems (it is just one more grouping key), so the
+    * whole index build costs ONE corpus scan and ONE driver
+    * round-trip per Lloyd iteration instead of two separate fits.
+    * Bit-identical to (fitCentroids at `seed`, fitPqCodebooks at
+    * `seed`+j) — spec-asserted — so the composed oracle replays the
+    * separate definitions unchanged. Returns (coarse centroids
+    * [nlist][dims], codebooks [m][ksub][dims/m]) for [[ivfPqTopK]].
+    */
+  def fitIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
+      dims: Int, nlist: Int, m: Int, ksub: Int, iters: Int, seed: Long,
+      fitSampleCap: Int = 100000)
+      : (Array[Array[Float]], Array[Array[Array[Float]]]) = {
+    require(m > 0 && dims % m == 0,
+      "dims must split into m equal sub-vectors")
+    val dsub = dims / m
+    val fit = jointLloyd(corpus, idCol,
+      (0 until m).map(j => LloydProblem(j,
+        slice(col(vecCol), j * dsub + 1, dsub), ksub,
+        (seed + j).toString))
+        :+ LloydProblem(m, col(vecCol), nlist, seed.toString),
+      iters, fitSampleCap)
+    (fit(m), (0 until m).map(fit).toArray)
+  }
+
+  /** One problem of a joint Lloyd fit: its grouping id, vector
+    * expression (a slice or the full embedding), cell count, and the
+    * seed string entering fitCentroids' md5 derivations. */
+  private case class LloydProblem(sub: Int, sv: Column, k: Int,
+      seedStr: String)
+
+  /** JOINT spherical-Lloyd fit over independent problems: each runs
+    * as fitCentroids would, but they share ONE set of DataFrame jobs
+    * with the problem id as an extra grouping key — one corpus scan
+    * builds every training slice, one driver round-trip serves every
+    * problem per iteration, instead of per-problem sequential fits
+    * each scanning and collecting on their own (measured 3-4× this
+    * form's wall clock at m=4). Every per-problem quantity (sample
+    * order, init order, cosine assignment with max-struct ties,
+    * ordered-fold means truncated to float) uses the SAME expressions
+    * as fitCentroids at that problem's seed, so results are
+    * bit-identical to the sequential definition — which is what the
+    * sim_ann_pq / sim_ann_ivfpq oracles replay. */
+  private def jointLloyd(corpus: DataFrame, idCol: String,
+      problems: Seq[LloydProblem], iters: Int,
+      fitSampleCap: Int): Map[Int, Array[Array[Float]]] = {
     val spark = corpus.sparkSession
-    // JOINT fit: the m sub-space problems are independent, so they run
-    // as ONE set of DataFrame jobs with the sub-space index as an extra
-    // grouping key — one corpus scan (the exploded frame carries each
-    // vector's dims floats exactly once, just re-sliced) and ONE driver
-    // round-trip per Lloyd iteration, instead of m sequential
-    // fitCentroids calls each scanning and collecting on its own
-    // (m·iters·2 actions — measured 3-4× this form's wall clock).
-    // Every per-sub-space quantity (sample order, init order,
-    // assignment, ordered-fold means) is computed with the SAME
-    // expressions as fitCentroids at seed+j, so the result is
-    // bit-identical to the sequential form — the sim_ann_pq oracle
-    // replays the sequential definition and hash-matches this fit.
-    val subSeed = (col("sub").cast("long") + seed).cast("string")
+    def perProblem(f: LloydProblem => Column): Column =
+      problems.tail.foldLeft(
+        when(col("sub") === problems.head.sub, f(problems.head)))(
+        (acc, p) => acc.when(col("sub") === p.sub, f(p)))
+    val seedStr = perProblem(p => lit(p.seedStr))
+    val kOf = perProblem(p => lit(p.k))
     val base = corpus
-      .select(col(idCol).as("__id"), explode(array((0 until m).map(j =>
-        struct(lit(j).as("sub"),
-          slice(col(vecCol), j * dsub + 1, dsub).as("sv"))): _*)).as("__s"))
+      .select(col(idCol).as("__id"), explode(array(problems.map(p =>
+        struct(lit(p.sub).as("sub"), p.sv.as("sv"))): _*)).as("__s"))
       .select(col("__s.sub").as("sub"), col("__id"), col("__s.sv").as("sv"))
-    // per-sub-space deterministic hash-sample (fitCentroids' cap, keyed
-    // md5(id|sample|seed+j)); one bounded window per sub-space replaces
-    // m orderBy+limit corpus scans
+    // per-problem deterministic hash-sample (fitCentroids' cap, keyed
+    // md5(id|sample|seed)); one bounded window per problem replaces
+    // per-problem orderBy+limit corpus scans
     val sampleKey = md5(concat_ws("|", col("__id").cast("string"),
-      lit("sample"), subSeed))
+      lit("sample"), seedStr))
     val wSample = Window.partitionBy(col("sub")).orderBy(sampleKey)
     val train = base
       .withColumn("__rk", row_number().over(wSample))
@@ -332,26 +380,27 @@ object Similarity {
       .repartition(col("sub"), col("__id"))
       .persist()
     try {
-      // init: the ksub lowest md5(id|seed+j) per sub-space, cell = rank-1
+      // init: each problem's k lowest md5(id|seed), cell = rank-1
       val wInit = Window.partitionBy(col("sub"))
-        .orderBy(md5(concat_ws("|", col("__id").cast("string"), subSeed)))
+        .orderBy(md5(concat_ws("|", col("__id").cast("string"), seedStr)))
       val init = train
         .withColumn("__cell", row_number().over(wInit) - 1)
-        .filter(col("__cell") < ksub)
+        .filter(col("__cell") < kOf)
         .select(col("sub"), col("__cell"), col("sv"))
         .collect()
-      val cents = Array.ofDim[Array[Float]](m, ksub)
+      val cents: Map[Int, Array[Array[Float]]] =
+        problems.map(p => p.sub -> new Array[Array[Float]](p.k)).toMap
       init.foreach(r =>
         cents(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray)
       for (_ <- 1 to iters) {
         // centroids as broadcast DATA (plan identical every iteration,
         // codegen compiles once — the fitCentroids convention)
         val cdf = spark.createDataFrame(
-          (for (j <- 0 until m; c <- 0 until ksub)
-            yield (j, c, cents(j)(c))).toIndexedSeq)
+          (for (p <- problems; c <- 0 until p.k)
+            yield (p.sub, c, cents(p.sub)(c))).toIndexedSeq)
           .toDF("sub", "cell", "centroid")
           .withColumn("c_norm", VectorFns.norm2(col("centroid")))
-        val next = cents.map(_.map(_.clone()))
+        val next = cents.map { case (s, a) => s -> a.map(_.clone()) }
         train.join(broadcast(cdf), Seq("sub"))
           .withColumn("__sim",
             VectorFns.dot(col("sv"), col("centroid")) / col("c_norm"))
@@ -370,7 +419,8 @@ object Similarity {
           .foreach(r =>
             next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
               r.getDouble(3).toFloat)
-        (0 until m).foreach(j => cents(j) = next(j))
+        next.foreach { case (s, a) => cents(s).indices
+          .foreach(i => cents(s)(i) = a(i)) }
       }
       cents
     } finally { train.unpersist(); () }
@@ -484,21 +534,21 @@ object Similarity {
     * compressed brute force) to corpus/nlist·nprobe·m, AND the
     * candidates travel as m codes instead of dims floats. The corpus
     * side — (cell, codes) per vector — is the persisted IVFPQ index
-    * shape: coarse-assign + encode ONCE, probe forever. Coarse
-    * assignment is [[ivfTopK]]'s exactly (shared nearestCells — ties
-    * to the lowest cell); encoding and ADC scoring are
-    * [[pqAdcTopK]]'s exactly (shared pqEncode/pqDtCol/pqAdcSim, same
-    * zero-norm contract). Recall < 1 from BOTH cell-boundary misses
-    * (tune nprobe) and reconstruction error (tune m·ksub) — spec pins
-    * it against the exact scan next to the IVF baseline.
+    * shape: coarse-assign + encode ONCE, probe forever. Takes the
+    * [[fitIvfPq]] artifacts (coarse centroids + codebooks — one joint
+    * fit builds both). Coarse assignment is [[ivfTopK]]'s exactly
+    * (shared nearestCells — ties to the lowest cell); encoding and
+    * ADC scoring are [[pqAdcTopK]]'s exactly (shared
+    * pqEncode/pqDtCol/pqAdcSim, same zero-norm contract). Recall < 1
+    * from BOTH cell-boundary misses (tune nprobe) and reconstruction
+    * error (tune m·ksub) — spec pins it against the exact scan next
+    * to the IVF baseline.
     */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int, nprobe: Int, codebooks: Array[Array[Array[Float]]],
-      idCol: String = "vec_id", vecCol: String = "embedding",
-      seed: Long = 42L): DataFrame = {
-    val centroids = fitCentroids(corpus, idCol, vecCol, nlist,
-      iters = 2, seed = seed)
-    val cdf = centroidFrame(corpus, centroids)
+      nprobe: Int, coarse: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cdf = centroidFrame(corpus, coarse)
     // the index side: ONE cell + m codes per corpus vector
     val cb = nearestCells(
         corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec")),

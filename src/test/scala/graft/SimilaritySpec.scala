@@ -254,8 +254,19 @@ class SimilaritySpec extends SparkSpec {
       (i.toLong, v)
     }.toDF("vec_id", "embedding")
     val queries = corpus.filter(col("vec_id") < 8)
-    val cb = Similarity.fitPqCodebooks(corpus, "vec_id", "embedding",
-      dims = 8, m = 4, ksub = 4, iters = 3, seed = 42L)
+    // the joint index fit must equal the separate fits bit-for-bit —
+    // that identity is what keeps the composed oracle valid. NOTE the
+    // coarse fit runs fitCentroids' iters=2 convention inside ivfTopK,
+    // so the joint fit here uses iters=2 for comparability of cells
+    val (coarse, cb) = Similarity.fitIvfPq(corpus, "vec_id", "embedding",
+      dims = 8, nlist = 8, m = 4, ksub = 4, iters = 2, seed = 42L)
+    val coarseAlone = Similarity.fitCentroids(corpus, "vec_id",
+      "embedding", nlist = 8, iters = 2, seed = 42L)
+    val cbAlone = Similarity.fitPqCodebooks(corpus, "vec_id", "embedding",
+      dims = 8, m = 4, ksub = 4, iters = 2, seed = 42L)
+    assert(coarse.map(_.toSeq).toSeq === coarseAlone.map(_.toSeq).toSeq)
+    assert(cb.map(_.map(_.toSeq).toSeq).toSeq
+      === cbAlone.map(_.map(_.toSeq).toSeq).toSeq)
     def clusterHits(df: org.apache.spark.sql.DataFrame): Int =
       df.select("q_id", "n_id").as[(Long, Long)].collect()
         .count { case (q, n) => n % 8 == q % 8 }
@@ -266,12 +277,12 @@ class SimilaritySpec extends SparkSpec {
     val ivf = clusterHits(Similarity.ivfTopK(corpus, queries, 3,
       nlist = 8, nprobe = 2))
     val ivfpq = clusterHits(Similarity.ivfPqTopK(corpus, queries, 3,
-      nlist = 8, nprobe = 2, cb))
+      nprobe = 2, coarse, cb))
     assert(ivf >= 20, s"ivf baseline degenerate: $ivf/24")
     assert(ivfpq >= ivf - 2, s"ivfpq $ivfpq vs ivf $ivf")
     // scores are valid cosines and per-query results are ranked
     val out = Similarity.ivfPqTopK(corpus, queries, 3,
-      nlist = 8, nprobe = 2, cb)
+      nprobe = 2, coarse, cb)
       .select("q_id", "rank", "cosine_sim")
       .as[(Long, Long, Double)].collect()
     assert(out.forall(r => r._3 >= -1.0001 && r._3 <= 1.0001))
