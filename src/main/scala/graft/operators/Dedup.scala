@@ -520,6 +520,32 @@ object Dedup {
     index.unionByName(lshBandIndex(newDocs, idCol, textCol, k, bands))
       .dropDuplicates("band", "band_hash", "corpus_id")
 
+  /** One probe→admit→advance step of the incremental dedup loop — the
+    * complete arrival pipeline as a single call, composing
+    * [[incrementalNearDups]] (flag arrivals matching the index),
+    * an anti-join (admit only novel documents), and
+    * [[advanceSimhashIndex]] (fold the admitted ones in, so the NEXT
+    * batch sees them). Returns (flags, advanced index). Run it inside
+    * foreachBatch for the streaming loop — and MATERIALIZE the
+    * advanced index between batches (localCheckpoint, or overwrite
+    * the index parquet): feeding the returned frame back in directly
+    * would stack one probe's lineage on top of another's forever.
+    * A batch's internal duplicates are NOT flagged against each other
+    * (the index is the reference corpus, not the batch) — they all
+    * admit and dedup via the batch operators if needed.
+    */
+  def probeAdmitAdvance(batch: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, maxDist: Int = 3,
+      cleanBlocks: Int = 2): (DataFrame, DataFrame) = {
+    val flags = incrementalNearDups(batch, index, idCol, textCol,
+      maxDist, cleanBlocks)
+    val novel = batch.join(flags.select(col("new_id")).distinct(),
+      batch(idCol) === col("new_id"), "left_anti")
+    (flags,
+      advanceSimhashIndex(index, novel, idCol, textCol, maxDist,
+        cleanBlocks))
+  }
+
   /** Cross-engine-reproducible simhash: 60-bit token hashes from md5
     * (first 15 hex chars — exact in any BIGINT SQL engine) instead of
     * Spark-native xxhash64; same vote math over 60 bit positions.

@@ -303,6 +303,50 @@ class StreamingSpec extends SparkSpec {
     assert(flags === Set((10L, 1L)))
   }
 
+  test("probeAdmitAdvance inside foreachBatch runs the full dedup loop") {
+    implicit val ctx = spark.sqlContext
+    // the production arrival pipeline end-to-end: every micro-batch
+    // probes the CURRENT index, admits novels, and advances the index
+    // so the next batch sees them
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    var index = graft.operators.Dedup
+      .simhashBandIndex(corpus, "doc_id", "text").localCheckpoint(true)
+    val flagged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val in = MemoryStream[TestDoc]
+    val q = in.toDF().writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (flags, advanced) = graft.operators.Dedup.probeAdmitAdvance(
+          batch.select(col("doc_id"), col("text")), index,
+          "doc_id", "text")
+        flagged ++= flags.select("new_id", "dup_of")
+          .as[(Long, Long)].collect()
+        // materialize the advanced index before the next batch — the
+        // operator's contract (lineage must not stack across batches)
+        val next = advanced.localCheckpoint(true)
+        index.unpersist()
+        index = next
+        ()
+    }.start()
+    // batch 1: a novel doc (20) and a re-post of corpus doc 1 (10)
+    in.addData(
+      TestDoc(10, ts("2024-01-01 00:00:00"),
+        "  THE  quick brown fox JUMPS over the lazy dog tonight "),
+      TestDoc(20, ts("2024-01-01 00:01:00"),
+        "entirely unrelated words describing database internals deeply"))
+    q.processAllAvailable()
+    assert(flagged.toSet === Set((10L, 1L)))
+    // batch 2: a re-post of doc 20 — which was NOT in the original
+    // index; flagging it proves the advance step actually took
+    in.addData(
+      TestDoc(30, ts("2024-01-01 00:02:00"),
+        "ENTIRELY unrelated  words describing database internals deeply"))
+    q.processAllAvailable()
+    q.stop()
+    assert(flagged.toSet === Set((10L, 1L), (30L, 20L)))
+  }
+
   test("zscoreAgainstStats scores a stream against frozen stats") {
     implicit val ctx = spark.sqlContext
     // frozen model: clicks centered at 10 (sd 2), views constant (sd 0)
