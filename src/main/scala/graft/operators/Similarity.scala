@@ -124,9 +124,12 @@ object Similarity {
     val centroids = fitCentroids(corpus, idCol, vecCol, nlist,
       iters = 2, seed = seed)
     val cdf = centroidFrame(corpus, centroids)
-    val cb = nearestCells(
-      corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
-        VectorFns.norm2(col(vecCol)).as("n_norm")), cdf, "n_id", "n_vec", 1)
+    // corpus side: per-row literal argmax — the corpus never shuffles
+    // for its assignment; only the tiny query side pays the window
+    val cb = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+        VectorFns.norm2(col(vecCol)).as("n_norm"))
+      .withColumn("cell",
+        nearestCellExpr(centroids, col("n_vec"), col("n_norm")))
     val qb = nearestCells(
       queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
         VectorFns.norm2(col(vecCol)).as("q_norm")), cdf, "q_id", "q_vec",
@@ -148,8 +151,9 @@ object Similarity {
 
   /** Nearest `n` coarse cells by cosine for each row: rank a tiny
     * broadcast cross join against the centroid frame (ties to the
-    * LOWEST cell — row_number ASC). Shared by the IVF and IVFPQ
-    * probes so both assign identically. */
+    * LOWEST cell — row_number ASC). The QUERY-side form (n = nprobe
+    * over a small set); corpus-side single-cell assignment uses
+    * [[nearestCellExpr]] — same ordering, zero shuffle. */
   private def nearestCells(df: DataFrame, cdf: DataFrame, id: String,
       vec: String, n: Int): DataFrame = {
     val w = Window.partitionBy(col(id))
@@ -160,6 +164,31 @@ object Similarity {
       .withColumn("__cr", row_number().over(w))
       .filter(col("__cr") <= n)
       .drop("centroid", "c_norm", "__csim", "__cr")
+  }
+
+  /** CORPUS-side nearest-cell assignment as a pure per-row expression
+    * over LITERAL centroids — scan → project, no candidate fan-out,
+    * no window, no shuffle of the corpus (the [[nearestCells]] window
+    * form fans every row out ×nlist through a broadcast join and
+    * shuffles the fan-out to rank it — a corpus-wide exchange for a
+    * per-row argmax). Ordering matches nearestCells at n = 1 exactly:
+    * array_min over struct(−cosine, cell) = max cosine, ties to the
+    * LOWEST cell (negation is sign-exact; the centroid norm literal
+    * is the same left-to-right fold VectorFns.norm2 computes) — the
+    * ivf oracles replay the window definition and hash-match this
+    * expression. Centroids are nlist·dims floats: literal-sized (the
+    * pqEncode parameter-bound note applies). NaN edge: a zero-norm
+    * centroid's sim sorts LAST here vs FIRST under the window's
+    * descending sort — unreachable with real fits (init centroids
+    * are corpus vectors; empty cells keep them). */
+  private def nearestCellExpr(centroids: Array[Array[Float]],
+      vec: Column, vnorm: Column): Column = {
+    val cands = centroids.zipWithIndex.map { case (cent, c) =>
+      val cn = math.sqrt(cent.map(x => x.toDouble * x).sum)
+      struct((-(VectorFns.dot(vec, typedLit(cent)) / (vnorm * lit(cn))))
+        .as("nd"), lit(c).as("c"))
+    }
+    array_min(array(cands: _*)).getField("c")
   }
 
   /** Per-label dimension-wise centroid of an embedding column — the
@@ -549,11 +578,13 @@ object Similarity {
       codebooks: Array[Array[Array[Float]]],
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cdf = centroidFrame(corpus, coarse)
-    // the index side: ONE cell + m codes per corpus vector
-    val cb = nearestCells(
-        corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec")),
-        cdf, "n_id", "n_vec", 1)
-      .select(col("n_id"), col("cell"),
+    // the index side: ONE cell + m codes per corpus vector, both pure
+    // per-row expressions over the literal artifacts — the corpus
+    // index build is scan → project, zero exchanges
+    val cb = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+        VectorFns.norm2(col(vecCol)).as("__nn"))
+      .select(col("n_id"),
+        nearestCellExpr(coarse, col("n_vec"), col("__nn")).as("cell"),
         pqEncode(col("n_vec"), codebooks).as("codes"))
     val qb = nearestCells(
         queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),

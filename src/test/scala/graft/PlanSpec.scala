@@ -105,6 +105,16 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(800))
   }
 
+  test("ivf corpus-side cell assignment is windowless (per-row argmax)") {
+    // the corpus must never shuffle for its own cell assignment: only
+    // the tiny probe side ranks through a window, so exactly ONE
+    // Window survives in each ivf-family plan
+    Seq("sim_ann_ivf", "sim_ann_ivfpq").foreach { q =>
+      val plan = planOf(q)
+      assert("Window\\b".r.findAllIn(plan).size == 1, s"$q: ${plan.take(800)}")
+    }
+  }
+
   test("no query plans an unpartitioned window (single-partition choke)") {
     // the round-1 bench surfaced Spark's "No Partition Defined for
     // Window operation" warning; this pins the fix across ALL queries
