@@ -588,6 +588,11 @@ object SparkEntry {
       // selfInfoScore (algebraic avg) is the scale default, spec-tied
       TextAnalysis.selfInfoScorePortable(t(s, d, "documents"),
         "doc_id", "text")),
+    "text_self_info2" -> ((s, d) =>
+      // bigram conditional surprisal (sees word ORDER) — same flavor
+      // convention as text_self_info
+      TextAnalysis.selfInfoBigramPortable(t(s, d, "documents"),
+        "doc_id", "text")),
     "text_gopher" -> ((s, d) =>
       // thresholds chosen to BISECT this corpus (words 10-99 median 56,
       // mean word len 3.7-5.3) so both keep outcomes are exercised
@@ -1288,6 +1293,18 @@ object SparkEntry {
         "i AS (SELECT doc_id, ln(CAST(total_n AS DOUBLE)) - ln(CAST(n AS DOUBLE)) AS info FROM tok JOIN freq USING (tok), tot) " +
         "SELECT doc_id, count(*) AS n_tokens, " +
         "round(list_aggregate(list_sort(list(info)), 'sum') / count(*), 4) AS self_info " +
+        "FROM i GROUP BY doc_id"),
+    "text_self_info2" ->
+      // mirrors selfInfoBigramPortable: adjacent-pair conditional
+      // surprisal ln c(prev,·) − ln c(prev,tok), folded over the
+      // SORTED list; ln() ulp absorbed by round(.,4)
+      (s"WITH base AS (SELECT doc_id, regexp_extract_all($normSql, '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS ts FROM documents), " +
+        "big AS (SELECT doc_id, ts[i] AS prev, ts[i + 1] AS tok FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM base) t), " +
+        "c2 AS (SELECT prev, tok, count(*) AS n2 FROM big GROUP BY 1, 2), " +
+        "c1 AS (SELECT prev, CAST(sum(n2) AS BIGINT) AS n1 FROM c2 GROUP BY 1), " +
+        "i AS (SELECT doc_id, ln(CAST(n1 AS DOUBLE)) - ln(CAST(n2 AS DOUBLE)) AS info FROM big JOIN c2 USING (prev, tok) JOIN c1 USING (prev)) " +
+        "SELECT doc_id, count(*) AS n_bigrams, " +
+        "round(list_aggregate(list_sort(list(info)), 'sum') / count(*), 4) AS self_info2 " +
         "FROM i GROUP BY doc_id"),
     "text_gopher" ->
       (s"SELECT doc_id, CAST(len($wordsSql) AS BIGINT) AS n_words, " +

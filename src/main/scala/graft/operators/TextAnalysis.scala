@@ -274,6 +274,84 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"),
         round(mean(col("__info"), count(lit(1))), 4).as("self_info"))
 
+  /** (id, __prev, __tok2) rows — one per adjacent token pair of each
+    * document (docs under 2 tokens emit nothing). The token array is
+    * materialized in its own projection before the zip (HOF lambda
+    * rule); the pair array is two slices zipped, so the whole
+    * construction is per-row expressions + ONE generator. */
+  private def bigramRows(df: DataFrame, textCol: String,
+      keep: Column*): DataFrame = {
+    val ts = col("__ts")
+    val n1 = greatest(size(ts) - 1, lit(0))
+    df.select((keep :+ TextFns.bpeishTokens(col(textCol)).as("__ts")): _*)
+      .select((keep :+ explode(zip_with(
+        slice(ts, lit(1), n1), slice(ts, lit(2), n1),
+        (a, b) => struct(a.as("p"), b.as("t")))).as("__bg")): _*)
+      .select((keep :+ col("__bg.p").as("__prev")
+        :+ col("__bg.t").as("__tok2")): _*)
+  }
+
+  /** The frozen BIGRAM model of a corpus — one step up the n-gram
+    * ladder from [[selfInfoModel]] toward the CCNet-style KenLM
+    * filter: one row per observed token pair with the conditional
+    * surprisal −ln P(tok | prev) = ln c(prev,·) − ln c(prev, tok),
+    * MLE over bigram occurrences. Bigram-TYPE-bounded (far below
+    * corpus rows for natural text), persistable, and — like the
+    * unigram model — the artifact batches and streams score against
+    * without re-reading the corpus. Columns internal-named
+    * (__fprev, __ftok, __info2). */
+  def selfInfoBigramModel(df: DataFrame, textCol: String): DataFrame = {
+    val c2 = bigramRows(df, textCol)
+      .groupBy(col("__prev").as("__fprev"), col("__tok2").as("__ftok"))
+      .agg(count(lit(1)).as("__n2"))
+    // c(prev,·) folds from the pair counts — one extra vocab-bounded
+    // aggregate, no second corpus scan
+    val c1 = c2.groupBy(col("__fprev")).agg(sum(col("__n2")).as("__n1"))
+    c2.join(c1, Seq("__fprev"))
+      .select(col("__fprev"), col("__ftok"),
+        (log(col("__n1").cast("double")) - log(col("__n2").cast("double")))
+          .as("__info2"))
+  }
+
+  /** Bigram self-information score: a document's mean conditional
+    * surprisal under the corpus's own bigram model — sharper than the
+    * unigram [[selfInfoScore]] (it sees word ORDER: templated text
+    * with common words in fixed patterns scores low even when the
+    * unigram mix looks diverse). THE SCALE DEFAULT: algebraic avg per
+    * doc; joins are (prev, tok)-keyed against the type-bounded model.
+    * Docs under 2 tokens (and docs whose every bigram is
+    * out-of-model) emit nothing — the unigram scorer's OOV-skip
+    * convention. Output: (id, n_bigrams, self_info2 rounded to 4).
+    */
+  def selfInfoBigram(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    bigramAgg(df, selfInfoBigramModel(df, textCol), idCol, textCol,
+      (i, _) => avg(i))
+
+  /** Oracle-portable flavor of [[selfInfoBigram]] (ordered fold over
+    * the sorted surprisal list — the selfInfoScorePortable
+    * convention; per-doc state bounded by doc length). */
+  def selfInfoBigramPortable(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    bigramAgg(df, selfInfoBigramModel(df, textCol), idCol, textCol,
+      (i, n) => aggregate(sort_array(collect_list(i)), lit(0.0), _ + _) / n)
+
+  /** Score documents against a FROZEN [[selfInfoBigramModel]] — the
+    * arrival path (the scoreAgainstModel pattern). */
+  def scoreAgainstBigramModel(df: DataFrame, model: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    bigramAgg(df, model, idCol, textCol, (i, _) => avg(i))
+
+  /** Shared body of the bigram-scoring flavors. */
+  private def bigramAgg(df: DataFrame, model: DataFrame, idCol: String,
+      textCol: String, mean: (Column, Column) => Column): DataFrame =
+    bigramRows(df, textCol, col(idCol))
+      .join(model, col("__prev") === col("__fprev") &&
+        col("__tok2") === col("__ftok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(mean(col("__info2"), count(lit(1))), 4).as("self_info2"))
+
   /** Gopher-style rule filter (Rae et al. 2021's quality heuristics,
     * the industry-standard cheap gate): word-count bounds, mean-word-
     * length bounds, symbol-to-word ratio (hash + ellipsis), and a

@@ -207,6 +207,42 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("selfInfoBigram: order-sensitive scoring, flavors + frozen model agree") {
+    // docs 1 and 2 share the SAME unigram multiset; doc 1 repeats one
+    // fixed pattern (common bigrams), doc 2 scrambles the order (rarer
+    // bigrams) — only an order-aware scorer separates them
+    val docs = Seq(
+      (1L, Seq.fill(10)("alpha beta").mkString(" ")),
+      (2L, "alpha alpha beta alpha beta beta alpha beta " +
+        "beta alpha alpha beta beta beta alpha alpha beta alpha beta alpha"),
+      (3L, "x")  // under 2 tokens: emits nothing
+    ).toDF("doc_id", "text")
+    val uni = TextAnalysis.selfInfoScore(docs, "doc_id", "text")
+      .select("doc_id", "self_info").as[(Long, Double)].collect().toMap
+    assert(math.abs(uni(1L) - uni(2L)) < 1e-9) // unigram-blind
+    val dflt = TextAnalysis.selfInfoBigram(docs, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "self_info2")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(!dflt.contains(3L))
+    assert(dflt(1L)._1 === 19L)
+    assert(dflt(1L)._2 < dflt(2L)._2) // the pattern doc scores lower
+    // flavor agreement on the rounding grid
+    val port = TextAnalysis.selfInfoBigramPortable(docs, "doc_id", "text")
+      .select("doc_id", "self_info2").as[(Long, Double)].collect().toMap
+    dflt.foreach { case (id, (_, s)) =>
+      assert(math.abs(s - port(id)) <= 1.01e-4, s"doc $id")
+    }
+    // frozen-model scoring reproduces the self-fit scores
+    val model = TextAnalysis.selfInfoBigramModel(docs, "text")
+    val frozen = TextAnalysis.scoreAgainstBigramModel(docs, model,
+      "doc_id", "text")
+      .select("doc_id", "self_info2").as[(Long, Double)].collect().toMap
+    dflt.foreach { case (id, (_, s)) =>
+      assert(math.abs(s - frozen(id)) <= 1e-12, s"doc $id")
+    }
+  }
+
   test("sourceReport: per-source counts correct, flavors agree") {
     val stop20 = Seq.fill(10)("the of").mkString(" ")
     // srcA: one passing doc + one too-short doc; srcB: one passing doc
