@@ -472,10 +472,10 @@ object Similarity {
     * (e.g. 768 dims × 128 centroids), but FAISS-maximal configs
     * (ksub=256 on 768 dims ⇒ ~200k nodes) push Catalyst
     * analysis/codegen past its comfort zone long before data scale
-    * matters. Above that, ship the codebooks as a broadcast table
-    * joined per sub-space (the fitCentroids broadcast-payload
-    * pattern) instead of literals; at PQ's usual ksub ≤ 256 with
-    * dsub ≤ 8 the literal form stays small and codegen-fused. */
+    * matters. Above that, use [[pqEncodeJoined]] (codebooks as a
+    * broadcast table — constant plan size, bit-identical codes); at
+    * PQ's usual ksub ≤ 256 with dsub ≤ 8 the literal form stays
+    * small and codegen-fused. */
   def pqEncode(vecCol: Column,
       codebooks: Array[Array[Array[Float]]]): Column =
     array(codebooks.zipWithIndex.map { case (cb, j) =>
@@ -490,6 +490,43 @@ object Similarity {
       }
       array_min(array(cands: _*)).getField("c")
     }: _*)
+
+  /** [[pqEncode]] with the codebooks as BROADCAST DATA instead of
+    * literals — the escape hatch for FAISS-maximal configs past the
+    * literal form's parameter bound (dims·ksub ≳ 10⁵ expression
+    * nodes): the plan size is constant in ksub, the codebook rides a
+    * broadcast. Costs what the literal form avoids — an explode ×m
+    * and two hash aggregates (argmin per (id, sub), then codes
+    * re-assembled per id) — so prefer the literal form whenever it
+    * fits. Output: (idCol, codes), codes BIT-IDENTICAL to
+    * [[pqEncode]] (same d = ‖c‖² − 2⟨sub, c⟩ algebra — the squared
+    * norms are the same Scala-computed doubles, 2× a float sum is
+    * IEEE-exact — and min(struct(d, cell)) is array_min's struct
+    * order; spec-asserted). */
+  def pqEncodeJoined(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Float]]]): DataFrame = {
+    val m = codebooks.length
+    require(m > 0 && codebooks.forall(_.nonEmpty), "empty codebooks")
+    val dsub = codebooks(0)(0).length
+    val cbRows = for (j <- 0 until m; c <- codebooks(j).indices) yield
+      (j, c, codebooks(j)(c), codebooks(j)(c).map(x => x.toDouble * x).sum)
+    val cdf = df.sparkSession.createDataFrame(cbRows.toIndexedSeq)
+      .toDF("__sub", "__cell", "__cent", "__cn2")
+    df.select(col(idCol), explode(array((0 until m).map(j =>
+        struct(lit(j).as("s"),
+          slice(col(vecCol), j * dsub + 1, dsub).as("v"))): _*)).as("__sv"))
+      .select(col(idCol), col("__sv.s").as("__sub"), col("__sv.v").as("__v"))
+      .join(broadcast(cdf), Seq("__sub"))
+      .withColumn("__d",
+        col("__cn2") - lit(2.0) * VectorFns.dot(col("__v"), col("__cent")))
+      .groupBy(col(idCol), col("__sub"))
+      .agg(min(struct(col("__d").as("d"), col("__cell").as("c"))).as("__b"))
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__sub").as("s"),
+          col("__b.c").as("c")))),
+        p => p.getField("c")).as("codes"))
+  }
 
   /** PQ-ADC top-k — compressed-domain brute force (FAISS IndexPQ
     * search): the corpus travels as m codes per vector, each query row

@@ -278,8 +278,10 @@ object TextAnalysis {
     * document (docs under 2 tokens emit nothing). The token array is
     * materialized in its own projection before the zip (HOF lambda
     * rule); the pair array is two slices zipped, so the whole
-    * construction is per-row expressions + ONE generator. */
-  private def bigramRows(df: DataFrame, textCol: String,
+    * construction is per-row expressions + ONE generator — which is
+    * why it runs on BATCH and STREAMING frames alike
+    * (StreamOps.selfInfoBigramWithinWindow). */
+  private[graft] def bigramRows(df: DataFrame, textCol: String,
       keep: Column*): DataFrame = {
     val ts = col("__ts")
     val n1 = greatest(size(ts) - 1, lit(0))

@@ -209,6 +209,11 @@ class SimilaritySpec extends SparkSpec {
         Similarity.pqEncode(col("embedding"), cb).as("codes"))
       .as[(Long, Seq[Int])].collect().toMap
     assert(again === codes)
+    // the broadcast-join encode (the large-ksub escape hatch) must
+    // produce bit-identical codes to the literal form
+    val joined = Similarity.pqEncodeJoined(corpus, "vec_id", "embedding", cb)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(joined === codes)
     // ADC top-k vs the exact scan. PQ has ZERO within-cell resolution
     // (members sharing codes tie, break by id), so the guarantee to
     // pin is CLUSTER recall: every ADC neighbor must come from the

@@ -214,6 +214,42 @@ class StreamingSpec extends SparkSpec {
     assert(got(20L)._1 === 3L)
   }
 
+  test("streaming bigram self-info against a frozen model equals batch") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val corpus = Seq(
+      (1L, "the quick fox the quick fox the quick fox"),
+      (2L, "the lazy dog sleeps while the fox rests"))
+      .toDF("doc_id", "text")
+    val model = TextAnalysis.selfInfoBigramModel(corpus, "text")
+    val arrivals = Seq(
+      TestDoc(10, ts("2024-01-01 00:00:00"), "the quick fox runs"),
+      TestDoc(20, ts("2024-01-01 00:01:00"), "single"))  // <2 tokens
+    val in = MemoryStream[TestDoc]
+    val out = StreamOps.selfInfoBigramWithinWindow(in.toDF(), model,
+      "doc_id", "text", "ts", "10 minutes", "1 hour")
+    val name = fresh()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    in.addData(arrivals: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name)
+      .select("doc_id", "n_bigrams", "self_info2")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val batch = TextAnalysis.scoreAgainstBigramModel(
+        arrivals.toDF().select(col("doc_id"), col("text")),
+        model, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 20 emits nothing on both sides; (fox, runs) is out-of-model
+    // so doc 10 scores over its in-model pairs only
+    assert(got.keySet === batch.keySet && got.keySet === Set(10L))
+    assert(got(10L)._1 === batch(10L)._1 && got(10L)._1 === 2L)
+    assert(math.abs(got(10L)._2 - batch(10L)._2) <= 1.01e-4)
+  }
+
   test("incrementalNearDupFlags probes a static index per micro-batch") {
     implicit val ctx = spark.sqlContext
     // corpus indexed ONCE (batch); arrivals probe it stream-static
