@@ -51,11 +51,16 @@ object Bench {
     println(json)
     // the driver's stdout capture keeps only a tail — at 100+ queries
     // that truncates the per-query map, so the full line ALSO lands in
-    // a file the round archive picks up (cwd = the repo)
-    java.nio.file.Files.writeString(
+    // a file the round archive picks up (cwd = the repo). The file is
+    // a convenience copy: an unwritable path must not turn a completed
+    // sweep (metric already printed) into a nonzero exit
+    try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")),
       json + "\n")
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write bench file: $e")
+    }
     spark.stop()
   }
 }

@@ -868,29 +868,38 @@ object SparkEntry {
     */
   private def ivfSql(nlist: Int, nprobe: Int, k: Int, iters: Int,
       seed: Long): String = {
-    def dot(a: String, b: String) =
-      s"(SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest($a) AS x, unnest($b) AS y) zz)"
-    def nrm(a: String) =
-      s"sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest($a) AS x) zn))"
-    val iterCtes = (1 to iters).map { i =>
-      val prev = s"c${i - 1}"
-      s"s$i AS (SELECT e.vec_id, c.cell, ${dot("e.embedding", "c.cvec")} / c.cnorm AS sim FROM emb e CROSS JOIN $prev c), " +
-        s"a$i AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn FROM s$i) t WHERE rn = 1), " +
-        s"u$i AS (SELECT a.cell, t.dim, CAST(list_aggregate(list_transform(list_sort(list({'k': a.vec_id, 'v': CAST(t.x AS DOUBLE)})), r -> r.v), 'sum') / count(*) AS REAL) AS m " +
-        s"FROM a$i a JOIN emb e USING (vec_id), LATERAL (SELECT unnest(e.embedding) AS x, unnest(range(0, len(e.embedding))) AS dim) t GROUP BY a.cell, t.dim), " +
-        s"n$i AS (SELECT cell, list(m ORDER BY dim) AS cvec FROM u$i GROUP BY cell), " +
-        s"c$i AS (SELECT p.cell, COALESCE(n$i.cvec, p.cvec) AS cvec, ${nrm(s"COALESCE(n$i.cvec, p.cvec)")} AS cnorm FROM $prev p LEFT JOIN n$i USING (cell))"
-    }.mkString(", ")
+    val dot = oSqlDot _
+    val nrm = oSqlNrm _
     "WITH emb AS (SELECT vec_id, embedding FROM embeddings), " +
-      s"init AS (SELECT cell, cvec FROM (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '|$seed')) AS INT) - 1 AS cell, embedding AS cvec FROM emb) t WHERE cell < $nlist), " +
-      s"c0 AS (SELECT cell, cvec, ${nrm("cvec")} AS cnorm FROM init), " +
-      iterCtes + ", " +
+      coarseLloydCtes("", nlist, iters, seed) + ", " +
       s"pc AS (SELECT e.vec_id, e.embedding, ${nrm("e.embedding")} AS vnorm, c.cell, ${dot("e.embedding", "c.cvec")} / (${nrm("e.embedding")} * c.cnorm) AS csim FROM emb e CROSS JOIN c$iters c), " +
       "cb AS (SELECT vec_id AS n_id, embedding AS n_vec, vnorm AS n_norm, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn FROM pc) t WHERE rn = 1), " +
       s"qb AS (SELECT vec_id AS q_id, embedding AS q_vec, vnorm AS q_norm, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn FROM pc WHERE vec_id < 10) t WHERE rn <= $nprobe), " +
       s"scored AS (SELECT q_id, n_id, ${dot("q_vec", "n_vec")} / (q_norm * n_norm) AS sim FROM cb JOIN qb USING (cell) WHERE n_id <> q_id), " +
       "ranked AS (SELECT q_id, n_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS \"rank\" FROM scored) " +
       s"SELECT q_id, \"rank\", n_id, round(sim, 4) AS cosine_sim FROM ranked WHERE \"rank\" <= $k"
+  }
+
+  /** The coarse-quantizer unrolled-Lloyd CTE chain, prefix-
+    * parameterized and shared by the sim_ann_ivf and sim_ann_ivfpq
+    * oracles — ONE definition of the fit replay (init from the
+    * md5(id|seed) order, then `iters` assignment/update rounds over
+    * the full `emb` vectors) so the two IVF oracles can never drift.
+    * Ends in CTE `<p>c<iters>` carrying (cell, cvec, cnorm). */
+  private def coarseLloydCtes(p: String, nlist: Int, iters: Int,
+      seed: Long): String = {
+    val iterCtes = (1 to iters).map { i =>
+      val prev = s"${p}c${i - 1}"
+      s"${p}s$i AS (SELECT e.vec_id, c.cell, ${oSqlDot("e.embedding", "c.cvec")} / c.cnorm AS sim FROM emb e CROSS JOIN $prev c), " +
+        s"${p}a$i AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn FROM ${p}s$i) t WHERE rn = 1), " +
+        s"${p}u$i AS (SELECT a.cell, t.dim, CAST(list_aggregate(list_transform(list_sort(list({'k': a.vec_id, 'v': CAST(t.x AS DOUBLE)})), r -> r.v), 'sum') / count(*) AS REAL) AS m " +
+        s"FROM ${p}a$i a JOIN emb e USING (vec_id), LATERAL (SELECT unnest(e.embedding) AS x, unnest(range(0, len(e.embedding))) AS dim) t GROUP BY a.cell, t.dim), " +
+        s"${p}n$i AS (SELECT cell, list(m ORDER BY dim) AS cvec FROM ${p}u$i GROUP BY cell), " +
+        s"${p}c$i AS (SELECT pp.cell, COALESCE(${p}n$i.cvec, pp.cvec) AS cvec, ${oSqlNrm(s"COALESCE(${p}n$i.cvec, pp.cvec)")} AS cnorm FROM $prev pp LEFT JOIN ${p}n$i USING (cell))"
+    }.mkString(", ")
+    s"${p}init AS (SELECT cell, cvec FROM (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '|$seed')) AS INT) - 1 AS cell, embedding AS cvec FROM emb) t WHERE cell < $nlist), " +
+      s"${p}c0 AS (SELECT cell, cvec, ${oSqlNrm("cvec")} AS cnorm FROM ${p}init), " +
+      iterCtes
   }
 
   /** The sim_ann_pq oracle: replays fitPqCodebooks + pqEncode +
@@ -983,20 +992,9 @@ object SparkEntry {
   private def ivfPqSql(nlist: Int, nprobe: Int, k: Int, iters: Int,
       seed: Long, dims: Int, m: Int, ksub: Int): String = {
     require(m > 0 && dims % m == 0, "dims must split into m sub-vectors")
-    val iterCtes = (1 to iters).map { i =>
-      val prev = s"vc${i - 1}"
-      s"vs$i AS (SELECT e.vec_id, c.cell, ${oSqlDot("e.embedding", "c.cvec")} / c.cnorm AS sim FROM emb e CROSS JOIN $prev c), " +
-        s"va$i AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn FROM vs$i) t WHERE rn = 1), " +
-        s"vu$i AS (SELECT a.cell, t.dim, CAST(list_aggregate(list_transform(list_sort(list({'k': a.vec_id, 'v': CAST(t.x AS DOUBLE)})), r -> r.v), 'sum') / count(*) AS REAL) AS m " +
-        s"FROM va$i a JOIN emb e USING (vec_id), LATERAL (SELECT unnest(e.embedding) AS x, unnest(range(0, len(e.embedding))) AS dim) t GROUP BY a.cell, t.dim), " +
-        s"vn$i AS (SELECT cell, list(m ORDER BY dim) AS cvec FROM vu$i GROUP BY cell), " +
-        s"vc$i AS (SELECT p.cell, COALESCE(vn$i.cvec, p.cvec) AS cvec, ${oSqlNrm(s"COALESCE(vn$i.cvec, p.cvec)")} AS cnorm FROM $prev p LEFT JOIN vn$i USING (cell))"
-    }.mkString(", ")
     val (qdJoins, ip, rn2) = pqAdcFragments(m, "vqb")
     "WITH emb AS (SELECT vec_id, embedding FROM embeddings), " +
-      s"vinit AS (SELECT cell, cvec FROM (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '|$seed')) AS INT) - 1 AS cell, embedding AS cvec FROM emb) t WHERE cell < $nlist), " +
-      s"vc0 AS (SELECT cell, cvec, ${oSqlNrm("cvec")} AS cnorm FROM vinit), " +
-      iterCtes + ", " +
+      coarseLloydCtes("v", nlist, iters, seed) + ", " +
       s"vpc AS (SELECT e.vec_id, ${oSqlNrm("e.embedding")} AS vnorm, c.cell, ${oSqlDot("e.embedding", "c.cvec")} / (${oSqlNrm("e.embedding")} * c.cnorm) AS csim FROM emb e CROSS JOIN vc$iters c), " +
       "vcb AS (SELECT vec_id AS n_id, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn FROM vpc) t WHERE rn = 1), " +
       s"vqb AS (SELECT vec_id AS q_id, vnorm AS q_norm, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn FROM vpc WHERE vec_id < 10) t WHERE rn <= $nprobe), " +
@@ -1758,8 +1756,8 @@ object SparkEntry {
         "SELECT q_id, \"rank\", n_id, round(sim, 4) AS cosine_sim FROM ranked WHERE \"rank\" <= 5"),
     "sim_ann_pq" -> pqSql(dims = 64, m = PqM, ksub = PqKsub, k = 5,
       iters = PqIters, seed = 42L),
-    "sim_ann_ivfpq" -> ivfPqSql(nlist = 16, nprobe = 4, k = 5, iters = 2,
-      seed = 42L, dims = 64, m = PqM, ksub = PqKsub),
+    "sim_ann_ivfpq" -> ivfPqSql(nlist = 16, nprobe = 4, k = 5,
+      iters = PqIters, seed = 42L, dims = 64, m = PqM, ksub = PqKsub),
     "sim_ann_ivf" -> ivfSql(nlist = 16, nprobe = 4, k = 5, iters = 2,
       seed = 42L),
     "sim_rerank" -> rerankSql(dims = 64, planes = 4, k = 5, factor = 3),

@@ -503,7 +503,18 @@ object Dedup {
     * new batch: new-batch groups union in, colliding content hashes
     * MERGE (keep_id = min across batches — exactly the rebuilt
     * table's min; counts add). One aggregate over index ∪ new-groups;
-    * the spec proves advance == rebuild bit-for-bit. */
+    * the spec proves advance == rebuild bit-for-bit.
+    *
+    * REPLAY CAVEAT — unlike the simhash/LSH advances (pure unions,
+    * dedup-idempotent), n_copies is an OCCURRENCE aggregate: the
+    * index cannot distinguish a replayed batch from genuinely new
+    * copies without holding every member id, so re-advancing the
+    * same batch re-adds its counts. The probe contract survives
+    * replay untouched (keep_id is a min — idempotent; the
+    * (content_hash, dup_of) mapping [[incrementalExactDups]] reads
+    * never changes), only the count column inflates. Feed this
+    * advance exactly-once (foreachBatch + per-batchId output
+    * commits, the MultiSink pattern) when n_copies must stay exact. */
   def advanceExactIndex(index: DataFrame, newDocs: DataFrame,
       idCol: String, textCol: String): DataFrame =
     index.unionByName(exactDupGroups(newDocs, idCol, textCol))

@@ -656,7 +656,15 @@ object Relational {
     * get z = null / is_outlier = false. [[zscoreOutliers]] is this
     * operator with stats fit on the scored frame itself. */
   def zscoreAgainstStats(df: DataFrame, stats: DataFrame, grp: String,
-      valueCol: String, threshold: Double): DataFrame =
+      valueCol: String, threshold: Double): DataFrame = {
+    val taken = Seq("__grp", "__mu", "__sd", "z", "is_outlier")
+      .filter(df.columns.contains)
+    require(taken.isEmpty,
+      s"input already has ${taken.mkString("/")} column(s) — rename " +
+        "them; z/is_outlier are zscoreAgainstStats' output columns and " +
+        "__grp/__mu/__sd are the stats table's reserved names (a " +
+        "pre-existing column would be silently overwritten or make the " +
+        "stats join ambiguous)")
     df.join(broadcast(stats), col(grp) <=> col("__grp"), "left")
       .withColumn("z",
         when(col("__sd") > 0,
@@ -664,6 +672,7 @@ object Relational {
       .withColumn("is_outlier",
         coalesce(abs(col("z")) > threshold, lit(false)))
       .drop("__grp", "__mu", "__sd")
+  }
 
   /** Deterministic global training order: a stable pseudo-random
     * permutation of the dataset, assigned as a dense rank — the

@@ -177,16 +177,21 @@ object Similarity {
     * is the same left-to-right fold VectorFns.norm2 computes) — the
     * ivf oracles replay the window definition and hash-match this
     * expression. Centroids are nlist·dims floats: literal-sized (the
-    * pqEncode parameter-bound note applies). NaN edge: a zero-norm
-    * centroid's sim sorts LAST here vs FIRST under the window's
-    * descending sort — unreachable with real fits (init centroids
-    * are corpus vectors; empty cells keep them). */
+    * pqEncode parameter-bound note applies). Degenerate edges: a
+    * ZERO-NORM CENTROID's division would yield null/NaN, which
+    * array_min's struct order ranks FIRST — the opposite of the
+    * window's DESC NULLS LAST — so such a cell is pinned to −∞
+    * similarity at plan-build time (never chosen, matching the
+    * window form); a zero-norm ROW scores equal for every cell and
+    * both forms fall to the lowest-cell tie-break. */
   private def nearestCellExpr(centroids: Array[Array[Float]],
       vec: Column, vnorm: Column): Column = {
     val cands = centroids.zipWithIndex.map { case (cent, c) =>
       val cn = math.sqrt(cent.map(x => x.toDouble * x).sum)
-      struct((-(VectorFns.dot(vec, typedLit(cent)) / (vnorm * lit(cn))))
-        .as("nd"), lit(c).as("c"))
+      val nd =
+        if (cn > 0) -(VectorFns.dot(vec, typedLit(cent)) / (vnorm * lit(cn)))
+        else lit(Double.PositiveInfinity)
+      struct(nd.as("nd"), lit(c).as("c"))
     }
     array_min(array(cands: _*)).getField("c")
   }
@@ -417,15 +422,20 @@ object Similarity {
         .filter(col("__cell") < kOf)
         .select(col("sub"), col("__cell"), col("sv"))
         .collect()
-      val cents: Map[Int, Array[Array[Float]]] =
+      val slots: Map[Int, Array[Array[Float]]] =
         problems.map(p => p.sub -> new Array[Array[Float]](p.k)).toMap
       init.foreach(r =>
-        cents(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray)
+        slots(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray)
+      // a training set smaller than k fills only the first rows ranks
+      // — trim the unfilled tail so the result matches fitCentroids'
+      // limit(k)-on-small-corpus shape (a shorter array, never nulls)
+      val cents: Map[Int, Array[Array[Float]]] =
+        slots.map { case (s, a) => s -> a.takeWhile(_ != null) }
       for (_ <- 1 to iters) {
         // centroids as broadcast DATA (plan identical every iteration,
         // codegen compiles once — the fitCentroids convention)
         val cdf = spark.createDataFrame(
-          (for (p <- problems; c <- 0 until p.k)
+          (for (p <- problems; c <- cents(p.sub).indices)
             yield (p.sub, c, cents(p.sub)(c))).toIndexedSeq)
           .toDF("sub", "cell", "centroid")
           .withColumn("c_norm", VectorFns.norm2(col("centroid")))

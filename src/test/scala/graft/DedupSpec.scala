@@ -391,6 +391,15 @@ class DedupSpec extends SparkSpec {
       df.select("content_hash", "keep_id", "n_copies")
         .as[(String, Long, Long)].collect().toSet
     assert(exSet(exAdv) === exSet(Dedup.exactDupGroups(docs, "doc_id", "text")))
+    // documented replay caveat: the keep_id/probe mapping survives a
+    // re-advance (min is idempotent) while n_copies — an occurrence
+    // aggregate — re-adds the replayed batch
+    val exReplay = Dedup.advanceExactIndex(exAdv, b2, "doc_id", "text")
+      .select("content_hash", "keep_id", "n_copies")
+      .as[(String, Long, Long)].collect()
+    assert(exReplay.map(r => r._1 -> r._2).toSet
+      === exSet(exAdv).map(r => r._1 -> r._2))
+    assert(exReplay.map(_._3).sum > exSet(exAdv).toSeq.map(_._3).sum)
     // lsh band index: advance == rebuild + idempotent re-advance
     val lshAdv = Dedup.advanceLshIndex(
       Dedup.lshBandIndex(a, "doc_id", "text", 8, 4), b, "doc_id", "text",

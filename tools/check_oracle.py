@@ -32,6 +32,14 @@ def main(sf_dir, out_dir, only=None):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        # a typo'd name must fail loudly, not produce a vacuous
+        # "0 pass / 0 fail" green (the Verify/Bench ONLY-knob contract)
+        only = {n.strip() for n in only}
+        unknown = only - set(oracles)
+        if unknown:
+            print(f"FAIL: names not in oracle_sql.json: {sorted(unknown)}")
+            return 1
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
