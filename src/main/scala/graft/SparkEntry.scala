@@ -633,6 +633,14 @@ object SparkEntry {
       Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", 0.0,
           maxDocFreq = 1000L)
         .orderBy(col("jaccard").desc, col("a_id"), col("b_id")).limit(20)),
+    "dedup_jaccard_est" -> ((s, d) => {
+      // signature-only refine of the LSH candidates: the estimate is
+      // permutation-agreement / k — never re-reads text
+      val docs = t(s, d, "documents")
+      Dedup.minhashJaccardEstimate(docs,
+        Dedup.lshCandidatePairs(docs, "doc_id", "text", MinhashK, LshBands),
+        "doc_id", "text", MinhashK)
+    }),
     "dedup_simhash" -> ((s, d) =>
       // the PORTABLE (md5-hash) flavor so the signature is
       // oracle-checkable bit-for-bit; Dedup.simhash (xxhash64) is the
@@ -1660,6 +1668,16 @@ object SparkEntry {
         "SELECT a_id, b_id, round(i / (sa.n + sb.n - i), 4) AS jaccard FROM inter " +
         "JOIN sizes sa ON inter.a_id = sa.doc_id JOIN sizes sb ON inter.b_id = sb.doc_id " +
         "ORDER BY jaccard DESC, a_id, b_id LIMIT 20"),
+    "dedup_jaccard_est" -> {
+      val agree = (0 until MinhashK)
+        .map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      shingleCte + sigCte + s", bands AS ($bandSelects), " +
+        "p AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a " +
+        "JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id) " +
+        s"SELECT p.a_id, p.b_id, CAST($agree AS DOUBLE) / $MinhashK AS jaccard_est " +
+        "FROM p JOIN sig sa ON sa.doc_id = p.a_id JOIN sig sb ON sb.doc_id = p.b_id"
+    },
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" ->
       // combination-banding join mirrors the generalized pigeonhole; the

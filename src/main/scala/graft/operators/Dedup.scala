@@ -118,6 +118,36 @@ object Dedup {
       .distinct()
   }
 
+  /** Jaccard ESTIMATE from MinHash signatures for candidate pairs —
+    * the refine stage that never re-reads TEXT: the estimator is the
+    * fraction of the k permutations on which two signatures agree
+    * (E[agreement] = J, the MinHash property), so refining a pair
+    * costs k long comparisons against the signature table the LSH
+    * index build already produces — no shingle posting lists, no text
+    * scan, which at 100 TB means the refine touches k·8 bytes per doc
+    * instead of documents. Standard error ≈ √(J(1−J)/k): at the
+    * default k=16 this is coarse triage (thresholding obvious
+    * dups/non-dups); raise k, or hand close calls to
+    * [[jaccardPairs]] / [[editDistancePairs]]. Output:
+    * (a_id, b_id, jaccard_est) — the estimate lives on the exact m/k
+    * grid, so it is emitted raw (integer-count ÷ k is IEEE-exact in
+    * any engine; no rounding needed).
+    */
+  def minhashJaccardEstimate(df: DataFrame, pairs: DataFrame,
+      idCol: String, textCol: String, k: Int): DataFrame = {
+    val sig = minhashSignatures(df, idCol, textCol, k)
+      .select(col(idCol),
+        array((0 until k).map(i => col(s"mh$i")): _*).as("__sig"))
+    pairs
+      .join(sig.select(col(idCol).as("a_id"), col("__sig").as("__sa")),
+        "a_id")
+      .join(sig.select(col(idCol).as("b_id"), col("__sig").as("__sb")),
+        "b_id")
+      .select(col("a_id"), col("b_id"),
+        (size(filter(zip_with(col("__sa"), col("__sb"), _ === _),
+          b => b)).cast("double") / k).as("jaccard_est"))
+  }
+
   /** Mega-bucket guard: cap every bucket's member array at `maxBucket`
     * elements via a DETERMINISTIC pseudo-random sample (members ordered
     * by their xxhash64, first maxBucket kept, re-sorted) — the scale

@@ -77,6 +77,9 @@ object syntax {
       Dedup.incrementalNearDups(df, index, idCol, textCol)
     def simhashBandIndex(idCol: String, textCol: String): DataFrame =
       Dedup.simhashBandIndex(df, idCol, textCol)
+    def advanceSimhashIndex(newDocs: DataFrame, idCol: String,
+        textCol: String): DataFrame =
+      Dedup.advanceSimhashIndex(df, newDocs, idCol, textCol)
 
     // text
     def textStats(idCol: String, textCol: String): DataFrame =
@@ -91,6 +94,11 @@ object syntax {
       TextAnalysis.gopherRules(df, idCol, textCol)
     def selfInfoScore(idCol: String, textCol: String): DataFrame =
       TextAnalysis.selfInfoScore(df, idCol, textCol)
+    def selfInfoBigram(idCol: String, textCol: String): DataFrame =
+      TextAnalysis.selfInfoBigram(df, idCol, textCol)
+    def sourceReport(sourceCol: String, idCol: String,
+        textCol: String): DataFrame =
+      TextAnalysis.sourceReport(df, sourceCol, idCol, textCol)
     def chunkWords(idCol: String, textCol: String, chunkSize: Int,
         overlap: Int): DataFrame =
       TextAnalysis.chunkWords(df, idCol, textCol, chunkSize, overlap)
@@ -106,5 +114,8 @@ object syntax {
       Similarity.bruteForceTopK(df, queries, k)
     def labelCentroids(labelCol: String, vecCol: String): DataFrame =
       Similarity.labelCentroids(df, labelCol, vecCol)
+    def zscoreAgainstStats(stats: DataFrame, grp: String,
+        valueCol: String, threshold: Double): DataFrame =
+      Relational.zscoreAgainstStats(df, stats, grp, valueCol, threshold)
   }
 }

@@ -59,6 +59,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhashJaccardEstimate: signature agreement tracks exact jaccard") {
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", 16, 4)
+    val est = Dedup.minhashJaccardEstimate(docs, pairs, "doc_id", "text", 16)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, e) => (a, b) -> e }.toMap
+    // identical docs: every permutation minimum agrees
+    assert(est((1L, 2L)) === 1.0)
+    // estimates live on the m/k grid within [0, 1]
+    est.values.foreach { e =>
+      assert(e >= 0.0 && e <= 1.0 && (e * 16).isWhole)
+    }
+    // the near-dup pair's estimate is within the k=16 sampling noise
+    // of its exact jaccard (deterministic fixture — no flakiness)
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    est.filter { case (k2, _) => exact.contains(k2) }
+      .foreach { case (k2, e) =>
+        assert(math.abs(e - exact(k2)) <= 0.35, s"$k2: est $e vs ${exact(k2)}")
+      }
+  }
+
   test("jaccardPairs: identical docs = 1.0, near-dups high, ordered a < b") {
     val j = Dedup.jaccardPairs(docs, "doc_id", "text", 0.0)
       .as[(Long, Long, Double)].collect()
