@@ -42,7 +42,21 @@ object VectorFns {
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in [-1, 1]. */
+  /** Similarity-scoring division with a degenerate guard: a
+    * non-positive (or null) norm product scores −Infinity — never the
+    * nearest neighbor, below every similarity threshold — instead of
+    * THROWING under Spark's default ANSI divide-by-zero. Zero-norm
+    * vectors are not hypothetical at corpus scale (padding rows, dead
+    * encoders, all-zero PQ sub-slices — the sparse-block case), and a
+    * single one must not kill a 100 TB scan or a Lloyd fit. The
+    * guarded branch evaluates the UNTOUCHED division, so scores for
+    * non-degenerate rows — everything the oracles check — are
+    * bit-identical. */
+  def simDiv(num: Column, den: Column): Column =
+    when(den > 0, num / den).otherwise(lit(Double.NegativeInfinity))
+
+  /** Cosine similarity in [-1, 1]; −Infinity for a zero-norm side
+    * (see [[simDiv]]). */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm2(a) * norm2(b))
+    simDiv(dot(a, b), norm2(a) * norm2(b))
 }

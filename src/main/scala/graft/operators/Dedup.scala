@@ -858,8 +858,9 @@ object Dedup {
       col(vecCol).as("b_vec"), VectorFns.norm2(col(vecCol)).as("b_norm"))
     a.join(b, Seq("blk"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("sim", VectorFns.dot(col("a_vec"), col("b_vec"))
-        / (col("a_norm") * col("b_norm")))
+      .withColumn("sim", VectorFns.simDiv(
+        VectorFns.dot(col("a_vec"), col("b_vec")),
+        col("a_norm") * col("b_norm")))
       .filter(col("sim") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("cosine_sim"))
   }

@@ -47,8 +47,9 @@ object Similarity {
     val scored = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
         VectorFns.norm2(col(vecCol)).as("n_norm"))
       .join(q, col("n_id") =!= col("q_id"))
-      .withColumn("sim", VectorFns.dot(col("q_vec"), col("n_vec"))
-        / (col("q_norm") * col("n_norm")))
+      .withColumn("sim", VectorFns.simDiv(
+        VectorFns.dot(col("q_vec"), col("n_vec")),
+        col("q_norm") * col("n_norm")))
     rankTopK(scored, k)
   }
 
@@ -64,8 +65,9 @@ object Similarity {
       col(vecCol).as("b_vec"), VectorFns.norm2(col(vecCol)).as("b_norm"))
     val scored = a.join(b, Seq("blk"))
       .filter(col("a_id") =!= col("b_id"))
-      .withColumn("sim", VectorFns.dot(col("a_vec"), col("b_vec"))
-        / (col("a_norm") * col("b_norm")))
+      .withColumn("sim", VectorFns.simDiv(
+        VectorFns.dot(col("a_vec"), col("b_vec")),
+        col("a_norm") * col("b_norm")))
     val w = Window.partitionBy(col("a_id"))
       .orderBy(col("sim").desc, col("b_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -136,8 +138,9 @@ object Similarity {
       nprobe)
     val scored = cb.join(qb, Seq("cell"))
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("sim", VectorFns.dot(col("q_vec"), col("n_vec"))
-        / (col("q_norm") * col("n_norm")))
+      .withColumn("sim", VectorFns.simDiv(
+        VectorFns.dot(col("q_vec"), col("n_vec")),
+        col("q_norm") * col("n_norm")))
     rankTopK(scored, k)
   }
 
@@ -159,8 +162,9 @@ object Similarity {
     val w = Window.partitionBy(col(id))
       .orderBy(col("__csim").desc, col("cell"))
     df.join(broadcast(cdf))
-      .withColumn("__csim", VectorFns.dot(col(vec), col("centroid"))
-        / (VectorFns.norm2(col(vec)) * col("c_norm")))
+      .withColumn("__csim", VectorFns.simDiv(
+        VectorFns.dot(col(vec), col("centroid")),
+        VectorFns.norm2(col(vec)) * col("c_norm")))
       .withColumn("__cr", row_number().over(w))
       .filter(col("__cr") <= n)
       .drop("centroid", "c_norm", "__csim", "__cr")
@@ -188,8 +192,12 @@ object Similarity {
       vec: Column, vnorm: Column): Column = {
     val cands = centroids.zipWithIndex.map { case (cent, c) =>
       val cn = math.sqrt(cent.map(x => x.toDouble * x).sum)
+      // dead centroid pruned at plan-build time; simDiv guards the
+      // zero-norm ROW at run time (both yield +inf after negation —
+      // sorted last, never chosen over a live cell)
       val nd =
-        if (cn > 0) -(VectorFns.dot(vec, typedLit(cent)) / (vnorm * lit(cn)))
+        if (cn > 0) -VectorFns.simDiv(
+          VectorFns.dot(vec, typedLit(cent)), vnorm * lit(cn))
         else lit(Double.PositiveInfinity)
       struct(nd.as("nd"), lit(c).as("c"))
     }
@@ -298,8 +306,8 @@ object Similarity {
           .withColumn("c_norm", VectorFns.norm2(col("centroid")))
         val next = cents.map(_.clone())
         train.join(broadcast(cdf))
-          .withColumn("__sim",
-            VectorFns.dot(col(vecCol), col("centroid")) / col("c_norm"))
+          .withColumn("__sim", VectorFns.simDiv(
+            VectorFns.dot(col(vecCol), col("centroid")), col("c_norm")))
           .groupBy(col(idCol))
           .agg(max(struct(col("__sim"), col("cell"))).as("b"),
             first(col(vecCol)).as("__v"))
@@ -441,8 +449,8 @@ object Similarity {
           .withColumn("c_norm", VectorFns.norm2(col("centroid")))
         val next = cents.map { case (s, a) => s -> a.map(_.clone()) }
         train.join(broadcast(cdf), Seq("sub"))
-          .withColumn("__sim",
-            VectorFns.dot(col("sv"), col("centroid")) / col("c_norm"))
+          .withColumn("__sim", VectorFns.simDiv(
+            VectorFns.dot(col("sv"), col("centroid")), col("c_norm")))
           .groupBy(col("sub"), col("__id"))
           .agg(max(struct(col("__sim"), col("cell"))).as("b"),
             first(col("sv")).as("__v"))
@@ -553,9 +561,10 @@ object Similarity {
     * recall against the exact scan. Output contract as
     * [[bruteForceTopK]] with `cosine_sim` the ADC approximation —
     * EXCEPT degenerate vectors: a zero-norm query or all-zero
-    * reconstruction scores sim 0.0 here (explicit guard, so the
-    * compressed scan never emits NaN), where bruteForceTopK divides
-    * directly and yields NaN for a zero-norm side. */
+    * reconstruction scores sim 0.0 here (explicit guard), where the
+    * exact scans score a zero-norm side −Infinity (VectorFns.simDiv —
+    * never a neighbor). Both conventions keep degenerate rows out of
+    * real top-k results; they differ only in the emitted sentinel. */
   def pqAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       codebooks: Array[Array[Array[Float]]],
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -709,8 +718,9 @@ object Similarity {
       explode(probes).as("bucket"))
     val scored = cb.join(qb, Seq("bucket"))
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("sim", VectorFns.dot(col("q_vec"), col("n_vec"))
-        / (col("q_norm") * col("n_norm")))
+      .withColumn("sim", VectorFns.simDiv(
+        VectorFns.dot(col("q_vec"), col("n_vec")),
+        col("q_norm") * col("n_norm")))
     rankTopK(scored, k)
   }
 
@@ -743,9 +753,9 @@ object Similarity {
       bkt(col(vecCol)).as("bucket"), VectorFns.norm2(col(vecCol)).as("q_norm"))
     val shortlist = cb.join(qb, Seq("bucket"))
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("qsim",
-        VectorFns.dot(col("q_vec"), dequantizeEmbedding(col("n_q")))
-          / (col("q_norm") * col("n_dqn")))
+      .withColumn("qsim", VectorFns.simDiv(
+        VectorFns.dot(col("q_vec"), dequantizeEmbedding(col("n_q"))),
+        col("q_norm") * col("n_dqn")))
       .groupBy(col("q_id"))
       .agg(call_function("graft_topk", col("qsim"),
         col("n_id").cast("long"), lit(k * rerankFactor)).as("topk"))
@@ -757,8 +767,9 @@ object Similarity {
     val qx = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       VectorFns.norm2(col(vecCol)).as("q_norm"))
     val scored = shortlist.join(cx, "n_id").join(qx, "q_id")
-      .withColumn("sim", VectorFns.dot(col("q_vec"), col("n_vec"))
-        / (col("q_norm") * col("n_norm")))
+      .withColumn("sim", VectorFns.simDiv(
+        VectorFns.dot(col("q_vec"), col("n_vec")),
+        col("q_norm") * col("n_norm")))
     rankTopK(scored, k)
   }
 
@@ -772,8 +783,9 @@ object Similarity {
       bkt(col(vecCol)).as("bucket"), VectorFns.norm2(col(vecCol)).as("q_norm"))
     val scored = cb.join(qb, Seq("bucket"))
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("sim", VectorFns.dot(col("q_vec"), col("n_vec"))
-        / (col("q_norm") * col("n_norm")))
+      .withColumn("sim", VectorFns.simDiv(
+        VectorFns.dot(col("q_vec"), col("n_vec")),
+        col("q_norm") * col("n_norm")))
     rankTopK(scored, k)
   }
 }

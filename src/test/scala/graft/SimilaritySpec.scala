@@ -296,6 +296,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PQ/IVF degenerate edges: tiny corpus trims, zero-norm cell unpicked") {
+    // corpus smaller than ksub: codebooks come back SHORTER (the
+    // fitCentroids limit(k) shape), never null-padded, and encoding
+    // against them works
+    val tiny = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 1f))
+    ).toDF("vec_id", "embedding")
+    val cb = Similarity.fitPqCodebooks(tiny, "vec_id", "embedding",
+      dims = 4, m = 2, ksub = 8, iters = 1, seed = 1L)
+    assert(cb.length === 2 && cb.forall(_.length === 3))
+    val codes = tiny.select(Similarity.pqEncode(col("embedding"), cb))
+      .as[Seq[Int]].collect()
+    assert(codes.forall(cs => cs.length == 2 &&
+      cs.forall(c => c >= 0 && c < 3)))
+    // a zero-norm coarse centroid must never win corpus assignment
+    // (its cosine is pinned to -inf, the window form's NULLS LAST):
+    // with cell 0 dead, every corpus row lands in cell 1 and results
+    // equal the single-cell scan
+    val coarse = Array(Array(0f, 0f, 0f, 0f), Array(1f, 1f, 1f, 1f))
+    val out = Similarity.ivfPqTopK(tiny, tiny.filter(col("vec_id") === 1), 2,
+      nprobe = 2, coarse, cb)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L), (1L, 3L))) // all corpus reachable
+  }
+
   test("srpBucket is deterministic and splits opposite vectors") {
     val df = Seq((Array(1f, 0f, 0f, 0f), Array(-1f, 0f, 0f, 0f)))
       .toDF("a", "b")
