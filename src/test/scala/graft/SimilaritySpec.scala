@@ -323,6 +323,36 @@ class SimilaritySpec extends SparkSpec {
     assert(out === Set((1L, 2L), (1L, 3L))) // all corpus reachable
   }
 
+  test("pqEncode matches a driver-side argmin reference on random inputs") {
+    // randomized cross-check of the literal-codebook expression against
+    // an independent Scala replay of its own contract (d = ‖c‖² −
+    // Σ subᵢ·2centᵢ left-to-right, ties to the lower code) — sparse
+    // vectors included (1-in-5 zero coordinates, so some sub-slices go
+    // all-zero: the L2 rule's motivating case)
+    val rnd = new scala.util.Random(11)
+    val m = 4; val dsub = 4; val ksub = 5
+    val cb: Array[Array[Array[Float]]] =
+      Array.fill(m, ksub, dsub)(rnd.nextFloat() - 0.5f)
+    val vecs = (0 until 40).map(i => (i.toLong,
+      Array.fill(m * dsub)(
+        if (rnd.nextInt(5) == 0) 0f else rnd.nextFloat() - 0.5f)))
+    val got = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        Similarity.pqEncode(col("embedding"), cb).as("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    vecs.foreach { case (id, v) =>
+      val want = (0 until m).map { j =>
+        val sub = v.slice(j * dsub, (j + 1) * dsub)
+        val ds = cb(j).map { cent =>
+          val cn2 = cent.map(x => x.toDouble * x).sum
+          cn2 - sub.indices.map(i => sub(i).toDouble * (2.0 * cent(i))).sum
+        }
+        ds.indices.minBy(c => (ds(c), c))
+      }
+      assert(got(id) === want, s"vec $id")
+    }
+  }
+
   test("srpBucket is deterministic and splits opposite vectors") {
     val df = Seq((Array(1f, 0f, 0f, 0f), Array(-1f, 0f, 0f, 0f)))
       .toDF("a", "b")
