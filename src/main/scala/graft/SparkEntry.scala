@@ -593,6 +593,10 @@ object SparkEntry {
       // convention as text_self_info
       TextAnalysis.selfInfoBigramPortable(t(s, d, "documents"),
         "doc_id", "text")),
+    "text_self_info3" -> ((s, d) =>
+      // the general n-gram rung at n=3: two-token contexts
+      TextAnalysis.selfInfoNgramPortable(t(s, d, "documents"),
+        "doc_id", "text", 3)),
     "text_gopher" -> ((s, d) =>
       // thresholds chosen to BISECT this corpus (words 10-99 median 56,
       // mean word len 3.7-5.3) so both keep outcomes are exercised
@@ -1311,6 +1315,16 @@ object SparkEntry {
         "i AS (SELECT doc_id, ln(CAST(n1 AS DOUBLE)) - ln(CAST(n2 AS DOUBLE)) AS info FROM big JOIN c2 USING (prev, tok) JOIN c1 USING (prev)) " +
         "SELECT doc_id, count(*) AS n_bigrams, " +
         "round(list_aggregate(list_sort(list(info)), 'sum') / count(*), 4) AS self_info2 " +
+        "FROM i GROUP BY doc_id"),
+    "text_self_info3" ->
+      // the n=3 mirror: context = two preceding tokens space-joined
+      (s"WITH base AS (SELECT doc_id, regexp_extract_all($normSql, '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS ts FROM documents), " +
+        "big AS (SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS ctx, ts[i + 2] AS tok FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM base) t), " +
+        "c2 AS (SELECT ctx, tok, count(*) AS n2 FROM big GROUP BY 1, 2), " +
+        "c1 AS (SELECT ctx, CAST(sum(n2) AS BIGINT) AS n1 FROM c2 GROUP BY 1), " +
+        "i AS (SELECT doc_id, ln(CAST(n1 AS DOUBLE)) - ln(CAST(n2 AS DOUBLE)) AS info FROM big JOIN c2 USING (ctx, tok) JOIN c1 USING (ctx)) " +
+        "SELECT doc_id, count(*) AS n_ngrams, " +
+        "round(list_aggregate(list_sort(list(info)), 'sum') / count(*), 4) AS self_info_lm " +
         "FROM i GROUP BY doc_id"),
     "text_gopher" ->
       (s"SELECT doc_id, CAST(len($wordsSql) AS BIGINT) AS n_words, " +

@@ -274,39 +274,54 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"),
         round(mean(col("__info"), count(lit(1))), 4).as("self_info"))
 
-  /** (id, __prev, __tok2) rows — one per adjacent token pair of each
-    * document (docs under 2 tokens emit nothing). The token array is
-    * materialized in its own projection before the zip (HOF lambda
-    * rule); the pair array is two slices zipped, so the whole
-    * construction is per-row expressions + ONE generator — which is
-    * why it runs on BATCH and STREAMING frames alike
-    * (StreamOps.selfInfoBigramWithinWindow). */
-  private[graft] def bigramRows(df: DataFrame, textCol: String,
+  /** (keep..., __prev, __tok2) rows — one per (context, next-token)
+    * position of each document, context = the space-joined n−1
+    * preceding tokens (docs under n tokens emit nothing: the guarded
+    * `when` yields null and explode drops it). The token array is
+    * materialized in its own projection before the window transform
+    * (HOF lambda rule); everything is per-row expressions + ONE
+    * generator — which is why it runs on BATCH and STREAMING frames
+    * alike (StreamOps.selfInfoBigramWithinWindow). */
+  private[graft] def ngramRows(df: DataFrame, textCol: String, n: Int,
       keep: Column*): DataFrame = {
+    require(n >= 2, "n >= 2 (unigram scoring is selfInfoScore)")
     val ts = col("__ts")
-    val n1 = greatest(size(ts) - 1, lit(0))
+    val nCtx = n - 1
+    val pairs = when(size(ts) >= n,
+      transform(sequence(lit(1), size(ts) - nCtx),
+        i => struct(array_join(slice(ts, i, lit(nCtx)), " ").as("p"),
+          element_at(ts, i + nCtx).as("t"))))
     df.select((keep :+ TextFns.bpeishTokens(col(textCol)).as("__ts")): _*)
-      .select((keep :+ explode(zip_with(
-        slice(ts, lit(1), n1), slice(ts, lit(2), n1),
-        (a, b) => struct(a.as("p"), b.as("t")))).as("__bg")): _*)
+      .select((keep :+ explode(pairs).as("__bg")): _*)
       .select((keep :+ col("__bg.p").as("__prev")
         :+ col("__bg.t").as("__tok2")): _*)
   }
 
-  /** The frozen BIGRAM model of a corpus — one step up the n-gram
-    * ladder from [[selfInfoModel]] toward the CCNet-style KenLM
-    * filter: one row per observed token pair with the conditional
-    * surprisal −ln P(tok | prev) = ln c(prev,·) − ln c(prev, tok),
-    * MLE over bigram occurrences. Bigram-TYPE-bounded (far below
-    * corpus rows for natural text), persistable, and — like the
-    * unigram model — the artifact batches and streams score against
-    * without re-reading the corpus. Columns internal-named
-    * (__fprev, __ftok, __info2). */
-  def selfInfoBigramModel(df: DataFrame, textCol: String): DataFrame = {
-    val c2 = bigramRows(df, textCol)
+  /** Adjacent token pairs — [[ngramRows]] at n = 2 (kept as the named
+    * entry point the streaming scorer builds on). */
+  private[graft] def bigramRows(df: DataFrame, textCol: String,
+      keep: Column*): DataFrame = ngramRows(df, textCol, 2, keep: _*)
+
+  /** The frozen n-GRAM conditional model of a corpus — the ladder
+    * from [[selfInfoModel]] toward the CCNet-style KenLM filter: one
+    * row per observed (context, token) with the conditional surprisal
+    * −ln P(tok | ctx) = ln c(ctx,·) − ln c(ctx, tok), MLE over n-gram
+    * occurrences (context = the n−1 preceding tokens, space-joined).
+    * n-gram-TYPE-bounded (far below corpus rows for natural text),
+    * persistable, and — like the unigram model — the artifact batches
+    * and streams score against without re-reading the corpus. No
+    * smoothing/backoff: out-of-model contexts are skipped at scoring
+    * time by the inner join (the OOV convention), which is the honest
+    * MLE contract — add interpolation upstream if coverage matters
+    * more than calibration. Columns internal-named
+    * (__fprev, __ftok, __info2) — interchangeable across n at
+    * scoring time as long as fit and score use the same n. */
+  def selfInfoNgramModel(df: DataFrame, textCol: String,
+      n: Int): DataFrame = {
+    val c2 = ngramRows(df, textCol, n)
       .groupBy(col("__prev").as("__fprev"), col("__tok2").as("__ftok"))
       .agg(count(lit(1)).as("__n2"))
-    // c(prev,·) folds from the pair counts — one extra vocab-bounded
+    // c(ctx,·) folds from the pair counts — one extra type-bounded
     // aggregate, no second corpus scan
     val c1 = c2.groupBy(col("__fprev")).agg(sum(col("__n2")).as("__n1"))
     c2.join(c1, Seq("__fprev"))
@@ -315,44 +330,71 @@ object TextAnalysis {
           .as("__info2"))
   }
 
-  /** Bigram self-information score: a document's mean conditional
-    * surprisal under the corpus's own bigram model — sharper than the
+  /** The n = 2 model ([[selfInfoNgramModel]]). */
+  def selfInfoBigramModel(df: DataFrame, textCol: String): DataFrame =
+    selfInfoNgramModel(df, textCol, 2)
+
+  /** n-gram self-information score: a document's mean conditional
+    * surprisal under the corpus's own n-gram model — sharper than the
     * unigram [[selfInfoScore]] (it sees word ORDER: templated text
     * with common words in fixed patterns scores low even when the
-    * unigram mix looks diverse). THE SCALE DEFAULT: algebraic avg per
-    * doc; joins are (prev, tok)-keyed against the type-bounded model.
-    * Docs under 2 tokens (and docs whose every bigram is
-    * out-of-model) emit nothing — the unigram scorer's OOV-skip
-    * convention. Output: (id, n_bigrams, self_info2 rounded to 4).
+    * unigram mix looks diverse; each +1 of n sharpens the context).
+    * THE SCALE DEFAULT: algebraic avg per doc; joins are
+    * (ctx, tok)-keyed against the type-bounded model. Docs under n
+    * tokens (and docs whose every n-gram is out-of-model) emit
+    * nothing — the unigram scorer's OOV-skip convention. Output:
+    * (id, n_ngrams, self_info_lm rounded to 4).
     */
-  def selfInfoBigram(df: DataFrame, idCol: String,
-      textCol: String): DataFrame =
-    bigramAgg(df, selfInfoBigramModel(df, textCol), idCol, textCol,
+  def selfInfoNgram(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    ngramAgg(df, selfInfoNgramModel(df, textCol, n), idCol, textCol, n,
       (i, _) => avg(i))
 
-  /** Oracle-portable flavor of [[selfInfoBigram]] (ordered fold over
+  /** Oracle-portable flavor of [[selfInfoNgram]] (ordered fold over
     * the sorted surprisal list — the selfInfoScorePortable
     * convention; per-doc state bounded by doc length). */
+  def selfInfoNgramPortable(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    ngramAgg(df, selfInfoNgramModel(df, textCol, n), idCol, textCol, n,
+      (i, cnt) => aggregate(sort_array(collect_list(i)), lit(0.0), _ + _) / cnt)
+
+  /** Score documents against a FROZEN [[selfInfoNgramModel]] — the
+    * arrival path (the scoreAgainstModel pattern). `n` MUST match the
+    * model fit. */
+  def scoreAgainstNgramModel(df: DataFrame, model: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame =
+    ngramAgg(df, model, idCol, textCol, n, (i, _) => avg(i))
+
+  /** Bigram (n = 2) flavors, kept under their established names and
+    * output columns (n_bigrams, self_info2). */
+  def selfInfoBigram(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    asBigramColumns(selfInfoNgram(df, idCol, textCol, 2))
+
+  /** See [[selfInfoBigram]]; ordered-fold oracle flavor. */
   def selfInfoBigramPortable(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    bigramAgg(df, selfInfoBigramModel(df, textCol), idCol, textCol,
-      (i, n) => aggregate(sort_array(collect_list(i)), lit(0.0), _ + _) / n)
+    asBigramColumns(selfInfoNgramPortable(df, idCol, textCol, 2))
 
-  /** Score documents against a FROZEN [[selfInfoBigramModel]] — the
-    * arrival path (the scoreAgainstModel pattern). */
+  /** Score against a frozen n = 2 model; see [[scoreAgainstNgramModel]]. */
   def scoreAgainstBigramModel(df: DataFrame, model: DataFrame,
       idCol: String, textCol: String): DataFrame =
-    bigramAgg(df, model, idCol, textCol, (i, _) => avg(i))
+    asBigramColumns(scoreAgainstNgramModel(df, model, idCol, textCol, 2))
 
-  /** Shared body of the bigram-scoring flavors. */
-  private def bigramAgg(df: DataFrame, model: DataFrame, idCol: String,
-      textCol: String, mean: (Column, Column) => Column): DataFrame =
-    bigramRows(df, textCol, col(idCol))
+  private def asBigramColumns(df: DataFrame): DataFrame =
+    df.withColumnRenamed("n_ngrams", "n_bigrams")
+      .withColumnRenamed("self_info_lm", "self_info2")
+
+  /** Shared body of the n-gram-scoring flavors. */
+  private def ngramAgg(df: DataFrame, model: DataFrame, idCol: String,
+      textCol: String, n: Int,
+      mean: (Column, Column) => Column): DataFrame =
+    ngramRows(df, textCol, n, col(idCol))
       .join(model, col("__prev") === col("__fprev") &&
         col("__tok2") === col("__ftok"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(mean(col("__info2"), count(lit(1))), 4).as("self_info2"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        round(mean(col("__info2"), count(lit(1))), 4).as("self_info_lm"))
 
   /** Gopher-style rule filter (Rae et al. 2021's quality heuristics,
     * the industry-standard cheap gate): word-count bounds, mean-word-

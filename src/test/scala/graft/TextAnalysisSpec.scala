@@ -241,6 +241,19 @@ class TextAnalysisSpec extends SparkSpec {
     dflt.foreach { case (id, (_, s)) =>
       assert(math.abs(s - frozen(id)) <= 1e-12, s"doc $id")
     }
+    // the general n-gram rung: at n=3 the pattern doc (one repeated
+    // trigram context) still scores below the scrambled doc, counts
+    // drop by one per document vs n=2, and a 2-token doc emits nothing
+    val tri = TextAnalysis.selfInfoNgram(docs, "doc_id", "text", 3)
+      .select("doc_id", "n_ngrams", "self_info_lm")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(tri(1L)._1 === 18L && !tri.contains(3L))
+    assert(tri(1L)._2 < tri(2L)._2)
+    val tinyDoc = Seq((9L, "two tokens")).toDF("doc_id", "text")
+    assert(TextAnalysis.selfInfoNgram(
+      tinyDoc.union(docs), "doc_id", "text", 3)
+      .filter(col("doc_id") === 9L).count() === 0L)
   }
 
   test("sourceReport: per-source counts correct, flavors agree") {
