@@ -135,28 +135,38 @@ object StreamOps {
       .agg(count(lit(1)).as("n_tokens"),
         round(avg(col("__info")), 4).as("self_info"))
 
-  /** Streaming BIGRAM self-information scoring against a FROZEN
-    * bigram model (TextAnalysis.selfInfoBigramModel output) — the
+  /** Streaming n-GRAM self-information scoring against a FROZEN
+    * conditional model (TextAnalysis.selfInfoNgramModel output) — the
     * order-aware sibling of [[selfInfoWithinWindow]], same shape:
-    * arriving documents explode to adjacent token pairs (pure per-row
-    * expressions + one generator), stream-static join the
-    * type-bounded model on (prev, tok), and re-aggregate per doc
+    * arriving documents explode to (context, token) positions (pure
+    * per-row expressions + one generator), stream-static join the
+    * type-bounded model on (ctx, tok), and re-aggregate per doc
     * inside an event-time window so state retires at the watermark.
-    * Out-of-model pairs (and docs under 2 tokens) are skipped by the
-    * inner join, as in the batch scorer. Output: (window, id,
-    * n_bigrams, self_info2).
+    * Out-of-model positions (and docs under n tokens) are skipped by
+    * the inner join, as in the batch scorer. `n` MUST match the model
+    * fit. Output: (window, id, n_ngrams, self_info_lm).
     */
-  def selfInfoBigramWithinWindow(stream: DataFrame, model: DataFrame,
-      idCol: String, textCol: String, tsCol: String,
+  def selfInfoNgramWithinWindow(stream: DataFrame, model: DataFrame,
+      idCol: String, textCol: String, tsCol: String, n: Int,
       windowDuration: String, watermarkDelay: String): DataFrame =
     graft.operators.TextAnalysis
-      .bigramRows(stream, textCol, col(idCol), col(tsCol))
+      .ngramRows(stream, textCol, n, col(idCol), col(tsCol))
       .withWatermark(tsCol, watermarkDelay)
       .join(model, col("__prev") === col("__fprev") &&
         col("__tok2") === col("__ftok"))
       .groupBy(window(col(tsCol), windowDuration), col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(col("__info2")), 4).as("self_info2"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        round(avg(col("__info2")), 4).as("self_info_lm"))
+
+  /** The n = 2 windowed scorer, kept under its established name and
+    * output columns (n_bigrams, self_info2). */
+  def selfInfoBigramWithinWindow(stream: DataFrame, model: DataFrame,
+      idCol: String, textCol: String, tsCol: String,
+      windowDuration: String, watermarkDelay: String): DataFrame =
+    selfInfoNgramWithinWindow(stream, model, idCol, textCol, tsCol, 2,
+      windowDuration, watermarkDelay)
+      .withColumnRenamed("n_ngrams", "n_bigrams")
+      .withColumnRenamed("self_info_lm", "self_info2")
 
   /** Streaming incremental near-dup detection against a STATIC corpus
     * signature index (the output of Dedup.simhashBandIndex, typically

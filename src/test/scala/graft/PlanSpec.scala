@@ -79,6 +79,19 @@ class PlanSpec extends SparkSpec {
       plan.take(800))
   }
 
+  test("n-gram scorers join the model by equi-keys only — no fan-out") {
+    // the (ctx, tok) model attach and the c(ctx,·) re-aggregate must
+    // all be hash/sort-merge equi-joins; a nested-loop or cartesian
+    // anywhere means the conditional model exploded
+    Seq("text_self_info2", "text_self_info3").foreach { q =>
+      val plan = planOf(q)
+      assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+        s"$q: ${plan.take(600)}")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), s"$q: ${plan.take(600)}")
+    }
+  }
+
   test("gopher rules plan zero exchanges (pure per-row gate)") {
     val plan = planOf("text_gopher")
     assert(!plan.contains("Exchange"), plan.take(800))
