@@ -884,10 +884,10 @@ object SparkEntry {
     val nrm = oSqlNrm _
     "WITH emb AS (SELECT vec_id, embedding FROM embeddings), " +
       coarseLloydCtes("", nlist, iters, seed) + ", " +
-      s"pc AS (SELECT e.vec_id, e.embedding, ${nrm("e.embedding")} AS vnorm, c.cell, ${dot("e.embedding", "c.cvec")} / (${nrm("e.embedding")} * c.cnorm) AS csim FROM emb e CROSS JOIN c$iters c), " +
+      s"pc AS (SELECT e.vec_id, e.embedding, ${nrm("e.embedding")} AS vnorm, c.cell, ${oSqlSimDiv(dot("e.embedding", "c.cvec"), s"${nrm("e.embedding")} * c.cnorm")} AS csim FROM emb e CROSS JOIN c$iters c), " +
       "cb AS (SELECT vec_id AS n_id, embedding AS n_vec, vnorm AS n_norm, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn FROM pc) t WHERE rn = 1), " +
       s"qb AS (SELECT vec_id AS q_id, embedding AS q_vec, vnorm AS q_norm, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn FROM pc WHERE vec_id < 10) t WHERE rn <= $nprobe), " +
-      s"scored AS (SELECT q_id, n_id, ${dot("q_vec", "n_vec")} / (q_norm * n_norm) AS sim FROM cb JOIN qb USING (cell) WHERE n_id <> q_id), " +
+      s"scored AS (SELECT q_id, n_id, ${oSqlSimDiv(dot("q_vec", "n_vec"), "q_norm * n_norm")} AS sim FROM cb JOIN qb USING (cell) WHERE n_id <> q_id), " +
       "ranked AS (SELECT q_id, n_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS \"rank\" FROM scored) " +
       s"SELECT q_id, \"rank\", n_id, round(sim, 4) AS cosine_sim FROM ranked WHERE \"rank\" <= $k"
   }
@@ -902,7 +902,7 @@ object SparkEntry {
       seed: Long): String = {
     val iterCtes = (1 to iters).map { i =>
       val prev = s"${p}c${i - 1}"
-      s"${p}s$i AS (SELECT e.vec_id, c.cell, ${oSqlDot("e.embedding", "c.cvec")} / c.cnorm AS sim FROM emb e CROSS JOIN $prev c), " +
+      s"${p}s$i AS (SELECT e.vec_id, c.cell, ${oSqlSimDiv(oSqlDot("e.embedding", "c.cvec"), "c.cnorm")} AS sim FROM emb e CROSS JOIN $prev c), " +
         s"${p}a$i AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn FROM ${p}s$i) t WHERE rn = 1), " +
         s"${p}u$i AS (SELECT a.cell, t.dim, CAST(list_aggregate(list_transform(list_sort(list({'k': a.vec_id, 'v': CAST(t.x AS DOUBLE)})), r -> r.v), 'sum') / count(*) AS REAL) AS m " +
         s"FROM ${p}a$i a JOIN emb e USING (vec_id), LATERAL (SELECT unnest(e.embedding) AS x, unnest(range(0, len(e.embedding))) AS dim) t GROUP BY a.cell, t.dim), " +
@@ -931,6 +931,13 @@ object SparkEntry {
     s"(SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest($a) AS x, unnest($b) AS y) zz)"
   private def oSqlNrm(a: String) =
     s"sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest($a) AS x) zn))"
+  /** Mirror of VectorFns.simDiv: a non-positive norm product scores
+    * −Infinity instead of dividing — keeps the engines' degenerate-row
+    * conventions identical (non-degenerate rows evaluate the untouched
+    * quotient). */
+  private def oSqlSimDiv(num: String, den: String): String =
+    s"(CASE WHEN $den > 0 THEN $num / ($den) ELSE CAST('-infinity' AS DOUBLE) END)"
+
   private def oSqlSumsq(a: String) =
     s"(SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest($a) AS x) zs)"
 
@@ -947,7 +954,7 @@ object SparkEntry {
       val p = s"j$j"
       val iterCtes = (1 to iters).map { i =>
         val prev = s"${p}c${i - 1}"
-        s"${p}s$i AS (SELECT e.vec_id, c.cell, ${oSqlDot("e.sv", "c.cvec")} / c.cnorm AS sim FROM ${p}e e CROSS JOIN $prev c), " +
+        s"${p}s$i AS (SELECT e.vec_id, c.cell, ${oSqlSimDiv(oSqlDot("e.sv", "c.cvec"), "c.cnorm")} AS sim FROM ${p}e e CROSS JOIN $prev c), " +
           s"${p}a$i AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn FROM ${p}s$i) t WHERE rn = 1), " +
           s"${p}u$i AS (SELECT a.cell, t.dim, CAST(list_aggregate(list_transform(list_sort(list({'k': a.vec_id, 'v': CAST(t.x AS DOUBLE)})), r -> r.v), 'sum') / count(*) AS REAL) AS m " +
           s"FROM ${p}a$i a JOIN ${p}e e USING (vec_id), LATERAL (SELECT unnest(e.sv) AS x, unnest(range(0, len(e.sv))) AS dim) t GROUP BY a.cell, t.dim), " +
@@ -1007,7 +1014,7 @@ object SparkEntry {
     val (qdJoins, ip, rn2) = pqAdcFragments(m, "vqb")
     "WITH emb AS (SELECT vec_id, embedding FROM embeddings), " +
       coarseLloydCtes("v", nlist, iters, seed) + ", " +
-      s"vpc AS (SELECT e.vec_id, ${oSqlNrm("e.embedding")} AS vnorm, c.cell, ${oSqlDot("e.embedding", "c.cvec")} / (${oSqlNrm("e.embedding")} * c.cnorm) AS csim FROM emb e CROSS JOIN vc$iters c), " +
+      s"vpc AS (SELECT e.vec_id, ${oSqlNrm("e.embedding")} AS vnorm, c.cell, ${oSqlSimDiv(oSqlDot("e.embedding", "c.cvec"), s"${oSqlNrm("e.embedding")} * c.cnorm")} AS csim FROM emb e CROSS JOIN vc$iters c), " +
       "vcb AS (SELECT vec_id AS n_id, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn FROM vpc) t WHERE rn = 1), " +
       s"vqb AS (SELECT vec_id AS q_id, vnorm AS q_norm, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn FROM vpc WHERE vec_id < 10) t WHERE rn <= $nprobe), " +
       pqSubCtes(dims, m, ksub, iters, seed) + ", " +
@@ -1043,12 +1050,12 @@ object SparkEntry {
       s"dq AS (SELECT vec_id, embedding, list_transform(embedding, x -> $deq) AS dqv, " +
       s"${srpBucketSql("embedding", dims, planes)} AS bucket FROM qz), " +
       s"q AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket, ${nrm("embedding")} AS q_norm FROM dq WHERE vec_id < 10), " +
-      s"cand AS (SELECT q.q_id, c.vec_id AS n_id, ${dot("q.q_vec", "c.dqv")} / (q.q_norm * ${nrm("c.dqv")}) AS qsim " +
+      s"cand AS (SELECT q.q_id, c.vec_id AS n_id, ${oSqlSimDiv(dot("q.q_vec", "c.dqv"), s"q.q_norm * ${nrm("c.dqv")}")} AS qsim " +
       "FROM dq c JOIN q USING (bucket) WHERE c.vec_id <> q.q_id), " +
       "short AS (SELECT q_id, n_id FROM (SELECT q_id, n_id, " +
       "row_number() OVER (PARTITION BY q_id ORDER BY qsim DESC, n_id) AS rn FROM cand) t " +
       s"WHERE rn <= ${k * factor}), " +
-      s"exact AS (SELECT s.q_id, s.n_id, ${dot("eq.embedding", "en.embedding")} / (${nrm("eq.embedding")} * ${nrm("en.embedding")}) AS sim " +
+      s"exact AS (SELECT s.q_id, s.n_id, ${oSqlSimDiv(dot("eq.embedding", "en.embedding"), s"${nrm("eq.embedding")} * ${nrm("en.embedding")}")} AS sim " +
       "FROM short s JOIN emb eq ON eq.vec_id = s.q_id JOIN emb en ON en.vec_id = s.n_id), " +
       "ranked AS (SELECT q_id, n_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS \"rank\" FROM exact) " +
       s"SELECT q_id, \"rank\", n_id, round(sim, 4) AS cosine_sim FROM ranked WHERE \"rank\" <= $k"
@@ -1074,9 +1081,10 @@ object SparkEntry {
   /** DuckDB cosine with the same float math as VectorFns.cosine:
     * element-order double accumulation. */
   private def cosSql(a: String, b: String): String =
-    s"((SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest($a) AS x, unnest($b) AS y) zz) / " +
-      s"(sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest($a) AS x) za)) * " +
-      s"sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest($b) AS y) zb))))"
+    oSqlSimDiv(
+      s"(SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest($a) AS x, unnest($b) AS y) zz)",
+      s"sqrt((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest($a) AS x) za)) * " +
+        s"sqrt((SELECT sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest($b) AS y) zb))")
 
   private val normSql =
     "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"

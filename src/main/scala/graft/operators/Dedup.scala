@@ -125,7 +125,11 @@ object Dedup {
     * costs k long comparisons against the signature table the LSH
     * index build already produces — no shingle posting lists, no text
     * scan, which at 100 TB means the refine touches k·8 bytes per doc
-    * instead of documents. Standard error ≈ √(J(1−J)/k): at the
+    * instead of documents (THAT form is
+    * [[minhashJaccardEstimateFromSignatures]], fed the persisted
+    * table; this convenience overload fits the signatures from text
+    * in-query — the self-contained bench shape).
+    * Standard error ≈ √(J(1−J)/k): at the
     * default k=16 this is coarse triage (thresholding obvious
     * dups/non-dups); raise k, or hand close calls to
     * [[jaccardPairs]] / [[editDistancePairs]]. Output:
@@ -134,10 +138,21 @@ object Dedup {
     * any engine; no rounding needed).
     */
   def minhashJaccardEstimate(df: DataFrame, pairs: DataFrame,
-      idCol: String, textCol: String, k: Int): DataFrame = {
-    val sig = minhashSignatures(df, idCol, textCol, k)
-      .select(col(idCol),
-        array((0 until k).map(i => col(s"mh$i")): _*).as("__sig"))
+      idCol: String, textCol: String, k: Int): DataFrame =
+    minhashJaccardEstimateFromSignatures(
+      minhashSignatures(df, idCol, textCol, k), pairs, idCol, k)
+
+  /** [[minhashJaccardEstimate]] against an ALREADY-COMPUTED
+    * [[minhashSignatures]] table — the production form that delivers
+    * the operator's contract: the LSH build computes (and persists)
+    * the signatures once, and the refine touches ONLY them — k longs
+    * per doc, no text re-scan ([[minhashJaccardEstimate]] is this
+    * with the signatures fit on the spot — the self-contained
+    * bench/query shape). */
+  def minhashJaccardEstimateFromSignatures(signatures: DataFrame,
+      pairs: DataFrame, idCol: String, k: Int): DataFrame = {
+    val sig = signatures.select(col(idCol),
+      array((0 until k).map(i => col(s"mh$i")): _*).as("__sig"))
     pairs
       .join(sig.select(col(idCol).as("a_id"), col("__sig").as("__sa")),
         "a_id")

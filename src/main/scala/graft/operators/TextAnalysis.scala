@@ -287,10 +287,16 @@ object TextAnalysis {
     require(n >= 2, "n >= 2 (unigram scoring is selfInfoScore)")
     val ts = col("__ts")
     val nCtx = n - 1
+    // n = 2's context IS the single preceding token — skip the
+    // 1-element slice + array_join the general form would pay per
+    // position (identical output string, measurably cheaper on the
+    // hot bigram path)
+    def ctx(i: Column): Column =
+      if (nCtx == 1) element_at(ts, i)
+      else array_join(slice(ts, i, lit(nCtx)), " ")
     val pairs = when(size(ts) >= n,
       transform(sequence(lit(1), size(ts) - nCtx),
-        i => struct(array_join(slice(ts, i, lit(nCtx)), " ").as("p"),
-          element_at(ts, i + nCtx).as("t"))))
+        i => struct(ctx(i).as("p"), element_at(ts, i + nCtx).as("t"))))
     df.select((keep :+ TextFns.bpeishTokens(col(textCol)).as("__ts")): _*)
       .select((keep :+ explode(pairs).as("__bg")): _*)
       .select((keep :+ col("__bg.p").as("__prev")

@@ -52,6 +52,9 @@ object syntax {
         rightKey: String, expectedItems: Long, numBits: Long): DataFrame =
       Relational.bloomSemiJoin(df, right, leftKey, rightKey,
         expectedItems, numBits)
+    def zscoreAgainstStats(stats: DataFrame, grp: String,
+        valueCol: String, threshold: Double): DataFrame =
+      Relational.zscoreAgainstStats(df, stats, grp, valueCol, threshold)
 
     // dedup
     def dedupExactGroups(idCol: String, textCol: String): DataFrame =
@@ -114,8 +117,5 @@ object syntax {
       Similarity.bruteForceTopK(df, queries, k)
     def labelCentroids(labelCol: String, vecCol: String): DataFrame =
       Similarity.labelCentroids(df, labelCol, vecCol)
-    def zscoreAgainstStats(stats: DataFrame, grp: String,
-        valueCol: String, threshold: Double): DataFrame =
-      Relational.zscoreAgainstStats(df, stats, grp, valueCol, threshold)
   }
 }
