@@ -510,6 +510,15 @@ object SparkEntry {
           "value", 2.0)
         .select(col("event_id"), col("event_type"), col("value"),
           col("z"), col("is_outlier"))),
+    "rel_winsorize" -> ((s, d) =>
+      // per-type p05/p95 clipping — the numeric-tail curation step;
+      // the oracle replays groupedQuantiles' exact interpolation
+      // formula over sorted lists, so the clipped values hash-match
+      // raw (no rounding anywhere)
+      Relational.winsorize(t(s, d, "events"), "event_type", "value",
+          0.05, 0.95)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("value_clipped"))),
     "rel_anomaly_model" -> ((s, d) => {
       // the frozen-model arrival path (the incremental-dedup split
       // pattern): per-type stats fit ONCE on the 90% "historical"
@@ -1617,6 +1626,23 @@ object SparkEntry {
         "CASE WHEN st.sd > 0 THEN (CAST(e.value AS DOUBLE) - st.mu) / st.sd END AS z, " +
         "coalesce(abs(CASE WHEN st.sd > 0 THEN (CAST(e.value AS DOUBLE) - st.mu) / st.sd END) > 2.0, false) AS is_outlier " +
         "FROM events e LEFT JOIN st ON e.event_type IS NOT DISTINCT FROM st.event_type"),
+    "rel_winsorize" -> {
+      // groupedQuantiles' exact interpolation replayed per bound:
+      // pos = p·(n−1) over the group's sorted non-null values,
+      // q = (ceil(pos)−pos)·vs[floor+1] + (pos−floor(pos))·vs[ceil+1]
+      // (Spark Percentile's association, NOT quantile_cont's
+      // lo+(hi−lo)·frac — ulp-different), then least/greatest clip
+      def q(p: String, name: String) =
+        s"CASE WHEN floor($p) = ceil($p) THEN vs[CAST($p AS BIGINT) + 1] " +
+          s"ELSE (ceil($p) - $p) * vs[CAST(floor($p) AS BIGINT) + 1] + " +
+          s"($p - floor($p)) * vs[CAST(ceil($p) AS BIGINT) + 1] END AS $name"
+      "WITH s AS (SELECT event_type, list_sort(list(CAST(value AS DOUBLE))) AS vs FROM events WHERE value IS NOT NULL GROUP BY 1), " +
+        "p AS (SELECT event_type, vs, CAST(0.05 AS DOUBLE) * (len(vs) - 1) AS plo, CAST(0.95 AS DOUBLE) * (len(vs) - 1) AS phi FROM s), " +
+        s"q AS (SELECT event_type, ${q("plo", "qlo")}, ${q("phi", "qhi")} FROM p) " +
+        "SELECT e.event_id, e.event_type, e.value, " +
+        "least(greatest(CAST(e.value AS DOUBLE), q.qlo), q.qhi) AS value_clipped " +
+        "FROM events e LEFT JOIN q ON e.event_type IS NOT DISTINCT FROM q.event_type"
+    },
     "rel_anomaly_model" ->
       // the rel_zscore mirror with the fit/score split: stats from the
       // historical slice only, standardization over the arrival slice
