@@ -51,14 +51,20 @@ object Bench {
     println(json)
     // the driver's stdout capture keeps only a tail — at 100+ queries
     // that truncates the per-query map, so the full line ALSO lands in
-    // a file the round archive picks up (cwd = the repo). The file is
-    // a convenience copy: an unwritable path must not turn a completed
-    // sweep (metric already printed) into a nonzero exit
+    // a file the round archive picks up (cwd = the repo). A BENCH_ONLY-
+    // filtered sweep writes to bench_partial.json instead — a partial
+    // run must never overwrite the archived full-sweep file with a
+    // valid-looking but incomplete measurement. The file is a
+    // convenience copy: any write failure (unwritable path, malformed
+    // SPARK_GRAFT_BENCH_OUT) must not turn a completed sweep (metric
+    // already printed) into a nonzero exit
+    val outDefault =
+      if (only.isDefined) "bench_partial.json" else "bench_latest.json"
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")),
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", outDefault)),
       json + "\n")
-    catch { case e: java.io.IOException =>
+    catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write bench file: $e")
     }
     spark.stop()

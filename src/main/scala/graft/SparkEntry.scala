@@ -132,18 +132,51 @@ object SparkEntry {
         countDistinct(col("l_partkey")).as("n_parts"),
         countDistinct(col("l_suppkey")).as("n_supps"),
         countDistinct(col("l_orderkey")).as("n_orders"))),
-    "rel_approx_distinct" -> ((s, d) =>
-      t(s, d, "lineitem").agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"))),
+    "rel_approx_distinct" -> ((s, d) => {
+      // HLL++ estimates are engine-specific, but |approx − exact| ≤
+      // bound·exact is SQL-checkable: the comparison runs IN-PLAN
+      // against the exact distinct (fine at verify/bench SF; at 100 TB
+      // you'd ship the estimate alone) and the oracle checks the
+      // boolean + the exact count. Bound = 3·rsd (default rsd 0.05):
+      // the estimator is deterministic on the value SET, so the
+      // boolean replays, and a >3σ miss SHOULD fail the gate.
+      val one = t(s, d, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("__exp"),
+        approx_count_distinct(col("l_partkey")).as("__app"),
+        countDistinct(col("l_orderkey")).as("__exo"),
+        approx_count_distinct(col("l_orderkey")).as("__apo"))
+      def row(name: String, ex: String, ap: String) =
+        struct(lit(name).as("key_col"), col(ex).as("n_exact"),
+          (abs(col(ap) - col(ex)) <= col(ex) * lit(0.15))
+            .as("within_tolerance"))
+      one.select(explode(array(
+          row("l_partkey", "__exp", "__app"),
+          row("l_orderkey", "__exo", "__apo"))).as("r"))
+        .select(col("r.key_col"), col("r.n_exact"),
+          col("r.within_tolerance"))
+    }),
     "rel_hll_distinct" -> ((s, d) => {
       // mergeable DataSketches HLL per key + sketch-only global rollup
-      // (no rescan) — rows-only check: sketch estimates are
-      // engine-specific (spec asserts 2% accuracy + merge correctness)
-      val sk = Relational.hllSketches(t(s, d, "lineitem"),
-        "l_returnflag", "l_partkey")
-      sk.select(col("l_returnflag"),
-        round(col("estimate"), 0).cast("long").as("estimate_parts"))
+      // (no rescan of the data — the union runs over the SKETCHES).
+      // Same in-plan tolerance gating as rel_approx_distinct: per-flag
+      // estimates AND the merged rollup each check against their exact
+      // count at 3σ (lgK 12 ⇒ rsd ≈ 1.04/√4096 ≈ 1.6%, 3σ ≈ 5%), so
+      // the merge path is oracle-gated, not just spec'd.
+      val li = t(s, d, "lineitem")
+      val sk = Relational.hllSketches(li, "l_returnflag", "l_partkey")
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_exact"))
+      val per = sk.join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("estimate") - col("n_exact")) <=
+            col("n_exact") * lit(0.05)).as("within_tolerance"))
+      // 1×1 cross join: the scalar-subquery shape (rel_scalar_subquery)
+      val all = Relational.hllMergedEstimate(sk)
+        .crossJoin(li.agg(countDistinct(col("l_partkey")).as("n_exact")))
+        .select(lit("ALL").as("l_returnflag"), col("n_exact"),
+          (abs(col("merged_estimate") - col("n_exact")) <=
+            col("n_exact") * lit(0.05)).as("within_tolerance"))
+      per.unionByName(all)
     }),
     "rel_salted_distinct" -> ((s, d) =>
       Relational.saltedDistinctCount(t(s, d, "lineitem"),
@@ -1881,11 +1914,15 @@ object SparkEntry {
         "(SELECT sum(CAST(ord(substr(m.text, CAST(t.i AS INT), 1)) AS DOUBLE)) " +
         "FROM (SELECT unnest(range(1, m.n_bytes + 1)) AS i) t) / m.n_bytes AS mean FROM m) " +
         "SELECT media_id, n_bytes, mean AS mean_byte, " +
-        "CAST(floor(mean / 32) AS BIGINT) AS byte_entropy_bucket FROM s")
-    // rows-only (no SQL-expressible oracle): rel_approx_distinct +
-    // rel_hll_distinct (sketch estimates are engine-specific).
-    // sim_ann_lsh, sim_ann_ivf, dedup_simhash, and media_features ARE
-    // oracle-checked: their math is md5-derived / integer-exact and
-    // deterministic, so both engines reproduce it exactly.
+        "CAST(floor(mean / 32) AS BIGINT) AS byte_entropy_bucket FROM s"),
+    // the sketch queries gate through IN-PLAN tolerance booleans (the
+    // estimates themselves are engine-specific; the exact counts and
+    // the ≤3σ agreement are not) — every query is oracle-checked
+    "rel_approx_distinct" ->
+      ("SELECT 'l_partkey' AS key_col, count(DISTINCT l_partkey) AS n_exact, true AS within_tolerance FROM lineitem " +
+        "UNION ALL SELECT 'l_orderkey', count(DISTINCT l_orderkey), true FROM lineitem"),
+    "rel_hll_distinct" ->
+      ("SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact, true AS within_tolerance FROM lineitem GROUP BY 1 " +
+        "UNION ALL SELECT 'ALL', count(DISTINCT l_partkey), true FROM lineitem")
   )
 }

@@ -360,6 +360,16 @@ object Similarity {
     * `seed`+j) — spec-asserted — so the composed oracle replays the
     * separate definitions unchanged. Returns (coarse centroids
     * [nlist][dims], codebooks [m][ksub][dims/m]) for [[ivfPqTopK]].
+    *
+    * SEED COLLISION NOTE: the coarse problem's seed string equals
+    * sub-space 0's (`seed` vs `seed`+0), so their md5 sample/init
+    * orderings are perfectly correlated — codebook 0's init is the
+    * coarse quantizer's init in id order. This is DELIBERATE format
+    * compatibility (it keeps the joint fit bit-identical to the
+    * sequential fitCentroids-at-seed / fitPqCodebooks-at-seed
+    * definitions the oracles replay); decorrelating the coarse init
+    * (e.g. seed−1 or a distinct salt) would be a format-breaking
+    * change requiring both oracles to move together.
     */
   def fitIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
       dims: Int, nlist: Int, m: Int, ksub: Int, iters: Int, seed: Long,
@@ -563,8 +573,11 @@ object Similarity {
     * EXCEPT degenerate vectors: a zero-norm query or all-zero
     * reconstruction scores sim 0.0 here (explicit guard), where the
     * exact scans score a zero-norm side −Infinity (VectorFns.simDiv —
-    * never a neighbor). Both conventions keep degenerate rows out of
-    * real top-k results; they differ only in the emitted sentinel. */
+    * never a neighbor). The conventions are NOT interchangeable at the
+    * margin: the 0.0 sentinel ranks ABOVE genuine neighbors whose
+    * cosine is negative, so a zero-norm corpus vector CAN enter this
+    * scan's top-k where the exact scans would never admit it (the
+    * oracle mirrors the same guard, so the engines still agree). */
   def pqAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       codebooks: Array[Array[Array[Float]]],
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
