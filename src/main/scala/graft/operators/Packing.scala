@@ -242,4 +242,52 @@ object Packing {
       .filter(budgetCol < 0 || col("__pfx") < budgetCol)
       .select(inCols.map(col): _*)
   }
+
+  /** Weighted mixture sampling with UP-sampling — the LLM-mixture
+    * primitive [[tokenBudgetSampleByKey]] lacks: a key's weight may
+    * exceed 1, in which case its rows DUPLICATE (fractional epochs).
+    * Weight w = ⌊w⌋ + f replays every row ⌊w⌋ times (epoch 0..⌊w⌋−1)
+    * plus one more epoch for the deterministic ~f fraction of rows
+    * whose id-hash bucket falls under f — so realized rates
+    * concentrate tightly around w at any volume, and the SAME rows
+    * carry the extra epoch on every run, engine, and partitioning
+    * (eval contamination cannot shift between reprocessings). Epochs
+    * materialize as one explode over a per-row sequence — a pure
+    * generator, rows out = Σ w·n_key, no shuffle, no state; weight 0
+    * drops the key (the filter runs BEFORE the generator, so dropped
+    * rows never explode). The hash is md5-derived (SQL-replayable)
+    * and DOMAIN-SEPARATED ("|mix") from the split/sample/budget
+    * hashes — mixture membership must not correlate with split
+    * assignment or the other samplers. Fractions quantize to 1/10000
+    * (the deterministicSampleByKey convention). Keys absent from
+    * `weights` get `defaultWeight`. Output: input columns + an
+    * `epoch` long column (0-based; a row's epochs are dense 0..n−1,
+    * so downstream shuffles can use (id, epoch) as a replay-stable
+    * key).
+    */
+  def mixtureSample(df: DataFrame, keyCol: String, idCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0,
+      epochName: String = "epoch"): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(w =>
+      w >= 0 && w.isFinite), "mixture weights must be finite and >= 0")
+    require(!df.columns.contains(epochName),
+      s"input already has a '$epochName' column — rename it or pass " +
+        "a different epochName")
+    val inCols = df.columns.toSeq
+    def perKey(f: Double => Long) =
+      weights.toSeq.sortBy(_._1).foldLeft(lit(f(defaultWeight))) {
+        case (acc, (k, w)) =>
+          when(col(keyCol) === k, lit(f(w))).otherwise(acc)
+      }
+    val wInt = perKey(w => math.floor(w).toLong)
+    val wFracBp = perKey(w => math.round((w - math.floor(w)) * 10000))
+    val bucket = pmod(TextFns.shingleHash(
+      concat(col(idCol).cast("string"), lit("|mix"))), lit(10000L))
+    df.withColumn("__n",
+        wInt + when(bucket < wFracBp, 1L).otherwise(0L))
+      .filter(col("__n") > 0)
+      .withColumn(epochName,
+        explode(sequence(lit(0L), col("__n") - 1)))
+      .select((inCols :+ epochName).map(col): _*)
+  }
 }

@@ -650,17 +650,135 @@ object Similarity {
     // the index side: ONE cell + m codes per corpus vector, both pure
     // per-row expressions over the literal artifacts — the corpus
     // index build is scan → project, zero exchanges
-    val cb = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
-        VectorFns.norm2(col(vecCol)).as("__nn"))
-      .select(col("n_id"),
-        nearestCellExpr(coarse, col("n_vec"), col("__nn")).as("cell"),
-        pqEncode(col("n_vec"), codebooks).as("codes"))
+    val cb = buildIvfPqIndex(corpus, coarse, codebooks, idCol, vecCol)
+      .withColumnRenamed("corpus_id", "n_id")
     val qb = nearestCells(
         queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
           VectorFns.norm2(col(vecCol)).as("q_norm")),
         cdf, "q_id", "q_vec", nprobe)
       .withColumn("dt", pqDtCol(codebooks, col("q_vec")))
     val scored = cb.join(qb, Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("sim", pqAdcSim(codebooks))
+    rankTopK(scored, k)
+  }
+
+  /** The persisted IVFPQ index of a corpus — ONE row per vector,
+    * `(corpus_id, cell, codes)` — built by pure per-row expressions
+    * over FROZEN artifacts ([[fitIvfPq]] output): coarse cell =
+    * [[nearestCellExpr]] argmax, codes = [[pqEncode]] L2 argmin per
+    * sub-space. Scan → project, zero exchanges. THE PRODUCTION SHAPE
+    * AT 100 TB (the ANN face of Dedup.simhashBandIndex): fit once,
+    * index once, persist (parquet, partitioned or bucketed by `cell`
+    * for exchange-free probes), probe forever — [[ivfPqProbeIndex]]
+    * batch-side, StreamOps.annProbeFlags per arrival. Size = one
+    * (long, int, m small ints) row per vector — ~dims·4/m/4 × smaller
+    * than the embeddings it stands in for. */
+  def buildIvfPqIndex(corpus: DataFrame, coarse: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__v"),
+        VectorFns.norm2(col(vecCol)).as("__n"))
+      .select(col("corpus_id"),
+        nearestCellExpr(coarse, col("__v"), col("__n")).as("cell"),
+        pqEncode(col("__v"), codebooks).as("codes"))
+
+  /** Advance a persisted [[buildIvfPqIndex]] with newly-arrived
+    * vectors — the maintenance half of the ANN production loop
+    * (Dedup.advanceSimhashIndex's shape): assignment and encoding are
+    * per-row expressions over the SAME frozen artifacts, so advancing
+    * is a pure union — nothing over the existing index recomputes, no
+    * corpus rescan — plus an idempotency dedup on corpus_id (one row
+    * per vector; a replayed batch re-derives the identical (cell,
+    * codes) row from the frozen artifacts, so the dedup is
+    * value-deterministic). Ids must be unique across batches (the
+    * reserved-id contract of every incremental operator here); the
+    * artifacts MUST be the index's original fit — re-fitting would
+    * silently shift cells/codes and the spec's advance == rebuild
+    * equality with them. NOTE the recall trade every frozen-quantizer
+    * ANN index makes: drifted arrivals still encode against the old
+    * codebooks (graceful degradation, monitored by reconstruction
+    * error in production; refresh = refit + rebuild). */
+  def advanceIvfPqIndex(index: DataFrame, newVecs: DataFrame,
+      coarse: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    index.unionByName(
+        buildIvfPqIndex(newVecs, coarse, codebooks, idCol, vecCol))
+      .dropDuplicates("corpus_id")
+
+  /** Query-side nprobe-nearest-cells as a PURE per-row expression over
+    * literal centroids — the array of the nprobe best cells, best
+    * first. Ordering matches [[nearestCells]] exactly: array_sort over
+    * struct(−cosine, cell) ranks by descending cosine with ties to the
+    * LOWEST cell ([[nearestCellExpr]]'s argument — same negation, same
+    * dead-centroid pin to +∞, same zero-norm-row tie fall-through),
+    * and slice keeps the first nprobe. Windowless, so it (a) never
+    * shuffles the probe side and (b) runs on STREAMING frames — which
+    * is what lets a stream probe a static ANN index
+    * (StreamOps.annProbeFlags); the window form exists only where a
+    * tiny batch query set rides an existing broadcast ([[ivfTopK]]'s
+    * oracle replays that definition). */
+  private[graft] def nearestCellsExpr(centroids: Array[Array[Float]],
+      vec: Column, vnorm: Column, nprobe: Int): Column = {
+    val cands = centroids.zipWithIndex.map { case (cent, c) =>
+      val cn = math.sqrt(cent.map(x => x.toDouble * x).sum)
+      val nd =
+        if (cn > 0) -VectorFns.simDiv(
+          VectorFns.dot(vec, typedLit(cent)), vnorm * lit(cn))
+        else lit(Double.PositiveInfinity)
+      struct(nd.as("nd"), lit(c).as("c"))
+    }
+    transform(slice(array_sort(array(cands: _*)), 1, nprobe),
+      p => p.getField("c"))
+  }
+
+  /** Shared probe-scoring body of [[ivfPqProbeIndex]] and the
+    * streaming StreamOps.annProbeFlags: probe-side per-row cell +
+    * dt expressions over frozen artifacts, the equi-join on cell, and
+    * the ADC score — every expression streaming-legal (no window, no
+    * aggregation), so the SAME definition serves batch and stream
+    * (which is what the stream == batch spec pins). Output: one row
+    * per (arrival, candidate) — (new_id, tsCol, neighbor_id,
+    * adc_sim raw double); rankers/thresholds layer on top. */
+  private[graft] def annProbeScored(stream: DataFrame, index: DataFrame,
+      coarse: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]],
+      idCol: String, vecCol: String, tsCol: String,
+      nprobe: Int): DataFrame =
+    stream.select(col(idCol).as("new_id"), col(tsCol),
+        col(vecCol).as("q_vec"),
+        VectorFns.norm2(col(vecCol)).as("q_norm"))
+      .withColumn("dt", pqDtCol(codebooks, col("q_vec")))
+      .withColumn("cell", explode(
+        nearestCellsExpr(coarse, col("q_vec"), col("q_norm"), nprobe)))
+      .join(index, Seq("cell"))
+      .filter(col("corpus_id") =!= col("new_id"))
+      .select(col("new_id"), col(tsCol),
+        col("corpus_id").as("neighbor_id"),
+        pqAdcSim(codebooks).as("adc_sim"))
+
+  /** IVF+PQ top-k over a PREBUILT [[buildIvfPqIndex]] — the probe a
+    * production user pays after the one-time fit + index build:
+    * queries compute their probe cells and ADC dot tables as per-row
+    * expressions (windowless — zero query-side exchanges, unlike
+    * [[ivfPqTopK]]'s window ranking), equi-join the index on cell,
+    * and score each candidate in m table lookups. The index side is
+    * scan → join: nothing over the corpus recomputes per query batch.
+    * Result is IDENTICAL to [[ivfPqTopK]] at the same artifacts
+    * (spec-asserted — the cell orderings match by construction);
+    * `nprobe` and the artifacts must match the index build's fit. */
+  def ivfPqProbeIndex(index: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int, coarse: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val qb = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        VectorFns.norm2(col(vecCol)).as("q_norm"))
+      .withColumn("dt", pqDtCol(codebooks, col("q_vec")))
+      .withColumn("cell", explode(
+        nearestCellsExpr(coarse, col("q_vec"), col("q_norm"), nprobe)))
+    val scored = index.withColumnRenamed("corpus_id", "n_id")
+      .join(qb, Seq("cell"))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("sim", pqAdcSim(codebooks))
     rankTopK(scored, k)

@@ -474,25 +474,67 @@ object TextAnalysis {
       minMeanWordLen, maxMeanWordLen, maxSymbolRatio, minStopwords,
       (q, n) => aggregate(sort_array(collect_list(q)), lit(0.0), _ + _) / n)
 
+  /** Attach the two curation per-row signals — [[gopherRules]]' `keep`
+    * boolean and [[qualityScore]]'s `quality` — as COLUMNS on the
+    * input frame, preserving every input column. The SAME expressions
+    * as the standalone operators (their oracles pin the math), but as
+    * pure per-row projections with no self-joins and no aggregation —
+    * which makes this the shared core of the batch sourceReport
+    * flavors AND streaming-legal (StreamOps.sourceReportWindowed
+    * builds its windowed aggregate directly on it). */
+  def withKeepQuality(df: DataFrame, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minStopwords: Int = 2): DataFrame = {
+    val taken = Seq("__norm", "__w", "keep", "quality")
+      .filter(df.columns.contains)
+    require(taken.isEmpty,
+      s"input already has ${taken.mkString("/")} column(s) — rename " +
+        "them; __norm/__w are reserved scratch space and keep/quality " +
+        "are the output columns of withKeepQuality")
+    val w = col("__w")
+    val nWords = size(w)
+    val meanLen = (length(col("__norm")) - nWords + 1)
+      .cast("double") / nWords
+    val symbols = size(split(col(textCol), "#")) - 1 +
+      size(split(col(textCol), "\\.\\.\\.")) - 1
+    val symRatio = symbols.cast("double") / nWords
+    val nStop = size(array_intersect(w, array(Stopwords.map(lit): _*)))
+    val nWordsD = nWords.cast("double")
+    val stop = size(filter(w, t => t.isInCollection(Stopwords)))
+      .cast("double")
+    val lenScore = least(nWordsD / 200.0, lit(1.0))
+    val stopScore = least(stop / nWordsD * 4.0, lit(1.0))
+    val diversity = size(array_distinct(w)).cast("double") / nWordsD
+    df.withColumn("__norm", TextFns.normalize(col(textCol)))
+      .withColumn("__w", split(col("__norm"), " "))
+      .withColumn("keep",
+        nWords >= minWords && nWords <= maxWords &&
+          meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen &&
+          symRatio <= maxSymbolRatio && nStop >= minStopwords)
+      .withColumn("quality",
+        lit(0.4) * lenScore + lit(0.3) * stopScore + lit(0.3) * diversity)
+      .drop("__norm", "__w")
+  }
+
   /** Shared body of the source-report flavors: `mean` builds the
-    * per-source average from (quality column, doc count column). */
+    * per-source average from (quality column, doc count column).
+    * Built on [[withKeepQuality]] — one scan, no self-joins (the
+    * signals are per-row; the earlier join-on-id composition of the
+    * standalone operators re-read the corpus three times for the
+    * same values). */
   private def sourceReportAgg(df: DataFrame, sourceCol: String,
       idCol: String, textCol: String, minWords: Int, maxWords: Int,
       minMeanWordLen: Double, maxMeanWordLen: Double,
       maxSymbolRatio: Double, minStopwords: Int,
-      mean: (Column, Column) => Column): DataFrame = {
-    val g = gopherRules(df, idCol, textCol, minWords, maxWords,
-        minMeanWordLen, maxMeanWordLen, maxSymbolRatio, minStopwords)
-      .select(col(idCol), col("keep"))
-    val q = qualityScore(df, idCol, textCol)
-      .select(col(idCol), col("quality"))
-    df.select(col(idCol), col(sourceCol))
-      .join(g, idCol).join(q, idCol)
+      mean: (Column, Column) => Column): DataFrame =
+    withKeepQuality(df.select(col(idCol), col(sourceCol), col(textCol)),
+        textCol, minWords, maxWords, minMeanWordLen, maxMeanWordLen,
+        maxSymbolRatio, minStopwords)
       .groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
         round(mean(col("quality"), count(lit(1))), 4).as("avg_quality"))
-  }
 
   /** Overlapping word-window chunking — the RAG / embedding-prep
     * splitter: fixed `chunkSize`-word chunks starting every

@@ -1,7 +1,37 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.types.StructType
+
+/** The trip row as a typed case class — the typed-Dataset face of
+  * [[TaxiSchema]] (SURVEY.md §1.3's Dataset[T] offering). Field names
+  * match the schema's columns EXACTLY so `.as[Trip]` binds by name;
+  * every field is an Option because the TLC data null-fills freely
+  * under PERMISSIVE parsing (a bare Double would throw on the first
+  * null at deserialization time, not at analysis time). The encoder's
+  * schema is structurally TaxiSchema.schema — spec-asserted, so the
+  * case class cannot drift from the shared definition the way the
+  * reference's two hand-declared copies could. */
+final case class Trip(
+    VendorID: Option[Int],
+    tpep_pickup_datetime: Option[java.sql.Timestamp],
+    tpep_dropoff_datetime: Option[java.sql.Timestamp],
+    passenger_count: Option[Double],
+    trip_distance: Option[Double],
+    RatecodeID: Option[Double],
+    store_and_fwd_flag: Option[String],
+    PULocationID: Option[Int],
+    DOLocationID: Option[Int],
+    payment_type: Option[Int],
+    fare_amount: Option[Double],
+    extra: Option[Double],
+    mta_tax: Option[Double],
+    tip_amount: Option[Double],
+    tolls_amount: Option[Double],
+    improvement_surcharge: Option[Double],
+    total_amount: Option[Double],
+    congestion_surcharge: Option[Double],
+    Airport_fee: Option[Double])
 
 /** Batch sources and sinks (SURVEY.md §2.1 S1, S3, S4, S10): explicit
   * schemas always (inference disabled, the reference's deliberate choice
@@ -29,6 +59,17 @@ object Sources {
       .option("dateFormat", dateFormat)
       .schema(schema)
       .csv(path)
+
+  /** The taxi CSV scan as a typed `Dataset[Trip]` — [[readCsv]] with
+    * the shared schema, bound to the case class by name. Use where
+    * compile-time field access / typed transforms pay their encoder
+    * cost (filters and aggregations on a handful of columns stay
+    * faster as DataFrame ops — untyped column pruning reaches the
+    * scan; a typed `.map` materializes every field). */
+  def readTripsTyped(spark: SparkSession, path: String): Dataset[Trip] = {
+    import spark.implicits._
+    readCsv(spark, path, TaxiSchema.schema).as[Trip]
+  }
 
   /** JSON-lines scan with explicit schema (the wire format of the
     * reference's inter-process bus, consumer/FileReader.scala:59-63,

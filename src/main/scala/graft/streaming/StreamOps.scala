@@ -253,6 +253,71 @@ object StreamOps {
         col("corpus_id").as("dup_of"))
       .dropDuplicatesWithinWatermark(Seq("new_id", "dup_of"))
 
+  /** Streaming per-source curation counters — the sourceReport stream
+    * shape: per-row keep/quality signals
+    * (TextAnalysis.withKeepQuality — the exact expressions the
+    * oracle-gated batch report aggregates), then ONE windowed hash
+    * aggregate per (event-time window, source). The ALGEBRAIC flavor
+    * by construction: count/sum/avg keep (sum, count) state per
+    * group, watermark retires closed windows — the streaming-
+    * compatible half of the batch operator's two-flavor convention
+    * (the ordered-fold portable flavor is oracle-only and cannot
+    * stream). Output: (window_start, window_end, source, n_docs,
+    * n_keep, avg_quality). Spec ties stream output == the same
+    * definition run in batch mode per window.
+    */
+  def sourceReportWindowed(stream: DataFrame, sourceCol: String,
+      textCol: String, tsCol: String, windowDuration: String,
+      watermarkDelay: String, minWords: Int = 50,
+      maxWords: Int = 100000, minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0, maxSymbolRatio: Double = 0.1,
+      minStopwords: Int = 2): DataFrame =
+    graft.operators.TextAnalysis.withKeepQuality(
+        stream.select(col(sourceCol), col(tsCol), col(textCol)),
+        textCol, minWords, maxWords, minMeanWordLen, maxMeanWordLen,
+        maxSymbolRatio, minStopwords)
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration), col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        round(avg(col("quality")), 4).as("avg_quality"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col(sourceCol),
+        col("n_docs"), col("n_keep"), col("avg_quality"))
+
+  /** Streaming ANN probe against a STATIC IVFPQ index (the output of
+    * Similarity.buildIvfPqIndex, typically read back from parquet) —
+    * the ANN face of [[incrementalNearDupFlags]], completing the fit
+    * once / index once / probe-per-arrival production loop: each
+    * arriving vector computes its nprobe probe cells and ADC dot
+    * tables as pure per-row expressions over the FROZEN artifacts
+    * (Similarity.nearestCellsExpr — windowless, which is what makes
+    * the probe legal on a stream), stream-static equi-joins the index
+    * on cell, and scores each candidate in m table lookups
+    * (Similarity.pqAdcTopK's ADC algebra, same zero-norm → 0.0
+    * sentinel). STATELESS end-to-end: a corpus vector lives in
+    * exactly ONE cell and probe cells are distinct, so a (new, index)
+    * pair cannot repeat — no emit-dedup, no watermark, no state store
+    * (the incrementalExactDupFlags argument). Emits one row per
+    * candidate with ADC cosine ≥ `minSim`:
+    * (new_id, tsCol, neighbor_id, adc_sim) — threshold semantics
+    * rather than top-k because a per-key top-k on an unbounded stream
+    * is a stateful aggregation; run the batch
+    * Similarity.ivfPqProbeIndex inside foreachBatch when ranked
+    * output is needed. `nprobe`/artifacts MUST match the index fit;
+    * advance the index between batches with
+    * Similarity.advanceIvfPqIndex (the probeAdmitAdvance pattern).
+    */
+  def annProbeFlags(stream: DataFrame, index: DataFrame,
+      coarse: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]],
+      idCol: String, vecCol: String, tsCol: String,
+      nprobe: Int, minSim: Double): DataFrame =
+    graft.operators.Similarity
+      .annProbeScored(stream, index, coarse, codebooks, idCol, vecCol,
+        tsCol, nprobe)
+      .filter(col("adc_sim") >= minSim)
+
   /** Streaming anomaly scores against FROZEN per-key stats — the
     * reference's designed-but-never-built ML stage (diagram.xml:10-17:
     * CSV → stream → "ML anomaly detection" → sinks) realized as the

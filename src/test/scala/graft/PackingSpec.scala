@@ -208,4 +208,42 @@ class PackingSpec extends SparkSpec {
         .select(col("doc_id")).as[Long].collect().toSet
     assert(run(keyedDocs) === run(keyedDocs.repartition(11)))
   }
+
+  test("mixtureSample: exact integer epochs, rate-accurate remainder") {
+    val n = 400
+    val df = (0 until n).map(i =>
+        (i.toLong, s"k${i % 4}", s"doc $i")).toDF("id", "key", "text")
+    val out = Packing.mixtureSample(df, "key", "id",
+      Map("k0" -> 2.0, "k1" -> 0.0, "k2" -> 0.4, "k3" -> 2.5))
+    val epochs = out.select(col("id"), col("epoch"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (id, rs) => id -> rs.map(_._2).sorted.toSeq }
+    // integer weight 2.0: EVERY k0 row appears exactly twice, epochs
+    // dense 0..1; weight 0 drops k1 entirely
+    (0 until n by 4).foreach(i => assert(epochs(i.toLong) === Seq(0L, 1L)))
+    assert(epochs.keySet.forall(_ % 4 != 1))
+    // fractional 0.4: kept k2 rows carry exactly epoch 0; the realized
+    // rate concentrates around 0.4 (hash-binomial on 100 ids)
+    val k2 = epochs.filter(_._1 % 4 == 2)
+    assert(k2.values.forall(_ === Seq(0L)))
+    assert(k2.size > 25 && k2.size < 55, s"k2 kept ${k2.size}/100")
+    // up-sampling 2.5: every k3 row at least twice, ~half three times,
+    // and every epoch set dense from 0
+    val k3 = epochs.filter(_._1 % 4 == 3)
+    assert(k3.values.forall(e => e === (0L until e.length).toSeq))
+    assert(k3.values.forall(e => e.length == 2 || e.length == 3))
+    val thrice = k3.values.count(_.length == 3)
+    assert(thrice > 25 && thrice < 75, s"k3 third-epoch $thrice/100")
+    // deterministic under repartitioning (the replay-stability contract)
+    val again = Packing.mixtureSample(df.repartition(7), "key", "id",
+        Map("k0" -> 2.0, "k1" -> 0.0, "k2" -> 0.4, "k3" -> 2.5))
+      .select(col("id"), col("epoch")).as[(Long, Long)].collect().toSet
+    assert(again === out.select(col("id"), col("epoch"))
+      .as[(Long, Long)].collect().toSet)
+    // reserved output column guard
+    assertThrows[IllegalArgumentException] {
+      Packing.mixtureSample(df.withColumn("epoch", lit(1)), "key", "id",
+        Map("k0" -> 1.0))
+    }
+  }
 }

@@ -128,6 +128,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ivfpq indexed probe is fully windowless (expression-based cells)") {
+    // the production probe: corpus index = scan → project, query side
+    // = per-row expressions — NO window anywhere in the plan (the
+    // in-query sim_ann_ivfpq keeps exactly one, on the tiny query set)
+    val plan = planOf("sim_ann_ivfpq_probe")
+    assert("Window\\b".r.findAllIn(plan).isEmpty, plan.take(800))
+  }
+
   test("no query plans an unpartitioned window (single-partition choke)") {
     // the round-1 bench surfaced Spark's "No Partition Defined for
     // Window operation" warning; this pins the fix across ALL queries

@@ -296,6 +296,52 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVFPQ index loop: advance == rebuild, probe-after-advance == in-query") {
+    // the production loop's invariant (the Dedup advance*Index bar):
+    // an index advanced batch-by-batch against FROZEN artifacts must
+    // equal the index rebuilt from scratch, row for row — and probing
+    // either must equal the in-query ivfPqTopK composition exactly
+    val rnd = new scala.util.Random(9)
+    val base = (0 until 8).map { c =>
+      Array.tabulate(8)(i => if (i == c) 1f else 0f)
+    }
+    val all = (0 until 64).map { i =>
+      val v = base(i % 8).clone()
+      (0 until 8).foreach(j => v(j) += (rnd.nextFloat() - 0.5f) * 0.1f)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val a = all.filter(col("vec_id") < 48)   // the initial corpus
+    val b = all.filter(col("vec_id") >= 48)  // the arriving batch
+    // artifacts frozen at the initial fit — arrivals encode against
+    // them, exactly the production contract
+    val (coarse, cb) = Similarity.fitIvfPq(a, "vec_id", "embedding",
+      dims = 8, nlist = 8, m = 4, ksub = 4, iters = 2, seed = 42L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("corpus_id", "cell", "codes")
+        .as[(Long, Int, Seq[Int])].collect().toSet
+    val rebuilt = Similarity.buildIvfPqIndex(all, coarse, cb,
+      "vec_id", "embedding")
+    val advanced = Similarity.advanceIvfPqIndex(
+      Similarity.buildIvfPqIndex(a, coarse, cb, "vec_id", "embedding"),
+      b, coarse, cb, "vec_id", "embedding")
+    assert(rows(advanced) === rows(rebuilt))
+    // re-advancing the same batch (at-least-once replay) changes nothing
+    assert(rows(Similarity.advanceIvfPqIndex(advanced, b, coarse, cb,
+      "vec_id", "embedding")) === rows(rebuilt))
+    // probing advanced == probing rebuilt == the in-query composition
+    val queries = all.filter(col("vec_id") < 4)
+    def topk(idx: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqProbeIndex(idx, queries, 3, nprobe = 2, coarse, cb)
+        .select("q_id", "rank", "n_id", "cosine_sim")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    val viaRebuilt = topk(rebuilt)
+    assert(topk(advanced) === viaRebuilt)
+    assert(viaRebuilt ===
+      Similarity.ivfPqTopK(all, queries, 3, nprobe = 2, coarse, cb)
+        .select("q_id", "rank", "n_id", "cosine_sim")
+        .as[(Long, Long, Long, Double)].collect().toSet)
+  }
+
   test("PQ/IVF degenerate edges: tiny corpus trims, zero-norm cell unpicked") {
     // corpus smaller than ksub: codebooks come back SHORTER (the
     // fitCentroids limit(k) shape), never null-padded, and encoding

@@ -128,6 +128,38 @@ class SourcesSpec extends SparkSpec {
     assert(counts.count() === 4) // 132,75 on each leg
   }
 
+  test("readTripsTyped: Dataset[Trip] round-trips the shared schema") {
+    import graft.sources.{TaxiSchema, Trip}
+    val dir = Files.createTempDirectory("graft_taxi_t").toFile
+    val f = new java.io.File(dir, "trips.csv")
+    Files.writeString(f.toPath,
+      TaxiSchema.schema.fieldNames.mkString(",") + "\n" +
+        "1,2024-01-01 00:10:00,2024-01-01 00:25:00,2.0,3.5,1.0,N,132,75," +
+        "1,17.5,1.0,0.5,3.0,0.0,1.0,23.0,2.5,1.75\n" +
+        "2,2024-01-01 00:12:00,,,4.1,1.0,N,75,132,2,19.0,1.0,0.5,0.0,0.0," +
+        "1.0,21.5,2.5,0.0\n")
+    val ds = Sources.readTripsTyped(spark, f.getPath)
+    // the encoder's structure IS the shared schema (names + types in
+    // order) — the drift guard the reference's twin copies lacked
+    assert(ds.schema.fields.map(x => (x.name, x.dataType)).toSeq ===
+      TaxiSchema.schema.fields.map(x => (x.name, x.dataType)).toSeq)
+    val trips = ds.collect().sortBy(_.VendorID)
+    assert(trips.length === 2)
+    assert(trips(0) === Trip(Some(1),
+      Some(java.sql.Timestamp.valueOf("2024-01-01 00:10:00")),
+      Some(java.sql.Timestamp.valueOf("2024-01-01 00:25:00")),
+      Some(2.0), Some(3.5), Some(1.0), Some("N"), Some(132), Some(75),
+      Some(1), Some(17.5), Some(1.0), Some(0.5), Some(3.0), Some(0.0),
+      Some(1.0), Some(23.0), Some(2.5), Some(1.75)))
+    // PERMISSIVE nulls surface as None, not a deserialization throw
+    assert(trips(1).tpep_dropoff_datetime === None)
+    assert(trips(1).passenger_count === None)
+    // typed transforms compose (the Dataset face is real, not a cast)
+    val fares = ds.map(t => t.total_amount.getOrElse(0.0))
+      .collect().sorted
+    assert(fares === Array(21.5, 23.0))
+  }
+
   test("date-partitioned writes prune the scan to matching partitions") {
     val base = Files.createTempDirectory("graft_part").toString
     val df = (1 to 300).map(i =>

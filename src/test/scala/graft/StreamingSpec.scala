@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.TextAnalysis
 import graft.streaming.{StatefulSessions, StreamOps}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.col
@@ -9,6 +10,11 @@ case class TestEvt(user_id: Long, ts: Timestamp, event_type: String,
     value: Double)
 
 case class TestDoc(doc_id: Long, ts: Timestamp, text: String)
+
+case class TestVec(vec_id: Long, ts: Timestamp, embedding: Array[Float])
+
+case class TestSrcDoc(doc_id: Long, ts: Timestamp, source: String,
+    text: String)
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -337,6 +343,93 @@ class StreamingSpec extends SparkSpec {
     val flags = spark.table(name).select("new_id", "dup_of")
       .as[(Long, Long)].collect().toSet
     assert(flags === Set((10L, 1L)))
+  }
+
+  test("sourceReportWindowed: stream == batch report per window") {
+    implicit val ctx = spark.sqlContext
+    val good = "the quick brown fox jumps over a lazy dog and then " +
+      "it runs far away into the woods to rest for the night"
+    val docs = Seq(
+      TestSrcDoc(1, ts("2024-01-01 00:10:00"), "a", good),
+      TestSrcDoc(2, ts("2024-01-01 00:20:00"), "a", "too short"),
+      TestSrcDoc(3, ts("2024-01-01 00:30:00"), "b", good),
+      TestSrcDoc(4, ts("2024-01-01 01:15:00"), "a", good + " again"))
+    val in = MemoryStream[TestSrcDoc]
+    def report(df: org.apache.spark.sql.DataFrame) =
+      StreamOps.sourceReportWindowed(df, "source", "text", "ts",
+        "1 hour", "10 minutes", minWords = 5)
+    val name = fresh()
+    val q = report(in.toDF()).writeStream.format("memory")
+      .queryName(name).outputMode("update").start()
+    in.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("window_start", "source", "n_docs", "n_keep", "avg_quality")
+      .as[(Timestamp, String, Long, Long, Double)].collect().toSet
+    val got = rows(spark.table(name))
+    // ground truth 1: the SAME definition in batch mode (shared
+    // per-row expressions + one windowed agg)
+    assert(got === rows(report(docs.toDF())))
+    // ground truth 2: window 0's rows equal the ORACLE-GATED batch
+    // operator run on window 0's documents (algebraic flavor)
+    val w0 = TextAnalysis.sourceReport(
+        docs.filter(_.ts.before(ts("2024-01-01 01:00:00")))
+          .toDF().select(col("doc_id"), col("source"), col("text")),
+        "source", "doc_id", "text", minWords = 5)
+      .select(col("source"), col("n_docs"), col("n_keep"),
+        col("avg_quality"))
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(got.filter(_._1 == ts("2024-01-01 00:00:00"))
+      .map(r => (r._2, r._3, r._4, r._5)) === w0)
+    // the short doc failed the gate, the good ones passed
+    assert(got.find(r => r._1 == ts("2024-01-01 00:00:00") && r._2 == "a")
+      .exists(r => r._3 == 2L && r._4 == 1L))
+  }
+
+  test("annProbeFlags probes a static IVFPQ index, equals batch scoring") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Similarity
+    // corpus of two clusters separated WITHIN each 2-dim sub-space
+    // (the PQ codebooks are per-sub-space cosine fits — sub-space-
+    // orthogonal clusters quantize cleanly at ksub = 2, so the ADC
+    // scores of a true re-post stay near 1); fit + index ONCE
+    val corpus = Seq(
+      (1L, Array(1f, 0.05f, 0.9f, 0f)), (2L, Array(0.95f, 0f, 1f, 0.05f)),
+      (3L, Array(0f, 0.9f, 0.05f, 1f)), (4L, Array(0.05f, 1f, 0f, 0.95f)))
+      .toDF("vec_id", "embedding")
+    val (coarse, cb) = Similarity.fitIvfPq(corpus, "vec_id", "embedding",
+      dims = 4, nlist = 2, m = 2, ksub = 2, iters = 2, seed = 7L)
+    val index = Similarity.buildIvfPqIndex(corpus, coarse, cb,
+      "vec_id", "embedding")
+    val arrivals = Seq(
+      // re-post of cluster (1, 2)'s direction → high ADC cosine, flagged
+      TestVec(10, ts("2024-01-01 00:00:00"), Array(1f, 0f, 1f, 0f)),
+      // between-clusters arrival (ADC ≈ 0.7): whatever it scores,
+      // stream == batch
+      TestVec(20, ts("2024-01-01 00:05:00"), Array(0.5f, 0.5f, 0.5f, 0.5f)))
+    val in = MemoryStream[TestVec]
+    val out = StreamOps.annProbeFlags(in.toDF(), index, coarse, cb,
+      "vec_id", "embedding", "ts", nprobe = 1, minSim = 0.9)
+    val name = fresh()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    in.addData(arrivals: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name)
+      .select("new_id", "neighbor_id", "adc_sim")
+      .as[(Long, Long, Double)].collect().toSet
+    // the SAME definition run in batch mode over the same arrivals is
+    // the ground truth (annProbeScored is shared by both paths)
+    val want = StreamOps.annProbeFlags(
+        arrivals.toDF("vec_id", "ts", "embedding"), index, coarse, cb,
+        "vec_id", "embedding", "ts", nprobe = 1, minSim = 0.9)
+      .select("new_id", "neighbor_id", "adc_sim")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === want)
+    assert(got.map(_._1).contains(10L)) // the cluster-0 re-post flagged
+    assert(got.forall(_._3 >= 0.9))
   }
 
   test("probeAdmitAdvance inside foreachBatch runs the full dedup loop") {
