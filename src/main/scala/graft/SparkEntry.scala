@@ -714,6 +714,15 @@ object SparkEntry {
       Packing.tokenBudgetSampleByKey(t(s, d, "documents"), "source",
           "doc_id", "text", TokenBudgets)
         .select(col("doc_id"), col("source"))),
+    "text_curation_dag" -> ((s, d) =>
+      // the full assembly line in ONE query: gopher gate (text_gopher's
+      // bisecting thresholds) → word-level line dedup → keep-best →
+      // per-source token budget → packing; the corpus is scanned ONCE
+      // (spec-pinned) and each stage is the oracle-gated operator
+      Packing.curateAndPack(t(s, d, "documents"), "doc_id", "source",
+        "text", TokenBudgets, PackBudget, PackGroups, delim = " ",
+        minWords = 40, maxWords = 100000, minMeanWordLen = 3.0,
+        maxMeanWordLen = 4.5, maxSymbolRatio = 0.1, minStopwords = 2)),
 
     // --- dedup ---
     "dedup_exact_groups" -> ((s, d) =>
@@ -1284,6 +1293,71 @@ object SparkEntry {
       s"$tokensSql AS t FROM documents) z) zz WHERE b < 0 OR pfx < b"
   }
 
+  /** Mirrors Packing.curateAndPack stage for stage — the text_gopher
+    * keep mirror gates, the text_line_dedup first-occurrence filter
+    * cleans (each CTE exposes its stage's text under the column name
+    * `text`, so the shared wordsSql/normSql/tokensSql fragments apply
+    * to the right stage's content), the dedup_keep_best window picks
+    * survivors on the CLEANED text, the rel_token_budget running sum
+    * samples, and the text_pack recursive walk packs. */
+  private def curationDagSql(budgets: Map[String, Long],
+      packBudget: Long, groups: Int): String = {
+    val stopArr =
+      TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    val keepExpr =
+      s"(len($wordsSql) >= 40 AND len($wordsSql) <= 100000 " +
+        s"AND (length($normSql) - len($wordsSql) + 1) / len($wordsSql) >= 3.0 " +
+        s"AND (length($normSql) - len($wordsSql) + 1) / len($wordsSql) <= 4.5 " +
+        s"AND (len(string_split_regex(text, '#')) - 1 + len(string_split_regex(text, '\\.\\.\\.')) - 1) / len($wordsSql) <= 0.1 " +
+        s"AND len(list_intersect($wordsSql, $stopArr)) >= 2)"
+    val budgetCases = budgets.toSeq.sortBy(_._1)
+      .map { case (k, b) => s"WHEN '$k' THEN $b" }.mkString(" ")
+    "WITH RECURSIVE " +
+      // per-row stage: quality + keep on the RAW text, then the
+      // first-occurrence word filter — survivors carry cleaned `text`
+      s"q AS (SELECT doc_id, 0.4 * least(nw / 200.0, 1.0) + 0.3 * least(stop / nw * 4.0, 1.0) + 0.3 * (nd / nw) AS quality FROM " +
+      s"(SELECT doc_id, CAST(len(list_filter($wordsSql, x -> x IN $stopListSql)) AS DOUBLE) AS stop, " +
+      s"CAST(len($wordsSql) AS DOUBLE) AS nw, CAST(len(list_distinct($wordsSql)) AS DOUBLE) AS nd FROM documents) t), " +
+      s"g AS (SELECT doc_id, $keepExpr AS keep FROM documents), " +
+      "c AS (SELECT l.doc_id, l.source, q.quality, " +
+      "array_to_string(list_filter(l.ws, (x, i) -> list_position(l.ws, x) = i), ' ') AS text " +
+      "FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents) l " +
+      "JOIN q USING (doc_id) JOIN g USING (doc_id) WHERE g.keep), " +
+      // keep-best on the CLEANED content hash (ties: equal content ⇒
+      // equal quality ⇒ min doc_id, the dedup_keep_best convention)
+      s"h AS (SELECT doc_id, md5($normSql) AS content_hash FROM c), " +
+      "j AS (SELECT h.content_hash, c2.doc_id, " +
+      "row_number() OVER (PARTITION BY h.content_hash ORDER BY c2.quality DESC, c2.doc_id) AS rn " +
+      "FROM h JOIN c c2 USING (doc_id)), " +
+      "s0 AS (SELECT c.* FROM c JOIN (SELECT doc_id FROM j WHERE rn = 1) k USING (doc_id)), " +
+      // per-source token budget over the survivors' cleaned text
+      "z AS (SELECT doc_id, source, text, " +
+      "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|budget'), 1, 7) AS BIGINT) AS h2, " +
+      s"$tokensSql AS tk FROM s0), " +
+      "sampled AS (SELECT doc_id, text FROM (SELECT doc_id, text, " +
+      "coalesce(sum(tk) OVER (PARTITION BY source ORDER BY h2, doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx, " +
+      s"CASE source $budgetCases ELSE -1 END AS b FROM z) zz WHERE b < 0 OR pfx < b), " +
+      // the text_pack recursive next-fit walk over the sampled set
+      "base AS (SELECT doc_id, " +
+      "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|pack'), 1, 7) AS BIGINT) AS h3, " +
+      s"CAST(least($tokensSql, $packBudget) AS BIGINT) AS t FROM sampled), " +
+      s"o AS (SELECT doc_id, h3 % $groups AS grp, h3, t, " +
+      s"row_number() OVER (PARTITION BY h3 % $groups ORDER BY h3, doc_id) AS rn FROM base), " +
+      "packed AS (" +
+      "SELECT grp, rn, doc_id, t, t AS fill, CAST(0 AS BIGINT) AS pack FROM o WHERE rn = 1 " +
+      "UNION ALL " +
+      "SELECT o.grp, o.rn, o.doc_id, o.t, " +
+      s"CASE WHEN p.fill + o.t > $packBudget THEN o.t ELSE p.fill + o.t END AS fill, " +
+      s"CASE WHEN p.fill + o.t > $packBudget THEN p.pack + 1 ELSE p.pack END AS pack " +
+      "FROM o JOIN packed p ON o.grp = p.grp AND o.rn = p.rn + 1) " +
+      "SELECT CAST(grp AS VARCHAR) || '-' || CAST(pack AS VARCHAR) AS pack_id, " +
+      "count(*) AS n_docs, CAST(sum(t) AS BIGINT) AS total_tokens, " +
+      s"CAST(sum(t) AS DOUBLE) / $packBudget AS fill_ratio, " +
+      "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn) AS doc_ids " +
+      "FROM packed GROUP BY grp, pack"
+  }
+
   /** Mirrors Packing.mixtureSample: integer epochs + the fractional
     * epoch from the same md5-derived "|mix" bucket, epochs
     * materialized by range() — integer arithmetic end-to-end, exact
@@ -1500,6 +1574,8 @@ object SparkEntry {
         "coalesce(a.text_clean, '') AS text_clean " +
         "FROM documents d2 LEFT JOIN agg a ON d2.doc_id = a.doc_id"),
     "rel_token_budget" -> tokenBudgetSql(TokenBudgets, defaultBudget = -1L),
+    "text_curation_dag" -> curationDagSql(TokenBudgets, PackBudget,
+      PackGroups),
     "media_resize" ->
       ("SELECT doc_id AS media_id, CAST(least(strlen(text), 300) AS BIGINT) AS n_bytes, " +
         "md5(substr(text, 1, 300)) AS payload_sig FROM documents"),

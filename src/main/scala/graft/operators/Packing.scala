@@ -290,4 +290,49 @@ object Packing {
         explode(sequence(lit(0L), col("__n") - 1)))
       .select((inCols :+ epochName).map(col): _*)
   }
+
+  /** End-to-end curation DAG — the full pre-training assembly line as
+    * ONE composed operator: gopher gate → intra-doc line dedup →
+    * exact-dup keep-best → per-source token budget → sequence packing.
+    * The stages compose WITHOUT re-scanning the corpus: every per-row
+    * signal (keep, quality, cleaned text) fuses into a single
+    * projection over the scan (TextAnalysis.withKeepQuality +
+    * withDedupedText preserve carried columns), and that enriched
+    * frame is materialized ONCE (eager localCheckpoint — the
+    * curationReport convention; Spark does NOT reuse forked DAG
+    * branches across stages, so the keep-best self-join and the
+    * budget/pack consumers would otherwise each re-run the scan).
+    * Input scan multiplicity is exactly 1 — spec-pinned with a
+    * per-row accumulator. Every stage is the library's oracle-gated
+    * operator, parameters surfaced unchanged; keep-best ties resolve
+    * to the minimum id (equal cleaned content ⇒ equal quality), so
+    * the survivor set is deterministic.
+    * Output: the [[packSequences]] pack table over the curated set —
+    * (pack_id, n_docs, total_tokens, fill_ratio, doc_ids).
+    */
+  def curateAndPack(df: DataFrame, idCol: String, sourceCol: String,
+      textCol: String, budgets: Map[String, Long], packBudget: Long,
+      packGroups: Int = 256, delim: String = "\n",
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minStopwords: Int = 2): DataFrame = {
+    val enriched = TextAnalysis.withDedupedText(
+        TextAnalysis.withKeepQuality(
+            df.select(col(idCol), col(sourceCol), col(textCol)),
+            textCol, minWords, maxWords, minMeanWordLen, maxMeanWordLen,
+            maxSymbolRatio, minStopwords)
+          .filter(col("keep")),
+        textCol, "__clean", delim)
+      .select(col(idCol), col(sourceCol), col("quality"),
+        col("__clean").as(textCol))
+      .localCheckpoint(true)
+    val kept = Dedup.keepBest(enriched,
+      enriched.select(col(idCol), col("quality")), idCol, textCol)
+    val survivors = enriched.join(
+      kept.select(col("keep_id").as(idCol)), idCol)
+    packSequences(
+      tokenBudgetSampleByKey(survivors, sourceCol, idCol, textCol,
+        budgets),
+      idCol, textCol, packBudget, packGroups)
+  }
 }

@@ -589,10 +589,31 @@ object TextAnalysis {
       .select(col(idCol),
         size(col("__lines")).cast("long").as("n_lines"),
         size(array_distinct(col("__lines"))).cast("long").as("n_kept"),
-        array_join(
-          filter(col("__lines"),
-            (l, i) => array_position(col("__lines"), l) === i + 1),
-          delim).as("text_deduped"))
+        firstOccurrenceJoin(col("__lines"), delim).as("text_deduped"))
+  }
+
+  /** The [[dedupLines]] reassembly expression over a materialized lines
+    * array — shared so the column-preserving flavor below cannot drift
+    * from the oracle-gated operator. */
+  private def firstOccurrenceJoin(lines: Column, delim: String): Column =
+    array_join(
+      filter(lines, (l, i) => array_position(lines, l) === i + 1),
+      delim)
+
+  /** [[dedupLines]] as a column ATTACHED to the input frame (every
+    * input column preserved) — the composition-friendly flavor for
+    * multi-stage pipelines that must carry source/quality/etc. through
+    * the cleanup (Packing.curateAndPack). Same expression as
+    * dedupLines' text_deduped, shared verbatim. */
+  def withDedupedText(df: DataFrame, textCol: String, outCol: String,
+      delim: String = "\n"): DataFrame = {
+    require(!df.columns.contains("__lines") && !df.columns.contains(outCol),
+      s"input already has __lines/$outCol — rename it; __lines is " +
+        "reserved scratch space and outCol is the output column")
+    val esc = java.util.regex.Pattern.quote(delim)
+    df.withColumn("__lines", split(col(textCol), esc))
+      .withColumn(outCol, firstOccurrenceJoin(col("__lines"), delim))
+      .drop("__lines")
   }
 
   /** Cross-document boilerplate removal: a line occurring in at least

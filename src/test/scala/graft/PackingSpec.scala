@@ -209,6 +209,59 @@ class PackingSpec extends SparkSpec {
     assert(run(keyedDocs) === run(keyedDocs.repartition(11)))
   }
 
+  test("curateAndPack: ONE corpus scan, stages compose exactly") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val n = 60
+    // accumulator-instrumented source: every end-to-end pass over the
+    // input adds n — the DAG's checkpoint must hold it to exactly one
+    val acc = spark.sparkContext.longAccumulator("curation-scans")
+    def mkDocs(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("i").as("doc_id"),
+      concat(lit("s"), (col("i") % 3).cast("string")).as("source"),
+      // duplicate-content pairs (2i, 2i+1) exercise keep-best; the
+      // repeated "the the" exercises the line-dedup stage (word delim)
+      concat(lit("the the quick brown fox number "),
+        (col("i") - col("i") % 2).cast("string"),
+        lit(" jumps over the lazy dog")).as("text"))
+    val instrumented = mkDocs(
+      spark.range(n).map { x => acc.add(1); x }.toDF("i"))
+    def run(docs: org.apache.spark.sql.DataFrame) =
+      Packing.curateAndPack(docs, "doc_id", "source", "text",
+        Map("s0" -> 40L), packBudget = 24L, packGroups = 4, delim = " ",
+        minWords = 3, minMeanWordLen = 1.0, maxMeanWordLen = 10.0,
+        minStopwords = 1)
+    val out = run(instrumented).collect()
+    assert(acc.value === n.toLong,
+      s"corpus scanned ${acc.value / n.toDouble}x, expected exactly 1x")
+    // keep-best kept the minimum id of each duplicate pair: only even
+    // ids survive into packs
+    val packedIds = out.flatMap(_.getAs[String]("doc_ids").split(","))
+      .map(_.toLong)
+    assert(packedIds.distinct.length === packedIds.length)
+    assert(packedIds.forall(_ % 2 == 0))
+    // stage-composition equality: the DAG == the stages run by hand
+    val docs = mkDocs(spark.range(n).toDF("i"))
+    val enriched = TextAnalysis.withDedupedText(
+        TextAnalysis.withKeepQuality(docs, "text", minWords = 3,
+            minMeanWordLen = 1.0, maxMeanWordLen = 10.0,
+            minStopwords = 1)
+          .filter(col("keep")),
+        "text", "__clean", " ")
+      .select(col("doc_id"), col("source"), col("quality"),
+        col("__clean").as("text"))
+    val kept = Dedup.keepBest(enriched,
+      enriched.select(col("doc_id"), col("quality")), "doc_id", "text")
+    val manual = Packing.packSequences(
+      Packing.tokenBudgetSampleByKey(
+        enriched.join(kept.select(col("keep_id").as("doc_id")), "doc_id"),
+        "source", "doc_id", "text", Map("s0" -> 40L)),
+      "doc_id", "text", 24L, 4)
+    def rows(a: Array[org.apache.spark.sql.Row]) = a.map(r =>
+      (r.getAs[String]("pack_id"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("total_tokens"), r.getAs[String]("doc_ids"))).toSet
+    assert(rows(out) === rows(manual.collect()))
+  }
+
   test("mixtureSample: exact integer epochs, rate-accurate remainder") {
     val n = 400
     val df = (0 until n).map(i =>
