@@ -228,6 +228,34 @@ object SparkEntry {
     "rel_salted_distinct" -> ((s, d) =>
       Relational.saltedDistinctCount(t(s, d, "lineitem"),
         "l_returnflag", "l_partkey", 8)),
+    "rel_approx_quantiles" -> ((s, d) => {
+      // the percentile sketch gated like the distinct sketches — but on
+      // the estimator's ACTUAL guarantee, which is rank (not value)
+      // error: the returned value's rank fraction must sit within
+      // ±0.02 of the target 0.5 (accuracy 10000 ⇒ rank error ≤ 1e-4;
+      // the slack covers sketch-merge wobble across partitionings, so
+      // the boolean is deterministic however the value jitters). The
+      // rank check runs in-plan via a broadcast of the per-group
+      // medians (the zscore stats-join shape); ties on the discrete
+      // quantity grid are handled by checking strict-below and
+      // at-or-below separately.
+      val li = t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"))
+      val ap = li.groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+          .as("__ap"))
+      li.join(broadcast(ap), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("l_quantity") < col("__ap"), 1L).otherwise(0L))
+            .as("__lt"),
+          sum(when(col("l_quantity") <= col("__ap"), 1L).otherwise(0L))
+            .as("__le"))
+        .select(col("l_returnflag"), col("n_rows"),
+          (col("__lt") <= col("n_rows") * lit(0.52) &&
+            col("__le") >= col("n_rows") * lit(0.48))
+            .as("within_tolerance"))
+    }),
     "rel_conditional_agg" -> ((s, d) =>
       // conditional/ordered aggregate surface: count_if, bool_or/and,
       // filtered avg, and a DETERMINISTIC argmax — max(struct) orders
@@ -2096,6 +2124,9 @@ object SparkEntry {
         "UNION ALL SELECT 'l_orderkey', count(DISTINCT l_orderkey), true FROM lineitem"),
     "rel_hll_distinct" ->
       ("SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact, true AS within_tolerance FROM lineitem GROUP BY 1 " +
-        "UNION ALL SELECT 'ALL', count(DISTINCT l_partkey), true FROM lineitem")
+        "UNION ALL SELECT 'ALL', count(DISTINCT l_partkey), true FROM lineitem"),
+    "rel_approx_quantiles" ->
+      ("SELECT l_returnflag, count(*) AS n_rows, true AS within_tolerance " +
+        "FROM lineitem GROUP BY 1")
   )
 }

@@ -744,19 +744,47 @@ object Similarity {
   private[graft] def annProbeScored(stream: DataFrame, index: DataFrame,
       coarse: Array[Array[Float]],
       codebooks: Array[Array[Array[Float]]],
-      idCol: String, vecCol: String, tsCol: String,
+      idCol: String, vecCol: String, carryCols: Seq[String],
       nprobe: Int): DataFrame =
-    stream.select(col(idCol).as("new_id"), col(tsCol),
-        col(vecCol).as("q_vec"),
-        VectorFns.norm2(col(vecCol)).as("q_norm"))
+    stream.select(col(idCol).as("new_id") +: carryCols.map(col) :+
+        col(vecCol).as("q_vec") :+
+        VectorFns.norm2(col(vecCol)).as("q_norm"): _*)
       .withColumn("dt", pqDtCol(codebooks, col("q_vec")))
       .withColumn("cell", explode(
         nearestCellsExpr(coarse, col("q_vec"), col("q_norm"), nprobe)))
       .join(index, Seq("cell"))
       .filter(col("corpus_id") =!= col("new_id"))
-      .select(col("new_id"), col(tsCol),
-        col("corpus_id").as("neighbor_id"),
-        pqAdcSim(codebooks).as("adc_sim"))
+      .select(col("new_id") +: carryCols.map(col) :+
+        col("corpus_id").as("neighbor_id") :+
+        pqAdcSim(codebooks).as("adc_sim"): _*)
+
+  /** One probe→admit→advance step of the EMBEDDING near-dup loop —
+    * the ANN face of Dedup.probeAdmitAdvance, completing the loop
+    * symmetry: flag batch vectors whose ADC cosine against the
+    * indexed corpus reaches `minSim` (embedding-level near-duplicate
+    * detection — catches paraphrases exact/simhash text signatures
+    * miss), anti-join to admit only novel vectors, and
+    * [[advanceIvfPqIndex]] the admitted ones against the FROZEN
+    * artifacts so the NEXT batch sees them. Returns (flags, advanced
+    * index); flags = (new_id, neighbor_id, adc_sim). Run inside
+    * foreachBatch for the streaming loop and MATERIALIZE the advanced
+    * index between batches (localCheckpoint, or overwrite the index
+    * parquet) — Dedup.probeAdmitAdvance's lineage contract. A batch's
+    * internal near-dups are NOT flagged against each other (the index
+    * is the reference corpus, not the batch). */
+  def annProbeAdmitAdvance(batch: DataFrame, index: DataFrame,
+      coarse: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]],
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nprobe: Int = 4, minSim: Double = 0.95): (DataFrame, DataFrame) = {
+    val flags = annProbeScored(batch, index, coarse, codebooks, idCol,
+        vecCol, Seq.empty, nprobe)
+      .filter(col("adc_sim") >= minSim)
+    val novel = batch.join(flags.select(col("new_id")).distinct(),
+      batch(idCol) === col("new_id"), "left_anti")
+    (flags,
+      advanceIvfPqIndex(index, novel, coarse, codebooks, idCol, vecCol))
+  }
 
   /** IVF+PQ top-k over a PREBUILT [[buildIvfPqIndex]] — the probe a
     * production user pays after the one-time fit + index build:

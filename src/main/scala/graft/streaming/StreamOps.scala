@@ -315,7 +315,7 @@ object StreamOps {
       nprobe: Int, minSim: Double): DataFrame =
     graft.operators.Similarity
       .annProbeScored(stream, index, coarse, codebooks, idCol, vecCol,
-        tsCol, nprobe)
+        Seq(tsCol), nprobe)
       .filter(col("adc_sim") >= minSim)
 
   /** Streaming anomaly scores against FROZEN per-key stats — the

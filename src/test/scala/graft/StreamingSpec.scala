@@ -432,6 +432,52 @@ class StreamingSpec extends SparkSpec {
     assert(got.forall(_._3 >= 0.9))
   }
 
+  test("annProbeAdmitAdvance inside foreachBatch runs the full ANN loop") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Similarity
+    // artifacts fit ONCE on a representative sample covering both
+    // clusters (the production shape: a frozen quantizer must span the
+    // space arrivals come from); the index starts from cluster-A only
+    val sample = Seq(
+      (1L, Array(1f, 0.05f, 0.9f, 0f)), (2L, Array(0.95f, 0f, 1f, 0.05f)),
+      (3L, Array(0f, 0.9f, 0.05f, 1f)), (4L, Array(0.05f, 1f, 0f, 0.95f)))
+      .toDF("vec_id", "embedding")
+    val (coarse, cb) = Similarity.fitIvfPq(sample, "vec_id", "embedding",
+      dims = 4, nlist = 2, m = 2, ksub = 2, iters = 2, seed = 7L)
+    var index = Similarity.buildIvfPqIndex(
+        sample.filter(col("vec_id") <= 2), coarse, cb,
+        "vec_id", "embedding")
+      .localCheckpoint(true)
+    val flagged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val in = MemoryStream[TestVec]
+    val q = in.toDF().writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (flags, advanced) = Similarity.annProbeAdmitAdvance(
+          batch.select(col("vec_id"), col("embedding")), index,
+          coarse, cb, nprobe = 1, minSim = 0.9)
+        flagged ++= flags.select("new_id", "neighbor_id")
+          .as[(Long, Long)].collect()
+        val next = advanced.localCheckpoint(true)
+        index.unpersist()
+        index = next
+        ()
+    }.start()
+    // batch 1: an A-direction re-post (flagged vs the index) and a
+    // NOVEL B-direction vector (its probe cell is empty -> admitted)
+    in.addData(
+      TestVec(10, ts("2024-01-01 00:00:00"), Array(1f, 0f, 1f, 0f)),
+      TestVec(20, ts("2024-01-01 00:01:00"), Array(0f, 1f, 0f, 1f)))
+    q.processAllAvailable()
+    assert(flagged.nonEmpty && flagged.forall(_._1 == 10L))
+    // batch 2: a re-post of 20 — which was NOT in the original index;
+    // flagging it against 20 proves the advance step actually took
+    in.addData(
+      TestVec(30, ts("2024-01-01 00:02:00"), Array(0f, 1f, 0f, 1f)))
+    q.processAllAvailable()
+    q.stop()
+    assert(flagged.filter(_._1 == 30L).map(_._2).toSet === Set(20L))
+  }
+
   test("probeAdmitAdvance inside foreachBatch runs the full dedup loop") {
     implicit val ctx = spark.sqlContext
     // the production arrival pipeline end-to-end: every micro-batch
