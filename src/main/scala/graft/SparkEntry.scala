@@ -858,6 +858,16 @@ object SparkEntry {
       // and feeds BOTH edit-distance refine and cluster labeling
       Dedup.curationReport(t(s, d, "documents"), "doc_id", "text",
         MinhashK, LshBands)),
+    "dedup_embedding_ivf" -> ((s, d) => {
+      // corpus-scale embedding near-dup: the IVFPQ coarse cell is the
+      // LEARNED blocking key (dedup_embedding_cos needs a label), the
+      // pair join ships codes not floats, survivors refine exactly
+      val emb = t(s, d, "embeddings")
+      val (coarse, cb) = ivfPqArtifacts(s, d)
+      Similarity.nearDupPairsIvf(emb, coarse, cb,
+        candSim = 0.2, minSim = 0.3,
+        index = Some(ivfPqIndex(s, d)))
+    }),
 
     // --- similarity search ---
     "sim_knn_topk" -> ((s, d) => {
@@ -1092,7 +1102,7 @@ object SparkEntry {
     * norms, the corpus encode (jXenc), the per-query dot table (jXqd),
     * and the joined `codes` table (vec_id, c0..c{m-1}). */
   private def pqSubCtes(dims: Int, m: Int, ksub: Int, iters: Int,
-      seed: Long): String = {
+      seed: Long, qPred: String = "e.vec_id < 10"): String = {
     val dsub = dims / m
     val subCtes = (0 until m).map { j =>
       val sd = seed + j
@@ -1113,7 +1123,7 @@ object SparkEntry {
         s"${p}cb AS (SELECT cell, cvec, ${oSqlSumsq("cvec")} AS cn2 FROM ${p}c$iters), " +
         s"${p}encd AS (SELECT e.vec_id, c.cell, c.cn2 - 2 * ${oSqlDot("e.sv", "c.cvec")} AS d FROM ${p}e e CROSS JOIN ${p}cb c), " +
         s"${p}enc AS (SELECT vec_id, cell AS code FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn FROM ${p}encd) t WHERE rn = 1), " +
-        s"${p}qd AS (SELECT e.vec_id AS q_id, c.cell, ${oSqlDot("e.sv", "c.cvec")} AS qdot, c.cn2 FROM ${p}e e CROSS JOIN ${p}cb c WHERE e.vec_id < 10)"
+        s"${p}qd AS (SELECT e.vec_id AS q_id, c.cell, ${oSqlDot("e.sv", "c.cvec")} AS qdot, c.cn2 FROM ${p}e e CROSS JOIN ${p}cb c WHERE $qPred)"
     }.mkString(", ")
     val codeJoins = (1 until m)
       .map(j => s"JOIN j${j}enc e$j USING (vec_id)").mkString(" ")
@@ -1168,6 +1178,32 @@ object SparkEntry {
       s"FROM vcb JOIN vqb USING (cell) JOIN codes n ON n.vec_id = vcb.n_id $qdJoins WHERE vcb.n_id <> vqb.q_id), " +
       "ranked AS (SELECT q_id, n_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS \"rank\" FROM scored) " +
       s"SELECT q_id, \"rank\", n_id, round(sim, 4) AS cosine_sim FROM ranked WHERE \"rank\" <= $k"
+  }
+
+  /** The dedup_embedding_ivf oracle: replays nearDupPairsIvf — the
+    * shared coarse-Lloyd CTEs assign every vector its cell (ties to
+    * the lowest — the corpus-side expression's order), pqSubCtes with
+    * an unrestricted query predicate gives every vector its codes AND
+    * its ADC dot tables, same-cell a<b pairs prefilter on the ADC
+    * cosine, and survivors refine on the exact guarded cosine. */
+  private def nearDupIvfSql(nlist: Int, iters: Int, seed: Long,
+      dims: Int, m: Int, ksub: Int, candSim: Double,
+      minSim: Double): String = {
+    val (qdJoins, ip, rn2) = pqAdcFragments(m, "a")
+    "WITH emb AS (SELECT vec_id, embedding FROM embeddings), " +
+      coarseLloydCtes("v", nlist, iters, seed) + ", " +
+      s"vpc AS (SELECT e.vec_id, ${oSqlNrm("e.embedding")} AS vnorm, c.cell, ${oSqlSimDiv(oSqlDot("e.embedding", "c.cvec"), s"${oSqlNrm("e.embedding")} * c.cnorm")} AS csim FROM emb e CROSS JOIN vc$iters c), " +
+      "vcb AS (SELECT vec_id, vnorm, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn FROM vpc) t WHERE rn = 1), " +
+      pqSubCtes(dims, m, ksub, iters, seed, qPred = "TRUE") + ", " +
+      "a AS (SELECT vec_id AS q_id, vnorm AS q_norm, cell FROM vcb), " +
+      "adc AS (SELECT a.q_id AS a_id, n.vec_id AS b_id, " +
+      s"CASE WHEN a.q_norm > 0 AND $rn2 > 0 THEN ($ip) / (a.q_norm * sqrt($rn2)) ELSE 0.0 END AS adcsim " +
+      "FROM a JOIN vcb bb ON a.cell = bb.cell AND a.q_id < bb.vec_id " +
+      s"JOIN codes n ON n.vec_id = bb.vec_id $qdJoins), " +
+      s"cand AS (SELECT a_id, b_id FROM adc WHERE adcsim >= $candSim), " +
+      s"exact AS (SELECT c.a_id, c.b_id, ${oSqlSimDiv(oSqlDot("ea.embedding", "eb.embedding"), s"${oSqlNrm("ea.embedding")} * ${oSqlNrm("eb.embedding")}")} AS sim " +
+      "FROM cand c JOIN emb ea ON ea.vec_id = c.a_id JOIN emb eb ON eb.vec_id = c.b_id) " +
+      s"SELECT a_id, b_id, round(sim, 4) AS cosine_sim FROM exact WHERE sim >= $minSim"
   }
 
   /** The sim_rerank oracle: replays annTopKRerank code-for-code — int8
@@ -2049,6 +2085,9 @@ object SparkEntry {
         "SELECT q_id, \"rank\", n_id, round(sim, 4) AS cosine_sim FROM ranked WHERE \"rank\" <= 5"),
     "sim_ann_pq" -> pqSql(dims = 64, m = PqM, ksub = PqKsub, k = 5,
       iters = PqIters, seed = 42L),
+    "dedup_embedding_ivf" -> nearDupIvfSql(nlist = IvfNlist,
+      iters = PqIters, seed = 42L, dims = 64, m = PqM, ksub = PqKsub,
+      candSim = 0.2, minSim = 0.3),
     "sim_ann_ivfpq" -> ivfPqSql(nlist = IvfNlist, nprobe = IvfNprobe,
       k = 5, iters = PqIters, seed = 42L, dims = 64, m = PqM,
       ksub = PqKsub),

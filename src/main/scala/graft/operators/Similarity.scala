@@ -812,6 +812,54 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Embedding near-duplicate pairs at CORPUS scale via the IVFPQ
+    * index — the LEARNED-blocking upgrade of [[nearestInBlock]] /
+    * Dedup.embeddingNearDups (which need a label/bucket column the
+    * data may not have): candidate pairs are vectors sharing a coarse
+    * cell, PREFILTERED in the compressed domain (ADC cosine ≥
+    * `candSim` — the pair join ships (cell, m codes), not dims
+    * floats), and only survivors join back to full-precision vectors
+    * for the exact refine (≥ `minSim`) — the annTopKRerank pattern
+    * applied to pair generation. Fan-out is bounded by the largest
+    * cell (corpus/nlist expected), never n². RECALL CAVEAT: a pair
+    * straddling a cell boundary is missed (the standard IVF trade —
+    * tune nlist down or cluster-then-refine for higher recall; exact
+    * fallback is the blocked brute force). Pass `index` when a
+    * persisted [[buildIvfPqIndex]] of the corpus exists (the
+    * production shape — MUST be built from the same corpus and
+    * artifacts); absent, the index derives in-query. Output:
+    * (a_id, b_id, cosine_sim rounded), a_id < b_id.
+    */
+  def nearDupPairsIvf(corpus: DataFrame, coarse: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]],
+      candSim: Double, minSim: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      index: Option[DataFrame] = None): DataFrame = {
+    val left = corpus.select(col(idCol).as("a_id"), col(vecCol).as("q_vec"),
+        VectorFns.norm2(col(vecCol)).as("q_norm"))
+      .withColumn("cell",
+        nearestCellExpr(coarse, col("q_vec"), col("q_norm")))
+      .withColumn("dt", pqDtCol(codebooks, col("q_vec")))
+    val cand = left
+      .join(index.getOrElse(
+          buildIvfPqIndex(corpus, coarse, codebooks, idCol, vecCol))
+        .withColumnRenamed("corpus_id", "b_id"), Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(pqAdcSim(codebooks) >= candSim)
+      .select(col("a_id"), col("b_id"))
+    val va = corpus.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"),
+      VectorFns.norm2(col(vecCol)).as("a_norm"))
+    val vb = corpus.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"),
+      VectorFns.norm2(col(vecCol)).as("b_norm"))
+    cand.join(va, "a_id").join(vb, "b_id")
+      .withColumn("__sim", VectorFns.simDiv(
+        VectorFns.dot(col("a_vec"), col("b_vec")),
+        col("a_norm") * col("b_norm")))
+      .filter(col("__sim") >= minSim)
+      .select(col("a_id"), col("b_id"),
+        round(col("__sim"), 4).as("cosine_sim"))
+  }
+
   /** Per-vector int8 quantization: each embedding becomes a
     * (lo, hi, codes: array<tinyint>) struct — 4× smaller than
     * array<float>, the lever that shrinks embedding shuffles/storage at

@@ -111,11 +111,28 @@ object syntax {
     def packChunks(idCol: String, textCol: String, chunkSize: Int,
         overlap: Int, budget: Long): DataFrame =
       Packing.packChunks(df, idCol, textCol, chunkSize, overlap, budget)
+    def mixtureSample(keyCol: String, idCol: String,
+        weights: Map[String, Double]): DataFrame =
+      Packing.mixtureSample(df, keyCol, idCol, weights)
+    def curateAndPack(idCol: String, sourceCol: String, textCol: String,
+        budgets: Map[String, Long], packBudget: Long): DataFrame =
+      Packing.curateAndPack(df, idCol, sourceCol, textCol, budgets,
+        packBudget)
+    def withKeepQuality(textCol: String): DataFrame =
+      TextAnalysis.withKeepQuality(df, textCol)
 
     // similarity
     def knnTopK(queries: DataFrame, k: Int): DataFrame =
       Similarity.bruteForceTopK(df, queries, k)
     def labelCentroids(labelCol: String, vecCol: String): DataFrame =
       Similarity.labelCentroids(df, labelCol, vecCol)
+    def buildIvfPqIndex(coarse: Array[Array[Float]],
+        codebooks: Array[Array[Array[Float]]]): DataFrame =
+      Similarity.buildIvfPqIndex(df, coarse, codebooks)
+    def ivfPqProbeIndex(queries: DataFrame, k: Int, nprobe: Int,
+        coarse: Array[Array[Float]],
+        codebooks: Array[Array[Array[Float]]]): DataFrame =
+      Similarity.ivfPqProbeIndex(df, queries, k, nprobe, coarse,
+        codebooks)
   }
 }

@@ -136,6 +136,20 @@ class PlanSpec extends SparkSpec {
     assert("Window\\b".r.findAllIn(plan).isEmpty, plan.take(800))
   }
 
+  test("mixture sampling is shuffle-free (per-row filter + generator)") {
+    val plan = planOf("rel_mixture_sample")
+    assert(!plan.contains("Exchange"), plan.take(800))
+    assert(plan.contains("Generate"), plan.take(800))
+  }
+
+  test("approx-quantile gate broadcasts the sketch medians back") {
+    // the rank check must not shuffle the probe rows: per-group sketch
+    // medians come back via a broadcast join (the zscore stats shape)
+    val plan = planOf("rel_approx_quantiles")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+  }
+
   test("no query plans an unpartitioned window (single-partition choke)") {
     // the round-1 bench surfaced Spark's "No Partition Defined for
     // Window operation" warning; this pins the fix across ALL queries

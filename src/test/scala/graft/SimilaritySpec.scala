@@ -342,6 +342,44 @@ class SimilaritySpec extends SparkSpec {
         .as[(Long, Long, Long, Double)].collect().toSet)
   }
 
+  test("nearDupPairsIvf: exact-subset semantics, full recall at nlist=1") {
+    val rnd = new scala.util.Random(13)
+    val base = (0 until 4).map { c =>
+      Array.tabulate(8)(i => if (i == c * 2 || i == c * 2 + 1) 1f else 0f)
+    }
+    val corpus = (0 until 32).map { i =>
+      val v = base(i % 4).clone()
+      (0 until 8).foreach(j => v(j) += (rnd.nextFloat() - 0.5f) * 0.1f)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    // ground truth: brute-force all-pairs exact cosine at the threshold
+    val a = corpus.select(col("vec_id").as("a_id"),
+      col("embedding").as("av"))
+    val b = corpus.select(col("vec_id").as("b_id"),
+      col("embedding").as("bv"))
+    val brute = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("sim", graft.functions.VectorFns.cosine(
+        col("av"), col("bv")))
+      .filter(col("sim") >= 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(brute.size >= 28, s"fixture degenerate: ${brute.size} pairs")
+    val (coarse, cb) = Similarity.fitIvfPq(corpus, "vec_id", "embedding",
+      dims = 8, nlist = 4, m = 4, ksub = 4, iters = 2, seed = 42L)
+    def pairs(nl: Array[Array[Float]], cand: Double) =
+      Similarity.nearDupPairsIvf(corpus, nl, cb, cand, 0.8)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // cell-blocked candidates + exact refine can only MISS pairs
+    // (cell-boundary straddlers), never invent them
+    val blocked = pairs(coarse, -2.0)
+    assert(blocked.subsetOf(brute))
+    assert(blocked.size >= brute.size / 2, // well-separated clusters: high recall
+      s"recall collapsed: ${blocked.size}/${brute.size}")
+    // degenerate single cell + no ADC prefilter == the brute force
+    val oneCell = Similarity.fitIvfPq(corpus, "vec_id", "embedding",
+      dims = 8, nlist = 1, m = 4, ksub = 4, iters = 1, seed = 42L)._1
+    assert(pairs(oneCell, -2.0) === brute)
+  }
+
   test("PQ/IVF degenerate edges: tiny corpus trims, zero-norm cell unpicked") {
     // corpus smaller than ksub: codebooks come back SHORTER (the
     // fitCentroids limit(k) shape), never null-padded, and encoding

@@ -33,5 +33,23 @@ class SyntaxSpec extends SparkSpec {
     assert(docs.filter(col("doc_id") >= 3)
       .incrementalNearDups(index, "doc_id", "text").columns.toSeq ===
       Seq("new_id", "dup_of", "hamming_dist"))
+    // round-9 forwarders
+    assert(docs.mixtureSample("text", "doc_id", Map.empty)
+      .columns.contains("epoch"))
+    assert(docs.withKeepQuality("text").columns
+      .containsSlice(Seq("keep", "quality")))
+    val vecs = (0 until 8).map(i =>
+      (i.toLong, Array.tabulate(4)(j => if (j == i % 2) 1f else 0.1f)))
+      .toDF("vec_id", "embedding")
+    val (coarse, cb) = graft.operators.Similarity.fitIvfPq(vecs,
+      "vec_id", "embedding", dims = 4, nlist = 2, m = 2, ksub = 2,
+      iters = 1, seed = 3L)
+    val ivfIdx = vecs.buildIvfPqIndex(coarse, cb)
+    assert(ivfIdx.columns.toSeq === Seq("corpus_id", "cell", "codes"))
+    assert(ivfIdx.ivfPqProbeIndex(vecs.filter(col("vec_id") < 2), 2, 2,
+      coarse, cb).collect().toSet ===
+      graft.operators.Similarity.ivfPqTopK(vecs,
+        vecs.filter(col("vec_id") < 2), 2, 2, coarse, cb)
+        .collect().toSet)
   }
 }
