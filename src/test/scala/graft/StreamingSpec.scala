@@ -3,7 +3,7 @@ package graft
 import graft.operators.TextAnalysis
 import graft.streaming.{StatefulSessions, StreamOps}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, when}
 import java.sql.Timestamp
 
 case class TestEvt(user_id: Long, ts: Timestamp, event_type: String,
@@ -343,6 +343,34 @@ class StreamingSpec extends SparkSpec {
     val flags = spark.table(name).select("new_id", "dup_of")
       .as[(Long, Long)].collect().toSet
     assert(flags === Set((10L, 1L)))
+  }
+
+  test("mixtureSample applies to a stream unchanged (per-row + generator)") {
+    implicit val ctx = spark.sqlContext
+    // the sampler is a per-row hash filter + one generator — both
+    // streaming-legal, so the SAME operator call runs on a stream; the
+    // epochs match the batch run exactly (hash determinism)
+    val in = MemoryStream[TestDoc]
+    val weights = Map("even" -> 2.0, "odd" -> 0.5)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Packing.mixtureSample(
+        df.withColumn("par", when(col("doc_id") % 2 === 0, "even")
+          .otherwise("odd")),
+        "par", "doc_id", weights)
+    val name = fresh()
+    val q = keyed(in.toDF()).writeStream.format("memory")
+      .queryName(name).outputMode("append").start()
+    val docs = (1L to 20L).map(i => TestDoc(i, ts("2024-01-01 00:00:00"),
+      s"doc number $i"))
+    in.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name).select("doc_id", "epoch")
+      .as[(Long, Long)].collect().toSet
+    val want = keyed(docs.toDF()).select("doc_id", "epoch")
+      .as[(Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got.count(_._1 % 2 == 0) === 20) // every even doc exactly twice
   }
 
   test("sourceReportWindowed: stream == batch report per window") {
