@@ -607,6 +607,13 @@ object SparkEntry {
       Packing.mixtureSample(t(s, d, "documents"), "source", "doc_id",
           MixtureWeights)
         .select(col("doc_id"), col("source"), col("epoch"))),
+    "rel_mixture_tokens" -> ((s, d) =>
+      // the TOKEN-weighted flavor: the fractional epoch is a token-
+      // share prefix cut per source, not a row-rate — the recipe a
+      // real LLM mixture specifies
+      Packing.mixtureSampleByTokens(t(s, d, "documents"), "source",
+          "doc_id", "text", MixtureWeights)
+        .select(col("doc_id"), col("source"), col("epoch"))),
     "rel_sample_by_key" -> ((s, d) =>
       // downweight the two dominant event types, keep the rest intact;
       // the kept row set is a pure hash filter, stable at any SF
@@ -1448,6 +1455,35 @@ object SparkEntry {
       "FROM z, LATERAL (SELECT unnest(range(0, z.n)) AS e) t WHERE z.n > 0"
   }
 
+  /** Mirrors Packing.mixtureSampleByTokens: the naive key-partitioned
+    * running sum replays the bucketed prefix (PackingSpec proves row
+    * equality for the shared machinery); the fractional admit compares
+    * the exclusive token prefix against f·total in DOUBLE math on both
+    * engines (explicit CAST — a bare SQL decimal literal would compare
+    * in decimal). */
+  private def mixtureTokensSql(weights: Map[String, Double],
+      defaultWeight: Double): String = {
+    def cases(f: Double => String, dflt: String) = {
+      val cs = weights.toSeq.sortBy(_._1)
+        .map { case (k, w) => s"WHEN '$k' THEN ${f(w)}" }.mkString(" ")
+      s"CASE source $cs ELSE $dflt END"
+    }
+    val wi = cases(w => math.floor(w).toLong.toString,
+      math.floor(defaultWeight).toLong.toString)
+    val fr = cases(w => s"CAST(${w - math.floor(w)} AS DOUBLE)",
+      s"CAST(${defaultWeight - math.floor(defaultWeight)} AS DOUBLE)")
+    "WITH z AS (SELECT doc_id, source, " +
+      "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|mixtok'), 1, 7) AS BIGINT) AS h, " +
+      s"$tokensSql AS tk FROM documents), " +
+      "w AS (SELECT doc_id, source, " +
+      "coalesce(sum(tk) OVER (PARTITION BY source ORDER BY h, doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx, " +
+      "sum(tk) OVER (PARTITION BY source) AS tot FROM z), " +
+      s"n AS (SELECT doc_id, source, ($wi) + (CASE WHEN pfx < ($fr) * tot THEN 1 ELSE 0 END) AS n FROM w) " +
+      "SELECT doc_id, source, CAST(t.e AS BIGINT) AS epoch " +
+      "FROM n, LATERAL (SELECT unnest(range(0, n.n)) AS e) t WHERE n.n > 0"
+  }
+
   /** Mirrors TextAnalysis.redactPii over the same seeded text: one CTE
     * per pattern stage, counts on the stage input, masks chained in
     * PiiPatterns order; DuckDB regexp_replace needs the explicit 'g'
@@ -1863,6 +1899,8 @@ object SparkEntry {
         "FROM (SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 100 AS b FROM documents) t " +
         "GROUP BY 1"),
     "rel_mixture_sample" -> mixtureSql(MixtureWeights,
+      defaultWeight = 1.0),
+    "rel_mixture_tokens" -> mixtureTokensSql(MixtureWeights,
       defaultWeight = 1.0),
     "rel_sample_by_key" ->
       ("SELECT event_id, event_type FROM events " +

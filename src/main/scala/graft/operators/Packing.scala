@@ -206,16 +206,33 @@ object Packing {
   def tokenBudgetSampleByKey(df: DataFrame, keyCol: String, idCol: String,
       textCol: String, budgets: Map[String, Long],
       defaultBudget: Long = -1L, buckets: Int = 1024): DataFrame = {
-    require(buckets > 0 && (buckets & (buckets - 1)) == 0 &&
-      buckets <= (1 << 28), "buckets must be a power of two <= 2^28")
-    val shift = 28 - Integer.numberOfTrailingZeros(buckets)
     val inCols = df.columns.toSeq
     val budgetCol = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
       case (acc, (k, b)) => when(col(keyCol) === k, lit(b)).otherwise(acc)
     }
+    withTokenPrefix(df, keyCol, idCol, textCol, buckets, "|budget")._1
+      .filter(budgetCol < 0 || col("__pfx") < budgetCol)
+      .select(inCols.map(col): _*)
+  }
+
+  /** Shared bucketed token-prefix machinery of the token-weighted
+    * samplers: attaches `__t` (token count) and `__pfx` (the key's
+    * EXCLUSIVE running token total in hash order — identical to the
+    * naive key-partitioned window, spec-proven) to every row, plus a
+    * per-key token-totals frame DERIVED FROM THE BUCKET SUMS — keys
+    * rows, zero extra corpus scans. `salt` domain-separates the order
+    * hash per consumer (budget cuts and mixture fractions must not
+    * correlate). Returns (prefixed frame, totals (`__tk`, `__tot`)).
+    */
+  private def withTokenPrefix(df: DataFrame, keyCol: String,
+      idCol: String, textCol: String, buckets: Int,
+      salt: String): (DataFrame, DataFrame) = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0 &&
+      buckets <= (1 << 28), "buckets must be a power of two <= 2^28")
+    val shift = 28 - Integer.numberOfTrailingZeros(buckets)
     val withH = df
       .withColumn("__h", TextFns.shingleHash(
-        concat(col(idCol).cast("string"), lit("|budget"))))
+        concat(col(idCol).cast("string"), lit(salt))))
       .withColumn("__t", tokenCount(col(textCol)))
       .withColumn("__b", shiftright(col("__h"), shift))
     // bucket token totals, then the exclusive bucket prefix — tiny
@@ -234,13 +251,59 @@ object Packing {
     val wr = Window.partitionBy(col(keyCol), col("__b"))
       .orderBy(col("__h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    withH
+    val prefixed = withH
       .join(bucketPfx,
         col(keyCol) === col("__k") && col("__b") === col("__bb"))
       .withColumn("__pfx",
         col("__bpfx") + coalesce(sum(col("__t")).over(wr), lit(0L)))
-      .filter(budgetCol < 0 || col("__pfx") < budgetCol)
-      .select(inCols.map(col): _*)
+    val totals = bucketSums.groupBy(col("__k").as("__tk"))
+      .agg(sum(col("__bt")).as("__tot"))
+    (prefixed, totals)
+  }
+
+  /** TOKEN-weighted mixture sampling — [[mixtureSample]] with the
+    * fractional epoch honored in token share instead of row share
+    * (LLM mixture recipes weight TOKENS: a key whose fractional
+    * remainder is f contributes its first f·total_tokens(key) of
+    * tokens — in hash order — one extra epoch, so the realized token
+    * mixture hits the recipe exactly at the prefix cut instead of
+    * only in expectation). Integer epochs replay every row as in
+    * mixtureSample; the fractional admit is `__pfx < f·total` over
+    * the bucketed prefix machinery (shared with
+    * [[tokenBudgetSampleByKey]] — same scale shape, hot keys spread
+    * over `buckets` reducers; totals derive from the bucket sums,
+    * zero extra corpus scans) under a "|mixtok" domain-separated
+    * hash. Deterministic and SQL-replayable end-to-end. Output:
+    * input columns + `epoch`.
+    */
+  def mixtureSampleByTokens(df: DataFrame, keyCol: String, idCol: String,
+      textCol: String, weights: Map[String, Double],
+      defaultWeight: Double = 1.0, epochName: String = "epoch",
+      buckets: Int = 1024): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(w =>
+      w >= 0 && w.isFinite), "mixture weights must be finite and >= 0")
+    require(!df.columns.contains(epochName),
+      s"input already has a '$epochName' column — rename it or pass " +
+        "a different epochName")
+    val inCols = df.columns.toSeq
+    def perKey(f: Double => org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column =
+      weights.toSeq.sortBy(_._1).foldLeft(f(defaultWeight)) {
+        case (acc, (k, w)) =>
+          when(col(keyCol) === k, f(w)).otherwise(acc)
+      }
+    val wInt = perKey(w => lit(math.floor(w).toLong))
+    val wFrac = perKey(w => lit(w - math.floor(w)))
+    val (prefixed, totals) =
+      withTokenPrefix(df, keyCol, idCol, textCol, buckets, "|mixtok")
+    prefixed
+      .join(broadcast(totals), col(keyCol) === col("__tk"))
+      .withColumn("__n", wInt +
+        when(col("__pfx") < wFrac * col("__tot"), 1L).otherwise(0L))
+      .filter(col("__n") > 0)
+      .withColumn(epochName,
+        explode(sequence(lit(0L), col("__n") - 1)))
+      .select((inCols :+ epochName).map(col): _*)
   }
 
   /** Weighted mixture sampling with UP-sampling — the LLM-mixture

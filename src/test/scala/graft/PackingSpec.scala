@@ -209,6 +209,56 @@ class PackingSpec extends SparkSpec {
     assert(run(keyedDocs) === run(keyedDocs.repartition(11)))
   }
 
+  test("mixtureSampleByTokens: token-share cut, prefix-monotone, stable") {
+    val n = 200
+    val df = (0 until n).map(i => (i.toLong, s"k${i % 2}",
+      Seq.fill(1 + i % 7)("w").mkString(" "))).toDF("id", "key", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Packing.mixtureSampleByTokens(d, "key", "id", "text",
+        Map("k0" -> 1.5, "k1" -> 0.5))
+    val out = run(df)
+    val epochs = out.select(col("id"), col("epoch"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (id, rs) => id -> rs.map(_._2).sorted.toSeq }
+    // k0 (w = 1.5): every row at least once, epochs dense from 0
+    assert((0 until n by 2).forall(i => epochs.contains(i.toLong)))
+    assert(epochs.values.forall(e => e === (0L until e.length).toSeq))
+    // the fractional admit is a TOKEN-share prefix cut: the admitted
+    // token mass sits within one row of f·total (not just in
+    // expectation — the prefix cut is exact)
+    val toks = df.select(col("id"), col("key"),
+        Packing.tokenCount(col("text")).as("t"))
+      .as[(Long, String, Long)].collect()
+    val tokOf = toks.map(t => t._1 -> t._3).toMap
+    def share(key: String, epoch: Long): Double = {
+      val keyIds = toks.filter(_._2 == key).map(_._1).toSet
+      val admitted = epochs.filter { case (id, es) =>
+        keyIds(id) && es.contains(epoch) }.keys.toSeq
+      admitted.map(tokOf).sum.toDouble /
+        keyIds.toSeq.map(tokOf).sum
+    }
+    val maxFrac = 7.0 / toks.filter(_._2 == "k1").map(_._3).sum
+    assert(math.abs(share("k1", 0L) - 0.5) <= maxFrac + 1e-9,
+      s"k1 token share ${share("k1", 0L)}")
+    assert(math.abs(share("k0", 1L) - 0.5) <= maxFrac + 1e-9,
+      s"k0 extra-epoch token share ${share("k0", 1L)}")
+    // prefix-monotone in the |mixtok hash order: once a row misses the
+    // fractional epoch, every later row misses it too
+    val keptK1 = epochs.keySet.filter(_ % 2 == 1)
+    val orderedK1 = df.filter(col("key") === "k1")
+      .withColumn("__h", graft.functions.TextFns.shingleHash(
+        concat(col("id").cast("string"), lit("|mixtok"))))
+      .orderBy(col("__h"), col("id")).select(col("id"))
+      .as[Long].collect()
+    val flags = orderedK1.map(keptK1.contains)
+    assert(!flags.dropWhile(identity).contains(true))
+    // deterministic under repartitioning
+    assert(run(df.repartition(13)).select(col("id"), col("epoch"))
+      .as[(Long, Long)].collect().toSet ===
+      out.select(col("id"), col("epoch"))
+        .as[(Long, Long)].collect().toSet)
+  }
+
   test("curateAndPack: ONE corpus scan, stages compose exactly") {
     import graft.operators.{Dedup, TextAnalysis}
     val n = 60

@@ -342,6 +342,33 @@ class SimilaritySpec extends SparkSpec {
         .as[(Long, Long, Long, Double)].collect().toSet)
   }
 
+  test("IVFPQ index round-trips through parquet (the persisted shape)") {
+    // the production claim is "persist the index, probe forever" — so
+    // prove the parquet round-trip: write, read back, probe-equal
+    val rnd = new scala.util.Random(17)
+    val corpus = (0 until 32).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val (coarse, cb) = Similarity.fitIvfPq(corpus, "vec_id", "embedding",
+      dims = 8, nlist = 4, m = 4, ksub = 4, iters = 1, seed = 5L)
+    val idx = Similarity.buildIvfPqIndex(corpus, coarse, cb,
+      "vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_idx").toString
+    idx.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    val queries = corpus.filter(col("vec_id") < 3)
+    def topk(i: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqProbeIndex(i, queries, 3, nprobe = 2, coarse, cb)
+        .select("q_id", "rank", "n_id", "cosine_sim")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    assert(topk(back) === topk(idx))
+    // and the advance works on the read-back frame too
+    assert(Similarity.advanceIvfPqIndex(back,
+        corpus.limit(0), coarse, cb, "vec_id", "embedding").count()
+      === idx.count())
+  }
+
   test("nearDupPairsIvf: exact-subset semantics, full recall at nlist=1") {
     val rnd = new scala.util.Random(13)
     val base = (0 until 4).map { c =>
