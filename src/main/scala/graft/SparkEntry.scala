@@ -683,6 +683,18 @@ object SparkEntry {
     "text_bm25" -> ((s, d) =>
       TextAnalysis.bm25Scores(t(s, d, "documents"), "doc_id", "text",
         Bm25Terms)),
+    "text_vocab" -> ((s, d) =>
+      TextAnalysis.vocabulary(t(s, d, "documents"), "text", 50)),
+    "text_oov" -> ((s, d) => {
+      // fit + score in one query (the oracle replays both); production
+      // persists the vocabulary and scores arrivals against it. Size
+      // 20 < the corpus's ~31 distinct tokens, so OOV is NON-trivial
+      // (a vocab covering every token would gate a vacuous all-zero
+      // column)
+      val docs = t(s, d, "documents")
+      TextAnalysis.oovRate(docs, "doc_id", "text",
+        TextAnalysis.vocabulary(docs, "text", 20))
+    }),
     "text_pack" -> ((s, d) =>
       Packing.packSequences(t(s, d, "documents"), "doc_id", "text",
         budget = PackBudget, numGroups = PackGroups)),
@@ -1642,6 +1654,19 @@ object SparkEntry {
         "SELECT doc_id, count(*) AS n_ngrams, " +
         "round(list_aggregate(list_sort(list(info)), 'sum') / count(*), 4) AS self_info_lm " +
         "FROM i GROUP BY doc_id"),
+    "text_vocab" ->
+      (s"WITH tok AS (SELECT unnest(regexp_extract_all($normSql, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS token FROM documents), " +
+        "f AS (SELECT token, count(*) AS n_occurrences FROM tok GROUP BY 1) " +
+        "SELECT token, n_occurrences, CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) AS BIGINT) AS \"rank\" " +
+        "FROM f ORDER BY n_occurrences DESC, token LIMIT 50"),
+    "text_oov" ->
+      (s"WITH tok AS (SELECT doc_id, unnest(regexp_extract_all($normSql, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS tok FROM documents), " +
+        "f AS (SELECT tok AS token, count(*) AS n FROM tok GROUP BY 1), " +
+        "v AS (SELECT token FROM f ORDER BY n DESC, token LIMIT 20) " +
+        "SELECT t.doc_id, count(*) AS n_tokens, " +
+        "CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, " +
+        "CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov_rate " +
+        "FROM tok t LEFT JOIN v ON t.tok = v.token GROUP BY t.doc_id"),
     "text_gopher" ->
       (s"SELECT doc_id, CAST(len($wordsSql) AS BIGINT) AS n_words, " +
         s"(length($normSql) - len($wordsSql) + 1) / len($wordsSql) AS mean_word_len, " +

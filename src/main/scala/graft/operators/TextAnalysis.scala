@@ -113,6 +113,53 @@ object TextAnalysis {
       .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("ngram")).limit(k)
 
+  /** Token vocabulary of a corpus: the `size` most frequent BPE-ish
+    * tokens (TextFns.bpeishTokens — the one corpus-wide token
+    * definition), deterministic ties to the lexicographically lower
+    * token. The tokenizer-prep primitive: fit it once, persist, and
+    * score coverage with [[oovRate]] — the fit/score shape of
+    * selfInfoModel. One explode + one hash aggregate; orderBy+limit
+    * plans as TakeOrderedAndProject (per-partition top-k, `size` rows
+    * shuffled — never a corpus-wide sort). Output:
+    * (token, n_occurrences, rank), rank 1 = most frequent. */
+  def vocabulary(df: DataFrame, textCol: String, size: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = df.select(
+        explode(TextFns.bpeishTokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token")).limit(size)
+    // the rank window runs over the ALREADY-LIMITED `size` rows (a
+    // bounded single partition by construction, like rel_batch_slice's
+    // post-limit ordinal) — never over the token table
+    top.withColumn("rank", row_number().over(
+      Window.orderBy(col("n_occurrences").desc, col("token")))
+      .cast("long"))
+  }
+
+  /** Per-document out-of-vocabulary rate against a FROZEN vocabulary
+    * ([[vocabulary]] output, typically read back from parquet) — the
+    * tokenizer-coverage signal: a doc whose tokens the tokenizer
+    * mostly cannot represent is noise to the model regardless of its
+    * other quality scores. Tokens explode per row and LEFT join the
+    * (size-bounded, broadcast) vocab on the token — the frozen-model
+    * shape of selfInfoScore; the streaming flavor is
+    * StreamOps.oovWithinWindow (the membership join is stream-static,
+    * but the per-doc re-aggregation needs an event-time window so its
+    * state retires — the selfInfoWithinWindow convention). Output:
+    * (id, n_tokens, n_oov, oov_rate raw double — per-row division,
+    * bit-stable cross-engine). */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame =
+    df.select(col(idCol),
+        explode(TextFns.bpeishTokens(col(textCol))).as("__tok"))
+      .join(broadcast(vocab.select(col("token").as("__vtok"),
+        lit(1L).as("__in"))), col("__tok") === col("__vtok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens"))
+
   /** BM25 relevance of every document against a fixed term set — the
     * retrieval scorer a curation pipeline uses to mine topical subsets
     * ("find docs about X") or to weight near-query documents during

@@ -158,6 +158,32 @@ object StreamOps {
       .agg(count(lit(1)).as("n_ngrams"),
         round(avg(col("__info2")), 4).as("self_info_lm"))
 
+  /** Streaming OOV-rate scoring against a FROZEN vocabulary
+    * (TextAnalysis.vocabulary output, typically read back from
+    * parquet) — the tokenizer-coverage gate on the arrival path, same
+    * shape as [[selfInfoWithinWindow]]: tokens explode per row (pure
+    * expressions + one generator), the membership check is a
+    * stream-static LEFT join against the size-bounded broadcast
+    * vocab, and the per-doc re-aggregation runs inside an event-time
+    * window so state retires at the watermark (a doc's tokens arrive
+    * in its own single row — the window is state hygiene, not
+    * semantics). Output: (window, id, n_tokens, n_oov, oov_rate).
+    */
+  def oovWithinWindow(stream: DataFrame, vocab: DataFrame,
+      idCol: String, textCol: String, tsCol: String,
+      windowDuration: String, watermarkDelay: String): DataFrame =
+    stream.select(col(idCol), col(tsCol),
+        explode(graft.functions.TextFns.bpeishTokens(col(textCol)))
+          .as("__tok"))
+      .withWatermark(tsCol, watermarkDelay)
+      .join(broadcast(vocab.select(col("token").as("__vtok"),
+        lit(1L).as("__in"))), col("__tok") === col("__vtok"), "left")
+      .groupBy(window(col(tsCol), windowDuration), col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens"))
+
   /** The n = 2 windowed scorer, kept under its established name and
     * output columns (n_bigrams, self_info2). */
   def selfInfoBigramWithinWindow(stream: DataFrame, model: DataFrame,

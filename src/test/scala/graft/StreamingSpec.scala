@@ -345,6 +345,35 @@ class StreamingSpec extends SparkSpec {
     assert(flags === Set((10L, 1L)))
   }
 
+  test("oovWithinWindow scores a stream against a frozen vocabulary") {
+    implicit val ctx = spark.sqlContext
+    val fitDocs = Seq((1L, "aa aa bb bb cc"), (2L, "aa bb dd"))
+      .toDF("doc_id", "text")
+    val vocab = TextAnalysis.vocabulary(fitDocs, "text", 2) // aa, bb
+    val in = MemoryStream[TestDoc]
+    val out = StreamOps.oovWithinWindow(in.toDF(), vocab,
+      "doc_id", "text", "ts", "1 hour", "10 minutes")
+    val name = fresh()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    in.addData(
+      TestDoc(10, ts("2024-01-01 00:05:00"), "aa bb zz zz"),
+      TestDoc(20, ts("2024-01-01 00:10:00"), "aa aa"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name)
+      .select("doc_id", "n_tokens", "n_oov", "oov_rate")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === Set((10L, 4L, 2L, 0.5), (20L, 2L, 0L, 0.0)))
+    // equals the batch scorer on the same arrivals (frozen-model spec)
+    val batch = TextAnalysis.oovRate(
+        Seq((10L, "aa bb zz zz"), (20L, "aa aa")).toDF("doc_id", "text"),
+        "doc_id", "text", vocab)
+      .select("doc_id", "n_tokens", "n_oov", "oov_rate")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === batch)
+  }
+
   test("mixtureSample applies to a stream unchanged (per-row + generator)") {
     implicit val ctx = spark.sqlContext
     // the sampler is a per-row hash filter + one generator — both

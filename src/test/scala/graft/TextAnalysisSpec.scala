@@ -333,4 +333,25 @@ class TextAnalysisSpec extends SparkSpec {
         ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     assert(frac === out)
   }
+
+  test("vocabulary + oovRate: frequency ranks and hand-checked coverage") {
+    val docs = Seq(
+      (1L, "aa aa aa bb bb cc"),
+      (2L, "aa bb dd"),
+      (3L, "ee ee ee ee")
+    ).toDF("doc_id", "text")
+    // counts: aa=4, ee=4, bb=3, cc=1, dd=1 → ties: (aa,ee) by count,
+    // break lexicographically; top-3 = aa, ee, bb
+    val vocab = TextAnalysis.vocabulary(docs, "text", 3)
+    assert(vocab.select("token", "n_occurrences", "rank")
+      .as[(String, Long, Long)].collect().toSeq ===
+      Seq(("aa", 4L, 1L), ("ee", 4L, 2L), ("bb", 3L, 3L)))
+    val oov = TextAnalysis.oovRate(docs, "doc_id", "text", vocab)
+      .select("doc_id", "n_tokens", "n_oov", "oov_rate")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(oov(1L) === ((6L, 1L, 1.0 / 6)))  // cc is OOV
+    assert(oov(2L) === ((3L, 1L, 1.0 / 3)))  // dd is OOV
+    assert(oov(3L) === ((4L, 0L, 0.0)))
+  }
 }
