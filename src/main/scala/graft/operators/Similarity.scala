@@ -818,6 +818,40 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** The [[fitIvfPq]] artifacts as ONE portable DataFrame —
+    * (kind, sub, cell, vec) with kind ∈ {"coarse", "codebook"} — the
+    * shape to persist next to the [[buildIvfPqIndex]] table so a probe
+    * job can reconstruct the quantizer without refitting:
+    * `artifactsToDf(...).write.parquet(dir)` at fit time,
+    * [[artifactsFromDf]] at probe time. Tiny (nlist + m·ksub rows). */
+  def artifactsToDf(spark: org.apache.spark.sql.SparkSession,
+      coarse: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]]): DataFrame = {
+    val rows =
+      coarse.zipWithIndex.map { case (v, c) => ("coarse", 0, c, v) } ++
+        (for (j <- codebooks.indices; c <- codebooks(j).indices)
+          yield ("codebook", j, c, codebooks(j)(c)))
+    spark.createDataFrame(rows.toIndexedSeq)
+      .toDF("kind", "sub", "cell", "vec")
+  }
+
+  /** Inverse of [[artifactsToDf]]: rebuild the (coarse, codebooks)
+    * arrays from a persisted artifacts table. The collect is bounded
+    * by nlist + m·ksub rows (the artifact definition — never data-
+    * scale). Round-trip is exact: float vectors survive parquet
+    * bit-for-bit (spec-asserted probe equality). */
+  def artifactsFromDf(df: DataFrame)
+      : (Array[Array[Float]], Array[Array[Array[Float]]]) = {
+    val rows = df.select(col("kind"), col("sub"), col("cell"), col("vec"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getSeq[Float](3).toArray))
+    val coarse = rows.filter(_._1 == "coarse").sortBy(_._3).map(_._4)
+    val cbs = rows.filter(_._1 == "codebook").groupBy(_._2).toSeq
+      .sortBy(_._1).map(_._2.sortBy(_._3).map(_._4)).toArray
+    (coarse, cbs)
+  }
+
   /** Embedding near-duplicate pairs at CORPUS scale via the IVFPQ
     * index — the LEARNED-blocking upgrade of [[nearestInBlock]] /
     * Dedup.embeddingNearDups (which need a label/bucket column the

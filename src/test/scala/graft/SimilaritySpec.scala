@@ -367,6 +367,20 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.advanceIvfPqIndex(back,
         corpus.limit(0), coarse, cb, "vec_id", "embedding").count()
       === idx.count())
+    // the fit ARTIFACTS round-trip too: save as a table, load, and the
+    // reconstructed quantizer is bit-identical (probe equality follows)
+    val adir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_art").toString
+    Similarity.artifactsToDf(spark, coarse, cb)
+      .write.mode("overwrite").parquet(adir)
+    val (c2, cb2) = Similarity.artifactsFromDf(spark.read.parquet(adir))
+    assert(c2.map(_.toSeq).toSeq === coarse.map(_.toSeq).toSeq)
+    assert(cb2.map(_.map(_.toSeq).toSeq).toSeq ===
+      cb.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(Similarity.ivfPqProbeIndex(back, queries, 3, nprobe = 2,
+        c2, cb2)
+      .select("q_id", "rank", "n_id", "cosine_sim")
+      .as[(Long, Long, Long, Double)].collect().toSet === topk(idx))
   }
 
   test("nearDupPairsIvf: exact-subset semantics, full recall at nlist=1") {
