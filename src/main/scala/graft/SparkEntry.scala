@@ -861,6 +861,25 @@ object SparkEntry {
             MinhashK, LshBands))
         .select(col("doc_id"), col("split_key"), col("split"))
     }),
+    "dedup_split_embedding" -> ((s, d) => {
+      // leakage-safe split in EMBEDDING space: semantic near-dup pairs
+      // from the IVFPQ learned blocking feed the same cluster-as-a-
+      // unit assignment dedup_cluster_split runs on text LSH pairs —
+      // a paraphrase of a train doc can never land in test even when
+      // no textual signature catches it
+      val emb = t(s, d, "embeddings")
+      val (coarse, cb) = ivfPqArtifacts(s, d)
+      // pair table materialized ONCE (the dedup_curation convention):
+      // the CC edge symmetrization consumes the pair frame twice, and
+      // the IVFPQ pair plan is the expensive side of this composition
+      val pairs = Similarity.nearDupPairsIvf(emb, coarse, cb,
+          candSim = 0.2, minSim = 0.3,
+          index = Some(ivfPqIndex(s, d)))
+        .select(col("a_id"), col("b_id"))
+        .localCheckpoint(true)
+      Dedup.clusterSafeSplit(emb, "vec_id", pairs)
+        .select(col("vec_id"), col("split_key"), col("split"))
+    }),
     "dedup_keep_best" -> ((s, d) => {
       val docs = t(s, d, "documents")
       Dedup.keepBest(docs,
@@ -1211,9 +1230,18 @@ object SparkEntry {
     * cosine, and survivors refine on the exact guarded cosine. */
   private def nearDupIvfSql(nlist: Int, iters: Int, seed: Long,
       dims: Int, m: Int, ksub: Int, candSim: Double,
-      minSim: Double): String = {
+      minSim: Double): String =
+    "WITH " + nearDupIvfCtes(nlist, iters, seed, dims, m, ksub,
+      candSim) + " " +
+      s"SELECT a_id, b_id, round(sim, 4) AS cosine_sim FROM exact WHERE sim >= $minSim"
+
+  /** The nearDupPairsIvf CTE chain up to `exact` (a_id, b_id, raw
+    * sim) — shared by the pair oracle and the embedding-split oracle
+    * (which appends connected components + the split hash on top). */
+  private def nearDupIvfCtes(nlist: Int, iters: Int, seed: Long,
+      dims: Int, m: Int, ksub: Int, candSim: Double): String = {
     val (qdJoins, ip, rn2) = pqAdcFragments(m, "a")
-    "WITH emb AS (SELECT vec_id, embedding FROM embeddings), " +
+    "emb AS (SELECT vec_id, embedding FROM embeddings), " +
       coarseLloydCtes("v", nlist, iters, seed) + ", " +
       s"vpc AS (SELECT e.vec_id, ${oSqlNrm("e.embedding")} AS vnorm, c.cell, ${oSqlSimDiv(oSqlDot("e.embedding", "c.cvec"), s"${oSqlNrm("e.embedding")} * c.cnorm")} AS csim FROM emb e CROSS JOIN vc$iters c), " +
       "vcb AS (SELECT vec_id, vnorm, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn FROM vpc) t WHERE rn = 1), " +
@@ -1225,9 +1253,29 @@ object SparkEntry {
       s"JOIN codes n ON n.vec_id = bb.vec_id $qdJoins), " +
       s"cand AS (SELECT a_id, b_id FROM adc WHERE adcsim >= $candSim), " +
       s"exact AS (SELECT c.a_id, c.b_id, ${oSqlSimDiv(oSqlDot("ea.embedding", "eb.embedding"), s"${oSqlNrm("ea.embedding")} * ${oSqlNrm("eb.embedding")}")} AS sim " +
-      "FROM cand c JOIN emb ea ON ea.vec_id = c.a_id JOIN emb eb ON eb.vec_id = c.b_id) " +
-      s"SELECT a_id, b_id, round(sim, 4) AS cosine_sim FROM exact WHERE sim >= $minSim"
+      "FROM cand c JOIN emb ea ON ea.vec_id = c.a_id JOIN emb eb ON eb.vec_id = c.b_id)"
   }
+
+  /** The dedup_split_embedding oracle: the nearDupPairsIvf chain's
+    * pairs feed the dedup_cluster_split recursive-CC + split-hash
+    * pattern, keyed on vec_id over embeddings. */
+  private def embeddingSplitSql(nlist: Int, iters: Int, seed: Long,
+      dims: Int, m: Int, ksub: Int, candSim: Double,
+      minSim: Double): String =
+    "WITH RECURSIVE " + nearDupIvfCtes(nlist, iters, seed, dims, m,
+      ksub, candSim) + ", " +
+      s"epairs AS (SELECT a_id, b_id FROM exact WHERE sim >= $minSim), " +
+      "edges2 AS (SELECT a_id AS src, b_id AS dst FROM epairs UNION ALL SELECT b_id, a_id FROM epairs), " +
+      "enodes AS (SELECT a_id AS id FROM epairs UNION SELECT b_id FROM epairs), " +
+      "r(id, label) AS (SELECT id, id FROM enodes " +
+      "UNION SELECT e.dst, r.label FROM r JOIN edges2 e ON e.src = r.id), " +
+      "clusters AS (SELECT id, min(label) AS cluster_id FROM r GROUP BY id), " +
+      "k AS (SELECT em.vec_id, coalesce(c.cluster_id, em.vec_id) AS split_key " +
+      "FROM emb em LEFT JOIN clusters c ON em.vec_id = c.id), " +
+      "b2 AS (SELECT vec_id, split_key, " +
+      "CAST('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 7) AS BIGINT) % 100 AS h FROM k) " +
+      "SELECT vec_id, split_key, CASE WHEN h < 80 THEN 'train' " +
+      "WHEN h < 90 THEN 'val' ELSE 'test' END AS split FROM b2"
 
   /** The sim_rerank oracle: replays annTopKRerank code-for-code — int8
     * quantize/dequantize per vector (floor(y+0.5) codes CAST AS
@@ -2153,6 +2201,9 @@ object SparkEntry {
     "sim_ann_pq" -> pqSql(dims = 64, m = PqM, ksub = PqKsub, k = 5,
       iters = PqIters, seed = 42L),
     "dedup_embedding_ivf" -> nearDupIvfSql(nlist = IvfNlist,
+      iters = PqIters, seed = 42L, dims = 64, m = PqM, ksub = PqKsub,
+      candSim = 0.2, minSim = 0.3),
+    "dedup_split_embedding" -> embeddingSplitSql(nlist = IvfNlist,
       iters = PqIters, seed = 42L, dims = 64, m = PqM, ksub = PqKsub,
       candSim = 0.2, minSim = 0.3),
     "sim_ann_ivfpq" -> ivfPqSql(nlist = IvfNlist, nprobe = IvfNprobe,

@@ -719,10 +719,18 @@ object Dedup {
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20,
       requireConvergence: Boolean = false): DataFrame = {
     // symmetrize ONCE (src -> dst and back), so each round is a single
-    // join instead of two passes over the directed pair list
+    // join instead of two passes over the directed pair list.
+    // localCheckpoint, not persist: persist caches BLOCKS but keeps the
+    // LINEAGE, and every fixpoint round joins edges into the next
+    // labels plan — labels' plan then contains the upstream pair plan
+    // a number of times exponential in round depth. Harmless for small
+    // pair plans (the LSH chain), but a literal-heavy upstream (the
+    // IVFPQ near-dup pair plan: embedded codebooks/centroids) blew the
+    // plan STRING past 2 GB and OOM'd the driver at round ~4 — the
+    // checkpoint truncates lineage so every round starts from a scan
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .persist()
+      .localCheckpoint(true)
     try {
       var labels = edges.select(col("src").as("id"))
         .distinct()
@@ -743,9 +751,17 @@ object Dedup {
         val nbr = edges.join(labels, edges("src") === labels("id"))
           .select(edges("dst").as("id"), col("cluster_id"))
           .unionByName(labels)
+        // localCheckpoint each round, not persist: the round's plan
+        // references `labels` TWICE (the neighborhood join and the
+        // union), so an un-truncated lineage doubles per round —
+        // exponential plan size, and AQE renders the plan STRING on
+        // every update (explainString OOM'd the driver at depth ~10
+        // composing the IVFPQ split). The checkpoint makes every
+        // round's plan constant-size; labelSum was already
+        // materializing each round, so the job count is unchanged.
         val next = nbr.groupBy(col("id"))
           .agg(min(col("cluster_id")).as("cluster_id"))
-          .persist()
+          .localCheckpoint(true)
         val nextSum = labelSum(next)
         converged = (curSum == null && nextSum == null) ||
           (curSum != null && nextSum != null &&
