@@ -369,7 +369,11 @@ object Packing {
     * per-row accumulator. Every stage is the library's oracle-gated
     * operator, parameters surfaced unchanged; keep-best ties resolve
     * to the minimum id (equal cleaned content ⇒ equal quality), so
-    * the survivor set is deterministic.
+    * the survivor set is deterministic. (localCheckpoint spills to
+    * EXECUTOR-LOCAL storage — right for a single job; a multi-day
+    * 100 TB curation run would write the enriched frame to durable
+    * parquet between stages instead, same plan shape, and gain
+    * restartability.)
     * Output: the [[packSequences]] pack table over the curated set —
     * (pack_id, n_docs, total_tokens, fill_ratio, doc_ids).
     */
