@@ -965,6 +965,19 @@ object SparkEntry {
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), 5,
         nprobe = IvfNprobe, coarse, cb)
     }),
+    "sim_ann_pq_probe" -> ((s, d) => {
+      // the compressed brute force over the PERSISTED index: probing
+      // every coarse cell (nprobe = nlist) makes the cell join a full
+      // ADC scan — result identical to sim_ann_pq's in-query
+      // encode+scan (spec-asserted; same ADC algebra, same ranking),
+      // so the same pqSql oracle gates it. What a production user
+      // pays per query batch when the codes are already on disk.
+      val emb = t(s, d, "embeddings")
+      val (coarse, cb) = ivfPqArtifacts(s, d)
+      Similarity.ivfPqProbeIndex(ivfPqIndex(s, d),
+        emb.filter(col("vec_id") < 10), 5,
+        nprobe = IvfNlist, coarse, cb)
+    }),
     "sim_ann_ivfpq_probe" -> ((s, d) => {
       // the PRODUCTION probe shape: frozen (memoized) artifacts, the
       // persisted-index build (scan → project, zero exchanges), and
@@ -2200,6 +2213,10 @@ object SparkEntry {
         "SELECT q_id, \"rank\", n_id, round(sim, 4) AS cosine_sim FROM ranked WHERE \"rank\" <= 5"),
     "sim_ann_pq" -> pqSql(dims = 64, m = PqM, ksub = PqKsub, k = 5,
       iters = PqIters, seed = 42L),
+    // identical RESULT to sim_ann_pq (all-cells probe == full ADC
+    // scan, spec-asserted) — the same oracle gates the probe plan
+    "sim_ann_pq_probe" -> pqSql(dims = 64, m = PqM, ksub = PqKsub,
+      k = 5, iters = PqIters, seed = 42L),
     "dedup_embedding_ivf" -> nearDupIvfSql(nlist = IvfNlist,
       iters = PqIters, seed = 42L, dims = 64, m = PqM, ksub = PqKsub,
       candSim = 0.2, minSim = 0.3),

@@ -367,6 +367,16 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.advanceIvfPqIndex(back,
         corpus.limit(0), coarse, cb, "vec_id", "embedding").count()
       === idx.count())
+    // probing EVERY cell turns the indexed probe into the compressed
+    // brute force: result equals pqAdcTopK exactly (the sim_ann_pq /
+    // sim_ann_pq_probe shared-oracle identity)
+    assert(Similarity.ivfPqProbeIndex(idx, queries, 3, nprobe = 4,
+        coarse, cb)
+      .select("q_id", "rank", "n_id", "cosine_sim")
+      .as[(Long, Long, Long, Double)].collect().toSet ===
+      Similarity.pqAdcTopK(corpus, queries, 3, cb)
+        .select("q_id", "rank", "n_id", "cosine_sim")
+        .as[(Long, Long, Long, Double)].collect().toSet)
     // the fit ARTIFACTS round-trip too: save as a table, load, and the
     // reconstructed quantizer is bit-identical (probe equality follows)
     val adir = java.nio.file.Files
