@@ -76,20 +76,24 @@ object SparkEntry {
     * codes) index once and persists it (parquet); in-memory persist is
     * this process's analog, materialized eagerly so the probe query
     * measures what a user pays per query batch, not the index build
-    * it amortizes. Keyed by session identity: a cached plan is bound
-    * to its SparkSession, so a fresh session (tests vs Verify) gets
-    * its own entry rather than a stale-session plan. */
-  private val ivfPqIndexes =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    * it amortizes. A cached plan is BOUND to its SparkSession, so the
+    * entry stores the owning session and is validated by reference on
+    * every hit — a fresh session (tests vs Verify vs a restarted
+    * shell) rebuilds instead of receiving a dead session's frame
+    * (an identity-hash key alone could collide after GC). */
+  private val ivfPqIndexes = new java.util.concurrent.ConcurrentHashMap[
+    String, (SparkSession, DataFrame)]()
   private def ivfPqIndex(s: SparkSession, d: String): DataFrame =
-    ivfPqIndexes.computeIfAbsent(
-      s"${System.identityHashCode(s)}|$d", _ => {
-        val (coarse, cb) = ivfPqArtifacts(s, d)
-        val idx = Similarity.buildIvfPqIndex(t(s, d, "embeddings"),
-          coarse, cb, "vec_id", "embedding").persist()
-        idx.count()
-        idx
-      })
+    ivfPqIndexes.compute(d, (_, cached) =>
+      cached match {
+        case (owner, _) if owner eq s => cached
+        case _ =>
+          val (coarse, cb) = ivfPqArtifacts(s, d)
+          val idx = Similarity.buildIvfPqIndex(t(s, d, "embeddings"),
+            coarse, cb, "vec_id", "embedding").persist()
+          idx.count()
+          (s, idx)
+      })._2
 
   /** Deterministic PII seeding for the redaction query: the synthetic
     * corpus has no PII, so emails/phones/SSNs derive from doc_id (mod
