@@ -150,6 +150,21 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(800))
   }
 
+  test("no query's plan string explodes (lineage-stacking guard)") {
+    // the duplicateClusters fixpoint once grew a 2 GB plan STRING
+    // (each round's plan referenced the previous labels twice; persist
+    // kept lineage) and OOM'd the driver in AQE's explainString. The
+    // fleet's largest LEGITIMATE plan is ~0.4 MB (join_bloom_prefilter's
+    // literal bitmap); exponential stacking reaches this 4 MB bound
+    // within a round or two, so any recurrence fails here first
+    for (name <- SparkEntry.queries.keys) {
+      val len = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString.length
+      assert(len < 4 * 1024 * 1024,
+        s"$name plan string is $len chars — lineage stacking?")
+    }
+  }
+
   test("no query plans an unpartitioned window (single-partition choke)") {
     // the round-1 bench surfaced Spark's "No Partition Defined for
     // Window operation" warning; this pins the fix across ALL queries
