@@ -46,23 +46,29 @@ object Bench {
     // failed queries are NAMED, not silently timed-to-exception — a
     // broken query must never read as a performance win
     val fails = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // a filtered run carries an explicit in-band marker so NOTHING
+    // downstream can mistake it for a full sweep, wherever it lands
+    val partialMark =
+      if (only.isDefined) ""","partial":true""" else ""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fails,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fails$partialMark,"sf":"$sfDir"}"""
     println(json)
     // the driver's stdout capture keeps only a tail — at 100+ queries
     // that truncates the per-query map, so the full line ALSO lands in
     // a file the round archive picks up (cwd = the repo). A BENCH_ONLY-
-    // filtered sweep writes to bench_partial.json instead — a partial
-    // run must never overwrite the archived full-sweep file with a
-    // valid-looking but incomplete measurement. The file is a
-    // convenience copy: any write failure (unwritable path, malformed
-    // SPARK_GRAFT_BENCH_OUT) must not turn a completed sweep (metric
-    // already printed) into a nonzero exit
-    val outDefault =
-      if (only.isDefined) "bench_partial.json" else "bench_latest.json"
+    // filtered sweep ALWAYS writes to bench_partial.json —
+    // SPARK_GRAFT_BENCH_OUT is honored only for full sweeps, otherwise
+    // pointing it at the archive file (its historical default) would
+    // overwrite a full measurement with a valid-looking partial one
+    // (ADVICE r9); the JSON "partial" marker is the second line of
+    // defense. The file is a convenience copy: any write failure
+    // (unwritable path, malformed SPARK_GRAFT_BENCH_OUT) must not turn
+    // a completed sweep (metric already printed) into a nonzero exit
+    val outPath =
+      if (only.isDefined) "bench_partial.json"
+      else sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", outDefault)),
+      java.nio.file.Paths.get(outPath),
       json + "\n")
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write bench file: $e")

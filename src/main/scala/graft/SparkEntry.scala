@@ -54,22 +54,32 @@ object SparkEntry {
 
   /** Memoized [[Similarity.fitIvfPq]] artifacts per (sfDir, params) —
     * the fit is PURE (md5-derived determinism end-to-end), so caching
-    * it changes no result; it changes what the bench MEASURES. In
-    * production the artifacts are fit once and persisted; a query
-    * refitting them per run would make BENCH track fit cost instead of
-    * the probe cost a user pays. With the memo, the bench's untimed
-    * warmup pass still exercises the full in-query fit (and Verify
-    * runs each query once, so the oracle still proves the fit
-    * replays); the timed passes measure encode + probe. */
+    * it changes no result. ONLY the precomputed-artifact queries use
+    * this (the *_probe production shapes and the dedup_embedding_*
+    * compositions, whose contract is "artifacts already exist"); the
+    * original sim_ann_pq/ivf/ivfpq keep their fit IN the timed body so
+    * their bench numbers stay comparable across rounds (ADVICE r9).
+    *
+    * The fit runs OUTSIDE any map lock — it launches Spark jobs and a
+    * computeIfAbsent remapping function would hold the bin lock for
+    * the whole build (blocking concurrent suites; deadlock if a build
+    * path ever re-entered the map). Losing a publish race is fine:
+    * the fit is deterministic, both results are bit-identical. */
   private val ivfPqFits = new java.util.concurrent.ConcurrentHashMap[
     String, (Array[Array[Float]], Array[Array[Array[Float]]])]()
   private def ivfPqArtifacts(s: SparkSession, d: String)
-      : (Array[Array[Float]], Array[Array[Array[Float]]]) =
-    ivfPqFits.computeIfAbsent(
-      s"$d|64|$IvfNlist|$PqM|$PqKsub|$PqIters|42",
-      _ => Similarity.fitIvfPq(t(s, d, "embeddings"), "vec_id",
+      : (Array[Array[Float]], Array[Array[Array[Float]]]) = {
+    val key = s"$d|64|$IvfNlist|$PqM|$PqKsub|$PqIters|42"
+    val hit = ivfPqFits.get(key)
+    if (hit != null) hit
+    else {
+      val fit = Similarity.fitIvfPq(t(s, d, "embeddings"), "vec_id",
         "embedding", dims = 64, nlist = IvfNlist, m = PqM, ksub = PqKsub,
-        iters = PqIters, seed = 42L))
+        iters = PqIters, seed = 42L)
+      val prev = ivfPqFits.putIfAbsent(key, fit)
+      if (prev != null) prev else fit
+    }
+  }
 
   /** Memoized PERSISTED IVFPQ index per (session, sfDir) — the probe
     * query's precomputed-artifact side. Production builds the (cell,
@@ -83,17 +93,24 @@ object SparkEntry {
     * (an identity-hash key alone could collide after GC). */
   private val ivfPqIndexes = new java.util.concurrent.ConcurrentHashMap[
     String, (SparkSession, DataFrame)]()
-  private def ivfPqIndex(s: SparkSession, d: String): DataFrame =
-    ivfPqIndexes.compute(d, (_, cached) =>
-      cached match {
-        case (owner, _) if owner eq s => cached
-        case _ =>
-          val (coarse, cb) = ivfPqArtifacts(s, d)
-          val idx = Similarity.buildIvfPqIndex(t(s, d, "embeddings"),
-            coarse, cb, "vec_id", "embedding").persist()
-          idx.count()
-          (s, idx)
-      })._2
+  private def ivfPqIndex(s: SparkSession, d: String): DataFrame = {
+    val hit = ivfPqIndexes.get(d)
+    if (hit != null && (hit._1 eq s)) hit._2
+    else {
+      // build OUTSIDE the map lock (ADVICE r9): persist + count launch
+      // Spark jobs, and a compute() remapper would pin the bin lock
+      // for the whole build. Publish with a cheap compute afterwards;
+      // if a concurrent builder won for the same session, drop ours.
+      val (coarse, cb) = ivfPqArtifacts(s, d)
+      val idx = Similarity.buildIvfPqIndex(t(s, d, "embeddings"),
+        coarse, cb, "vec_id", "embedding").persist()
+      idx.count()
+      val winner = ivfPqIndexes.compute(d, (_, cur) =>
+        if (cur != null && (cur._1 eq s)) cur else (s, idx))
+      if (winner._2 ne idx) idx.unpersist()
+      winner._2
+    }
+  }
 
   /** Deterministic PII seeding for the redaction query: the synthetic
     * corpus has no PII, so emails/phones/SSNs derive from doc_id (mod
@@ -939,33 +956,36 @@ object SparkEntry {
       // bounded-state scale default, spec-proved to agree within 1e-9
       Similarity.labelCentroidsPortable(t(s, d, "embeddings"), "label",
         "embedding")),
+    // The three in-query-fit ANN queries pay the FULL fit in their
+    // timed body, exactly as they have since their introduction — the
+    // round-9 memoization briefly moved their fit cost out of the
+    // bench, which broke cross-round comparability under unchanged
+    // names (ADVICE r9). The memoized-artifact production shape lives
+    // in the *_probe variants; these remain the fit-included flavor.
     "sim_ann_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      // coarse centroids from the memoized joint fit — bit-identical
-      // to the in-query fitCentroids the oracle replays (spec-asserted
-      // identity), so only the bench cost changes, not the result
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 5,
-        nlist = IvfNlist, nprobe = IvfNprobe,
-        coarse = Some(ivfPqArtifacts(s, d)._1))
+        nlist = IvfNlist, nprobe = IvfNprobe)
     }),
     "sim_ann_pq" -> ((s, d) => {
-      // compressed-domain brute force: per-sub-space codebooks
-      // (portable Lloyd, seed offset per sub-space — the memoized
-      // joint fit's codebooks are bit-identical to fitPqCodebooks',
-      // spec-asserted), encode the corpus to PqM codes, ADC-score
-      // against broadcast queries. The oracle replays
-      // fit+encode+scan bit-for-bit (pqSql).
+      // compressed-domain brute force: fit per-sub-space codebooks
+      // (portable Lloyd, seed offset per sub-space), encode the corpus
+      // to PqM codes, ADC-score against broadcast queries. The oracle
+      // replays fit+encode+scan bit-for-bit (pqSql).
       val emb = t(s, d, "embeddings")
-      val cb = ivfPqArtifacts(s, d)._2
+      val cb = Similarity.fitPqCodebooks(emb, "vec_id", "embedding",
+        dims = 64, m = PqM, ksub = PqKsub, iters = PqIters, seed = 42L)
       Similarity.pqAdcTopK(emb, emb.filter(col("vec_id") < 10), 5, cb)
     }),
     "sim_ann_ivfpq" -> ((s, d) => {
       // the FAISS IndexIVFPQ composition: same coarse quantizer as
       // sim_ann_ivf (nlist/nprobe/seed identical), same codebooks as
-      // sim_ann_pq — both index artifacts from ONE joint (memoized)
-      // fit, the ADC scan restricted to the probed cells
+      // sim_ann_pq — both index artifacts from ONE joint fit, the ADC
+      // scan restricted to the probed cells
       val emb = t(s, d, "embeddings")
-      val (coarse, cb) = ivfPqArtifacts(s, d)
+      val (coarse, cb) = Similarity.fitIvfPq(emb, "vec_id", "embedding",
+        dims = 64, nlist = IvfNlist, m = PqM, ksub = PqKsub,
+        iters = PqIters, seed = 42L)
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), 5,
         nprobe = IvfNprobe, coarse, cb)
     }),

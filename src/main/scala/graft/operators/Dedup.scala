@@ -716,6 +716,29 @@ object Dedup {
     * every iteration cache is released before returning, and the
     * result's blocks are freed when the caller drops the frame.
     */
+  /** Release an iteration intermediate: the CacheManager entry (if the
+    * frame was persist()ed) AND the executor-local blocks behind an
+    * eager localCheckpoint. Dataset.unpersist alone only touches the
+    * CacheManager — checkpoint blocks are RDD-level and are otherwise
+    * freed only when the ContextCleaner GCs the RDD (ADVICE r9: a
+    * long-running driver composing many CC queries would accumulate
+    * executor-local storage between GCs). After this the frame is
+    * DEAD: a truncated lineage cannot recompute its blocks.
+    *
+    * Only the plan ROOT is matched — a checkpointed frame IS a root
+    * LogicalRDD. Descending the tree would also find checkpoint
+    * leaves the frame merely READS (the initial labels plan contains
+    * the still-live edges checkpoint) and free blocks other rounds
+    * depend on. */
+  private def releaseIntermediate(df: DataFrame): Unit = {
+    df.unpersist()
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+  }
+
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20,
       requireConvergence: Boolean = false): DataFrame = {
     // symmetrize ONCE (src -> dst and back), so each round is a single
@@ -767,7 +790,7 @@ object Dedup {
           (curSum != null && nextSum != null &&
             curSum.compareTo(nextSum) == 0)
         curSum = nextSum
-        labels.unpersist()
+        releaseIntermediate(labels)
         labels = next
         iters += 1
       }
@@ -776,15 +799,16 @@ object Dedup {
           "labels still changing in the final round — convergence NOT " +
           "confirmed (no fixpoint round observed); raise maxIters to " +
           "verify or accept possibly-truncated clusters"
-        if (requireConvergence) { labels.unpersist(); sys.error(msg) }
+        if (requireConvergence) { releaseIntermediate(labels); sys.error(msg) }
         org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
       }
-      // materialize + truncate lineage, then release the iteration cache
-      // (returning the persisted frame directly leaked one cache per call)
+      // materialize + truncate lineage, then release the iteration
+      // blocks (the caller owns only `out`; its blocks are freed when
+      // the caller drops the frame and the ContextCleaner runs)
       val out = labels.localCheckpoint(true)
-      labels.unpersist()
+      releaseIntermediate(labels)
       out
-    } finally { edges.unpersist(); () }
+    } finally { releaseIntermediate(edges) }
   }
 
   /** Leakage-safe train/val/test split: assign splits at NEAR-DUP
