@@ -28,6 +28,11 @@ object SparkEntry {
 
   val MinhashK = 16
   val LshBands = 4
+  /** Merge-rule count for the BPE tokenizer fit (text_bpe_* queries):
+    * deep enough that whole frequent words emerge (merge 12 at sf0.01
+    * is jo+in → "join"), small enough that the oracle's unrolled
+    * per-round CTE chain stays tractable. */
+  val BpeMergeCount = 12
   /** Fixed retrieval query for the BM25 scorer (real corpus terms). */
   val Bm25Terms: Seq[String] = Seq("stream", "join", "spark")
   /** Sequence-packing parameters (token budget per pack, hash groups). */
@@ -706,6 +711,23 @@ object SparkEntry {
         Bm25Terms)),
     "text_vocab" -> ((s, d) =>
       TextAnalysis.vocabulary(t(s, d, "documents"), "text", 50)),
+    "text_bpe_merges" -> ((s, d) =>
+      // the tokenizer fit itself as the query result: 12 merge rules
+      // learned from the corpus (fit in the timed body — the sim_ann
+      // convention; production persists this table once). The oracle
+      // replays every round's pair-count argmax as an unrolled CTE
+      // chain, so the FIT is what's oracle-gated, not just its shape
+      s.createDataFrame(TextAnalysis.fitBpeMerges(
+        t(s, d, "documents"), "text", BpeMergeCount))),
+    "text_bpe_tokenize" -> ((s, d) => {
+      // fit + frozen-model apply in one query (the text_oov shape):
+      // the oracle recomputes the merge sequence AND re-tokenizes, so
+      // a fit drift and an apply drift both fail the hash
+      val docs = t(s, d, "documents")
+      TextAnalysis.bpeTokenize(docs, "doc_id", "text",
+          TextAnalysis.fitBpeMerges(docs, "text", BpeMergeCount))
+        .select(col("doc_id"), col("n_tokens"), col("tokens_sig"))
+    }),
     "text_oov" -> ((s, d) => {
       // fit + score in one query (the oracle replays both); production
       // persists the vocabulary and scores arrivals against it. Size
@@ -1378,6 +1400,54 @@ object SparkEntry {
   private val normSql =
     "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
+  /** The BPE fit replayed as an unrolled CTE chain — one (pair-count,
+    * argmax, merge-apply) round per CTE triple, exactly the ivfSql
+    * Lloyd-unroll convention. The double-space symbol encoding makes
+    * each round's apply ONE left-to-right string replace (see
+    * TextAnalysis.bpeSeq for why that IS greedy BPE, runs included),
+    * and the merge rules enter the apply as scalar subqueries, never
+    * string literals — nothing to quote, and the oracle derives the
+    * rules rather than trusting Spark's. MATERIALIZED hints keep
+    * DuckDB from re-inlining the round chain into O(n²) corpus
+    * scans. */
+  private def bpeCtes(n: Int): String = {
+    val w0 = "w0 AS MATERIALIZED (SELECT '  ' || regexp_replace(w, '(.)', " +
+      "'\\1  ', 'g') AS seq, CAST(count(*) AS BIGINT) AS freq FROM " +
+      s"(SELECT unnest(string_split($normSql, ' ')) AS w FROM documents) " +
+      "WHERE w <> '' GROUP BY 1)"
+    val rounds = (1 to n).map { i =>
+      s"p$i AS (SELECT l[i] AS a, l[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt " +
+        "FROM (SELECT l, freq, unnest(range(1, len(l))) AS i " +
+        s"FROM (SELECT string_split(trim(seq, ' '), '  ') AS l, freq FROM w${i - 1}) s) t " +
+        "GROUP BY 1, 2), " +
+        s"m$i AS MATERIALIZED (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1), " +
+        s"w$i AS MATERIALIZED (SELECT replace(seq, " +
+        s"' ' || (SELECT a FROM m$i) || '  ' || (SELECT b FROM m$i) || ' ', " +
+        s"' ' || (SELECT a FROM m$i) || (SELECT b FROM m$i) || ' ') AS seq, freq FROM w${i - 1})"
+    }
+    (w0 +: rounds).mkString(", ")
+  }
+
+  private def bpeMergesSql(n: Int): String = {
+    val union = (1 to n).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS \"rank\", a AS lhs, b AS rhs, " +
+        s"a || b AS merged, cnt AS pair_count FROM m$i")
+      .mkString(" UNION ALL ")
+    s"WITH ${bpeCtes(n)} SELECT * FROM ($union) ORDER BY \"rank\""
+  }
+
+  private def bpeTokenizeSql(n: Int): String = {
+    val seq = (1 to n).foldLeft(
+      s"'  ' || regexp_replace($normSql, '(.)', '\\1  ', 'g')") { (acc, i) =>
+      s"replace($acc, ' ' || (SELECT a FROM m$i) || '  ' || (SELECT b FROM m$i) || ' ', " +
+        s"' ' || (SELECT a FROM m$i) || (SELECT b FROM m$i) || ' ')"
+    }
+    s"WITH ${bpeCtes(n)}, tk AS (SELECT doc_id, " +
+      s"string_split_regex(trim($seq, ' '), ' {2,}') AS toks FROM documents) " +
+      "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+      "md5(array_to_string(toks, ' ')) AS tokens_sig FROM tk"
+  }
+
   /** Mirrors Dedup.simhashPortable: 60-bit md5 token hashes, majority
     * vote per bit position, bits recombined as exact powers of two. */
   private val simhashSql: String = {
@@ -1744,6 +1814,8 @@ object SparkEntry {
         "f AS (SELECT token, count(*) AS n_occurrences FROM tok GROUP BY 1) " +
         "SELECT token, n_occurrences, CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) AS BIGINT) AS \"rank\" " +
         "FROM f ORDER BY n_occurrences DESC, token LIMIT 50"),
+    "text_bpe_merges" -> bpeMergesSql(BpeMergeCount),
+    "text_bpe_tokenize" -> bpeTokenizeSql(BpeMergeCount),
     "text_oov" ->
       (s"WITH tok AS (SELECT doc_id, unnest(regexp_extract_all($normSql, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS tok FROM documents), " +
         "f AS (SELECT tok AS token, count(*) AS n FROM tok GROUP BY 1), " +

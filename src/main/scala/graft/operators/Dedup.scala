@@ -716,28 +716,10 @@ object Dedup {
     * every iteration cache is released before returning, and the
     * result's blocks are freed when the caller drops the frame.
     */
-  /** Release an iteration intermediate: the CacheManager entry (if the
-    * frame was persist()ed) AND the executor-local blocks behind an
-    * eager localCheckpoint. Dataset.unpersist alone only touches the
-    * CacheManager — checkpoint blocks are RDD-level and are otherwise
-    * freed only when the ContextCleaner GCs the RDD (ADVICE r9: a
-    * long-running driver composing many CC queries would accumulate
-    * executor-local storage between GCs). After this the frame is
-    * DEAD: a truncated lineage cannot recompute its blocks.
-    *
-    * Only the plan ROOT is matched — a checkpointed frame IS a root
-    * LogicalRDD. Descending the tree would also find checkpoint
-    * leaves the frame merely READS (the initial labels plan contains
-    * the still-live edges checkpoint) and free blocks other rounds
-    * depend on. */
-  private def releaseIntermediate(df: DataFrame): Unit = {
-    df.unpersist()
-    df.queryExecution.analyzed match {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
-  }
+  // iteration intermediates release BOTH their CacheManager entry and
+  // their localCheckpoint blocks — see Checkpoints.releaseIntermediate
+  private def releaseIntermediate(df: DataFrame): Unit =
+    Checkpoints.releaseIntermediate(df)
 
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20,
       requireConvergence: Boolean = false): DataFrame = {

@@ -160,6 +160,112 @@ object TextAnalysis {
       .withColumn("oov_rate",
         col("n_oov").cast("double") / col("n_tokens"))
 
+  /** One learned BPE merge rule: `lhs`+`rhs` → `merged`, with the
+    * adjacent-pair count that made it the argmax of its round. */
+  final case class BpeMerge(rank: Long, lhs: String, rhs: String,
+      merged: String, pair_count: Long)
+
+  /** The double-space symbol-sequence encoding shared by the BPE fit
+    * and apply: symbols separated by TWO spaces, the whole sequence
+    * padded so every symbol is single-space-framed (`"low"` →
+    * `"  l  o  w  "`). Applying merge (a,b) is then ONE literal
+    * string replace of `" a  b "` with `" ab "` — and because the
+    * pattern takes one space from each double-space frame and the
+    * replacement restores it, a left-to-right non-overlapping
+    * replace (Spark and DuckDB implement exactly that scan) IS
+    * greedy leftmost BPE application, including on runs: `a a a a`
+    * merges to `aa aa`, not `aa a a`. A single-space encoding
+    * cannot do this — the shared boundary space is consumed by the
+    * first match and the second adjacent occurrence is missed. */
+  private def bpeSeq(word: Column): Column =
+    concat(lit("  "), regexp_replace(word, "(.)", "$1  "))
+
+  private def bpeApplyMerge(seq: Column, a: String, b: String): Column =
+    call_function("replace", seq, lit(s" $a  $b "), lit(s" $a$b "))
+
+  /** Fit `numMerges` BPE merge rules over the corpus — the tokenizer-
+    * prep artifact [[vocabulary]] stops short of (it ranks whole
+    * tokens; a trained tokenizer is a merge SEQUENCE). Classic BPE
+    * (Sennrich et al. 2016): start from characters, repeatedly take
+    * the adjacent symbol pair with the highest corpus count (weighted
+    * by word frequency), merge it everywhere, recount. The Lloyd-fit
+    * conventions apply: bounded driver state (ONE merge rule per
+    * round — a limit(1) collect), deterministic ties (count desc,
+    * then lexicographic pair — replayable in ANSI SQL), bounded
+    * iterations, and frozen-model application via [[bpeTokenize]].
+    *
+    * Scale: the loop runs over the DISTINCT-WORD table (vocab-
+    * bounded, checkpointed once — never the corpus; 100 TB of text is
+    * a few hundred million distinct words, one hash agg away), each
+    * round is one explode+agg job returning a single row, and the
+    * merge apply is a lazy per-row replace stacked on the checkpoint —
+    * re-checkpointed every 16 rounds so the plan stays constant-size
+    * at large merge counts (the CC fixpoint lesson). */
+  def fitBpeMerges(df: DataFrame, textCol: String,
+      numMerges: Int): Seq[BpeMerge] = {
+    var words = df
+      .select(explode(TextFns.words(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(bpeSeq(col("w")).as("seq"), col("freq"))
+      .localCheckpoint(true)
+    try {
+      val merges = Seq.newBuilder[BpeMerge]
+      var rank = 1
+      var exhausted = false
+      while (rank <= numMerges && !exhausted) {
+        val l = split(trim(col("seq")), "  ")
+        val pairs = when(size(col("__l")) >= 2,
+          transform(sequence(lit(0), size(col("__l")) - 2),
+            i => struct(element_at(col("__l"), i + 1).as("a"),
+              element_at(col("__l"), i + 2).as("b"))))
+          .otherwise(array_repeat(
+            struct(lit("").as("a"), lit("").as("b")), 0))
+        val top = words.select(l.as("__l"), col("freq"))
+          .select(explode(pairs).as("p"), col("freq"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1)
+          .collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (a, b, cnt) =
+            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += BpeMerge(rank.toLong, a, b, a + b, cnt)
+          words = words.withColumn("seq", bpeApplyMerge(col("seq"), a, b))
+          if (rank % 16 == 0) {
+            val next = words.localCheckpoint(true)
+            Checkpoints.releaseIntermediate(words)
+            words = next
+          }
+          rank += 1
+        }
+      }
+      merges.result()
+    } finally Checkpoints.releaseIntermediate(words)
+  }
+
+  /** Tokenize with a FROZEN merge sequence ([[fitBpeMerges]] output,
+    * typically read back from its persisted artifact table) — the
+    * frozen-model shape of oovRate/scoreAgainstModel. The whole
+    * normalized text is symbol-encoded at once (word boundaries
+    * become ≥5 spaces, which no ` a  b ` pattern can cross, so merges
+    * stay word-local by construction), the merges apply in rank order
+    * as a chain of literal replaces — one codegen'd per-row
+    * expression tree, no shuffle, no UDF — and tokens are the
+    * `≥2-space`-separated fragments. Output: (id, tokens, n_tokens,
+    * tokens_sig md5-of-joined — tokens never contain spaces, so the
+    * single-space join is unambiguous). */
+  def bpeTokenize(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[BpeMerge]): DataFrame = {
+    val base = bpeSeq(TextFns.normalize(col(textCol)))
+    val seq = merges.foldLeft(base)((c, m) => bpeApplyMerge(c, m.lhs, m.rhs))
+    df.select(col(idCol), split(trim(seq), " {2,}").as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+      .withColumn("tokens_sig", md5(array_join(col("tokens"), " ")))
+  }
+
   /** BM25 relevance of every document against a fixed term set — the
     * retrieval scorer a curation pipeline uses to mine topical subsets
     * ("find docs about X") or to weight near-query documents during

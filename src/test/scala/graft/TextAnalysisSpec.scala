@@ -354,4 +354,66 @@ class TextAnalysisSpec extends SparkSpec {
     assert(oov(2L) === ((3L, 1L, 1.0 / 3)))  // dd is OOV
     assert(oov(3L) === ((4L, 0L, 0.0)))
   }
+
+  test("fitBpeMerges learns the classic low/lower/newest merges") {
+    val docs = Seq((1L, "low low low lower lower newest")).toDF("doc_id", "text")
+    val merges = TextAnalysis.fitBpeMerges(docs, "text", 3)
+    // round 1: (l,o)=5 ties (o,w)=5 → lexicographic lower pair wins;
+    // round 2: (lo,w)=5; round 3: (low,e)=2 ties (e,r)=2 → (e,r)
+    assert(merges.map(m => (m.lhs, m.rhs, m.pair_count)) ===
+      Seq(("l", "o", 5L), ("lo", "w", 5L), ("e", "r", 2L)))
+    assert(merges.map(_.rank) === Seq(1L, 2L, 3L))
+    assert(merges.map(_.merged) === Seq("lo", "low", "er"))
+  }
+
+  test("fitBpeMerges is prefix-stable: fit(5) starts with fit(3)") {
+    val docs = Seq((1L, "low low low lower lower newest widest")).toDF("doc_id", "text")
+    val m3 = TextAnalysis.fitBpeMerges(docs, "text", 3)
+    val m5 = TextAnalysis.fitBpeMerges(docs, "text", 5)
+    assert(m5.take(3) === m3)
+    assert(m5.size === 5)
+  }
+
+  test("bpeTokenize applies merges greedily left-to-right, runs included") {
+    def toks(text: String, merges: Seq[(String, String)]): Seq[String] = {
+      val ms = merges.zipWithIndex.map { case ((a, b), i) =>
+        TextAnalysis.BpeMerge(i + 1L, a, b, a + b, 0L) }
+      TextAnalysis.bpeTokenize(Seq((1L, text)).toDF("doc_id", "text"),
+          "doc_id", "text", ms)
+        .select("tokens").as[Seq[String]].head()
+    }
+    // run of four: greedy pairs BOTH — the single-space encoding bug
+    // this would catch yields [aa, a, a]
+    assert(toks("aaaa", Seq(("a", "a"))) === Seq("aa", "aa"))
+    assert(toks("aaa", Seq(("a", "a"))) === Seq("aa", "a"))
+    // adjacent occurrences sharing a boundary space
+    assert(toks("abab", Seq(("a", "b"))) === Seq("ab", "ab"))
+    // merges never cross word boundaries, and a symbol PREFIX must not
+    // fake a match ("bc" starts with b but is not the symbol b)
+    assert(toks("a bc", Seq(("a", "b"))) === Seq("a", "b", "c"))
+    // ...nor a symbol SUFFIX ("xa" ends with a)
+    assert(toks("xab", Seq(("x", "a"))) === Seq("xa", "b"))
+    assert(toks("aab", Seq(("a", "b"))) === Seq("a", "ab"))
+    // merges chain in rank order: (l,o) then (lo,w)
+    assert(toks("low lower", Seq(("l", "o"), ("lo", "w"))) ===
+      Seq("low", "low", "e", "r"))
+  }
+
+  test("bpeTokenize agrees with the fit's own final symbol state") {
+    val docs = Seq(
+      (1L, "stream stream streams join joins join"),
+      (2L, "join stream joins streams")).toDF("doc_id", "text")
+    val merges = TextAnalysis.fitBpeMerges(docs, "text", 6)
+    val out = TextAnalysis.bpeTokenize(docs, "doc_id", "text", merges)
+      .select("doc_id", "tokens").as[(Long, Seq[String])].collect().toMap
+    // every token must be a vocab entry reachable from the merges
+    // (a char or a merged symbol) — no token invented by the apply
+    val vocab = merges.map(_.merged).toSet
+    val allToks = out.values.flatten.toSet
+    assert(allToks.forall(t => t.length == 1 || vocab.contains(t)),
+      s"tokens not derivable from merges: ${allToks.filterNot(t =>
+        t.length == 1 || vocab.contains(t))}")
+    // and re-joining tokens reconstructs the normalized text exactly
+    assert(out(1L).mkString === "streamstreamstreamsjoinjoinsjoin")
+  }
 }
