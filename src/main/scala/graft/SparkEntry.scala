@@ -373,6 +373,15 @@ object SparkEntry {
     // --- sorts / limits / window functions (§2.5, §2.6) ---
     "rel_topk_users" -> ((s, d) =>
       Relational.topKByCount(t(s, d, "events"), "user_id", 10)),
+    "rel_heavy_hitters" -> ((s, d) =>
+      // bounded-state exact heavy hitters: md5-bucket prefilter +
+      // exact recount of candidates. minCount 80 sits INSIDE the
+      // per-user count range (60-86) and above the 256-bucket average
+      // (~39), so the prefilter genuinely drops buckets and the
+      // surviving set is non-trivial; the oracle replays buckets,
+      // recount and the in-plan capture boolean verbatim
+      Relational.heavyHitters(t(s, d, "events"), "user_id",
+        minCount = 80, nBuckets = 256)),
     "rel_batch_slice" -> ((s, d) =>
       // scalable ordinal (range-partitioned sort + per-partition offsets)
       // instead of ordinalSlice's global row_number window — same result
@@ -1948,6 +1957,13 @@ object SparkEntry {
         "~event_id AS inverted FROM events"),
     "rel_topk_users" ->
       "SELECT user_id, count(*) AS n FROM events GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10",
+    "rel_heavy_hitters" ->
+      ("WITH k AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events), " +
+        "b AS (SELECT key, CAST('0x' || substr(md5(key), 1, 15) AS BIGINT) % 256 AS bucket FROM k), " +
+        "bc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS bucket_n FROM b GROUP BY 1 HAVING count(*) >= 80), " +
+        "c AS (SELECT b.key, CAST(count(*) AS BIGINT) AS n_exact, min(bc.bucket_n) AS bucket_n " +
+        "FROM b JOIN bc USING (bucket) GROUP BY 1 HAVING count(*) >= 80) " +
+        "SELECT key, n_exact, bucket_n, bucket_n >= n_exact AS within_bound FROM c"),
     "rel_batch_slice" ->
       ("SELECT event_id, row_num FROM (SELECT event_id, CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS row_num FROM events) t " +
         "WHERE row_num BETWEEN 101 AND 200"),

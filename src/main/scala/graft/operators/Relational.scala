@@ -140,6 +140,110 @@ object Relational {
       .orderBy(col("n").desc, col(key))
       .limit(k)
 
+  /** All keys with count ≥ `minCount`, with aggregation state bounded
+    * at UNBOUNDED key cardinality — the scale default [[topKByCount]]
+    * is not: an exact groupBy over 100 TB of URLs/domains holds every
+    * distinct key in the hash-agg state. Two passes, both bounded:
+    *
+    *  1. count md5-hash BUCKETS of the key (≤ `nBuckets` agg states
+    *     per task, whatever the key cardinality);
+    *  2. a bucket's count upper-bounds every member key's count, so
+    *     every key with count ≥ minCount lives in a bucket with
+    *     count ≥ minCount — broadcast the heavy-bucket list back
+    *     (≤ totalRows/minCount buckets survive, by pigeonhole),
+    *     semi-filter the corpus, and count EXACTLY over the
+    *     survivors only.
+    *
+    * No false negatives by construction; bucket collisions only admit
+    * extra candidates that the exact recount then rejects — so the
+    * ANSWER is exact (the DuckDB oracle replays it verbatim: the
+    * bucket hash is md5, the one cross-engine hash), only the plan's
+    * memory shape changes. Emitted per key: (key, n_exact, bucket_n,
+    * within_bound) with within_bound = bucket_n ≥ n_exact — the
+    * capture invariant the prefilter relies on, checked IN-PLAN (the
+    * rel_approx_distinct convention). Size nBuckets ≫ expected
+    * hitters so heavy buckets stay sparse: survivors per bucket ≈
+    * cardinality/nBuckets extra keys. */
+  def heavyHitters(df: DataFrame, keyCol: String, minCount: Long,
+      nBuckets: Int): DataFrame = {
+    val key = col(keyCol).cast("string")
+    def bucketOf(k: Column): Column =
+      pmod(conv(substring(md5(k), 1, 15), 16, 10).cast("long"),
+        lit(nBuckets.toLong))
+    val heavyBuckets = df
+      .groupBy(bucketOf(key).as("__bucket"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") >= minCount)
+    df.select(key.as("key"), bucketOf(key).as("__bucket"))
+      .join(broadcast(heavyBuckets), "__bucket")
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_exact"), first(col("bucket_n")).as("bucket_n"))
+      .filter(col("n_exact") >= minCount)
+      .withColumn("within_bound", col("bucket_n") >= col("n_exact"))
+  }
+
+  /** Misra-Gries / space-saving heavy-hitter SKETCH: a fixed budget of
+    * `capacity` counters per partition, merged by key, with the
+    * undercount bound carried IN-PLAN. The estimate-only flavor for
+    * when even the bucket pass of [[heavyHitters]] is too much (one
+    * streaming-fashion scan, zero pre-shuffle state beyond the
+    * counters); [[heavyHitters]] is the exact-answer scale default.
+    *
+    * Per partition (genuine per-row imperative state — the documented
+    * mapPartitions case): the classic MG update — count if tracked,
+    * insert if budget free, otherwise decrement ALL counters and drop
+    * zeros, incrementing the partition's decrement total D_p. MG
+    * guarantees true_p − D_p ≤ est_p ≤ true_p (est_p = 0 when
+    * evicted), and summing over partitions: n_est ≤ true ≤ n_est +
+    * ΣD_p. Output: (key, n_est, n_max = n_est + ΣD_p) — every true
+    * count is bracketed, and any key with true count > ΣD_p is
+    * GUARANTEED present (absent everywhere ⇒ true ≤ ΣD_p), with
+    * ΣD_p ≤ totalRows/(capacity+1).
+    *
+    * Spec-gated, not oracle-gated: the emitted CANDIDATE SET depends
+    * on partition layout (which light keys survive eviction), so rows
+    * aren't cross-engine deterministic — the groupedQuantilesApprox
+    * precedent. RelationalSpec asserts the bracket and the
+    * completeness guarantee against exact counts. */
+  def heavyHittersSketch(df: DataFrame, keyCol: String,
+      capacity: Int): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val summaries = df.select(col(keyCol).cast("string").as("k")).as[String]
+      .mapPartitions { it =>
+        val m = new java.util.HashMap[String, Long](capacity * 2)
+        var decr = 0L
+        it.foreach { k =>
+          val cur = m.getOrDefault(k, 0L)
+          if (cur > 0L) m.put(k, cur + 1L)
+          else if (m.size < capacity) m.put(k, 1L)
+          else {
+            decr += 1L
+            val entries = m.entrySet().iterator()
+            while (entries.hasNext) {
+              val e = entries.next()
+              if (e.getValue == 1L) entries.remove()
+              else e.setValue(e.getValue - 1L)
+            }
+          }
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[
+          (Option[String], Long, Long)]
+        m.forEach((k, v) => out += ((Some(k), v, 0L)))
+        out += ((None, 0L, decr))
+        out.iterator
+      }
+      .toDF("key", "est", "decr")
+    val totalDecr = broadcast(
+      summaries.agg(sum(col("decr")).as("max_under")))
+    summaries.filter(col("key").isNotNull)
+      .groupBy(col("key")).agg(sum(col("est")).as("n_est"))
+      .crossJoin(totalDecr)
+      .select(col("key"), col("n_est"),
+        (col("n_est") + col("max_under")).as("n_max"))
+  }
+
   /** Batch restatement of a tumbling event-time window aggregation
     * (streaming form in graft.streaming): bucket by date_trunc, count +
     * sum. The string-formatted bucket keeps the oracle timestamp-

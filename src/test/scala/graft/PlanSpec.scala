@@ -141,6 +141,15 @@ class PlanSpec extends SparkSpec {
     assert("Window\\b".r.findAllIn(plan).isEmpty, plan.take(800))
   }
 
+  test("heavy hitters broadcasts the bucket list; candidates never sort-merge") {
+    // the bucket prefilter must come back as a broadcast hash join —
+    // a sort-merge here would shuffle the full corpus by bucket a
+    // second time, defeating the bounded-state design
+    val plan = planOf("rel_heavy_hitters")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+  }
+
   test("mixture sampling is shuffle-free (per-row filter + generator)") {
     val plan = planOf("rel_mixture_sample")
     assert(!plan.contains("Exchange"), plan.take(800))

@@ -465,6 +465,55 @@ class RelationalSpec extends SparkSpec {
     assert(once.toSeq.sortBy(_._2).map(_._1) !== (1L to 500L).toSeq)
   }
 
+  test("heavyHitters equals the exact groupBy answer; capture bound holds") {
+    import spark.implicits._
+    // 2 heavy keys + 100 singletons: singleton buckets (counts 1-4)
+    // must be dropped by the prefilter, never a heavy key's bucket
+    val rows = Seq.fill(40)("hot1") ++ Seq.fill(25)("hot2") ++
+      (1 to 100).map(i => s"cold$i")
+    val df = rows.toDF("k").repartition(7)
+    val out = Relational.heavyHitters(df, "k", minCount = 20, nBuckets = 64)
+      .select("key", "n_exact", "within_bound")
+      .as[(String, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(out.map(r => (r._1, r._2)) === Seq(("hot1", 40L), ("hot2", 25L)))
+    assert(out.forall(_._3), "capture invariant bucket_n >= n_exact broken")
+    // the prefilter is NON-vacuous on this layout: the bucket pass
+    // must admit strictly fewer rows than the corpus
+    val buckets = df.select(
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.conv(
+            org.apache.spark.sql.functions.substring(
+              org.apache.spark.sql.functions.md5(col("k")), 1, 15),
+            16, 10).cast("long"), lit(64L)).as("b"))
+      .groupBy("b").count().filter(col("count") >= 20).count()
+    assert(buckets < 64, "every bucket heavy — prefilter vacuous")
+  }
+
+  test("heavyHittersSketch brackets every true count; heavy keys survive") {
+    import spark.implicits._
+    val rows = Seq.fill(1000)("h1") ++ Seq.fill(500)("h2") ++
+      (1 to 800).map(i => s"noise$i")
+    val df = rows.toDF("k").repartition(7)
+    val exact = df.groupBy("k").count().as[(String, Long)].collect().toMap
+    val total = rows.size.toLong
+    val cap = 10
+    val sk = Relational.heavyHittersSketch(df, "k", cap)
+      .as[(String, Long, Long)].collect()
+    val est = sk.map(r => r._1 -> ((r._2, r._3))).toMap
+    // bracket: n_est <= true <= n_max for every emitted key
+    sk.foreach { case (k, nEst, nMax) =>
+      assert(nEst <= exact(k) && exact(k) <= nMax,
+        s"$k: [$nEst, $nMax] misses true ${exact(k)}")
+    }
+    // completeness: ΣD_p <= N/(capacity+1); any key above that bound
+    // cannot have been evicted everywhere
+    val maxUnder = sk.head._3 - sk.head._2
+    assert(maxUnder <= total / (cap + 1))
+    exact.filter(_._2 > maxUnder).keys.foreach(k =>
+      assert(est.contains(k), s"guaranteed-present key $k missing"))
+    assert(est.contains("h1") && est.contains("h2"))
+  }
+
   private def ts(s: String): java.sql.Timestamp =
     java.sql.Timestamp.valueOf(if (s.length == 10) s + " 00:00:00" else s)
 }
