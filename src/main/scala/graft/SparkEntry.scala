@@ -792,6 +792,19 @@ object SparkEntry {
       // the general n-gram rung at n=3: two-token contexts
       TextAnalysis.selfInfoNgramPortable(t(s, d, "documents"),
         "doc_id", "text", 3)),
+    "text_self_info_backoff" -> ((s, d) => {
+      // stupid-backoff trigram scoring vs a model fit on HALF the
+      // corpus (doc_id parity): fit-on-self never backs off (every
+      // corpus trigram is in its own model — the spec anchor), so the
+      // query freezes the even-doc model and scores ALL docs — 8k of
+      // 26k positions at sf0.01 genuinely fall to bigram/unigram, and
+      // n_backoff carries the non-vacuity witness into the oracle
+      val docs = t(s, d, "documents")
+      TextAnalysis.scoreAgainstBackoffModelPortable(docs,
+        TextAnalysis.backoffNgramModel(
+          docs.filter(col("doc_id") % 2 === 0), "text", 3),
+        "doc_id", "text", 3)
+    }),
     "text_gopher" -> ((s, d) =>
       // thresholds chosen to BISECT this corpus (words 10-99 median 56,
       // mean word len 3.7-5.3) so both keep outcomes are exercised
@@ -1818,6 +1831,36 @@ object SparkEntry {
         "SELECT doc_id, count(*) AS n_ngrams, " +
         "round(list_aggregate(list_sort(list(info)), 'sum') / count(*), 4) AS self_info_lm " +
         "FROM i GROUP BY doc_id"),
+    "text_self_info_backoff" ->
+      // stupid backoff replayed: per-order conditional tables fit on
+      // the even-doc half, scoring = left-join coalesce cascade with
+      // the penalty as an exact CAST(0.9163 AS DOUBLE) literal (k
+      // skipped orders add k·penalty; 2·CAST is an exact FP doubling,
+      // so both engines add bit-identical constants — parsing 1.8326
+      // directly could differ from 2·0.9163 in the last bit)
+      (s"WITH base AS (SELECT doc_id, regexp_extract_all($normSql, '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS ts FROM documents), " +
+        "fbase AS (SELECT ts FROM base WHERE doc_id % 2 = 0), " +
+        "tri AS (SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS ctx2, ts[i + 1] AS ctx1, ts[i + 2] AS tok FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM base) t), " +
+        "ftri AS (SELECT ts[i] || ' ' || ts[i + 1] AS ctx, ts[i + 2] AS tok FROM (SELECT ts, unnest(range(1, len(ts) - 1)) AS i FROM fbase) t), " +
+        "c3 AS (SELECT ctx, tok, count(*) AS n2 FROM ftri GROUP BY 1, 2), " +
+        "c3t AS (SELECT ctx, CAST(sum(n2) AS BIGINT) AS n1 FROM c3 GROUP BY 1), " +
+        "i3 AS (SELECT ctx, tok, ln(CAST(n1 AS DOUBLE)) - ln(CAST(n2 AS DOUBLE)) AS info FROM c3 JOIN c3t USING (ctx)), " +
+        "fbi AS (SELECT ts[i] AS ctx, ts[i + 1] AS tok FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM fbase) t), " +
+        "c2 AS (SELECT ctx, tok, count(*) AS n2 FROM fbi GROUP BY 1, 2), " +
+        "c2t AS (SELECT ctx, CAST(sum(n2) AS BIGINT) AS n1 FROM c2 GROUP BY 1), " +
+        "i2 AS (SELECT ctx, tok, ln(CAST(n1 AS DOUBLE)) - ln(CAST(n2 AS DOUBLE)) AS info FROM c2 JOIN c2t USING (ctx)), " +
+        "fu AS (SELECT unnest(ts) AS tok FROM fbase), " +
+        "c1 AS (SELECT tok, count(*) AS n FROM fu GROUP BY 1), " +
+        "i1 AS (SELECT tok, ln(CAST((SELECT sum(n) FROM c1) AS DOUBLE)) - ln(CAST(n AS DOUBLE)) AS info FROM c1), " +
+        "sc AS (SELECT t.doc_id, coalesce(a.info, CAST(0.9163 AS DOUBLE) + b.info, 2 * CAST(0.9163 AS DOUBLE) + c.info) AS info, " +
+        "CASE WHEN a.info IS NULL THEN 1 ELSE 0 END AS bo " +
+        "FROM tri t LEFT JOIN i3 a ON t.ctx2 = a.ctx AND t.tok = a.tok " +
+        "LEFT JOIN i2 b ON t.ctx1 = b.ctx AND t.tok = b.tok " +
+        "LEFT JOIN i1 c ON t.tok = c.tok " +
+        "WHERE coalesce(a.info, b.info, c.info) IS NOT NULL) " +
+        "SELECT doc_id, count(*) AS n_ngrams, CAST(sum(bo) AS BIGINT) AS n_backoff, " +
+        "round(list_aggregate(list_sort(list(info)), 'sum') / count(*), 4) AS self_info_bo " +
+        "FROM sc GROUP BY doc_id"),
     "text_vocab" ->
       (s"WITH tok AS (SELECT unnest(regexp_extract_all($normSql, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS token FROM documents), " +
         "f AS (SELECT token, count(*) AS n_occurrences FROM tok GROUP BY 1) " +

@@ -555,6 +555,107 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_ngrams"),
         round(mean(col("__info2"), count(lit(1))), 4).as("self_info_lm"))
 
+  /** Default backoff penalty in SURPRISAL units: ≈ −ln 0.4, the
+    * stupid-backoff α = 0.4 of Brants et al. 2007 (Large Language
+    * Models in Machine Translation). Parameterized as an exact double
+    * LITERAL rather than computed ln(0.4) so the Spark plan and the
+    * DuckDB oracle add bit-identical constants — two engines' libm
+    * ln may differ in the last ulp, and a 4-decimal round tie would
+    * expose it. */
+  val BackoffPenalty = 0.9163
+
+  /** The persistable STUPID-BACKOFF model bundle: every order's
+    * conditional table ([[selfInfoNgramModel]] for k = n..2) plus the
+    * unigram [[selfInfoModel]], unioned with an `__order` column —
+    * ONE artifact to fit, persist and ship. Row count is the sum of
+    * the per-order n-gram type counts (still corpus-type-bounded,
+    * never corpus rows). The backoff weight is NOT baked in: scoring
+    * adds (n−k)·penalty per skipped order, so one artifact serves any
+    * penalty. */
+  def backoffNgramModel(df: DataFrame, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 2, "n >= 2 (order 1 alone is selfInfoModel)")
+    val orders = (2 to n).map { k =>
+      selfInfoNgramModel(df, textCol, k)
+        .select(lit(k).as("__order"), col("__fprev"), col("__ftok"),
+          col("__info2").as("__info_bo"))
+    }
+    val uni = selfInfoModel(df, textCol)
+      .select(lit(1).as("__order"), lit("").as("__fprev"), col("__ftok"),
+        col("__info").as("__info_bo"))
+    (orders :+ uni).reduce(_ unionByName _)
+  }
+
+  /** Score documents against a FROZEN [[backoffNgramModel]] with
+    * stupid backoff — the smoothing [[scoreAgainstNgramModel]]
+    * deliberately lacks: where MLE SKIPS an out-of-model context
+    * (scoring goes partial exactly where a quality filter needs
+    * signal), backoff scores it against the longest SEEN suffix
+    * context, adding `penalty` surprisal per skipped order:
+    * S(w|ctx_k) = c(ctx_k w)/c(ctx_k) if seen, else α·S(w|ctx_{k−1})
+    * — in log space a left-join coalesce cascade, one type-bounded
+    * equi-join per order (n−1 context joins + the unigram join).
+    * Positions whose TOKEN is absent even from the unigram table are
+    * still skipped (the OOV convention — no vocabulary-size prior
+    * here). Output: (id, n_ngrams, n_backoff, self_info_bo) —
+    * n_backoff counts positions that fell past the top order, the
+    * in-plan non-vacuity witness. */
+  def scoreAgainstBackoffModel(df: DataFrame, model: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      penalty: Double = BackoffPenalty): DataFrame =
+    backoffAgg(df, model, idCol, textCol, n, penalty, (i, _) => avg(i))
+
+  /** Oracle-portable flavor (ordered fold — the selfInfoNgramPortable
+    * convention). */
+  def scoreAgainstBackoffModelPortable(df: DataFrame, model: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      penalty: Double = BackoffPenalty): DataFrame =
+    backoffAgg(df, model, idCol, textCol, n, penalty,
+      (i, cnt) => aggregate(sort_array(collect_list(i)), lit(0.0), _ + _) / cnt)
+
+  /** Fit-on-self flavor: backoff NEVER fires when the model is fit on
+    * the scored corpus itself (every corpus n-gram is in its own
+    * model), so this equals [[selfInfoNgram]] with n_backoff ≡ 0 —
+    * the spec anchor. The operator earns its keep on FROZEN models
+    * over new text (the query fits on half the corpus for exactly
+    * that reason). */
+  def selfInfoNgramBackoff(df: DataFrame, idCol: String, textCol: String,
+      n: Int, penalty: Double = BackoffPenalty): DataFrame =
+    scoreAgainstBackoffModel(df, backoffNgramModel(df, textCol, n),
+      idCol, textCol, n, penalty)
+
+  private def backoffAgg(df: DataFrame, model: DataFrame, idCol: String,
+      textCol: String, n: Int, penalty: Double,
+      mean: (Column, Column) => Column): DataFrame = {
+    val rows = ngramRows(df, textCol, n, col(idCol))
+    val joined = (n to 2 by -1).foldLeft(rows) { (acc, k) =>
+      val mk = model.filter(col("__order") === k)
+        .select(col("__fprev").as(s"__p$k"), col("__ftok").as(s"__t$k"),
+          col("__info_bo").as(s"__i$k"))
+      // the order-k context is the LAST k−1 tokens of the full context
+      val ctxK =
+        if (k == n) col("__prev")
+        else array_join(
+          slice(split(col("__prev"), " "), -(k - 1), k - 1), " ")
+      acc.join(mk, ctxK === col(s"__p$k") &&
+        col("__tok2") === col(s"__t$k"), "left")
+    }
+    val uni = model.filter(col("__order") === 1)
+      .select(col("__ftok").as("__t1"), col("__info_bo").as("__i1"))
+    val scored = joined
+      .join(uni, col("__tok2") === col("__t1"), "left")
+      .withColumn("__info", coalesce(
+        (col(s"__i$n") +:
+          ((n - 1) to 2 by -1).map(k =>
+            col(s"__i$k") + lit((n - k).toDouble * penalty)) :+
+          (col("__i1") + lit((n - 1).toDouble * penalty))): _*))
+      .filter(col("__info").isNotNull)
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col(s"__i$n").isNull, 1L).otherwise(0L)).as("n_backoff"),
+        round(mean(col("__info"), count(lit(1))), 4).as("self_info_bo"))
+  }
+
   /** Gopher-style rule filter (Rae et al. 2021's quality heuristics,
     * the industry-standard cheap gate): word-count bounds, mean-word-
     * length bounds, symbol-to-word ratio (hash + ellipsis), and a

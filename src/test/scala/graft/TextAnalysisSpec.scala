@@ -355,6 +355,67 @@ class TextAnalysisSpec extends SparkSpec {
     assert(oov(3L) === ((4L, 0L, 0.0)))
   }
 
+  test("backoff equals MLE where every context is seen (fit-on-self)") {
+    val docs = Seq(
+      (1L, "the fast join runs the fast scan"),
+      (2L, "the fast join beats the slow scan")).toDF("doc_id", "text")
+    val mle = TextAnalysis.selfInfoNgram(docs, "doc_id", "text", 3)
+      .select("doc_id", "n_ngrams", "self_info_lm")
+      .as[(Long, Long, Double)].collect()
+      .map { case (d, n, s) => d -> ((n, s)) }.toMap
+    val bo = TextAnalysis.selfInfoNgramBackoff(docs, "doc_id", "text", 3)
+      .select("doc_id", "n_ngrams", "n_backoff", "self_info_bo")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(bo.nonEmpty)
+    bo.foreach { case (d, n, nb, s) =>
+      assert(nb === 0L, s"fit-on-self backed off on doc $d")
+      assert((n, s) === mle(d), s"doc $d diverges from MLE")
+    }
+  }
+
+  test("backoff scores OOV-context positions MLE skips, penalty per order") {
+    val fit = Seq((1L, "a b c a b d")).toDF("doc_id", "text")
+    val model = TextAnalysis.backoffNgramModel(fit, "text", 3)
+    val score = Seq((10L, "x b d"), (11L, "z z a"), (12L, "z z q"))
+      .toDF("doc_id", "text")
+    // MLE drops every position (no context is in-model)...
+    assert(TextAnalysis.scoreAgainstNgramModel(
+      score, TextAnalysis.selfInfoNgramModel(fit, "text", 3),
+      "doc_id", "text", 3).count() === 0L)
+    // ...backoff scores all but the truly-OOV token
+    val out = TextAnalysis.scoreAgainstBackoffModel(
+        score, model, "doc_id", "text", 3)
+      .select("doc_id", "n_ngrams", "n_backoff", "self_info_bo")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val pen = TextAnalysis.BackoffPenalty
+    // "x b d": ctx "x b" unseen → bigram c(d|b) = 1/2 → ln2 + pen
+    assert(out(10L) ===
+      ((1L, 1L, math.rint((math.log(2.0) + pen) * 1e4) / 1e4)))
+    // "z z a": down to unigram c(a)/N = 2/6 → ln3 + 2·pen
+    assert(out(11L) ===
+      ((1L, 1L, math.rint((math.log(3.0) + 2 * pen) * 1e4) / 1e4)))
+    // "z z q": q absent even from the unigram table → skipped entirely
+    assert(!out.contains(12L))
+  }
+
+  test("backoff flavors agree within 1e-9 (algebraic vs ordered fold)") {
+    val docs = Seq(
+      (1L, "the fast join runs the fast scan merge"),
+      (2L, "slow scan the fast join merge runs"),
+      (3L, "merge the slow join")).toDF("doc_id", "text")
+    val model = TextAnalysis.backoffNgramModel(
+      docs.filter(col("doc_id") =!= 3L), "text", 3)
+    val a = TextAnalysis.scoreAgainstBackoffModel(
+        docs, model, "doc_id", "text", 3)
+      .select("doc_id", "self_info_bo").as[(Long, Double)].collect().toMap
+    val p = TextAnalysis.scoreAgainstBackoffModelPortable(
+        docs, model, "doc_id", "text", 3)
+      .select("doc_id", "self_info_bo").as[(Long, Double)].collect().toMap
+    assert(a.keySet === p.keySet)
+    a.foreach { case (d, v) => assert(math.abs(v - p(d)) < 1e-9, s"doc $d") }
+  }
+
   test("fitBpeMerges learns the classic low/lower/newest merges") {
     val docs = Seq((1L, "low low low lower lower newest")).toDF("doc_id", "text")
     val merges = TextAnalysis.fitBpeMerges(docs, "text", 3)
