@@ -1059,6 +1059,16 @@ object SparkEntry {
         emb.filter(col("vec_id") < 10), 5,
         nprobe = IvfNprobe, coarse, cb)
     }),
+    "sim_index_report" -> ((s, d) => {
+      // index health over the persisted IVFPQ index: per-cell counts,
+      // skew vs uniform, and self-ADC reconstruction quality — the
+      // drift/probe-cost monitor that decides when advanceIvfPqIndex
+      // must give way to a refit (ivfPqIndexHealth). Portable avg
+      // flavor so the oracle replays the fold bit-for-bit.
+      val cb = ivfPqArtifacts(s, d)._2
+      Similarity.ivfPqIndexReportPortable(ivfPqIndex(s, d),
+        t(s, d, "embeddings"), cb, IvfNlist)
+    }),
 
     // --- multimodal plumbing ---
     "media_chunks" -> ((s, d) =>
@@ -1301,6 +1311,32 @@ object SparkEntry {
       s"FROM vcb JOIN vqb USING (cell) JOIN codes n ON n.vec_id = vcb.n_id $qdJoins WHERE vcb.n_id <> vqb.q_id), " +
       "ranked AS (SELECT q_id, n_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS \"rank\" FROM scored) " +
       s"SELECT q_id, \"rank\", n_id, round(sim, 4) AS cosine_sim FROM ranked WHERE \"rank\" <= $k"
+  }
+
+  /** The sim_index_report oracle: every vector's cell from the shared
+    * coarse-Lloyd CTEs (ties to the lowest — the index build's
+    * expression order), its codes and per-sub-space dot tables from
+    * pqSubCtes with the UNRESTRICTED query predicate (the
+    * dedup_embedding_ivf precedent), self-ADC similarity = each
+    * vector scored against its OWN codes, then one GROUP BY cell.
+    * skew_ratio is an exact-integer division both engines round
+    * identically; the avg folds the sorted list (portable flavor). */
+  private def indexReportSql(nlist: Int, iters: Int, seed: Long,
+      dims: Int, m: Int, ksub: Int): String = {
+    val (qdJoins, ip, rn2) = pqAdcFragments(m, "qn")
+    "WITH emb AS (SELECT vec_id, embedding FROM embeddings), " +
+      coarseLloydCtes("v", nlist, iters, seed) + ", " +
+      s"vpc AS (SELECT e.vec_id, c.cell, ${oSqlSimDiv(oSqlDot("e.embedding", "c.cvec"), s"${oSqlNrm("e.embedding")} * c.cnorm")} AS csim FROM emb e CROSS JOIN vc$iters c), " +
+      "vcb AS (SELECT vec_id AS n_id, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn FROM vpc) t WHERE rn = 1), " +
+      pqSubCtes(dims, m, ksub, iters, seed, qPred = "true") + ", " +
+      s"qn AS (SELECT vec_id AS q_id, ${oSqlNrm("embedding")} AS q_norm FROM emb), " +
+      s"selfsim AS (SELECT vcb.cell, CASE WHEN qn.q_norm > 0 THEN sqrt(greatest(qn.q_norm * qn.q_norm - 2.0 * ($ip) + ($rn2), 0.0)) / qn.q_norm ELSE 0.0 END AS res " +
+      s"FROM vcb JOIN codes n ON n.vec_id = vcb.n_id JOIN qn ON qn.q_id = vcb.n_id $qdJoins), " +
+      "rep AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs, " +
+      "round(list_aggregate(list_sort(list(res)), 'sum') / count(*), 4) AS avg_residual, " +
+      "max(res) AS max_residual FROM selfsim GROUP BY cell) " +
+      s"SELECT cell, n_vecs, CAST(n_vecs * $nlist AS DOUBLE) / (SELECT count(*) FROM vcb) AS skew_ratio, " +
+      "avg_residual, max_residual FROM rep"
   }
 
   /** The dedup_embedding_ivf oracle: replays nearDupPairsIvf — the
@@ -2387,6 +2423,8 @@ object SparkEntry {
     "sim_ann_ivfpq_probe" -> ivfPqSql(nlist = IvfNlist,
       nprobe = IvfNprobe, k = 5, iters = PqIters, seed = 42L, dims = 64,
       m = PqM, ksub = PqKsub),
+    "sim_index_report" -> indexReportSql(nlist = IvfNlist,
+      iters = PqIters, seed = 42L, dims = 64, m = PqM, ksub = PqKsub),
     "sim_ann_ivf" -> ivfSql(nlist = IvfNlist, nprobe = IvfNprobe, k = 5,
       iters = 2, seed = 42L),
     "sim_rerank" -> rerankSql(dims = 64, planes = 4, k = 5, factor = 3),

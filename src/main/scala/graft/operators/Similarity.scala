@@ -852,6 +852,118 @@ object Similarity {
     (coarse, cbs)
   }
 
+  /** Health report over a persisted [[buildIvfPqIndex]] — the
+    * monitoring half the advance loop was missing: [[advanceIvfPqIndex]]
+    * encodes arrivals against FROZEN artifacts, so under drift cells
+    * skew (probe cost degrades with the biggest probed cell) and
+    * reconstruction quality decays — both silently. One (cell)-keyed
+    * aggregate over the index joined back to its vectors:
+    *
+    *  - `n_vecs`, `skew_ratio` = n_vecs·nlist/total (1.0 = uniform;
+    *    the probe-cost signal — worst-case probe work is the largest
+    *    probed cell);
+    *  - `avg_residual` / `max_residual`: each vector's RELATIVE L2
+    *    reconstruction error ‖v − r‖/‖v‖ against its own codes
+    *    (r = the PQ reconstruction; 0 = perfect, →1 = the codebooks
+    *    cannot represent the vector at all). Deliberately NOT the ADC
+    *    cosine: a drifted vector often snaps to a near-zero codebook
+    *    centroid whose DIRECTION happens to align, scoring a
+    *    deceptively perfect cosine while the reconstruction is
+    *    garbage — the L2 residual is magnitude-aware and computed
+    *    from the same m lookups (‖v‖² − 2⟨v,r⟩ + ‖r‖², clamped at 0
+    *    for float round-off; zero-norm rows report 0 by convention).
+    *
+    * Cost: one equi-join on id + one hash agg to ≤ nlist rows; empty
+    * cells simply don't appear (n_cells_used = row count). Feed the
+    * result to [[ivfPqIndexHealth]] for the refit decision. This
+    * flavor is the scale default (algebraic avg); the Portable flavor
+    * is the oracle's ordered fold. */
+  def ivfPqIndexReport(index: DataFrame, corpus: DataFrame,
+      codebooks: Array[Array[Array[Float]]], nlist: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    indexReportAgg(index, corpus, codebooks, nlist, idCol, vecCol,
+      (s, _) => avg(s))
+
+  /** Oracle-portable flavor of [[ivfPqIndexReport]] (ordered fold over
+    * the per-cell self-sim list — bounded by the largest cell). */
+  def ivfPqIndexReportPortable(index: DataFrame, corpus: DataFrame,
+      codebooks: Array[Array[Array[Float]]], nlist: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    indexReportAgg(index, corpus, codebooks, nlist, idCol, vecCol,
+      (s, cnt) => aggregate(sort_array(collect_list(s)), lit(0.0), _ + _) / cnt)
+
+  private def indexReportAgg(index: DataFrame, corpus: DataFrame,
+      codebooks: Array[Array[Array[Float]]], nlist: Int,
+      idCol: String, vecCol: String,
+      mean: (Column, Column) => Column): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).as("__v"), VectorFns.norm2(col(vecCol)).as("q_norm"))
+    val scored = index.join(vecs, "corpus_id")
+      .withColumn("dt", pqDtCol(codebooks, col("__v")))
+      .withColumn("__residual", pqSelfResidual(codebooks))
+    // 1-row total via broadcast — the scalar-subquery shape
+    val total = broadcast(index.agg(count(lit(1)).as("__total")))
+    scored.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(mean(col("__residual"), count(lit(1))), 4).as("avg_residual"),
+        max(col("__residual")).as("max_residual"))
+      .crossJoin(total)
+      .select(col("cell"), col("n_vecs"),
+        ((col("n_vecs") * lit(nlist.toLong)).cast("double") /
+          col("__total")).as("skew_ratio"),
+        col("avg_residual"), col("max_residual"))
+  }
+
+  /** Relative L2 reconstruction error over (dt, codes, q_norm):
+    * ‖v − r‖/‖v‖ = sqrt(‖v‖² − 2⟨v,r⟩ + ‖r‖²)/‖v‖ — ⟨v,r⟩ and ‖r‖²
+    * are the same m table lookups [[pqAdcSim]] uses; the difference
+    * is clamped at 0 (float round-off can push a near-perfect
+    * reconstruction a hair negative). Zero-norm rows report 0.0. */
+  private def pqSelfResidual(
+      codebooks: Array[Array[Array[Float]]]): Column = {
+    val m = codebooks.length
+    val n2 = array(codebooks.map(cb =>
+      array(cb.map(cent =>
+        lit(cent.map(x => x.toDouble * x).sum)): _*)): _*)
+    val ip = (0 until m).map(j =>
+      element_at(element_at(col("dt"), j + 1),
+        element_at(col("codes"), j + 1) + 1)).reduce(_ + _)
+    val rn2 = (0 until m).map(j =>
+      element_at(element_at(n2, j + 1),
+        element_at(col("codes"), j + 1) + 1)).reduce(_ + _)
+    when(col("q_norm") > 0,
+      sqrt(greatest(col("q_norm") * col("q_norm") - lit(2.0) * ip + rn2,
+        lit(0.0))) / col("q_norm"))
+      .otherwise(lit(0.0))
+  }
+
+  /** The refit decision over an [[ivfPqIndexReport]]: ONE summary row
+    * (n_cells_used, max_skew, max_cell_avg_residual, needs_refit).
+    * `needs_refit` trips when the worst cell exceeds `maxSkew` times
+    * the uniform share (probe cost blown) or the worst per-cell mean
+    * reconstruction residual exceeds `maxAvgResidual` (drifted
+    * arrivals the frozen codebooks can't represent). Thresholds are
+    * domain knobs — the defaults suit the test embedding corpora.
+    * Refit = re-run fitIvfPq on the grown corpus +
+    * [[buildIvfPqIndex]] rebuild (the spec proves the rebuilt index
+    * probes identically to a fresh build). */
+  def ivfPqIndexHealth(report: DataFrame, maxSkew: Double = 4.0,
+      maxAvgResidual: Double = 0.5): DataFrame =
+    report.agg(count(lit(1)).as("n_cells_used"),
+        max(col("skew_ratio")).as("max_skew"),
+        max(col("avg_residual")).as("max_cell_avg_residual"))
+      .select(col("n_cells_used"), col("max_skew"),
+        col("max_cell_avg_residual"),
+        (col("max_skew") > maxSkew ||
+          col("max_cell_avg_residual") > maxAvgResidual).as("needs_refit"))
+
+  /** Driver-side convenience over [[ivfPqIndexHealth]] (one bounded
+    * collect of the 1-row summary). */
+  def ivfPqNeedsRefit(report: DataFrame, maxSkew: Double = 4.0,
+      maxAvgResidual: Double = 0.5): Boolean =
+    ivfPqIndexHealth(report, maxSkew, maxAvgResidual)
+      .head().getAs[Boolean]("needs_refit")
+
   /** Embedding near-duplicate pairs at CORPUS scale via the IVFPQ
     * index — the LEARNED-blocking upgrade of [[nearestInBlock]] /
     * Dedup.embeddingNearDups (which need a label/bucket column the

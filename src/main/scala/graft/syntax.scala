@@ -27,6 +27,11 @@ object syntax {
       Relational.taggedKeyCounts(df, keyA, tagA, keyB, tagB)
     def topKByCount(key: String, k: Int): DataFrame =
       Relational.topKByCount(df, key, k)
+    def heavyHitters(keyCol: String, minCount: Long,
+        nBuckets: Int): DataFrame =
+      Relational.heavyHitters(df, keyCol, minCount, nBuckets)
+    def heavyHittersSketch(keyCol: String, capacity: Int): DataFrame =
+      Relational.heavyHittersSketch(df, keyCol, capacity)
     def withScalableOrdinal(orderCols: Seq[Column]): DataFrame =
       Relational.withScalableOrdinal(df, orderCols)
     def sessionize(userCol: String, tsCol: String, idCol: String,
@@ -99,6 +104,12 @@ object syntax {
       TextAnalysis.selfInfoScore(df, idCol, textCol)
     def selfInfoBigram(idCol: String, textCol: String): DataFrame =
       TextAnalysis.selfInfoBigram(df, idCol, textCol)
+    def selfInfoNgramBackoff(idCol: String, textCol: String,
+        n: Int): DataFrame =
+      TextAnalysis.selfInfoNgramBackoff(df, idCol, textCol, n)
+    def bpeTokenize(idCol: String, textCol: String,
+        merges: Seq[TextAnalysis.BpeMerge]): DataFrame =
+      TextAnalysis.bpeTokenize(df, idCol, textCol, merges)
     def sourceReport(sourceCol: String, idCol: String,
         textCol: String): DataFrame =
       TextAnalysis.sourceReport(df, sourceCol, idCol, textCol)
@@ -134,5 +145,8 @@ object syntax {
         codebooks: Array[Array[Array[Float]]]): DataFrame =
       Similarity.ivfPqProbeIndex(df, queries, k, nprobe, coarse,
         codebooks)
+    def ivfPqIndexReport(corpus: DataFrame,
+        codebooks: Array[Array[Array[Float]]], nlist: Int): DataFrame =
+      Similarity.ivfPqIndexReport(df, corpus, codebooks, nlist)
   }
 }

@@ -488,6 +488,96 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("index health report: drifted advance trips refit, refit recovers") {
+    val rnd = new scala.util.Random(13)
+    val base = (0 until 8).map { c =>
+      Array.tabulate(8)(i => if (i == c) 1f else 0f)
+    }
+    val corpus = (0 until 64).map { i =>
+      val v = base(i % 8).clone()
+      (0 until 8).foreach(j => v(j) += (rnd.nextFloat() - 0.5f) * 0.1f)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val (coarse, cb) = Similarity.fitIvfPq(corpus, "vec_id", "embedding",
+      dims = 8, nlist = 8, m = 4, ksub = 8, iters = 2, seed = 42L)
+    val idx = Similarity.buildIvfPqIndex(corpus, coarse, cb,
+      "vec_id", "embedding")
+    val report = Similarity.ivfPqIndexReport(idx, corpus, cb, nlist = 8)
+    // SELF-CALIBRATED thresholds (the production pattern: baseline the
+    // report at fit time, alert on departures): the fit corpus's own
+    // worst cell plus a margin. Everything below is deterministic
+    // (fixed seeds, md5-ordered init), so the margins are exact
+    val healthy = Similarity.ivfPqIndexHealth(report).head()
+    val healthyWorst = healthy.getAs[Double]("max_cell_avg_residual")
+    val resBar = healthyWorst + 0.05
+    assert(!Similarity.ivfPqNeedsRefit(report, maxSkew = 4.0,
+      maxAvgResidual = resBar))
+    assert(healthy.getAs[Long]("n_cells_used") >= 6)
+
+    // DRIFT: 64 arrivals all in one direction the fit never saw
+    // (negative diagonal) — they pile into one frozen cell (skew) and
+    // the frozen codebooks cannot reconstruct them (residual)
+    val drift = (100 until 164).map { i =>
+      val v = Array.tabulate(8)(_ => -1f)
+      (0 until 8).foreach(j => v(j) += (rnd.nextFloat() - 0.5f) * 0.05f)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val grown = corpus.unionByName(drift)
+    val advanced = Similarity.advanceIvfPqIndex(idx, drift, coarse, cb,
+      "vec_id", "embedding")
+    val driftedReport = Similarity.ivfPqIndexReport(advanced, grown, cb,
+      nlist = 8)
+    assert(Similarity.ivfPqNeedsRefit(driftedReport, maxSkew = 4.0,
+      maxAvgResidual = resBar),
+      "planted drift did not trip the refit threshold")
+    val drifted = Similarity.ivfPqIndexHealth(driftedReport).head()
+    // BOTH signals fire independently: the drift cell holds 64+8 of
+    // 128 rows (skew 4.5 > 4) and reconstructs at ~0.87 relative
+    // residual — far beyond the healthy worst cell
+    assert(drifted.getAs[Double]("max_skew") > 4.0)
+    assert(drifted.getAs[Double]("max_cell_avg_residual") > resBar)
+
+    // REFIT on the grown corpus: the rebuilt index probes identically
+    // to a from-scratch build, skew normalizes (Lloyd splits the
+    // drifted mass across cells), and the worst-cell reconstruction
+    // improves — the drifted direction now owns codebook mass
+    val (coarse2, cb2) = Similarity.fitIvfPq(grown, "vec_id", "embedding",
+      dims = 8, nlist = 8, m = 4, ksub = 8, iters = 2, seed = 42L)
+    val refitIdx = Similarity.buildIvfPqIndex(grown, coarse2, cb2,
+      "vec_id", "embedding")
+    val q = grown.filter(col("vec_id") < 4)
+    val viaIndex = Similarity.ivfPqProbeIndex(refitIdx, q, 3,
+        nprobe = 2, coarse2, cb2)
+      .select("q_id", "rank", "n_id").as[(Long, Long, Long)].collect().toSet
+    val inQuery = Similarity.ivfPqTopK(grown, q, 3, nprobe = 2,
+        coarse2, cb2)
+      .select("q_id", "rank", "n_id").as[(Long, Long, Long)].collect().toSet
+    assert(viaIndex === inQuery)
+    val after = Similarity.ivfPqIndexHealth(
+      Similarity.ivfPqIndexReport(refitIdx, grown, cb2, nlist = 8)).head()
+    assert(after.getAs[Double]("max_skew") <= 4.0,
+      "refit did not normalize cell skew")
+    assert(after.getAs[Double]("max_cell_avg_residual") <
+      drifted.getAs[Double]("max_cell_avg_residual") - 0.1,
+      "refit did not improve worst-cell reconstruction")
+    // the drifted mass itself now reconstructs nearly perfectly: the
+    // cells holding the 64 arrivals sit at ~0.01 residual
+    val refitCells = Similarity.ivfPqIndexReport(refitIdx, grown, cb2,
+        nlist = 8)
+      .select("cell", "n_vecs", "avg_residual")
+      .as[(Int, Long, Double)].collect()
+    assert(refitCells.filter(_._3 < 0.05).map(_._2).sum >= 60L,
+      "drifted arrivals did not gain codebook mass after refit")
+
+    // two-flavor agreement (algebraic vs ordered fold)
+    val a = report.select("cell", "avg_residual")
+      .as[(Int, Double)].collect().toMap
+    val p = Similarity.ivfPqIndexReportPortable(idx, corpus, cb, nlist = 8)
+      .select("cell", "avg_residual").as[(Int, Double)].collect().toMap
+    assert(a.keySet === p.keySet)
+    a.foreach { case (c, v) => assert(math.abs(v - p(c)) < 1e-9, s"cell $c") }
+  }
+
   test("srpBucket is deterministic and splits opposite vectors") {
     val df = Seq((Array(1f, 0f, 0f, 0f), Array(-1f, 0f, 0f, 0f)))
       .toDF("a", "b")
