@@ -718,6 +718,13 @@ object SparkEntry {
     "text_bm25" -> ((s, d) =>
       TextAnalysis.bm25Scores(t(s, d, "documents"), "doc_id", "text",
         Bm25Terms)),
+    "text_paragraph_dedup" -> ((s, d) =>
+      // cross-doc span dedup at word granularity on the newline-free
+      // corpus (the text_line_dedup convention; specs cover "\n"
+      // paragraphs): each span survives once corpus-wide at its
+      // lowest (doc_id, pos) occurrence
+      TextAnalysis.dedupParagraphs(t(s, d, "documents"),
+        "doc_id", "text", " ")),
     "text_vocab" -> ((s, d) =>
       TextAnalysis.vocabulary(t(s, d, "documents"), "text", 50)),
     "text_bpe_merges" -> ((s, d) =>
@@ -1936,6 +1943,17 @@ object SparkEntry {
         "SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_lines, " +
         "CAST(len(list_distinct(ws)) AS BIGINT) AS n_kept, " +
         "array_to_string(list_filter(ws, (x, i) -> list_position(ws, x) = i), ' ') AS text_deduped FROM l"),
+    "text_paragraph_dedup" ->
+      // the window replay: rank every (hash, doc, pos) occurrence,
+      // keep rank 1, reassemble in position order; all-dropped docs
+      // restored by the LEFT join (the text_boilerplate shape)
+      ("WITH l AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "e AS (SELECT doc_id, t.para, t.pos FROM l, LATERAL (SELECT unnest(ws) AS para, unnest(range(1, len(ws) + 1)) AS pos) t), " +
+        "k AS (SELECT doc_id, para, pos FROM (SELECT doc_id, para, pos, row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn FROM e) t WHERE rn = 1), " +
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, string_agg(para, ' ' ORDER BY pos) AS text_deduped FROM k GROUP BY doc_id) " +
+        "SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_paras, " +
+        "coalesce(a.n_kept, 0) AS n_kept, coalesce(a.text_deduped, '') AS text_deduped " +
+        "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"),
     "text_boilerplate" ->
       ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
         "l AS (SELECT doc_id, t.line, t.pos FROM d, LATERAL (SELECT unnest(ws) AS line, unnest(range(1, len(ws) + 1)) AS pos) t), " +

@@ -905,6 +905,51 @@ object TextAnalysis {
     })
   }
 
+  /** CROSS-document paragraph dedup — the remaining real-world dedup
+    * granularity between [[dedupLines]] (within-doc only) and
+    * [[removeBoilerplate]] (drops only corpus-FREQUENT lines): a span
+    * repeated across documents survives exactly ONCE corpus-wide, at
+    * its first occurrence. Canonical occurrence = the lowest
+    * (doc, position) among every occurrence of the paragraph's md5 —
+    * deterministic under any partitioning, and within-doc repeats
+    * dedup to their first occurrence as a special case (the
+    * dedupLines semantics, now global).
+    *
+    * Plan: one posexplode, ONE shuffle — a row_number window
+    * PARTITIONED BY the paragraph hash (unbounded-cardinality key —
+    * never a single-partition choke; the per-hash group is the
+    * occurrence count of one span, the skew-bounded quantity) — then
+    * the boilerplate reassembly (ordered fold per doc, state bounded
+    * by doc length). Shuffling the exploded corpus once is the price
+    * of any exact global dedup (exactDupGroups pays the same).
+    * Docs losing every paragraph stay in the output with n_kept = 0
+    * and empty text (dedup is not a row filter). Output:
+    * (id, n_paras, n_kept, text_deduped). */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+      delim: String = "\n"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val esc = java.util.regex.Pattern.quote(delim)
+    val paras = df.select(col(idCol),
+      posexplode(split(col(textCol), esc)).as(Seq("pos", "para")))
+    val w = Window.partitionBy(md5(col("para")))
+      .orderBy(col(idCol), col("pos"))
+    paras.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col("pos"), col("para")))),
+            _.getField("para")),
+          delim).as("text_deduped"))
+      .join(df.select(col(idCol),
+        size(split(col(textCol), esc)).cast("long").as("n_paras")),
+        Seq(idCol), "right")
+      .select(col(idCol), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_deduped"), lit("")).as("text_deduped"))
+  }
+
   /** Shared body of the boilerplate flavors; `keepFrequent` applies the
     * threshold to the (line, n_docs) frequency table. */
   private def boilerplateDrop(df: DataFrame, idCol: String,

@@ -131,6 +131,9 @@ object syntax {
         packBudget)
     def withKeepQuality(textCol: String): DataFrame =
       TextAnalysis.withKeepQuality(df, textCol)
+    def dedupParagraphs(idCol: String, textCol: String,
+        delim: String = "\n"): DataFrame =
+      TextAnalysis.dedupParagraphs(df, idCol, textCol, delim)
 
     // similarity
     def knnTopK(queries: DataFrame, k: Int): DataFrame =

@@ -355,6 +355,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(oov(3L) === ((4L, 0L, 0.0)))
   }
 
+  test("dedupParagraphs: a cross-doc span survives once, at its first home") {
+    val docs = Seq(
+      (1L, "A\nB"),
+      (2L, "B\nC"),
+      (3L, "A\nA"),
+      (4L, "X\nX\nY")).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupParagraphs(docs, "doc_id", "text", "\n")
+      .select("doc_id", "n_paras", "n_kept", "text_deduped")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1 owns both its paragraphs (first corpus-wide occurrences)
+    assert(out(1L) === ((2L, 2L, "A\nB")))
+    // B already lives in doc 1 — doc 2 keeps only C, order preserved
+    assert(out(2L) === ((2L, 1L, "C")))
+    // every paragraph of doc 3 is owned elsewhere (A by doc 1; its own
+    // second A by position) — the doc stays in the output, emptied
+    assert(out(3L) === ((2L, 0L, "")))
+    // within-doc semantics unchanged: doc 4's repeat dedups to the
+    // first occurrence even with no cross-doc sharer
+    assert(out(4L) === ((3L, 2L, "X\nY")))
+  }
+
   test("backoff equals MLE where every context is seen (fit-on-self)") {
     val docs = Seq(
       (1L, "the fast join runs the fast scan"),
