@@ -407,6 +407,41 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"),
         sum(col(valueCol)).as("sum_value"))
 
+  /** The STREAMING curation DAG: per micro-batch, the full batch
+    * assembly line (Packing.curateAndPack — gopher gate → line dedup →
+    * keep-best → per-source token budget → sequence packing) runs
+    * inside foreachBatch and the pack table is handed to `sink`
+    * stamped with the batch id (the MultiSink shape: overwrite a
+    * `batch_id=N` partition for the exactly-once replay contract).
+    * The per-row stages are streaming-legal on their own, but
+    * keep-best (self-join) and packing (prefix sums) are per-BATCH
+    * aggregations by design — a pack straddles only documents that
+    * arrived together, which is the training-pipeline contract anyway
+    * (packs ship as complete units; cross-batch dedup composes
+    * upstream via the incremental*Flags probes).
+    *
+    * Returns the started query; parameters mirror curateAndPack
+    * unchanged. The per-batch output equals the batch DAG over the
+    * same arrival set, spec-pinned. */
+  def curateAndPackBatches(stream: DataFrame, idCol: String,
+      sourceCol: String, textCol: String, budgets: Map[String, Long],
+      packBudget: Long, packGroups: Int = 256, delim: String = "\n",
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minStopwords: Int = 2)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val packs = graft.operators.Packing.curateAndPack(
+          batch.select(col(idCol), col(sourceCol), col(textCol)),
+          idCol, sourceCol, textCol, budgets, packBudget, packGroups,
+          delim, minWords, maxWords, minMeanWordLen, maxMeanWordLen,
+          maxSymbolRatio, minStopwords)
+        sink(packs.withColumn("batch_id", lit(batchId)), batchId)
+        ()
+    }.start()
+
   /** Event-time window start/end as plain columns (dashboard-friendly
     * projection of the struct). */
   def flattenWindow(df: DataFrame, windowCol: String = "window"): DataFrame =

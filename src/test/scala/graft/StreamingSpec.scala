@@ -1,9 +1,9 @@
 package graft
 
-import graft.operators.TextAnalysis
+import graft.operators.{Packing, TextAnalysis}
 import graft.streaming.{StatefulSessions, StreamOps}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, when}
+import org.apache.spark.sql.functions.{col, concat_ws, when}
 import java.sql.Timestamp
 
 case class TestEvt(user_id: Long, ts: Timestamp, event_type: String,
@@ -533,6 +533,50 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     assert(flagged.filter(_._1 == 30L).map(_._2).toSet === Set(20L))
+  }
+
+  test("curateAndPackBatches: per-batch stream packs == the batch DAG") {
+    implicit val ctx = spark.sqlContext
+    val good = "the quick brown fox jumps over a lazy dog and then " +
+      "it runs far away into the woods to rest for the night"
+    val b1 = Seq(
+      TestSrcDoc(1, ts("2024-01-01 00:00:00"), "a", good),
+      TestSrcDoc(2, ts("2024-01-01 00:01:00"), "a", "too short"),
+      TestSrcDoc(3, ts("2024-01-01 00:02:00"), "b", good + " tonight"),
+      TestSrcDoc(4, ts("2024-01-01 00:03:00"), "b", good))  // dup of 1 content-wise? distinct text
+    val b2 = Seq(
+      TestSrcDoc(10, ts("2024-01-01 00:10:00"), "a", good + " later on"),
+      TestSrcDoc(11, ts("2024-01-01 00:11:00"), "b", good))
+    val budgets = Map("a" -> 200L)
+    def dag(df: org.apache.spark.sql.DataFrame) =
+      Packing.curateAndPack(df.select(col("doc_id"), col("source"),
+          col("text")),
+        "doc_id", "source", "text", budgets, packBudget = 64L,
+        packGroups = 4, delim = " ", minWords = 5, minStopwords = 1)
+    val perBatch = scala.collection.mutable.Map.empty[
+      Long, Set[(String, Long, Long, String)]]
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("pack_id").cast("string"), col("n_docs"),
+        col("total_tokens"), concat_ws(",", col("doc_ids")).as("ids"))
+      .as[(String, Long, Long, String)].collect().toSet
+    val in = MemoryStream[TestSrcDoc]
+    val q = StreamOps.curateAndPackBatches(in.toDF(), "doc_id", "source",
+        "text", budgets, packBudget = 64L, packGroups = 4, delim = " ",
+        minWords = 5, minStopwords = 1) {
+      (packs, batchId) => perBatch(batchId) = rows(packs.drop("batch_id"))
+    }
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    in.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // each micro-batch's pack table equals the BATCH DAG over exactly
+    // that arrival set — same gate, dedup, budget and packing
+    assert(perBatch.keySet === Set(0L, 1L))
+    assert(perBatch(0L) === rows(dag(b1.toDF())) && perBatch(0L).nonEmpty)
+    assert(perBatch(1L) === rows(dag(b2.toDF())) && perBatch(1L).nonEmpty)
+    // the gate actually dropped the short doc in batch 0
+    assert(!perBatch(0L).exists(_._4.split(",").contains("2")))
   }
 
   test("probeAdmitAdvance inside foreachBatch runs the full dedup loop") {
