@@ -26,6 +26,20 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** documents + the gopher rule gate's `keep` boolean — the heuristic
+    * label frame the NB-distillation queries train on (same thresholds
+    * as text_gopher, which pins the label math to its own oracle). */
+  private def gopherLabeledDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    docs.join(
+      TextAnalysis.gopherRules(docs, "doc_id", "text",
+        minWords = 40, maxWords = 100000,
+        minMeanWordLen = 3.0, maxMeanWordLen = 4.5,
+        maxSymbolRatio = 0.1, minStopwords = 2)
+        .select(col("doc_id"), col("keep")),
+      "doc_id")
+  }
+
   val MinhashK = 16
   val LshBands = 4
   /** Merge-rule count for the BPE tokenizer fit (text_bpe_* queries):
@@ -819,6 +833,23 @@ object SparkEntry {
         minWords = 40, maxWords = 100000,
         minMeanWordLen = 3.0, maxMeanWordLen = 4.5,
         maxSymbolRatio = 0.1, minStopwords = 2)),
+    "text_nb_model" -> ((s, d) => {
+      // the NB fit artifact itself as the query result (the
+      // text_bpe_merges convention): per-token class counts are exact
+      // integers, so the FIT is hash-gated with no rounding at all
+      val m = TextAnalysis.nbQualityModel(
+        gopherLabeledDocs(s, d), "text", "keep")
+      m.select(col("__ntok").as("token"), col("__np").as("n_pos"),
+        col("__nn").as("n_neg"))
+    }),
+    "text_nb_quality" -> ((s, d) =>
+      // quality-classifier distillation: fit multinomial NB on the
+      // gopher rule gate's labels, score every doc with calibrated
+      // log-odds. PORTABLE flavor (ordered fold); fit-on-self ⇒
+      // n_oov ≡ 0 (spec anchor) — the frozen-model pair scores NEW
+      // arrivals with the same math (NbSpec)
+      TextAnalysis.nbQualityScorePortable(
+        gopherLabeledDocs(s, d), "doc_id", "text", "keep")),
     "text_line_dedup" -> ((s, d) =>
       // the synthetic corpus has no newlines, so the delimiter is the
       // word boundary — same operator, line granularity is a parameter
@@ -1465,6 +1496,16 @@ object SparkEntry {
   private val normSql =
     "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
+  /** The text_gopher keep conjunction as one SQL expression (same
+    * thresholds as the query registration) — the label the NB oracles
+    * replay. (lazy: wordsSql is declared further down the object.) */
+  private lazy val gopherKeepSql =
+    s"(len($wordsSql) >= 40 AND len($wordsSql) <= 100000 " +
+      s"AND (length($normSql) - len($wordsSql) + 1) / len($wordsSql) >= 3.0 " +
+      s"AND (length($normSql) - len($wordsSql) + 1) / len($wordsSql) <= 4.5 " +
+      s"AND (len(string_split_regex(text, '#')) - 1 + len(string_split_regex(text, '\\.\\.\\.')) - 1) / len($wordsSql) <= 0.1 " +
+      s"AND len(list_intersect($wordsSql, ${TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")})) >= 2)"
+
   /** The BPE fit replayed as an unrolled CTE chain — one (pair-count,
     * argmax, merge-apply) round per CTE triple, exactly the ivfSql
     * Lloyd-unroll convention. The double-space symbol encoding makes
@@ -1930,6 +1971,36 @@ object SparkEntry {
         s"AND (len(string_split_regex(text, '#')) - 1 + len(string_split_regex(text, '\\.\\.\\.')) - 1) / len($wordsSql) <= 0.1 " +
         s"AND len(list_intersect($wordsSql, ${TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")})) >= 2) AS keep " +
         "FROM documents"),
+    "text_nb_model" ->
+      // the NB fit replayed exactly: per-token class-occurrence counts
+      // under the gopher label — pure integers, no rounding anywhere
+      (s"WITH g AS (SELECT doc_id, $gopherKeepSql AS keep FROM documents), " +
+        s"tok AS (SELECT doc_id, unnest(regexp_extract_all($normSql, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS token FROM documents), " +
+        "lt AS (SELECT t.token, g.keep FROM tok t JOIN g USING (doc_id)) " +
+        "SELECT token, CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_pos, " +
+        "CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_neg " +
+        "FROM lt GROUP BY token"),
+    "text_nb_quality" ->
+      // mirrors nbQualityScorePortable: add-1 log-likelihood ratios
+      // from exact integer counts (ln on bit-identical inputs — the
+      // selfInfoModel convention), per-doc ordered fold + the prior;
+      // fit-on-self ⇒ every token joins (n_oov ≡ 0); ln ulp daylight
+      // absorbed by round(.,4), and the sign margin is corpus-wide
+      // >> ulp (min |log_odds| ~ 1e0 at sf0.01 — NbSpec pins a
+      // planted-margin case)
+      (s"WITH g AS (SELECT doc_id, $gopherKeepSql AS keep FROM documents), " +
+        s"tok AS (SELECT doc_id, unnest(regexp_extract_all($normSql, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS token FROM documents), " +
+        "lt AS (SELECT t.doc_id, t.token, g.keep FROM tok t JOIN g USING (doc_id)), " +
+        "c AS (SELECT token, CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS np, " +
+        "CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS nn FROM lt GROUP BY token), " +
+        "tt AS (SELECT CAST(sum(np) AS BIGINT) AS tp, CAST(sum(nn) AS BIGINT) AS tn, CAST(count(*) AS BIGINT) AS v FROM c), " +
+        "dt AS (SELECT ln(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)) - ln(CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS DOUBLE)) AS prior FROM g), " +
+        "m AS (SELECT token, (ln(CAST(np + 1 AS DOUBLE)) - ln(CAST(tp + v AS DOUBLE))) - (ln(CAST(nn + 1 AS DOUBLE)) - ln(CAST(tn + v AS DOUBLE))) AS llr FROM c, tt), " +
+        "i AS (SELECT l.doc_id, m.llr FROM lt l JOIN m USING (token)), " +
+        "sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "(SELECT prior FROM dt) + list_aggregate(list_sort(list(llr)), 'sum') AS lo FROM i GROUP BY doc_id) " +
+        "SELECT doc_id, n_tokens, CAST(0 AS BIGINT) AS n_oov, " +
+        "round(lo, 4) AS log_odds, lo > 0 AS predicted_keep FROM sc"),
     "rel_profile" -> profileSql("events",
       Seq("event_id", "ts", "user_id", "event_type", "value", "props")),
     "text_chunks" -> chunksSql(chunkSize = 12, overlap = 4),

@@ -950,6 +950,119 @@ object TextAnalysis {
         coalesce(col("text_deduped"), lit("")).as("text_deduped"))
   }
 
+  /** Multinomial Naive-Bayes quality classifier FIT — the frozen
+    * artifact of quality-classifier distillation: train a cheap
+    * generative classifier on heuristic labels (e.g. [[gopherRules]]'
+    * `keep`, or a curated-vs-crawl source flag) and score every
+    * document with a calibrated log-odds instead of a brittle rule
+    * conjunction. The model is one row per vocabulary token carrying
+    * the add-1-smoothed log-likelihood ratio
+    * ln P(tok|pos) − ln P(tok|neg), plus the class-prior log-ratio and
+    * the out-of-vocabulary ratio as constant columns (the
+    * scalar-subquery shape at scoring time). Everything is counts →
+    * ln on exact integer-cast doubles (the selfInfoModel convention —
+    * both engines feed ln bit-identical inputs), so the artifact is
+    * exactly oracle-replayable. Vocabulary-bounded rows; fit cost is
+    * ONE corpus scan + one hash aggregate. Both classes must be
+    * non-empty (an empty class has no ln-defined prior — the caller
+    * picks labels that bisect the corpus, as the gopher thresholds
+    * do). Columns are internal-named (__ntok, __llr, __prior, __oov)
+    * so scoring joins never collide with user data. */
+  def nbQualityModel(df: DataFrame, textCol: String,
+      labelCol: String): DataFrame = {
+    val tok = df.select(col(labelCol).cast("boolean").as("__lab"),
+      explode(TextFns.bpeishTokens(col(textCol))).as("__ntok"))
+    val counts = tok.groupBy(col("__ntok")).agg(
+      sum(when(col("__lab"), 1L).otherwise(0L)).as("__np"),
+      sum(when(!col("__lab"), 1L).otherwise(0L)).as("__nn"))
+    val tokTotals = counts.agg(
+      sum(col("__np")).as("__tp"), sum(col("__nn")).as("__tn"),
+      count(lit(1)).as("__v"))
+    val docTotals = df.agg(
+      sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L))
+        .as("__dp"),
+      sum(when(!col(labelCol).cast("boolean"), 1L).otherwise(0L))
+        .as("__dn"))
+    val lnD = (c: Column) => log(c.cast("double"))
+    counts
+      .crossJoin(broadcast(tokTotals))
+      .crossJoin(broadcast(docTotals))
+      .select(col("__ntok"), col("__np"), col("__nn"),
+        ((lnD(col("__np") + 1) - lnD(col("__tp") + col("__v"))) -
+          (lnD(col("__nn") + 1) - lnD(col("__tn") + col("__v"))))
+          .as("__llr"),
+        (lnD(col("__dp")) - lnD(col("__dn"))).as("__prior"),
+        // an unseen token contributes count 0 to BOTH classes:
+        // ln(1/(T_pos+V)) − ln(1/(T_neg+V)) — the add-1 floor
+        (lnD(col("__tn") + col("__v")) - lnD(col("__tp") + col("__v")))
+          .as("__oov"))
+  }
+
+  /** Score documents against a FROZEN [[nbQualityModel]] — the arrival
+    * path: tokenize, LEFT-join the vocabulary-bounded model (Catalyst
+    * broadcasts it), coalesce misses to the model's add-1 OOV ratio,
+    * ONE hash aggregate per doc. log_odds = prior + Σ per-token
+    * ratios; `predicted_keep` is its sign. Algebraic sum = the scale
+    * default; ±ulp summation-order noise trades exactly as
+    * selfInfoScore's (use the Portable flavor for bit-stable
+    * cross-engine comparison). Output:
+    * (id, n_tokens, n_oov, log_odds, predicted_keep). */
+  def scoreAgainstNbModel(df: DataFrame, model: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    nbScoreAgg(df, model, idCol, textCol, (term, _) => sum(term))
+
+  /** Oracle-portable flavor of [[scoreAgainstNbModel]]: the per-doc sum
+    * from an ORDER-DETERMINISTIC fold over the sorted term list (the
+    * sourceReportPortable convention) — per-doc state holds every
+    * token's term, bounded by document length. */
+  def scoreAgainstNbModelPortable(df: DataFrame, model: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    nbScoreAgg(df, model, idCol, textCol,
+      (term, _) => aggregate(sort_array(collect_list(term)), lit(0.0), _ + _))
+
+  /** Fit-on-self flavor — [[nbQualityModel]] on the scored corpus
+    * itself, then score: the one-call operator for "distill my rule
+    * gate into a classifier over this corpus". No position is OOV by
+    * construction (n_oov ≡ 0, the spec anchor); the frozen-model pair
+    * earns its keep on NEW arrivals. */
+  def nbQualityScore(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String): DataFrame =
+    scoreAgainstNbModel(df, nbQualityModel(df, textCol, labelCol),
+      idCol, textCol)
+
+  /** Portable fit-on-self flavor (the oracle mirror). */
+  def nbQualityScorePortable(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String): DataFrame =
+    scoreAgainstNbModelPortable(df, nbQualityModel(df, textCol, labelCol),
+      idCol, textCol)
+
+  /** Shared body of the NB scoring flavors; `fold` builds the per-doc
+    * term sum. The prior/OOV constants ride in on a broadcast 1-row
+    * projection of the model (every model row carries them — the
+    * scalar-subquery shape, same as the threshold joins). */
+  private def nbScoreAgg(df: DataFrame, model: DataFrame, idCol: String,
+      textCol: String, fold: (Column, Column) => Column): DataFrame = {
+    val consts = model.select(col("__prior"), col("__oov")).limit(1)
+    val terms = df
+      .select(col(idCol),
+        explode(TextFns.bpeishTokens(col(textCol))).as("__tok"))
+      .join(model.select(col("__ntok"), col("__llr")),
+        col("__tok") === col("__ntok"), "left")
+      .crossJoin(broadcast(consts))
+      .select(col(idCol), col("__prior"),
+        coalesce(col("__llr"), col("__oov")).as("__term"),
+        col("__llr").isNull.cast("long").as("__is_oov"))
+    terms
+      .groupBy(col(idCol), col("__prior"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__is_oov")).as("n_oov"),
+        (col("__prior") + fold(col("__term"), count(lit(1))))
+          .as("__lo"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        round(col("__lo"), 4).as("log_odds"),
+        (col("__lo") > 0).as("predicted_keep"))
+  }
+
   /** Shared body of the boilerplate flavors; `keepFrequent` applies the
     * threshold to the (line, n_docs) frequency table. */
   private def boilerplateDrop(df: DataFrame, idCol: String,

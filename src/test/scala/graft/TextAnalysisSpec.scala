@@ -499,4 +499,74 @@ class TextAnalysisSpec extends SparkSpec {
     // and re-joining tokens reconstructs the normalized text exactly
     assert(out(1L).mkString === "streamstreamstreamsjoinjoinsjoin")
   }
+
+  test("nbQualityModel: hand-computed counts, llr, prior, oov") {
+    // pos docs: "a a b" + "a c"  /  neg doc: "b b c"
+    // counts: a=(3,0) b=(1,2) c=(1,1); T_pos=5 T_neg=3 V=3; docs 2/1
+    val df = Seq((1L, "a a b", true), (2L, "a c", true),
+      (3L, "b b c", false)).toDF("doc_id", "text", "lab")
+    val m = TextAnalysis.nbQualityModel(df, "text", "lab")
+      .collect().map(r => r.getAs[String]("__ntok") ->
+        (r.getAs[Long]("__np"), r.getAs[Long]("__nn"),
+          r.getAs[Double]("__llr"), r.getAs[Double]("__prior"),
+          r.getAs[Double]("__oov"))).toMap
+    assert(m("a")._1 === 3L && m("a")._2 === 0L)
+    assert(m("b")._1 === 1L && m("b")._2 === 2L)
+    assert(m("c")._1 === 1L && m("c")._2 === 1L)
+    def llr(np: Long, nn: Long) =
+      (math.log(np + 1.0) - math.log(5 + 3.0)) -
+        (math.log(nn + 1.0) - math.log(3 + 3.0))
+    assert(math.abs(m("a")._3 - llr(3, 0)) < 1e-12)
+    assert(math.abs(m("b")._3 - llr(1, 2)) < 1e-12)
+    assert(math.abs(m("a")._4 - math.log(2.0)) < 1e-12)
+    // OOV: ln(1/(T_pos+V)) − ln(1/(T_neg+V)) = ln(6) − ln(8)
+    assert(math.abs(m("a")._5 - (math.log(6.0) - math.log(8.0))) < 1e-12)
+  }
+
+  test("scoreAgainstNbModel: frozen model scores arrivals, OOV counted") {
+    val fit = Seq((1L, "a a b", true), (2L, "a c", true),
+      (3L, "b b c", false)).toDF("doc_id", "text", "lab")
+    val model = TextAnalysis.nbQualityModel(fit, "text", "lab")
+    // arrival: "a z" — a in vocab, z OOV
+    val out = TextAnalysis.scoreAgainstNbModel(
+        Seq((10L, "a z")).toDF("doc_id", "text"), model, "doc_id", "text")
+      .head()
+    assert(out.getAs[Long]("n_tokens") === 2L)
+    assert(out.getAs[Long]("n_oov") === 1L)
+    val llrA = (math.log(4.0) - math.log(8.0)) -
+      (math.log(1.0) - math.log(6.0))
+    val oov = math.log(6.0) - math.log(8.0)
+    val want = math.log(2.0) + llrA + oov
+    assert(math.abs(out.getAs[Double]("log_odds") -
+      math.rint(want * 1e4) / 1e4) < 1e-9)
+    assert(out.getAs[Boolean]("predicted_keep") === (want > 0))
+  }
+
+  test("nbQualityScore: fit-on-self has zero OOV; portable agrees " +
+      "with the algebraic default on the rounding grid") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it was a good day for the cat"),
+      (2L, "zzz qqq xxx zzz qqq xxx zzz qqq xxx"),
+      (3L, "the dog ran in the park and it was a fine day"),
+      (4L, "qqq zzz mmm qqq zzz mmm")).toDF("doc_id", "text")
+    val lab = docs.withColumn("lab", col("doc_id") % 2 === 1)
+    val dflt = TextAnalysis.nbQualityScore(lab, "doc_id", "text", "lab")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_oov"), r.getAs[Double]("log_odds"),
+          r.getAs[Boolean]("predicted_keep"))).toMap
+    val port = TextAnalysis.nbQualityScorePortable(lab, "doc_id", "text",
+        "lab")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_oov"), r.getAs[Double]("log_odds"),
+          r.getAs[Boolean]("predicted_keep"))).toMap
+    dflt.values.foreach { case (noov, _, _) => assert(noov === 0L) }
+    dflt.foreach { case (id, (_, lo, pred)) =>
+      assert(math.abs(lo - port(id)._2) <= 1e-4 + 1e-12)
+      assert(pred === port(id)._3)
+    }
+    // stopword-rich odd docs (the positive class) score positive,
+    // gibberish even docs negative — the classifier separates them
+    assert(dflt(1L)._3 && dflt(3L)._3)
+    assert(!dflt(2L)._3 && !dflt(4L)._3)
+  }
 }
