@@ -26,6 +26,18 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** The corpus-bisecting gopher thresholds, shared by EVERY call site
+    * that gates on the rule (text_gopher, text_source_report,
+    * text_curation_dag, the NB label frame) and by gopherKeepSql —
+    * one definition, so the NB training labels cannot drift from the
+    * text_gopher oracle. */
+  val GopherMinWords = 40
+  val GopherMaxWords = 100000
+  val GopherMinMeanWordLen = 3.0
+  val GopherMaxMeanWordLen = 4.5
+  val GopherMaxSymbolRatio = 0.1
+  val GopherMinStopwords = 2
+
   /** documents + the gopher rule gate's `keep` boolean — the heuristic
     * label frame the NB-distillation queries train on (same thresholds
     * as text_gopher, which pins the label math to its own oracle). */
@@ -33,9 +45,11 @@ object SparkEntry {
     val docs = t(s, d, "documents")
     docs.join(
       TextAnalysis.gopherRules(docs, "doc_id", "text",
-        minWords = 40, maxWords = 100000,
-        minMeanWordLen = 3.0, maxMeanWordLen = 4.5,
-        maxSymbolRatio = 0.1, minStopwords = 2)
+        minWords = GopherMinWords, maxWords = GopherMaxWords,
+        minMeanWordLen = GopherMinMeanWordLen,
+        maxMeanWordLen = GopherMaxMeanWordLen,
+        maxSymbolRatio = GopherMaxSymbolRatio,
+        minStopwords = GopherMinStopwords)
         .select(col("doc_id"), col("keep")),
       "doc_id")
   }
@@ -796,9 +810,11 @@ object SparkEntry {
       // (algebraic avg — bounded state per source at any corpus size)
       // is the scale default, spec-tied to this flavor
       TextAnalysis.sourceReportPortable(t(s, d, "documents"), "source",
-        "doc_id", "text", minWords = 40, maxWords = 100000,
-        minMeanWordLen = 3.0, maxMeanWordLen = 4.5,
-        maxSymbolRatio = 0.1, minStopwords = 2)),
+        "doc_id", "text", minWords = GopherMinWords,
+        maxWords = GopherMaxWords, minMeanWordLen = GopherMinMeanWordLen,
+        maxMeanWordLen = GopherMaxMeanWordLen,
+        maxSymbolRatio = GopherMaxSymbolRatio,
+        minStopwords = GopherMinStopwords)),
     "text_self_info" -> ((s, d) =>
       // PORTABLE flavor (ordered fold) so the mean is oracle-checkable;
       // selfInfoScore (algebraic avg) is the scale default, spec-tied
@@ -830,9 +846,11 @@ object SparkEntry {
       // thresholds chosen to BISECT this corpus (words 10-99 median 56,
       // mean word len 3.7-5.3) so both keep outcomes are exercised
       TextAnalysis.gopherRules(t(s, d, "documents"), "doc_id", "text",
-        minWords = 40, maxWords = 100000,
-        minMeanWordLen = 3.0, maxMeanWordLen = 4.5,
-        maxSymbolRatio = 0.1, minStopwords = 2)),
+        minWords = GopherMinWords, maxWords = GopherMaxWords,
+        minMeanWordLen = GopherMinMeanWordLen,
+        maxMeanWordLen = GopherMaxMeanWordLen,
+        maxSymbolRatio = GopherMaxSymbolRatio,
+        minStopwords = GopherMinStopwords)),
     "text_nb_model" -> ((s, d) => {
       // the NB fit artifact itself as the query result (the
       // text_bpe_merges convention): per-token class counts are exact
@@ -847,7 +865,7 @@ object SparkEntry {
       // gopher rule gate's labels, score every doc with calibrated
       // log-odds. PORTABLE flavor (ordered fold); fit-on-self ⇒
       // n_oov ≡ 0 (spec anchor) — the frozen-model pair scores NEW
-      // arrivals with the same math (NbSpec)
+      // arrivals with the same math (TextAnalysisSpec)
       TextAnalysis.nbQualityScorePortable(
         gopherLabeledDocs(s, d), "doc_id", "text", "keep")),
     "text_line_dedup" -> ((s, d) =>
@@ -871,8 +889,11 @@ object SparkEntry {
       // (spec-pinned) and each stage is the oracle-gated operator
       Packing.curateAndPack(t(s, d, "documents"), "doc_id", "source",
         "text", TokenBudgets, PackBudget, PackGroups, delim = " ",
-        minWords = 40, maxWords = 100000, minMeanWordLen = 3.0,
-        maxMeanWordLen = 4.5, maxSymbolRatio = 0.1, minStopwords = 2)),
+        minWords = GopherMinWords, maxWords = GopherMaxWords,
+        minMeanWordLen = GopherMinMeanWordLen,
+        maxMeanWordLen = GopherMaxMeanWordLen,
+        maxSymbolRatio = GopherMaxSymbolRatio,
+        minStopwords = GopherMinStopwords)),
 
     // --- dedup ---
     "dedup_exact_groups" -> ((s, d) =>
@@ -1500,11 +1521,11 @@ object SparkEntry {
     * thresholds as the query registration) — the label the NB oracles
     * replay. (lazy: wordsSql is declared further down the object.) */
   private lazy val gopherKeepSql =
-    s"(len($wordsSql) >= 40 AND len($wordsSql) <= 100000 " +
-      s"AND (length($normSql) - len($wordsSql) + 1) / len($wordsSql) >= 3.0 " +
-      s"AND (length($normSql) - len($wordsSql) + 1) / len($wordsSql) <= 4.5 " +
-      s"AND (len(string_split_regex(text, '#')) - 1 + len(string_split_regex(text, '\\.\\.\\.')) - 1) / len($wordsSql) <= 0.1 " +
-      s"AND len(list_intersect($wordsSql, ${TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")})) >= 2)"
+    s"(len($wordsSql) >= $GopherMinWords AND len($wordsSql) <= $GopherMaxWords " +
+      s"AND (length($normSql) - len($wordsSql) + 1) / len($wordsSql) >= $GopherMinMeanWordLen " +
+      s"AND (length($normSql) - len($wordsSql) + 1) / len($wordsSql) <= $GopherMaxMeanWordLen " +
+      s"AND (len(string_split_regex(text, '#')) - 1 + len(string_split_regex(text, '\\.\\.\\.')) - 1) / len($wordsSql) <= $GopherMaxSymbolRatio " +
+      s"AND len(list_intersect($wordsSql, ${TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")})) >= $GopherMinStopwords)"
 
   /** The BPE fit replayed as an unrolled CTE chain — one (pair-count,
     * argmax, merge-apply) round per CTE triple, exactly the ivfSql
@@ -1650,14 +1671,7 @@ object SparkEntry {
     * samples, and the text_pack recursive walk packs. */
   private def curationDagSql(budgets: Map[String, Long],
       packBudget: Long, groups: Int): String = {
-    val stopArr =
-      TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
-    val keepExpr =
-      s"(len($wordsSql) >= 40 AND len($wordsSql) <= 100000 " +
-        s"AND (length($normSql) - len($wordsSql) + 1) / len($wordsSql) >= 3.0 " +
-        s"AND (length($normSql) - len($wordsSql) + 1) / len($wordsSql) <= 4.5 " +
-        s"AND (len(string_split_regex(text, '#')) - 1 + len(string_split_regex(text, '\\.\\.\\.')) - 1) / len($wordsSql) <= 0.1 " +
-        s"AND len(list_intersect($wordsSql, $stopArr)) >= 2)"
+    val keepExpr = gopherKeepSql
     val budgetCases = budgets.toSeq.sortBy(_._1)
       .map { case (k, b) => s"WHEN '$k' THEN $b" }.mkString(" ")
     "WITH RECURSIVE " +
@@ -1871,11 +1885,7 @@ object SparkEntry {
       (s"WITH q AS (SELECT doc_id, 0.4 * least(nw / 200.0, 1.0) + 0.3 * least(stop / nw * 4.0, 1.0) + 0.3 * (nd / nw) AS quality FROM " +
         s"(SELECT doc_id, CAST(len(list_filter($wordsSql, x -> x IN $stopListSql)) AS DOUBLE) AS stop, " +
         s"CAST(len($wordsSql) AS DOUBLE) AS nw, CAST(len(list_distinct($wordsSql)) AS DOUBLE) AS nd FROM documents) t), " +
-        s"g AS (SELECT doc_id, (len($wordsSql) >= 40 AND len($wordsSql) <= 100000 " +
-        s"AND (length($normSql) - len($wordsSql) + 1) / len($wordsSql) >= 3.0 " +
-        s"AND (length($normSql) - len($wordsSql) + 1) / len($wordsSql) <= 4.5 " +
-        s"AND (len(string_split_regex(text, '#')) - 1 + len(string_split_regex(text, '\\.\\.\\.')) - 1) / len($wordsSql) <= 0.1 " +
-        s"AND len(list_intersect($wordsSql, ${TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")})) >= 2) AS keep FROM documents), " +
+        s"g AS (SELECT doc_id, $gopherKeepSql AS keep FROM documents), " +
         "j AS (SELECT d.source, q.quality, g.keep FROM documents d JOIN q USING (doc_id) JOIN g USING (doc_id)) " +
         "SELECT source, count(*) AS n_docs, " +
         "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep, " +
@@ -1965,11 +1975,7 @@ object SparkEntry {
         s"(length($normSql) - len($wordsSql) + 1) / len($wordsSql) AS mean_word_len, " +
         s"(len(string_split_regex(text, '#')) - 1 + len(string_split_regex(text, '\\.\\.\\.')) - 1) / len($wordsSql) AS symbol_ratio, " +
         s"CAST(len(list_intersect($wordsSql, ${TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")})) AS BIGINT) AS n_stop_distinct, " +
-        s"(len($wordsSql) >= 40 AND len($wordsSql) <= 100000 " +
-        s"AND (length($normSql) - len($wordsSql) + 1) / len($wordsSql) >= 3.0 " +
-        s"AND (length($normSql) - len($wordsSql) + 1) / len($wordsSql) <= 4.5 " +
-        s"AND (len(string_split_regex(text, '#')) - 1 + len(string_split_regex(text, '\\.\\.\\.')) - 1) / len($wordsSql) <= 0.1 " +
-        s"AND len(list_intersect($wordsSql, ${TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")})) >= 2) AS keep " +
+        s"$gopherKeepSql AS keep " +
         "FROM documents"),
     "text_nb_model" ->
       // the NB fit replayed exactly: per-token class-occurrence counts
@@ -1986,7 +1992,7 @@ object SparkEntry {
       // selfInfoModel convention), per-doc ordered fold + the prior;
       // fit-on-self ⇒ every token joins (n_oov ≡ 0); ln ulp daylight
       // absorbed by round(.,4), and the sign margin is corpus-wide
-      // >> ulp (min |log_odds| ~ 1e0 at sf0.01 — NbSpec pins a
+      // >> ulp (min |log_odds| ~ 1e0 at sf0.01 — TextAnalysisSpec pins a
       // planted-margin case)
       (s"WITH g AS (SELECT doc_id, $gopherKeepSql AS keep FROM documents), " +
         s"tok AS (SELECT doc_id, unnest(regexp_extract_all($normSql, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS token FROM documents), " +

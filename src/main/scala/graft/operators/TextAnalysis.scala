@@ -1006,7 +1006,17 @@ object TextAnalysis {
     * default; ±ulp summation-order noise trades exactly as
     * selfInfoScore's (use the Portable flavor for bit-stable
     * cross-engine comparison). Output:
-    * (id, n_tokens, n_oov, log_odds, predicted_keep). */
+    * (id, n_tokens, n_oov, log_odds, predicted_keep).
+    *
+    * Edge semantics (engine-wide conventions, not accidents): a
+    * document whose text tokenizes to ZERO tokens yields no explode
+    * rows and therefore NO output row — the same drop every
+    * tokenize-then-aggregate operator applies (selfInfoScore,
+    * text_vocab/OOV); score it as unkeepable upstream if that matters.
+    * An EMPTY model frame (violates [[nbQualityModel]]'s both-classes-
+    * non-empty contract) empties the 1-row consts projection and with
+    * it the whole result — garbage-in guard, not a silent-partial
+    * hazard, since the model is a fit artifact the caller built. */
   def scoreAgainstNbModel(df: DataFrame, model: DataFrame, idCol: String,
       textCol: String): DataFrame =
     nbScoreAgg(df, model, idCol, textCol, (term, _) => sum(term))
