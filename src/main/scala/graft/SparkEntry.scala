@@ -772,6 +772,18 @@ object SparkEntry {
           TextAnalysis.fitBpeMerges(docs, "text", BpeMergeCount))
         .select(col("doc_id"), col("n_tokens"), col("tokens_sig"))
     }),
+    "text_bpe_tokenize_fast" -> ((s, d) => {
+      // the SCALE flavor of text_bpe_tokenize: same fit, but the apply
+      // is the broadcast rank-map mapPartitions merger — per-row cost
+      // independent of merge count (the literal chain is one
+      // expression node per rule; at 32k+ rules analysis/codegen
+      // dominates). Token-for-token equal by construction, so it
+      // shares the unrolled-CTE oracle verbatim
+      val docs = t(s, d, "documents")
+      TextAnalysis.bpeTokenizeFast(docs, "doc_id", "text",
+          TextAnalysis.fitBpeMerges(docs, "text", BpeMergeCount))
+        .select(col("doc_id"), col("n_tokens"), col("tokens_sig"))
+    }),
     "text_oov" -> ((s, d) => {
       // fit + score in one query (the oracle replays both); production
       // persists the vocabulary and scores arrivals against it. Size
@@ -1962,6 +1974,10 @@ object SparkEntry {
         "FROM f ORDER BY n_occurrences DESC, token LIMIT 50"),
     "text_bpe_merges" -> bpeMergesSql(BpeMergeCount),
     "text_bpe_tokenize" -> bpeTokenizeSql(BpeMergeCount),
+    // the fast flavor is token-for-token equal to the literal chain
+    // (TextAnalysisSpec pins it), so the same unrolled-CTE replay
+    // gates it — fit drift, apply drift, and flavor drift all fail
+    "text_bpe_tokenize_fast" -> bpeTokenizeSql(BpeMergeCount),
     "text_oov" ->
       (s"WITH tok AS (SELECT doc_id, unnest(regexp_extract_all($normSql, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS tok FROM documents), " +
         "f AS (SELECT tok AS token, count(*) AS n FROM tok GROUP BY 1), " +

@@ -1,8 +1,9 @@
 package graft.operators
 
 import graft.functions.TextFns
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType}
 
 /** Text-quality operators for a training-data pipeline: token counting,
   * quality scoring, language ID, fingerprinting. Pure expression trees
@@ -264,6 +265,119 @@ object TextAnalysis {
     df.select(col(idCol), split(trim(seq), " {2,}").as("tokens"))
       .withColumn("n_tokens", size(col("tokens")).cast("long"))
       .withColumn("tokens_sig", md5(array_join(col("tokens"), " ")))
+  }
+
+  /** Scale flavor of [[bpeTokenize]] — identical token output, per-row
+    * cost INDEPENDENT of merge count. The literal-replace chain builds
+    * one expression node per merge rule: free at the oracle's 12
+    * merges, but at a production tokenizer's 32k–100k rules the
+    * analysis/codegen cost of the giant literal tree dominates
+    * execution (the SCALE.md giant-expression micro-finding). This
+    * flavor broadcasts the merge table once and tokenizes in a typed
+    * mapPartitions (the heavyHittersSketch imperative-state
+    * convention): per word, repeatedly find the LOWEST-rank rule
+    * beyond the last applied one whose pair occurs in the current
+    * symbol sequence, and apply it in one leftmost-greedy
+    * non-overlapping pass. That is EXACTLY the literal chain's
+    * semantics — rules fire in rank order, a rule whose pair is absent
+    * at its turn is a no-op, and a rule already past its turn never
+    * re-fires on pairs an intervening merge re-creates — at
+    * O(word_len) hash lookups per fired merge instead of O(numMerges)
+    * expression nodes per row. Null text → null row tail, empty text →
+    * the single empty token, both matching the literal chain's
+    * null/trim algebra (spec-pinned token-for-token;
+    * text_bpe_tokenize_fast shares text_bpe_tokenize's unrolled-CTE
+    * oracle). */
+  def bpeTokenizeFast(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[BpeMerge]): DataFrame = {
+    val spark = df.sparkSession
+    // pair -> ascending ranks (a pair CAN recur at a later rank when an
+    // intervening merge re-creates the adjacency) + rank -> pair for
+    // the apply pass
+    val byPair: Map[(String, String), Array[Long]] = merges
+      .groupBy(m => (m.lhs, m.rhs))
+      .map { case (p, ms) => p -> ms.map(_.rank).sorted.toArray }
+    val byRank: Map[Long, (String, String)] =
+      merges.map(m => m.rank -> ((m.lhs, m.rhs))).toMap
+    val bcPair = spark.sparkContext.broadcast(byPair)
+    val bcRank = spark.sparkContext.broadcast(byRank)
+    val outSchema = StructType(Seq(
+      df.schema(idCol).copy(name = idCol),
+      StructField("tokens", ArrayType(StringType, containsNull = true)),
+      StructField("n_tokens", LongType),
+      StructField("tokens_sig", StringType)))
+    df.select(col(idCol), TextFns.normalize(col(textCol)).as("__norm"))
+      .mapPartitions { rows =>
+        val pairRanks = bcPair.value
+        val rankRule = bcRank.value
+        rows.map { r =>
+          if (r.isNullAt(1)) Row(r.get(0), null, null, null)
+          else {
+            val norm = r.getString(1)
+            val tokens: Seq[String] =
+              if (norm.isEmpty) Seq("")
+              else norm.split(" ", -1).toIndexedSeq
+                .flatMap(w => mergeWord(w, pairRanks, rankRule))
+            val joined = tokens.mkString(" ")
+            val sig = java.security.MessageDigest.getInstance("MD5")
+              .digest(joined.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              .map(b => f"$b%02x").mkString
+            Row(r.get(0), tokens, tokens.length.toLong, sig)
+          }
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  /** One word through the frozen merge sequence, replicating the
+    * literal-replace chain exactly: rules in rank order, one
+    * leftmost-greedy non-overlapping pass per fired rule (after a
+    * merge the scan resumes AFTER the merged symbol, so runs pair up:
+    * a a a a → aa aa, never aa a a). Symbols are code points, matching
+    * the fit/apply regex "(.)". */
+  private def mergeWord(w: String,
+      pairRanks: Map[(String, String), Array[Long]],
+      rankRule: Map[Long, (String, String)]): Seq[String] = {
+    val syms = scala.collection.mutable.ArrayBuffer.empty[String]
+    var ci = 0
+    while (ci < w.length) {
+      val n = Character.charCount(w.codePointAt(ci))
+      syms += w.substring(ci, ci + n)
+      ci += n
+    }
+    var lastRank = 0L
+    var done = syms.length < 2
+    while (!done) {
+      // lowest rank past lastRank whose pair is present RIGHT NOW —
+      // between merges the sequence is static, so every skipped rank
+      // was genuinely a no-op at its sequential turn
+      var best = Long.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        pairRanks.get((syms(i), syms(i + 1))) match {
+          case Some(rs) =>
+            var j = 0
+            while (j < rs.length && rs(j) <= lastRank) j += 1
+            if (j < rs.length && rs(j) < best) best = rs(j)
+          case None => ()
+        }
+        i += 1
+      }
+      if (best == Long.MaxValue) done = true
+      else {
+        val (a, b) = rankRule(best)
+        var k = 0
+        while (k < syms.length - 1) {
+          if (syms(k) == a && syms(k + 1) == b) {
+            syms(k) = a + b
+            syms.remove(k + 1)
+          }
+          k += 1
+        }
+        lastRank = best
+        if (syms.length < 2) done = true
+      }
+    }
+    syms.toSeq
   }
 
   /** BM25 relevance of every document against a fixed term set — the

@@ -482,6 +482,60 @@ class TextAnalysisSpec extends SparkSpec {
       Seq("low", "low", "e", "r"))
   }
 
+  test("bpeTokenizeFast: token-for-token equal to the literal chain " +
+      "on planted edge shapes") {
+    def both(text: String, merges: Seq[(String, String)]):
+        (Seq[String], Seq[String]) = {
+      val ms = merges.zipWithIndex.map { case ((a, b), i) =>
+        TextAnalysis.BpeMerge(i + 1L, a, b, a + b, 0L) }
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val lit = TextAnalysis.bpeTokenize(df, "doc_id", "text", ms)
+        .select("tokens").as[Seq[String]].head()
+      val fast = TextAnalysis.bpeTokenizeFast(df, "doc_id", "text", ms)
+        .select("tokens").as[Seq[String]].head()
+      (lit, fast)
+    }
+    // runs, adjacency reuse, prefix/suffix fakes, rank chaining —
+    // every planted case the literal-chain test pins, plus the
+    // pathological pair-recurrence shapes
+    val cases = Seq(
+      ("aaaa", Seq(("a", "a"))),
+      ("aaa", Seq(("a", "a"))),
+      ("abab", Seq(("a", "b"))),
+      ("a bc", Seq(("a", "b"))),
+      ("xab", Seq(("x", "a"))),
+      ("aab", Seq(("a", "b"))),
+      ("low lower lowest", Seq(("l", "o"), ("lo", "w"), ("e", "s"))),
+      // rule 2 re-creates rule 1's pair (x next to y via merged "x"?
+      // here: merging (b,c)->bc puts "a" adjacent to "bc"; the
+      // EARLIER rule (a,bc) must NOT fire (it is past its turn) while
+      // the LATER duplicate (a,bc) at rank 3 must
+      ("abc abc", Seq(("a", "bc"), ("b", "c"), ("a", "bc"))),
+      // empty text: literal chain yields the single empty token
+      ("", Seq(("a", "b"))),
+      ("   ", Seq(("a", "b"))))
+    cases.foreach { case (text, ms) =>
+      val (lit, fast) = both(text, ms)
+      assert(fast === lit, s"flavor drift on '$text' with $ms")
+    }
+  }
+
+  test("bpeTokenizeFast == bpeTokenize on a fitted corpus, full row") {
+    val docs = Seq(
+      (1L, "stream stream streams join joins join"),
+      (2L, "join stream joins streams"),
+      (3L, "the window aggregates the stream"),
+      (4L, "")).toDF("doc_id", "text")
+    val merges = TextAnalysis.fitBpeMerges(docs, "text", 8)
+    val lit = TextAnalysis.bpeTokenize(docs, "doc_id", "text", merges)
+      .select("doc_id", "tokens", "n_tokens", "tokens_sig")
+      .as[(Long, Seq[String], Long, String)].collect().sortBy(_._1)
+    val fast = TextAnalysis.bpeTokenizeFast(docs, "doc_id", "text", merges)
+      .select("doc_id", "tokens", "n_tokens", "tokens_sig")
+      .as[(Long, Seq[String], Long, String)].collect().sortBy(_._1)
+    assert(fast === lit)
+  }
+
   test("bpeTokenize agrees with the fit's own final symbol state") {
     val docs = Seq(
       (1L, "stream stream streams join joins join"),
