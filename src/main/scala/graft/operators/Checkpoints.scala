@@ -5,7 +5,7 @@ import org.apache.spark.sql.DataFrame
 /** Lifecycle helper for eager localCheckpoint intermediates shared by
   * the iterative fits (CC fixpoint, BPE merge loop).
   */
-private[operators] object Checkpoints {
+private[graft] object Checkpoints {
 
   /** Release an iteration intermediate: the CacheManager entry (if the
     * frame was persist()ed) AND the executor-local blocks behind an

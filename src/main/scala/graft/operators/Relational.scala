@@ -206,11 +206,25 @@ object Relational {
     * precedent. RelationalSpec asserts the bracket and the
     * completeness guarantee against exact counts. */
   def heavyHittersSketch(df: DataFrame, keyCol: String,
+      capacity: Int): DataFrame =
+    hitterSummariesResult(heavyHitterSummaries(df, keyCol, capacity))
+
+  /** The MERGEABLE Misra-Gries summary behind [[heavyHittersSketch]]:
+    * per input partition, `capacity` MG counters plus that partition's
+    * decrement total, as (key, est, decr) rows — counter rows carry
+    * (key, est, 0), one null-key row per partition carries
+    * (null, 0, D_p). Summaries are associative DATA: key-summing
+    * counter rows and adding decr rows of any two summaries yields a
+    * valid summary of the concatenated inputs
+    * ([[mergeHitterSummaries]]) — which is what makes the streaming
+    * form a per-batch merge (StreamOps.heavyHittersBatches) and the
+    * batch sketch a one-shot merge of its own partition summaries. */
+  def heavyHitterSummaries(df: DataFrame, keyCol: String,
       capacity: Int): DataFrame = {
     require(capacity > 0, "capacity must be positive")
     val spark = df.sparkSession
     import spark.implicits._
-    val summaries = df.select(col(keyCol).cast("string").as("k")).as[String]
+    df.select(col(keyCol).cast("string").as("k")).as[String]
       .mapPartitions { it =>
         val m = new java.util.HashMap[String, Long](capacity * 2)
         var decr = 0L
@@ -235,6 +249,66 @@ object Relational {
         out.iterator
       }
       .toDF("key", "est", "decr")
+  }
+
+  /** Canonical form of a summary: ONE counter row per key (est
+    * key-summed) + ONE null-key row holding the total decrement. Any
+    * stack of unioned summaries collapses to this without information
+    * loss — the bracket est ≤ true ≤ est + Σdecr is unchanged. */
+  def normalizeHitterSummaries(s: DataFrame): DataFrame = {
+    val counters = s.filter(col("key").isNotNull)
+      .groupBy(col("key")).agg(sum(col("est")).as("est"))
+      .select(col("key"), col("est"), lit(0L).as("decr"))
+    val d = s.agg(coalesce(sum(col("decr")), lit(0L)).as("decr"))
+      .select(lit(null).cast("string").as("key"), lit(0L).as("est"),
+        col("decr"))
+    counters.unionByName(d)
+  }
+
+  /** The exact associative merge of two summaries: key-sum counters,
+    * add decrement totals. Merging per-batch summaries of a stream
+    * equals the batch sketch's internal state over the same partition
+    * layout (spec-pinned), because the batch sketch itself never
+    * compresses across partitions. The candidate set grows with the
+    * number of merged summaries — re-bound it with
+    * [[compactHitterSummaries]] on unbounded streams. */
+  def mergeHitterSummaries(a: DataFrame, b: DataFrame): DataFrame =
+    normalizeHitterSummaries(a.unionByName(b))
+
+  /** MG compaction (the mergeable-summaries compression): re-bound a
+    * merged summary to `capacity` counters by subtracting the
+    * (capacity+1)-th largest estimate t from EVERY counter, dropping
+    * the non-positive, and adding t to the undercount total. At most
+    * `capacity` keys can exceed t, so state is ≤ capacity+1 rows
+    * FOREVER — the shape an unbounded stream needs — and the bracket
+    * survives: kept keys lose exactly t of estimate and gain exactly
+    * t of slack; dropped keys had est ≤ t so true ≤ t + old_decr =
+    * new_decr. In-plan throughout: t comes from a sort+limit over the
+    * (small) candidate set, broadcast back as one row. */
+  def compactHitterSummaries(s: DataFrame, capacity: Int): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val counters = s.filter(col("key").isNotNull)
+      .groupBy(col("key")).agg(sum(col("est")).as("est"))
+    val t = broadcast(counters
+      .orderBy(col("est").desc, col("key")).limit(capacity + 1)
+      .agg(coalesce(
+        when(count(lit(1)) > capacity, min(col("est"))), lit(0L))
+        .as("__t")))
+    val kept = counters.crossJoin(t)
+      .filter(col("est") > col("__t"))
+      .select(col("key"), (col("est") - col("__t")).as("est"),
+        lit(0L).as("decr"))
+    val d = s.agg(coalesce(sum(col("decr")), lit(0L)).as("__d"))
+      .crossJoin(t)
+      .select(lit(null).cast("string").as("key"), lit(0L).as("est"),
+        (col("__d") + col("__t")).as("decr"))
+    kept.unionByName(d)
+  }
+
+  /** Collapse a summary to the sketch's output shape:
+    * (key, n_est, n_max = n_est + total undercount) — the in-plan
+    * bracket n_est ≤ true ≤ n_max. */
+  def hitterSummariesResult(summaries: DataFrame): DataFrame = {
     val totalDecr = broadcast(
       summaries.agg(sum(col("decr")).as("max_under")))
     summaries.filter(col("key").isNotNull)

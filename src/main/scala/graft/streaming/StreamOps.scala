@@ -442,6 +442,53 @@ object StreamOps {
         ()
     }.start()
 
+  /** Streaming heavy hitters — the advance-loop form of
+    * Relational.heavyHittersSketch, possible because Misra-Gries
+    * summaries merge associatively: per micro-batch, sketch the batch
+    * (per-partition MG counters + decrement totals), key-sum it into
+    * the running candidate summary persisted at `stateDir` (the
+    * frozen-artifact parquet round-trip every incremental family here
+    * uses), and hand the (key, n_est, n_max) result to `sink` stamped
+    * with the batch id. With `compactState` (the scale default) the
+    * merged summary is re-bounded to `capacity` counters after every
+    * batch (MG compaction — ≤ capacity+1 state rows on an UNBOUNDED
+    * stream); without it the streamed state is EXACTLY the batch
+    * sketch's internal state over the union of arrivals (spec-pinned
+    * equality). The undercount bracket n_est ≤ true ≤ n_max holds
+    * either way and is carried in-plan end-to-end — compaction only
+    * widens n_max, never breaks the bracket. The merged state is
+    * eagerly pinned (localCheckpoint) before the state dir is
+    * overwritten, then its blocks are released — the Checkpoints
+    * discipline. */
+  def heavyHittersBatches(stream: DataFrame, keyCol: String,
+      capacity: Int, stateDir: String, compactState: Boolean = true)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val R = graft.operators.Relational
+        val statePath = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = statePath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val batchSummary = R.heavyHitterSummaries(batch, keyCol, capacity)
+        val merged0 =
+          if (fs.exists(statePath))
+            R.mergeHitterSummaries(
+              spark.read.parquet(stateDir), batchSummary)
+          else R.normalizeHitterSummaries(batchSummary)
+        val merged =
+          if (compactState) R.compactHitterSummaries(merged0, capacity)
+          else merged0
+        val pinned = merged.localCheckpoint(true)
+        try {
+          pinned.write.mode("overwrite").parquet(stateDir)
+          sink(R.hitterSummariesResult(pinned)
+            .withColumn("batch_id", lit(batchId)), batchId)
+        } finally graft.operators.Checkpoints.releaseIntermediate(pinned)
+        ()
+    }.start()
+
   /** Event-time window start/end as plain columns (dashboard-friendly
     * projection of the struct). */
   def flattenWindow(df: DataFrame, windowCol: String = "window"): DataFrame =

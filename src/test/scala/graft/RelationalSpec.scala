@@ -514,6 +514,61 @@ class RelationalSpec extends SparkSpec {
     assert(est.contains("h1") && est.contains("h2"))
   }
 
+  test("mergeHitterSummaries of per-batch summaries == batch sketch, " +
+      "layout pinned, eviction exercised") {
+    import spark.implicits._
+    // two single-partition arrival sets; capacity small enough that
+    // both runs genuinely evict (decr > 0), so equality is not the
+    // trivial exact-count case
+    val batchA = (Seq.fill(40)("h1") ++ (1 to 30).map(i => s"a$i"))
+      .toDF("k").coalesce(1)
+    val batchB = (Seq.fill(25)("h2") ++ Seq.fill(10)("h1") ++
+      (1 to 30).map(i => s"b$i")).toDF("k").coalesce(1)
+    val cap = 5
+    val streamed = Relational.hitterSummariesResult(
+      Relational.mergeHitterSummaries(
+        Relational.heavyHitterSummaries(batchA, "k", cap),
+        Relational.heavyHitterSummaries(batchB, "k", cap)))
+      .as[(String, Long, Long)].collect().toSet
+    // union of two coalesce(1) frames keeps them as two partitions in
+    // arrival order — the exact layout the per-batch runs saw
+    val batch = Relational.heavyHittersSketch(
+        batchA.union(batchB), "k", cap)
+      .as[(String, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    // the equality must not be vacuous: eviction really happened
+    assert(streamed.head._3 > streamed.head._2,
+      "no eviction — capacity too high for this corpus")
+  }
+
+  test("compactHitterSummaries re-bounds state; bracket and " +
+      "completeness survive compaction") {
+    import spark.implicits._
+    val rows = Seq.fill(300)("h1") ++ Seq.fill(150)("h2") ++
+      (1 to 400).map(i => s"noise$i")
+    val df = rows.toDF("k").repartition(5)
+    val exact = df.groupBy("k").count().as[(String, Long)].collect().toMap
+    val cap = 8
+    val compacted = Relational.compactHitterSummaries(
+      Relational.heavyHitterSummaries(df, "k", cap), cap)
+    // bounded: at most capacity counter rows + the one decr row
+    val stateRows = compacted.collect()
+    assert(stateRows.count(r => !r.isNullAt(0)) <= cap)
+    assert(stateRows.count(r => r.isNullAt(0)) === 1)
+    val res = Relational.hitterSummariesResult(compacted)
+      .as[(String, Long, Long)].collect()
+    val present = res.map(_._1).toSet
+    res.foreach { case (k, nEst, nMax) =>
+      assert(nEst <= exact(k) && exact(k) <= nMax,
+        s"$k: [$nEst, $nMax] misses true ${exact(k)}")
+    }
+    // completeness: any key truer than the widened slack is present
+    val maxUnder = res.head._3 - res.head._2
+    exact.filter(_._2 > maxUnder).keys.foreach(k =>
+      assert(present.contains(k), s"guaranteed-present key $k missing"))
+    assert(present.contains("h1"))
+  }
+
   private def ts(s: String): java.sql.Timestamp =
     java.sql.Timestamp.valueOf(if (s.length == 10) s + " 00:00:00" else s)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Packing, TextAnalysis}
+import graft.operators.{Packing, Relational, TextAnalysis}
 import graft.streaming.{StatefulSessions, StreamOps}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.{col, concat_ws, when}
@@ -822,5 +822,85 @@ class StreamingSpec extends SparkSpec {
     val stamped = StreamOps.stampBatchMeta(df, 42L)
     assert(stamped.select("batch_id").as[String].head() === "batch_000042")
     assert(stamped.columns.contains("processing_time"))
+  }
+
+  test("heavyHittersBatches (uncompacted): streamed result == batch " +
+      "sketch over the union of arrivals") {
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_hh_state").toString
+    def evts(kinds: (String, Int)*): Seq[TestEvt] =
+      kinds.toSeq.flatMap { case (k, n) => Seq.fill(n)(
+        TestEvt(1L, ts("2024-01-01 00:00:00"), k, 1.0)) }
+    // capacity >= distinct keys per batch: every per-partition summary
+    // is the exact count whatever the engine's batch partitioning, so
+    // the merged state is layout-independent and exactly comparable
+    val cap = 16
+    val b1 = evts("click" -> 30, "view" -> 5, "scroll" -> 2)
+    val b2 = evts("click" -> 10, "view" -> 20, "hover" -> 1)
+    val b3 = evts("click" -> 5, "hover" -> 8)
+    val results = scala.collection.mutable.Map.empty[Long,
+      Array[(String, Long, Long)]]
+    val in = MemoryStream[TestEvt]
+    val q = StreamOps.heavyHittersBatches(in.toDF(), "event_type",
+      cap, s"$base/state", compactState = false) { (res, id) =>
+      results(id) = res.select("key", "n_est", "n_max")
+        .as[(String, Long, Long)].collect()
+    }
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      in.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(results.keySet === Set(0L, 1L, 2L))
+    val batch = Relational.heavyHittersSketch(
+        (b1 ++ b2 ++ b3).toDF(), "event_type", cap)
+      .as[(String, Long, Long)].collect().toSet
+    assert(results(2L).toSet === batch)
+    // no eviction at this capacity: the bracket is tight and exact
+    val exact = (b1 ++ b2 ++ b3).groupBy(_.event_type)
+      .view.mapValues(_.size.toLong).toMap
+    results(2L).foreach { case (k, nEst, nMax) =>
+      assert(nEst === exact(k) && nMax === exact(k)) }
+  }
+
+  test("heavyHittersBatches (compacted): state stays bounded, bracket " +
+      "holds across batches") {
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_hh_state").toString
+    val stateDir = s"$base/state"
+    def mk(k: String, n: Int): Seq[TestEvt] =
+      Seq.fill(n)(TestEvt(1L, ts("2024-01-01 00:00:00"), k, 1.0))
+    val cap = 3
+    val b1 = mk("h1", 40) ++ (1 to 10).flatMap(i => mk(s"a$i", 1))
+    val b2 = mk("h1", 15) ++ mk("h2", 25) ++
+      (1 to 10).flatMap(i => mk(s"b$i", 1))
+    var last = Array.empty[(String, Long, Long)]
+    val in = MemoryStream[TestEvt]
+    val q = StreamOps.heavyHittersBatches(in.toDF(), "event_type",
+      cap, stateDir) { (res, _) =>
+      last = res.select("key", "n_est", "n_max")
+        .as[(String, Long, Long)].collect()
+    }
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // persisted state re-bounded to <= capacity counters + 1 decr row
+    val state = spark.read.parquet(stateDir).collect()
+    assert(state.count(r => !r.isNullAt(0)) <= cap)
+    val exact = (b1 ++ b2).groupBy(_.event_type)
+      .view.mapValues(_.size.toLong).toMap
+    val present = last.map(_._1).toSet
+    last.foreach { case (k, nEst, nMax) =>
+      assert(nEst <= exact(k) && exact(k) <= nMax,
+        s"$k: [$nEst, $nMax] misses true ${exact(k)}") }
+    // completeness through compaction: keys truer than the slack are
+    // present — h1 (55) and h2 (25) must both survive
+    val maxUnder = last.head._3 - last.head._2
+    exact.filter(_._2 > maxUnder).keys.foreach(k =>
+      assert(present.contains(k), s"guaranteed-present $k missing"))
+    assert(present.contains("h1") && present.contains("h2"))
   }
 }
