@@ -753,6 +753,13 @@ object SparkEntry {
       // lowest (doc_id, pos) occurrence
       TextAnalysis.dedupParagraphs(t(s, d, "documents"),
         "doc_id", "text", " ")),
+    "text_window_dedup" -> ((s, d) =>
+      // Lee et al.-style substring dedup: 8-token sliding windows,
+      // first occurrence wins, covered tokens drop, kept spans merge
+      // on reassembly — the alignment-free complement to
+      // text_paragraph_dedup
+      TextAnalysis.dedupTokenWindows(t(s, d, "documents"),
+        "doc_id", "text", k = 8)),
     "text_vocab" -> ((s, d) =>
       TextAnalysis.vocabulary(t(s, d, "documents"), "text", 50)),
     "text_bpe_merges" -> ((s, d) =>
@@ -2047,6 +2054,23 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_paras, " +
         "coalesce(a.n_kept, 0) AS n_kept, coalesce(a.text_deduped, '') AS text_deduped " +
         "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"),
+    "text_window_dedup" ->
+      // full replay: hash every 8-token window, rank occurrences by
+      // (doc_id, wpos) per hash, rank>1 spans mark coverage, a token
+      // survives iff no dup span covers it, string_agg reassembles in
+      // position order; all-dropped and shorter-than-k docs restored
+      // by the LEFT join (the text_paragraph_dedup shape)
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "w AS (SELECT doc_id, i AS wpos, md5(array_to_string(list_slice(ws, i + 1, i + 8), ' ')) AS whash " +
+        "FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - 7)) AS i FROM d WHERE len(ws) >= 8) t), " +
+        "dup AS (SELECT doc_id, wpos FROM (SELECT doc_id, wpos, row_number() OVER (PARTITION BY whash ORDER BY doc_id, wpos) AS rn FROM w) r WHERE rn > 1), " +
+        "tok AS (SELECT doc_id, ws[p + 1] AS tk, p FROM (SELECT doc_id, ws, unnest(range(0, len(ws))) AS p FROM d) t), " +
+        "keep AS (SELECT t.doc_id, t.tk, t.p FROM tok t WHERE NOT EXISTS " +
+        "(SELECT 1 FROM dup u WHERE u.doc_id = t.doc_id AND u.wpos <= t.p AND t.p < u.wpos + 8)), " +
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, string_agg(tk, ' ' ORDER BY p) AS text_deduped FROM keep GROUP BY doc_id) " +
+        "SELECT d2.doc_id, CAST(len(string_split(d2.text, ' ')) AS BIGINT) AS n_tokens, " +
+        "coalesce(a.n_kept, 0) AS n_kept, coalesce(a.text_deduped, '') AS text_deduped " +
+        "FROM documents d2 LEFT JOIN agg a ON d2.doc_id = a.doc_id"),
     "text_boilerplate" ->
       ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
         "l AS (SELECT doc_id, t.line, t.pos FROM d, LATERAL (SELECT unnest(ws) AS line, unnest(range(1, len(ws) + 1)) AS pos) t), " +

@@ -1064,6 +1064,64 @@ object TextAnalysis {
         coalesce(col("text_deduped"), lit("")).as("text_deduped"))
   }
 
+  /** Cross-document TOKEN-WINDOW substring dedup — the Lee et al.
+    * 2022 granularity, between [[dedupParagraphs]] (spans = delimiter-
+    * framed paragraphs, alignment-sensitive) and [[dedupLines]]
+    * (within-doc only): every k-token sliding window is hashed; an
+    * occurrence whose window hash has an earlier occurrence corpus-
+    * wide (canonical = lowest (doc, pos), the dedupParagraphs
+    * convention) marks its k-token span as duplicated; a token
+    * survives iff NO duplicated window covers it; kept tokens
+    * reassemble in order, so overlapping kept spans merge by
+    * construction. Catches verbatim substrings at ANY alignment,
+    * including spans crossing paragraph framing.
+    *
+    * Plan: per-doc window hashes are a pure expression (slice +
+    * md5 over the token array — the shinglesOfWords shape; md5 is the
+    * cross-engine-replayable stand-in for a Karp-Rabin rolling hash,
+    * the TextFns.shingleHash convention), then ONE shuffle — a
+    * row_number window PARTITIONED BY the window hash (unbounded-
+    * cardinality key, per-group size = one span's occurrence count,
+    * the skew-bounded quantity) — then duplicated spans collapse per
+    * doc (collect_list bounded by the doc's dup-window count) and
+    * coverage is a per-row higher-order filter: O(n_tokens ×
+    * n_dup_spans) worst case, zero further shuffles. Docs shorter
+    * than k tokens have no windows and survive intact; a fully-
+    * duplicated doc stays in the output with n_kept = 0 (dedup is
+    * not a row filter). Output: (id, n_tokens, n_kept,
+    * text_deduped). */
+  def dedupTokenWindows(df: DataFrame, idCol: String, textCol: String,
+      k: Int, delim: String = " "): DataFrame = {
+    require(k >= 2, "window must span at least 2 tokens")
+    import org.apache.spark.sql.expressions.Window
+    val esc = java.util.regex.Pattern.quote(delim)
+    val toks = df.select(col(idCol), split(col(textCol), esc).as("__ws"))
+    val wins = toks.select(col(idCol),
+      posexplode(
+        when(size(col("__ws")) >= k,
+          transform(sequence(lit(0), size(col("__ws")) - k),
+            i => md5(array_join(slice(col("__ws"), i + 1, lit(k)), delim))))
+          .otherwise(array().cast("array<string>")))
+        .as(Seq("wpos", "whash")))
+    val w = Window.partitionBy(col("whash"))
+      .orderBy(col(idCol), col("wpos"))
+    val dups = wins.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("wpos"))).as("__dws"))
+    toks.join(dups, Seq(idCol), "left")
+      .select(col(idCol), col("__ws"),
+        coalesce(col("__dws"), array().cast("array<int>")).as("__dws"))
+      .select(col(idCol),
+        size(col("__ws")).cast("long").as("n_tokens"),
+        filter(col("__ws"), (_, p) =>
+          !exists(col("__dws"), w0 => w0 <= p && p < w0 + k))
+          .as("__kept"))
+      .select(col(idCol), col("n_tokens"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(col("__kept"), delim).as("text_deduped"))
+  }
+
   /** Multinomial Naive-Bayes quality classifier FIT — the frozen
     * artifact of quality-classifier distillation: train a cheap
     * generative classifier on heuristic labels (e.g. [[gopherRules]]'

@@ -377,6 +377,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) === ((3L, 2L, "X\nY")))
   }
 
+  test("dedupTokenWindows: planted cross-doc span drops at any " +
+      "alignment; overlapping dup spans merge") {
+    val docs = Seq(
+      (1L, "p q r s t u v w"),
+      // the 5-token run "p q r s t" re-occurs here at offset 2 — two
+      // overlapping dup windows whose coverage must union to 2..6
+      (2L, "x y p q r s t z"),
+      // shorter than k: no windows, intact by construction
+      (3L, "a b c"),
+      // within-doc repeat: the second "m n o p" dedups to the first
+      (4L, "m n o p m n o p")).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupTokenWindows(docs, "doc_id", "text", 4)
+      .select("doc_id", "n_tokens", "n_kept", "text_deduped")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // first corpus-wide occurrence keeps everything
+    assert(out(1L) === ((8L, 8L, "p q r s t u v w")))
+    // dup windows at pos 2 and 3 cover tokens 2..6; survivors x y z
+    // reassemble across the removed middle
+    assert(out(2L) === ((8L, 3L, "x y z")))
+    assert(out(3L) === ((3L, 3L, "a b c")))
+    // only the second occurrence's window (pos 4) is a dup: tokens
+    // 4..7 drop, the first occurrence stays whole
+    assert(out(4L) === ((8L, 4L, "m n o p")))
+  }
+
   test("backoff equals MLE where every context is seen (fit-on-self)") {
     val docs = Seq(
       (1L, "the fast join runs the fast scan"),
