@@ -913,6 +913,25 @@ object SparkEntry {
         maxMeanWordLen = GopherMaxMeanWordLen,
         maxSymbolRatio = GopherMaxSymbolRatio,
         minStopwords = GopherMinStopwords)),
+    "text_curation_dag_nb" -> ((s, d) => {
+      // the DAG with the classifier-distillation stage inserted after
+      // the heuristic gate: the NB model fits on the gopher-labeled
+      // corpus (text_nb_quality's fit-on-self convention — production
+      // passes the persisted artifact instead) and gates survivors on
+      // the calibrated log-odds sign; the DAG itself still scans the
+      // corpus once (spec-pinned), the model rides in as a broadcast
+      // join
+      val model = TextAnalysis.nbQualityModel(
+        gopherLabeledDocs(s, d), "text", "keep")
+      Packing.curateAndPack(t(s, d, "documents"), "doc_id", "source",
+        "text", TokenBudgets, PackBudget, PackGroups, delim = " ",
+        minWords = GopherMinWords, maxWords = GopherMaxWords,
+        minMeanWordLen = GopherMinMeanWordLen,
+        maxMeanWordLen = GopherMaxMeanWordLen,
+        maxSymbolRatio = GopherMaxSymbolRatio,
+        minStopwords = GopherMinStopwords,
+        nbModel = Some(model))
+    }),
 
     // --- dedup ---
     "dedup_exact_groups" -> ((s, d) =>
@@ -1687,12 +1706,38 @@ object SparkEntry {
     * `text`, so the shared wordsSql/normSql/tokensSql fragments apply
     * to the right stage's content), the dedup_keep_best window picks
     * survivors on the CLEANED text, the rel_token_budget running sum
-    * samples, and the text_pack recursive walk packs. */
+    * samples, and the text_pack recursive walk packs.
+    *
+    * With `withNb`, the text_nb_quality fit + scoring CTEs insert
+    * between the clean stage and keep-best: the NB model fits on the
+    * RAW corpus under the g labels (reused from the gate stage —
+    * ONE definition, the gopherKeepSql discipline), scores each
+    * survivor's CLEANED text, and only round(prior + Σllr, 4) > 0
+    * docs continue. The sign margin is corpus-wide ≫ ln ulp (the
+    * text_nb_quality adjudication), so the algebraic-sum engine
+    * flavor and this replay agree on every keep decision. */
   private def curationDagSql(budgets: Map[String, Long],
-      packBudget: Long, groups: Int): String = {
+      packBudget: Long, groups: Int, withNb: Boolean = false): String = {
     val keepExpr = gopherKeepSql
     val budgetCases = budgets.toSeq.sortBy(_._1)
       .map { case (k, b) => s"WHEN '$k' THEN $b" }.mkString(" ")
+    val tokPat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+    val cRef = if (withNb) "cf" else "c"
+    val nbCtes = if (!withNb) "" else
+      s"nt AS (SELECT doc_id, unnest(regexp_extract_all($normSql, '$tokPat')) AS token FROM documents), " +
+        "nl AS (SELECT t.doc_id, t.token, g.keep FROM nt t JOIN g USING (doc_id)), " +
+        "ncnt AS (SELECT token, CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS np, " +
+        "CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS nn FROM nl GROUP BY token), " +
+        "ntt AS (SELECT CAST(sum(np) AS BIGINT) AS tp, CAST(sum(nn) AS BIGINT) AS tn, CAST(count(*) AS BIGINT) AS v FROM ncnt), " +
+        "ndt AS (SELECT ln(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)) - ln(CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS DOUBLE)) AS prior FROM g), " +
+        "nm AS (SELECT token, (ln(CAST(np + 1 AS DOUBLE)) - ln(CAST(tp + v AS DOUBLE))) - (ln(CAST(nn + 1 AS DOUBLE)) - ln(CAST(tn + v AS DOUBLE))) AS llr FROM ncnt, ntt), " +
+        "noov AS (SELECT (ln(CAST(tn + v AS DOUBLE)) - ln(CAST(tp + v AS DOUBLE))) AS oov FROM ntt), " +
+        // scoring reads the RAW tokens (nt — the preprocessing the
+        // model fit on), restricted to the gate's survivors
+        "st AS (SELECT t.doc_id, t.token FROM nt t JOIN (SELECT doc_id FROM c) cd USING (doc_id)), " +
+        "nb AS (SELECT doc_id FROM (SELECT s.doc_id, round(max(ndt.prior) + sum(coalesce(m.llr, noov.oov)), 4) AS lo " +
+        "FROM st s LEFT JOIN nm m USING (token), ndt, noov GROUP BY s.doc_id) x WHERE lo > 0), " +
+        "cf AS (SELECT c.* FROM c JOIN nb USING (doc_id)), "
     "WITH RECURSIVE " +
       // per-row stage: quality + keep on the RAW text, then the
       // first-occurrence word filter — survivors carry cleaned `text`
@@ -1704,13 +1749,14 @@ object SparkEntry {
       "array_to_string(list_filter(l.ws, (x, i) -> list_position(l.ws, x) = i), ' ') AS text " +
       "FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents) l " +
       "JOIN q USING (doc_id) JOIN g USING (doc_id) WHERE g.keep), " +
+      nbCtes +
       // keep-best on the CLEANED content hash (ties: equal content ⇒
       // equal quality ⇒ min doc_id, the dedup_keep_best convention)
-      s"h AS (SELECT doc_id, md5($normSql) AS content_hash FROM c), " +
+      s"h AS (SELECT doc_id, md5($normSql) AS content_hash FROM $cRef), " +
       "j AS (SELECT h.content_hash, c2.doc_id, " +
       "row_number() OVER (PARTITION BY h.content_hash ORDER BY c2.quality DESC, c2.doc_id) AS rn " +
-      "FROM h JOIN c c2 USING (doc_id)), " +
-      "s0 AS (SELECT c.* FROM c JOIN (SELECT doc_id FROM j WHERE rn = 1) k USING (doc_id)), " +
+      s"FROM h JOIN $cRef c2 USING (doc_id)), " +
+      s"s0 AS (SELECT $cRef.* FROM $cRef JOIN (SELECT doc_id FROM j WHERE rn = 1) k USING (doc_id)), " +
       // per-source token budget over the survivors' cleaned text
       "z AS (SELECT doc_id, source, text, " +
       "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|budget'), 1, 7) AS BIGINT) AS h2, " +
@@ -2085,6 +2131,8 @@ object SparkEntry {
     "rel_token_budget" -> tokenBudgetSql(TokenBudgets, defaultBudget = -1L),
     "text_curation_dag" -> curationDagSql(TokenBudgets, PackBudget,
       PackGroups),
+    "text_curation_dag_nb" -> curationDagSql(TokenBudgets, PackBudget,
+      PackGroups, withNb = true),
     "media_resize" ->
       ("SELECT doc_id AS media_id, CAST(least(strlen(text), 300) AS BIGINT) AS n_bytes, " +
         "md5(substr(text, 1, 300)) AS payload_sig FROM documents"),

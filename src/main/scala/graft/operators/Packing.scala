@@ -356,7 +356,8 @@ object Packing {
 
   /** End-to-end curation DAG — the full pre-training assembly line as
     * ONE composed operator: gopher gate → intra-doc line dedup →
-    * exact-dup keep-best → per-source token budget → sequence packing.
+    * [optional frozen NB-classifier gate] → exact-dup keep-best →
+    * per-source token budget → sequence packing.
     * The stages compose WITHOUT re-scanning the corpus: every per-row
     * signal (keep, quality, cleaned text) fuses into a single
     * projection over the scan (TextAnalysis.withKeepQuality +
@@ -382,7 +383,18 @@ object Packing {
       packGroups: Int = 256, delim: String = "\n",
       minWords: Int = 50, maxWords: Int = 100000,
       minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
-      maxSymbolRatio: Double = 0.1, minStopwords: Int = 2): DataFrame = {
+      maxSymbolRatio: Double = 0.1, minStopwords: Int = 2,
+      nbModel: Option[DataFrame] = None,
+      nbThreshold: Double = 0.0): DataFrame = {
+    val baseCols = Seq(col(idCol), col(sourceCol), col("quality"))
+    val outCols =
+      if (nbModel.isDefined)
+        // the NB stage scores the RAW text (the preprocessing the
+        // model was FIT on — scoring the line-deduped text instead
+        // shifts every token-frequency signal the classifier learned
+        // and mis-gates wholesale), so it rides the checkpoint too
+        baseCols :+ col(textCol).as("__raw") :+ col("__clean").as(textCol)
+      else baseCols :+ col("__clean").as(textCol)
     val enriched = TextAnalysis.withDedupedText(
         TextAnalysis.withKeepQuality(
             df.select(col(idCol), col(sourceCol), col(textCol)),
@@ -390,12 +402,30 @@ object Packing {
             maxSymbolRatio, minStopwords)
           .filter(col("keep")),
         textCol, "__clean", delim)
-      .select(col(idCol), col(sourceCol), col("quality"),
-        col("__clean").as(textCol))
+      .select(outCols: _*)
       .localCheckpoint(true)
-    val kept = Dedup.keepBest(enriched,
-      enriched.select(col(idCol), col("quality")), idCol, textCol)
-    val survivors = enriched.join(
+    // optional frozen-model quality stage AFTER the heuristic gate —
+    // the classifier-distillation insertion point of a real pipeline
+    // (CCNet/DCLM shape): score the gated survivors against the
+    // broadcast nbQualityModel artifact, keep log_odds > threshold.
+    // Reads the checkpoint, never the corpus — the one-scan pin is
+    // untouched (spec-held). The model is a FIT ARTIFACT the caller
+    // built (fitting inside the same query would re-scan the corpus —
+    // the text_nb_quality query does that deliberately; production
+    // passes the persisted table).
+    val gated = nbModel match {
+      case Some(m) =>
+        enriched.join(
+          TextAnalysis.scoreAgainstNbModel(
+              enriched.select(col(idCol), col("__raw")), m, idCol, "__raw")
+            .filter(col("log_odds") > nbThreshold)
+            .select(col(idCol)),
+          idCol).drop("__raw")
+      case None => enriched
+    }
+    val kept = Dedup.keepBest(gated,
+      gated.select(col(idCol), col("quality")), idCol, textCol)
+    val survivors = gated.join(
       kept.select(col("keep_id").as(idCol)), idCol)
     packSequences(
       tokenBudgetSampleByKey(survivors, sourceCol, idCol, textCol,

@@ -428,7 +428,8 @@ object StreamOps {
       packBudget: Long, packGroups: Int = 256, delim: String = "\n",
       minWords: Int = 50, maxWords: Int = 100000,
       minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
-      maxSymbolRatio: Double = 0.1, minStopwords: Int = 2)(
+      maxSymbolRatio: Double = 0.1, minStopwords: Int = 2,
+      nbModel: Option[DataFrame] = None, nbThreshold: Double = 0.0)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream.outputMode("append").foreachBatch {
@@ -437,7 +438,7 @@ object StreamOps {
           batch.select(col(idCol), col(sourceCol), col(textCol)),
           idCol, sourceCol, textCol, budgets, packBudget, packGroups,
           delim, minWords, maxWords, minMeanWordLen, maxMeanWordLen,
-          maxSymbolRatio, minStopwords)
+          maxSymbolRatio, minStopwords, nbModel, nbThreshold)
         sink(packs.withColumn("batch_id", lit(batchId)), batchId)
         ()
     }.start()

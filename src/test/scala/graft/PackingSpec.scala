@@ -312,6 +312,58 @@ class PackingSpec extends SparkSpec {
     assert(rows(out) === rows(manual.collect()))
   }
 
+  test("curateAndPack with NB stage: still ONE corpus scan; gate == " +
+      "standalone scorer's keep set") {
+    import graft.operators.TextAnalysis
+    val n = 60
+    val acc = spark.sparkContext.longAccumulator("curation-nb-scans")
+    def mkDocs(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("i").as("doc_id"),
+      concat(lit("s"), (col("i") % 3).cast("string")).as("source"),
+      // two token distributions so the NB model (fit on a SEPARATE
+      // hand-labeled frame) genuinely separates: "spam"-flavored odd
+      // ids vs "ham"-flavored even ids
+      when(col("i") % 2 === 0,
+        concat(lit("the quick brown fox number "), col("i").cast("string"),
+          lit(" jumps over the lazy dog")))
+        .when(lit(true),
+          concat(lit("the buy cheap pills now offer "), col("i").cast("string"),
+            lit(" click the winning prize")))
+        .as("text"))
+    // frozen model from a separate labeled corpus — the production
+    // shape (fitting is NOT part of the DAG)
+    val labeled = Seq(
+      ("the quick brown fox jumps over the lazy dog", true),
+      ("the quick fox and the lazy dog rest", true),
+      ("the buy cheap pills now offer click the winning prize", false),
+      ("the cheap offer click prize now", false))
+      .toDF("text", "lab")
+    val model = TextAnalysis.nbQualityModel(labeled, "text", "lab")
+    val instrumented = mkDocs(
+      spark.range(n).map { x => acc.add(1); x }.toDF("i"))
+    val out = Packing.curateAndPack(instrumented, "doc_id", "source",
+      "text", Map.empty, packBudget = 24L, packGroups = 4, delim = " ",
+      minWords = 3, minMeanWordLen = 1.0, maxMeanWordLen = 10.0,
+      minStopwords = 1, nbModel = Some(model)).collect()
+    assert(acc.value === n.toLong,
+      s"corpus scanned ${acc.value / n.toDouble}x, expected exactly 1x")
+    val packedIds = out.flatMap(_.getAs[String]("doc_ids").split(","))
+      .map(_.toLong).toSet
+    // the NB gate kept exactly the ham-flavored docs: every packed id
+    // is even, and the even/odd split is what the standalone scorer
+    // predicts on the same texts
+    assert(packedIds.nonEmpty && packedIds.forall(_ % 2 == 0))
+    val docs = mkDocs(spark.range(n).toDF("i"))
+    val scored = TextAnalysis.scoreAgainstNbModel(docs, model,
+        "doc_id", "text")
+      .select(col("doc_id"), col("predicted_keep"))
+      .as[(Long, Boolean)].collect().toMap
+    (0L until n.toLong).foreach(i =>
+      assert(scored(i) === (i % 2 == 0), s"scorer flipped on doc $i"))
+    assert(packedIds === scored.filter(_._2).keySet,
+      "NB-gated pack membership != standalone scorer keep set")
+  }
+
   test("mixtureSample: exact integer epochs, rate-accurate remainder") {
     val n = 400
     val df = (0 until n).map(i =>
