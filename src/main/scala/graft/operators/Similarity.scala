@@ -964,6 +964,59 @@ object Similarity {
     ivfPqIndexHealth(report, maxSkew, maxAvgResidual)
       .head().getAs[Boolean]("needs_refit")
 
+  /** The frozen half of an IVFPQ deployment: quantizer artifacts +
+    * the current index + how many refits produced them. `index` is a
+    * plain DataFrame — persist/reload it through parquet between
+    * maintenance steps exactly as the advance/probe specs do. */
+  final case class IvfPqState(coarse: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]], index: DataFrame,
+      refitCount: Long = 0L)
+
+  /** One step of maintenance — advanced index or full refit+rebuild —
+    * plus the health row that decided it. */
+  final case class IvfPqMaintenance(state: IvfPqState,
+      health: org.apache.spark.sql.Row, refitted: Boolean)
+
+  /** ONE maintenance step of the ANN production loop — the composed
+    * entry point over the parts the advance/report/refit specs prove
+    * individually: [[advanceIvfPqIndex]] folds the arrivals in against
+    * the FROZEN artifacts (pure union, no corpus rescan), then
+    * [[ivfPqIndexReport]] + [[ivfPqIndexHealth]] measure the advanced
+    * index against the grown corpus (one corpus pass, ≤ nlist rows +
+    * a 1-row driver collect — the bounded-driver-state convention),
+    * and only if the trigger trips does [[fitIvfPq]] +
+    * [[buildIvfPqIndex]] re-derive everything from the grown corpus —
+    * the expensive path a healthy stream never pays. `corpus` must be
+    * the GROWN corpus (previous vectors ∪ `arrivals`, the reserved-id
+    * contract); fit parameters mirror fitIvfPq so a refit is exactly
+    * a fresh fit of the grown corpus (spec: post-refit probes equal a
+    * from-scratch build's). Thresholds are the ivfPqIndexHealth knobs
+    * — self-calibrate them against the fit-time report (the spec's
+    * production pattern). */
+  def maintainIvfPqIndex(state: IvfPqState, corpus: DataFrame,
+      arrivals: DataFrame, idCol: String, vecCol: String,
+      dims: Int, nlist: Int, m: Int, ksub: Int, iters: Int, seed: Long,
+      maxSkew: Double = 4.0, maxAvgResidual: Double = 0.5)
+      : IvfPqMaintenance = {
+    val advanced = advanceIvfPqIndex(state.index, arrivals,
+      state.coarse, state.codebooks, idCol, vecCol)
+    val health = ivfPqIndexHealth(
+      ivfPqIndexReport(advanced, corpus, state.codebooks, nlist,
+        idCol, vecCol),
+      maxSkew, maxAvgResidual).head()
+    if (health.getAs[Boolean]("needs_refit")) {
+      val (coarse2, cb2) =
+        fitIvfPq(corpus, idCol, vecCol, dims, nlist, m, ksub, iters, seed)
+      IvfPqMaintenance(
+        IvfPqState(coarse2, cb2,
+          buildIvfPqIndex(corpus, coarse2, cb2, idCol, vecCol),
+          state.refitCount + 1),
+        health, refitted = true)
+    } else
+      IvfPqMaintenance(state.copy(index = advanced), health,
+        refitted = false)
+  }
+
   /** Embedding near-duplicate pairs at CORPUS scale via the IVFPQ
     * index — the LEARNED-blocking upgrade of [[nearestInBlock]] /
     * Dedup.embeddingNearDups (which need a label/bucket column the

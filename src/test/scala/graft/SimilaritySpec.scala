@@ -578,6 +578,84 @@ class SimilaritySpec extends SparkSpec {
     a.foreach { case (c, v) => assert(math.abs(v - p(c)) < 1e-9, s"cell $c") }
   }
 
+  test("maintainIvfPqIndex: benign arrivals advance, drift refits " +
+      "mid-loop, post-refit probes == fresh fit") {
+    val rnd = new scala.util.Random(13)
+    val base = (0 until 8).map { c =>
+      Array.tabulate(8)(i => if (i == c) 1f else 0f)
+    }
+    def around(i: Int, spread: Float) = {
+      val v = base(i % 8).clone()
+      (0 until 8).foreach(j => v(j) += (rnd.nextFloat() - 0.5f) * spread)
+      v
+    }
+    val corpus = (0 until 64).map(i => (i.toLong, around(i, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val (coarse, cb) = Similarity.fitIvfPq(corpus, "vec_id", "embedding",
+      dims = 8, nlist = 8, m = 4, ksub = 8, iters = 2, seed = 42L)
+    val state0 = Similarity.IvfPqState(coarse, cb,
+      Similarity.buildIvfPqIndex(corpus, coarse, cb, "vec_id", "embedding"))
+    // self-calibrated residual bar (the drift test's production pattern)
+    val resBar = Similarity.ivfPqIndexHealth(
+        Similarity.ivfPqIndexReport(state0.index, corpus, cb, nlist = 8))
+      .head().getAs[Double]("max_cell_avg_residual") + 0.05
+
+    // STEP 1 — benign arrivals (same distribution): no refit, the
+    // index is the pure advance, artifacts untouched
+    val benign = (100 until 116).map(i => (i.toLong, around(i, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val grown1 = corpus.unionByName(benign)
+    val m1 = Similarity.maintainIvfPqIndex(state0, grown1, benign,
+      "vec_id", "embedding", dims = 8, nlist = 8, m = 4, ksub = 8,
+      iters = 2, seed = 42L, maxAvgResidual = resBar)
+    assert(!m1.refitted && m1.state.refitCount === 0L)
+    assert(m1.state.coarse eq state0.coarse)
+    assert(m1.state.index.count() === 80L)
+
+    // STEP 2 — drift-heavy arrivals: the trigger trips INSIDE the
+    // loop and the returned state is a full refit of the grown corpus
+    val drift = (200 until 264).map { i =>
+      val v = Array.tabulate(8)(_ => -1f)
+      (0 until 8).foreach(j => v(j) += (rnd.nextFloat() - 0.5f) * 0.05f)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val grown2 = grown1.unionByName(drift)
+    val m2 = Similarity.maintainIvfPqIndex(m1.state, grown2, drift,
+      "vec_id", "embedding", dims = 8, nlist = 8, m = 4, ksub = 8,
+      iters = 2, seed = 42L, maxAvgResidual = resBar)
+    assert(m2.refitted && m2.state.refitCount === 1L)
+    assert(m2.health.getAs[Boolean]("needs_refit"))
+
+    // the refit state IS a fresh fit of the grown corpus: identical
+    // artifacts, identical probe results
+    val (coarseF, cbF) = Similarity.fitIvfPq(grown2, "vec_id",
+      "embedding", dims = 8, nlist = 8, m = 4, ksub = 8, iters = 2,
+      seed = 42L)
+    assert(m2.state.coarse.map(_.toSeq).toSeq === coarseF.map(_.toSeq).toSeq)
+    val q = grown2.filter(col("vec_id") < 4)
+    def probes(st: Similarity.IvfPqState,
+        c2: Array[Array[Float]], cb2: Array[Array[Array[Float]]]) =
+      Similarity.ivfPqProbeIndex(st.index, q, 3, nprobe = 2, c2, cb2)
+        .select("q_id", "rank", "n_id").as[(Long, Long, Long)]
+        .collect().toSet
+    val fresh = Similarity.buildIvfPqIndex(grown2, coarseF, cbF,
+      "vec_id", "embedding")
+    assert(probes(m2.state, m2.state.coarse, m2.state.codebooks) ===
+      Similarity.ivfPqProbeIndex(fresh, q, 3, nprobe = 2, coarseF, cbF)
+        .select("q_id", "rank", "n_id").as[(Long, Long, Long)]
+        .collect().toSet)
+    // and the refit recovered: skew normalized, worst-cell
+    // reconstruction well under the drifted reading (the absolute bar
+    // re-calibrates against the new fit, the documented pattern —
+    // the grown corpus's own geometry sets its own baseline)
+    val after = Similarity.ivfPqIndexHealth(
+      Similarity.ivfPqIndexReport(m2.state.index, grown2,
+        m2.state.codebooks, nlist = 8)).head()
+    assert(after.getAs[Double]("max_skew") <= 4.0)
+    assert(after.getAs[Double]("max_cell_avg_residual") <
+      m2.health.getAs[Double]("max_cell_avg_residual") - 0.1)
+  }
+
   test("srpBucket is deterministic and splits opposite vectors") {
     val df = Seq((Array(1f, 0f, 0f, 0f), Array(-1f, 0f, 0f, 0f)))
       .toDF("a", "b")
