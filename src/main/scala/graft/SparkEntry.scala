@@ -74,6 +74,11 @@ object SparkEntry {
     * one dropped (0), the rest at the default 1.0. */
   val MixtureWeights: Map[String, Double] =
     Map("src0" -> 2.5, "src1" -> 0.4, "src2" -> 0.0)
+  /** Temperature for the share^α mixture (rel_mixture_temperature):
+    * 0.5 flattens the 20-source corpus enough that small sources gain
+    * integer epochs and large ones get fractional cuts — both sampler
+    * paths exercised. */
+  val MixtureAlpha = 0.5
   /** Product-quantization parameters for sim_ann_pq / sim_ann_ivfpq:
     * 64-dim embeddings → 4 sub-spaces of 16 dims, 8 centroids each
     * (codes = 4 bytes/vector vs 256 bytes of float — the compression
@@ -676,6 +681,15 @@ object SparkEntry {
       // real LLM mixture specifies
       Packing.mixtureSampleByTokens(t(s, d, "documents"), "source",
           "doc_id", "text", MixtureWeights)
+        .select(col("doc_id"), col("source"), col("epoch"))),
+    "rel_mixture_temperature" -> ((s, d) =>
+      // temperature sampling: weights DERIVED from the corpus's own
+      // token shares (share^α renormalization, α=0.5 flattens) — the
+      // oracle re-derives them from its own totals, so the weight
+      // algebra is gated, not just the sampler; both sides round the
+      // weights at 6dp so the admit comparisons are bit-identical
+      Packing.temperatureMixtureByTokens(t(s, d, "documents"),
+          "source", "doc_id", "text", MixtureAlpha)
         .select(col("doc_id"), col("source"), col("epoch"))),
     "rel_sample_by_key" -> ((s, d) =>
       // downweight the two dominant event types, keep the rest intact;
@@ -1807,6 +1821,31 @@ object SparkEntry {
       "FROM z, LATERAL (SELECT unnest(range(0, z.n)) AS e) t WHERE z.n > 0"
   }
 
+  /** Mirrors Packing.temperatureMixtureByTokens END TO END: the
+    * per-source token totals, the share^α weight algebra
+    * w = round(p^(α−1) / Σ p^α, 6), and the token-prefix sampler are
+    * all re-derived from the data — the weights are gated, not
+    * trusted. The 6dp rounding (applied identically engine-side on
+    * the exact binary double) absorbs pow()/Σ-order ulp daylight, so
+    * the floor/admit comparisons run on bit-identical weights. */
+  private def mixtureTemperatureSql(alpha: Double): String =
+    "WITH z AS (SELECT doc_id, source, " +
+      "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|mixtok'), 1, 7) AS BIGINT) AS h, " +
+      s"$tokensSql AS tk FROM documents), " +
+      "tot AS (SELECT source, CAST(sum(tk) AS DOUBLE) AS tot FROM z GROUP BY source), " +
+      "gt AS (SELECT CAST(sum(tot) AS DOUBLE) AS T FROM tot), " +
+      s"zs AS (SELECT sum(pow(tot.tot / gt.T, CAST($alpha AS DOUBLE))) AS s FROM tot, gt), " +
+      "wt AS (SELECT source, tot, CASE WHEN tot = 0 THEN 0.0 ELSE " +
+      s"round(pow(tot / gt.T, CAST(${alpha - 1.0} AS DOUBLE)) / zs.s, 6) END AS w FROM tot, gt, zs), " +
+      "w2 AS (SELECT z.doc_id, z.source, wt.w, wt.tot, " +
+      "coalesce(sum(z.tk) OVER (PARTITION BY z.source ORDER BY z.h, z.doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx " +
+      "FROM z JOIN wt USING (source)), " +
+      "n AS (SELECT doc_id, source, CAST(floor(w) AS BIGINT) + " +
+      "(CASE WHEN pfx < (w - floor(w)) * tot THEN 1 ELSE 0 END) AS n FROM w2) " +
+      "SELECT doc_id, source, CAST(t.e AS BIGINT) AS epoch " +
+      "FROM n, LATERAL (SELECT unnest(range(0, n.n)) AS e) t WHERE n.n > 0"
+
   /** Mirrors Packing.mixtureSampleByTokens: the naive key-partitioned
     * running sum replays the bucketed prefix (PackingSpec proves row
     * equality for the shared machinery); the fractional admit compares
@@ -2362,6 +2401,7 @@ object SparkEntry {
       defaultWeight = 1.0),
     "rel_mixture_tokens" -> mixtureTokensSql(MixtureWeights,
       defaultWeight = 1.0),
+    "rel_mixture_temperature" -> mixtureTemperatureSql(MixtureAlpha),
     "rel_sample_by_key" ->
       ("SELECT event_id, event_type FROM events " +
         "WHERE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|sample'), 1, 7) AS BIGINT) % 10000 < " +

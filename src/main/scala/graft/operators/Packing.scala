@@ -354,6 +354,50 @@ object Packing {
       .select((inCols :+ epochName).map(col): _*)
   }
 
+  /** Temperature (share^α) mixture weights — the multilingual-recipe
+    * renormalization (XLM-R convention, α ≈ 0.3–0.7 flattens toward
+    * uniform, α = 1 keeps the natural mixture): from the corpus's own
+    * per-key token totals, p_k = tokens_k / T and
+    * w_k = p_k^(α−1) / Σ_j p_j^α — the per-key epoch multiplier that
+    * makes the TOKEN-weighted effective mixture follow q_k ∝ p_k^α
+    * while the total token budget stays at the natural T
+    * (Σ_k w_k·tokens_k = T up to the sampler's fractional-admit
+    * granularity). ONE key-bounded aggregate collects to the driver
+    * (the budgets-map convention — weights are a tiny fit artifact);
+    * a zero-token key gets weight 0 (nothing to sample; the α < 1
+    * pole is unreachable). Weights round at 6 decimals on the EXACT
+    * binary double, half away from zero — the same rounding the SQL
+    * oracle applies, so both engines feed the admit comparison
+    * bit-identical weights (pow/Σ-order ulp daylight is absorbed by
+    * the rounding, the round(.,4) precedent). */
+  def temperatureWeights(df: DataFrame, keyCol: String, textCol: String,
+      alpha: Double): Map[String, Double] = {
+    require(alpha > 0 && alpha.isFinite,
+      "alpha must be positive and finite")
+    val totals = df.groupBy(col(keyCol).cast("string").as("__k"))
+      .agg(sum(tokenCount(col(textCol))).as("__t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t = totals.values.sum.toDouble
+    val z = totals.toSeq.sortBy(_._1)
+      .map { case (_, n) => math.pow(n / t, alpha) }.sum
+    totals.map { case (k, n) =>
+      k -> (if (n == 0L) 0.0
+      else new java.math.BigDecimal(math.pow(n / t, alpha - 1.0) / z)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue)
+    }
+  }
+
+  /** [[mixtureSampleByTokens]] with weights derived by
+    * [[temperatureWeights]] — the one-call temperature-sampling
+    * operator. Same output contract as the explicit-weights sampler;
+    * α = 1 degenerates to every row exactly once at epoch 0. */
+  def temperatureMixtureByTokens(df: DataFrame, keyCol: String,
+      idCol: String, textCol: String, alpha: Double,
+      epochName: String = "epoch", buckets: Int = 1024): DataFrame =
+    mixtureSampleByTokens(df, keyCol, idCol, textCol,
+      temperatureWeights(df, keyCol, textCol, alpha),
+      defaultWeight = 0.0, epochName = epochName, buckets = buckets)
+
   /** End-to-end curation DAG — the full pre-training assembly line as
     * ONE composed operator: gopher gate → intra-doc line dedup →
     * [optional frozen NB-classifier gate] → exact-dup keep-best →

@@ -312,6 +312,40 @@ class PackingSpec extends SparkSpec {
     assert(rows(out) === rows(manual.collect()))
   }
 
+  test("temperatureWeights: hand-computed share^alpha algebra; " +
+      "sampled token mass follows q") {
+    // sources a/b/c with 64/16/4 tokens (docs of 4 words each)
+    def mk(src: String, docs: Int, off: Int) = (0 until docs).map(i =>
+      ((off + i).toLong, src, "w x y z"))
+    val df = (mk("a", 16, 0) ++ mk("b", 4, 100) ++ mk("c", 1, 200))
+      .toDF("id", "source", "text")
+    val w = Packing.temperatureWeights(df, "source", "text", 0.5)
+    // hand math: T = 84, p = (64, 16, 4)/84; z = Σ√p;
+    // w_k = 1/(√p_k · z)
+    val p = Map("a" -> 64.0 / 84, "b" -> 16.0 / 84, "c" -> 4.0 / 84)
+    val z = p.values.map(math.sqrt).sum
+    p.foreach { case (k, pk) =>
+      assert(math.abs(w(k) - 1.0 / (math.sqrt(pk) * z)) <= 5e-7,
+        s"weight $k") }
+    // flattening direction: the big source down-samples, the small
+    // ones up-sample, ordering inverted vs natural shares
+    assert(w("a") < 1.0 && w("c") > w("b") && w("b") > 1.0)
+    // α = 1 is the natural mixture: every row exactly once, epoch 0
+    val nat = Packing.temperatureMixtureByTokens(df, "source", "id",
+      "text", 1.0).select(col("id"), col("epoch"))
+      .as[(Long, Long)].collect()
+    assert(nat.length === 21 && nat.forall(_._2 === 0L))
+    // sampled token mass per source ≈ w_k · tokens_k, within one
+    // doc's tokens (the fractional-admit granularity)
+    val out = Packing.temperatureMixtureByTokens(df, "source", "id",
+      "text", 0.5)
+    val massBySrc = out.groupBy("source").count()
+      .as[(String, Long)].collect().toMap.view.mapValues(_ * 4.0)
+    Map("a" -> 64.0, "b" -> 16.0, "c" -> 4.0).foreach { case (k, tk) =>
+      assert(math.abs(massBySrc(k) - w(k) * tk) <= 4.0,
+        s"$k: sampled ${massBySrc(k)} vs target ${w(k) * tk}") }
+  }
+
   test("curateAndPack with NB stage: still ONE corpus scan; gate == " +
       "standalone scorer's keep set") {
     import graft.operators.TextAnalysis
