@@ -328,6 +328,25 @@ object TextAnalysis {
       }(Encoders.row(outSchema))
   }
 
+  /** The fitted merge sequence as its persistable artifact table —
+    * the Similarity.artifactsToDf convention for the tokenizer: write
+    * this once after [[fitBpeMerges]], read it back with
+    * [[bpeMergesFromDf]] wherever arrivals tokenize. Columns are the
+    * [[BpeMerge]] fields verbatim (rank is the apply order). */
+  def bpeMergesToDf(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[BpeMerge]): DataFrame =
+    spark.createDataFrame(merges)
+
+  /** Rehydrate a [[bpeMergesToDf]] table (e.g. off parquet) into the
+    * rank-ordered merge sequence both apply flavors take. */
+  def bpeMergesFromDf(df: DataFrame): Seq[BpeMerge] =
+    df.select(col("rank"), col("lhs"), col("rhs"), col("merged"),
+        col("pair_count"))
+      .collect()
+      .map(r => BpeMerge(r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+      .sortBy(_.rank).toSeq
+
   /** One word through the frozen merge sequence, replicating the
     * literal-replace chain exactly: rules in rank order, one
     * leftmost-greedy non-overlapping pass per fired rule (after a
@@ -1090,6 +1109,26 @@ object TextAnalysis {
     * duplicated doc stays in the output with n_kept = 0 (dedup is
     * not a row filter). Output: (id, n_tokens, n_kept,
     * text_deduped). */
+  /** The k-token sliding-window hash array of a token-array column —
+    * one md5 per position over the joined slice (the shinglesOfWords
+    * shape); empty when the doc is shorter than k. Shared by the
+    * batch dedup, the index build and the streaming probe so all
+    * three hash bit-identically. */
+  private[graft] def windowHashes(ws: Column, k: Int,
+      delim: String): Column =
+    when(size(ws) >= k,
+      transform(sequence(lit(0), size(ws) - k),
+        i => md5(array_join(slice(ws, i + 1, lit(k)), delim))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Tokens of `ws` NOT covered by any k-span starting at a position
+    * in `dupStarts` — the span-removal half of [[dedupTokenWindows]],
+    * a pure per-row expression (reused by the streaming reassembly). */
+  private[graft] def tokensOutsideSpans(ws: Column, dupStarts: Column,
+      k: Int): Column =
+    filter(ws, (_, p) =>
+      !exists(dupStarts, w0 => w0 <= p && p < w0 + k))
+
   def dedupTokenWindows(df: DataFrame, idCol: String, textCol: String,
       k: Int, delim: String = " "): DataFrame = {
     require(k >= 2, "window must span at least 2 tokens")
@@ -1097,11 +1136,7 @@ object TextAnalysis {
     val esc = java.util.regex.Pattern.quote(delim)
     val toks = df.select(col(idCol), split(col(textCol), esc).as("__ws"))
     val wins = toks.select(col(idCol),
-      posexplode(
-        when(size(col("__ws")) >= k,
-          transform(sequence(lit(0), size(col("__ws")) - k),
-            i => md5(array_join(slice(col("__ws"), i + 1, lit(k)), delim))))
-          .otherwise(array().cast("array<string>")))
+      posexplode(windowHashes(col("__ws"), k, delim))
         .as(Seq("wpos", "whash")))
     val w = Window.partitionBy(col("whash"))
       .orderBy(col(idCol), col("wpos"))
@@ -1114,12 +1149,36 @@ object TextAnalysis {
         coalesce(col("__dws"), array().cast("array<int>")).as("__dws"))
       .select(col(idCol),
         size(col("__ws")).cast("long").as("n_tokens"),
-        filter(col("__ws"), (_, p) =>
-          !exists(col("__dws"), w0 => w0 <= p && p < w0 + k))
-          .as("__kept"))
+        tokensOutsideSpans(col("__ws"), col("__dws"), k).as("__kept"))
       .select(col(idCol), col("n_tokens"),
         size(col("__kept")).cast("long").as("n_kept"),
         array_join(col("__kept"), delim).as("text_deduped"))
+  }
+
+  /** The persistable window-hash index behind the INCREMENTAL form of
+    * [[dedupTokenWindows]] — one row per DISTINCT window hash with its
+    * canonical (lowest (doc, pos)) occurrence, the exactDupGroups-
+    * index shape at span granularity. Build once over the corpus
+    * (same single shuffle as the batch dedup), persist to parquet,
+    * probe arrivals against it (StreamOps.incrementalWindowDupFlags);
+    * advance = union new canonical hashes (arrival windows absent
+    * from the index), the reserved-id contract as everywhere. */
+  def windowHashIndex(df: DataFrame, idCol: String, textCol: String,
+      k: Int, delim: String = " "): DataFrame = {
+    require(k >= 2, "window must span at least 2 tokens")
+    import org.apache.spark.sql.expressions.Window
+    val esc = java.util.regex.Pattern.quote(delim)
+    val wins = df
+      .select(col(idCol), split(col(textCol), esc).as("__ws"))
+      .select(col(idCol),
+        posexplode(windowHashes(col("__ws"), k, delim))
+          .as(Seq("wpos", "whash")))
+    val w = Window.partitionBy(col("whash"))
+      .orderBy(col(idCol), col("wpos"))
+    wins.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("whash"), col(idCol).as("corpus_id"),
+        col("wpos").cast("int").as("corpus_pos"))
   }
 
   /** Multinomial Naive-Bayes quality classifier FIT — the frozen

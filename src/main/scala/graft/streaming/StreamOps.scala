@@ -443,6 +443,37 @@ object StreamOps {
         ()
     }.start()
 
+  /** Streaming token-window substring-dup probe against a static
+    * [[graft.operators.TextAnalysis.windowHashIndex]] (read back from
+    * parquet) — the incremental face of dedupTokenWindows, the
+    * incrementalExactDupFlags shape at span granularity: each
+    * arriving document gains its per-row window-hash array (the SAME
+    * expression the index build hashed with), explodes it, and
+    * stream-static equi-joins the index on the hash. STATELESS
+    * end-to-end — the index holds exactly ONE row per distinct window
+    * hash so the join cannot fan out, no state store, no watermark
+    * parameter. Output: one row per duplicated window occurrence —
+    * (new_id, tsCol, wpos, dup_of, dup_pos); reassembly composes via
+    * the shared span-removal expression (collect the wpos list per
+    * doc in foreachBatch, then tokensOutsideSpans — the spec pins
+    * probe+removal == the batch dedup against the same corpus).
+    * `k`/`delim` MUST match the index build. */
+  def incrementalWindowDupFlags(stream: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, tsCol: String, k: Int,
+      delim: String = " "): DataFrame = {
+    val esc = java.util.regex.Pattern.quote(delim)
+    stream
+      .select(col(idCol).as("new_id"), col(tsCol),
+        split(col(textCol), esc).as("__ws"))
+      .select(col("new_id"), col(tsCol),
+        posexplode(graft.operators.TextAnalysis.windowHashes(
+          col("__ws"), k, delim)).as(Seq("wpos", "whash")))
+      .join(index, Seq("whash"))
+      .select(col("new_id"), col(tsCol), col("wpos"),
+        col("corpus_id").as("dup_of"),
+        col("corpus_pos").as("dup_pos"))
+  }
+
   /** Streaming heavy hitters — the advance-loop form of
     * Relational.heavyHittersSketch, possible because Misra-Gries
     * summaries merge associatively: per micro-batch, sketch the batch

@@ -3,7 +3,8 @@ package graft
 import graft.operators.{Packing, Relational, TextAnalysis}
 import graft.streaming.{StatefulSessions, StreamOps}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, concat_ws, when}
+import org.apache.spark.sql.functions.{array, array_join, coalesce, col,
+  collect_set, concat_ws, sort_array, split, when}
 import java.sql.Timestamp
 
 case class TestEvt(user_id: Long, ts: Timestamp, event_type: String,
@@ -822,6 +823,55 @@ class StreamingSpec extends SparkSpec {
     val stamped = StreamOps.stampBatchMeta(df, 42L)
     assert(stamped.select("batch_id").as[String].head() === "batch_000042")
     assert(stamped.columns.contains("processing_time"))
+  }
+
+  test("incrementalWindowDupFlags probes a static window-hash index; " +
+      "probe + span removal == batch dedup") {
+    implicit val ctx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "p q r s t u v w"),
+      (2L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val index = TextAnalysis.windowHashIndex(corpus, "doc_id", "text", 4)
+    val in = MemoryStream[TestDoc]
+    val out = StreamOps.incrementalWindowDupFlags(in.toDF(), index,
+      "doc_id", "text", "ts", 4)
+    val name = fresh()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val arrivals = Seq(
+      // corpus doc 1's run re-posted at shifted alignment
+      TestDoc(10, ts("2024-01-01 00:00:00"), "x y p q r s t z"),
+      TestDoc(20, ts("2024-01-01 00:01:00"),
+        "totally novel words here now"))
+    try { in.addData(arrivals: _*); q.processAllAvailable() }
+    finally q.stop()
+    val flags = spark.table(name)
+    // exactly doc 10's windows at pos 2 and 3, each pointing at the
+    // canonical corpus occurrence; the novel doc emits nothing
+    // arrival windows at pos 2/3 ("p q r s", "q r s t") match the
+    // corpus's pos-0/1 canonical occurrences — shifted alignment
+    assert(flags.select("new_id", "wpos", "dup_of", "dup_pos")
+      .as[(Long, Int, Long, Int)].collect().toSet ===
+      Set((10L, 2, 1L, 0), (10L, 3, 1L, 1)))
+    // reassembly through the SHARED span-removal expression equals
+    // the batch operator over corpus ∪ arrivals (arrival ids are
+    // higher, so batch first-occurrence = the corpus, as probed)
+    val arrDf = arrivals.toDF().select(col("doc_id"), col("text"))
+    val spans = flags.groupBy(col("new_id"))
+      .agg(sort_array(collect_set(col("wpos"))).as("dws"))
+    val rebuilt = arrDf
+      .join(spans, col("doc_id") === col("new_id"), "left")
+      .select(col("doc_id"), array_join(
+        TextAnalysis.tokensOutsideSpans(split(col("text"), " "),
+          coalesce(col("dws"), array().cast("array<int>")), 4), " ")
+        .as("t"))
+      .as[(Long, String)].collect().toMap
+    val batch = TextAnalysis.dedupTokenWindows(
+        corpus.unionByName(arrDf), "doc_id", "text", 4)
+      .filter(col("doc_id") >= 10L)
+      .select("doc_id", "text_deduped")
+      .as[(Long, String)].collect().toMap
+    assert(rebuilt === batch)
   }
 
   test("heavyHittersBatches (uncompacted): streamed result == batch " +

@@ -562,6 +562,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fast === lit)
   }
 
+  test("BPE merge table round-trips through parquet; rehydrated " +
+      "tokenization bit-equal") {
+    val docs = Seq(
+      (1L, "stream stream streams join joins join"),
+      (2L, "join stream joins streams")).toDF("doc_id", "text")
+    val merges = TextAnalysis.fitBpeMerges(docs, "text", 6)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bpe_artifact").toString
+    TextAnalysis.bpeMergesToDf(spark, merges)
+      .write.mode("overwrite").parquet(dir)
+    val back = TextAnalysis.bpeMergesFromDf(spark.read.parquet(dir))
+    assert(back === merges)
+    val want = TextAnalysis.bpeTokenizeFast(docs, "doc_id", "text", merges)
+      .select("doc_id", "tokens_sig").as[(Long, String)].collect().toSet
+    val got = TextAnalysis.bpeTokenizeFast(docs, "doc_id", "text", back)
+      .select("doc_id", "tokens_sig").as[(Long, String)].collect().toSet
+    assert(got === want)
+  }
+
   test("bpeTokenize agrees with the fit's own final symbol state") {
     val docs = Seq(
       (1L, "stream stream streams join joins join"),
