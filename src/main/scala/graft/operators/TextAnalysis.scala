@@ -1181,6 +1181,23 @@ object TextAnalysis {
         col("wpos").cast("int").as("corpus_pos"))
   }
 
+  /** Advance a persisted [[windowHashIndex]] with newly-admitted
+    * documents — the maintenance half of the incremental window-dedup
+    * loop (the advanceIvfPqIndex shape): the arrivals' own canonical
+    * window occurrences, anti-joined against hashes the index already
+    * owns, union in. Pure union — nothing over the existing index
+    * recomputes — and idempotent (a replayed batch's hashes all
+    * collide with what it already contributed). Equals a rebuild over
+    * corpus ∪ arrivals under the reserved-id contract (arrival ids
+    * sort AFTER every indexed id, so no arrival can steal an existing
+    * hash's canonical slot — spec-pinned). */
+  def advanceWindowHashIndex(index: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String, k: Int,
+      delim: String = " "): DataFrame =
+    index.unionByName(
+      windowHashIndex(newDocs, idCol, textCol, k, delim)
+        .join(index.select(col("whash")), Seq("whash"), "left_anti"))
+
   /** Multinomial Naive-Bayes quality classifier FIT — the frozen
     * artifact of quality-classifier distillation: train a cheap
     * generative classifier on heuristic labels (e.g. [[gopherRules]]'

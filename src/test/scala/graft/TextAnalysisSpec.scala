@@ -403,6 +403,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) === ((8L, 4L, "m n o p")))
   }
 
+  test("advanceWindowHashIndex == rebuild over corpus ∪ arrivals; " +
+      "idempotent on replay") {
+    val corpus = Seq(
+      (1L, "p q r s t u v w"),
+      (2L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val idx = TextAnalysis.windowHashIndex(corpus, "doc_id", "text", 4)
+    val arrivals = Seq(
+      // shares a span with the corpus (those hashes must NOT move)
+      (10L, "x y p q r s t z"),
+      // entirely novel (its hashes enter with arrival provenance)
+      (20L, "one two three four five")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("whash", "corpus_id", "corpus_pos")
+        .as[(String, Long, Int)].collect().toSet
+    val advanced = TextAnalysis.advanceWindowHashIndex(idx, arrivals,
+      "doc_id", "text", 4)
+    val rebuilt = TextAnalysis.windowHashIndex(
+      corpus.unionByName(arrivals), "doc_id", "text", 4)
+    assert(rows(advanced) === rows(rebuilt))
+    // replaying the same batch adds nothing
+    assert(rows(TextAnalysis.advanceWindowHashIndex(advanced, arrivals,
+      "doc_id", "text", 4)) === rows(advanced))
+    // and the shared span's canonical stayed with corpus doc 1
+    assert(rows(advanced).filter(_._2 == 1L).size === 5)
+  }
+
   test("backoff equals MLE where every context is seen (fit-on-self)") {
     val docs = Seq(
       (1L, "the fast join runs the fast scan"),
