@@ -1726,10 +1726,11 @@ object SparkEntry {
     * between the clean stage and keep-best: the NB model fits on the
     * RAW corpus under the g labels (reused from the gate stage —
     * ONE definition, the gopherKeepSql discipline), scores each
-    * survivor's CLEANED text, and only round(prior + Σllr, 4) > 0
-    * docs continue. The sign margin is corpus-wide ≫ ln ulp (the
-    * text_nb_quality adjudication), so the algebraic-sum engine
-    * flavor and this replay agree on every keep decision. */
+    * survivor's RAW text, and only prior + Σllr > 0 docs continue
+    * (the UNROUNDED predicted_keep sign, matching the engine gate).
+    * The sign margin is corpus-wide ≫ ln ulp (the text_nb_quality
+    * adjudication), so the algebraic-sum engine flavor and this
+    * replay agree on every keep decision. */
   private def curationDagSql(budgets: Map[String, Long],
       packBudget: Long, groups: Int, withNb: Boolean = false): String = {
     val keepExpr = gopherKeepSql
@@ -1749,7 +1750,10 @@ object SparkEntry {
         // scoring reads the RAW tokens (nt — the preprocessing the
         // model fit on), restricted to the gate's survivors
         "st AS (SELECT t.doc_id, t.token FROM nt t JOIN (SELECT doc_id FROM c) cd USING (doc_id)), " +
-        "nb AS (SELECT doc_id FROM (SELECT s.doc_id, round(max(ndt.prior) + sum(coalesce(m.llr, noov.oov)), 4) AS lo " +
+        // the gate is predicted_keep: the UNROUNDED sign (engine
+        // parity — the sign margin is corpus-wide >> the cross-engine
+        // sum-order ulp, the text_nb_quality adjudication)
+        "nb AS (SELECT doc_id FROM (SELECT s.doc_id, max(ndt.prior) + sum(coalesce(m.llr, noov.oov)) AS lo " +
         "FROM st s LEFT JOIN nm m USING (token), ndt, noov GROUP BY s.doc_id) x WHERE lo > 0), " +
         "cf AS (SELECT c.* FROM c JOIN nb USING (doc_id)), "
     "WITH RECURSIVE " +

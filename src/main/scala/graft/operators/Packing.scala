@@ -459,12 +459,19 @@ object Packing {
     // passes the persisted table).
     val gated = nbModel match {
       case Some(m) =>
-        enriched.join(
-          TextAnalysis.scoreAgainstNbModel(
-              enriched.select(col(idCol), col("__raw")), m, idCol, "__raw")
-            .filter(col("log_odds") > nbThreshold)
-            .select(col(idCol)),
-          idCol).drop("__raw")
+        val scored = TextAnalysis.scoreAgainstNbModel(
+          enriched.select(col(idCol), col("__raw")), m, idCol, "__raw")
+        // at the default threshold 0 the gate IS predicted_keep (the
+        // UNROUNDED sign — gating on the 4dp log_odds column would
+        // diverge from the standalone scorer for log-odds in
+        // (0, 5e-5)); a nonzero threshold compares the 4dp calibrated
+        // score, quantizing the knob to 1e-4 steps (the score column
+        // is the cross-engine-stable artifact)
+        val pass =
+          if (nbThreshold == 0.0) col("predicted_keep")
+          else col("log_odds") > nbThreshold
+        enriched.join(scored.filter(pass).select(col(idCol)), idCol)
+          .drop("__raw")
       case None => enriched
     }
     val kept = Dedup.keepBest(gated,

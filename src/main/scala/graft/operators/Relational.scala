@@ -224,7 +224,14 @@ object Relational {
     require(capacity > 0, "capacity must be positive")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(keyCol).cast("string").as("k")).as[String]
+    // NULL keys are EXCLUDED from the sketch (filtered here, not
+    // silently): a null counter row would be indistinguishable from
+    // the per-partition decrement row and its count would vanish from
+    // both the estimates and the undercount bound. Count nulls
+    // upstream if they matter (the exact flavor's md5-bucket join
+    // excludes them the same way).
+    df.select(col(keyCol).cast("string").as("k"))
+      .filter(col("k").isNotNull).as[String]
       .mapPartitions { it =>
         val m = new java.util.HashMap[String, Long](capacity * 2)
         var decr = 0L

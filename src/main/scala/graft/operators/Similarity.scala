@@ -1004,7 +1004,12 @@ object Similarity {
       ivfPqIndexReport(advanced, corpus, state.codebooks, nlist,
         idCol, vecCol),
       maxSkew, maxAvgResidual).head()
-    if (health.getAs[Boolean]("needs_refit")) {
+    // an EMPTY report (no index/corpus overlap yet — e.g. the first
+    // maintenance tick before any admits) aggregates to null max()s:
+    // nothing measured ⇒ nothing to refit, not an NPE
+    val needsRefit = Option(
+      health.getAs[java.lang.Boolean]("needs_refit")).exists(_.booleanValue)
+    if (needsRefit) {
       val (coarse2, cb2) =
         fitIvfPq(corpus, idCol, vecCol, dims, nlist, m, ksub, iters, seed)
       IvfPqMaintenance(

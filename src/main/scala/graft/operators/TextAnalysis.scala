@@ -290,6 +290,16 @@ object TextAnalysis {
     * oracle). */
   def bpeTokenizeFast(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[BpeMerge]): DataFrame = {
+    // the flavor-equality proof fires rules by RANK VALUE while the
+    // literal chain folds the Seq in order — they coincide only when
+    // ranks are strictly positive and strictly increasing in sequence
+    // order (what fitBpeMerges emits); anything else would silently
+    // diverge between the flavors, so reject it here
+    require(merges.forall(_.rank > 0L) &&
+      merges.iterator.map(_.rank).sliding(2)
+        .forall(w => w.length < 2 || w.head < w(1)),
+      "merge ranks must be strictly positive and strictly increasing " +
+        "in sequence order (fitBpeMerges output order)")
     val spark = df.sparkSession
     // pair -> ascending ranks (a pair CAN recur at a later rank when an
     // intervening merge re-creates the adjacency) + rank -> pair for
@@ -310,6 +320,10 @@ object TextAnalysis {
       .mapPartitions { rows =>
         val pairRanks = bcPair.value
         val rankRule = bcRank.value
+        // one digest per PARTITION (digest() resets it per row) — a
+        // per-row getInstance would put a JCA provider lookup on the
+        // hot path this flavor exists to keep minimal
+        val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { r =>
           if (r.isNullAt(1)) Row(r.get(0), null, null, null)
           else {
@@ -319,7 +333,7 @@ object TextAnalysis {
               else norm.split(" ", -1).toIndexedSeq
                 .flatMap(w => mergeWord(w, pairRanks, rankRule))
             val joined = tokens.mkString(" ")
-            val sig = java.security.MessageDigest.getInstance("MD5")
+            val sig = md
               .digest(joined.getBytes(java.nio.charset.StandardCharsets.UTF_8))
               .map(b => f"$b%02x").mkString
             Row(r.get(0), tokens, tokens.length.toLong, sig)

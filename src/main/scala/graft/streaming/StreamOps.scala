@@ -491,7 +491,15 @@ object StreamOps {
     * widens n_max, never breaks the bracket. The merged state is
     * eagerly pinned (localCheckpoint) before the state dir is
     * overwritten, then its blocks are released — the Checkpoints
-    * discipline. */
+    * discipline.
+    *
+    * REPLAY-SAFE (the family's exactly-once contract): every state
+    * row carries the batch id that produced it; a re-delivered
+    * micro-batch (foreachBatch is at-least-once — a crash between the
+    * state write and the streaming commit replays the batch) finds
+    * its own id already in the state and skips the merge, re-emitting
+    * the sink from the unchanged state — double-counting would
+    * silently break the n_est ≤ true half of the bracket. */
   def heavyHittersBatches(stream: DataFrame, keyCol: String,
       capacity: Int, stateDir: String, compactState: Boolean = true)(
       sink: (DataFrame, Long) => Unit)
@@ -503,19 +511,31 @@ object StreamOps {
         val statePath = new org.apache.hadoop.fs.Path(stateDir)
         val fs = statePath.getFileSystem(
           spark.sparkContext.hadoopConfiguration)
-        val batchSummary = R.heavyHitterSummaries(batch, keyCol, capacity)
-        val merged0 =
-          if (fs.exists(statePath))
-            R.mergeHitterSummaries(
-              spark.read.parquet(stateDir), batchSummary)
-          else R.normalizeHitterSummaries(batchSummary)
+        val prev =
+          if (fs.exists(statePath)) Some(spark.read.parquet(stateDir))
+          else None
+        val alreadyApplied = prev.exists(p =>
+          !p.limit(1).isEmpty &&
+            p.agg(max(col("last_batch"))).head().getLong(0) >= batchId)
         val merged =
-          if (compactState) R.compactHitterSummaries(merged0, capacity)
-          else merged0
-        val pinned = merged.localCheckpoint(true)
+          if (alreadyApplied)
+            prev.get.drop("last_batch")
+          else {
+            val batchSummary =
+              R.heavyHitterSummaries(batch, keyCol, capacity)
+            val merged0 = prev match {
+              case Some(p) => R.mergeHitterSummaries(
+                p.drop("last_batch"), batchSummary)
+              case None => R.normalizeHitterSummaries(batchSummary)
+            }
+            if (compactState) R.compactHitterSummaries(merged0, capacity)
+            else merged0
+          }
+        val pinned = merged.withColumn("last_batch", lit(batchId))
+          .localCheckpoint(true)
         try {
           pinned.write.mode("overwrite").parquet(stateDir)
-          sink(R.hitterSummariesResult(pinned)
+          sink(R.hitterSummariesResult(pinned.drop("last_batch"))
             .withColumn("batch_id", lit(batchId)), batchId)
         } finally graft.operators.Checkpoints.releaseIntermediate(pinned)
         ()

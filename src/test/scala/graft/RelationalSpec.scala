@@ -541,6 +541,26 @@ class RelationalSpec extends SparkSpec {
       "no eviction — capacity too high for this corpus")
   }
 
+  test("heavyHitterSummaries excludes null keys explicitly — no " +
+      "decr-row conflation") {
+    import spark.implicits._
+    val df = (Seq.fill(50)(Some("h")) ++ Seq.fill(200)(None) ++
+      (1 to 10).map(i => Some(s"x$i"))).toDF("k")
+    val s = Relational.heavyHitterSummaries(df, "k", 4).collect()
+    // null-key rows in the summary are ONLY decrement rows (est 0) —
+    // a null input key never becomes a counter row whose count would
+    // vanish from both the estimates and the bound
+    assert(s.filter(_.isNullAt(0)).forall(_.getLong(1) === 0L))
+    val res = Relational.hitterSummariesResult(
+        Relational.normalizeHitterSummaries(
+          spark.createDataFrame(spark.sparkContext.parallelize(s.toSeq),
+            Relational.heavyHitterSummaries(df, "k", 4).schema)))
+      .as[(String, Long, Long)].collect()
+    // the non-null bracket is unaffected by the 200 null rows
+    val h = res.find(_._1 == "h").get
+    assert(h._2 <= 50L && 50L <= h._3)
+  }
+
   test("compactHitterSummaries re-bounds state; bracket and " +
       "completeness survive compaction") {
     import spark.implicits._

@@ -656,6 +656,21 @@ class SimilaritySpec extends SparkSpec {
       m2.health.getAs[Double]("max_cell_avg_residual") - 0.1)
   }
 
+  test("maintainIvfPqIndex: empty first tick measures nothing and " +
+      "does not refit (no NPE on the null health row)") {
+    val empty = Seq.empty[(Long, Array[Float])]
+      .toDF("vec_id", "embedding")
+    val coarse = Array(Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f))
+    val cb = Array.fill(4)(Array(Array(0f, 0f)))
+    val st = Similarity.IvfPqState(coarse, cb,
+      Similarity.buildIvfPqIndex(empty, coarse, cb, "vec_id", "embedding"))
+    val m = Similarity.maintainIvfPqIndex(st, empty, empty,
+      "vec_id", "embedding", dims = 8, nlist = 1, m = 4, ksub = 1,
+      iters = 1, seed = 1L)
+    assert(!m.refitted && m.state.refitCount === 0L)
+    assert(m.health.isNullAt(m.health.fieldIndex("needs_refit")))
+  }
+
   test("srpBucket is deterministic and splits opposite vectors") {
     val df = Seq((Array(1f, 0f, 0f, 0f), Array(-1f, 0f, 0f, 0f)))
       .toDF("a", "b")

@@ -952,5 +952,23 @@ class StreamingSpec extends SparkSpec {
     exact.filter(_._2 > maxUnder).keys.foreach(k =>
       assert(present.contains(k), s"guaranteed-present $k missing"))
     assert(present.contains("h1") && present.contains("h2"))
+
+    // REPLAY GUARD: a re-delivered batch id (here: a fresh query's
+    // batch 0 against state stamped last_batch=1 — the same code path
+    // an at-least-once foreachBatch replay takes) must SKIP the merge
+    // and leave the counters untouched; double-merging would break
+    // n_est <= true
+    val before = spark.read.parquet(stateDir)
+      .filter(col("key").isNotNull)
+      .select("key", "est").as[(String, Long)].collect().toSet
+    val in2 = MemoryStream[TestEvt]
+    val q2 = StreamOps.heavyHittersBatches(in2.toDF(), "event_type",
+      cap, stateDir) { (_, _) => () }
+    try { in2.addData(mk("h1", 30): _*); q2.processAllAvailable() }
+    finally q2.stop()
+    val after = spark.read.parquet(stateDir)
+      .filter(col("key").isNotNull)
+      .select("key", "est").as[(String, Long)].collect().toSet
+    assert(after === before, "replayed batch id double-merged")
   }
 }

@@ -572,6 +572,19 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("bpeTokenizeFast rejects rank sequences the literal chain " +
+      "would silently diverge from") {
+    val df = Seq((1L, "aa")).toDF("doc_id", "text")
+    // rank 0 (lastRank starts there), duplicate ranks, out-of-order
+    for (ranks <- Seq(Seq(0L, 1L), Seq(3L, 3L), Seq(2L, 1L))) {
+      val ms = ranks.zipWithIndex.map { case (r, i) =>
+        TextAnalysis.BpeMerge(r, "a", "a" + i, "a" + "a" + i, 0L) }
+      assertThrows[IllegalArgumentException] {
+        TextAnalysis.bpeTokenizeFast(df, "doc_id", "text", ms)
+      }
+    }
+  }
+
   test("bpeTokenizeFast == bpeTokenize on a fitted corpus, full row") {
     val docs = Seq(
       (1L, "stream stream streams join joins join"),
