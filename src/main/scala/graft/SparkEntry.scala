@@ -1217,7 +1217,15 @@ object SparkEntry {
       Multimodal.decodeFeaturesStub(s,
           Multimodal.asMediaTable(t(s, d, "documents"), "doc_id", "text"))
         .toDF.select(col("media_id"), col("n_bytes"), col("mean_byte"),
-          col("byte_entropy_bucket").cast("long").as("byte_entropy_bucket")))
+          col("byte_entropy_bucket").cast("long").as("byte_entropy_bucket"))),
+    "media_near_dups" -> ((s, d) =>
+      // frame-signature video-dedup shape: 64-byte frames sampled at
+      // stride 2, media paired through the frame-hash equi-join —
+      // exact-dup payloads surface at overlap 1.0, partial re-posts
+      // at their shared-frame fraction
+      Multimodal.frameNearDups(
+        Multimodal.asMediaTable(t(s, d, "documents"), "doc_id", "text"),
+        chunkBytes = 64, everyN = 2, minShared = 1L))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -2710,6 +2718,21 @@ object SparkEntry {
         "FROM (SELECT unnest(range(1, m.n_bytes + 1)) AS i) t) / m.n_bytes AS mean FROM m) " +
         "SELECT media_id, n_bytes, mean AS mean_byte, " +
         "CAST(floor(mean / 32) AS BIGINT) AS byte_entropy_bucket FROM s"),
+    "media_near_dups" ->
+      // the frame-pairing replay: sampled 64-byte frame signatures
+      // (stride 2), boilerplate guard (HAVING <= 64 media per frame),
+      // pair counts via the same equi-join, overlap as raw double of
+      // exact integer counts
+      ("WITH m AS (SELECT doc_id AS media_id, text, CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS n_chunks FROM documents WHERE strlen(text) > 0), " +
+        "f AS (SELECT DISTINCT media_id, md5(substr(text, CAST(i * 64 + 1 AS INT), 64)) AS sig " +
+        "FROM (SELECT media_id, text, unnest(range(0, n_chunks)) AS i FROM m) t WHERE i % 2 = 0), " +
+        "g AS (SELECT sig FROM f GROUP BY sig HAVING count(*) <= 64), " +
+        "e AS (SELECT f.media_id, f.sig FROM f JOIN g USING (sig)), " +
+        "c AS (SELECT media_id, CAST(count(*) AS BIGINT) AS nf FROM e GROUP BY media_id), " +
+        "p AS (SELECT a.media_id AS a_id, b.media_id AS b_id, CAST(count(*) AS BIGINT) AS n_shared " +
+        "FROM e a JOIN e b ON a.sig = b.sig AND a.media_id < b.media_id GROUP BY 1, 2 HAVING count(*) >= 1) " +
+        "SELECT p.a_id, p.b_id, p.n_shared, CAST(p.n_shared AS DOUBLE) / least(ca.nf, cb.nf) AS overlap_frac " +
+        "FROM p JOIN c ca ON p.a_id = ca.media_id JOIN c cb ON p.b_id = cb.media_id"),
     // the sketch queries gate through IN-PLAN tolerance booleans (the
     // estimates themselves are engine-specific; the exact counts and
     // the ≤3σ agreement are not) — every query is oracle-checked

@@ -100,6 +100,51 @@ object Multimodal {
       }
   }
 
+  /** Frame-signature near-duplicate pairs across media — the video-
+    * dedup shape a multimodal curation pipeline needs: sample every
+    * `everyN`-th frame, fingerprint it (chunk_sig — md5 of the raw
+    * chunk here, the perceptual-hash stand-in: a real pipeline hashes
+    * the DECODED frame via decodeFeaturesStub's slot, the plan shape
+    * is identical), and pair media through an equi-join on the
+    * fingerprint — bucketed by frame hash, never all-pairs (the
+    * LSH-band-join shape). A frame shared by more than
+    * `maxMediaPerFrame` media is BOILERPLATE (intros, logos, silence)
+    * and drops before pairing — the removeBoilerplate precedent, and
+    * the mega-bucket guard bounding the join fan-out per frame.
+    * overlap_frac divides exact integer counts (raw double — the
+    * textStats bit-identical convention). Output: (a_id, b_id,
+    * n_shared, overlap_frac = n_shared / min(distinct sampled
+    * frames)), pairs with n_shared ≥ minShared, a_id < b_id. */
+  def frameNearDups(media: DataFrame, chunkBytes: Int, everyN: Int,
+      minShared: Long, maxMediaPerFrame: Long = 64L): DataFrame = {
+    require(minShared >= 1 && maxMediaPerFrame >= 2,
+      "minShared >= 1 and maxMediaPerFrame >= 2 required")
+    val frames = sampleFrames(media, chunkBytes, everyN)
+      .select(col("media_id"), col("chunk_sig")).distinct()
+    val eligible = frames.join(
+      frames.groupBy(col("chunk_sig"))
+        .agg(count(lit(1)).as("__nm"))
+        .filter(col("__nm") <= maxMediaPerFrame)
+        .select(col("chunk_sig")),
+      "chunk_sig")
+    val counts = eligible.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("__nf"))
+    eligible.select(col("media_id").as("a_id"), col("chunk_sig"))
+      .join(eligible.select(col("media_id").as("b_id"), col("chunk_sig")),
+        "chunk_sig")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(counts.select(col("media_id").as("a_id"),
+        col("__nf").as("__na")), "a_id")
+      .join(counts.select(col("media_id").as("b_id"),
+        col("__nf").as("__nb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          least(col("__na"), col("__nb"))).as("overlap_frac"))
+  }
+
   /** STUB decode: deterministic per-row "features" from raw bytes via a
     * typed mapPartitions — the exact batch shape a real decoder (JNI
     * codec, ONNX encoder, ...) would use: one partition = one batch,

@@ -41,6 +41,34 @@ class MultimodalSpec extends SparkSpec {
     assert(r(2L).payload.length === 2) // under limit: untouched
   }
 
+  test("frameNearDups: shared frames pair media; boilerplate frames " +
+      "excluded by the guard") {
+    // 4-byte frames, every frame sampled. A/B identical (overlap 1);
+    // C shares A's first half; D unique; every payload opens with the
+    // same 4-byte "intro" to exercise the boilerplate guard
+    val intro = "LOGO"
+    val docs = Seq(
+      (1L, intro + "aaaabbbbccccdddd"),
+      (2L, intro + "aaaabbbbccccdddd"),
+      (3L, intro + "aaaabbbbxxxxyyyy"),
+      (4L, intro + "qqqqrrrrssssuuuu")).toDF("doc_id", "text")
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    val out = Multimodal.frameNearDups(media, chunkBytes = 4,
+        everyN = 1, minShared = 1L, maxMediaPerFrame = 3L)
+      .select("a_id", "b_id", "n_shared", "overlap_frac")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // the intro frame is shared by ALL FOUR media > guard 3 — it
+    // pairs nothing (D appears in no pair at all)
+    assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+    // A-B: 4 non-intro frames shared of 4 eligible each → overlap 1
+    assert(out((1L, 2L)) === ((4L, 1.0)))
+    // A-C and B-C: the 2-frame shared prefix of 4 eligible
+    assert(out((1L, 3L)) === ((2L, 0.5)))
+    assert(out((2L, 3L)) === ((2L, 0.5)))
+    assert(out.size === 3)
+  }
+
   test("decodeFeaturesStub: deterministic mean over payload bytes") {
     val f = Multimodal.decodeFeaturesStub(spark, media)
       .collect().map(r => r.media_id -> r).toMap
