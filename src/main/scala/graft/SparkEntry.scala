@@ -973,6 +973,13 @@ object SparkEntry {
         Dedup.lshCandidatePairs(docs, "doc_id", "text", MinhashK, LshBands),
         "doc_id", "text", MinhashK)
     }),
+    "dedup_jaccard_prefix" -> ((s, d) =>
+      // PPJoin prefix-filtered EXACT Jaccard join at t=0.5: the full
+      // answer set (no LSH recall trade) from rarest-first prefix
+      // postings only; the oracle brute-forces every shingle-sharing
+      // pair and filters — a missed pair fails the hash
+      Dedup.jaccardPairsPrefix(t(s, d, "documents"), "doc_id", "text",
+        minJaccard = 0.5)),
     "dedup_simhash" -> ((s, d) =>
       // the PORTABLE (md5-hash) flavor so the signature is
       // oracle-checkable bit-for-bit; Dedup.simhash (xxhash64) is the
@@ -2533,6 +2540,14 @@ object SparkEntry {
         "SELECT a_id, b_id, round(i / (sa.n + sb.n - i), 4) AS jaccard FROM inter " +
         "JOIN sizes sa ON inter.a_id = sa.doc_id JOIN sizes sb ON inter.b_id = sb.doc_id " +
         "ORDER BY jaccard DESC, a_id, b_id LIMIT 20"),
+    "dedup_jaccard_prefix" ->
+      // the exhaustive answer the prefix filter must reproduce: every
+      // shingle-sharing pair scored, threshold filter on the raw ratio
+      (shingleCte + ", sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT a_id, b_id, round(i / (sa.n + sb.n - i), 4) AS jaccard FROM inter " +
+        "JOIN sizes sa ON inter.a_id = sa.doc_id JOIN sizes sb ON inter.b_id = sb.doc_id " +
+        "WHERE i / (sa.n + sb.n - i) >= 0.5"),
     "dedup_jaccard_est" -> {
       val agree = (0 until MinhashK)
         .map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")

@@ -213,6 +213,69 @@ object Dedup {
         explode(slice(col(idsCol), col("pos") + 2, size(col(idsCol))))
           .as("b_id"))
 
+  /** PREFIX-FILTERED exact Jaccard pair join — the PPJoin-style scale
+    * flavor of [[jaccardPairs]], same output, far fewer candidates at
+    * high thresholds. The inverted-index flavor generates a candidate
+    * for EVERY shingle-sharing pair and filters after scoring; this
+    * one exploits the prefix-filtering lemma: order every doc's
+    * shingles by a GLOBAL rarest-first order (df asc, hash asc — no
+    * global rank materialization, the (df, sh) struct IS the sort
+    * key), keep only each doc's first n − ⌈t·n⌉ + 1 shingles as
+    * postings, and pair docs through THOSE. Soundness (why no pair is
+    * missed): if two docs share no prefix shingle, every shared
+    * shingle lies in both suffixes, so |∩| ≤ ⌈t·min(na,nb)⌉ − 1 and
+    * J ≤ t/(2−t) < t — any J ≥ t pair MUST collide in a prefix.
+    * Survivors verify EXACTLY against the full shingle arrays
+    * (array_intersect — no estimate anywhere). At t = 0.7 a doc posts
+    * ~30% of its shingles instead of 100%, and candidate volume drops
+    * quadratically with posting-list length — while the answer stays
+    * the exact one, unlike LSH banding which trades recall.
+    * Spec-pinned equal to [[jaccardPairs]] row-for-row at the same
+    * (t, maxDocFreq); df-cap semantics identical (cap applies before
+    * sizes and ordering). */
+  def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double, maxDocFreq: Long = 0L): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1,
+      "minJaccard must be in (0, 1] — prefix filtering needs a " +
+        "positive threshold")
+    val sh = hashedShingleRows(df, idCol, textCol, ShingleN, "sh")
+      .withColumnRenamed(idCol, "doc")
+    val dfreq0 = sh.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+    val dfreq =
+      if (maxDocFreq <= 0) dfreq0
+      else dfreq0.filter(col("__df") <= maxDocFreq)
+    val docs = sh.join(dfreq, "sh")
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("sh"))))
+        .as("__toks"), count(lit(1)).as("__n"))
+    val pLen = greatest(
+      (col("__n") - ceil(col("__n") * minJaccard) + 1).cast("int"),
+      lit(1))
+    val prefixes = docs
+      .select(col("doc"),
+        explode(slice(col("__toks"), lit(1), pLen)).as("p"))
+      .select(col("doc"), col("p.sh").as("sh"))
+    val cands = expandPairs(
+      prefixes.groupBy(col("sh"))
+        .agg(sort_array(collect_set(col("doc"))).as("ids"))
+        .filter(size(col("ids")) > 1),
+      "ids").distinct()
+    val full = docs.select(col("doc"),
+      transform(col("__toks"), _.getField("sh")).as("__arr"),
+      col("__n"))
+    cands
+      .join(full.select(col("doc").as("a_id"), col("__arr").as("__aa"),
+        col("__n").as("na")), "a_id")
+      .join(full.select(col("doc").as("b_id"), col("__arr").as("__ba"),
+        col("__n").as("nb")), "b_id")
+      .withColumn("i",
+        size(array_intersect(col("__aa"), col("__ba"))).cast("long"))
+      .withColumn("jaccard",
+        round(col("i") / (col("na") + col("nb") - col("i")), 4))
+      .filter(col("i") / (col("na") + col("nb") - col("i")) >= minJaccard)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs sharing at least one
     * shingle, via an inverted index: group by shingle, expand each
     * posting list into (a < b) pairs, count shared shingles per pair —

@@ -90,6 +90,35 @@ class DedupSpec extends SparkSpec {
     assert(!j.keySet.exists { case (a, b) => a >= b })
   }
 
+  test("jaccardPairsPrefix == jaccardPairs row-for-row; prefix " +
+      "postings genuinely shrink the index") {
+    // wider corpus: dup pair, near-dup, sub-threshold overlap, noise
+    val corpus = (docs.as[(Long, String)].collect().toSeq ++ Seq(
+      (5L, "the quick brown fox jumps over the lazy dog tonight"),
+      (6L, "spark engines here differ completely from other content"),
+      (7L, "totally unrelated words about weather and mountains peaks")))
+      .toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val full = Dedup.jaccardPairs(corpus, "doc_id", "text", t)
+        .as[(Long, Long, Double)].collect().toSet
+      val pref = Dedup.jaccardPairsPrefix(corpus, "doc_id", "text", t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pref === full, s"flavor drift at t=$t")
+      assert(full.nonEmpty || t > 0.5, s"vacuous corpus at t=$t")
+    }
+    // the efficiency claim is real: at t=0.8 the prefix posting rows
+    // are a strict subset of the full inverted index's
+    val allPostings = corpus
+      .select(explode(graft.functions.TextFns.shingles(col("text"), 3)))
+      .count()
+    // n - ceil(0.8 n) + 1 ≈ 0.2 n + 1 per doc
+    val docLens = corpus.as[(Long, String)].collect()
+      .map(_._2.split("\\s+").length - 2)
+    val prefixBound = docLens.map(n => n - math.ceil(0.8 * n) + 1).sum
+    assert(prefixBound < allPostings,
+      "prefix postings not smaller than the full index")
+  }
+
   test("jaccardPairs maxDocFreq drops ultra-common shingles") {
     // shingle shared by all 4 docs disappears at cap 3 -> no pair left
     val common = Seq(
