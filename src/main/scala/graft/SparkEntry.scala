@@ -1035,6 +1035,16 @@ object SparkEntry {
       Dedup.contamination(docs.filter(col("doc_id") >= 25),
         docs.filter(col("doc_id") < 25), "doc_id", "text")
     }),
+    "dedup_scrub_spans" -> ((s, d) => {
+      // span-level decontamination (same train/eval boundary as
+      // dedup_contamination): eval 4-gram windows scrub out of
+      // training docs, the rest of each doc survives (k chosen to
+      // bisect this corpus: 43 of 475 train docs lose spans at
+      // sf0.01 — k=8 catches only the one verbatim re-post)
+      val docs = t(s, d, "documents")
+      Dedup.decontaminateSpans(docs.filter(col("doc_id") >= 25),
+        docs.filter(col("doc_id") < 25), "doc_id", "text", k = 4)
+    }),
     "dedup_cluster_split" -> ((s, d) => {
       // leakage-safe split: near-dup clusters (LSH pairs) assign as a
       // unit, singletons fall back to their deterministicSplit bucket
@@ -2165,12 +2175,12 @@ object SparkEntry {
       // position order; all-dropped and shorter-than-k docs restored
       // by the LEFT join (the text_paragraph_dedup shape)
       ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
-        "w AS (SELECT doc_id, i AS wpos, md5(array_to_string(list_slice(ws, i + 1, i + 8), ' ')) AS whash " +
-        "FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - 7)) AS i FROM d WHERE len(ws) >= 8) t), " +
+        "w AS (SELECT doc_id, i AS wpos, md5(array_to_string(list_slice(ws, i + 1, i + 4), ' ')) AS whash " +
+        "FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - 3)) AS i FROM d WHERE len(ws) >= 4) t), " +
         "dup AS (SELECT doc_id, wpos FROM (SELECT doc_id, wpos, row_number() OVER (PARTITION BY whash ORDER BY doc_id, wpos) AS rn FROM w) r WHERE rn > 1), " +
         "tok AS (SELECT doc_id, ws[p + 1] AS tk, p FROM (SELECT doc_id, ws, unnest(range(0, len(ws))) AS p FROM d) t), " +
         "keep AS (SELECT t.doc_id, t.tk, t.p FROM tok t WHERE NOT EXISTS " +
-        "(SELECT 1 FROM dup u WHERE u.doc_id = t.doc_id AND u.wpos <= t.p AND t.p < u.wpos + 8)), " +
+        "(SELECT 1 FROM dup u WHERE u.doc_id = t.doc_id AND u.wpos <= t.p AND t.p < u.wpos + 4)), " +
         "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, string_agg(tk, ' ' ORDER BY p) AS text_deduped FROM keep GROUP BY doc_id) " +
         "SELECT d2.doc_id, CAST(len(string_split(d2.text, ' ')) AS BIGINT) AS n_tokens, " +
         "coalesce(a.n_kept, 0) AS n_kept, coalesce(a.text_deduped, '') AS text_deduped " +
@@ -2520,6 +2530,23 @@ object SparkEntry {
       (shingleCte + " SELECT a.doc_id, count(*) AS n_shared_shingles FROM sh a " +
         "JOIN (SELECT DISTINCT sh FROM sh WHERE doc_id < 25) e ON a.sh = e.sh " +
         "WHERE a.doc_id >= 25 GROUP BY a.doc_id"),
+    "dedup_scrub_spans" ->
+      // eval window hashes, train coverage, NOT-EXISTS survival and
+      // ordered reassembly — the text_window_dedup replay pointed at
+      // the eval hash set
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "ev AS (SELECT DISTINCT md5(array_to_string(list_slice(ws, i + 1, i + 4), ' ')) AS whash " +
+        "FROM (SELECT ws, unnest(range(0, len(ws) - 3)) AS i FROM d WHERE doc_id < 25 AND len(ws) >= 4) t), " +
+        "w AS (SELECT doc_id, i AS wpos, md5(array_to_string(list_slice(ws, i + 1, i + 4), ' ')) AS whash " +
+        "FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - 3)) AS i FROM d WHERE doc_id >= 25 AND len(ws) >= 4) t), " +
+        "dup AS (SELECT w.doc_id, w.wpos FROM w JOIN ev USING (whash)), " +
+        "tok AS (SELECT doc_id, ws[p + 1] AS tk, p FROM (SELECT doc_id, ws, unnest(range(0, len(ws))) AS p FROM d WHERE doc_id >= 25) t), " +
+        "keep AS (SELECT t.doc_id, t.tk, t.p FROM tok t WHERE NOT EXISTS " +
+        "(SELECT 1 FROM dup u WHERE u.doc_id = t.doc_id AND u.wpos <= t.p AND t.p < u.wpos + 4)), " +
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, string_agg(tk, ' ' ORDER BY p) AS text_clean FROM keep GROUP BY doc_id) " +
+        "SELECT d2.doc_id, CAST(len(string_split(d2.text, ' ')) AS BIGINT) AS n_tokens, " +
+        "coalesce(a.n_kept, 0) AS n_kept, coalesce(a.text_clean, '') AS text_clean " +
+        "FROM documents d2 LEFT JOIN agg a ON d2.doc_id = a.doc_id WHERE d2.doc_id >= 25"),
     "text_repetition" ->
       ("WITH words AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents), " +
         "tg AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS sh FROM words, " +

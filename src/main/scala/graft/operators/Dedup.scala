@@ -922,6 +922,52 @@ object Dedup {
       .filter(col("n_shared_shingles") >= minShared)
   }
 
+  /** SPAN-level decontamination — the scrubbing upgrade of
+    * [[contamination]] (which flags whole documents): remove from each
+    * training document every k-token window that appears VERBATIM in
+    * any eval document and keep the rest, overlapping clean spans
+    * merging on reassembly — the GPT-3/PaLM-style n-gram scrub that
+    * saves a mostly-clean document instead of dropping it. Machinery =
+    * TextAnalysis.dedupTokenWindows' coverage fold pointed at an EVAL
+    * window-hash set instead of a corpus-canonical ranking (the shared
+    * windowHashes expression guarantees both sides hash
+    * bit-identically). The eval side collapses to a DISTINCT hash set
+    * (benchmarks are small — Catalyst broadcasts it), so the train
+    * corpus is ONE scan + a semi-join + a per-doc span fold — never
+    * doc×doc, and no shuffle of the corpus at all when the eval set
+    * broadcasts. A fully-contaminated doc stays in the output with
+    * n_kept = 0 (scrubbing is not a row filter; compose with
+    * [[contamination]] to drop). Output: (id, n_tokens, n_kept,
+    * text_clean). */
+  def decontaminateSpans(docs: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, k: Int,
+      delim: String = " "): DataFrame = {
+    require(k >= 2, "window must span at least 2 tokens")
+    val esc = java.util.regex.Pattern.quote(delim)
+    val toks = docs.select(col(idCol), split(col(textCol), esc).as("__ws"))
+    val evalHashes = evalDocs
+      .select(explode(TextAnalysis.windowHashes(
+        split(col(textCol), esc), k, delim)).as("whash"))
+      .distinct()
+    val spans = toks
+      .select(col(idCol),
+        posexplode(TextAnalysis.windowHashes(col("__ws"), k, delim))
+          .as(Seq("wpos", "whash")))
+      .join(evalHashes, "whash")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("wpos"))).as("__dws"))
+    toks.join(spans, Seq(idCol), "left")
+      .select(col(idCol), col("__ws"),
+        coalesce(col("__dws"), array().cast("array<int>")).as("__dws"))
+      .select(col(idCol),
+        size(col("__ws")).cast("long").as("n_tokens"),
+        TextAnalysis.tokensOutsideSpans(col("__ws"), col("__dws"), k)
+          .as("__kept"))
+      .select(col(idCol), col("n_tokens"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(col("__kept"), delim).as("text_clean"))
+  }
+
   /** Edit-distance verification of candidate pairs (the refine stage
     * after LSH): joins each (a_id, b_id) pair to the docs' normalized
     * text heads and scores Levenshtein distance. Distance on bounded

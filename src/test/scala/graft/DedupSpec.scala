@@ -90,6 +90,31 @@ class DedupSpec extends SparkSpec {
     assert(!j.keySet.exists { case (a, b) => a >= b })
   }
 
+  test("decontaminateSpans scrubs verbatim eval windows at any " +
+      "alignment, keeps the rest") {
+    val eval = Seq(
+      (1L, "what is the capital of france"),
+      (2L, "name the largest planet")).toDF("doc_id", "text")
+    val train = Seq(
+      // eval question embedded mid-document at shifted alignment
+      (10L, "quiz intro what is the capital of france answer paris"),
+      // clean doc: untouched even though it shares single words
+      (11L, "france exports wine and the capital markets rally"),
+      // fully contaminated: emptied but still present
+      (12L, "name the largest planet")).toDF("doc_id", "text")
+    val out = Dedup.decontaminateSpans(train, eval, "doc_id", "text",
+        k = 4)
+      .select("doc_id", "n_tokens", "n_kept", "text_clean")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // windows at pos 2..4 of doc 10 hit eval doc 1 → coverage 2..7;
+    // survivors are the intro and the answer tail
+    assert(out(10L) === ((10L, 4L, "quiz intro answer paris")))
+    assert(out(11L) === ((8L, 8L,
+      "france exports wine and the capital markets rally")))
+    assert(out(12L) === ((4L, 0L, "")))
+  }
+
   test("jaccardPairsPrefix == jaccardPairs row-for-row; prefix " +
       "postings genuinely shrink the index") {
     // wider corpus: dup pair, near-dup, sub-threshold overlap, noise
