@@ -793,6 +793,19 @@ object SparkEntry {
           TextAnalysis.fitBpeMerges(docs, "text", BpeMergeCount))
         .select(col("doc_id"), col("n_tokens"), col("tokens_sig"))
     }),
+    "text_bpe_ids" -> ((s, d) => {
+      // the tokenizer loop's final stage: fit → vocabulary → TOKEN
+      // IDS (what packs ship). Fit-on-self ⇒ every token resolves
+      // (n_oov ≡ 0, the in-plan witness); the oracle re-derives the
+      // merges, the vocabulary (sorted corpus alphabet + merges by
+      // rank) AND the id sequence
+      val docs = t(s, d, "documents")
+      val merges = TextAnalysis.fitBpeMerges(docs, "text", BpeMergeCount)
+      TextAnalysis.bpeEncodeIds(docs, "doc_id", "text", merges,
+          TextAnalysis.bpeVocabulary(docs, "text", merges))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          col("ids_sig"))
+    }),
     "text_bpe_tokenize_fast" -> ((s, d) => {
       // the SCALE flavor of text_bpe_tokenize: same fit, but the apply
       // is the broadcast rank-map mapPartitions merger — per-row cost
@@ -1652,6 +1665,33 @@ object SparkEntry {
       "md5(array_to_string(toks, ' ')) AS tokens_sig FROM tk"
   }
 
+  /** The full tokenizer-loop replay for text_bpe_ids: the bpeCtes fit,
+    * the tokenize chain, the VOCABULARY (sorted corpus alphabet then
+    * merges by rank — ids re-derived, never trusted) and the ordered
+    * id sequence per doc. Fit-on-self ⇒ the LEFT join resolves every
+    * token; n_oov is the witnessed zero. */
+  private def bpeIdsSql(n: Int): String = {
+    val seq = (1 to n).foldLeft(
+      s"'  ' || regexp_replace($normSql, '(.)', '\\1  ', 'g')") { (acc, i) =>
+      s"replace($acc, ' ' || (SELECT a FROM m$i) || '  ' || (SELECT b FROM m$i) || ' ', " +
+        s"' ' || (SELECT a FROM m$i) || (SELECT b FROM m$i) || ' ')"
+    }
+    val mergedRows = (1 to n)
+      .map(i => s"SELECT a || b AS sym, $i AS rnk FROM m$i")
+      .mkString(" UNION ALL ")
+    s"WITH ${bpeCtes(n)}, tk AS (SELECT doc_id, " +
+      s"string_split_regex(trim($seq, ' '), ' {2,}') AS toks FROM documents), " +
+      s"alpha AS (SELECT DISTINCT c AS sym FROM (SELECT unnest(regexp_extract_all($normSql, '.')) AS c FROM documents) t WHERE c <> ' '), " +
+      "vb AS (SELECT sym, row_number() OVER (ORDER BY sym) - 1 AS id FROM alpha), " +
+      s"vm AS (SELECT sym, (SELECT count(*) FROM vb) + rnk - 1 AS id FROM ($mergedRows) mr), " +
+      "voc AS (SELECT sym, CAST(min(id) AS BIGINT) AS id FROM (SELECT * FROM vb UNION ALL SELECT * FROM vm) u GROUP BY sym), " +
+      "tk2 AS (SELECT doc_id, t.tok, t.i FROM tk, LATERAL (SELECT unnest(toks) AS tok, unnest(range(1, len(toks) + 1)) AS i) t), " +
+      "j AS (SELECT tk2.doc_id, tk2.i, coalesce(v.id, -1) AS id FROM tk2 LEFT JOIN voc v ON tk2.tok = v.sym) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+      "CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, " +
+      "md5(string_agg(CAST(id AS VARCHAR), ' ' ORDER BY i)) AS ids_sig FROM j GROUP BY doc_id"
+  }
+
   /** Mirrors Dedup.simhashPortable: 60-bit md5 token hashes, majority
     * vote per bit position, bits recombined as exact powers of two. */
   private val simhashSql: String = {
@@ -2099,6 +2139,7 @@ object SparkEntry {
     // (TextAnalysisSpec pins it), so the same unrolled-CTE replay
     // gates it — fit drift, apply drift, and flavor drift all fail
     "text_bpe_tokenize_fast" -> bpeTokenizeSql(BpeMergeCount),
+    "text_bpe_ids" -> bpeIdsSql(BpeMergeCount),
     "text_oov" ->
       (s"WITH tok AS (SELECT doc_id, unnest(regexp_extract_all($normSql, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS tok FROM documents), " +
         "f AS (SELECT tok AS token, count(*) AS n FROM tok GROUP BY 1), " +

@@ -342,6 +342,78 @@ object TextAnalysis {
       }(Encoders.row(outSchema))
   }
 
+  /** Deterministic id vocabulary for a fitted merge sequence — the
+    * artifact that turns tokens into the TOKEN IDS a training pipeline
+    * actually ships: base symbols are the fit corpus's distinct
+    * non-space code points sorted ascending (ids 0..B−1), then merged
+    * symbols in rank order (ids B..B+n−1). The alphabet is bounded, so
+    * the chars collect to the driver (the budgets-map convention) and
+    * the table materializes literally — no global-rank window anywhere
+    * in a plan. A pathological duplicate merged STRING (pair
+    * recurrence re-deriving the same symbol) keeps its lowest id so
+    * the encode join is unambiguous. Output: (sym, id). */
+  def bpeVocabulary(df: DataFrame, textCol: String,
+      merges: Seq[BpeMerge]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val chars = df.select(explode(array_distinct(
+        regexp_extract_all(TextFns.normalize(col(textCol)),
+          lit("(?s)."), lit(0)))).as("sym"))
+      .filter(col("sym") =!= " ").distinct()
+      .as[String].collect().sorted
+    val rows = (chars.zipWithIndex.map { case (c, i) => (c, i.toLong) } ++
+      merges.sortBy(_.rank).zipWithIndex.map { case (m, j) =>
+        (m.merged, (chars.length + j).toLong) })
+      .groupBy(_._1).map { case (s, ids) => (s, ids.map(_._2).min) }
+    spark.createDataFrame(rows.toSeq).toDF("sym", "id")
+  }
+
+  /** Encode documents to TOKEN IDS against frozen merge + vocabulary
+    * artifacts — the final stage of the tokenizer production loop
+    * (fit → tokenize → encode; packs ship ids, not strings). Rides
+    * [[bpeTokenizeFast]]'s tokens through a second mapPartitions with
+    * the vocabulary broadcast as a plain map (vocab-bounded — chars +
+    * merges — so the collect is tiny and the encode is shuffle-free
+    * and merge-count-independent like the tokenizer itself). A token
+    * absent from the vocabulary (an arrival introducing new code
+    * points) encodes as `oovId`, counted in the in-plan `n_oov`
+    * witness (the oovRate convention). Output: (id, token_ids,
+    * n_tokens, n_oov, ids_sig = md5 of the space-joined ids). */
+  def bpeEncodeIds(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[BpeMerge], vocab: DataFrame,
+      oovId: Long = -1L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vmap = vocab.select(col("sym"), col("id").cast("long"))
+      .as[(String, Long)].collect().toMap
+    val bc = spark.sparkContext.broadcast(vmap)
+    val outSchema = StructType(Seq(
+      df.schema(idCol).copy(name = idCol),
+      StructField("token_ids", ArrayType(LongType, containsNull = true)),
+      StructField("n_tokens", LongType),
+      StructField("n_oov", LongType),
+      StructField("ids_sig", StringType)))
+    bpeTokenizeFast(df, idCol, textCol, merges)
+      .select(col(idCol), col("tokens"))
+      .mapPartitions { rows =>
+        val v = bc.value
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          if (r.isNullAt(1)) Row(r.get(0), null, null, null, null)
+          else {
+            val toks = r.getSeq[String](1)
+            val ids = toks.map(t => v.getOrElse(t, oovId))
+            val nOov = toks.count(t => !v.contains(t)).toLong
+            val sig = md
+              .digest(ids.mkString(" ")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              .map(b => f"$b%02x").mkString
+            Row(r.get(0), ids, toks.length.toLong, nOov, sig)
+          }
+        }
+      }(Encoders.row(outSchema))
+  }
+
   /** The fitted merge sequence as its persistable artifact table —
     * the Similarity.artifactsToDf convention for the tokenizer: write
     * this once after [[fitBpeMerges]], read it back with

@@ -601,6 +601,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fast === lit)
   }
 
+  test("bpeVocabulary + bpeEncodeIds: hand-computed ids; frozen-vocab " +
+      "arrival counts OOV") {
+    val docs = Seq((1L, "low low low lower lower newest")).toDF("doc_id", "text")
+    val merges = TextAnalysis.fitBpeMerges(docs, "text", 3)
+    // fit (pinned elsewhere): (l,o)→lo, (lo,w)→low, (e,r)→er
+    val vocab = TextAnalysis.bpeVocabulary(docs, "text", merges)
+      .as[(String, Long)].collect().toMap
+    // alphabet sorted: e,l,n,o,r,s,t,w → 0..7; merges lo=8 low=9 er=10
+    assert(vocab === Map("e" -> 0L, "l" -> 1L, "n" -> 2L, "o" -> 3L,
+      "r" -> 4L, "s" -> 5L, "t" -> 6L, "w" -> 7L,
+      "lo" -> 8L, "low" -> 9L, "er" -> 10L))
+    val out = TextAnalysis.bpeEncodeIds(docs, "doc_id", "text", merges,
+        TextAnalysis.bpeVocabulary(docs, "text", merges))
+      .select("doc_id", "token_ids", "n_oov")
+      .as[(Long, Seq[Long], Long)].head()
+    // "low low low lower lower newest" →
+    // [low low low low er low er n e w e s t]
+    assert(out._2 === Seq(9L, 9L, 9L, 9L, 10L, 9L, 10L,
+      2L, 0L, 7L, 0L, 5L, 6L))
+    assert(out._3 === 0L)
+    // frozen artifacts against an arrival with NEW code points: every
+    // unknown token encodes as oovId and the witness counts it
+    val arrival = Seq((2L, "lox zz")).toDF("doc_id", "text")
+    val a = TextAnalysis.bpeEncodeIds(arrival, "doc_id", "text", merges,
+        TextAnalysis.bpeVocabulary(docs, "text", merges))
+      .select("token_ids", "n_oov").as[(Seq[Long], Long)].head()
+    // "lox" → lo,x ; "zz" → z,z — x and z are OOV
+    assert(a._1 === Seq(8L, -1L, -1L, -1L))
+    assert(a._2 === 3L)
+  }
+
   test("BPE merge table round-trips through parquet; rehydrated " +
       "tokenization bit-equal") {
     val docs = Seq(
