@@ -238,23 +238,8 @@ object Dedup {
     require(minJaccard > 0 && minJaccard <= 1,
       "minJaccard must be in (0, 1] — prefix filtering needs a " +
         "positive threshold")
-    val sh = hashedShingleRows(df, idCol, textCol, ShingleN, "sh")
-      .withColumnRenamed(idCol, "doc")
-    val dfreq0 = sh.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
-    val dfreq =
-      if (maxDocFreq <= 0) dfreq0
-      else dfreq0.filter(col("__df") <= maxDocFreq)
-    val docs = sh.join(dfreq, "sh")
-      .groupBy(col("doc"))
-      .agg(sort_array(collect_list(struct(col("__df"), col("sh"))))
-        .as("__toks"), count(lit(1)).as("__n"))
-    val pLen = greatest(
-      (col("__n") - ceil(col("__n") * minJaccard) + 1).cast("int"),
-      lit(1))
-    val prefixes = docs
-      .select(col("doc"),
-        explode(slice(col("__toks"), lit(1), pLen)).as("p"))
-      .select(col("doc"), col("p.sh").as("sh"))
+    val (docs, prefixes) =
+      prefixPostings(df, idCol, textCol, minJaccard, maxDocFreq)
     val cands = expandPairs(
       prefixes.groupBy(col("sh"))
         .agg(sort_array(collect_set(col("doc"))).as("ids"))
@@ -274,6 +259,38 @@ object Dedup {
         round(col("i") / (col("na") + col("nb") - col("i")), 4))
       .filter(col("i") / (col("na") + col("nb") - col("i")) >= minJaccard)
       .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** The (per-doc sorted shingle table, prefix posting rows) behind
+    * [[jaccardPairsPrefix]] — factored out so the spec can count the
+    * ACTUAL posting rows the join runs on. The prefix length is
+    * n − ⌈t·n⌉ + 1 with the ceil taken on t·n NUDGED DOWN by an
+    * epsilon: IEEE can evaluate t·n a hair ABOVE the true real
+    * product (0.07·100 = 7.000…001), and rounding that up would
+    * SHORTEN the prefix below the sound length — the one direction
+    * prefix filtering cannot tolerate. The nudge can only lengthen a
+    * prefix (extra candidates, verified away), never drop one. */
+  private[graft] def prefixPostings(df: DataFrame, idCol: String,
+      textCol: String, minJaccard: Double, maxDocFreq: Long)
+      : (DataFrame, DataFrame) = {
+    val sh = hashedShingleRows(df, idCol, textCol, ShingleN, "sh")
+      .withColumnRenamed(idCol, "doc")
+    val dfreq0 = sh.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+    val dfreq =
+      if (maxDocFreq <= 0) dfreq0
+      else dfreq0.filter(col("__df") <= maxDocFreq)
+    val docs = sh.join(dfreq, "sh")
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("sh"))))
+        .as("__toks"), count(lit(1)).as("__n"))
+    val pLen = greatest(
+      (col("__n") - ceil(col("__n") * minJaccard - 1e-9) + 1).cast("int"),
+      lit(1))
+    val prefixes = docs
+      .select(col("doc"),
+        explode(slice(col("__toks"), lit(1), pLen)).as("p"))
+      .select(col("doc"), col("p.sh").as("sh"))
+    (docs, prefixes)
   }
 
   /** Exact n-gram Jaccard similarity for all pairs sharing at least one

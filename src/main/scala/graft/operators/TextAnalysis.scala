@@ -356,11 +356,16 @@ object TextAnalysis {
       merges: Seq[BpeMerge]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // sort by CODE POINT, not Scala's default UTF-16 code-unit string
+    // order: surrogate pairs would sort before [U+E000, U+FFFF] chars
+    // under code units while the SQL oracle's binary UTF-8 collation
+    // sorts them after — code-point order equals UTF-8 byte order, so
+    // both engines derive identical ids on any alphabet
     val chars = df.select(explode(array_distinct(
         regexp_extract_all(TextFns.normalize(col(textCol)),
           lit("(?s)."), lit(0)))).as("sym"))
       .filter(col("sym") =!= " ").distinct()
-      .as[String].collect().sorted
+      .as[String].collect().sortBy(s => s.codePointAt(0))
     val rows = (chars.zipWithIndex.map { case (c, i) => (c, i.toLong) } ++
       merges.sortBy(_.rank).zipWithIndex.map { case (m, j) =>
         (m.merged, (chars.length + j).toLong) })

@@ -131,17 +131,17 @@ class DedupSpec extends SparkSpec {
       assert(pref === full, s"flavor drift at t=$t")
       assert(full.nonEmpty || t > 0.5, s"vacuous corpus at t=$t")
     }
-    // the efficiency claim is real: at t=0.8 the prefix posting rows
-    // are a strict subset of the full inverted index's
-    val allPostings = corpus
-      .select(explode(graft.functions.TextFns.shingles(col("text"), 3)))
-      .count()
-    // n - ceil(0.8 n) + 1 ≈ 0.2 n + 1 per doc
-    val docLens = corpus.as[(Long, String)].collect()
-      .map(_._2.split("\\s+").length - 2)
-    val prefixBound = docLens.map(n => n - math.ceil(0.8 * n) + 1).sum
-    assert(prefixBound < allPostings,
-      "prefix postings not smaller than the full index")
+    // the efficiency claim measured on the IMPLEMENTATION's own
+    // frames: the actual prefix posting rows the join runs on vs the
+    // full inverted index's distinct posting rows
+    val (docs8, prefixes8) =
+      Dedup.prefixPostings(corpus, "doc_id", "text", 0.8, 0L)
+    val fullPostings = docs8
+      .select(explode(col("__toks"))).count()
+    val prefixRows = prefixes8.count()
+    assert(prefixRows < fullPostings,
+      s"prefix postings ($prefixRows) not smaller than the full " +
+        s"index ($fullPostings)")
   }
 
   test("jaccardPairs maxDocFreq drops ultra-common shingles") {
