@@ -831,6 +831,22 @@ object SparkEntry {
     "text_pack" -> ((s, d) =>
       Packing.packSequences(t(s, d, "documents"), "doc_id", "text",
         budget = PackBudget, numGroups = PackGroups)),
+    "text_pack_ids" -> ((s, d) => {
+      // the dataloader handoff: pack walk + BPE encode composed —
+      // each pack's member id sequences flattened in pack order; the
+      // oracle re-derives the merges, the vocabulary, the ids AND the
+      // recursive pack walk, then re-concatenates per pack
+      val docs = t(s, d, "documents")
+      val merges = TextAnalysis.fitBpeMerges(docs, "text", BpeMergeCount)
+      Packing.materializePackedIds(
+        Packing.packSequences(docs, "doc_id", "text",
+          budget = PackBudget, numGroups = PackGroups),
+        TextAnalysis.bpeEncodeIds(docs, "doc_id", "text", merges,
+          TextAnalysis.bpeVocabulary(docs, "text", merges)),
+        "doc_id")
+        .select(col("pack_id"), col("n_docs"), col("n_ids"),
+          col("ids_sig"))
+    }),
     "text_pack_chunks" -> ((s, d) =>
       // RAG splitter → batch assembler: pack the overlapping word
       // chunks, a doc's chunks adjacent in pack order
@@ -1692,6 +1708,46 @@ object SparkEntry {
       "md5(string_agg(CAST(id AS VARCHAR), ' ' ORDER BY i)) AS ids_sig FROM j GROUP BY doc_id"
   }
 
+  /** text_pack_ids: the [[bpeIdsSql]] id derivation composed with the
+    * [[packSql]] recursive walk — per pack, the members' space-joined
+    * id strings re-concatenate in rn order (single-space separators
+    * throughout, so the concat equals the engine's flattened join). */
+  private def packIdsSql(n: Int, budget: Long, groups: Int): String = {
+    val seq = (1 to n).foldLeft(
+      s"'  ' || regexp_replace($normSql, '(.)', '\\1  ', 'g')") { (acc, i) =>
+      s"replace($acc, ' ' || (SELECT a FROM m$i) || '  ' || (SELECT b FROM m$i) || ' ', " +
+        s"' ' || (SELECT a FROM m$i) || (SELECT b FROM m$i) || ' ')"
+    }
+    val mergedRows = (1 to n)
+      .map(i => s"SELECT a || b AS sym, $i AS rnk FROM m$i")
+      .mkString(" UNION ALL ")
+    s"WITH RECURSIVE ${bpeCtes(n)}, tk AS (SELECT doc_id, " +
+      s"string_split_regex(trim($seq, ' '), ' {2,}') AS toks FROM documents), " +
+      s"alpha AS (SELECT DISTINCT c AS sym FROM (SELECT unnest(regexp_extract_all($normSql, '.')) AS c FROM documents) t WHERE c <> ' '), " +
+      "vb AS (SELECT sym, row_number() OVER (ORDER BY sym) - 1 AS id FROM alpha), " +
+      s"vm AS (SELECT sym, (SELECT count(*) FROM vb) + rnk - 1 AS id FROM ($mergedRows) mr), " +
+      "voc AS (SELECT sym, CAST(min(id) AS BIGINT) AS id FROM (SELECT * FROM vb UNION ALL SELECT * FROM vm) u GROUP BY sym), " +
+      "tk2 AS (SELECT doc_id, t.tok, t.i FROM tk, LATERAL (SELECT unnest(toks) AS tok, unnest(range(1, len(toks) + 1)) AS i) t), " +
+      "jj AS (SELECT tk2.doc_id, tk2.i, coalesce(v.id, -1) AS id FROM tk2 LEFT JOIN voc v ON tk2.tok = v.sym), " +
+      "ids AS (SELECT doc_id, string_agg(CAST(id AS VARCHAR), ' ' ORDER BY i) AS idstr, CAST(count(*) AS BIGINT) AS nid FROM jj GROUP BY doc_id), " +
+      "base AS (SELECT doc_id, " +
+      "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|pack'), 1, 7) AS BIGINT) AS h, " +
+      s"CAST(least($tokensSql, $budget) AS BIGINT) AS t FROM documents), " +
+      s"o AS (SELECT doc_id, h % $groups AS g, h, t, " +
+      s"row_number() OVER (PARTITION BY h % $groups ORDER BY h, doc_id) AS rn FROM base), " +
+      "packed AS (" +
+      "SELECT g, rn, doc_id, t, t AS fill, CAST(0 AS BIGINT) AS pack FROM o WHERE rn = 1 " +
+      "UNION ALL " +
+      "SELECT o.g, o.rn, o.doc_id, o.t, " +
+      s"CASE WHEN p.fill + o.t > $budget THEN o.t ELSE p.fill + o.t END AS fill, " +
+      s"CASE WHEN p.fill + o.t > $budget THEN p.pack + 1 ELSE p.pack END AS pack " +
+      "FROM o JOIN packed p ON o.g = p.g AND o.rn = p.rn + 1) " +
+      "SELECT CAST(g AS VARCHAR) || '-' || CAST(pack AS VARCHAR) AS pack_id, " +
+      "count(*) AS n_docs, CAST(sum(ids.nid) AS BIGINT) AS n_ids, " +
+      "md5(string_agg(ids.idstr, ' ' ORDER BY rn)) AS ids_sig " +
+      "FROM packed JOIN ids USING (doc_id) GROUP BY g, pack"
+  }
+
   /** Mirrors Dedup.simhashPortable: 60-bit md5 token hashes, majority
     * vote per bit position, bits recombined as exact powers of two. */
   private val simhashSql: String = {
@@ -2140,6 +2196,7 @@ object SparkEntry {
     // gates it — fit drift, apply drift, and flavor drift all fail
     "text_bpe_tokenize_fast" -> bpeTokenizeSql(BpeMergeCount),
     "text_bpe_ids" -> bpeIdsSql(BpeMergeCount),
+    "text_pack_ids" -> packIdsSql(BpeMergeCount, PackBudget, PackGroups),
     "text_oov" ->
       (s"WITH tok AS (SELECT doc_id, unnest(regexp_extract_all($normSql, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS tok FROM documents), " +
         "f AS (SELECT tok AS token, count(*) AS n FROM tok GROUP BY 1), " +

@@ -354,6 +354,38 @@ object Packing {
       .select((inCols :+ epochName).map(col): _*)
   }
 
+  /** Materialize packs as the id sequences a dataloader actually
+    * reads: join a [[packSequences]] pack table to a per-doc encoded
+    * table (TextAnalysis.bpeEncodeIds output, or any (id, token_ids)
+    * frame) and flatten each pack's member arrays IN PACK ORDER.
+    * Per-pack state is one collect_list bounded by the pack budget —
+    * never corpus-sized. ids_sig is md5 of the space-joined flattened
+    * ids (cross-engine replayable: equals concatenating the members'
+    * per-doc id strings with single spaces in pack order). NOTE the
+    * unit honesty: packSequences budgets in the corpus-wide
+    * whitespace-ish token unit while the encoded ids count BPE
+    * tokens, so n_ids ≠ total_tokens in general — and a single
+    * over-budget doc (the least() termination cap) ships its FULL id
+    * sequence. Output: (pack_id, n_docs, n_ids, input_ids,
+    * ids_sig). */
+  def materializePackedIds(packs: DataFrame, encoded: DataFrame,
+      idCol: String): DataFrame =
+    packs
+      .select(col("pack_id"),
+        posexplode(split(col("doc_ids"), ",")).as(Seq("__ord", "__doc")))
+      .join(encoded.select(col(idCol).cast("string").as("__doc"),
+        col("token_ids")), "__doc")
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        flatten(transform(
+          sort_array(collect_list(struct(col("__ord"), col("token_ids")))),
+          _.getField("token_ids"))).as("input_ids"))
+      .select(col("pack_id"), col("n_docs"),
+        size(col("input_ids")).cast("long").as("n_ids"),
+        col("input_ids"),
+        md5(array_join(transform(col("input_ids"), _.cast("string")), " "))
+          .as("ids_sig"))
+
   /** Temperature (share^α) mixture weights — the multilingual-recipe
     * renormalization (XLM-R convention, α ≈ 0.3–0.7 flattens toward
     * uniform, α = 1 keeps the natural mixture): from the corpus's own

@@ -312,6 +312,31 @@ class PackingSpec extends SparkSpec {
     assert(rows(out) === rows(manual.collect()))
   }
 
+  test("materializePackedIds flattens member id arrays in pack order") {
+    val packs = Seq(
+      ("0-0", 2L, "7,3"),
+      ("0-1", 1L, "9")).toDF("pack_id", "n_docs", "doc_ids")
+    val encoded = Seq(
+      (3L, Seq(30L, 31L)),
+      (7L, Seq(70L)),
+      (9L, Seq(90L, 91L, 92L))).toDF("doc_id", "token_ids")
+    val out = Packing.materializePackedIds(packs, encoded, "doc_id")
+      .select("pack_id", "n_docs", "n_ids", "input_ids")
+      .as[(String, Long, Long, Seq[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // pack order "7,3" — NOT id order: doc 7's ids come first
+    assert(out("0-0") === ((2L, 3L, Seq(70L, 30L, 31L))))
+    assert(out("0-1") === ((1L, 3L, Seq(90L, 91L, 92L))))
+    // sig = md5 of the space-joined flattened ids (the cross-engine
+    // contract: equals concatenating per-doc id strings in pack order)
+    val sig = Packing.materializePackedIds(packs, encoded, "doc_id")
+      .filter(col("pack_id") === "0-0")
+      .select("ids_sig").as[String].head()
+    val want = java.security.MessageDigest.getInstance("MD5")
+      .digest("70 30 31".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(sig === want)
+  }
+
   test("temperatureWeights: hand-computed share^alpha algebra; " +
       "sampled token mass follows q") {
     // sources a/b/c with 64/16/4 tokens (docs of 4 words each)
