@@ -844,8 +844,8 @@ object SparkEntry {
         TextAnalysis.bpeEncodeIds(docs, "doc_id", "text", merges,
           TextAnalysis.bpeVocabulary(docs, "text", merges)),
         "doc_id")
-        .select(col("pack_id"), col("n_docs"), col("n_ids"),
-          col("ids_sig"))
+        .select(col("pack_id"), col("n_docs"), col("n_missing"),
+          col("n_ids"), col("ids_sig"))
     }),
     "text_pack_chunks" -> ((s, d) =>
       // RAG splitter → batch assembler: pack the overlapping word
@@ -1681,12 +1681,12 @@ object SparkEntry {
       "md5(array_to_string(toks, ' ')) AS tokens_sig FROM tk"
   }
 
-  /** The full tokenizer-loop replay for text_bpe_ids: the bpeCtes fit,
-    * the tokenize chain, the VOCABULARY (sorted corpus alphabet then
-    * merges by rank — ids re-derived, never trusted) and the ordered
-    * id sequence per doc. Fit-on-self ⇒ the LEFT join resolves every
-    * token; n_oov is the witnessed zero. */
-  private def bpeIdsSql(n: Int): String = {
+  /** The tokenize + vocabulary + per-position-id CTE chain shared by
+    * [[bpeIdsSql]] and [[packIdsSql]] (one definition — the walk-
+    * mirroring discipline): appends to [[bpeCtes]] and ends with
+    * `jj(doc_id, i, id)`. The vocabulary is re-derived (sorted corpus
+    * alphabet then merges by rank), never trusted. */
+  private def bpeIdCtes(n: Int): String = {
     val seq = (1 to n).foldLeft(
       s"'  ' || regexp_replace($normSql, '(.)', '\\1  ', 'g')") { (acc, i) =>
       s"replace($acc, ' ' || (SELECT a FROM m$i) || '  ' || (SELECT b FROM m$i) || ' ', " +
@@ -1695,42 +1695,22 @@ object SparkEntry {
     val mergedRows = (1 to n)
       .map(i => s"SELECT a || b AS sym, $i AS rnk FROM m$i")
       .mkString(" UNION ALL ")
-    s"WITH ${bpeCtes(n)}, tk AS (SELECT doc_id, " +
+    s"${bpeCtes(n)}, tk AS (SELECT doc_id, " +
       s"string_split_regex(trim($seq, ' '), ' {2,}') AS toks FROM documents), " +
       s"alpha AS (SELECT DISTINCT c AS sym FROM (SELECT unnest(regexp_extract_all($normSql, '.')) AS c FROM documents) t WHERE c <> ' '), " +
       "vb AS (SELECT sym, row_number() OVER (ORDER BY sym) - 1 AS id FROM alpha), " +
       s"vm AS (SELECT sym, (SELECT count(*) FROM vb) + rnk - 1 AS id FROM ($mergedRows) mr), " +
       "voc AS (SELECT sym, CAST(min(id) AS BIGINT) AS id FROM (SELECT * FROM vb UNION ALL SELECT * FROM vm) u GROUP BY sym), " +
       "tk2 AS (SELECT doc_id, t.tok, t.i FROM tk, LATERAL (SELECT unnest(toks) AS tok, unnest(range(1, len(toks) + 1)) AS i) t), " +
-      "j AS (SELECT tk2.doc_id, tk2.i, coalesce(v.id, -1) AS id FROM tk2 LEFT JOIN voc v ON tk2.tok = v.sym) " +
-      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
-      "CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, " +
-      "md5(string_agg(CAST(id AS VARCHAR), ' ' ORDER BY i)) AS ids_sig FROM j GROUP BY doc_id"
+      "jj AS (SELECT tk2.doc_id, tk2.i, coalesce(v.id, -1) AS id FROM tk2 LEFT JOIN voc v ON tk2.tok = v.sym)"
   }
 
-  /** text_pack_ids: the [[bpeIdsSql]] id derivation composed with the
-    * [[packSql]] recursive walk — per pack, the members' space-joined
-    * id strings re-concatenate in rn order (single-space separators
-    * throughout, so the concat equals the engine's flattened join). */
-  private def packIdsSql(n: Int, budget: Long, groups: Int): String = {
-    val seq = (1 to n).foldLeft(
-      s"'  ' || regexp_replace($normSql, '(.)', '\\1  ', 'g')") { (acc, i) =>
-      s"replace($acc, ' ' || (SELECT a FROM m$i) || '  ' || (SELECT b FROM m$i) || ' ', " +
-        s"' ' || (SELECT a FROM m$i) || (SELECT b FROM m$i) || ' ')"
-    }
-    val mergedRows = (1 to n)
-      .map(i => s"SELECT a || b AS sym, $i AS rnk FROM m$i")
-      .mkString(" UNION ALL ")
-    s"WITH RECURSIVE ${bpeCtes(n)}, tk AS (SELECT doc_id, " +
-      s"string_split_regex(trim($seq, ' '), ' {2,}') AS toks FROM documents), " +
-      s"alpha AS (SELECT DISTINCT c AS sym FROM (SELECT unnest(regexp_extract_all($normSql, '.')) AS c FROM documents) t WHERE c <> ' '), " +
-      "vb AS (SELECT sym, row_number() OVER (ORDER BY sym) - 1 AS id FROM alpha), " +
-      s"vm AS (SELECT sym, (SELECT count(*) FROM vb) + rnk - 1 AS id FROM ($mergedRows) mr), " +
-      "voc AS (SELECT sym, CAST(min(id) AS BIGINT) AS id FROM (SELECT * FROM vb UNION ALL SELECT * FROM vm) u GROUP BY sym), " +
-      "tk2 AS (SELECT doc_id, t.tok, t.i FROM tk, LATERAL (SELECT unnest(toks) AS tok, unnest(range(1, len(toks) + 1)) AS i) t), " +
-      "jj AS (SELECT tk2.doc_id, tk2.i, coalesce(v.id, -1) AS id FROM tk2 LEFT JOIN voc v ON tk2.tok = v.sym), " +
-      "ids AS (SELECT doc_id, string_agg(CAST(id AS VARCHAR), ' ' ORDER BY i) AS idstr, CAST(count(*) AS BIGINT) AS nid FROM jj GROUP BY doc_id), " +
-      "base AS (SELECT doc_id, " +
+  /** The next-fit pack walk CTEs shared by [[packSql]] and
+    * [[packIdsSql]] (one copy of the recursive walk — Packing.packWalk
+    * mirror discipline): base/o/packed, ending with
+    * `packed(g, rn, doc_id, t, fill, pack)`. */
+  private def packWalkCtes(budget: Long, groups: Int): String =
+    "base AS (SELECT doc_id, " +
       "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|pack'), 1, 7) AS BIGINT) AS h, " +
       s"CAST(least($tokensSql, $budget) AS BIGINT) AS t FROM documents), " +
       s"o AS (SELECT doc_id, h % $groups AS g, h, t, " +
@@ -1741,12 +1721,34 @@ object SparkEntry {
       "SELECT o.g, o.rn, o.doc_id, o.t, " +
       s"CASE WHEN p.fill + o.t > $budget THEN o.t ELSE p.fill + o.t END AS fill, " +
       s"CASE WHEN p.fill + o.t > $budget THEN p.pack + 1 ELSE p.pack END AS pack " +
-      "FROM o JOIN packed p ON o.g = p.g AND o.rn = p.rn + 1) " +
+      "FROM o JOIN packed p ON o.g = p.g AND o.rn = p.rn + 1)"
+
+  /** The full tokenizer-loop replay for text_bpe_ids over
+    * [[bpeIdCtes]]. Fit-on-self ⇒ every token resolves; n_oov is the
+    * witnessed zero. */
+  private def bpeIdsSql(n: Int): String =
+    s"WITH ${bpeIdCtes(n)} " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+      "CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, " +
+      "md5(string_agg(CAST(id AS VARCHAR), ' ' ORDER BY i)) AS ids_sig FROM jj GROUP BY doc_id"
+
+  /** text_pack_ids: [[bpeIdCtes]] composed with [[packWalkCtes]] —
+    * per pack, the members' space-joined id strings re-concatenate in
+    * rn order (single-space separators throughout, so the concat
+    * equals the engine's flattened join). The ids join is LEFT with a
+    * per-pack missing-member count, mirroring the engine's n_missing
+    * witness (≡ 0 here — the composed query always encodes the same
+    * corpus it packs). */
+  private def packIdsSql(n: Int, budget: Long, groups: Int): String =
+    s"WITH RECURSIVE ${bpeIdCtes(n)}, " +
+      "ids AS (SELECT doc_id, string_agg(CAST(id AS VARCHAR), ' ' ORDER BY i) AS idstr, CAST(count(*) AS BIGINT) AS nid FROM jj GROUP BY doc_id), " +
+      packWalkCtes(budget, groups) + " " +
       "SELECT CAST(g AS VARCHAR) || '-' || CAST(pack AS VARCHAR) AS pack_id, " +
-      "count(*) AS n_docs, CAST(sum(ids.nid) AS BIGINT) AS n_ids, " +
-      "md5(string_agg(ids.idstr, ' ' ORDER BY rn)) AS ids_sig " +
-      "FROM packed JOIN ids USING (doc_id) GROUP BY g, pack"
-  }
+      "count(*) AS n_docs, " +
+      "CAST(sum(CASE WHEN ids.idstr IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing, " +
+      "CAST(coalesce(sum(ids.nid), 0) AS BIGINT) AS n_ids, " +
+      "md5(coalesce(string_agg(ids.idstr, ' ' ORDER BY rn), '')) AS ids_sig " +
+      "FROM packed LEFT JOIN ids USING (doc_id) GROUP BY g, pack"
 
   /** Mirrors Dedup.simhashPortable: 60-bit md5 token hashes, majority
     * vote per bit position, bits recombined as exact powers of two. */
@@ -1801,18 +1803,7 @@ object SparkEntry {
     * CTE per group (recursion depth = max group size — fine at oracle
     * SF; the Spark side walks each group in a streaming task). */
   private def packSql(budget: Long, groups: Int): String =
-    "WITH RECURSIVE base AS (SELECT doc_id, " +
-      "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|pack'), 1, 7) AS BIGINT) AS h, " +
-      s"CAST(least($tokensSql, $budget) AS BIGINT) AS t FROM documents), " +
-      s"o AS (SELECT doc_id, h % $groups AS g, h, t, " +
-      s"row_number() OVER (PARTITION BY h % $groups ORDER BY h, doc_id) AS rn FROM base), " +
-      "packed AS (" +
-      "SELECT g, rn, doc_id, t, t AS fill, CAST(0 AS BIGINT) AS pack FROM o WHERE rn = 1 " +
-      "UNION ALL " +
-      "SELECT o.g, o.rn, o.doc_id, o.t, " +
-      s"CASE WHEN p.fill + o.t > $budget THEN o.t ELSE p.fill + o.t END AS fill, " +
-      s"CASE WHEN p.fill + o.t > $budget THEN p.pack + 1 ELSE p.pack END AS pack " +
-      "FROM o JOIN packed p ON o.g = p.g AND o.rn = p.rn + 1) " +
+    "WITH RECURSIVE " + packWalkCtes(budget, groups) + " " +
       "SELECT CAST(g AS VARCHAR) || '-' || CAST(pack AS VARCHAR) AS pack_id, " +
       "count(*) AS n_docs, CAST(sum(t) AS BIGINT) AS total_tokens, " +
       s"CAST(sum(t) AS DOUBLE) / $budget AS fill_ratio, " +

@@ -366,21 +366,33 @@ object Packing {
     * whitespace-ish token unit while the encoded ids count BPE
     * tokens, so n_ids ≠ total_tokens in general — and a single
     * over-budget doc (the least() termination cap) ships its FULL id
-    * sequence. Output: (pack_id, n_docs, n_ids, input_ids,
-    * ids_sig). */
+    * sequence.
+    *
+    * Contract honesty: the join to `encoded` is LEFT — a pack member
+    * absent from the encoded frame (or encoded as a null id array,
+    * e.g. a null-text doc) contributes NO ids but is WITNESSED in the
+    * in-plan `n_missing` column instead of silently shrinking the
+    * pack or nulling it wholesale; n_docs always counts the pack
+    * MANIFEST. `encoded` must hold at most one row per id (the
+    * bpeEncodeIds shape) — a duplicated id would repeat its ids in
+    * the flatten. Output: (pack_id, n_docs, n_missing, n_ids,
+    * input_ids, ids_sig). */
   def materializePackedIds(packs: DataFrame, encoded: DataFrame,
       idCol: String): DataFrame =
     packs
       .select(col("pack_id"),
         posexplode(split(col("doc_ids"), ",")).as(Seq("__ord", "__doc")))
       .join(encoded.select(col(idCol).cast("string").as("__doc"),
-        col("token_ids")), "__doc")
+        col("token_ids")), Seq("__doc"), "left")
       .groupBy(col("pack_id"))
       .agg(count(lit(1)).as("n_docs"),
+        count_if(col("token_ids").isNull).as("n_missing"),
         flatten(transform(
-          sort_array(collect_list(struct(col("__ord"), col("token_ids")))),
+          filter(
+            sort_array(collect_list(struct(col("__ord"), col("token_ids")))),
+            m => m.getField("token_ids").isNotNull),
           _.getField("token_ids"))).as("input_ids"))
-      .select(col("pack_id"), col("n_docs"),
+      .select(col("pack_id"), col("n_docs"), col("n_missing"),
         size(col("input_ids")).cast("long").as("n_ids"),
         col("input_ids"),
         md5(array_join(transform(col("input_ids"), _.cast("string")), " "))

@@ -321,12 +321,12 @@ class PackingSpec extends SparkSpec {
       (7L, Seq(70L)),
       (9L, Seq(90L, 91L, 92L))).toDF("doc_id", "token_ids")
     val out = Packing.materializePackedIds(packs, encoded, "doc_id")
-      .select("pack_id", "n_docs", "n_ids", "input_ids")
-      .as[(String, Long, Long, Seq[Long])].collect()
-      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      .select("pack_id", "n_docs", "n_missing", "n_ids", "input_ids")
+      .as[(String, Long, Long, Long, Seq[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
     // pack order "7,3" — NOT id order: doc 7's ids come first
-    assert(out("0-0") === ((2L, 3L, Seq(70L, 30L, 31L))))
-    assert(out("0-1") === ((1L, 3L, Seq(90L, 91L, 92L))))
+    assert(out("0-0") === ((2L, 0L, 3L, Seq(70L, 30L, 31L))))
+    assert(out("0-1") === ((1L, 0L, 3L, Seq(90L, 91L, 92L))))
     // sig = md5 of the space-joined flattened ids (the cross-engine
     // contract: equals concatenating per-doc id strings in pack order)
     val sig = Packing.materializePackedIds(packs, encoded, "doc_id")
@@ -335,6 +335,15 @@ class PackingSpec extends SparkSpec {
     val want = java.security.MessageDigest.getInstance("MD5")
       .digest("70 30 31".getBytes("UTF-8")).map(b => f"$b%02x").mkString
     assert(sig === want)
+    // a member missing from the encoded frame is WITNESSED, never a
+    // silent shrink or a pack-wide null: doc 3 absent → its ids drop
+    // out, n_docs still counts the manifest, n_missing flags it
+    val partial = Packing.materializePackedIds(packs,
+        encoded.filter(col("doc_id") =!= 3L), "doc_id")
+      .filter(col("pack_id") === "0-0")
+      .select("n_docs", "n_missing", "n_ids", "input_ids")
+      .as[(Long, Long, Long, Seq[Long])].head()
+    assert(partial === ((2L, 1L, 1L, Seq(70L))))
   }
 
   test("temperatureWeights: hand-computed share^alpha algebra; " +
