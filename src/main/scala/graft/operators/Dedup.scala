@@ -955,7 +955,14 @@ object Dedup {
     * broadcasts. A fully-contaminated doc stays in the output with
     * n_kept = 0 (scrubbing is not a row filter; compose with
     * [[contamination]] to drop). Output: (id, n_tokens, n_kept,
-    * text_clean). */
+    * text_clean).
+    *
+    * STREAMING form is a composition of existing pieces, not a new
+    * operator: index the EVAL set once with
+    * TextAnalysis.windowHashIndex and probe arrivals with
+    * StreamOps.incrementalWindowDupFlags — the flagged spans plus the
+    * shared tokensOutsideSpans reassembly equal this operator per
+    * arrival set (spec-pinned in StreamingSpec). */
   def decontaminateSpans(docs: DataFrame, evalDocs: DataFrame,
       idCol: String, textCol: String, k: Int,
       delim: String = " "): DataFrame = {

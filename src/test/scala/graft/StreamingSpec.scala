@@ -874,6 +874,47 @@ class StreamingSpec extends SparkSpec {
     assert(rebuilt === batch)
   }
 
+  test("streaming decontamination = eval window index + probe + " +
+      "shared span removal == batch decontaminateSpans") {
+    implicit val ctx = spark.sqlContext
+    val eval = Seq(
+      (1L, "what is the capital of france"),
+      (2L, "name the largest planet")).toDF("doc_id", "text")
+    // the eval set indexed ONCE — the same index shape the dedup
+    // probe uses, pointed at benchmarks instead of the corpus
+    val index = TextAnalysis.windowHashIndex(eval, "doc_id", "text", 4)
+    val arrivals = Seq(
+      TestDoc(10, ts("2024-01-01 00:00:00"),
+        "quiz intro what is the capital of france answer paris"),
+      TestDoc(20, ts("2024-01-01 00:01:00"),
+        "france exports wine and the capital markets rally"))
+    val in = MemoryStream[TestDoc]
+    val out = StreamOps.incrementalWindowDupFlags(in.toDF(), index,
+      "doc_id", "text", "ts", 4)
+    val name = fresh()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try { in.addData(arrivals: _*); q.processAllAvailable() }
+    finally q.stop()
+    val arrDf = arrivals.toDF().select(col("doc_id"), col("text"))
+    val spans = spark.table(name).groupBy(col("new_id"))
+      .agg(sort_array(collect_set(col("wpos"))).as("dws"))
+    val streamed = arrDf
+      .join(spans, col("doc_id") === col("new_id"), "left")
+      .select(col("doc_id"), array_join(
+        TextAnalysis.tokensOutsideSpans(split(col("text"), " "),
+          coalesce(col("dws"), array().cast("array<int>")), 4), " ")
+        .as("t"))
+      .as[(Long, String)].collect().toMap
+    val batch = graft.operators.Dedup.decontaminateSpans(arrDf, eval,
+        "doc_id", "text", 4)
+      .select("doc_id", "text_clean")
+      .as[(Long, String)].collect().toMap
+    assert(streamed === batch)
+    // non-vacuous: the embedded eval question really scrubbed
+    assert(batch(10L) === "quiz intro answer paris")
+  }
+
   test("heavyHittersBatches (uncompacted): streamed result == batch " +
       "sketch over the union of arrivals") {
     implicit val ctx = spark.sqlContext
