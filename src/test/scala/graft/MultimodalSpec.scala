@@ -69,6 +69,27 @@ class MultimodalSpec extends SparkSpec {
     assert(out.size === 3)
   }
 
+  test("media dedup composes end-to-end: frame pairs -> connected " +
+      "clusters -> one canonical per duplicate group") {
+    import graft.operators.Dedup
+    // A≡B≡C share all frames (one cluster); D unique
+    val docs = Seq(
+      (1L, "aaaabbbbccccdddd"), (2L, "aaaabbbbccccdddd"),
+      (3L, "aaaabbbbccccdddd"), (4L, "qqqqrrrrssssuuuu"))
+      .toDF("doc_id", "text")
+    val pairs = Multimodal.frameNearDups(
+        Multimodal.asMediaTable(docs, "doc_id", "text"),
+        chunkBytes = 4, everyN = 1, minShared = 4L)
+      .select(col("a_id"), col("b_id"))
+    val clusters = Dedup.duplicateClusters(pairs)
+    val byMember = clusters.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    // the triplet forms ONE cluster rooted at its minimum id; the
+    // unique media never enters the pair graph
+    assert(byMember === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("decodeFeaturesStub: deterministic mean over payload bytes") {
     val f = Multimodal.decodeFeaturesStub(spark, media)
       .collect().map(r => r.media_id -> r).toMap
