@@ -806,6 +806,21 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("n_oov"),
           col("ids_sig"))
     }),
+    "text_chunk_stream" -> ((s, d) => {
+      // the OTHER canonical pretraining format: the whole corpus's id
+      // stream in deterministic hash order, sliced at 256 — docs split
+      // across boundaries, every chunk but the tail exactly full; the
+      // oracle re-derives ids, stream order, offsets and per-chunk
+      // reassembly
+      val docs = t(s, d, "documents")
+      val merges = TextAnalysis.fitBpeMerges(docs, "text", BpeMergeCount)
+      Packing.chunkTokenStream(
+        TextAnalysis.bpeEncodeIds(docs, "doc_id", "text", merges,
+          TextAnalysis.bpeVocabulary(docs, "text", merges)),
+        "doc_id", seqLen = 256)
+        .select(col("chunk_id"), col("n_ids"), col("complete"),
+          col("ids_sig"))
+    }),
     "text_bpe_tokenize_fast" -> ((s, d) => {
       // the SCALE flavor of text_bpe_tokenize: same fit, but the apply
       // is the broadcast rank-map mapPartitions merger — per-row cost
@@ -1732,6 +1747,24 @@ object SparkEntry {
       "CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, " +
       "md5(string_agg(CAST(id AS VARCHAR), ' ' ORDER BY i)) AS ids_sig FROM jj GROUP BY doc_id"
 
+  /** text_chunk_stream: [[bpeIdCtes]] composed with the stream-order
+    * exclusive prefix (the naive single window replays the bucketed
+    * plan — the rel_token_budget convention), absolute positions,
+    * and per-chunk ordered reassembly. */
+  private def chunkStreamSql(n: Int, seqLen: Int): String =
+    s"WITH ${bpeIdCtes(n)}, " +
+      "nid AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM jj GROUP BY doc_id), " +
+      "ordd AS (SELECT doc_id, nt, " +
+      "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|stream'), 1, 7) AS BIGINT) AS h FROM nid), " +
+      "pfx AS (SELECT doc_id, coalesce(sum(nt) OVER (ORDER BY h, doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p0 FROM ordd), " +
+      "pos AS (SELECT jj.id, pfx.p0 + jj.i - 1 AS pos FROM jj JOIN pfx USING (doc_id)) " +
+      s"SELECT CAST(pos // $seqLen AS BIGINT) AS chunk_id, " +
+      "CAST(count(*) AS BIGINT) AS n_ids, " +
+      s"count(*) = $seqLen AS complete, " +
+      "md5(string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos)) AS ids_sig " +
+      s"FROM pos GROUP BY pos // $seqLen"
+
   /** text_pack_ids: [[bpeIdCtes]] composed with [[packWalkCtes]] —
     * per pack, the members' space-joined id strings re-concatenate in
     * rn order (single-space separators throughout, so the concat
@@ -2188,6 +2221,7 @@ object SparkEntry {
     "text_bpe_tokenize_fast" -> bpeTokenizeSql(BpeMergeCount),
     "text_bpe_ids" -> bpeIdsSql(BpeMergeCount),
     "text_pack_ids" -> packIdsSql(BpeMergeCount, PackBudget, PackGroups),
+    "text_chunk_stream" -> chunkStreamSql(BpeMergeCount, seqLen = 256),
     "text_oov" ->
       (s"WITH tok AS (SELECT doc_id, unnest(regexp_extract_all($normSql, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS tok FROM documents), " +
         "f AS (SELECT tok AS token, count(*) AS n FROM tok GROUP BY 1), " +

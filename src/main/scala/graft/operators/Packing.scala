@@ -226,14 +226,24 @@ object Packing {
     */
   private def withTokenPrefix(df: DataFrame, keyCol: String,
       idCol: String, textCol: String, buckets: Int,
+      salt: String): (DataFrame, DataFrame) =
+    withCountPrefix(df.withColumn("__t", tokenCount(col(textCol))),
+      keyCol, idCol, buckets, salt)
+
+  /** The bucketed exclusive-prefix machinery over a PRECOMPUTED count
+    * column `__t` (shared by the text-derived [[withTokenPrefix]] and
+    * the id-count stream chunker): a hot key's running sum spreads
+    * over `buckets` reducers instead of one. */
+  private def withCountPrefix(dfWithT: DataFrame, keyCol: String,
+      idCol: String, buckets: Int,
       salt: String): (DataFrame, DataFrame) = {
+    val df = dfWithT
     require(buckets > 0 && (buckets & (buckets - 1)) == 0 &&
       buckets <= (1 << 28), "buckets must be a power of two <= 2^28")
     val shift = 28 - Integer.numberOfTrailingZeros(buckets)
     val withH = df
       .withColumn("__h", TextFns.shingleHash(
         concat(col(idCol).cast("string"), lit(salt))))
-      .withColumn("__t", tokenCount(col(textCol)))
       .withColumn("__b", shiftright(col("__h"), shift))
     // bucket token totals, then the exclusive bucket prefix — tiny
     // (keys × buckets rows), so the window and the join-back are cheap
@@ -397,6 +407,54 @@ object Packing {
         col("input_ids"),
         md5(array_join(transform(col("input_ids"), _.cast("string")), " "))
           .as("ids_sig"))
+
+  /** GPT-style CONTIGUOUS token-stream chunking — the other canonical
+    * pretraining format next to [[packSequences]]' no-split next-fit:
+    * concatenate every document's token ids into ONE deterministic
+    * stream (md5-hash order with id tie-break — the training-order
+    * convention, reprocessing-stable) and slice it into fixed
+    * `seqLen` sequences; documents SPLIT across chunk boundaries, so
+    * every chunk except the last is exactly full (zero padding waste,
+    * the trade packSequences refuses by keeping docs whole).
+    *
+    * Plan: the per-doc exclusive stream offset comes from the shared
+    * bucketed-prefix machinery (single logical key spread over
+    * `buckets` reducers — never a one-reducer running sum), absolute
+    * positions are per-row arithmetic (pos = offset + index), and ONE
+    * shuffle groups tokens by chunk — the inherent cost of
+    * re-chunking a stream (every token moves once; chunk key
+    * cardinality = total_tokens / seqLen, unbounded-cardinality-safe).
+    * Per-chunk state is bounded by seqLen. Null-id docs (null-text
+    * encodes) contribute nothing. Output: (chunk_id, n_ids, complete,
+    * input_ids, ids_sig) — `complete` marks the one possibly-partial
+    * tail chunk. */
+  def chunkTokenStream(encoded: DataFrame, idCol: String,
+      seqLen: Int, buckets: Int = 1024): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val rows = encoded
+      .select(col(idCol), col("token_ids"))
+      .filter(col("token_ids").isNotNull)
+      .withColumn("__t", size(col("token_ids")).cast("long"))
+    val (prefixed, _) =
+      withCountPrefix(rows.withColumn("__key", lit("stream")),
+        "__key", idCol, buckets, "|stream")
+    val toks = prefixed
+      .select(col("__pfx"), posexplode(col("token_ids")).as(Seq("__i", "__id")))
+      .select((col("__pfx") + col("__i")).as("__pos"), col("__id"))
+      .withColumn("__chunk", (col("__pos") / seqLen).cast("long"))
+      .withColumn("__off", pmod(col("__pos"), lit(seqLen.toLong)))
+    toks.groupBy(col("__chunk").as("chunk_id"))
+      .agg(
+        transform(
+          sort_array(collect_list(struct(col("__off"), col("__id")))),
+          _.getField("__id")).as("input_ids"))
+      .select(col("chunk_id"),
+        size(col("input_ids")).cast("long").as("n_ids"),
+        (size(col("input_ids")) === seqLen).as("complete"),
+        col("input_ids"),
+        md5(array_join(transform(col("input_ids"), _.cast("string")), " "))
+          .as("ids_sig"))
+  }
 
   /** Temperature (share^α) mixture weights — the multilingual-recipe
     * renormalization (XLM-R convention, α ≈ 0.3–0.7 flattens toward

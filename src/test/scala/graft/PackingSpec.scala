@@ -312,6 +312,44 @@ class PackingSpec extends SparkSpec {
     assert(rows(out) === rows(manual.collect()))
   }
 
+  test("chunkTokenStream: contiguous slicing splits docs across " +
+      "boundaries; exactly one partial tail") {
+    // 3 docs, 10 ids total, seqLen 4 → chunks of 4/4/2
+    val encoded = Seq(
+      (1L, Seq(10L, 11L, 12L)),
+      (2L, Seq(20L, 21L, 22L, 23L)),
+      (3L, Seq(30L, 31L, 32L))).toDF("doc_id", "token_ids")
+    val out = Packing.chunkTokenStream(encoded, "doc_id", seqLen = 4)
+      .select("chunk_id", "n_ids", "complete", "input_ids")
+      .as[(Long, Long, Boolean, Seq[Long])].collect().sortBy(_._1)
+    assert(out.map(_._2).sum === 10L)
+    assert(out.map(_._1).toSeq === Seq(0L, 1L, 2L))
+    // every chunk but the tail is exactly full
+    assert(out.init.forall(c => c._2 === 4L && c._3))
+    assert(out.last._2 === 2L && !out.last._3)
+    // the concatenation of chunks IS the stream: rebuild it and check
+    // it's the docs' id lists concatenated in the deterministic hash
+    // order (each doc's ids stay contiguous and in order)
+    val stream = out.flatMap(_._4).toSeq
+    val perDoc = Map(1L -> Seq(10L, 11L, 12L),
+      2L -> Seq(20L, 21L, 22L, 23L), 3L -> Seq(30L, 31L, 32L))
+    val orders = Seq(1L, 2L, 3L).permutations
+      .map(p => p.flatMap(perDoc)).toSet
+    assert(orders.contains(stream), s"stream $stream is not a " +
+      "contiguous concatenation of the docs")
+    // determinism: re-running yields the identical stream
+    val again = Packing.chunkTokenStream(encoded, "doc_id", seqLen = 4)
+      .select("chunk_id", "input_ids").as[(Long, Seq[Long])]
+      .collect().sortBy(_._1).flatMap(_._2).toSeq
+    assert(again === stream)
+    // null-encoded docs contribute nothing (the witness lives in
+    // bpeEncodeIds; the chunker just skips them)
+    val withNull = encoded.unionByName(
+      Seq((4L, null.asInstanceOf[Seq[Long]])).toDF("doc_id", "token_ids"))
+    assert(Packing.chunkTokenStream(withNull, "doc_id", 4)
+      .agg(sum(col("n_ids"))).as[Long].head() === 10L)
+  }
+
   test("materializePackedIds flattens member id arrays in pack order") {
     val packs = Seq(
       ("0-0", 2L, "7,3"),
