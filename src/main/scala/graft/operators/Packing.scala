@@ -235,8 +235,8 @@ object Packing {
     * the id-count stream chunker): a hot key's running sum spreads
     * over `buckets` reducers instead of one. */
   private def withCountPrefix(dfWithT: DataFrame, keyCol: String,
-      idCol: String, buckets: Int,
-      salt: String): (DataFrame, DataFrame) = {
+      idCol: String, buckets: Int, salt: String,
+      boundedKeys: Option[Int] = None): (DataFrame, DataFrame) = {
     val df = dfWithT
     require(buckets > 0 && (buckets & (buckets - 1)) == 0 &&
       buckets <= (1 << 28), "buckets must be a power of two <= 2^28")
@@ -247,9 +247,21 @@ object Packing {
       .withColumn("__b", shiftright(col("__h"), shift))
     // bucket token totals, then the exclusive bucket prefix — tiny
     // (keys × buckets rows), so the window and the join-back are cheap
-    val bucketSums = withH
+    val bucketSums0 = withH
       .groupBy(col(keyCol).as("__k"), col("__b").as("__bb"))
       .agg(sum(col("__t")).as("__bt"))
+    // when the caller PROVES the key space is bounded (the stream
+    // chunker's single logical key), a no-op limit at keys × buckets
+    // rows makes that bound mechanically visible to the plan sweep:
+    // Catalyst folds a CONSTANT key out of the bucket window's
+    // partition spec, leaving a technically-unpartitioned window the
+    // sweep would otherwise (rightly) reject — the vocabulary
+    // post-limit convention, never an exemption by query name
+    val bucketSums = boundedKeys match {
+      case Some(k) => bucketSums0.orderBy(col("__k"), col("__bb"))
+        .limit(k * buckets)
+      case None => bucketSums0
+    }
     val wb = Window.partitionBy(col("__k")).orderBy(col("__bb"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val bucketPfx = bucketSums
@@ -437,7 +449,7 @@ object Packing {
       .withColumn("__t", size(col("token_ids")).cast("long"))
     val (prefixed, _) =
       withCountPrefix(rows.withColumn("__key", lit("stream")),
-        "__key", idCol, buckets, "|stream")
+        "__key", idCol, buckets, "|stream", boundedKeys = Some(1))
     val toks = prefixed
       .select(col("__pfx"), posexplode(col("token_ids")).as(Seq("__i", "__id")))
       .select((col("__pfx") + col("__i")).as("__pos"), col("__id"))
