@@ -1265,20 +1265,30 @@ object SparkEntry {
           col("window_offset").cast("long").as("window_offset"),
           col("window_sig"))),
     "media_resize" -> ((s, d) =>
-      // stub resize = clamp to maxBytes; metadata + content signature
-      // of the clamped payload are SQL-checkable on the ASCII corpus
-      Multimodal.resizeStub(s,
-          Multimodal.asMediaTable(t(s, d, "documents"), "doc_id", "text"), 300)
-        .toDF.select(col("media_id"), col("n_bytes"),
-          md5(col("payload")).as("payload_sig"))),
+      // REAL resize round trip: synthesize a P6 blob per doc (id-derived
+      // dims), decode it with the byte parser, nearest-neighbor resample
+      // to 5x4, re-encode, decode AGAIN, and report pixel features of
+      // the result. The oracle derives the expected values from the
+      // generator formula + the sampling arithmetic — any header-offset,
+      // dimension, or kernel bug breaks the hash match
+      Multimodal.decodeImageFeatures(s,
+          Multimodal.resizePpm(s,
+            Multimodal.synthesizePpm(s, t(s, d, "documents"), "doc_id")
+              .toDF, 5, 4).toDF)
+        .toDF.select(col("media_id"), col("width"), col("height"),
+          col("n_px"), col("px_sum"), col("mean_r"), col("mean_g"),
+          col("mean_b"), col("mean_luma"))),
     "media_features" -> ((s, d) =>
-      // RAW mean_byte: the per-row integer-sum / count division is
-      // IEEE-exact in both engines, while round(·, 4) diverges on
-      // 4th-decimal ties (sum/n lands on them whenever n | 2·10^4·sum)
-      Multimodal.decodeFeaturesStub(s,
-          Multimodal.asMediaTable(t(s, d, "documents"), "doc_id", "text"))
-        .toDF.select(col("media_id"), col("n_bytes"), col("mean_byte"),
-          col("byte_entropy_bucket").cast("long").as("byte_entropy_bucket"))),
+      // REAL decode: per-channel means + Rec.709 luma over PIXELS the
+      // P6 parser extracted. RAW divisions of exact integer sums (the
+      // textStats bit-identical convention); the oracle recomputes the
+      // same sums from the pixel formula without ever seeing the bytes,
+      // so a decode bug cannot cancel out
+      Multimodal.decodeImageFeatures(s,
+          Multimodal.synthesizePpm(s, t(s, d, "documents"), "doc_id").toDF)
+        .toDF.select(col("media_id"), col("width"), col("height"),
+          col("n_px"), col("px_sum"), col("mean_r"), col("mean_g"),
+          col("mean_b"), col("mean_luma"))),
     "media_near_dups" -> ((s, d) =>
       // frame-signature video-dedup shape: 64-byte frames sampled at
       // stride 2, media paired through the frame-hash equi-join —
@@ -1286,7 +1296,20 @@ object SparkEntry {
       // at their shared-frame fraction
       Multimodal.frameNearDups(
         Multimodal.asMediaTable(t(s, d, "documents"), "doc_id", "text"),
-        chunkBytes = 64, everyN = 2, minShared = 1L))
+        chunkBytes = 64, everyN = 2, minShared = 1L)),
+    "media_near_dups_px" -> ((s, d) =>
+      // CONTENT-level media dedup: PPM corpus with planted duplicate
+      // groups (id % 25), payloads DECODED to raw pixels before frame
+      // fingerprinting — the dedup keys on what the image shows, not on
+      // blob framing. Identical rasters share every sampled frame, so
+      // groups surface as complete subgraphs at overlap 1.0; distinct
+      // bases never collide (aperiodic pixel formula, MultimodalSpec)
+      Multimodal.frameNearDups(
+        Multimodal.decodedPixelPayloads(s,
+          Multimodal.synthesizePpm(s,
+            t(s, d, "documents").filter(col("doc_id") < 200),
+            "doc_id", Some(25L)).toDF).toDF,
+        chunkBytes = 64, everyN = 2, minShared = 2L))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -2324,9 +2347,26 @@ object SparkEntry {
       PackGroups),
     "text_curation_dag_nb" -> curationDagSql(TokenBudgets, PackBudget,
       PackGroups, withNb = true),
+    // media_resize oracle: replays the synthesizer formula + the
+    // nearest-neighbor sampling arithmetic WITHOUT parsing any bytes —
+    // out pixel (x,y,c) reads source index ((y*H//4)*W + (x*W//5))*3+c,
+    // value (id*31 + si*7 + si²%97) % 256. The Spark side must decode
+    // its own re-encoded 5x4 blob to reproduce these sums, so header,
+    // dims, and kernel are all on the hook. Raw divisions of exact
+    // integer sums (textStats convention)
     "media_resize" ->
-      ("SELECT doc_id AS media_id, CAST(least(strlen(text), 300) AS BIGINT) AS n_bytes, " +
-        "md5(substr(text, 1, 300)) AS payload_sig FROM documents"),
+      ("WITH m AS (SELECT doc_id AS media_id, doc_id AS base, CAST(8 + doc_id % 5 AS BIGINT) AS w, CAST(6 + doc_id % 4 AS BIGINT) AS h FROM documents), " +
+        "o AS (SELECT media_id, base, w, h, (t.i // 3) % 5 AS x, (t.i // 3) // 5 AS y, t.i % 3 AS c " +
+        "FROM m, LATERAL (SELECT unnest(range(0, 60)) AS i) t), " +
+        "v AS (SELECT media_id, c, (base*31 + si*7 + (si*si) % 97) % 256 AS v " +
+        "FROM (SELECT media_id, c, (((y * h) // 4) * w + ((x * w) // 5)) * 3 + c AS si, base FROM o) s) " +
+        "SELECT media_id, CAST(5 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height, CAST(20 AS BIGINT) AS n_px, " +
+        "CAST(sum(v) AS BIGINT) AS px_sum, " +
+        "sum(CASE WHEN c = 0 THEN v END) / 20.0 AS mean_r, " +
+        "sum(CASE WHEN c = 1 THEN v END) / 20.0 AS mean_g, " +
+        "sum(CASE WHEN c = 2 THEN v END) / 20.0 AS mean_b, " +
+        "sum(CASE c WHEN 0 THEN 2126*v WHEN 1 THEN 7152*v ELSE 722*v END) / (10000.0 * 20) AS mean_luma " +
+        "FROM v GROUP BY media_id"),
     "rel_location_counts" ->
       ("SELECT CAST(l_partkey AS BIGINT) AS location_id, count(*) AS trip_count, 'pickup_location' AS aggregation_type FROM lineitem GROUP BY 1 " +
         "UNION ALL SELECT CAST(l_suppkey AS BIGINT), count(*), 'dropoff_location' FROM lineitem GROUP BY 1"),
@@ -2869,20 +2909,23 @@ object SparkEntry {
         "SELECT media_id, CAST(t.i AS BIGINT) AS chunk_idx, " +
         "md5(substr(text, CAST(t.i * 256 + 1 AS INT), 256)) AS chunk_sig " +
         "FROM m, LATERAL (SELECT unnest(range(0, m.n_chunks)) AS i) t WHERE t.i % 4 = 0"),
-    // the stub decoder's math (mean byte over the UTF-8 payload) is
-    // deterministic and SQL-expressible: per-char ord() summed in
-    // payload order — an exact integer in doubles, so the raw division
-    // is bit-identical to the Spark mapPartitions kernel. Same corpus
-    // assumptions as the other media oracles: ASCII (ord(char) = byte)
-    // and non-empty (documents have >= 3 words; a zero-byte payload
-    // would be Spark 0.0 vs SQL NULL)
+    // media_features oracle: recomputes the channel sums from the PPM
+    // synthesizer's pixel formula — pixel i of doc id is
+    // (id*31 + i*7 + i²%97) % 256, channel i%3 — never touching the
+    // encoded bytes. The Spark side only matches if decodePpm walked
+    // the header to the right offset and read the right W·H·3 block.
+    // Exact integer sums, raw double divisions (textStats convention)
     "media_features" ->
-      ("WITH m AS (SELECT doc_id AS media_id, text, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents), " +
-        "s AS (SELECT media_id, n_bytes, " +
-        "(SELECT sum(CAST(ord(substr(m.text, CAST(t.i AS INT), 1)) AS DOUBLE)) " +
-        "FROM (SELECT unnest(range(1, m.n_bytes + 1)) AS i) t) / m.n_bytes AS mean FROM m) " +
-        "SELECT media_id, n_bytes, mean AS mean_byte, " +
-        "CAST(floor(mean / 32) AS BIGINT) AS byte_entropy_bucket FROM s"),
+      ("WITH m AS (SELECT doc_id AS media_id, doc_id AS base, CAST(8 + doc_id % 5 AS BIGINT) AS w, CAST(6 + doc_id % 4 AS BIGINT) AS h FROM documents), " +
+        "v AS (SELECT media_id, w, h, t.i % 3 AS c, (base*31 + t.i*7 + (t.i*t.i) % 97) % 256 AS v " +
+        "FROM m, LATERAL (SELECT unnest(range(0, m.w * m.h * 3)) AS i) t) " +
+        "SELECT media_id, w AS width, h AS height, w * h AS n_px, " +
+        "CAST(sum(v) AS BIGINT) AS px_sum, " +
+        "sum(CASE WHEN c = 0 THEN v END) / CAST(w * h AS DOUBLE) AS mean_r, " +
+        "sum(CASE WHEN c = 1 THEN v END) / CAST(w * h AS DOUBLE) AS mean_g, " +
+        "sum(CASE WHEN c = 2 THEN v END) / CAST(w * h AS DOUBLE) AS mean_b, " +
+        "sum(CASE c WHEN 0 THEN 2126*v WHEN 1 THEN 7152*v ELSE 722*v END) / (10000.0 * (w * h)) AS mean_luma " +
+        "FROM v GROUP BY media_id, w, h"),
     "media_near_dups" ->
       // the frame-pairing replay: sampled 64-byte frame signatures
       // (stride 2), boilerplate guard (HAVING <= 64 media per frame),
@@ -2898,6 +2941,18 @@ object SparkEntry {
         "FROM e a JOIN e b ON a.sig = b.sig AND a.media_id < b.media_id GROUP BY 1, 2 HAVING count(*) >= 1) " +
         "SELECT p.a_id, p.b_id, p.n_shared, CAST(p.n_shared AS DOUBLE) / least(ca.nf, cb.nf) AS overlap_frac " +
         "FROM p JOIN c ca ON p.a_id = ca.media_id JOIN c cb ON p.b_id = cb.media_id"),
+    // media_near_dups_px oracle: pure group combinatorics — ids sharing
+    // id % 25 carry byte-identical rasters, so every within-group pair
+    // shares ALL ceil(n_chunks/2) sampled pixel frames (within-image and
+    // cross-base frame signatures never collide: aperiodic i²%97 term,
+    // pinned by MultimodalSpec's distinctness check), and no cross-group
+    // pair shares any. n_bytes = W·H·3 of the DECODED raster
+    "media_near_dups_px" ->
+      ("WITH d AS (SELECT doc_id, doc_id % 25 AS base FROM documents WHERE doc_id < 200), " +
+        "m AS (SELECT doc_id, base, (8 + base % 5) * (6 + base % 4) * 3 AS nb FROM d), " +
+        "s AS (SELECT doc_id, base, CAST(ceil(ceil(nb / 64.0) / 2.0) AS BIGINT) AS nf FROM m) " +
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.nf AS n_shared, CAST(1.0 AS DOUBLE) AS overlap_frac " +
+        "FROM s a JOIN s b ON a.base = b.base AND a.doc_id < b.doc_id"),
     // the sketch queries gate through IN-PLAN tolerance booleans (the
     // estimates themselves are engine-specific; the exact counts and
     // the ≤3σ agreement are not) — every query is oracle-checked

@@ -6,20 +6,18 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video payloads modeled as
   * opaque `binary` columns with typed metadata, processed in batches.
   *
-  * The decode kernels themselves are STUBBED (no codec libraries in this
-  * environment): `decodeFeaturesStub` computes deterministic fake
-  * features from the raw bytes. Everything around them — schema, typed
-  * Dataset, mapPartitions batch shape, chunk/frame explode, partition
-  * sizing — is the real plumbing a decoder would plug into.
+  * The image path is REAL end to end: `decodePpm` is a from-scratch
+  * byte parser for binary PPM (P6) — comment-tolerant ASCII header +
+  * raw RGB block — and `resizeNearest` / `decodeImageFeatures` operate
+  * on decoded pixels. Compressed codecs (JPEG/PNG/video) would slot
+  * into the same typed-mapPartitions batch shape; their libraries are
+  * not in this environment.
   */
 object Multimodal {
 
   /** A media row: opaque payload + typed metadata. */
   case class MediaRow(media_id: Long, payload: Array[Byte],
       media_type: String, n_bytes: Long)
-
-  case class MediaFeatures(media_id: Long, n_bytes: Long,
-      mean_byte: Double, byte_entropy_bucket: Int)
 
   /** Build a media table from any (id, text) source by treating the
     * UTF-8 bytes as the payload — the stand-in for reading real blobs
@@ -82,19 +80,113 @@ object Multimodal {
         expr(s"md5(substring(payload, window_offset + 1, $frameBytes))"))
       .drop("payload")
 
-  /** STUB resize: clamps each payload to `maxBytes` (a real impl decodes
-    * and re-encodes at the target resolution — same single-pass typed
-    * mapPartitions shape as decodeFeaturesStub). Metadata stays honest:
-    * n_bytes reflects the resized payload. */
-  def resizeStub(spark: SparkSession, media: DataFrame,
-      maxBytes: Int): Dataset[MediaRow] = {
+  // ------------------------------------------------------------------
+  // Real in-JVM image codec: PPM (P6), the canonical uncompressed
+  // raster format. No codec library exists in this environment, so the
+  // decoder is a from-scratch byte parser — magic, comment-tolerant
+  // ASCII header, raw RGB block — and the kernels below (resize,
+  // features) operate on genuinely DECODED pixels, not raw payloads.
+  // ------------------------------------------------------------------
+
+  /** A decoded raster: `pixels` is row-major RGB, 3 bytes per pixel. */
+  case class DecodedImage(width: Int, height: Int, maxval: Int,
+      pixels: Array[Byte])
+
+  case class ImageFeatures(media_id: Long, width: Long, height: Long,
+      n_px: Long, px_sum: Long, mean_r: Double, mean_g: Double,
+      mean_b: Double, mean_luma: Double)
+
+  /** Serialize a decoded raster as binary PPM (P6): ASCII header
+    * `P6\n<w> <h>\n<maxval>\n` followed by the raw RGB block. */
+  def encodePpm(img: DecodedImage): Array[Byte] = {
+    val header = s"P6\n${img.width} ${img.height}\n${img.maxval}\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + img.pixels.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(img.pixels, 0, out, header.length, img.pixels.length)
+    out
+  }
+
+  /** Parse a binary PPM (P6) payload. Real parser semantics: the three
+    * header integers (width, height, maxval) are separated by arbitrary
+    * whitespace, `#`-to-end-of-line comments may appear anywhere inside
+    * the header whitespace, and exactly ONE whitespace byte separates
+    * maxval from the raw pixel block. Throws on malformed input — a
+    * corrupt blob must fail loudly, not decode to garbage. */
+  def decodePpm(bytes: Array[Byte]): DecodedImage = {
+    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
+      "not a P6 PPM payload")
+    var pos = 2
+    def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
+    def skipWsAndComments(): Unit = {
+      var moving = true
+      while (moving) {
+        moving = false
+        while (pos < bytes.length && isWs(bytes(pos))) { pos += 1; moving = true }
+        if (pos < bytes.length && bytes(pos) == '#') {
+          while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+          moving = true
+        }
+      }
+    }
+    def readInt(): Int = {
+      skipWsAndComments()
+      require(pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9',
+        s"malformed PPM header at byte $pos")
+      var v = 0
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val w = readInt(); val h = readInt(); val maxval = readInt()
+    require(w > 0 && h > 0, s"bad PPM dimensions ${w}x$h")
+    require(maxval > 0 && maxval < 256,
+      s"unsupported PPM maxval $maxval (single-byte samples only)")
+    require(pos < bytes.length && isWs(bytes(pos)),
+      "missing whitespace after PPM maxval")
+    pos += 1 // exactly one whitespace byte, then raw data
+    val n = w * h * 3
+    require(bytes.length - pos >= n,
+      s"truncated PPM pixel block: need $n, have ${bytes.length - pos}")
+    DecodedImage(w, h, maxval, java.util.Arrays.copyOfRange(bytes, pos, pos + n))
+  }
+
+  /** Nearest-neighbor resample to `outW`×`outH`: output pixel (x, y)
+    * reads source pixel (x·W/outW, y·H/outH), integer floor — the
+    * standard decimation kernel, exact integer math end to end. */
+  def resizeNearest(img: DecodedImage, outW: Int, outH: Int): DecodedImage = {
+    require(outW > 0 && outH > 0, "resize target must be positive")
+    val out = new Array[Byte](outW * outH * 3)
+    var y = 0
+    while (y < outH) {
+      val sy = y * img.height / outH
+      var x = 0
+      while (x < outW) {
+        val sx = x * img.width / outW
+        val si = (sy * img.width + sx) * 3
+        val di = (y * outW + x) * 3
+        out(di) = img.pixels(si)
+        out(di + 1) = img.pixels(si + 1)
+        out(di + 2) = img.pixels(si + 2)
+        x += 1
+      }
+      y += 1
+    }
+    DecodedImage(outW, outH, img.maxval, out)
+  }
+
+  /** Decode each PPM payload and re-encode at `outW`×`outH` — the real
+    * image-resize operator: one typed mapPartitions pass, decoder state
+    * per partition, metadata (n_bytes) reflecting the re-encoded blob. */
+  def resizePpm(spark: SparkSession, media: DataFrame,
+      outW: Int, outH: Int): Dataset[MediaRow] = {
     import spark.implicits._
     media.select("media_id", "payload", "media_type", "n_bytes")
       .as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          val p = if (r.payload.length <= maxBytes) r.payload
-            else java.util.Arrays.copyOf(r.payload, maxBytes)
+          val p = encodePpm(resizeNearest(decodePpm(r.payload), outW, outH))
           MediaRow(r.media_id, p, r.media_type, p.length.toLong)
         }
       }
@@ -145,23 +237,83 @@ object Multimodal {
           least(col("__na"), col("__nb"))).as("overlap_frac"))
   }
 
-  /** STUB decode: deterministic per-row "features" from raw bytes via a
-    * typed mapPartitions — the exact batch shape a real decoder (JNI
-    * codec, ONNX encoder, ...) would use: one partition = one batch,
-    * library handle initialized once per partition, rows streamed.
-    */
-  def decodeFeaturesStub(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+  /** Decode each PPM payload and extract REAL pixel features: per-
+    * channel means and Rec.709 luma (integer-scaled 2126/7152/722, so
+    * the sums stay exact longs and the final double division is
+    * bit-identical across engines — the textStats convention). The
+    * typed mapPartitions is the decoder batch shape: one partition =
+    * one batch, rows streamed through the parser. */
+  def decodeImageFeatures(spark: SparkSession,
+      media: DataFrame): Dataset[ImageFeatures] = {
     import spark.implicits._
     media.select("media_id", "payload", "media_type", "n_bytes")
       .as[MediaRow]
       .mapPartitions { rows =>
-        // real impl: val codec = Codec.open() — once per partition/batch
         rows.map { r =>
-          val bytes = r.payload
-          val mean =
-            if (bytes.isEmpty) 0.0
-            else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
-          MediaFeatures(r.media_id, r.n_bytes, mean, (mean / 32).toInt)
+          val img = decodePpm(r.payload)
+          val px = img.pixels
+          var i = 0
+          var sumR = 0L; var sumG = 0L; var sumB = 0L; var sumL = 0L
+          while (i < px.length) {
+            val rr = px(i) & 0xff; val gg = px(i + 1) & 0xff
+            val bb = px(i + 2) & 0xff
+            sumR += rr; sumG += gg; sumB += bb
+            sumL += 2126L * rr + 7152L * gg + 722L * bb
+            i += 3
+          }
+          val nPx = (img.width.toLong * img.height).max(1L)
+          ImageFeatures(r.media_id, img.width.toLong, img.height.toLong,
+            img.width.toLong * img.height, sumR + sumG + sumB,
+            sumR.toDouble / nPx, sumG.toDouble / nPx, sumB.toDouble / nPx,
+            sumL / (10000.0 * nPx))
+        }
+      }
+  }
+
+  /** Strip each PPM payload down to its DECODED pixel block — the feed
+    * for content-level frame fingerprinting (`frameNearDups` over what
+    * the image shows, not how the blob is framed: two encodings of the
+    * same raster collide here, differing headers and all). */
+  def decodedPixelPayloads(spark: SparkSession,
+      media: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.select("media_id", "payload", "media_type", "n_bytes")
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val px = decodePpm(r.payload).pixels
+          MediaRow(r.media_id, px, r.media_type, px.length.toLong)
+        }
+      }
+  }
+
+  /** Deterministic PPM corpus synthesizer — the blob-loader stand-in
+    * (a production pipeline reads real image blobs from a parquet
+    * `binary` column or the binaryFile source; this environment ships
+    * no image files). Each id gets a REAL P6 payload with id-derived
+    * dimensions (so the header parse is actually exercised) and pixel
+    * bytes `(base·31 + i·7 + i²%97) % 256` (aperiodic, so frame
+    * signatures never collide — verified in MultimodalSpec). With
+    * `groupMod = Some(g)`, ids sharing `id % g` get byte-identical
+    * rasters: planted duplicate groups for content-dedup tests. */
+  def synthesizePpm(spark: SparkSession, df: DataFrame, idCol: String,
+      groupMod: Option[Long] = None): Dataset[MediaRow] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val base = groupMod.map(id % _).getOrElse(id)
+          val w = (8 + base % 5).toInt
+          val h = (6 + base % 4).toInt
+          val px = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < px.length) {
+            px(i) = ((base * 31 + i * 7 + (i.toLong * i) % 97) % 256).toByte
+            i += 1
+          }
+          val payload = encodePpm(DecodedImage(w, h, 255, px))
+          MediaRow(id, payload, "image/x-portable-pixmap",
+            payload.length.toLong)
         }
       }
   }

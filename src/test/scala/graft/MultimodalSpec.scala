@@ -34,11 +34,74 @@ class MultimodalSpec extends SparkSpec {
     assert(kept.toSeq === Seq(0, 2, 4)) // 600 bytes -> chunks 0..5
   }
 
-  test("resizeStub clamps payload and updates n_bytes") {
-    val r = Multimodal.resizeStub(spark, media, 256)
+  test("decodePpm: parses the header (whitespace + comments) to the " +
+      "exact pixel offset, and rejects malformed payloads") {
+    val px = Array.tabulate[Byte](2 * 2 * 3)(i => (i * 10).toByte)
+    val plain = Multimodal.encodePpm(Multimodal.DecodedImage(2, 2, 255, px))
+    val d = Multimodal.decodePpm(plain)
+    assert(d.width === 2 && d.height === 2 && d.maxval === 255)
+    assert(d.pixels.toSeq === px.toSeq)
+    // a gnarlier-but-legal header: comments and mixed whitespace
+    val hairy = ("P6 # comment after magic\n# full-line comment\n 2\t2 # dims\n255\n")
+      .getBytes("US-ASCII") ++ px
+    assert(Multimodal.decodePpm(hairy).pixels.toSeq === px.toSeq)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm("P5\n2 2\n255\n".getBytes("US-ASCII") ++ px)
+    }
+    intercept[IllegalArgumentException] { // truncated pixel block
+      Multimodal.decodePpm(plain.dropRight(1))
+    }
+    intercept[IllegalArgumentException] { // 16-bit samples unsupported
+      Multimodal.decodePpm("P6\n1 1\n65535\n".getBytes("US-ASCII") ++
+        Array.fill[Byte](6)(0))
+    }
+  }
+
+  test("resizeNearest: hand-computed 4x2 -> 2x1 decimation") {
+    // source row-major RGB, pixel (x,y) has r = 100 + 10y + x
+    val px = new Array[Byte](4 * 2 * 3)
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val i = (y * 4 + x) * 3
+      px(i) = (100 + 10 * y + x).toByte; px(i + 1) = 7; px(i + 2) = 9
+    }
+    val out = Multimodal.resizeNearest(
+      Multimodal.DecodedImage(4, 2, 255, px), 2, 1)
+    // out (0,0) <- src (0,0); out (1,0) <- src (2,0)
+    assert(out.pixels.toSeq ===
+      Seq[Byte](100, 7, 9, 102, 7, 9))
+  }
+
+  test("resizePpm round trip: decode -> resample -> re-encode -> " +
+      "decode yields the sampled pixels") {
+    val src = Multimodal.synthesizePpm(spark,
+      Seq(3L, 7L).toDF("id"), "id").toDF
+    val resized = Multimodal.resizePpm(spark, src, 5, 4)
       .collect().map(m => m.media_id -> m).toMap
-    assert(r(1L).payload.length === 256 && r(1L).n_bytes === 256L)
-    assert(r(2L).payload.length === 2) // under limit: untouched
+    val srcImgs = src.as[Multimodal.MediaRow].collect()
+      .map(m => m.media_id -> Multimodal.decodePpm(m.payload)).toMap
+    for (id <- Seq(3L, 7L)) {
+      val out = Multimodal.decodePpm(resized(id).payload)
+      assert(out.width === 5 && out.height === 4)
+      val in = srcImgs(id)
+      for (y <- 0 until 4; x <- 0 until 5; c <- 0 until 3) {
+        val sx = x * in.width / 5; val sy = y * in.height / 4
+        assert(out.pixels((y * 5 + x) * 3 + c) ===
+          in.pixels((sy * in.width + sx) * 3 + c))
+      }
+    }
+  }
+
+  test("synthesizePpm frame signatures never collide: distinct within " +
+      "each raster and across bases (the media_near_dups_px oracle's " +
+      "combinatorial premise)") {
+    val media = Multimodal.synthesizePpm(spark,
+      spark.range(25).toDF("id"), "id").toDF
+    val frames = Multimodal.sampleFrames(
+        Multimodal.decodedPixelPayloads(spark, media).toDF, 64, 2)
+      .select("media_id", "chunk_sig").as[(Long, String)].collect()
+    // every sampled frame signature is globally unique across all 25
+    // bases => no within-image repeats AND no cross-base collisions
+    assert(frames.map(_._2).distinct.length === frames.length)
   }
 
   test("frameNearDups: shared frames pair media; boilerplate frames " +
@@ -90,11 +153,33 @@ class MultimodalSpec extends SparkSpec {
     assert(byMember === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
-  test("decodeFeaturesStub: deterministic mean over payload bytes") {
-    val f = Multimodal.decodeFeaturesStub(spark, media)
-      .collect().map(r => r.media_id -> r).toMap
-    assert(f(1L).mean_byte === 'a'.toDouble) // uniform payload
-    assert(f(1L).byte_entropy_bucket === ('a'.toInt / 32))
-    assert(f(2L).n_bytes === 2L)
+  test("decodeImageFeatures: channel means + luma over decoded pixels " +
+      "match a hand-computed raster") {
+    // 1x2 image: pixel0 = (10, 20, 30), pixel1 = (50, 60, 70)
+    val px = Array[Byte](10, 20, 30, 50, 60, 70)
+    val payload = Multimodal.encodePpm(Multimodal.DecodedImage(1, 2, 255, px))
+    val mediaDf = Seq((9L, payload, "image/x-portable-pixmap", payload.length.toLong))
+      .toDF("media_id", "payload", "media_type", "n_bytes")
+    val f = Multimodal.decodeImageFeatures(spark, mediaDf).collect().head
+    assert(f.width === 1L && f.height === 2L && f.n_px === 2L)
+    assert(f.px_sum === (10 + 20 + 30 + 50 + 60 + 70).toLong)
+    assert(f.mean_r === 30.0 && f.mean_g === 40.0 && f.mean_b === 50.0)
+    val luma = (2126L * (10 + 50) + 7152L * (20 + 60) + 722L * (30 + 70)) /
+      (10000.0 * 2)
+    assert(f.mean_luma === luma)
+  }
+
+  test("decodedPixelPayloads strips framing: two different encodings " +
+      "of the same raster collide on content") {
+    val px = Array.tabulate[Byte](3 * 2 * 3)(i => (i * 5).toByte)
+    val a = Multimodal.encodePpm(Multimodal.DecodedImage(3, 2, 255, px))
+    val b = ("P6 # same raster, noisier header\n3 2\n255\n")
+      .getBytes("US-ASCII") ++ px
+    val mediaDf = Seq((1L, a), (2L, b)).map { case (id, p) =>
+      (id, p, "image/x-portable-pixmap", p.length.toLong)
+    }.toDF("media_id", "payload", "media_type", "n_bytes")
+    val out = Multimodal.decodedPixelPayloads(spark, mediaDf)
+      .collect().map(m => m.media_id -> m.payload.toSeq).toMap
+    assert(out(1L) === out(2L) && out(1L) === px.toSeq)
   }
 }
