@@ -3,12 +3,19 @@ package graft
 import graft.operators.TextAnalysis
 import graft.operators.TextAnalysis.BpeMerge
 
-/** Merge-count scaling diagnostic for the two BPE apply flavors: times
-  * bpeTokenize (literal replace chain — one expression node per rule)
-  * against bpeTokenizeFast (broadcast rank-map mapPartitions) at 12 and
-  * 512 merge rules over the same corpus. The claim under test (SCALE.md
-  * row): the fast flavor is FLAT in merge count, the literal chain is
-  * not — its analysis/codegen cost grows with the expression tree (the
+/** Merge-count scaling diagnostic for the BPE FIT and the two apply
+  * flavors.
+  *
+  * Fit claim (SCALE.md row): batched merge admission makes fit time
+  * scale with RECOUNT ROUNDS (numMerges / batch), not with numMerges —
+  * FIT_BATCHED_512 (8 recounts at batch 64) should land well under
+  * FIT_EXACT_64 (64 recounts) despite fitting 8× the rules, and
+  * FIT_BATCHED_512 / FIT_BATCHED_128 should track the 8:2 job ratio,
+  * not the 4× rule ratio.
+  *
+  * Apply claim: bpeTokenizeFast (broadcast rank-map mapPartitions) is
+  * FLAT in merge count; the literal replace chain is not — its
+  * analysis/codegen cost grows with the expression tree (the
   * giant-literal-tree micro-finding), long before any execution-cost
   * difference. Rules past what the corpus can fit are padded with
   * never-firing pairs: exactly how a production tokenizer behaves per
@@ -30,7 +37,18 @@ object BpeScaleCheck {
     val docs = Tables(spark, dir, "documents").cache()
     docs.count()
 
-    val fitted = TextAnalysis.fitBpeMerges(docs, "text", 512)
+    val (fitExact64, tExact64) =
+      time(TextAnalysis.fitBpeMerges(docs, "text", 64))
+    val (_, tBatched128) =
+      time(TextAnalysis.fitBpeMerges(docs, "text", 128, batchSize = 64))
+    val (fitted, tBatched512) =
+      time(TextAnalysis.fitBpeMerges(docs, "text", 512, batchSize = 64))
+    println(f"FIT_EXACT_64=$tExact64%.3f")       // 64 recount jobs
+    println(f"FIT_BATCHED_128=$tBatched128%.3f") // 2 recount jobs
+    println(f"FIT_BATCHED_512=$tBatched512%.3f") // 8 recount jobs
+    // batched and exact agree on their symbol-disjoint prefix; the
+    // spec pins semantic agreement, this pins the fit actually ran
+    println(s"FIT_EXACT_64_RULES=${fitExact64.size}")
     println(s"FITTED_MERGES=${fitted.size}")
     val padded: Seq[BpeMerge] = fitted ++
       ((fitted.size + 1) to 512).map(i =>
@@ -49,8 +67,12 @@ object BpeScaleCheck {
       } catch {
         // StackOverflowError (an Error, not Exception) is the expected
         // literal-chain failure at depth: catching it here IS the
-        // measurement — the plan cannot even be analyzed
-        case t: Throwable =>
+        // measurement — the plan cannot even be analyzed. Other fatal
+        // VM states (OOM, InternalError) must propagate: timings taken
+        // after one are meaningless
+        case t: StackOverflowError =>
+          println(s"$name=FAILED(${t.getClass.getSimpleName})")
+        case scala.util.control.NonFatal(t) =>
           println(s"$name=FAILED(${t.getClass.getSimpleName})")
       }
     }

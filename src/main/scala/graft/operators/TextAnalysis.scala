@@ -190,20 +190,39 @@ object TextAnalysis {
     * (Sennrich et al. 2016): start from characters, repeatedly take
     * the adjacent symbol pair with the highest corpus count (weighted
     * by word frequency), merge it everywhere, recount. The Lloyd-fit
-    * conventions apply: bounded driver state (ONE merge rule per
-    * round — a limit(1) collect), deterministic ties (count desc,
-    * then lexicographic pair — replayable in ANSI SQL), bounded
+    * conventions apply: bounded driver state (a `4·batch+8`-row
+    * collect per round), deterministic ties (count desc, then
+    * lexicographic pair — replayable in ANSI SQL), bounded
     * iterations, and frozen-model application via [[bpeTokenize]].
+    *
+    * `batchSize = 1` (the default, and the oracle's path) is EXACT
+    * classic BPE: one rule per recount. `batchSize = M` is the scale
+    * fit: each recount admits up to M rules greedily in count-desc
+    * order, skipping any pair sharing a symbol with one already
+    * admitted this round. Symbol-disjoint merges commute — applying
+    * one cannot create, destroy, or reweight occurrences of the other
+    * (no shared symbol, and the merged symbol is brand-new) — so every
+    * admitted count is the count sequential BPE would have seen had it
+    * picked that pair next. The one divergence from sequential: a
+    * symbol CREATED by this round's earlier merges cannot enter the
+    * ranking until the next recount, so a freshly merged pair that
+    * would outrank the batch's tail waits one round — the standard
+    * batched-trainer approximation, traded for driver round-trips
+    * dropping from `numMerges` to `numMerges / M`. At a production
+    * 32k-merge fit with M = 256 that is 125 jobs, not 32k
+    * (BpeScaleCheck measures the effect).
     *
     * Scale: the loop runs over the DISTINCT-WORD table (vocab-
     * bounded, checkpointed once — never the corpus; 100 TB of text is
     * a few hundred million distinct words, one hash agg away), each
-    * round is one explode+agg job returning a single row, and the
-    * merge apply is a lazy per-row replace stacked on the checkpoint —
-    * re-checkpointed every 16 rounds so the plan stays constant-size
-    * at large merge counts (the CC fixpoint lesson). */
+    * round is one explode+agg job returning ≤ `4·batch+8` rows, and
+    * the merge apply is a lazy per-row replace stacked on the
+    * checkpoint — re-checkpointed every 16 applied rules so the plan
+    * stays constant-size at large merge counts (the CC fixpoint
+    * lesson). */
   def fitBpeMerges(df: DataFrame, textCol: String,
-      numMerges: Int): Seq[BpeMerge] = {
+      numMerges: Int, batchSize: Int = 1): Seq[BpeMerge] = {
+    require(batchSize >= 1, "batchSize >= 1 required")
     var words = df
       .select(explode(TextFns.words(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
@@ -213,8 +232,10 @@ object TextAnalysis {
     try {
       val merges = Seq.newBuilder[BpeMerge]
       var rank = 1
+      var sinceCheckpoint = 0
       var exhausted = false
       while (rank <= numMerges && !exhausted) {
+        val want = math.min(batchSize, numMerges - rank + 1)
         val l = split(trim(col("seq")), "  ")
         val pairs = when(size(col("__l")) >= 2,
           transform(sequence(lit(0), size(col("__l")) - 2),
@@ -227,20 +248,31 @@ object TextAnalysis {
           .groupBy(col("p.a").as("a"), col("p.b").as("b"))
           .agg(sum(col("freq")).as("cnt"))
           .orderBy(col("cnt").desc, col("a"), col("b"))
-          .limit(1)
+          .limit(4 * want + 8)
           .collect()
         if (top.isEmpty) exhausted = true
         else {
-          val (a, b, cnt) =
-            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-          merges += BpeMerge(rank.toLong, a, b, a + b, cnt)
-          words = words.withColumn("seq", bpeApplyMerge(col("seq"), a, b))
-          if (rank % 16 == 0) {
-            val next = words.localCheckpoint(true)
-            Checkpoints.releaseIntermediate(words)
-            words = next
+          // greedy symbol-disjoint admission in ranking order; under-
+          // filled batches (conflict-heavy candidate lists) just
+          // recount sooner — progress is ≥ 1 rule per round
+          val used = scala.collection.mutable.HashSet.empty[String]
+          val picked = top.iterator
+            .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+            .filter { case (a, b, _) =>
+              !used(a) && !used(b) && { used += a; used += b; true } }
+            .take(want).toVector
+          for ((a, b, cnt) <- picked) {
+            merges += BpeMerge(rank.toLong, a, b, a + b, cnt)
+            words = words.withColumn("seq", bpeApplyMerge(col("seq"), a, b))
+            rank += 1
+            sinceCheckpoint += 1
+            if (sinceCheckpoint >= 16) {
+              val next = words.localCheckpoint(true)
+              Checkpoints.releaseIntermediate(words)
+              words = next
+              sinceCheckpoint = 0
+            }
           }
-          rank += 1
         }
       }
       merges.result()

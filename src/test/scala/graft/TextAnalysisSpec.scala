@@ -509,6 +509,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m5.size === 5)
   }
 
+  test("batched fitBpeMerges: symbol-disjoint pairs admit in one " +
+      "recount, matching sequential BPE exactly") {
+    // counts: (a,b)=3, (c,d)=2, (e,f)=1 — pairwise symbol-disjoint, so
+    // one batched recount must reproduce sequential BPE rule for rule
+    val docs = Seq((1L, "ab ab ab cd cd ef")).toDF("doc_id", "text")
+    val seq = TextAnalysis.fitBpeMerges(docs, "text", 3)
+    val bat = TextAnalysis.fitBpeMerges(docs, "text", 3, batchSize = 8)
+    assert(bat === seq)
+    assert(bat.map(m => (m.lhs, m.rhs, m.pair_count)) ===
+      Seq(("a", "b", 3L), ("c", "d", 2L), ("e", "f", 1L)))
+  }
+
+  test("batched fitBpeMerges: a conflicting pair waits for the next " +
+      "recount instead of merging on a stale count") {
+    // counts: (l,o)=5 ties (o,w)=5 → (l,o) admits first (lex tie);
+    // (o,w) SHARES o, so it must not admit this round on count 5 —
+    // after (l,o) merges, "o w" occurrences are gone ((lo,w)=5 is the
+    // real successor, found by the next recount). Batched output must
+    // therefore still equal sequential output here
+    val docs = Seq((1L, "low low low low low")).toDF("doc_id", "text")
+    val seq = TextAnalysis.fitBpeMerges(docs, "text", 2)
+    val bat = TextAnalysis.fitBpeMerges(docs, "text", 2, batchSize = 8)
+    assert(bat === seq)
+    assert(bat.map(m => (m.lhs, m.rhs)) === Seq(("l", "o"), ("lo", "w")))
+  }
+
+  test("batched fitBpeMerges: ranks stay strictly increasing across " +
+      "under-filled rounds (the bpeTokenizeFast contract)") {
+    val docs = Seq(
+      (1L, "low low low lower lower newest widest"),
+      (2L, "new newer newest low slow slower"),
+      (3L, "wide wider widest lowest")).toDF("doc_id", "text")
+    val bat = TextAnalysis.fitBpeMerges(docs, "text", 12, batchSize = 4)
+    assert(bat.map(_.rank) === (1L to bat.size.toLong))
+    // and the frozen-model apply accepts them (requires the invariant)
+    val out = TextAnalysis.bpeTokenizeFast(docs, "doc_id", "text", bat)
+    assert(out.count() === docs.count())
+  }
+
   test("bpeTokenize applies merges greedily left-to-right, runs included") {
     def toks(text: String, merges: Seq[(String, String)]): Seq[String] = {
       val ms = merges.zipWithIndex.map { case ((a, b), i) =>
