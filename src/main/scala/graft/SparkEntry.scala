@@ -1241,6 +1241,57 @@ object SparkEntry {
       Similarity.ivfPqIndexReportPortable(ivfPqIndex(s, d),
         t(s, d, "embeddings"), cb, IvfNlist)
     }),
+    "sim_ann_recall" -> ((s, d) => {
+      // ANSWER-quality witness for the ANN stack (the index HEALTH
+      // monitor above watches cells/residuals, not recall): recall@5
+      // against bruteForceTopK, decomposed FAISS-style into the two
+      // loss sources — cell pruning (ivfpq probe vs the full-scan ADC:
+      // what nprobe=4/16 forfeits) and quantization (full-scan ADC vs
+      // exact: what the 4x8 codebooks forfeit) — plus end-to-end and
+      // the uncompressed IVF probe. Booleans gate MACRO recall (total
+      // hits over total truth pairs) at integer-percent floors set
+      // from both verify SFs with margin; comparisons are integer-
+      // exact (h*100 >= t*pct), never float-boundary. The LOW
+      // quantization floor is honest corpus physics: iid-random 64-d
+      // embeddings concentrate distances, so 4-byte PQ codes scramble
+      // a top-5 whose margins are paper-thin — exactly the drift this
+      // witness exists to surface (and why IVF, which scores probed
+      // cells exactly, holds 30%+). The oracle replays the EXACT side
+      // (n_exact_pairs + rank-ordered signature) and pins the booleans.
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val (coarse, cb) = ivfPqArtifacts(s, d)
+      val idx = ivfPqIndex(s, d)
+      val exact = Similarity.bruteForceTopK(emb, q, 5)
+      val adcFull = Similarity.ivfPqProbeIndex(idx, q, 5,
+        nprobe = IvfNlist, coarse, cb)
+      val ivfpq = Similarity.ivfPqProbeIndex(idx, q, 5,
+        nprobe = IvfNprobe, coarse, cb)
+      val ivf = Similarity.ivfTopK(emb, q, 5,
+        nlist = IvfNlist, nprobe = IvfNprobe)
+      val meta = exact.agg(
+        count(lit(1)).as("n_exact_pairs"),
+        md5(array_join(transform(
+          array_sort(collect_list(
+            struct(col("q_id"), col("rank"), col("n_id")))),
+          x => concat_ws(":", x("q_id"), x("rank"), x("n_id"))), ","))
+          .as("exact_sig"))
+      def facet(name: String, truth: DataFrame, approx: DataFrame,
+          thrPct: Int): DataFrame =
+        truth.select("q_id", "n_id")
+          .join(approx.select("q_id", "n_id"),
+            Seq("q_id", "n_id"), "left_semi")
+          .agg(count(lit(1)).as("__h"))
+          .crossJoin(truth.agg(count(lit(1)).as("__t")))
+          .crossJoin(meta)
+          .select(lit(name).as("facet"), col("n_exact_pairs"),
+            col("exact_sig"),
+            (col("__h") * 100L >= col("__t") * thrPct).as("recall_ok"))
+      facet("ivf_vs_exact", exact, ivf, 30)
+        .unionByName(facet("pruning_ivfpq_vs_adc", adcFull, ivfpq, 20))
+        .unionByName(facet("quantization_adc_vs_exact", exact, adcFull, 4))
+        .unionByName(facet("end_to_end_ivfpq_vs_exact", exact, ivfpq, 2))
+    }),
 
     // --- multimodal plumbing ---
     "media_chunks" -> ((s, d) =>
@@ -2881,6 +2932,21 @@ object SparkEntry {
         s"scored AS (SELECT q_id, n_id, ${cosSql("q_vec", "n_vec")} AS sim FROM q CROSS JOIN c WHERE n_id <> q_id), " +
         "ranked AS (SELECT q_id, n_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS \"rank\" FROM scored) " +
         "SELECT q_id, \"rank\", n_id, round(sim, 4) AS cosine_sim FROM ranked WHERE \"rank\" <= 5"),
+    // sim_ann_recall oracle: the EXACT side replayed in full (same
+    // ranking CTE as sim_knn_topk, folded to a count + rank-ordered
+    // signature), facet booleans pinned true — the rel_approx_distinct
+    // convention: the estimate is engine-side, the ground truth and
+    // the tolerance verdict are not
+    "sim_ann_recall" ->
+      ("WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10), " +
+        "c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings), " +
+        s"scored AS (SELECT q_id, n_id, ${cosSql("q_vec", "n_vec")} AS sim FROM q CROSS JOIN c WHERE n_id <> q_id), " +
+        "ranked AS (SELECT q_id, n_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rnk FROM scored), " +
+        "top AS (SELECT q_id, rnk, n_id FROM ranked WHERE rnk <= 5), " +
+        "meta AS (SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs, " +
+        "md5(string_agg(CAST(q_id AS VARCHAR) || ':' || CAST(rnk AS VARCHAR) || ':' || CAST(n_id AS VARCHAR), ',' ORDER BY q_id, rnk)) AS exact_sig FROM top) " +
+        "SELECT f.facet, m.n_exact_pairs, m.exact_sig, true AS recall_ok " +
+        "FROM (VALUES ('ivf_vs_exact'), ('pruning_ivfpq_vs_adc'), ('quantization_adc_vs_exact'), ('end_to_end_ivfpq_vs_exact')) f(facet) CROSS JOIN meta m"),
     "sim_nn_blocked" ->
       ("WITH a AS (SELECT label, vec_id AS a_id, embedding AS a_vec FROM embeddings), " +
         "b AS (SELECT label, vec_id AS b_id, embedding AS b_vec FROM embeddings), " +
