@@ -1292,6 +1292,43 @@ object SparkEntry {
         .unionByName(facet("quantization_adc_vs_exact", exact, adcFull, 4))
         .unionByName(facet("end_to_end_ivfpq_vs_exact", exact, ivfpq, 2))
     }),
+    "stream_ann_probe_flags" -> ((s, d) => {
+      // batch analog of StreamOps.annProbeFlags (the
+      // stream_tumbling_counts convention): every 50th vector is the
+      // arrival batch, probing the persisted IVFPQ index of the full
+      // corpus through the SAME annProbeScored body the stream path
+      // runs — stateless stream-static join, so the batch result IS
+      // the streamed result over these arrivals. Raw-double threshold
+      // filter (the nearDupPairsIvf candSim precedent), rounded sim
+      // in the output (the sim_* convention).
+      val emb = t(s, d, "embeddings")
+      val arrivals = emb.filter(col("vec_id") % 50 === 0)
+        .withColumn("arrival_ts", col("vec_id"))
+      val (coarse, cb) = ivfPqArtifacts(s, d)
+      graft.streaming.StreamOps.annProbeFlags(arrivals, ivfPqIndex(s, d),
+          coarse, cb, "vec_id", "embedding", "arrival_ts",
+          nprobe = IvfNprobe, minSim = 0.3)
+        .select(col("new_id"), col("arrival_ts"), col("neighbor_id"),
+          round(col("adc_sim"), 4).as("adc_sim"))
+    }),
+    "stream_window_dup_flags" -> ((s, d) => {
+      // batch analog of StreamOps.incrementalWindowDupFlags: 90% of
+      // the corpus builds the window-hash index, every 10th doc is
+      // the arrival batch probing it — the span-granularity arrival
+      // path (dedup_incremental's shape for substrings). Stateless
+      // stream-static equi-join on the hash; one row per duplicated
+      // window occurrence.
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val arrivals = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("arrival_ts", col("doc_id"))
+      graft.streaming.StreamOps.incrementalWindowDupFlags(arrivals,
+          TextAnalysis.windowHashIndex(corpus, "doc_id", "text", k = 8),
+          "doc_id", "text", "arrival_ts", k = 8)
+        .select(col("new_id"), col("arrival_ts"),
+          col("wpos").cast("long").as("wpos"), col("dup_of"),
+          col("dup_pos").cast("long").as("dup_pos"))
+    }),
 
     // --- multimodal plumbing ---
     "media_chunks" -> ((s, d) =>
@@ -1565,6 +1602,28 @@ object SparkEntry {
       s"FROM vcb JOIN vqb USING (cell) JOIN codes n ON n.vec_id = vcb.n_id $qdJoins WHERE vcb.n_id <> vqb.q_id), " +
       "ranked AS (SELECT q_id, n_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS \"rank\" FROM scored) " +
       s"SELECT q_id, \"rank\", n_id, round(sim, 4) AS cosine_sim FROM ranked WHERE \"rank\" <= $k"
+  }
+
+  /** The stream_ann_probe_flags oracle: ivfPqSql's CTE chain with the
+    * arrival predicate (vec_id % 50 = 0) in place of the query one,
+    * and a raw-double similarity THRESHOLD in place of the top-k
+    * ranking — the flag set annProbeFlags emits. Self-pairs excluded,
+    * sim rounded only in the projection (the filter replays raw — the
+    * nearDupPairsIvf candSim precedent). */
+  private def annProbeFlagsSql(nlist: Int, nprobe: Int, iters: Int,
+      seed: Long, dims: Int, m: Int, ksub: Int, minSim: Double): String = {
+    require(m > 0 && dims % m == 0, "dims must split into m sub-vectors")
+    val (qdJoins, ip, rn2) = pqAdcFragments(m, "vqb")
+    "WITH emb AS (SELECT vec_id, embedding FROM embeddings), " +
+      coarseLloydCtes("v", nlist, iters, seed) + ", " +
+      s"vpc AS (SELECT e.vec_id, ${oSqlNrm("e.embedding")} AS vnorm, c.cell, ${oSqlSimDiv(oSqlDot("e.embedding", "c.cvec"), s"${oSqlNrm("e.embedding")} * c.cnorm")} AS csim FROM emb e CROSS JOIN vc$iters c), " +
+      "vcb AS (SELECT vec_id AS n_id, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn FROM vpc) t WHERE rn = 1), " +
+      s"vqb AS (SELECT vec_id AS q_id, vnorm AS q_norm, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn FROM vpc WHERE vec_id % 50 = 0) t WHERE rn <= $nprobe), " +
+      pqSubCtes(dims, m, ksub, iters, seed, qPred = "e.vec_id % 50 = 0") + ", " +
+      s"scored AS (SELECT vqb.q_id, vcb.n_id, " +
+      s"CASE WHEN vqb.q_norm > 0 AND $rn2 > 0 THEN ($ip) / (vqb.q_norm * sqrt($rn2)) ELSE 0.0 END AS sim " +
+      s"FROM vcb JOIN vqb USING (cell) JOIN codes n ON n.vec_id = vcb.n_id $qdJoins WHERE vcb.n_id <> vqb.q_id) " +
+      s"SELECT q_id AS new_id, CAST(q_id AS BIGINT) AS arrival_ts, n_id AS neighbor_id, round(sim, 4) AS adc_sim FROM scored WHERE sim >= $minSim"
   }
 
   /** The sim_index_report oracle: every vector's cell from the shared
@@ -2916,6 +2975,22 @@ object SparkEntry {
       m = PqM, ksub = PqKsub),
     "sim_index_report" -> indexReportSql(nlist = IvfNlist,
       iters = PqIters, seed = 42L, dims = 64, m = PqM, ksub = PqKsub),
+    "stream_ann_probe_flags" -> annProbeFlagsSql(nlist = IvfNlist,
+      nprobe = IvfNprobe, iters = PqIters, seed = 42L, dims = 64,
+      m = PqM, ksub = PqKsub, minSim = 0.3),
+    // stream_window_dup_flags oracle: the text_window_dedup hashing
+    // replayed, split 90/10 — canonical (lowest (doc, pos)) occurrence
+    // per hash over the corpus side is the index, arrival windows
+    // equi-join it on the hash
+    "stream_window_dup_flags" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "w AS (SELECT doc_id, i AS wpos, md5(array_to_string(list_slice(ws, i + 1, i + 8), ' ')) AS whash " +
+        "FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - 7)) AS i FROM d WHERE len(ws) >= 8) t), " +
+        "idx AS (SELECT whash, dup_of, dup_pos FROM (SELECT whash, doc_id AS dup_of, wpos AS dup_pos, " +
+        "row_number() OVER (PARTITION BY whash ORDER BY doc_id, wpos) AS rn FROM w WHERE doc_id % 10 <> 0) r WHERE rn = 1), " +
+        "arr AS (SELECT doc_id, wpos, whash FROM w WHERE doc_id % 10 = 0) " +
+        "SELECT a.doc_id AS new_id, CAST(a.doc_id AS BIGINT) AS arrival_ts, CAST(a.wpos AS BIGINT) AS wpos, " +
+        "i.dup_of, CAST(i.dup_pos AS BIGINT) AS dup_pos FROM arr a JOIN idx i USING (whash)"),
     "sim_ann_ivf" -> ivfSql(nlist = IvfNlist, nprobe = IvfNprobe, k = 5,
       iters = 2, seed = 42L),
     "sim_rerank" -> rerankSql(dims = 64, planes = 4, k = 5, factor = 3),
