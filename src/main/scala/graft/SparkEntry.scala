@@ -2105,20 +2105,28 @@ object SparkEntry {
 
   /** Mirrors Packing.temperatureMixtureByTokens END TO END: the
     * per-source token totals, the share^α weight algebra
-    * w = round(p^(α−1) / Σ p^α, 6), and the token-prefix sampler are
-    * all re-derived from the data — the weights are gated, not
-    * trusted. The 6dp rounding (applied identically engine-side on
-    * the exact binary double) absorbs pow()/Σ-order ulp daylight, so
-    * the floor/admit comparisons run on bit-identical weights. */
-  private def mixtureTemperatureSql(alpha: Double): String =
+    * w = round((p^α / p) / Σ p^α, 6), and the token-prefix sampler
+    * are all re-derived from the data — the weights are gated, not
+    * trusted. Agreement is STRUCTURAL (the temperatureWeights
+    * contract): p^α is sqrt at α = 0.5 (correctly rounded per IEEE —
+    * bit-identical across engines, unlike libm pow), the p^(α−1)
+    * numerator is p^α / p (one correctly-rounded division, never a
+    * second pow), and z folds the per-key terms in key-sorted order
+    * via list_sort + list_aggregate — matching the driver's sorted
+    * foldLeft — rather than an order-unspecified sum(). */
+  private def mixtureTemperatureSql(alpha: Double): String = {
+    def powA(x: String): String =
+      if (alpha == 0.5) s"sqrt($x)"
+      else s"pow($x, CAST($alpha AS DOUBLE))"
     "WITH z AS (SELECT doc_id, source, " +
       "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|mixtok'), 1, 7) AS BIGINT) AS h, " +
       s"$tokensSql AS tk FROM documents), " +
       "tot AS (SELECT source, CAST(sum(tk) AS DOUBLE) AS tot FROM z GROUP BY source), " +
       "gt AS (SELECT CAST(sum(tot) AS DOUBLE) AS T FROM tot), " +
-      s"zs AS (SELECT sum(pow(tot.tot / gt.T, CAST($alpha AS DOUBLE))) AS s FROM tot, gt), " +
+      s"pa AS (SELECT source, tot, ${powA("tot / gt.T")} AS pa, tot / gt.T AS p FROM tot, gt), " +
+      "zs AS (SELECT list_aggregate(list_transform(list_sort(list({'k': source, 'v': pa})), r -> r.v), 'sum') AS s FROM pa), " +
       "wt AS (SELECT source, tot, CASE WHEN tot = 0 THEN 0.0 ELSE " +
-      s"round(pow(tot / gt.T, CAST(${alpha - 1.0} AS DOUBLE)) / zs.s, 6) END AS w FROM tot, gt, zs), " +
+      "round((pa / p) / zs.s, 6) END AS w FROM pa, zs), " +
       "w2 AS (SELECT z.doc_id, z.source, wt.w, wt.tot, " +
       "coalesce(sum(z.tk) OVER (PARTITION BY z.source ORDER BY z.h, z.doc_id " +
       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx " +
@@ -2127,6 +2135,7 @@ object SparkEntry {
       "(CASE WHEN pfx < (w - floor(w)) * tot THEN 1 ELSE 0 END) AS n FROM w2) " +
       "SELECT doc_id, source, CAST(t.e AS BIGINT) AS epoch " +
       "FROM n, LATERAL (SELECT unnest(range(0, n.n)) AS e) t WHERE n.n > 0"
+  }
 
   /** Mirrors Packing.mixtureSampleByTokens: the naive key-partitioned
     * running sum replays the bucketed prefix (PackingSpec proves row

@@ -479,11 +479,20 @@ object Packing {
     * granularity). ONE key-bounded aggregate collects to the driver
     * (the budgets-map convention — weights are a tiny fit artifact);
     * a zero-token key gets weight 0 (nothing to sample; the α < 1
-    * pole is unreachable). Weights round at 6 decimals on the EXACT
-    * binary double, half away from zero — the same rounding the SQL
-    * oracle applies, so both engines feed the admit comparison
-    * bit-identical weights (pow/Σ-order ulp daylight is absorbed by
-    * the rounding, the round(.,4) precedent). */
+    * pole is unreachable).
+    *
+    * Cross-engine determinism is STRUCTURAL, not rounding-dependent:
+    * p^(α−1) is derived as p^α / p (a correctly-rounded IEEE division
+    * of the same p^α both engines computed for z — never a second
+    * engine-approximated pow), z folds the per-key p^α terms in
+    * key-sorted order (the list_sort + list_aggregate oracle
+    * convention), and at the conventional α = 0.5 the power itself is
+    * `sqrt` — correctly rounded per IEEE 754, so bit-identical in any
+    * engine, where pow(x, 0.5) is only faithfully rounded and may
+    * differ by an ulp between libm implementations. Only non-half α
+    * retain a pow() ulp exposure; the 6-decimal HALF_UP rounding
+    * (applied identically in both engines on the exact binary double)
+    * still absorbs it there. */
   def temperatureWeights(df: DataFrame, keyCol: String, textCol: String,
       alpha: Double): Map[String, Double] = {
     require(alpha > 0 && alpha.isFinite,
@@ -492,13 +501,17 @@ object Packing {
       .agg(sum(tokenCount(col(textCol))).as("__t"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val t = totals.values.sum.toDouble
-    val z = totals.toSeq.sortBy(_._1)
-      .map { case (_, n) => math.pow(n / t, alpha) }.sum
-    totals.map { case (k, n) =>
+    def powAlpha(x: Double): Double =
+      if (alpha == 0.5) math.sqrt(x) else math.pow(x, alpha)
+    val ordered = totals.toSeq.sortBy(_._1)
+      .map { case (k, n) => (k, n, n / t) }
+    val z = ordered.foldLeft(0.0) { case (acc, (_, _, p)) =>
+      acc + powAlpha(p) }
+    ordered.map { case (k, n, p) =>
       k -> (if (n == 0L) 0.0
-      else new java.math.BigDecimal(math.pow(n / t, alpha - 1.0) / z)
+      else new java.math.BigDecimal(powAlpha(p) / p / z)
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue)
-    }
+    }.toMap
   }
 
   /** [[mixtureSampleByTokens]] with weights derived by

@@ -499,9 +499,20 @@ object StreamOps {
     * state write and the streaming commit replays the batch) finds
     * its own id already in the state and skips the merge, re-emitting
     * the sink from the unchanged state — double-counting would
-    * silently break the n_est ≤ true half of the bracket. */
+    * silently break the n_est ≤ true half of the bracket.
+    *
+    * The batch-id guard is only meaningful WITHIN one logical query:
+    * `stateDir` must live and die with the streaming checkpoint, and
+    * `runId` (any caller-stable identity — persist it with the
+    * checkpoint path) is stamped into the state to enforce that. A
+    * NEW query pointed at a survivor state dir restarts batch ids at
+    * 0, which the id guard alone would misread as a replay — silently
+    * dropping every early batch while re-emitting stale results — so
+    * a run-id mismatch fails the query instead. Resume = same
+    * checkpoint + same stateDir + same runId. */
   def heavyHittersBatches(stream: DataFrame, keyCol: String,
-      capacity: Int, stateDir: String, compactState: Boolean = true)(
+      capacity: Int, stateDir: String, runId: String,
+      compactState: Boolean = true)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream.outputMode("append").foreachBatch {
@@ -514,28 +525,39 @@ object StreamOps {
         val prev =
           if (fs.exists(statePath)) Some(spark.read.parquet(stateDir))
           else None
+        prev.filter(p => !p.limit(1).isEmpty).foreach { p =>
+          val stored = p.select(col("run_id")).head().getString(0)
+          if (stored != runId) throw new IllegalStateException(
+            s"heavy-hitter state at $stateDir belongs to run " +
+              s"'$stored', not '$runId': the batch-id replay guard " +
+              "cannot distinguish a fresh query's early batches from " +
+              "replays, so refusing to merge — wipe the state dir for " +
+              "a new query, or resume with the original runId")
+        }
         val alreadyApplied = prev.exists(p =>
           !p.limit(1).isEmpty &&
             p.agg(max(col("last_batch"))).head().getLong(0) >= batchId)
         val merged =
           if (alreadyApplied)
-            prev.get.drop("last_batch")
+            prev.get.drop("last_batch", "run_id")
           else {
             val batchSummary =
               R.heavyHitterSummaries(batch, keyCol, capacity)
             val merged0 = prev match {
               case Some(p) => R.mergeHitterSummaries(
-                p.drop("last_batch"), batchSummary)
+                p.drop("last_batch", "run_id"), batchSummary)
               case None => R.normalizeHitterSummaries(batchSummary)
             }
             if (compactState) R.compactHitterSummaries(merged0, capacity)
             else merged0
           }
         val pinned = merged.withColumn("last_batch", lit(batchId))
+          .withColumn("run_id", lit(runId))
           .localCheckpoint(true)
         try {
           pinned.write.mode("overwrite").parquet(stateDir)
-          sink(R.hitterSummariesResult(pinned.drop("last_batch"))
+          sink(R.hitterSummariesResult(
+              pinned.drop("last_batch", "run_id"))
             .withColumn("batch_id", lit(batchId)), batchId)
         } finally graft.operators.Checkpoints.releaseIntermediate(pinned)
         ()

@@ -934,7 +934,7 @@ class StreamingSpec extends SparkSpec {
       Array[(String, Long, Long)]]
     val in = MemoryStream[TestEvt]
     val q = StreamOps.heavyHittersBatches(in.toDF(), "event_type",
-      cap, s"$base/state", compactState = false) { (res, id) =>
+      cap, s"$base/state", runId = "run-u", compactState = false) { (res, id) =>
       results(id) = res.select("key", "n_est", "n_max")
         .as[(String, Long, Long)].collect()
     }
@@ -970,7 +970,7 @@ class StreamingSpec extends SparkSpec {
     var last = Array.empty[(String, Long, Long)]
     val in = MemoryStream[TestEvt]
     val q = StreamOps.heavyHittersBatches(in.toDF(), "event_type",
-      cap, stateDir) { (res, _) =>
+      cap, stateDir, runId = "run-c") { (res, _) =>
       last = res.select("key", "n_est", "n_max")
         .as[(String, Long, Long)].collect()
     }
@@ -994,22 +994,44 @@ class StreamingSpec extends SparkSpec {
       assert(present.contains(k), s"guaranteed-present $k missing"))
     assert(present.contains("h1") && present.contains("h2"))
 
-    // REPLAY GUARD: a re-delivered batch id (here: a fresh query's
-    // batch 0 against state stamped last_batch=1 — the same code path
-    // an at-least-once foreachBatch replay takes) must SKIP the merge
-    // and leave the counters untouched; double-merging would break
-    // n_est <= true
+    // REPLAY GUARD: a re-delivered batch id WITHIN THE SAME RUN
+    // (here: a resumed query's batch 0 against state stamped
+    // last_batch=1 — the code path an at-least-once foreachBatch
+    // replay takes) must SKIP the merge and leave the counters
+    // untouched; double-merging would break n_est <= true
     val before = spark.read.parquet(stateDir)
       .filter(col("key").isNotNull)
       .select("key", "est").as[(String, Long)].collect().toSet
     val in2 = MemoryStream[TestEvt]
     val q2 = StreamOps.heavyHittersBatches(in2.toDF(), "event_type",
-      cap, stateDir) { (_, _) => () }
+      cap, stateDir, runId = "run-c") { (_, _) => () }
     try { in2.addData(mk("h1", 30): _*); q2.processAllAvailable() }
     finally q2.stop()
     val after = spark.read.parquet(stateDir)
       .filter(col("key").isNotNull)
       .select("key", "est").as[(String, Long)].collect().toSet
     assert(after === before, "replayed batch id double-merged")
+
+    // RUN-ID GUARD: a DIFFERENT run pointed at the survivor state dir
+    // must FAIL, not silently treat its fresh batches as replays —
+    // without the stamp, every batch id <= the stored last_batch
+    // would drop its data while re-emitting stale results
+    val in3 = MemoryStream[TestEvt]
+    val q3 = StreamOps.heavyHittersBatches(in3.toDF(), "event_type",
+      cap, stateDir, runId = "a-new-query") { (_, _) => () }
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try { in3.addData(mk("h9", 3): _*); q3.processAllAvailable() }
+      finally q3.stop()
+    }
+    def causes(t: Throwable): Iterator[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+    assert(causes(err).exists(c =>
+      c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("belongs to run")))
+    // and the state survived the refusal untouched
+    val after3 = spark.read.parquet(stateDir)
+      .filter(col("key").isNotNull)
+      .select("key", "est").as[(String, Long)].collect().toSet
+    assert(after3 === before)
   }
 }
