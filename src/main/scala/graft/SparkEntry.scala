@@ -774,6 +774,14 @@ object SparkEntry {
       // text_paragraph_dedup
       TextAnalysis.dedupTokenWindows(t(s, d, "documents"),
         "doc_id", "text", k = 8)),
+    "text_window_dedup_exact" -> ((s, d) =>
+      // the EXACT (suffix-ordered) flavor: same span semantics keyed
+      // on raw window content — the distributed truncated suffix
+      // sort, zero hash-collision false scrubs. Oracle compares
+      // tokens, not digests; spec pins flavor equality on
+      // collision-free corpora
+      TextAnalysis.dedupTokenWindowsExact(t(s, d, "documents"),
+        "doc_id", "text", k = 8)),
     "text_vocab" -> ((s, d) =>
       TextAnalysis.vocabulary(t(s, d, "documents"), "text", 50)),
     "text_bpe_merges" -> ((s, d) =>
@@ -1087,6 +1095,17 @@ object SparkEntry {
       // sf0.01 — k=8 catches only the one verbatim re-post)
       val docs = t(s, d, "documents")
       Dedup.decontaminateSpans(docs.filter(col("doc_id") >= 25),
+        docs.filter(col("doc_id") < 25), "doc_id", "text", k = 4)
+    }),
+    "dedup_scrub_spans_exact" -> ((s, d) => {
+      // the EXACT decontamination flavor at the same boundary and k:
+      // train spans scrub only on a verbatim TOKEN match with an eval
+      // window (the suffix-ordered key), never on a hash collision.
+      // Agreement with dedup_scrub_spans on this corpus is the
+      // collision-free expectation — both queries' oracles assert it
+      // independently against the same SQL span algebra
+      val docs = t(s, d, "documents")
+      Dedup.decontaminateSpansExact(docs.filter(col("doc_id") >= 25),
         docs.filter(col("doc_id") < 25), "doc_id", "text", k = 4)
     }),
     "dedup_cluster_split" -> ((s, d) => {
@@ -2450,6 +2469,22 @@ object SparkEntry {
         "SELECT d2.doc_id, CAST(len(string_split(d2.text, ' ')) AS BIGINT) AS n_tokens, " +
         "coalesce(a.n_kept, 0) AS n_kept, coalesce(a.text_deduped, '') AS text_deduped " +
         "FROM documents d2 LEFT JOIN agg a ON d2.doc_id = a.doc_id"),
+    // text_window_dedup_exact oracle: the same span algebra keyed on
+    // the RAW window string — the oracle compares tokens, not digests,
+    // so it independently witnesses that the hash flavor's spans were
+    // collision-free on this corpus
+    "text_window_dedup_exact" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "w AS (SELECT doc_id, i AS wpos, array_to_string(list_slice(ws, i + 1, i + 8), ' ') AS whash " +
+        "FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - 7)) AS i FROM d WHERE len(ws) >= 8) t), " +
+        "dup AS (SELECT doc_id, wpos FROM (SELECT doc_id, wpos, row_number() OVER (PARTITION BY whash ORDER BY doc_id, wpos) AS rn FROM w) r WHERE rn > 1), " +
+        "tok AS (SELECT doc_id, ws[p + 1] AS tk, p FROM (SELECT doc_id, ws, unnest(range(0, len(ws))) AS p FROM d) t), " +
+        "keep AS (SELECT t.doc_id, t.tk, t.p FROM tok t WHERE NOT EXISTS " +
+        "(SELECT 1 FROM dup u WHERE u.doc_id = t.doc_id AND u.wpos <= t.p AND t.p < u.wpos + 8)), " +
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, string_agg(tk, ' ' ORDER BY p) AS text_deduped FROM keep GROUP BY doc_id) " +
+        "SELECT d2.doc_id, CAST(len(string_split(d2.text, ' ')) AS BIGINT) AS n_tokens, " +
+        "coalesce(a.n_kept, 0) AS n_kept, coalesce(a.text_deduped, '') AS text_deduped " +
+        "FROM documents d2 LEFT JOIN agg a ON d2.doc_id = a.doc_id"),
     "text_boilerplate" ->
       ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
         "l AS (SELECT doc_id, t.line, t.pos FROM d, LATERAL (SELECT unnest(ws) AS line, unnest(range(1, len(ws) + 1)) AS pos) t), " +
@@ -2820,6 +2855,23 @@ object SparkEntry {
         "ev AS (SELECT DISTINCT md5(array_to_string(list_slice(ws, i + 1, i + 4), ' ')) AS whash " +
         "FROM (SELECT ws, unnest(range(0, len(ws) - 3)) AS i FROM d WHERE doc_id < 25 AND len(ws) >= 4) t), " +
         "w AS (SELECT doc_id, i AS wpos, md5(array_to_string(list_slice(ws, i + 1, i + 4), ' ')) AS whash " +
+        "FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - 3)) AS i FROM d WHERE doc_id >= 25 AND len(ws) >= 4) t), " +
+        "dup AS (SELECT w.doc_id, w.wpos FROM w JOIN ev USING (whash)), " +
+        "tok AS (SELECT doc_id, ws[p + 1] AS tk, p FROM (SELECT doc_id, ws, unnest(range(0, len(ws))) AS p FROM d WHERE doc_id >= 25) t), " +
+        "keep AS (SELECT t.doc_id, t.tk, t.p FROM tok t WHERE NOT EXISTS " +
+        "(SELECT 1 FROM dup u WHERE u.doc_id = t.doc_id AND u.wpos <= t.p AND t.p < u.wpos + 4)), " +
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, string_agg(tk, ' ' ORDER BY p) AS text_clean FROM keep GROUP BY doc_id) " +
+        "SELECT d2.doc_id, CAST(len(string_split(d2.text, ' ')) AS BIGINT) AS n_tokens, " +
+        "coalesce(a.n_kept, 0) AS n_kept, coalesce(a.text_clean, '') AS text_clean " +
+        "FROM documents d2 LEFT JOIN agg a ON d2.doc_id = a.doc_id WHERE d2.doc_id >= 25"),
+    // dedup_scrub_spans_exact oracle: the scrub algebra on RAW window
+    // strings — token-grounded spans, the suffix-ordered flavor's
+    // no-false-scrub contract made checkable
+    "dedup_scrub_spans_exact" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "ev AS (SELECT DISTINCT array_to_string(list_slice(ws, i + 1, i + 4), ' ') AS whash " +
+        "FROM (SELECT ws, unnest(range(0, len(ws) - 3)) AS i FROM d WHERE doc_id < 25 AND len(ws) >= 4) t), " +
+        "w AS (SELECT doc_id, i AS wpos, array_to_string(list_slice(ws, i + 1, i + 4), ' ') AS whash " +
         "FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - 3)) AS i FROM d WHERE doc_id >= 25 AND len(ws) >= 4) t), " +
         "dup AS (SELECT w.doc_id, w.wpos FROM w JOIN ev USING (whash)), " +
         "tok AS (SELECT doc_id, ws[p + 1] AS tk, p FROM (SELECT doc_id, ws, unnest(range(0, len(ws))) AS p FROM d WHERE doc_id >= 25) t), " +

@@ -965,17 +965,38 @@ object Dedup {
     * arrival set (spec-pinned in StreamingSpec). */
   def decontaminateSpans(docs: DataFrame, evalDocs: DataFrame,
       idCol: String, textCol: String, k: Int,
-      delim: String = " "): DataFrame = {
+      delim: String = " "): DataFrame =
+    decontaminateSpansKeyed(docs, evalDocs, idCol, textCol, k, delim,
+      ws => TextAnalysis.windowHashes(ws, k, delim))
+
+  /** EXACT span decontamination via bounded suffix ordering — the
+    * [[decontaminateSpans]] semantics keyed on RAW
+    * `TextAnalysis.suffixKeys` window content instead of md5: a train
+    * span is only scrubbed when its TOKENS verbatim-match an eval
+    * window, never on a hash collision (a false scrub that silently
+    * deletes clean training text). The eval side stays a DISTINCT
+    * broadcast-sized set; its keys widen from 32 hex chars to k
+    * tokens — fine for eval suites (small by construction), the same
+    * width trade dedupTokenWindowsExact documents for the corpus
+    * side. */
+  def decontaminateSpansExact(docs: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, k: Int,
+      delim: String = " "): DataFrame =
+    decontaminateSpansKeyed(docs, evalDocs, idCol, textCol, k, delim,
+      ws => TextAnalysis.suffixKeys(ws, k, delim))
+
+  private def decontaminateSpansKeyed(docs: DataFrame,
+      evalDocs: DataFrame, idCol: String, textCol: String, k: Int,
+      delim: String, keyArr: Column => Column): DataFrame = {
     require(k >= 2, "window must span at least 2 tokens")
     val esc = java.util.regex.Pattern.quote(delim)
     val toks = docs.select(col(idCol), split(col(textCol), esc).as("__ws"))
     val evalHashes = evalDocs
-      .select(explode(TextAnalysis.windowHashes(
-        split(col(textCol), esc), k, delim)).as("whash"))
+      .select(explode(keyArr(split(col(textCol), esc))).as("whash"))
       .distinct()
     val spans = toks
       .select(col(idCol),
-        posexplode(TextAnalysis.windowHashes(col("__ws"), k, delim))
+        posexplode(keyArr(col("__ws")))
           .as(Seq("wpos", "whash")))
       .join(evalHashes, "whash")
       .groupBy(col(idCol))

@@ -1244,6 +1244,23 @@ object TextAnalysis {
         i => md5(array_join(slice(ws, i + 1, lit(k)), delim))))
       .otherwise(array().cast("array<string>"))
 
+  /** The RAW bounded suffix key at each position: the next k tokens
+    * re-joined (unambiguous — tokens cannot contain the delimiter
+    * they were split on). The un-hashed sibling of [[windowHashes]]:
+    * grouping/sorting on this key IS a distributed suffix sort
+    * truncated at depth k — the shuffle range-partitions the key
+    * space and sorts within partitions, so suffixes sharing a ≥ k
+    * prefix land adjacent, exactly the suffix-array neighborhood the
+    * Lee et al. ExactSubstr formulation scans — at zero collision
+    * risk (md5 keys make span removal exact only up to a hash
+    * collision, which is a FALSE SCRUB when it fires). */
+  private[graft] def suffixKeys(ws: Column, k: Int,
+      delim: String): Column =
+    when(size(ws) >= k,
+      transform(sequence(lit(0), size(ws) - k),
+        i => array_join(slice(ws, i + 1, lit(k)), delim)))
+      .otherwise(array().cast("array<string>"))
+
   /** Tokens of `ws` NOT covered by any k-span starting at a position
     * in `dupStarts` — the span-removal half of [[dedupTokenWindows]],
     * a pure per-row expression (reused by the streaming reassembly). */
@@ -1253,13 +1270,36 @@ object TextAnalysis {
       !exists(dupStarts, w0 => w0 <= p && p < w0 + k))
 
   def dedupTokenWindows(df: DataFrame, idCol: String, textCol: String,
-      k: Int, delim: String = " "): DataFrame = {
+      k: Int, delim: String = " "): DataFrame =
+    dedupTokenWindowsKeyed(df, idCol, textCol, k, delim,
+      ws => windowHashes(ws, k, delim))
+
+  /** EXACT substring dedup via bounded suffix ordering — identical
+    * span semantics to [[dedupTokenWindows]] but keyed on the RAW
+    * [[suffixKeys]] window content instead of its md5: the shuffle's
+    * range-partition + sort on the truncated suffix is the
+    * distributed suffix sort of Lee et al.'s ExactSubstr, and equal
+    * keys mean equal TOKENS, so a span is only ever scrubbed for a
+    * real repeat — no hash-collision false scrubs, which is what
+    * makes the removal exact rather than exact-with-probability-
+    * 1-minus-2^-128. Trade (SCALE.md): the shuffle key widens from 32
+    * hex chars to ~k tokens of text; at large k dictionary-encode
+    * tokens to ints first, or accept the hash flavor's collision
+    * bound. */
+  def dedupTokenWindowsExact(df: DataFrame, idCol: String,
+      textCol: String, k: Int, delim: String = " "): DataFrame =
+    dedupTokenWindowsKeyed(df, idCol, textCol, k, delim,
+      ws => suffixKeys(ws, k, delim))
+
+  private def dedupTokenWindowsKeyed(df: DataFrame, idCol: String,
+      textCol: String, k: Int, delim: String,
+      keyArr: Column => Column): DataFrame = {
     require(k >= 2, "window must span at least 2 tokens")
     import org.apache.spark.sql.expressions.Window
     val esc = java.util.regex.Pattern.quote(delim)
     val toks = df.select(col(idCol), split(col(textCol), esc).as("__ws"))
     val wins = toks.select(col(idCol),
-      posexplode(windowHashes(col("__ws"), k, delim))
+      posexplode(keyArr(col("__ws")))
         .as(Seq("wpos", "whash")))
     val w = Window.partitionBy(col("whash"))
       .orderBy(col(idCol), col("wpos"))

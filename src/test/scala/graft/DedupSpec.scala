@@ -113,6 +113,17 @@ class DedupSpec extends SparkSpec {
     assert(out(11L) === ((8L, 8L,
       "france exports wine and the capital markets rally")))
     assert(out(12L) === ((4L, 0L, "")))
+
+    // the EXACT (suffix-ordered) flavor agrees span-for-span on a
+    // collision-free corpus — and its keys are the raw tokens, so
+    // the agreement here doubly witnesses that no md5 collision
+    // contributed a span above
+    val exact = Dedup.decontaminateSpansExact(train, eval, "doc_id",
+        "text", k = 4)
+      .select("doc_id", "n_tokens", "n_kept", "text_clean")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(exact === out)
   }
 
   test("jaccardPairsPrefix == jaccardPairs row-for-row; prefix " +

@@ -403,6 +403,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) === ((8L, 4L, "m n o p")))
   }
 
+  test("dedupTokenWindowsExact == dedupTokenWindows row-for-row on a " +
+      "collision-free corpus (the suffix-ordered flavor)") {
+    val docs = Seq(
+      (1L, "p q r s t u v w"), (2L, "x y p q r s t z"),
+      (3L, "a b c"), (4L, "m n o p m n o p"),
+      (5L, "alpha beta gamma delta alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_tokens", "n_kept", "text_deduped")
+        .as[(Long, Long, Long, String)].collect().toSet
+    assert(
+      rows(TextAnalysis.dedupTokenWindowsExact(docs, "doc_id", "text", 4))
+        === rows(TextAnalysis.dedupTokenWindows(docs, "doc_id", "text", 4)))
+  }
+
+  test("exact flavor at the protected run length catches the planted " +
+      "sub-window duplicate an ambient k=8 pass misses") {
+    // a 6-token run repeats across docs: EVERY k=8 window pass (hash
+    // or exact) sees nothing — the run never fills a window — while
+    // the exact flavor re-run at k=6 (= the min protected run, the
+    // knob the suffix formulation makes cheap to lower: keys stay
+    // token-exact at any k, no second hash family to trust) scrubs
+    // exactly the later occurrence
+    val docs = Seq(
+      (1L, "one two three four five six tail1 tail2"),
+      (2L, "head1 head2 one two three four five six")).toDF("doc_id", "text")
+    val at8 = TextAnalysis.dedupTokenWindows(docs, "doc_id", "text", 8)
+      .select("doc_id", "n_kept").as[(Long, Long)].collect().toMap
+    assert(at8 === Map(1L -> 8L, 2L -> 8L)) // both intact: missed
+    val at8x = TextAnalysis.dedupTokenWindowsExact(docs, "doc_id", "text", 8)
+      .select("doc_id", "n_kept").as[(Long, Long)].collect().toMap
+    assert(at8x === Map(1L -> 8L, 2L -> 8L)) // same semantics at same k
+    val at6 = TextAnalysis.dedupTokenWindowsExact(docs, "doc_id", "text", 6)
+      .select("doc_id", "n_kept", "text_deduped")
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(at6(1L) === ((8L, "one two three four five six tail1 tail2")))
+    assert(at6(2L) === ((2L, "head1 head2")))
+  }
+
   test("advanceWindowHashIndex == rebuild over corpus ∪ arrivals; " +
       "idempotent on replay") {
     val corpus = Seq(
