@@ -58,6 +58,9 @@ object GraftConfig {
     "graft.dashboard.refreshSeconds" -> "5",
     "graft.dashboard.topK" -> "10",
     "graft.dashboard.htmlFile" -> "",
+    // <= 0 disables the HTTP server; 0 would bind an ephemeral port,
+    // only useful under tests that read it back off the server
+    "graft.dashboard.port" -> "-1",
     "graft.consumer.spark.appName" -> "graft-stream",
     "graft.consumer.spark.shufflePartitions" -> "8",
     "graft.consumer.source.directory" -> "/tmp/graft_stream_demo/incoming",

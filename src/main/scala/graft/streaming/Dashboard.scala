@@ -180,4 +180,47 @@ object Dashboard {
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
+
+  /** SERVE the dashboard — the reference runs a Streamlit process on
+    * :8501 with a 5 s rerun loop (taxi_dashboard.py:204-206,
+    * docker-compose.yml:39-50); this is the engine-side equivalent on
+    * the JDK's built-in HTTP server, no extra dependency: every GET /
+    * re-collects the panels (the Streamlit rerun) and the page's own
+    * meta-refresh drives the cadence client-side. `port = 0` binds an
+    * ephemeral port — read it off the returned server (tests do).
+    * Panel collection runs Spark jobs on the serving thread; the
+    * single-threaded default executor therefore also serializes
+    * concurrent refreshes instead of stacking Spark jobs. Stop with
+    * `server.stop(0)`. GET /healthz answers without touching Spark —
+    * the liveness probe a deployment points at. */
+  def serve(spark: SparkSession, processedDir: String, port: Int,
+      nBatches: Int = 2, topK: Int = 10, previewRows: Int = 10,
+      refreshSeconds: Long = 5L): com.sun.net.httpserver.HttpServer = {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", port), 0)
+    def respond(ex: HttpExchange, code: Int, contentType: String,
+        body: String): Unit = {
+      val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", contentType)
+      ex.sendResponseHeaders(code, bytes.length.toLong)
+      try ex.getResponseBody.write(bytes) finally ex.close()
+    }
+    server.createContext("/healthz", new HttpHandler {
+      def handle(ex: HttpExchange): Unit =
+        respond(ex, 200, "text/plain; charset=utf-8", "ok\n")
+    })
+    server.createContext("/", new HttpHandler {
+      def handle(ex: HttpExchange): Unit =
+        try respond(ex, 200, "text/html; charset=utf-8",
+          renderHtml(spark, processedDir, nBatches, topK, previewRows,
+            refreshSeconds))
+        catch { case scala.util.control.NonFatal(e) =>
+          respond(ex, 500, "text/plain; charset=utf-8",
+            s"dashboard render failed: ${e.getMessage}\n")
+        }
+    })
+    server.start()
+    server
+  }
 }

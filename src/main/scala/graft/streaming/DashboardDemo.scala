@@ -20,7 +20,17 @@ object DashboardDemo {
     val refreshSeconds = d("graft.dashboard.refreshSeconds").toLong
     val topK = d("graft.dashboard.topK").toInt
     val htmlFile = d("graft.dashboard.htmlFile")
+    val port = d("graft.dashboard.port").toInt
     val spark = graft.GraftSession.build("4")
+    // the SERVED face (reference: Streamlit on :8501): every GET /
+    // re-collects panels live; runs alongside the tick loop below
+    val server =
+      if (port >= 0) {
+        val s = Dashboard.serve(spark, processed, port,
+          topK = topK, refreshSeconds = refreshSeconds)
+        println(s"DASHBOARD_URL=http://127.0.0.1:${s.getAddress.getPort}/")
+        Some(s)
+      } else None
     (1 to ticks).foreach { i =>
       println(s"--- refresh $i/$ticks (${java.time.Instant.now()}) ---")
       // collect once per tick; both faces render from the same panels
@@ -35,6 +45,7 @@ object DashboardDemo {
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       if (i < ticks) Thread.sleep(refreshSeconds * 1000L)
     }
+    server.foreach(_.stop(0))
     spark.stop()
   }
 }

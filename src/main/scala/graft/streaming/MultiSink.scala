@@ -31,7 +31,16 @@ object MultiSink {
       // (respecting maxFilesPerTrigger etc.), then terminate — the
       // incremental-batch pattern: a cron-scheduled run catches up from
       // the checkpoint and exits, no always-on cluster
-      drainOnce: Boolean = false)
+      drainOnce: Boolean = false,
+      // SURVEY §2.1 S8/S9 byte-compat option (reference
+      // producer/FileSender.scala:31-67,82-109): when set, every batch
+      // appends a bounded preview block to <debugDir>/batch_preview.txt
+      // (header, first 5 rows as JSON truncated to 1000 chars, footer)
+      // and an EMPTY batch leaves an empty-batch-<id>.txt marker. One
+      // deliberate deviation: the marker name carries the batch id,
+      // not a wall-clock stamp, so a replayed batch overwrites its own
+      // marker — the sink family's idempotency contract
+      debugDir: Option[String] = None)
 
   object Config {
     /** Sink side from the config file's `graft.consumer.output` block
@@ -70,6 +79,46 @@ object MultiSink {
       .trigger(Trigger.ProcessingTime(s"$triggerSeconds seconds"))
       .start()
 
+  /** The S8 debug side-channel: append a bounded preview block for a
+    * batch — driver-side, ≤ 5 rows collected, content truncated. The
+    * reference's shape (header / preview / footer per batch). */
+  private def appendDebugPreview(batch: DataFrame, batchId: Long,
+      debugDir: String): Unit = {
+    val rows = batch.limit(5).toJSON.collect()
+    val n = batch.count()
+    val preview =
+      if (rows.isEmpty) "EMPTY BATCH - no rows to write"
+      else rows.mkString("\n").take(1000) +
+        (if (n > 5) "\n... (more rows)" else "")
+    val block = s"===== BATCH #$batchId ($n rows) =====\n" +
+      preview + "\n======================================\n\n"
+    val dir = new org.apache.hadoop.fs.Path(debugDir)
+    val fs = dir.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val file = new org.apache.hadoop.fs.Path(dir, "batch_preview.txt")
+    // local FS supports append; object stores would rotate per batch
+    val out = if (fs.exists(file)) fs.append(file) else fs.create(file)
+    try out.write(block.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The S9 empty-batch marker: a tiny witness file so an operator can
+    * tell "no data arrived" from "the sink died". Keyed by batch id
+    * (idempotent on replay — see Config.debugDir). */
+  private def writeEmptyMarker(batch: DataFrame, batchId: Long,
+      debugDir: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(debugDir)
+    val fs = dir.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val f = fs.create(
+      new org.apache.hadoop.fs.Path(dir, s"empty-batch-$batchId.txt"), true)
+    try f.write(s"batch #$batchId was empty - nothing written\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally f.close()
+  }
+
   def start(stream: DataFrame, cfg: Config): StreamingQuery = {
     def write(df: DataFrame, name: String, batchId: Long): Unit =
       df.write.mode("overwrite").format(cfg.format)
@@ -82,12 +131,15 @@ object MultiSink {
         if (cfg.drainOnce) Trigger.AvailableNow()
         else Trigger.ProcessingTime(s"${cfg.triggerSeconds} seconds"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        if (batch.isEmpty)
+          cfg.debugDir.foreach(writeEmptyMarker(batch, batchId, _))
+        else {
           val repaired = StreamOps.repairNullTs(batch, cfg.tsCols)
           val stamped = StreamOps.stampBatchMeta(repaired, batchId)
           // one pass over the source for all four sinks
           stamped.persist()
           try {
+            cfg.debugDir.foreach(appendDebugPreview(stamped, batchId, _))
             write(stamped, "raw", batchId)
             val counts = StreamOps.taggedKeyCounts(
               stamped, cfg.keyA, cfg.tagA, cfg.keyB, cfg.tagB)

@@ -169,4 +169,82 @@ class StreamPipelineSpec extends SparkSpec {
     val html = Dashboard.renderHtml(spark, empty)
     assert(html.sliding(17).count(_ == "no batches yet</p") === 3)
   }
+
+  test("dashboard SERVES over HTTP: GET / re-renders live panels, " +
+      "/healthz answers without Spark") {
+    val base = Files.createTempDirectory("graft_dash_http").toString
+    // a MultiSink-shaped output root, written directly
+    mkEvents(12).withColumn("batch_id", lit("batch_000000"))
+      .write.parquet(s"$base/processed/raw/batch_id=0")
+    Seq(("7", 9L, "pickup_location"), ("3", 3L, "pickup_location"))
+      .toDF("location_id", "trip_count", "aggregation_type")
+      .write.parquet(s"$base/processed/pickup_agg/batch_id=0")
+    Seq(("click", 8L, "dropoff_location"))
+      .toDF("location_id", "trip_count", "aggregation_type")
+      .write.parquet(s"$base/processed/dropoff_agg/batch_id=0")
+    val server = Dashboard.serve(spark, s"$base/processed", port = 0,
+      refreshSeconds = 3L)
+    try {
+      val port = server.getAddress.getPort
+      def get(path: String): (Int, String) = {
+        val conn = new java.net.URL(s"http://127.0.0.1:$port$path")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val code = conn.getResponseCode
+        val body = scala.io.Source.fromInputStream(
+          if (code < 400) conn.getInputStream else conn.getErrorStream)
+          .mkString
+        (code, body)
+      }
+      val (hc, hb) = get("/healthz")
+      assert(hc === 200 && hb === "ok\n")
+      val (code, body) = get("/")
+      assert(code === 200)
+      assert(body.contains("<title>graft dashboard</title>"))
+      assert(body.contains("""<meta http-equiv="refresh" content="3">"""))
+      assert(body.contains("latest trips"))
+      assert(body.contains("top pickup locations"))
+      // the bar chart rendered real data: widest bar is location 7
+      assert(body.contains("""<span class="lbl">7</span>"""))
+      assert(body.contains("""style="width:100%""""))
+    } finally server.stop(0)
+  }
+
+  test("S8/S9 debug side-channel: per-batch preview blocks; an empty " +
+      "drop file leaves an idempotent empty-batch marker") {
+    val base = Files.createTempDirectory("graft_pipe_dbg").toString
+    val prepared = Replay.prepare(mkEvents(10),
+      Seq(col("ts"), col("event_id")))
+    Replay.writeBatches(prepared, s"$base/incoming", 10, 1)
+    prepared.unpersist()
+    val stream = StreamSources.fileStream(spark, s"$base/incoming/*",
+      maxFilesPerTrigger = 1)
+    val q = MultiSink.start(stream, MultiSink.Config(
+      outDir = s"$base/processed", checkpointDir = s"$base/checkpoint",
+      keyA = "user_id", tagA = "pickup_location",
+      keyB = "event_type", tagB = "dropoff_location",
+      triggerSeconds = 1L, debugDir = Some(s"$base/debug")))
+    try {
+      q.processAllAvailable()
+      // now drop an EMPTY file -> one zero-row micro-batch
+      Files.write(java.nio.file.Paths.get(s"$base/incoming/zz_empty.json"),
+        Array.emptyByteArray)
+      q.processAllAvailable()
+    } finally q.stop()
+    val preview = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/debug/batch_preview.txt")), "UTF-8")
+    // S8: header + bounded JSON preview of the non-empty batch
+    assert(preview.contains("===== BATCH #0 (10 rows) ====="))
+    assert(preview.contains("\"event_id\""))
+    assert(preview.contains("... (more rows)")) // 10 > 5: truncated
+    // S9: the empty batch left its marker, keyed by batch id
+    val markers = new java.io.File(s"$base/debug").listFiles()
+      .map(_.getName).filter(_.startsWith("empty-batch-"))
+    assert(markers.length === 1)
+    val marker = new String(Files.readAllBytes(java.nio.file.Paths.get(
+      s"$base/debug/${markers.head}")), "UTF-8")
+    assert(marker.contains("was empty"))
+    // the data path is unaffected by the side-channel
+    assert(spark.read.parquet(s"$base/processed/raw/batch_id=*")
+      .count() === 10L)
+  }
 }
