@@ -56,6 +56,17 @@ object SparkEntry {
 
   val MinhashK = 16
   val LshBands = 4
+  /** Z-order layout parameters (rel_zorder_skip): dims are
+    * (l_partkey mod 128, l_suppkey mod 8) so 7 interleave bits cover
+    * the space and the one literal box stays selective at every SF;
+    * 64 buckets stand in for files. */
+  val ZorderBits = 7
+  val ZorderBuckets = 64
+  val ZorderBox: Seq[(String, Long, Long)] =
+    // sy range sits inside one y half-space — a box straddling the y
+    // midpoint would cross every y-quadrant and z-order would degrade
+    // to the single-key sort (measured: 47/64 skipped for both)
+    Seq(("px", 32L, 63L), ("sy", 4L, 6L))
   /** Merge-rule count for the BPE tokenizer fit (text_bpe_* queries):
     * deep enough that whole frequent words emerge (merge 12 at sf0.01
     * is jo+in → "join"), small enough that the oracle's unrolled
@@ -287,6 +298,32 @@ object SparkEntry {
     "rel_salted_distinct" -> ((s, d) =>
       Relational.saltedDistinctCount(t(s, d, "lineitem"),
         "l_returnflag", "l_partkey", 8)),
+    "rel_zorder_skip" -> ((s, d) => {
+      // physical-layout witness: cluster lineitem three ways (z-order
+      // on (partkey, suppkey); single-key sort; arrival order), build
+      // each layout's zone map, and report how much of the table a
+      // stats-only reader skips for one 2-D box predicate. The z-order
+      // layout prunes on BOTH dimensions; the single-key sort only on
+      // its own key; arrival order barely at all — the numbers are the
+      // point and the oracle replays all three layouts exactly.
+      // clustering dims are modulo-derived so one literal box predicate
+      // stays selective at every SF (raw key ranges grow with SF)
+      val li = t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        pmod(col("l_partkey"), lit(128)).as("px"),
+        pmod(col("l_suppkey"), lit(8)).as("sy"))
+      val tie = Seq(col("l_orderkey"), col("l_linenumber"))
+      val z = Layout.zorderValue(col("px"), col("sy"), ZorderBits)
+      val dims = Seq("px", "sy")
+      def witness(layout: String, order: Seq[Column]) =
+        Layout.skipWitness(
+          Layout.zoneMap(
+            Layout.bucketByOrder(li, order, ZorderBuckets), "bucket", dims),
+          layout, ZorderBox)
+      witness("zorder", z +: tie)
+        .unionByName(witness("px_sort", col("px") +: tie))
+        .unionByName(witness("arrival", tie))
+    }),
     "rel_approx_quantiles" -> ((s, d) => {
       // the percentile sketch gated like the distinct sketches — but on
       // the estimator's ACTUAL guarantee, which is rank (not value)
@@ -569,6 +606,23 @@ object SparkEntry {
       Relational.bloomSemiJoin(c, hot, "c_custkey", "o_custkey",
           expectedItems = 100000L, numBits = 800000L)
         .select(col("c_custkey"), col("c_name"))
+    }),
+    "join_salted_skew" -> ((s, d) => {
+      // explicit skew-salting (Relational.saltedJoin): the fact side
+      // scatters each row across 8 sub-keys of its join key, the dim
+      // side replicates 8× — a hot orderkey's rows land on 8 reducers
+      // instead of one. Result is EXACTLY the plain equi-join; the
+      // oracle computes the unsalted join, proving the rewrite changes
+      // the shuffle shape and nothing else.
+      val li = t(s, d, "lineitem")
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"))
+      Relational.saltedJoin(li, o, "l_orderkey", "o_orderkey",
+          saltBy = col("l_partkey") * lit(7919) + col("l_linenumber"),
+          salt = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
     }),
     "join_range_binned" -> ((s, d) =>
       Relational.binnedRangeCount(t(s, d, "events"), "event_id", "ts", 300L)),
@@ -2289,6 +2343,25 @@ object SparkEntry {
       "FROM packed GROUP BY g, pack"
   }
 
+  /** One layout leg of the rel_zorder_skip oracle: replays
+    * Layout.bucketByOrder's exact integer rank formula, the zone map,
+    * and the skip test for the given ORDER BY expression. */
+  private def zoneSkipSql(layout: String, orderExpr: String): String = {
+    val (pxLo, pxHi) = (ZorderBox(0)._2, ZorderBox(0)._3)
+    val (syLo, syHi) = (ZorderBox(1)._2, ZorderBox(1)._3)
+    "SELECT count(*) AS buckets_total, " +
+      "CAST(sum(CASE WHEN skip THEN 1 ELSE 0 END) AS BIGINT) AS buckets_skipped, " +
+      "CAST(sum(CASE WHEN skip THEN 0 ELSE n_rows END) AS BIGINT) AS rows_scanned, " +
+      s"'$layout' AS layout FROM (" +
+      "SELECT bucket, count(*) AS n_rows, " +
+      s"(max(px) < $pxLo OR min(px) > $pxHi OR max(sy) < $syLo OR min(sy) > $syHi) AS skip " +
+      "FROM (" +
+      s"SELECT px, sy, ((row_number() OVER (ORDER BY $orderExpr) - 1) * $ZorderBuckets) " +
+      "// (SELECT count(*) FROM lineitem) AS bucket " +
+      "FROM (SELECT l_orderkey, l_linenumber, l_partkey % 128 AS px, " +
+      "l_suppkey % 8 AS sy FROM lineitem)) GROUP BY bucket)"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "text_bm25" -> bm25Sql(Bm25Terms, k1 = 1.2, b = 0.75),
     "text_pack_chunks" -> packChunksSql(chunkSize = 12, overlap = 4,
@@ -2560,6 +2633,18 @@ object SparkEntry {
       "SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps, count(DISTINCT l_orderkey) AS n_orders FROM lineitem",
     "rel_salted_distinct" ->
       "SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct FROM lineitem GROUP BY l_returnflag",
+    "rel_zorder_skip" ->
+      (zoneSkipSql("zorder",
+          Layout.zorderSql("px", "sy", ZorderBits) + ", l_orderkey, l_linenumber") +
+        " UNION ALL " +
+        zoneSkipSql("px_sort", "px, l_orderkey, l_linenumber") +
+        " UNION ALL " +
+        zoneSkipSql("arrival", "l_orderkey, l_linenumber")),
+    "join_salted_skew" ->
+      ("SELECT o_orderpriority, count(*) AS n_rows, " +
+        "round(sum(l_extendedprice), 2) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderpriority"),
     "rel_conditional_agg" ->
       ("SELECT o_orderpriority, count(*) FILTER (WHERE o_totalprice > 150000) AS n_big, " +
         "bool_or(o_orderstatus = 'F') AS any_f, bool_and(o_totalprice > 0) AS all_positive, " +

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout clustering for scan pruning — the write-side half of the
+  * 100 TB story, a gap-fill family (the reference never touches physical
+  * layout: its outputs are append-only JSON drops,
+  * consumer/StreamProcessor.scala:156-184). At warehouse scale, WHICH
+  * rows share a file decides how much of the 100 TB a selective scan
+  * must read: parquet keeps min/max statistics per row group and file
+  * footer, and a stats-aware reader skips every unit whose range
+  * excludes the predicate. A z-order (Morton) layout interleaves the
+  * bits of two clustering columns so each file covers a small RECTANGLE
+  * of the key space — a box predicate on EITHER dimension then prunes
+  * most files, where a single-column sort layout prunes only on its
+  * sort key and an arrival-order layout prunes nothing.
+  *
+  * Everything here is deterministic and oracle-replayable: the z-value
+  * is pure bit arithmetic, bucket assignment is an exact integer rank
+  * formula (not sampled range boundaries), and the zone map / skip
+  * witness are plain aggregates over the bucketed frame. The production
+  * write path is `df.repartitionByRange(nBuckets, zCol)` + one file per
+  * partition — same clustering, boundaries picked by Spark's range
+  * sampler; the rank-exact form exists so correctness is checkable
+  * bit-for-bit in a second engine.
+  */
+object Layout {
+
+  /** Morton interleave of the low `bits` bits of two non-negative
+    * integer columns: bit i of `x` lands at position 2i, bit i of `y`
+    * at 2i+1. Rows adjacent in z-value are close in BOTH x and y, so
+    * bucketing by z-value gives every bucket a bounded rectangle of
+    * (x, y) space. Pure shift/and/or built-ins — codegen'd, no UDF. */
+  def zorderValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"zorderValue bits out of range: $bits")
+    val xl = x.cast("long")
+    val yl = y.cast("long")
+    (0 until bits).map { i =>
+      shiftleft(shiftrightunsigned(xl, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftrightunsigned(yl, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** The DuckDB-replayable SQL text of [[zorderValue]] — the oracle
+    * computes the identical interleave with the same integer ops. */
+  def zorderSql(x: String, y: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " | ", ")")
+
+  /** Assign each row to one of `nBuckets` near-equal-size buckets by
+    * rank in `order` — the bucket IS the file in the write path. The
+    * assignment is exact integer arithmetic, floor((rank−1)·B / N), so
+    * a second engine replays it bit-for-bit (sampled range-partition
+    * boundaries can't be). Rank comes from
+    * [[Relational.withScalableOrdinal]] — range-partitioned sort plus
+    * per-partition offsets, never a single-partition window. EAGER
+    * (one count + the ordinal's sort job). */
+  def bucketByOrder(df: DataFrame, order: Seq[Column], nBuckets: Int,
+      bucketName: String = "bucket"): DataFrame = {
+    require(nBuckets >= 1, s"bucketByOrder nBuckets out of range: $nBuckets")
+    val n = df.count()
+    require(n > 0, "bucketByOrder: empty input")
+    Relational.withScalableOrdinal(df, order, "__rank")
+      .withColumn(bucketName,
+        expr(s"CAST(((__rank - 1) * $nBuckets) div ${n}L AS BIGINT)"))
+      .drop("__rank")
+  }
+
+  /** Zone map: per-bucket min/max of each pruning dimension plus row
+    * count — exactly the statistics a parquet footer keeps per row
+    * group, materialized as a table a planner (or the skip witness
+    * below) can consult without touching the data. */
+  def zoneMap(bucketed: DataFrame, bucketCol: String,
+      dims: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +:
+      dims.flatMap(d => Seq(min(col(d)).as(s"min_$d"),
+        max(col(d)).as(s"max_$d")))
+    bucketed.groupBy(col(bucketCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Skip witness against a box predicate (lo ≤ dim ≤ hi per listed
+    * dimension): how many buckets can a stats-only reader prove empty
+    * of matches, and how many rows sit in the buckets it must scan? A
+    * bucket is skippable iff its zone excludes the box on ANY dimension
+    * — the no-false-negative test a parquet reader applies to row-group
+    * stats. One summary row, tagged with the layout's name. */
+  def skipWitness(zones: DataFrame, layout: String,
+      box: Seq[(String, Long, Long)]): DataFrame = {
+    require(box.nonEmpty, "skipWitness: empty box predicate")
+    val skip = box.map { case (d, lo, hi) =>
+      col(s"max_$d") < lit(lo) || col(s"min_$d") > lit(hi)
+    }.reduce(_ || _)
+    zones.agg(
+      count(lit(1)).as("buckets_total"),
+      sum(when(skip, 1L).otherwise(0L)).as("buckets_skipped"),
+      sum(when(skip, 0L).otherwise(col("n_rows"))).as("rows_scanned"))
+      .withColumn("layout", lit(layout))
+  }
+}

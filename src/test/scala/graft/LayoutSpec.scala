@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.Layout
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  // full 32×32 grid, one row per cell, arrival order = row-major scan
+  private def grid = (0 until 32).flatMap(x => (0 until 32).map(y => (x, y)))
+    .zipWithIndex.map { case ((x, y), i) => (i, x, y) }
+    .toDF("id", "x", "y")
+
+  test("zorderValue matches the bit-interleave reference") {
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map { i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }.reduce(_ | _)
+    val got = grid
+      .withColumn("z", Layout.zorderValue(col("x"), col("y"), 5))
+      .select("x", "y", "z").as[(Int, Int, Long)].collect()
+    assert(got.length === 1024)
+    got.foreach { case (x, y, z) =>
+      assert(z === ref(x.toLong, y.toLong, 5), s"($x,$y)")
+    }
+    // distinct inputs -> distinct z-values (it's a bijection on the grid)
+    assert(got.map(_._3).distinct.length === 1024)
+  }
+
+  test("bucketByOrder: exact rank formula, near-equal sizes, order-aligned") {
+    val df = (1 to 103).map(i => (i, i * 37 % 101)).toDF("id", "k")
+    val b = Layout.bucketByOrder(df, Seq(col("k"), col("id")), 8)
+      .select("id", "k", "bucket").as[(Int, Int, Long)].collect()
+    assert(b.length === 103)
+    // replay floor((rank-1)*B/N) off the sorted order
+    val expected = b.sortBy(r => (r._2, r._1)).zipWithIndex
+      .map { case ((id, _, _), r) => id -> (r.toLong * 8 / 103) }.toMap
+    b.foreach { case (id, _, bucket) => assert(bucket === expected(id)) }
+    val sizes = b.groupBy(_._3).values.map(_.size)
+    assert(sizes.max - sizes.min <= 1)
+  }
+
+  test("zone-map skip never drops a matching row; z-order beats arrival") {
+    val box = Seq(("x", 8L, 15L), ("y", 16L, 23L))
+    def witness(order: Seq[org.apache.spark.sql.Column]) = {
+      val bucketed = Layout.bucketByOrder(grid, order, 16)
+      val zones = Layout.zoneMap(bucketed, "bucket", Seq("x", "y"))
+      val w = Layout.skipWitness(zones, "t", box).collect().head
+      // no false negatives: every matching row sits in a scanned bucket
+      val skipExpr = col("max_x") < 8 || col("min_x") > 15 ||
+        col("max_y") < 16 || col("min_y") > 23
+      val matchesInSkipped = bucketed
+        .join(zones.filter(skipExpr).select("bucket"), "bucket")
+        .filter(col("x").between(8, 15) && col("y").between(16, 23))
+        .count()
+      assert(matchesInSkipped === 0L)
+      (w.getAs[Long]("buckets_skipped"), w.getAs[Long]("rows_scanned"))
+    }
+    val z = Layout.zorderValue(col("x"), col("y"), 5)
+    val (zSkip, zScan) = witness(Seq(z, col("id")))
+    val (aSkip, aScan) = witness(Seq(col("id")))
+    // the 8×8 box is 64 of 1024 cells; 16 z-buckets are 64-cell aligned
+    // quadrants, so exactly one bucket overlaps the box
+    assert(zSkip === 15L && zScan === 64L)
+    // arrival order is row-major: the y-band of every x crosses the box
+    // region much less selectively
+    assert(aSkip < zSkip && aScan > zScan)
+  }
+}
