@@ -46,6 +46,22 @@ object ScaleGen {
     Tables.all.foreach { name =>
       val src = Tables(spark, srcDir, name)
       val shifts = idCols(name)
+      // Guard the stride invariant instead of asserting it in prose: if
+      // the source already holds keys >= Stride (e.g. ScaleGen run on its
+      // own output, or future testdata with larger keys), shifted copies
+      // would silently collide and every join would go ×factor² — the
+      // exact artifact this tool exists to avoid. One cheap max() agg per
+      // shifted column, failing loudly before any corrupt bytes land.
+      if (shifts.nonEmpty && factor > 1) {
+        val maxes = src.agg(max(col(shifts.head).cast("long")),
+          shifts.tail.map(c => max(col(c).cast("long"))): _*).head()
+        shifts.zipWithIndex.foreach { case (c, i) =>
+          val m = maxes.getLong(i)
+          require(m < Stride,
+            s"ScaleGen: $name.$c max key $m >= stride $Stride — copies " +
+              "would collide; source looks already-scaled")
+        }
+      }
       val out =
         if (shifts.isEmpty || factor == 1) src
         else {

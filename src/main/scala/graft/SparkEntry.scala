@@ -1470,7 +1470,33 @@ object SparkEntry {
           Multimodal.synthesizePpm(s,
             t(s, d, "documents").filter(col("doc_id") < 200),
             "doc_id", Some(25L)).toDF).toDF,
-        chunkBytes = 64, everyN = 2, minShared = 2L))
+        chunkBytes = 64, everyN = 2, minShared = 2L)),
+    "media_near_dups_phash" -> ((s, d) => {
+      // TRUE perceptual dedup: planted duplicate groups (id % 25), with
+      // every ODD id re-encoded as an exact 2x nearest-neighbor upscale
+      // — byte-DIFFERENT payloads, same content. dHash64 is invariant
+      // to the upscale, so every within-group pair surfaces at hamming
+      // 0 regardless of scale; payload md5 (`same_bytes`) matches only
+      // same-parity pairs — the exact-vs-perceptual gap, one oracle row
+      // per pair. Cross-base hashes sit > maxHamming bits apart
+      // (MultimodalSpec pins min cross-base distance), so the banded
+      // join admits no false pairs
+      val corpus = Multimodal.synthesizePpm(s,
+        t(s, d, "documents").filter(col("doc_id") < 200), "doc_id",
+        Some(25L)).toDF
+      val media = corpus.filter(col("media_id") % 2 === 0).unionByName(
+        Multimodal.upscalePpm(s,
+          corpus.filter(col("media_id") % 2 === 1), 2).toDF)
+      val sigs = media.select(col("media_id"), md5(col("payload")).as("__sig"))
+      Multimodal.phashNearDups(
+          Multimodal.perceptualHashes(s, media), maxHamming = 2)
+        .join(sigs.select(col("media_id").as("a_id"),
+          col("__sig").as("__sa")), "a_id")
+        .join(sigs.select(col("media_id").as("b_id"),
+          col("__sig").as("__sb")), "b_id")
+        .select(col("a_id"), col("b_id"), col("hamming"),
+          (col("__sa") === col("__sb")).as("same_bytes"))
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -3240,6 +3266,17 @@ object SparkEntry {
         "s AS (SELECT doc_id, base, CAST(ceil(ceil(nb / 64.0) / 2.0) AS BIGINT) AS nf FROM m) " +
         "SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.nf AS n_shared, CAST(1.0 AS DOUBLE) AS overlap_frac " +
         "FROM s a JOIN s b ON a.base = b.base AND a.doc_id < b.doc_id"),
+    // media_near_dups_phash oracle: group combinatorics again — every
+    // within-group pair has IDENTICAL dHash (the upscale invariance is
+    // an exact integer identity, pinned in MultimodalSpec) so hamming 0;
+    // payload bytes match iff both sides have the same parity (odd ids
+    // are the 2x re-encodes). Cross-base pairs never appear (min
+    // cross-base Hamming distance > 2, also spec-pinned)
+    "media_near_dups_phash" ->
+      ("WITH d AS (SELECT doc_id, doc_id % 25 AS base FROM documents WHERE doc_id < 200) " +
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(0 AS BIGINT) AS hamming, " +
+        "(a.doc_id % 2 = b.doc_id % 2) AS same_bytes " +
+        "FROM d a JOIN d b ON a.base = b.base AND a.doc_id < b.doc_id"),
     // the sketch queries gate through IN-PLAN tolerance booleans (the
     // estimates themselves are engine-specific; the exact counts and
     // the ≤3σ agreement are not) — every query is oracle-checked

@@ -31,16 +31,35 @@ object Layout {
     * integer columns: bit i of `x` lands at position 2i, bit i of `y`
     * at 2i+1. Rows adjacent in z-value are close in BOTH x and y, so
     * bucketing by z-value gives every bucket a bounded rectangle of
-    * (x, y) space. Pure shift/and/or built-ins — codegen'd, no UDF. */
-  def zorderValue(x: Column, y: Column, bits: Int): Column = {
+    * (x, y) space. Pure shift/and/or built-ins — codegen'd, no UDF.
+    *
+    * DOMAIN REQUIREMENT: both inputs must satisfy 0 ≤ v < 2^bits.
+    * Values outside that range alias onto low-bit cells — no wrong
+    * rows (zone maps are built from real data), but the bounded-
+    * rectangle property quietly degrades and pruning stops working.
+    * Callers must pre-reduce wide dims (pmod, bucketize) as
+    * `rel_zorder_skip` does. Pass `checked = true` to trade one
+    * codegen'd branch per row for a loud `raise_error` on the first
+    * out-of-domain value. */
+  def zorderValue(x: Column, y: Column, bits: Int,
+      checked: Boolean = false): Column = {
     require(bits >= 1 && bits <= 31, s"zorderValue bits out of range: $bits")
     val xl = x.cast("long")
     val yl = y.cast("long")
-    (0 until bits).map { i =>
+    val z = (0 until bits).map { i =>
       shiftleft(shiftrightunsigned(xl, i).bitwiseAND(lit(1L)), 2 * i)
         .bitwiseOR(
           shiftleft(shiftrightunsigned(yl, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }.reduce(_ bitwiseOR _)
+    if (!checked) z
+    else {
+      val lim = 1L << bits
+      when(xl < 0 || xl >= lim || yl < 0 || yl >= lim,
+        raise_error(concat(lit(s"zorderValue: input outside [0, $lim): x="),
+          xl.cast("string"), lit(" y="), yl.cast("string")))
+        .cast("long"))
+        .otherwise(z)
+    }
   }
 
   /** The DuckDB-replayable SQL text of [[zorderValue]] — the oracle
@@ -57,7 +76,13 @@ object Layout {
     * boundaries can't be). Rank comes from
     * [[Relational.withScalableOrdinal]] — range-partitioned sort plus
     * per-partition offsets, never a single-partition window. EAGER
-    * (one count + the ordinal's sort job). */
+    * (one count + the ordinal's sort job).
+    *
+    * The input must be DETERMINISTIC across re-evaluation: n comes from
+    * one pass and ranks from a second over the same lineage. The
+    * `least(...)` clamp below makes the failure mode of a
+    * nondeterministic/growing input a mild skew of the last bucket
+    * rather than bucket ids silently spilling past nBuckets−1. */
   def bucketByOrder(df: DataFrame, order: Seq[Column], nBuckets: Int,
       bucketName: String = "bucket"): DataFrame = {
     require(nBuckets >= 1, s"bucketByOrder nBuckets out of range: $nBuckets")
@@ -65,7 +90,8 @@ object Layout {
     require(n > 0, "bucketByOrder: empty input")
     Relational.withScalableOrdinal(df, order, "__rank")
       .withColumn(bucketName,
-        expr(s"CAST(((__rank - 1) * $nBuckets) div ${n}L AS BIGINT)"))
+        least(expr(s"CAST(((__rank - 1) * $nBuckets) div ${n}L AS BIGINT)"),
+          lit(nBuckets - 1L)))
       .drop("__rank")
   }
 

@@ -192,12 +192,124 @@ object Multimodal {
       }
   }
 
+  /** Decode each PPM payload and re-encode at (`factor`·W)×(`factor`·H)
+    * — per-image integer upscaling (resizePpm targets FIXED dims; this
+    * keeps each image's own aspect). Nearest-neighbor ×k upscales are
+    * the canonical planted near-duplicate: byte-different payloads,
+    * pixel-equivalent content — `dHash64` is invariant to them (the
+    * nested-floor identity ⌊⌊k·W·x/9⌋/k⌋ = ⌊W·x/9⌋ makes the 9×8
+    * downsample of the upscale bit-identical to the original's). */
+  def upscalePpm(spark: SparkSession, media: DataFrame,
+      factor: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    require(factor >= 1, s"upscalePpm factor must be >= 1, got $factor")
+    media.select("media_id", "payload", "media_type", "n_bytes")
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img = decodePpm(r.payload)
+          val p = encodePpm(
+            resizeNearest(img, img.width * factor, img.height * factor))
+          MediaRow(r.media_id, p, r.media_type, p.length.toLong)
+        }
+      }
+  }
+
+  /** TRUE perceptual hash — 64-bit difference hash (dHash), the
+    * industry-standard cheap image fingerprint: downsample to 9×8 with
+    * [[resizeNearest]], reduce each pixel to integer Rec.709 luma
+    * (2126·R + 7152·G + 722·B — exact long arithmetic, the
+    * decodeImageFeatures convention), then emit one bit per adjacent
+    * horizontal pair: bit (y·8+x) = 1 iff luma(x+1, y) > luma(x, y).
+    * Hashes CONTENT STRUCTURE, not bytes: any image and its exact
+    * nearest-neighbor integer upscale produce the SAME hash (see
+    * [[upscalePpm]]), and mild re-encodings land within a small Hamming
+    * distance — exactly what md5-of-payload can never do. Pure integer
+    * JVM math, replayable from the pixel formula in a second engine. */
+  def dHash64(img: DecodedImage): Long = {
+    val g = resizeNearest(img, 9, 8)
+    val lum = new Array[Long](72)
+    var i = 0
+    while (i < 72) {
+      val o = i * 3
+      lum(i) = 2126L * (g.pixels(o) & 0xff) + 7152L * (g.pixels(o + 1) & 0xff) +
+        722L * (g.pixels(o + 2) & 0xff)
+      i += 1
+    }
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (lum(y * 9 + x + 1) > lum(y * 9 + x)) h |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** Per-media perceptual hashes: decode + dHash in one typed
+    * mapPartitions pass (the decoder batch shape). (media_id, phash). */
+  def perceptualHashes(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "payload", "media_type", "n_bytes")
+      .as[MediaRow]
+      .mapPartitions(rows =>
+        rows.map(r => (r.media_id, dHash64(decodePpm(r.payload)))))
+      .toDF("media_id", "phash")
+  }
+
+  /** Near-duplicate pairs by perceptual-hash Hamming distance ≤
+    * `maxHamming`, WITHOUT all-pairs: pigeonhole banding (the SimHash
+    * precedent, Dedup.simhashNearDups) — split the 64 bits into
+    * `maxHamming`+1 bands, so any pair within distance maxHamming
+    * matches exactly on AT LEAST one band; candidates come from a
+    * per-band equi-join, a band value shared by more than
+    * `maxBandMedia` media is dropped as boilerplate (the mega-bucket
+    * cap bounding join fan-out), and every candidate is verified with
+    * the exact popcount-of-xor distance. Output (a_id, b_id, hamming),
+    * a_id < b_id, distinct. */
+  def phashNearDups(hashes: DataFrame, maxHamming: Int,
+      maxBandMedia: Long = 64L): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 16,
+      s"maxHamming out of range: $maxHamming")
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    val bands = hashes.select(col("media_id"), col("phash"),
+        posexplode(array((0 until nBands).map { b =>
+          val off = b * width
+          val w = if (b == nBands - 1) 64 - off else width
+          val mask = if (w == 64) -1L else (1L << w) - 1L
+          shiftrightunsigned(col("phash"), off).bitwiseAND(lit(mask))
+        }: _*)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_val")
+    val eligible = bands.join(
+      bands.groupBy(col("band_idx"), col("band_val"))
+        .agg(count(lit(1)).as("__nm"))
+        .filter(col("__nm") <= maxBandMedia)
+        .select(col("band_idx"), col("band_val")),
+      Seq("band_idx", "band_val"))
+    eligible.select(col("band_idx"), col("band_val"),
+        col("media_id").as("a_id"), col("phash").as("__ha"))
+      .join(eligible.select(col("band_idx"), col("band_val"),
+        col("media_id").as("b_id"), col("phash").as("__hb")),
+        Seq("band_idx", "band_val"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        expr("CAST(bit_count(__ha ^ __hb) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Frame-signature near-duplicate pairs across media — the video-
     * dedup shape a multimodal curation pipeline needs: sample every
     * `everyN`-th frame, fingerprint it (chunk_sig — md5 of the raw
-    * chunk here, the perceptual-hash stand-in: a real pipeline hashes
-    * the DECODED frame via decodeFeaturesStub's slot, the plan shape
-    * is identical), and pair media through an equi-join on the
+    * chunk: the EXACT flavor, catching bit-identical frames only; see
+    * [[dHash64]]/[[phashNearDups]] for the perceptual flavor that also
+    * catches rescaled/re-encoded rasters), and pair media through an
+    * equi-join on the
     * fingerprint — bucketed by frame hash, never all-pairs (the
     * LSH-band-join shape). A frame shared by more than
     * `maxMediaPerFrame` media is BOILERPLATE (intros, logos, silence)

@@ -169,6 +169,73 @@ class MultimodalSpec extends SparkSpec {
     assert(f.mean_luma === luma)
   }
 
+  test("dHash64: invariant under exact nearest-neighbor integer " +
+      "upscale, and the 25 fixture bases sit far apart in Hamming " +
+      "space (the media_near_dups_phash oracle's premises)") {
+    val imgs = Multimodal.synthesizePpm(spark,
+        spark.range(25).toDF("id"), "id").collect()
+      .map(m => m.media_id -> Multimodal.decodePpm(m.payload)).toMap
+    // upscale invariance: the nested-floor identity makes the 9x8
+    // downsample of a 2x (and 3x) upscale bit-identical to the original
+    for ((_, img) <- imgs; k <- Seq(2, 3)) {
+      val up = Multimodal.resizeNearest(img, img.width * k, img.height * k)
+      assert(Multimodal.dHash64(up) === Multimodal.dHash64(img))
+    }
+    // cross-base separation: every pair of bases > maxHamming=2 bits
+    // apart, so the banded join admits no cross-group pair
+    val hs = imgs.toSeq.sortBy(_._1).map(p => Multimodal.dHash64(p._2))
+    val minD = (for (i <- hs.indices; j <- i + 1 until hs.length)
+      yield java.lang.Long.bitCount(hs(i) ^ hs(j))).min
+    assert(minD > 2, s"min cross-base hamming $minD <= 2")
+  }
+
+  test("phashNearDups: pigeonhole banding finds pairs at distance <= " +
+      "maxHamming, excludes beyond, and the band mega-bucket guard " +
+      "drops boilerplate hashes") {
+    val hashes = Seq(
+      1L -> 0L,                    // anchor
+      2L -> 0L,                    // exact dup of 1 (hamming 0)
+      3L -> 3L,                    // bits 0,1 -> hamming 2 from 1/2
+      4L -> ((1L << 0) | (1L << 21) | (1L << 42)), // one bit per band:
+      //   hamming 3 from anchor — never even a candidate (no equal band)
+      5L -> 0x0f0f0f0f0f0f0f0fL   // far from everything
+    ).toDF("media_id", "phash")
+    val out = Multimodal.phashNearDups(hashes, maxHamming = 2)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out === Map((1L, 2L) -> 0L, (1L, 3L) -> 2L, (2L, 3L) -> 2L))
+    // guard: a hash shared by more media than the cap pairs nothing
+    val boiler = (1L to 5L).map(_ -> 0L).toDF("media_id", "phash")
+    assert(Multimodal.phashNearDups(boiler, maxHamming = 0,
+      maxBandMedia = 4L).count() === 0L)
+  }
+
+  test("phashNearDups end-to-end: planted 2x-upscaled duplicates " +
+      "collide perceptually where payload md5 cannot") {
+    val corpus = Multimodal.synthesizePpm(spark,
+      spark.range(20).toDF("id"), "id", Some(5L)).toDF
+    val media = corpus.filter(col("media_id") % 2 === 0).unionByName(
+      Multimodal.upscalePpm(spark,
+        corpus.filter(col("media_id") % 2 === 1), 2).toDF)
+    val pairs = Multimodal.phashNearDups(
+        Multimodal.perceptualHashes(spark, media), maxHamming = 2)
+      .as[(Long, Long, Long)].collect()
+    // groups {g, g+5, g+10, g+15}: all C(4,2)=6 pairs per group at
+    // hamming 0, scale-mixed parities included; nothing cross-group
+    assert(pairs.forall(_._3 == 0L))
+    assert(pairs.map(p => (p._1, p._2)).toSet ===
+      (for (g <- 0L until 5L; ms = Seq(g, g + 5, g + 10, g + 15);
+            i <- ms.indices; j <- i + 1 until ms.length)
+        yield (ms(i), ms(j))).toSet)
+    // the md5-exact flavor misses every cross-parity pair
+    val md5Collide = media.select(col("media_id"), md5(col("payload")).as("s"))
+      .as[(Long, String)].collect().groupBy(_._2).values
+      .flatMap(g => for (i <- g.indices; j <- i + 1 until g.length)
+        yield (g(i)._1 min g(j)._1, g(i)._1 max g(j)._1)).toSet
+    assert(md5Collide.forall { case (a, b) => (a - b) % 2 == 0 })
+    assert(md5Collide.size < pairs.length)
+  }
+
   test("decodedPixelPayloads strips framing: two different encodings " +
       "of the same raster collide on content") {
     val px = Array.tabulate[Byte](3 * 2 * 3)(i => (i * 5).toByte)
