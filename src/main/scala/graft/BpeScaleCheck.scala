@@ -39,17 +39,33 @@ object BpeScaleCheck {
 
     val (fitExact64, tExact64) =
       time(TextAnalysis.fitBpeMerges(docs, "text", 64))
+    val (_, tExact128) =
+      time(TextAnalysis.fitBpeMerges(docs, "text", 128))
     val (_, tBatched128) =
       time(TextAnalysis.fitBpeMerges(docs, "text", 128, batchSize = 64))
     val (fitted, tBatched512) =
       time(TextAnalysis.fitBpeMerges(docs, "text", 512, batchSize = 64))
+    // the production-vocabulary point: >= 4096 merges requested at
+    // batch 512 — EIGHT recount rounds, same as FIT_BATCHED_512's
+    // eight at batch 64. Near-equal times here + a ~2x
+    // FIT_EXACT_128/FIT_EXACT_64 ratio are the closure proof that fit
+    // cost tracks recounts, not merge count (the old per-rank loop
+    // would need 4096 recount jobs — linearly extrapolable from the
+    // two EXACT points, far past any usable wall clock).
+    val (fitted4k, tBatched4k) =
+      time(TextAnalysis.fitBpeMerges(docs, "text", 4096, batchSize = 512))
     println(f"FIT_EXACT_64=$tExact64%.3f")       // 64 recount jobs
+    println(f"FIT_EXACT_128=$tExact128%.3f")     // 128 recounts: slope witness
     println(f"FIT_BATCHED_128=$tBatched128%.3f") // 2 recount jobs
     println(f"FIT_BATCHED_512=$tBatched512%.3f") // 8 recount jobs
+    println(f"FIT_BATCHED_4096=$tBatched4k%.3f") // 8 recount jobs, batch 512
     // batched and exact agree on their symbol-disjoint prefix; the
     // spec pins semantic agreement, this pins the fit actually ran
     println(s"FIT_EXACT_64_RULES=${fitExact64.size}")
     println(s"FITTED_MERGES=${fitted.size}")
+    // how many of the 4096 the corpus could actually fit before the
+    // candidate stream dried up (vocabulary richness bound, not a cap)
+    println(s"FITTED_MERGES_4096=${fitted4k.size}")
     val padded: Seq[BpeMerge] = fitted ++
       ((fitted.size + 1) to 512).map(i =>
         BpeMerge(i.toLong, s"¤$i", s"¤${i}b", s"¤$i¤${i}b", 0L))

@@ -161,6 +161,39 @@ object SparkEntry {
     }
   }
 
+  /** Shared body of the two ANN recall witnesses (sim_ann_recall on the
+    * iid corpus, sim_ann_recall_clustered on the clustered fixture):
+    * macro recall per facet gated at integer-percent floors with
+    * integer-exact comparisons (h·100 ≥ t·pct — never float-boundary),
+    * plus the exact side's row count and rank-ordered signature, which
+    * the oracle replays in full. */
+  private def annRecallFacets(exact: DataFrame, adcFull: DataFrame,
+      ivfpq: DataFrame, ivf: DataFrame, ivfFloor: Int, pruningFloor: Int,
+      quantFloor: Int, e2eFloor: Int): DataFrame = {
+    val meta = exact.agg(
+      count(lit(1)).as("n_exact_pairs"),
+      md5(array_join(transform(
+        array_sort(collect_list(
+          struct(col("q_id"), col("rank"), col("n_id")))),
+        x => concat_ws(":", x("q_id"), x("rank"), x("n_id"))), ","))
+        .as("exact_sig"))
+    def facet(name: String, truth: DataFrame, approx: DataFrame,
+        thrPct: Int): DataFrame =
+      truth.select("q_id", "n_id")
+        .join(approx.select("q_id", "n_id"),
+          Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("__h"))
+        .crossJoin(truth.agg(count(lit(1)).as("__t")))
+        .crossJoin(meta)
+        .select(lit(name).as("facet"), col("n_exact_pairs"),
+          col("exact_sig"),
+          (col("__h") * 100L >= col("__t") * thrPct).as("recall_ok"))
+    facet("ivf_vs_exact", exact, ivf, ivfFloor)
+      .unionByName(facet("pruning_ivfpq_vs_adc", adcFull, ivfpq, pruningFloor))
+      .unionByName(facet("quantization_adc_vs_exact", exact, adcFull, quantFloor))
+      .unionByName(facet("end_to_end_ivfpq_vs_exact", exact, ivfpq, e2eFloor))
+  }
+
   /** Deterministic PII seeding for the redaction query: the synthetic
     * corpus has no PII, so emails/phones/SSNs derive from doc_id (mod
     * classes leave some docs clean); `redactSql` replays the identical
@@ -1342,28 +1375,37 @@ object SparkEntry {
         nprobe = IvfNprobe, coarse, cb)
       val ivf = Similarity.ivfTopK(emb, q, 5,
         nlist = IvfNlist, nprobe = IvfNprobe)
-      val meta = exact.agg(
-        count(lit(1)).as("n_exact_pairs"),
-        md5(array_join(transform(
-          array_sort(collect_list(
-            struct(col("q_id"), col("rank"), col("n_id")))),
-          x => concat_ws(":", x("q_id"), x("rank"), x("n_id"))), ","))
-          .as("exact_sig"))
-      def facet(name: String, truth: DataFrame, approx: DataFrame,
-          thrPct: Int): DataFrame =
-        truth.select("q_id", "n_id")
-          .join(approx.select("q_id", "n_id"),
-            Seq("q_id", "n_id"), "left_semi")
-          .agg(count(lit(1)).as("__h"))
-          .crossJoin(truth.agg(count(lit(1)).as("__t")))
-          .crossJoin(meta)
-          .select(lit(name).as("facet"), col("n_exact_pairs"),
-            col("exact_sig"),
-            (col("__h") * 100L >= col("__t") * thrPct).as("recall_ok"))
-      facet("ivf_vs_exact", exact, ivf, 30)
-        .unionByName(facet("pruning_ivfpq_vs_adc", adcFull, ivfpq, 20))
-        .unionByName(facet("quantization_adc_vs_exact", exact, adcFull, 4))
-        .unionByName(facet("end_to_end_ivfpq_vs_exact", exact, ivfpq, 2))
+      annRecallFacets(exact, adcFull, ivfpq, ivf,
+        ivfFloor = 30, pruningFloor = 20, quantFloor = 4, e2eFloor = 2)
+    }),
+    "sim_ann_recall_clustered" -> ((s, d) => {
+      // The recall witness on the fixture where ANN recall SHOULD be
+      // high: 16 md5-deterministic clusters of EXACTLY 7 members
+      // (112 ids — constant across SFs: the witness pins answer
+      // quality, not throughput), centers ±40 vs noise ±5 so
+      // in-cluster cosine ≈ 1 and cross-cluster ≈ 0 — the regime of
+      // trained text embeddings, where exact top-5 and every ANN
+      // flavor confine to a query's 6 co-members and recall floors at
+      // 50%+ are meaningful (a drop = real drift). Closes the honest
+      // weakness sim_ann_recall documents for the iid corpus table.
+      // Floors sit below SimilaritySpec's measured actuals with margin.
+      val emb = Similarity.clusteredEmbeddings(
+        s.range(112).toDF("id"), "id", dims = 64, nClusters = 16)
+      val q = emb.filter(col("vec_id") < 10)
+      val (coarse, cb) = Similarity.fitIvfPq(emb, "vec_id", "embedding",
+        dims = 64, nlist = IvfNlist, m = PqM, ksub = PqKsub,
+        iters = PqIters, seed = 42L)
+      val idx = Similarity.buildIvfPqIndex(emb, coarse, cb,
+        "vec_id", "embedding")
+      val exact = Similarity.bruteForceTopK(emb, q, 5)
+      val adcFull = Similarity.ivfPqProbeIndex(idx, q, 5,
+        nprobe = IvfNlist, coarse, cb)
+      val ivfpq = Similarity.ivfPqProbeIndex(idx, q, 5,
+        nprobe = IvfNprobe, coarse, cb)
+      val ivf = Similarity.ivfTopK(emb, q, 5,
+        nlist = IvfNlist, nprobe = IvfNprobe)
+      annRecallFacets(exact, adcFull, ivfpq, ivf,
+        ivfFloor = 70, pruningFloor = 50, quantFloor = 50, e2eFloor = 50)
     }),
     "stream_ann_probe_flags" -> ((s, d) => {
       // batch analog of StreamOps.annProbeFlags (the
@@ -3187,6 +3229,21 @@ object SparkEntry {
     "sim_ann_recall" ->
       ("WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10), " +
         "c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings), " +
+        s"scored AS (SELECT q_id, n_id, ${cosSql("q_vec", "n_vec")} AS sim FROM q CROSS JOIN c WHERE n_id <> q_id), " +
+        "ranked AS (SELECT q_id, n_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rnk FROM scored), " +
+        "top AS (SELECT q_id, rnk, n_id FROM ranked WHERE rnk <= 5), " +
+        "meta AS (SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs, " +
+        "md5(string_agg(CAST(q_id AS VARCHAR) || ':' || CAST(rnk AS VARCHAR) || ':' || CAST(n_id AS VARCHAR), ',' ORDER BY q_id, rnk)) AS exact_sig FROM top) " +
+        "SELECT f.facet, m.n_exact_pairs, m.exact_sig, true AS recall_ok " +
+        "FROM (VALUES ('ivf_vs_exact'), ('pruning_ivfpq_vs_adc'), ('quantization_adc_vs_exact'), ('end_to_end_ivfpq_vs_exact')) f(facet) CROSS JOIN meta m"),
+    // sim_ann_recall_clustered oracle: the exact side replayed over the
+    // SQL-replayed clustered fixture (integer-valued floats — cosine
+    // bit-identical across engines), booleans pinned true: the 50%+
+    // floors are the point of the clustered fixture
+    "sim_ann_recall_clustered" ->
+      (s"WITH emb AS (${Similarity.clusteredEmbeddingsSql("range(0, 112) t(i)", 64, 16)}), " +
+        "q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM emb WHERE vec_id < 10), " +
+        "c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM emb), " +
         s"scored AS (SELECT q_id, n_id, ${cosSql("q_vec", "n_vec")} AS sim FROM q CROSS JOIN c WHERE n_id <> q_id), " +
         "ranked AS (SELECT q_id, n_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS rnk FROM scored), " +
         "top AS (SELECT q_id, rnk, n_id FROM ranked WHERE rnk <= 5), " +

@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
 
 /** Data-layout clustering for scan pruning — the write-side half of the
   * 100 TB story, a gap-fill family (the reference never touches physical
@@ -124,5 +126,83 @@ object Layout {
       sum(when(skip, 1L).otherwise(0L)).as("buckets_skipped"),
       sum(when(skip, 0L).otherwise(col("n_rows"))).as("rows_scanned"))
       .withColumn("layout", lit(layout))
+  }
+
+  // ------------------------------------------------------------------
+  // Physical write path: the zone map above predicts what a parquet
+  // footer will hold; the pieces below write the clustered layout for
+  // real and read the ACTUAL footer statistics back, so LayoutSpec can
+  // assert witness == physical reality instead of witness == witness.
+  // ------------------------------------------------------------------
+
+  /** Write `bucketed` (a [[bucketByOrder]] output) as one
+    * `bucket=N/` directory per bucket — each directory is the "file"
+    * of the layout story, its parquet footers carrying real min/max
+    * stats for every remaining column. `repartition(bucketCol)`
+    * co-locates each bucket in one task so a bucket's directory holds
+    * one data file (hash collisions between buckets only ADD a file
+    * per colliding bucket, never split a bucket's rows across
+    * directories — the per-bucket stats aggregate is exact either
+    * way). */
+  def writeClustered(bucketed: DataFrame, bucketCol: String,
+      path: String): Unit =
+    bucketed.repartition(col(bucketCol))
+      .write.mode("overwrite").partitionBy(bucketCol).parquet(path)
+
+  /** Per-bucket statistics REREAD from the written files' parquet
+    * footers (`ParquetFileReader` over every data file under
+    * `bucket=N/`, row-group column stats aggregated per bucket) — the
+    * exact metadata a stats-aware reader consults, in [[zoneMap]]'s
+    * schema so the two are directly comparable. Driver-side work is
+    * bounded by FILE COUNT (the planner's own listing cost), never row
+    * count. Long/int `dims` only. */
+  def footerZoneMap(spark: SparkSession, path: String,
+      dims: Seq[String]): DataFrame = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val buckets = fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(_.getName.contains("="))
+    val rows = buckets.map { bdir =>
+      val bucket = bdir.getName.split("=", 2)(1).toLong
+      val files = fs.listStatus(bdir).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+      require(files.nonEmpty, s"no parquet files under $bdir")
+      var nRows = 0L
+      val mins = collection.mutable.Map.empty[String, Long]
+      val maxs = collection.mutable.Map.empty[String, Long]
+      files.foreach { f =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+        try reader.getFooter.getBlocks.asScala.foreach { block =>
+          nRows += block.getRowCount
+          val byCol = block.getColumns.asScala
+            .map(c => c.getPath.toDotString -> c.getStatistics).toMap
+          dims.foreach { d =>
+            val st = byCol.getOrElse(d,
+              sys.error(s"column $d missing from footer of $f"))
+            require(st.hasNonNullValue, s"no stats for $d in $f")
+            val mn = st.genericGetMin.asInstanceOf[Number].longValue()
+            val mx = st.genericGetMax.asInstanceOf[Number].longValue()
+            mins(d) = math.min(mins.getOrElse(d, Long.MaxValue), mn)
+            maxs(d) = math.max(maxs.getOrElse(d, Long.MinValue), mx)
+          }
+        } finally reader.close()
+      }
+      org.apache.spark.sql.Row.fromSeq(
+        bucket +: nRows +: dims.flatMap(d => Seq(mins(d), maxs(d))))
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.LongType, nullable = false) +:
+      org.apache.spark.sql.types.StructField("n_rows",
+        org.apache.spark.sql.types.LongType, nullable = false) +:
+      dims.flatMap(d => Seq(
+        org.apache.spark.sql.types.StructField(s"min_$d",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField(s"max_$d",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    spark.createDataFrame(rows.asJava, schema)
   }
 }

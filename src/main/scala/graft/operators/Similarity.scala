@@ -30,6 +30,51 @@ object Similarity {
         round(col("col.score"), 4).as("cosine_sim"))
   }
 
+  /** Deterministic MIXTURE-OF-CLUSTERS embedding fixture, SQL-replayable
+    * in a second engine: vector i belongs to cluster i mod `nClusters`;
+    * component j = center(cluster, j) + noise(i, j), where center and
+    * noise are md5-derived integers (the shingleHash hex-parse
+    * convention) uniform on [-centerHalfRange, centerHalfRange] and
+    * [-noiseHalfRange, noiseHalfRange]. Integer-valued floats are exact
+    * in both float32 and float64, so cosine scores computed here and in
+    * a BIGINT/DOUBLE SQL engine are bit-identical. With the default
+    * ranges the clusters are far apart relative to noise (in-cluster
+    * cosine ≈ 1, cross-cluster ≈ 0) — the realistic regime for trained
+    * text embeddings, unlike the iid-random corpus table, and the
+    * fixture where ANN recall SHOULD be high (sim_ann_recall_clustered
+    * pins it). Output: (vec_id, label, embedding array<float>). */
+  def clusteredEmbeddings(ids: DataFrame, idCol: String, dims: Int,
+      nClusters: Int, centerHalfRange: Int = 40,
+      noiseHalfRange: Int = 5): DataFrame = {
+    require(dims >= 1 && nClusters >= 1, "dims and nClusters must be >= 1")
+    val id = col(idCol).cast("long")
+    val label = pmod(id, lit(nClusters.toLong))
+    ids.select(id.as("vec_id"), label.as("label"),
+      transform(sequence(lit(0), lit(dims - 1)), j => {
+        val ctr = conv(substring(md5(
+            concat_ws(":", lit("ctr"), label, j)), 1, 7), 16, 10)
+          .cast("long") % (2 * centerHalfRange + 1) - centerHalfRange
+        val nz = conv(substring(md5(
+            concat_ws(":", lit("nz"), id, j)), 1, 7), 16, 10)
+          .cast("long") % (2 * noiseHalfRange + 1) - noiseHalfRange
+        (ctr + nz).cast("float")
+      }).as("embedding"))
+  }
+
+  /** The DuckDB replay of [[clusteredEmbeddings]] — identical integer
+    * arithmetic ('0x'-prefixed hex parse of the md5 head, same salts),
+    * for oracle CTEs. */
+  def clusteredEmbeddingsSql(idsExpr: String, dims: Int, nClusters: Int,
+      centerHalfRange: Int = 40, noiseHalfRange: Int = 5): String = {
+    def h(salt: String, key: String) =
+      s"CAST('0x' || substr(md5('$salt:' || CAST($key AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 7) AS BIGINT)"
+    s"SELECT i AS vec_id, i % $nClusters AS label, " +
+      s"list_transform(range(0, $dims), j -> CAST(" +
+      s"(${h("ctr", s"i % $nClusters")} % ${2 * centerHalfRange + 1} - $centerHalfRange) + " +
+      s"(${h("nz", "i")} % ${2 * noiseHalfRange + 1} - $noiseHalfRange) AS DOUBLE)) AS embedding " +
+      s"FROM $idsExpr"
+  }
+
   /** Brute-force top-k: broadcast the (small) query set against the full
     * corpus, score cosine per pair, rank per query.
     *

@@ -66,4 +66,51 @@ class LayoutSpec extends SparkSpec {
     // region much less selectively
     assert(aSkip < zSkip && aScan > zScan)
   }
+
+  test("write-path integration: the witness's zone map matches the " +
+      "PHYSICAL parquet footers of the written z-order layout, and the " +
+      "skip count is what a real stats-aware reader would achieve") {
+    val box = Seq(("x", 8L, 15L), ("y", 16L, 23L))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_zorder_write").toString
+    val z = Layout.zorderValue(col("x"), col("y"), 5)
+    val bucketed = Layout.bucketByOrder(grid, Seq(z, col("id")), 16)
+      .select(col("id").cast("long").as("id"), col("x").cast("long").as("x"),
+        col("y").cast("long").as("y"), col("bucket"))
+    Layout.writeClustered(bucketed, "bucket", dir)
+
+    // 1. physical stats == predicted stats, bucket for bucket: the
+    //    write path preserved the clustering (no bucket leaked rows
+    //    into another bucket's files) and parquet footers carry exactly
+    //    the min/max the zone map predicted
+    val predicted = Layout.zoneMap(bucketed, "bucket", Seq("x", "y"))
+      .select("bucket", "n_rows", "min_x", "max_x", "min_y", "max_y")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val physical = Layout.footerZoneMap(spark, dir, Seq("x", "y"))
+      .select("bucket", "n_rows", "min_x", "max_x", "min_y", "max_y")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(physical.toSeq === predicted.toSeq)
+
+    // 2. the witness's skip count over FOOTER stats equals its count
+    //    over the predicted zone map — the number of bucket dirs a
+    //    stats-only reader proves empty is physical reality, not model
+    val w = Layout.skipWitness(
+      Layout.footerZoneMap(spark, dir, Seq("x", "y")), "zorder_files", box)
+      .collect().head
+    assert(w.getAs[Long]("buckets_skipped") === 15L)
+    assert(w.getAs[Long]("rows_scanned") === 64L)
+
+    // 3. and the skipped files really contain no matching rows: read
+    //    the one non-skippable bucket directory alone and find ALL
+    //    matches of the full dataset in it
+    val zones = Layout.footerZoneMap(spark, dir, Seq("x", "y"))
+    val mustScan = zones.filter(!(col("max_x") < 8 || col("min_x") > 15 ||
+        col("max_y") < 16 || col("min_y") > 23))
+      .select("bucket").as[Long].collect()
+    assert(mustScan.length === 1)
+    val matchesInScanned = spark.read
+      .parquet(s"$dir/bucket=${mustScan.head}")
+      .filter(col("x").between(8, 15) && col("y").between(16, 23)).count()
+    assert(matchesInScanned === 64L)
+  }
 }

@@ -671,6 +671,53 @@ class SimilaritySpec extends SparkSpec {
     assert(m.health.isNullAt(m.health.fieldIndex("needs_refit")))
   }
 
+  test("clusteredEmbeddings: well-separated deterministic clusters, " +
+      "and ANN recall on them clears the sim_ann_recall_clustered " +
+      "floors with margin (the floors are meaningful, not vacuous)") {
+    val emb = Similarity.clusteredEmbeddings(
+      spark.range(112).toDF("id"), "id", dims = 64, nClusters = 16)
+      .persist()
+    try {
+      // structure sanity: exact top-5 of each query is ENTIRELY within
+      // its own 7-member cluster (in-cluster cosine >> cross-cluster)
+      val q = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(emb, q, 5)
+      val offCluster = exact.filter(
+        col("q_id") % 16 =!= col("n_id") % 16).count()
+      assert(offCluster === 0L)
+      assert(exact.count() === 50L)
+
+      val (coarse, cb) = Similarity.fitIvfPq(emb, "vec_id", "embedding",
+        dims = 64, nlist = 16, m = 4, ksub = 8, iters = 2, seed = 42L)
+      val idx = Similarity.buildIvfPqIndex(emb, coarse, cb,
+        "vec_id", "embedding")
+      val adcFull = Similarity.ivfPqProbeIndex(idx, q, 5, nprobe = 16,
+        coarse, cb)
+      val ivfpq = Similarity.ivfPqProbeIndex(idx, q, 5, nprobe = 4,
+        coarse, cb)
+      val ivf = Similarity.ivfTopK(emb, q, 5, nlist = 16, nprobe = 4)
+      def recallPct(truth: org.apache.spark.sql.DataFrame,
+          approx: org.apache.spark.sql.DataFrame): Long = {
+        val t = truth.select("q_id", "n_id")
+        t.join(approx.select("q_id", "n_id"),
+          Seq("q_id", "n_id"), "left_semi").count() * 100L / t.count()
+      }
+      val ivfR = recallPct(exact, ivf)
+      val pruneR = recallPct(adcFull, ivfpq)
+      val quantR = recallPct(exact, adcFull)
+      val e2eR = recallPct(exact, ivfpq)
+      info(s"measured recalls: ivf=$ivfR pruning=$pruneR " +
+        s"quantization=$quantR end_to_end=$e2eR")
+      // floors in sim_ann_recall_clustered: 70 / 50 / 50 / 50 — each
+      // measured value must clear its floor by >= 10 points so normal
+      // jitter cannot flip the oracle-gated booleans
+      assert(ivfR >= 80, s"ivf recall $ivfR")
+      assert(pruneR >= 60, s"pruning recall $pruneR")
+      assert(quantR >= 60, s"quantization recall $quantR")
+      assert(e2eR >= 60, s"end-to-end recall $e2eR")
+    } finally emb.unpersist()
+  }
+
   test("srpBucket is deterministic and splits opposite vectors") {
     val df = Seq((Array(1f, 0f, 0f, 0f), Array(-1f, 0f, 0f, 0f)))
       .toDF("a", "b")

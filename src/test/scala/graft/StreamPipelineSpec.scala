@@ -170,8 +170,9 @@ class StreamPipelineSpec extends SparkSpec {
     assert(html.sliding(17).count(_ == "no batches yet</p") === 3)
   }
 
-  test("dashboard SERVES over HTTP: GET / re-renders live panels, " +
-      "/healthz answers without Spark") {
+  test("dashboard SERVES over HTTP: GET / serves the rendered " +
+      "snapshot (repeat GETs run ZERO extra Spark jobs), recomputes " +
+      "only when the batch frontier advances; /healthz without Spark") {
     val base = Files.createTempDirectory("graft_dash_http").toString
     // a MultiSink-shaped output root, written directly
     mkEvents(12).withColumn("batch_id", lit("batch_000000"))
@@ -206,6 +207,36 @@ class StreamPipelineSpec extends SparkSpec {
       // the bar chart rendered real data: widest bar is location 7
       assert(body.contains("""<span class="lbl">7</span>"""))
       assert(body.contains("""style="width:100%""""))
+
+      // SNAPSHOT SERVING: the frontier hasn't moved, so rapid repeat
+      // GETs return the byte-identical rendered page (the embedded
+      // render timestamp included — proof renderHtml never re-ran) and
+      // start zero additional Spark jobs
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        Thread.sleep(300) // drain listener-bus stragglers from GET 1
+        jobs.set(0)
+        val (c2, b2) = get("/")
+        val (c3, b3) = get("/")
+        Thread.sleep(300) // async bus: give any (wrong) job time to land
+        assert(c2 === 200 && c3 === 200)
+        assert(b2 === body && b3 === body)
+        assert(jobs.get() === 0,
+          s"repeat GETs started ${jobs.get()} Spark jobs; want 0")
+        // a NEW batch advances the frontier: the next GET recomputes
+        Seq(("9", 20L, "pickup_location"))
+          .toDF("location_id", "trip_count", "aggregation_type")
+          .write.parquet(s"$base/processed/pickup_agg/batch_id=1")
+        val (c4, b4) = get("/")
+        assert(c4 === 200 && b4 != body)
+        assert(b4.contains("""<span class="lbl">9</span>"""))
+      } finally spark.sparkContext.removeSparkListener(listener)
     } finally server.stop(0)
   }
 
