@@ -62,6 +62,11 @@ object SparkEntry {
     * 64 buckets stand in for files. */
   val ZorderBits = 7
   val ZorderBuckets = 64
+  /** Bloom-filter layout parameters (rel_bloom_skip): 8 "files",
+    * probed with the 10 rarest customer keys (fewest orders, ties by
+    * key — deterministic and SQL-replayable). */
+  val BloomBuckets = 8
+  val BloomProbeCount = 10
   val ZorderBox: Seq[(String, Long, Long)] =
     // sy range sits inside one y half-space — a box straddling the y
     // midpoint would cross every y-quadrant and z-order would degrade
@@ -356,6 +361,66 @@ object SparkEntry {
       witness("zorder", z +: tie)
         .unionByName(witness("px_sort", col("px") +: tie))
         .unionByName(witness("arrival", tie))
+    }),
+    "rel_bloom_skip" -> ((s, d) => {
+      // bloom-filter layout witness — the POINT-predicate complement
+      // to rel_zorder_skip's range story: cluster orders by orderkey
+      // (8 buckets standing in for files), physically write them with
+      // a parquet bloom filter on o_custkey, and probe the 10 RAREST
+      // custkeys. Every bucket spans the full custkey range, so
+      // min/max zone stats can never skip a custkey point predicate
+      // (zone_scan_buckets = 8, exact, oracled); the bloom read back
+      // from the real file footers scans only the buckets the key
+      // might be in — never missing one it IS in (no_false_negatives,
+      // exact per-bucket set containment) and staying within a small
+      // false-positive margin of the truth (bloom_tight, the
+      // tolerance-boolean convention — fp is the one thing the filter
+      // is allowed to owe)
+      import s.implicits._
+      val orders = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"))
+      val bucketed = Layout.bucketByOrder(orders, Seq(col("o_orderkey")),
+        BloomBuckets)
+      // probe selection: a BloomProbeCount-row collect (bounded
+      // artifact, the fit-collect convention)
+      val probes = orders.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("__c"))
+        .orderBy(col("__c"), col("o_custkey")).limit(BloomProbeCount)
+        .select(col("o_custkey")).as[Long].collect().toSeq
+      val ndv = orders.select(
+        countDistinct(col("o_custkey")).as("n")).as[Long].head()
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_bloom_").toString
+      Layout.writeClusteredWithBloom(bucketed, "bucket", dir,
+        "o_custkey", ndv)
+      val bloomPairs = Layout.bloomProbeBuckets(s, dir, "o_custkey", probes)
+      val probeDf = probes.toDF("probe")
+      val truthPairs = bucketed
+        .join(probeDf, col("o_custkey") === col("probe"))
+        .select(col("probe"), col("bucket")).distinct()
+      val truthCounts = truthPairs.groupBy(col("probe"))
+        .agg(count(lit(1)).as("truth_buckets"))
+      val zoneCounts = probeDf.join(
+          Layout.zoneMap(bucketed, "bucket", Seq("o_custkey")),
+          col("min_o_custkey") <= col("probe") &&
+            col("probe") <= col("max_o_custkey"))
+        .groupBy(col("probe")).agg(count(lit(1)).as("zone_scan_buckets"))
+      val bloomCounts = bloomPairs.groupBy(col("probe"))
+        .agg(count(lit(1)).as("__bloom_scan"))
+      val fn = truthPairs.join(bloomPairs,
+          Seq("probe", "bucket"), "left_anti")
+        .groupBy(col("probe")).agg(count(lit(1)).as("__missed"))
+      probeDf
+        .join(truthCounts, Seq("probe"))
+        .join(zoneCounts, Seq("probe"))
+        .join(bloomCounts, Seq("probe"))
+        .join(fn, Seq("probe"), "left")
+        .select(col("probe").as("o_custkey"), col("truth_buckets"),
+          col("zone_scan_buckets"),
+          coalesce(col("__missed"), lit(0L)).equalTo(lit(0L))
+            .as("no_false_negatives"),
+          (col("__bloom_scan") <= col("truth_buckets") + 3)
+            .as("bloom_tight"))
     }),
     "rel_approx_quantiles" -> ((s, d) => {
       // the percentile sketch gated like the distinct sketches — but on
@@ -1538,6 +1603,65 @@ object SparkEntry {
           col("__sig").as("__sb")), "b_id")
         .select(col("a_id"), col("b_id"), col("hamming"),
           (col("__sa") === col("__sb")).as("same_bytes"))
+    }),
+    "media_near_dups_codec" -> ((s, d) => {
+      // COMPRESSED-codec perceptual dedup: planted duplicate groups
+      // (id % 25), with every ODD id transcoded to PNG through the JDK
+      // ImageIO codec — byte-different payloads in a different FORMAT,
+      // same content. PNG is lossless, so decode∘encode is the
+      // identity on pixels and dHash is exactly invariant: every
+      // within-group pair surfaces at hamming 0 whether it's PPM↔PPM,
+      // PNG↔PNG or PPM↔PNG; payload md5 only ever matches same-parity
+      // pairs (cross-format blobs can't be byte-equal). The
+      // cross_format column witnesses which pairs NO byte-level
+      // fingerprint could have caught
+      val corpus = Multimodal.synthesizePpm(s,
+        t(s, d, "documents").filter(col("doc_id") < 200), "doc_id",
+        Some(25L)).toDF
+      val media = corpus.filter(col("media_id") % 2 === 0).unionByName(
+        Multimodal.transcode(s,
+          corpus.filter(col("media_id") % 2 === 1), "png").toDF)
+      val sigs = media.select(col("media_id"), md5(col("payload")).as("__sig"))
+      Multimodal.phashNearDups(
+          Multimodal.perceptualHashes(s, media), maxHamming = 2)
+        .join(sigs.select(col("media_id").as("a_id"),
+          col("__sig").as("__sa")), "a_id")
+        .join(sigs.select(col("media_id").as("b_id"),
+          col("__sig").as("__sb")), "b_id")
+        .select(col("a_id"), col("b_id"), col("hamming"),
+          (col("__sa") === col("__sb")).as("same_bytes"),
+          (col("a_id") % 2 =!= col("b_id") % 2).as("cross_format"))
+    }),
+    "media_codec_jpeg" -> ((s, d) => {
+      // LOSSY-codec tolerance witness (the sketch-query convention:
+      // exact values where they're deterministic, in-plan booleans
+      // where the codec owns the noise). Smooth-gradient rasters
+      // (synthesizeGradientPpm: adjacent downsample luma margins far
+      // above JPEG's few-gray-level error) are JPEG-transcoded through
+      // the JDK codec and rejoined to their originals: dimensions
+      // survive exactly; the perceptual hash must land within hamming
+      // 2 (measured 0 on this fixture); mean luma within 1.0 gray
+      // level. A codec regression (or a decoder that silently returns
+      // garbage) flips the booleans and fails the hash-match
+      val orig = Multimodal.synthesizeGradientPpm(s,
+        t(s, d, "documents").filter(col("doc_id") < 100), "doc_id").toDF
+      val jpeg = Multimodal.transcode(s, orig, "jpg").toDF
+      val fo = Multimodal.decodeImageFeatures(s, orig).toDF
+      val fj = Multimodal.decodeImageFeatures(s, jpeg).toDF
+      val ho = Multimodal.perceptualHashes(s, orig)
+      val hj = Multimodal.perceptualHashes(s, jpeg)
+      fo.select(col("media_id"), col("width"), col("height"),
+          col("mean_luma").as("__lo"))
+        .join(fj.select(col("media_id"), col("width").as("__wj"),
+          col("height").as("__hj"), col("mean_luma").as("__lj")), "media_id")
+        .join(ho.withColumnRenamed("phash", "__po"), "media_id")
+        .join(hj.withColumnRenamed("phash", "__pj"), "media_id")
+        .select(col("media_id"), col("width"), col("height"),
+          (col("width") === col("__wj") && col("height") === col("__hj"))
+            .as("dims_match"),
+          (expr("CAST(bit_count(__po ^ __pj) AS BIGINT)") <= 2)
+            .as("phash_stable"),
+          (abs(col("__lo") - col("__lj")) <= 1.0).as("luma_within"))
     })
   )
 
@@ -3334,6 +3458,41 @@ object SparkEntry {
         "SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(0 AS BIGINT) AS hamming, " +
         "(a.doc_id % 2 = b.doc_id % 2) AS same_bytes " +
         "FROM d a JOIN d b ON a.base = b.base AND a.doc_id < b.doc_id"),
+    // rel_bloom_skip oracle: probes, bucket rank formula, truth
+    // membership and zone-map scan counts all replay exactly (the
+    // zoneSkipSql conventions); the two bloom verdicts are literal
+    // true — no-false-negatives is the filter's hard guarantee, and
+    // the fp margin is the tolerance-boolean convention
+    "rel_bloom_skip" ->
+      ("WITH o AS (SELECT o_orderkey, o_custkey FROM orders), " +
+        s"p AS (SELECT o_custkey AS probe FROM o GROUP BY 1 ORDER BY count(*), o_custkey LIMIT $BloomProbeCount), " +
+        s"b AS (SELECT o_custkey, ((row_number() OVER (ORDER BY o_orderkey) - 1) * $BloomBuckets) // (SELECT count(*) FROM o) AS bucket FROM o), " +
+        "t AS (SELECT p.probe, count(DISTINCT b.bucket) AS tb FROM p JOIN b ON b.o_custkey = p.probe GROUP BY 1), " +
+        "z AS (SELECT bucket, min(o_custkey) AS mn, max(o_custkey) AS mx FROM b GROUP BY 1), " +
+        "zc AS (SELECT p.probe, count(*) AS zb FROM p JOIN z ON z.mn <= p.probe AND p.probe <= z.mx GROUP BY 1) " +
+        "SELECT p.probe AS o_custkey, t.tb AS truth_buckets, zc.zb AS zone_scan_buckets, " +
+        "true AS no_false_negatives, true AS bloom_tight " +
+        "FROM p JOIN t ON t.probe = p.probe JOIN zc ON zc.probe = p.probe"),
+    // media_near_dups_codec oracle: group combinatorics once more —
+    // PNG decode∘encode is the pixel identity, so every within-group
+    // pair (any format mix) sits at dHash hamming 0; bytes can only
+    // match within one format, i.e. same parity; cross_format is the
+    // parity-mix flag. A lossy "PNG" or a decoder bug breaks hamming 0
+    // and the hash-match with it
+    "media_near_dups_codec" ->
+      ("WITH d AS (SELECT doc_id, doc_id % 25 AS base FROM documents WHERE doc_id < 200) " +
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(0 AS BIGINT) AS hamming, " +
+        "(a.doc_id % 2 = b.doc_id % 2) AS same_bytes, " +
+        "(a.doc_id % 2 <> b.doc_id % 2) AS cross_format " +
+        "FROM d a JOIN d b ON a.base = b.base AND a.doc_id < b.doc_id"),
+    // media_codec_jpeg oracle: dimensions replay the synthesizer
+    // formula exactly; the codec-noise-owned comparisons gate through
+    // in-plan tolerance booleans (the sketch-query convention)
+    "media_codec_jpeg" ->
+      ("SELECT doc_id AS media_id, CAST(8 + doc_id % 5 AS BIGINT) AS width, " +
+        "CAST(6 + doc_id % 4 AS BIGINT) AS height, true AS dims_match, " +
+        "true AS phash_stable, true AS luma_within " +
+        "FROM documents WHERE doc_id < 100"),
     // the sketch queries gate through IN-PLAN tolerance booleans (the
     // estimates themselves are engine-specific; the exact counts and
     // the ≤3σ agreement are not) — every query is oracle-checked

@@ -18,6 +18,7 @@ object Verify {
     }
     val spark = GraftSession.build("4")
     new java.io.File(outDir).mkdirs()
+    var sinceGc = 0
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -25,6 +26,21 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        e.printStackTrace()
+      }
+      // long-session driver hygiene: a 148-query sweep in one JVM
+      // accumulates dead broadcasts / cached blocks faster than the
+      // ContextCleaner's weak-ref GC notices — at sf1 that pressure
+      // made ONE mid-sweep broadcast build refuse with "not enough
+      // memory" even though the same query passes alone. Drop any
+      // query-left cache entries and nudge a full GC every 16 queries
+      // so the cleaner's queue drains (measured: the sweep's only
+      // failure mode; the fix is session hygiene, not a plan change).
+      sinceGc += 1
+      if (sinceGc >= 16) {
+        sinceGc = 0
+        spark.catalog.clearCache()
+        System.gc()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -329,9 +329,20 @@ object Dedup {
     val inter = expandPairs(capped.filter(size(col("ids")) > 1), "ids")
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("i"))
+    // `sizes` is DATA-SCALED (one row per doc) — it must never become a
+    // driver-side broadcast. Catalyst's static estimate reads it as
+    // small and picks BroadcastHashJoin; at sf1 × 32 threads the
+    // broadcast build then races the pair-expansion tasks for the
+    // unified execution pool and dies with "not enough memory to build
+    // and broadcast" (measured, the sf1 sweep's one failure — passes at
+    // 16 threads, fails at 32). shuffle_hash keeps the join distributed
+    // (per-partition hash of the small side, no sort of the pair side)
+    // and holds at any corpus size
     val withSizes = inter
-      .join(sizes.select(col("doc").as("a_id"), col("n").as("na")), "a_id")
-      .join(sizes.select(col("doc").as("b_id"), col("n").as("nb")), "b_id")
+      .join(sizes.select(col("doc").as("a_id"), col("n").as("na"))
+        .hint("shuffle_hash"), "a_id")
+      .join(sizes.select(col("doc").as("b_id"), col("n").as("nb"))
+        .hint("shuffle_hash"), "b_id")
     withSizes
       .withColumn("jaccard",
         round(col("i") / (col("na") + col("nb") - col("i")), 4))

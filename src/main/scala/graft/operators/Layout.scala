@@ -149,6 +149,84 @@ object Layout {
     bucketed.repartition(col(bucketCol))
       .write.mode("overwrite").partitionBy(bucketCol).parquet(path)
 
+  /** Write `bucketed` like [[writeClustered]], additionally building a
+    * parquet BLOOM FILTER on `bloomCol` in every file (public
+    * parquet-hadoop writer options `parquet.bloom.filter.enabled#col` /
+    * `...expected.ndv#col`). Zone maps prune RANGE predicates on the
+    * clustering dims; blooms prune POINT predicates on a column the
+    * layout did NOT cluster by — on an orderkey-clustered layout every
+    * bucket spans the full custkey range, so min/max stats can never
+    * skip a `custkey = k` probe, while the bloom skips every bucket the
+    * key truly misses (minus a bounded false-positive rate; never a
+    * false negative). `expectedNdv` sizes the filter — pass the
+    * expected per-bucket distinct count of `bloomCol`.
+    *
+    * Dictionary interplay: parquet-mr OMITS the bloom filter for a
+    * chunk it fully dictionary-encodes (the dictionary page already is
+    * an exact membership filter), which at test scale is every chunk —
+    * so dictionary encoding is disabled for `bloomCol` specifically,
+    * guaranteeing the filter exists at any scale. At production
+    * cardinalities a key column blows past the dictionary-page
+    * threshold anyway and falls back to plain encoding + bloom. */
+  def writeClusteredWithBloom(bucketed: DataFrame, bucketCol: String,
+      path: String, bloomCol: String, expectedNdv: Long): Unit =
+    bucketed.repartition(col(bucketCol))
+      .write.mode("overwrite")
+      .option(s"parquet.bloom.filter.enabled#$bloomCol", "true")
+      .option(s"parquet.bloom.filter.expected.ndv#$bloomCol",
+        expectedNdv.toString)
+      .option(s"parquet.enable.dictionary#$bloomCol", "false")
+      .partitionBy(bucketCol).parquet(path)
+
+  /** Probe the written blooms: which buckets' filters report "might
+    * contain" for each value in `probes`? A stats-aware reader scans
+    * exactly those buckets for a point predicate. Reads the filters
+    * through the same `BloomFilterReader` a parquet reader uses; a
+    * bucket is positive if ANY of its row groups is. Fails loudly if a
+    * file carries no bloom for `bloomCol` (a misconfigured write must
+    * not read as "skip everything"). Driver-side cost is bounded by
+    * file count × probe count — the planner's own listing cost, never
+    * row count. Output: one row per POSITIVE (probe, bucket) pair, so
+    * callers can verify set containment (no false negatives) exactly,
+    * not just compare counts. */
+  def bloomProbeBuckets(spark: SparkSession, path: String,
+      bloomCol: String, probes: Seq[Long]): DataFrame = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val buckets = fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(_.getName.contains("="))
+    require(buckets.nonEmpty, s"no bucket directories under $path")
+    val pairs = Seq.newBuilder[(Long, Long)]
+    buckets.foreach { bdir =>
+      val bucket = bdir.getName.split("=", 2)(1).toLong
+      val files = fs.listStatus(bdir).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+      require(files.nonEmpty, s"no parquet files under $bdir")
+      val positive = collection.mutable.Set.empty[Long]
+      files.foreach { f =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+        try reader.getFooter.getBlocks.asScala.foreach { block =>
+          val chunk = block.getColumns.asScala
+            .find(_.getPath.toDotString == bloomCol)
+            .getOrElse(sys.error(s"column $bloomCol missing from $f"))
+          val bloom = reader.getBloomFilterDataReader(block)
+            .readBloomFilter(chunk)
+          require(bloom != null,
+            s"no bloom filter for $bloomCol in $f — misconfigured write")
+          probes.foreach { p =>
+            if (bloom.findHash(bloom.hash(p))) positive += p
+          }
+        } finally reader.close()
+      }
+      positive.foreach(p => pairs += ((p, bucket)))
+    }
+    import spark.implicits._
+    pairs.result().toDF("probe", "bucket")
+  }
+
   /** Per-bucket statistics REREAD from the written files' parquet
     * footers (`ParquetFileReader` over every data file under
     * `bucket=N/`, row-group column stats aggregated per bucket) — the

@@ -6,12 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video payloads modeled as
   * opaque `binary` columns with typed metadata, processed in batches.
   *
-  * The image path is REAL end to end: `decodePpm` is a from-scratch
-  * byte parser for binary PPM (P6) — comment-tolerant ASCII header +
-  * raw RGB block — and `resizeNearest` / `decodeImageFeatures` operate
-  * on decoded pixels. Compressed codecs (JPEG/PNG/video) would slot
-  * into the same typed-mapPartitions batch shape; their libraries are
-  * not in this environment.
+  * The image path is REAL end to end, compressed formats included:
+  * `decodePpm` is a from-scratch byte parser for binary PPM (P6) —
+  * comment-tolerant ASCII header + raw RGB block — and [[decodeImage]]
+  * sniffs the payload and routes anything else (PNG/JPEG/GIF/BMP/TIFF)
+  * through the JDK's own `javax.imageio` codecs (java.desktop module,
+  * present in every standard JRE — no external library). All kernels
+  * (`resizeNearest`, `dHash64`, `decodeImageFeatures`) operate on
+  * genuinely DECODED pixels, so two encodings of one raster converge
+  * to the same features/fingerprints.
   */
 object Multimodal {
 
@@ -152,6 +155,100 @@ object Multimodal {
     DecodedImage(w, h, maxval, java.util.Arrays.copyOfRange(bytes, pos, pos + n))
   }
 
+  // ------------------------------------------------------------------
+  // Compressed codecs via the JDK's javax.imageio (java.desktop module
+  // — standard JRE content, loads headless; probed in MultimodalSpec).
+  // PNG is lossless, so decode(encodePng(img)).pixels == img.pixels
+  // bit-for-bit and every pixel-level fingerprint (dHash, features) is
+  // INVARIANT under a PNG transcode. JPEG is lossy: decoded pixels
+  // land within a few gray levels of the source, so cross-format
+  // agreement is a TOLERANCE property (the sketch-query convention).
+  // ------------------------------------------------------------------
+
+  /** Force headless AWT once per JVM before any ImageIO touch — done in
+    * a lazy val so executor JVMs (where mapPartitions closures run) get
+    * it too, not just the driver. */
+  private lazy val imageIoReady: Unit = {
+    System.setProperty("java.awt.headless", "true")
+    ()
+  }
+
+  /** Decode ANY supported image payload: P6 PPM through the in-repo
+    * parser (fast path, no AWT), everything else through the JDK
+    * ImageIO codecs (PNG/JPEG/GIF/BMP/TIFF). Output is the same
+    * row-major RGB `DecodedImage` either way; alpha is dropped (RGB
+    * extracted per pixel). Throws loudly on payloads no codec accepts —
+    * a corrupt blob must never decode to garbage. */
+  def decodeImage(bytes: Array[Byte]): DecodedImage = {
+    if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6')
+      return decodePpm(bytes)
+    imageIoReady
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    require(img != null,
+      s"payload (${bytes.length} bytes) not decodable by any " +
+        "available image codec")
+    val w = img.getWidth; val h = img.getHeight
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val o = (y * w + x) * 3
+        px(o) = ((rgb >> 16) & 0xff).toByte
+        px(o + 1) = ((rgb >> 8) & 0xff).toByte
+        px(o + 2) = (rgb & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    DecodedImage(w, h, 255, px)
+  }
+
+  /** Encode a decoded raster through a JDK ImageIO writer (`"png"` —
+    * lossless, or `"jpg"` — lossy, default quality). */
+  def encodeImage(img: DecodedImage, format: String): Array[Byte] = {
+    imageIoReady
+    val buf = new java.awt.image.BufferedImage(img.width, img.height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val o = (y * img.width + x) * 3
+        buf.setRGB(x, y, ((img.pixels(o) & 0xff) << 16) |
+          ((img.pixels(o + 1) & 0xff) << 8) | (img.pixels(o + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(buf, format, bos),
+      s"no ImageIO writer for format '$format'")
+    bos.toByteArray
+  }
+
+  /** Re-encode every payload into `format` ("png"/"jpg") — the
+    * compressed-codec transcode operator: decode (any format) +
+    * encode in one typed mapPartitions pass, media_type updated,
+    * n_bytes reflecting the compressed blob. */
+  def transcode(spark: SparkSession, media: DataFrame,
+      format: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    val mediaType =
+      if (format == "jpg" || format == "jpeg") "image/jpeg"
+      else s"image/$format"
+    media.select("media_id", "payload", "media_type", "n_bytes")
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val p = encodeImage(decodeImage(r.payload), format)
+          MediaRow(r.media_id, p, mediaType, p.length.toLong)
+        }
+      }
+  }
+
   /** Nearest-neighbor resample to `outW`×`outH`: output pixel (x, y)
     * reads source pixel (x·W/outW, y·H/outH), integer floor — the
     * standard decimation kernel, exact integer math end to end. */
@@ -250,13 +347,16 @@ object Multimodal {
   }
 
   /** Per-media perceptual hashes: decode + dHash in one typed
-    * mapPartitions pass (the decoder batch shape). (media_id, phash). */
+    * mapPartitions pass (the decoder batch shape). Codec-agnostic
+    * ([[decodeImage]]): a raster and its PNG transcode hash
+    * IDENTICALLY (lossless round-trip), a JPEG transcode lands within
+    * a small Hamming distance. (media_id, phash). */
   def perceptualHashes(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.select("media_id", "payload", "media_type", "n_bytes")
       .as[MediaRow]
       .mapPartitions(rows =>
-        rows.map(r => (r.media_id, dHash64(decodePpm(r.payload)))))
+        rows.map(r => (r.media_id, dHash64(decodeImage(r.payload)))))
       .toDF("media_id", "phash")
   }
 
@@ -349,7 +449,8 @@ object Multimodal {
           least(col("__na"), col("__nb"))).as("overlap_frac"))
   }
 
-  /** Decode each PPM payload and extract REAL pixel features: per-
+  /** Decode each image payload (any [[decodeImage]] codec) and extract
+    * REAL pixel features: per-
     * channel means and Rec.709 luma (integer-scaled 2126/7152/722, so
     * the sums stay exact longs and the final double division is
     * bit-identical across engines — the textStats convention). The
@@ -362,7 +463,7 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          val img = decodePpm(r.payload)
+          val img = decodeImage(r.payload)
           val px = img.pixels
           var i = 0
           var sumR = 0L; var sumG = 0L; var sumB = 0L; var sumL = 0L
@@ -382,7 +483,8 @@ object Multimodal {
       }
   }
 
-  /** Strip each PPM payload down to its DECODED pixel block — the feed
+  /** Strip each image payload (any [[decodeImage]] codec) down to its
+    * DECODED pixel block — the feed
     * for content-level frame fingerprinting (`frameNearDups` over what
     * the image shows, not how the blob is framed: two encodings of the
     * same raster collide here, differing headers and all). */
@@ -393,8 +495,48 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          val px = decodePpm(r.payload).pixels
+          val px = decodeImage(r.payload).pixels
           MediaRow(r.media_id, px, r.media_type, px.length.toLong)
+        }
+      }
+  }
+
+  /** Deterministic SMOOTH-GRADIENT PPM synthesizer — the JPEG-leg
+    * fixture. Noise rasters (the [[synthesizePpm]] shape) are JPEG's
+    * worst case: block-transform error can flip dHash bits whose
+    * neighboring-luma margins are small. These rasters ramp luma
+    * linearly (R=G=B = 16·x + 4·y, clamped) so every adjacent 9×8
+    * downsample pair differs by ≥ 4 gray levels × 10000 luma units —
+    * far above JPEG's few-level error — making the perceptual hash
+    * provably STABLE under a default-quality JPEG round-trip (pinned
+    * by tolerance booleans in the codec query, spec-measured exactly).
+    * With `groupMod = Some(g)`, ids sharing `id % g` get identical
+    * rasters (planted duplicate groups, same contract as
+    * [[synthesizePpm]]). */
+  def synthesizeGradientPpm(spark: SparkSession, df: DataFrame,
+      idCol: String, groupMod: Option[Long] = None): Dataset[MediaRow] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val base = groupMod.map(id % _).getOrElse(id)
+          val w = (8 + base % 5).toInt
+          val h = (6 + base % 4).toInt
+          val px = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = math.min(255, 16 * x + 4 * y + (base % 16).toInt)
+              val o = (y * w + x) * 3
+              px(o) = v.toByte; px(o + 1) = v.toByte; px(o + 2) = v.toByte
+              x += 1
+            }
+            y += 1
+          }
+          val payload = encodePpm(DecodedImage(w, h, 255, px))
+          MediaRow(id, payload, "image/x-portable-pixmap",
+            payload.length.toLong)
         }
       }
   }

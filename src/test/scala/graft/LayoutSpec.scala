@@ -113,4 +113,46 @@ class LayoutSpec extends SparkSpec {
       .filter(col("x").between(8, 15) && col("y").between(16, 23)).count()
     assert(matchesInScanned === 64L)
   }
+
+  test("bloom write path: no false negatives ever, bounded false " +
+      "positives on absent keys, loud failure when the filter is " +
+      "missing") {
+    // 1000 rows clustered by id; attr = (id * 7919) % 100 scatters
+    // every attr value across all 8 id-range buckets — the
+    // zone-stats-defeating shape rel_bloom_skip witnesses
+    val df = (0L until 1000L).map(id => (id, (id * 7919L) % 100L))
+      .toDF("id", "attr")
+    val bucketed = Layout.bucketByOrder(df, Seq(col("id")), 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bloom_spec").toString
+    Layout.writeClusteredWithBloom(bucketed, "bucket", dir, "attr", 100L)
+
+    val present = (0L until 5L).toSeq
+    val absent = (100L until 120L).toSeq
+    val pairs = Layout.bloomProbeBuckets(spark, dir, "attr",
+        present ++ absent)
+      .as[(Long, Long)].collect().toSet
+
+    // hard guarantee: every bucket truly containing the key is positive
+    val truth = bucketed.filter(col("attr").isin(present: _*))
+      .select(col("attr"), col("bucket")).distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(truth.subsetOf(pairs),
+      s"false negatives: ${truth.diff(pairs)}")
+
+    // absent keys: positives are pure false positives — with ndv=100
+    // the expected rate is ~1%, so over 20 probes x 8 buckets = 160
+    // trials, 16 positives (10%) is a generous deterministic bound
+    val fp = pairs.count { case (p, _) => absent.contains(p) }
+    assert(fp <= 16, s"bloom false-positive count $fp > 16/160")
+
+    // a write WITHOUT the bloom option must fail the probe loudly,
+    // never read as skip-everything
+    val bare = java.nio.file.Files
+      .createTempDirectory("graft_bloom_bare").toString
+    Layout.writeClustered(bucketed, "bucket", bare)
+    intercept[IllegalArgumentException] {
+      Layout.bloomProbeBuckets(spark, bare, "attr", present)
+    }
+  }
 }

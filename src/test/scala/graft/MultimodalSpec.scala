@@ -249,4 +249,82 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(m => m.media_id -> m.payload.toSeq).toMap
     assert(out(1L) === out(2L) && out(1L) === px.toSeq)
   }
+
+  test("JDK codecs: PNG encode/decode is the exact pixel identity, " +
+      "decodeImage routes P6 through the in-repo parser, and garbage " +
+      "payloads fail loudly") {
+    val rasters = Multimodal.synthesizePpm(spark,
+      spark.range(8).toDF("id"), "id").collect()
+    for (m <- rasters) {
+      val img = Multimodal.decodePpm(m.payload)
+      // lossless round trip: pixels AND dims survive bit-for-bit
+      val png = Multimodal.encodeImage(img, "png")
+      val back = Multimodal.decodeImage(png)
+      assert(back.width === img.width && back.height === img.height)
+      assert(back.pixels.toSeq === img.pixels.toSeq)
+      // P6 fast path: decodeImage == decodePpm on PPM payloads
+      val viaSniff = Multimodal.decodeImage(m.payload)
+      assert(viaSniff.pixels.toSeq === img.pixels.toSeq)
+      // PNG is a real compression: different bytes, usually fewer
+      assert(png.toSeq !== m.payload.toSeq)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeImage(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))
+    }
+  }
+
+  test("transcode to PNG preserves content exactly: perceptual hash " +
+      "and pixel features are invariant, payload bytes are not") {
+    val orig = Multimodal.synthesizePpm(spark,
+      spark.range(6).toDF("id"), "id").toDF
+    val png = Multimodal.transcode(spark, orig, "png").toDF
+    assert(png.select("media_type").distinct().as[String].collect()
+      .toSeq === Seq("image/png"))
+    val ho = Multimodal.perceptualHashes(spark, orig)
+      .as[(Long, Long)].collect().toMap
+    val hp = Multimodal.perceptualHashes(spark, png)
+      .as[(Long, Long)].collect().toMap
+    assert(ho === hp)
+    val fo = Multimodal.decodeImageFeatures(spark, orig).collect()
+      .map(f => f.media_id -> f).toMap
+    val fp = Multimodal.decodeImageFeatures(spark, png).collect()
+      .map(f => f.media_id -> f).toMap
+    for (id <- fo.keys) {
+      assert(fo(id) === fp(id))
+    }
+    // and the blobs themselves differ (it IS a re-encode)
+    val po = orig.select("media_id", "payload").as[(Long, Array[Byte])]
+      .collect().toMap
+    val pp = png.select("media_id", "payload").as[(Long, Array[Byte])]
+      .collect().toMap
+    assert(po.keys.forall(id => po(id).toSeq != pp(id).toSeq))
+  }
+
+  test("JPEG transcode on the gradient fixture: dims exact, mean luma " +
+      "within 1 gray level, perceptual hash within hamming 2 (the " +
+      "media_codec_jpeg tolerance premises)") {
+    val orig = Multimodal.synthesizeGradientPpm(spark,
+      spark.range(100).toDF("id"), "id").toDF
+    val jpeg = Multimodal.transcode(spark, orig, "jpg").toDF
+    assert(jpeg.select("media_type").distinct().as[String].collect()
+      .toSeq === Seq("image/jpeg"))
+    val fo = Multimodal.decodeImageFeatures(spark, orig).collect()
+      .map(f => f.media_id -> f).toMap
+    val fj = Multimodal.decodeImageFeatures(spark, jpeg).collect()
+      .map(f => f.media_id -> f).toMap
+    val ho = Multimodal.perceptualHashes(spark, orig)
+      .as[(Long, Long)].collect().toMap
+    val hj = Multimodal.perceptualHashes(spark, jpeg)
+      .as[(Long, Long)].collect().toMap
+    var maxHam = 0
+    var maxLuma = 0.0
+    for (id <- fo.keys) {
+      assert(fo(id).width === fj(id).width &&
+        fo(id).height === fj(id).height)
+      maxLuma = maxLuma max math.abs(fo(id).mean_luma - fj(id).mean_luma)
+      maxHam = maxHam max java.lang.Long.bitCount(ho(id) ^ hj(id))
+    }
+    assert(maxLuma <= 1.0, s"JPEG mean-luma drift $maxLuma > 1.0")
+    assert(maxHam <= 2, s"JPEG phash drift $maxHam bits > 2")
+  }
 }
