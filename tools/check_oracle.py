@@ -27,10 +27,15 @@ def table_key(cols, rows):
 
 def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
+    import os
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships single-file tables; Spark-written scale
+        # dirs (e.g. ScaleGen output) are directories of part files
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     if only:
         # a typo'd name must fail loudly, not produce a vacuous
