@@ -164,6 +164,27 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(800))
   }
 
+  test("scd2History's two windows share one exchange (the scaladoc's claim)") {
+    // lag-compression and lead-stamping both partition by (user_id) and
+    // sort by (ts, event_id); the filter between them preserves the
+    // first WindowExec's hash partitioning, so Catalyst must plan
+    // exactly ONE shuffle for the pair — a second Exchange here means
+    // the claim (and the SCALE.md row) regressed
+    val plan = planOf("cdc_scd2_events")
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n === 1, s"scd2 should shuffle once, found $n:\n${plan.take(1200)}")
+    assert("(?s)Window".r.findAllIn(plan).size >= 2, plan.take(800))
+  }
+
+  test("mergeUpsert anti-joins the delta without reshuffling it twice") {
+    // the delta side of cdc_upsert_orders is small — AQE should
+    // broadcast the anti probe rather than sort-merge the base
+    val plan = planOf("cdc_upsert_orders")
+    assert(plan.contains("LeftAnti"), plan.take(800))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small delta should broadcast:\n${plan.take(1200)}")
+  }
+
   test("no query's plan string explodes (lineage-stacking guard)") {
     // the duplicateClusters fixpoint once grew a 2 GB plan STRING
     // (each round's plan referenced the previous labels twice; persist
