@@ -136,6 +136,190 @@ object MaintainedTable {
     }
   }
 
+  // -------------------------------------------------------------------
+  // Partitioned variant: batch cost tracks the DELTA, not the table.
+  //
+  // The flat applyBatch rewrites the whole table per batch — correct,
+  // but at 100 TB the write dominates. Here the table is hash-
+  // partitioned on the key into `nParts` fixed buckets; each version
+  // stores ONLY the partitions its batch touched, plus a manifest
+  // (≤ nParts rows) mapping every partition to the version that last
+  // wrote it. A batch reads just the touched partitions (resolved
+  // through the manifest, partition-pruned), applies the change log to
+  // those rows alone, writes them as `v=V/data/part=H/` dirs, and
+  // points the new manifest's untouched entries at their old versions.
+  // Cost per batch: O(delta keys · table/nParts), independent of total
+  // table size once nParts spreads the keys. The `_COMMIT` marker
+  // (written after data + manifest) is the atomicity point; version =
+  // batch id + 1 keeps the replay-idempotency contract (version 0 is
+  // the bootstrap).
+  // -------------------------------------------------------------------
+
+  private val PartCol = "__part"
+
+  private def partExpr(keys: Seq[String], nParts: Int) =
+    pmod(hash(keys.map(col): _*), lit(nParts))
+
+  private def commitMarker(spark: SparkSession, tableDir: String,
+      version: Long): Path =
+    new Path(versionPath(tableDir, version), "_COMMIT")
+
+  /** Committed versions of a PARTITIONED maintained table, ascending
+    * (gated on `_COMMIT`, which lands after data AND manifest). */
+  def committedVersions(spark: SparkSession, tableDir: String): Seq[Long] = {
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toIndexedSeq
+      .filter(_.isDirectory)
+      .flatMap(st => st.getPath.getName match {
+        case VersionRe(v)
+          if fs.exists(new Path(st.getPath, "_COMMIT")) => Some(v.toLong)
+        case _ => None
+      }).sorted
+  }
+
+  /** The bootstrap's 0-row schema-bearing frame — the read of last
+    * resort when every relevant stored partition is empty. */
+  private def schemaAnchor(spark: SparkSession, tableDir: String): DataFrame =
+    spark.read.parquet(s"${versionPath(tableDir, 0L)}/_schema")
+
+  private def manifestOf(spark: SparkSession, tableDir: String,
+      version: Long): Map[Long, Long] =
+    spark.read.parquet(s"${versionPath(tableDir, version)}/_manifest")
+      .select(col("part"), col("ver"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** The table as of `version`: every partition read from the version
+    * that last wrote it (manifest-resolved, one pruned read per
+    * distinct storing version). This IS the partitioned time travel. */
+  /** A version's data dir is READABLE iff some partition dir landed in
+    * it — a delete-only batch can legally write an empty version (just
+    * `_SUCCESS`), whose partitions are then simply empty. */
+  private def readableData(spark: SparkSession, tableDir: String,
+      ver: Long): Option[DataFrame] = {
+    val dp = new Path(s"${versionPath(tableDir, ver)}/data")
+    val fs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dp) && fs.listStatus(dp).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith(s"$PartCol=")))
+      Some(spark.read.parquet(dp.toString))
+    else None
+  }
+
+  def snapshotAt(spark: SparkSession, tableDir: String,
+      version: Long): DataFrame = {
+    require(committedVersions(spark, tableDir).contains(version),
+      s"partitioned table $tableDir has no committed version $version")
+    val byVer = manifestOf(spark, tableDir, version)
+      .groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
+    val legs = byVer.toSeq.sortBy(_._1).flatMap { case (ver, parts) =>
+      readableData(spark, tableDir, ver)
+        .map(_.filter(col(PartCol).isin(parts: _*)))
+    }
+    if (legs.isEmpty) schemaAnchor(spark, tableDir) // fully empty table
+    else legs.reduce(_ unionByName _).drop(PartCol)
+  }
+
+  /** Latest committed partitioned snapshot, if bootstrapped. */
+  def latestPartitioned(spark: SparkSession,
+      tableDir: String): Option[(Long, DataFrame)] =
+    committedVersions(spark, tableDir).lastOption
+      .map(v => v -> snapshotAt(spark, tableDir, v))
+
+  /** Version 0: materialize `initial` across ALL partitions with a
+    * full manifest. Must run once before any [[applyBatchPartitioned]];
+    * idempotent (a committed bootstrap is not rewritten). */
+  def bootstrap(initial: DataFrame, keys: Seq[String], tableDir: String,
+      runId: String, nParts: Int): Unit = {
+    val spark = initial.sparkSession
+    checkRunId(spark, tableDir, runId)
+    if (!committedVersions(spark, tableDir).contains(0L)) {
+      val vp = versionPath(tableDir, 0L)
+      initial.withColumn(PartCol, partExpr(keys, nParts))
+        .write.mode("overwrite").partitionBy(PartCol).parquet(s"$vp/data")
+      // schema anchor: a 0-row unpartitioned parquet, so an empty
+      // table (empty initial, or delete-only history) stays readable
+      initial.limit(0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$vp/_schema")
+      spark.range(nParts.toLong).select(col("id").as("part"),
+          lit(0L).as("ver"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$vp/_manifest")
+      val fs = new Path(tableDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.create(commitMarker(spark, tableDir, 0L), true).close()
+    }
+  }
+
+  /** Apply one change batch to the partitioned table: reads ONLY the
+    * partitions the batch's keys hash into, writes only those back.
+    * Version = batchId + 1; a replayed batch finds its version
+    * committed and does nothing. `nParts` must match the bootstrap. */
+  def applyBatchPartitioned(batch: DataFrame, keys: Seq[String],
+      ord: Seq[Column], tableDir: String, runId: String, batchId: Long,
+      nParts: Int, opCol: String = "op",
+      deleteOp: String = "delete"): Unit = {
+    val spark = batch.sparkSession
+    checkRunId(spark, tableDir, runId)
+    val version = batchId + 1
+    val done = committedVersions(spark, tableDir)
+    require(done.contains(0L),
+      s"partitioned table $tableDir is not bootstrapped (no v=000000)")
+    if (!done.contains(version)) {
+      import spark.implicits._
+      val prev = done.filter(_ < version).last
+      val manifest = manifestOf(spark, tableDir, prev)
+      // ≤ nParts values — a bounded collect by construction
+      val touched = batch
+        .select(partExpr(keys, nParts).cast("long").as("p"))
+        .distinct().collect().map(_.getLong(0)).sorted
+      val vp = versionPath(tableDir, version)
+      val newManifest =
+        if (touched.isEmpty) manifest.toSeq // empty batch: version
+        else { // numbering stays dense for replay idempotency
+          val current = touched.groupBy(manifest).toSeq.sortBy(_._1)
+            .flatMap { case (ver, parts) =>
+              readableData(spark, tableDir, ver)
+                .map(_.filter(col(PartCol).isin(parts.toIndexedSeq: _*))
+                  .drop(PartCol))
+            }
+          val currentDf =
+            if (current.isEmpty) schemaAnchor(spark, tableDir)
+            else current.reduce(_ unionByName _)
+          val next = Incremental.applyChangeLog(
+            currentDf, batch, keys, ord, opCol, deleteOp)
+          next.withColumn(PartCol, partExpr(keys, nParts))
+            .write.mode("overwrite").partitionBy(PartCol)
+            .parquet(s"$vp/data")
+          manifest.toSeq.filterNot(kv => touched.contains(kv._1)) ++
+            touched.toIndexedSeq.map(_ -> version)
+        }
+      newManifest.toDF("part", "ver").coalesce(1)
+        .write.mode("overwrite").parquet(s"$vp/_manifest")
+      val fs = new Path(tableDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.create(commitMarker(spark, tableDir, version), true).close()
+    }
+  }
+
+  /** Start the partitioned maintained-table query. `initial` is
+    * bootstrapped on the first batch if needed; each micro-batch then
+    * rewrites only its touched partitions. `sink` receives the current
+    * snapshot + version after each commit. */
+  def maintainPartitioned(stream: DataFrame, initial: DataFrame,
+      keys: Seq[String], ord: Seq[Column], tableDir: String,
+      runId: String, nParts: Int, opCol: String = "op",
+      deleteOp: String = "delete")(
+      sink: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        bootstrap(initial, keys, tableDir, runId, nParts)
+        applyBatchPartitioned(batch, keys, ord, tableDir, runId, batchId,
+          nParts, opCol, deleteOp)
+        sink(snapshotAt(batch.sparkSession, tableDir, batchId + 1),
+          batchId + 1)
+        ()
+    }.start()
+
   /** Start the maintained-table query: `stream` carries change rows
     * (payload columns aligned with `initial`, plus `opCol`), `ord`
     * orders ops within a key within a batch (latest wins). `sink`

@@ -96,6 +96,95 @@ class MaintainedTableSpec extends SparkSpec {
       .exists(_._2 == "b3"))
   }
 
+  // ---- partitioned variant: batch cost tracks the delta ----
+
+  private def partDirs(tableDir: String, version: Long): Seq[String] = {
+    val d = new java.io.File(
+      f"$tableDir/v=$version%06d/data")
+    if (!d.exists()) Seq.empty
+    else d.listFiles().filter(_.isDirectory).map(_.getName).toSeq.sorted
+  }
+
+  test("partitioned: correctness matches composed applyChangeLog; only touched partitions written") {
+    val d = dir("part")
+    val keys = Seq("k")
+    val f0 = feed((2L, "B", 21.0, 1L, "upsert"), (9L, "z", 90.0, 2L, "upsert"))
+    val f1 = feed((9L, "-", 0.0, 1L, "delete"))
+    MaintainedTable.bootstrap(base, keys, d, "r", nParts = 8)
+    MaintainedTable.applyBatchPartitioned(f0, keys, Seq(col("seq")),
+      d, "r", 0L, nParts = 8)
+    MaintainedTable.applyBatchPartitioned(f1, keys, Seq(col("seq")),
+      d, "r", 1L, nParts = 8)
+    val composed = Incremental.applyChangeLog(
+      Incremental.applyChangeLog(base, f0, keys, Seq(col("seq"))),
+      f1, keys, Seq(col("seq")))
+    assert(sorted(MaintainedTable.snapshotAt(spark, d, 2L)) ===
+      sorted(composed))
+    // the incrementality witness: batch 1 touched ONE key (9) — its
+    // version must hold at most one partition dir, and strictly fewer
+    // than the bootstrap's
+    val v0 = partDirs(d, 0L); val v2 = partDirs(d, 2L)
+    assert(v2.size <= 1, s"delete-only batch wrote ${v2.size} partitions")
+    assert(v0.size > v2.size)
+    // time travel across partitioned versions
+    assert(sorted(MaintainedTable.snapshotAt(spark, d, 1L)) ===
+      sorted(Incremental.applyChangeLog(base, f0, keys, Seq(col("seq")))))
+  }
+
+  test("partitioned: replay of a committed batch is a no-op; empty batch commits densely") {
+    val d = dir("partreplay")
+    val keys = Seq("k")
+    MaintainedTable.bootstrap(base, keys, d, "r", nParts = 4)
+    MaintainedTable.applyBatchPartitioned(
+      feed((2L, "B", 21.0, 1L, "upsert")), keys, Seq(col("seq")),
+      d, "r", 0L, nParts = 4)
+    val once = sorted(MaintainedTable.snapshotAt(spark, d, 1L))
+    MaintainedTable.applyBatchPartitioned(
+      feed((2L, "WRONG", -1.0, 9L, "upsert")), keys, Seq(col("seq")),
+      d, "r", 0L, nParts = 4)
+    assert(sorted(MaintainedTable.snapshotAt(spark, d, 1L)) === once)
+    // empty batch: version 2 commits with the table unchanged
+    MaintainedTable.applyBatchPartitioned(
+      feed().filter(col("k") < 0), keys, Seq(col("seq")),
+      d, "r", 1L, nParts = 4)
+    assert(MaintainedTable.committedVersions(spark, d) === Seq(0L, 1L, 2L))
+    assert(sorted(MaintainedTable.snapshotAt(spark, d, 2L)) === once)
+  }
+
+  test("partitioned: empty initial bootstraps via the schema anchor; inserts land") {
+    val d = dir("partempty")
+    val keys = Seq("k")
+    MaintainedTable.bootstrap(base.filter(col("k") < 0), keys, d, "r",
+      nParts = 4)
+    assert(sorted(MaintainedTable.snapshotAt(spark, d, 0L)) === Seq.empty)
+    MaintainedTable.applyBatchPartitioned(
+      feed((7L, "n", 70.0, 1L, "upsert")), keys, Seq(col("seq")),
+      d, "r", 0L, nParts = 4)
+    assert(sorted(MaintainedTable.snapshotAt(spark, d, 1L)) ===
+      Seq((7L, "n", 70.0)))
+  }
+
+  test("partitioned streaming end-to-end: only delta partitions rewrite per batch") {
+    implicit val ctx = spark.sqlContext
+    val d = dir("partstream")
+    val in = MemoryStream[TestChange]
+    val q = MaintainedTable.maintainPartitioned(in.toDF(), base, Seq("k"),
+      Seq(col("seq")), d, "stream-p", nParts = 8)()
+    try {
+      in.addData(TestChange(2L, "B", 21.0, 1L, "upsert"))
+      q.processAllAvailable()
+      in.addData(TestChange(1L, "A", 11.0, 1L, "upsert"),
+        TestChange(9L, "z", 90.0, 2L, "upsert"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val (v, fin) = MaintainedTable.latestPartitioned(spark, d).get
+    assert(v === 2L)
+    assert(sorted(fin) === Seq((1L, "A", 11.0), (2L, "B", 21.0),
+      (3L, "c", 30.0), (9L, "z", 90.0)))
+    // batch 0 touched one key — one partition dir in v=1
+    assert(partDirs(d, 1L).size === 1)
+  }
+
   test("streaming end-to-end: maintained table tracks the change stream") {
     implicit val ctx = spark.sqlContext
     val d = dir("stream")
