@@ -719,8 +719,14 @@ object SparkEntry {
           saltBy = col("l_partkey") * lit(7919) + col("l_linenumber"),
           salt = 8)
         .groupBy(col("o_orderpriority"))
+        // sum in DECIMAL: the prices are an exact 2-decimal grid, so
+        // the decimal sum is order-independent and bit-replays in any
+        // engine — a double sum over 6M rows/group (sf1) drifted past
+        // the round(,2) boundary (63001612641.51 vs .5), the one
+        // artifact the sf1 oracle sweep surfaced
         .agg(count(lit(1)).as("n_rows"),
-          round(sum(col("l_extendedprice")), 2).as("revenue"))
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("revenue"))
     }),
     "join_range_binned" -> ((s, d) =>
       Relational.binnedRangeCount(t(s, d, "events"), "event_id", "ts", 300L)),
@@ -2905,7 +2911,7 @@ object SparkEntry {
         zoneSkipSql("arrival", "l_orderkey, l_linenumber")),
     "join_salted_skew" ->
       ("SELECT o_orderpriority, count(*) AS n_rows, " +
-        "round(sum(l_extendedprice), 2) AS revenue " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY o_orderpriority"),
     "rel_conditional_agg" ->
