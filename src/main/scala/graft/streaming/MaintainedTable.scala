@@ -301,6 +301,55 @@ object MaintainedTable {
     }
   }
 
+  /** Compaction: rewrite the CURRENT state as one fresh full version
+    * (every partition stored, full manifest), so reads stop fanning
+    * across the version history and `vacuum` can then reclaim every
+    * older version. The lifecycle is bootstrap → applyBatch* → compact
+    * (when the manifest references too many versions) → vacuumPartitioned.
+    * Occupies the next version slot after the latest commit — run it
+    * between batches (same single-writer discipline as the apply path).
+    * Returns the compacted version number. */
+  def compact(spark: SparkSession, tableDir: String, runId: String,
+      keys: Seq[String], nParts: Int): Long = {
+    checkRunId(spark, tableDir, runId)
+    val done = committedVersions(spark, tableDir)
+    require(done.nonEmpty, s"nothing to compact at $tableDir")
+    val latest = done.last
+    val version = latest + 1
+    val snap = snapshotAt(spark, tableDir, latest)
+    val vp = versionPath(tableDir, version)
+    snap.withColumn(PartCol, partExpr(keys, nParts))
+      .write.mode("overwrite").partitionBy(PartCol).parquet(s"$vp/data")
+    spark.range(nParts.toLong)
+      .select(col("id").as("part"), lit(version).as("ver"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$vp/_manifest")
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(commitMarker(spark, tableDir, version), true).close()
+    version
+  }
+
+  /** Retention for the partitioned table: drop committed versions no
+    * longer referenced by any of the newest `keepLast` manifests (a
+    * version may hold the CURRENT copy of an untouched partition long
+    * after newer versions exist — reference-based retention, not
+    * age-based, so a drop can never orphan a live partition). Returns
+    * the versions deleted. */
+  def vacuumPartitioned(spark: SparkSession, tableDir: String,
+      keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1,
+      s"vacuumPartitioned keepLast must be >= 1, got $keepLast")
+    val vs = committedVersions(spark, tableDir)
+    val kept = vs.takeRight(keepLast)
+    val live = kept.flatMap(v => manifestOf(spark, tableDir, v).values)
+      .toSet ++ kept
+    val doomed = vs.filterNot(live)
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    doomed.foreach(v => fs.delete(new Path(versionPath(tableDir, v)), true))
+    doomed
+  }
+
   /** Start the partitioned maintained-table query. `initial` is
     * bootstrapped on the first batch if needed; each micro-batch then
     * rewrites only its touched partitions. `sink` receives the current

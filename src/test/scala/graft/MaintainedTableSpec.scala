@@ -164,6 +164,30 @@ class MaintainedTableSpec extends SparkSpec {
       Seq((7L, "n", 70.0)))
   }
 
+  test("partitioned lifecycle: compact folds history, vacuum reclaims only unreferenced versions") {
+    val d = dir("partcompact")
+    val keys = Seq("k")
+    MaintainedTable.bootstrap(base, keys, d, "r", nParts = 8)
+    MaintainedTable.applyBatchPartitioned(
+      feed((2L, "B", 21.0, 1L, "upsert")), keys, Seq(col("seq")),
+      d, "r", 0L, nParts = 8)
+    val before = sorted(MaintainedTable.snapshotAt(spark, d, 1L))
+    // v=0 still holds the CURRENT copy of untouched partitions, so
+    // reference-based vacuum must NOT drop it even when only the
+    // newest manifest is kept
+    assert(MaintainedTable.vacuumPartitioned(spark, d, keepLast = 1)
+      === Seq.empty)
+    val cv = MaintainedTable.compact(spark, d, "r", keys, nParts = 8)
+    assert(cv === 2L)
+    assert(sorted(MaintainedTable.snapshotAt(spark, d, cv)) === before)
+    // post-compact, nothing older is referenced — vacuum reclaims all
+    assert(MaintainedTable.vacuumPartitioned(spark, d, keepLast = 1)
+      === Seq(0L, 1L))
+    assert(MaintainedTable.committedVersions(spark, d) === Seq(2L))
+    assert(sorted(MaintainedTable.latestPartitioned(spark, d).get._2)
+      === before)
+  }
+
   test("partitioned streaming end-to-end: only delta partitions rewrite per batch") {
     implicit val ctx = spark.sqlContext
     val d = dir("partstream")
