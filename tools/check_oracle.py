@@ -28,6 +28,13 @@ def table_key(cols, rows):
 def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     import os
+    # optional resource caps for big-SF sweeps (DuckDB's default is 80%
+    # of RAM, which OOM-kills the process when a Spark JVM shares the
+    # box); unset = driver-compatible defaults
+    if os.environ.get("GRAFT_DUCKDB_MEM"):
+        con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEM']}'")
+    if os.environ.get("GRAFT_DUCKDB_THREADS"):
+        con.execute(f"SET threads={int(os.environ['GRAFT_DUCKDB_THREADS'])}")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         # driver testdata ships single-file tables; Spark-written scale
