@@ -79,6 +79,14 @@ object SparkEntry {
   val BpeMergeCount = 12
   /** Fixed retrieval query for the BM25 scorer (real corpus terms). */
   val Bm25Terms: Seq[String] = Seq("stream", "join", "spark")
+  /** Per-leg candidate window for hybrid RRF retrieval
+    * (sim_hybrid_rrf): each leg contributes ranks only inside its own
+    * top-K window — the Elasticsearch rrf `rank_window_size`. */
+  val HybridLegK = 50
+  /** Sample sizes for the priority-sampling queries: 50 global,
+    * 10 per source in the stratified flavor. */
+  val PrioritySampleK = 50
+  val PrioritySampleGroupK = 10
   /** Sequence-packing parameters (token budget per pack, hash groups). */
   val PackBudget = 256L
   val PackGroups = 32
@@ -849,6 +857,19 @@ object SparkEntry {
       Packing.temperatureMixtureByTokens(t(s, d, "documents"),
           "source", "doc_id", "text", MixtureAlpha)
         .select(col("doc_id"), col("source"), col("epoch"))),
+    "rel_priority_sample" -> ((s, d) =>
+      // Duffield–Lund–Thorup priority sampling: weighted sample of 50
+      // docs by n_chars without replacement, with the unbiased
+      // subset-sum estimator ŵ = max(w, τ). Priorities are md5-derived
+      // IEEE-division-only arithmetic — bit-identical in the oracle
+      Packing.prioritySample(t(s, d, "documents"), "doc_id", "n_chars",
+        PrioritySampleK)),
+    "rel_priority_sample_grouped" -> ((s, d) =>
+      // the stratified flavor: 10 per source, per-group τ/ŵ — the
+      // per-source-quota subsampler with estimator unbiasedness kept
+      // within each stratum
+      Packing.prioritySampleByGroup(t(s, d, "documents"), "source",
+        "doc_id", "n_chars", PrioritySampleGroupK)),
     "rel_sample_by_key" -> ((s, d) =>
       // downweight the two dominant event types, keep the rest intact;
       // the kept row set is a pure hash filter, stable at any SF
@@ -1329,6 +1350,28 @@ object SparkEntry {
     "sim_nn_blocked" -> ((s, d) =>
       Similarity.nearestInBlock(t(s, d, "embeddings"), "vec_id", "embedding",
         "label")),
+    "sim_hybrid_rrf" -> ((s, d) => {
+      // hybrid retrieval: a lexical BM25 leg (fixed term set) and a
+      // dense cosine leg (one fixed query vector) fused by reciprocal
+      // ranks — rank fusion needs no cross-leg score calibration,
+      // which is why RRF is the production hybrid-search default.
+      // Each leg ranks only inside its own top-K window
+      val emb = t(s, d, "embeddings")
+      val lex = Relational.withScalableOrdinal(
+        TextAnalysis.bm25Scores(t(s, d, "documents"), "doc_id", "text",
+          Bm25Terms).filter(col("bm25") > 0),
+        Seq(col("bm25").desc, col("doc_id")), "rank")
+        .filter(col("rank") <= HybridLegK)
+        .select(col("doc_id"), col("rank"))
+      // q_id -1: a synthetic query id outside the corpus domain, so
+      // the scorer's self-pair exclusion never drops a real candidate
+      val q = emb.filter(col("vec_id") === 0)
+        .select(lit(-1L).as("vec_id"), col("embedding"))
+      val dense = Similarity.bruteForceTopK(emb, q, HybridLegK)
+        .select(col("n_id").as("doc_id"), col("rank"))
+      Similarity.rrfFuse(Seq("lex" -> lex, "dense" -> dense), "doc_id",
+        "rank", topN = 20)
+    }),
     "sim_ann_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.annTopK(emb, emb.filter(col("vec_id") < 10), 5, 64, 4)
@@ -3102,6 +3145,27 @@ object SparkEntry {
     "rel_mixture_tokens" -> mixtureTokensSql(MixtureWeights,
       defaultWeight = 1.0),
     "rel_mixture_temperature" -> mixtureTemperatureSql(MixtureAlpha),
+    "rel_priority_sample" ->
+      // priority = w / ((h+1)/2^60), h = the 60-bit md5 head (the
+      // shingleHash convention) — int→double conversion and division
+      // are correctly rounded per IEEE 754, so priorities, τ and ŵ
+      // hash-match UNROUNDED; ties broken by doc_id on both sides
+      (s"WITH p AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight, " +
+        "CAST(n_chars AS DOUBLE) / (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|prio'), 1, 15) AS BIGINT) + 1 AS DOUBLE) / 1152921504606846976.0) AS priority " +
+        "FROM documents), " +
+        "r AS (SELECT doc_id, weight, priority, row_number() OVER (ORDER BY priority DESC, doc_id) AS rn FROM p), " +
+        s"tau AS (SELECT coalesce(min(CASE WHEN rn = ${PrioritySampleK + 1} THEN priority END), 0.0) AS tau FROM r) " +
+        "SELECT doc_id, weight, priority, tau, greatest(weight, tau) AS w_hat " +
+        s"FROM r, tau WHERE rn <= $PrioritySampleK"),
+    "rel_priority_sample_grouped" ->
+      // per-source windows and per-source τ — the stratified mirror
+      (s"WITH p AS (SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS weight, " +
+        "CAST(n_chars AS DOUBLE) / (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|prio'), 1, 15) AS BIGINT) + 1 AS DOUBLE) / 1152921504606846976.0) AS priority " +
+        "FROM documents), " +
+        "r AS (SELECT source, doc_id, weight, priority, row_number() OVER (PARTITION BY source ORDER BY priority DESC, doc_id) AS rn FROM p), " +
+        s"t2 AS (SELECT source, coalesce(min(CASE WHEN rn = ${PrioritySampleGroupK + 1} THEN priority END), 0.0) AS tau FROM r GROUP BY source) " +
+        "SELECT r.source, doc_id, weight, priority, tau, greatest(weight, tau) AS w_hat " +
+        s"FROM r JOIN t2 USING (source) WHERE rn <= $PrioritySampleGroupK"),
     "rel_sample_by_key" ->
       ("SELECT event_id, event_type FROM events " +
         "WHERE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|sample'), 1, 7) AS BIGINT) % 10000 < " +
@@ -3416,6 +3480,26 @@ object SparkEntry {
         "count(*) AS n_vectors FROM embeddings, " +
         "LATERAL (SELECT unnest(embedding) AS x, unnest(range(0, len(embedding))) AS i) t " +
         "GROUP BY 1, 2"),
+    "sim_hybrid_rrf" ->
+      // both legs replayed in full (BM25 CTE = the text_bm25 mirror;
+      // cosine = the sim_knn_topk mirror, no self-exclusion since the
+      // query id is synthetic), ranks windowed per leg, fusion =
+      // coalesce'd 1/(60+rank) sums — correctly-rounded IEEE divides
+      // in a fixed order, so the doubles hash-match unrounded
+      (s"WITH lexall AS (SELECT doc_id, bm25 FROM (${bm25Sql(Bm25Terms, k1 = 1.2, b = 0.75)}) bb WHERE bm25 > 0), " +
+        "lex AS (SELECT doc_id, rn FROM (SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rn FROM lexall) t " +
+        s"WHERE rn <= $HybridLegK), " +
+        "q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0), " +
+        s"scored AS (SELECT vec_id AS n_id, ${cosSql("q_vec", "embedding")} AS sim FROM embeddings, q), " +
+        "dense AS (SELECT n_id AS doc_id, rn FROM (SELECT n_id, CAST(row_number() OVER (ORDER BY sim DESC, n_id) AS BIGINT) AS rn FROM scored) t " +
+        s"WHERE rn <= $HybridLegK), " +
+        "u AS (SELECT doc_id, 'lex' AS leg, rn FROM lex UNION ALL SELECT doc_id, 'dense' AS leg, rn FROM dense), " +
+        "g AS (SELECT doc_id, max(CASE WHEN leg = 'dense' THEN rn END) AS rank_dense, " +
+        "max(CASE WHEN leg = 'lex' THEN rn END) AS rank_lex FROM u GROUP BY doc_id) " +
+        "SELECT doc_id, rank_dense, rank_lex, " +
+        "coalesce(1.0 / (60.0 + CAST(rank_dense AS DOUBLE)), 0.0) + " +
+        "coalesce(1.0 / (60.0 + CAST(rank_lex AS DOUBLE)), 0.0) AS rrf " +
+        "FROM g ORDER BY rrf DESC, doc_id LIMIT 20"),
     "sim_knn_topk" ->
       ("WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10), " +
         "c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings), " +

@@ -610,4 +610,94 @@ object Packing {
         budgets),
       idCol, textCol, packBudget, packGroups)
   }
+
+  /** 2^60 as an exact double — the denominator that turns a 60-bit
+    * md5-derived integer into a uniform in (0, 1]. A power of two, so
+    * the division only shifts the exponent (no rounding). */
+  private val TwoPow60: Double = 1152921504606846976.0d
+
+  /** Per-row sampling priority for weighted sampling WITHOUT
+    * replacement — Duffield–Lund–Thorup priority sampling (JACM 2007):
+    * q_i = w_i / u_i with u_i uniform on (0, 1]. Taking the k largest
+    * priorities samples row i with probability ~ min(1, w_i/τ), and
+    * ŵ_i = max(w_i, τ) (τ = the (k+1)-th priority) is an unbiased
+    * subset-sum estimator. u_i derives from the md5 of the id plus a
+    * salt (the shingleHash 15-hex-digit convention, 60 bits), so the
+    * sample is a pure function of ids — reproducible across runs,
+    * partitionings, and engines. Every arithmetic step is an IEEE
+    * basic op (int→double conversion, division — both correctly
+    * rounded), so a second engine computing the same expression shape
+    * gets bit-identical priorities: no libm, no rounding at the edge.
+    */
+  def priorityCol(id: org.apache.spark.sql.Column,
+      weight: org.apache.spark.sql.Column,
+      salt: String): org.apache.spark.sql.Column = {
+    val h = conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 15),
+      16, 10).cast("long")
+    weight.cast("double") / ((h + lit(1L)).cast("double") / lit(TwoPow60))
+  }
+
+  /** Weighted sample of (up to) `k` rows without replacement by
+    * priority sampling — the row-level weighted subsampler a curation
+    * pipeline uses to cut a corpus to a budget while (a) favoring
+    * high-weight rows, (b) keeping the result a deterministic function
+    * of ids, and (c) shipping an unbiased estimator (`w_hat`) with
+    * which the sample reconstructs any subset-sum of the full corpus
+    * (Σ ŵ over sampled rows in a class estimates Σ w over ALL rows in
+    * that class — the property plain top-k-by-weight lacks).
+    *
+    * Plan shape: priorities are per-row expressions; the k+1 survivors
+    * come from ONE TakeOrderedAndProject (per-partition bounded heaps,
+    * k+1 rows per task cross the wire — never a global sort); the
+    * threshold τ and ranks are then computed on that ≤ k+1-row frame
+    * (driver-bounded by the sample size, not the data). Rows with
+    * weight ≤ 0 never sample (priority ≤ 0 < any positive priority;
+    * they still count toward nothing). If the input has ≤ k rows the
+    * whole input is the sample and τ = 0 (ŵ = w exactly — the DLT
+    * degenerate case).
+    *
+    * Output: (id, weight double, priority double, tau double,
+    * w_hat double) — `tau` constant across rows; `w_hat` =
+    * max(weight, τ), the unbiased per-row estimate. */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String = "|prio"): DataFrame = {
+    require(k >= 1, s"prioritySample k out of range: $k")
+    val scored = df.select(col(idCol),
+      col(weightCol).cast("double").as("weight"),
+      priorityCol(col(idCol), col(weightCol), salt).as("priority"))
+    // k+1 largest priorities: bounded heap, not a sort
+    val top = scored.orderBy(col("priority").desc, col(idCol)).limit(k + 1)
+    val ranked = Relational.withScalableOrdinal(top,
+      Seq(col("priority").desc, col(idCol)), "__rank")
+    val tau = ranked.agg(coalesce(
+      min(when(col("__rank") === (k + 1), col("priority"))), lit(0.0))
+      .as("tau"))
+    ranked.filter(col("__rank") <= k)
+      .crossJoin(broadcast(tau))
+      .select(col(idCol), col("weight"), col("priority"), col("tau"),
+        greatest(col("weight"), col("tau")).as("w_hat"))
+  }
+
+  /** [[prioritySample]] stratified by a group column — `k` rows per
+    * group (per-source quotas, the mixture-shaped flavor). One window
+    * PARTITIONED by the group (never a global window): fan-in per
+    * reducer is bounded by the largest group, and at 100 TB the group
+    * count (sources, languages, shards) is the parallelism. τ and
+    * ŵ are per-group, so per-group subset-sums stay unbiased. */
+  def prioritySampleByGroup(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, k: Int, salt: String = "|prio"): DataFrame = {
+    require(k >= 1, s"prioritySampleByGroup k out of range: $k")
+    val scored = df.select(col(groupCol), col(idCol),
+      col(weightCol).cast("double").as("weight"),
+      priorityCol(col(idCol), col(weightCol), salt).as("priority"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("priority").desc, col(idCol))
+    scored.withColumn("__rank", row_number().over(w))
+      .withColumn("tau",
+        coalesce(max(when(col("__rank") === (k + 1), col("priority")))
+          .over(Window.partitionBy(col(groupCol))), lit(0.0)))
+      .filter(col("__rank") <= k)
+      .select(col(groupCol), col(idCol), col("weight"), col("priority"),
+        col("tau"), greatest(col("weight"), col("tau")).as("w_hat"))
+  }
 }

@@ -1250,4 +1250,56 @@ object Similarity {
         col("q_norm") * col("n_norm")))
     rankTopK(scored, k)
   }
+
+  /** Reciprocal-rank fusion of ranked retrieval legs — the standard
+    * hybrid-search combiner (Cormack/Clarke/Büttcher SIGIR'09; the
+    * Elasticsearch/OpenSearch "rrf" semantics): each leg contributes
+    * 1/(k0 + rank) for the ids in ITS top window, ids outside a leg's
+    * window contribute 0 from that leg, and the fused score is the sum
+    * over legs. Rank-based fusion needs no score calibration between
+    * legs (BM25 and cosine live on incomparable scales), which is why
+    * it is the default hybrid combiner in every production search
+    * stack.
+    *
+    * Each leg is (name, frame with (idCol, rankCol)) — ranks 1-based
+    * within that leg's own top-K window. Contributions fold in
+    * LEG-NAME-SORTED order (the ordered-fold convention), so the
+    * double-precision sum is bit-identical in any engine computing the
+    * same divisions: 1/(k0+rank) is one correctly-rounded IEEE divide,
+    * no libm anywhere. Per-leg ranks survive into the output (one
+    * `rank_<name>` column per leg, null where the id missed that
+    * leg's window).
+    *
+    * Plan shape: the union of leg windows is tiny (Σ legs·K rows), one
+    * hash aggregate by id, one TakeOrderedAndProject for the final
+    * top-N — the legs themselves (BM25 scan, ANN probe) carry all the
+    * data-scale cost and each already has a bounded-output shape.
+    *
+    * Output: (idCol, rank_<leg1>, …, rrf double) — top `topN` by
+    * (rrf desc, id). */
+  def rrfFuse(legs: Seq[(String, DataFrame)], idCol: String,
+      rankCol: String, topN: Int, k0: Int = 60): DataFrame = {
+    require(legs.nonEmpty, "rrfFuse: no legs")
+    require(legs.map(_._1).distinct.size == legs.size,
+      "rrfFuse: duplicate leg names")
+    require(topN >= 1 && k0 >= 0, s"rrfFuse: bad topN=$topN k0=$k0")
+    val tagged = legs.map { case (name, df) =>
+      df.select(col(idCol), lit(name).as("__leg"),
+        col(rankCol).cast("long").as("__r"))
+    }.reduce(_ unionByName _)
+    val rankCols = legs.map(_._1).sorted.map { name =>
+      max(when(col("__leg") === name, col("__r"))).as(s"rank_$name")
+    }
+    // ordered fold: contributions sorted by leg name, then summed
+    // left-to-right — the one evaluation order both engines share
+    val rrf = aggregate(
+      transform(
+        sort_array(collect_list(struct(col("__leg"), col("__r")))),
+        s => lit(1.0) / (lit(k0.toDouble) + s.getField("__r").cast("double"))),
+      lit(0.0), (acc, x) => acc + x).as("rrf")
+    tagged.groupBy(col(idCol))
+      .agg(rankCols.head, (rankCols.tail :+ rrf): _*)
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(topN)
+  }
 }

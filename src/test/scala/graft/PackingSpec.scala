@@ -507,4 +507,76 @@ class PackingSpec extends SparkSpec {
         Map("k0" -> 1.0))
     }
   }
+
+  test("prioritySample: DLT invariants — size, threshold, estimator") {
+    val df = (1 to 200).map(i => (i.toLong, (i % 17 + 1).toLong))
+      .toDF("id", "w")
+    val out = Packing.prioritySample(df, "id", "w", 40).collect()
+    assert(out.length === 40)
+    val tau = out.head.getAs[Double]("tau")
+    assert(out.forall(_.getAs[Double]("tau") === tau)) // constant column
+    assert(tau > 0.0)
+    out.foreach { r =>
+      val w = r.getAs[Double]("weight")
+      val p = r.getAs[Double]("priority")
+      assert(p >= w) // u ≤ 1 ⇒ priority ≥ weight
+      assert(p >= tau) // sampled = the k largest priorities
+      assert(r.getAs[Double]("w_hat") === math.max(w, tau))
+    }
+    // DLT inclusion law: any row with w > τ has priority w/u ≥ w > τ,
+    // so it MUST be in the sample — no high-weight row can be missed
+    val sampled = out.map(_.getAs[Long]("id")).toSet
+    val heavy = df.filter(col("w").cast("double") > tau)
+      .select(col("id")).as[Long].collect()
+    assert(heavy.forall(sampled.contains))
+    // deterministic under repartitioning
+    val again = Packing.prioritySample(df.repartition(7), "id", "w", 40)
+      .select(col("id")).as[Long].collect().toSet
+    assert(again === sampled)
+  }
+
+  test("prioritySample degenerate cases: n <= k, zero weights") {
+    val tiny = (1 to 5).map(i => (i.toLong, 10L)).toDF("id", "w")
+    val all = Packing.prioritySample(tiny, "id", "w", 50).collect()
+    assert(all.length === 5)
+    // n <= k: τ = 0 and ŵ = w exactly (the whole-input sample
+    // reconstructs every subset-sum with zero variance)
+    all.foreach { r =>
+      assert(r.getAs[Double]("tau") === 0.0)
+      assert(r.getAs[Double]("w_hat") === r.getAs[Double]("weight"))
+    }
+    // zero-weight rows carry priority 0 — never sampled while any
+    // positive-weight row remains
+    val mixed = ((1 to 60).map(i => (i.toLong, 0L)) ++
+      (61 to 70).map(i => (i.toLong, 5L))).toDF("id", "w")
+    val picked = Packing.prioritySample(mixed, "id", "w", 10)
+      .select(col("id")).as[Long].collect().toSet
+    assert(picked === (61L to 70L).toSet)
+  }
+
+  test("prioritySampleByGroup: k per group, per-group tau, same hash") {
+    val df = (1 to 120).map(i =>
+      (s"g${i % 3}", i.toLong, (i % 11 + 1).toLong))
+      .toDF("grp", "id", "w")
+    val out = Packing.prioritySampleByGroup(df, "grp", "id", "w", 7)
+      .collect()
+    assert(out.length === 21)
+    val byGroup = out.groupBy(_.getAs[String]("grp"))
+    assert(byGroup.keySet === Set("g0", "g1", "g2"))
+    byGroup.foreach { case (_, rows) =>
+      assert(rows.length === 7)
+      val tau = rows.head.getAs[Double]("tau")
+      assert(rows.forall(_.getAs[Double]("tau") === tau))
+      rows.foreach(r => assert(r.getAs[Double]("priority") >= tau))
+    }
+    // the grouped sampler uses the SAME salt/hash as the global one:
+    // a row's priority is identical in both flavors
+    val global = Packing.prioritySample(df, "id", "w", 120)
+      .select(col("id"), col("priority")).as[(Long, Double)]
+      .collect().toMap
+    out.foreach { r =>
+      assert(r.getAs[Double]("priority") ===
+        global(r.getAs[Long]("id")))
+    }
+  }
 }

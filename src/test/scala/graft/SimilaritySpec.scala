@@ -727,4 +727,34 @@ class SimilaritySpec extends SparkSpec {
     assert(ba.length === 8 && bb.length === 8)
     assert(ba !== bb) // antipodal vectors differ on every non-boundary plane
   }
+
+  test("rrfFuse: hand-checkable fusion, missing legs contribute zero") {
+    // leg A ranks docs 1,2,3; leg B ranks 2,1,4 — doc 2 should win
+    // (1/61 + 1/62 > 1/61 + 1/62? no: doc1 = 1/61 + 1/62, doc2 =
+    // 1/62 + 1/61 — a TIE by symmetry, broken by id), then docs 3, 4
+    // on single-leg contributions with the rank-3 tie broken by id
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "r")
+    val b = Seq((2L, 1L), (1L, 2L), (4L, 3L)).toDF("id", "r")
+    val out = Similarity.rrfFuse(Seq("lex" -> a, "dense" -> b),
+      "id", "r", topN = 10).collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq === Seq(1L, 2L, 3L, 4L))
+    val top = out.head
+    assert(top.getAs[Long]("rank_lex") === 1L)
+    assert(top.getAs[Long]("rank_dense") === 2L)
+    assert(math.abs(top.getAs[Double]("rrf") -
+      (1.0 / 61 + 1.0 / 62)) < 1e-15)
+    // single-leg docs: the missing leg's rank is null, score = one term
+    val d3 = out(2)
+    assert(d3.getAs[Long]("id") === 3L)
+    assert(d3.isNullAt(d3.fieldIndex("rank_dense")))
+    assert(math.abs(d3.getAs[Double]("rrf") - 1.0 / 63) < 1e-15)
+    // topN truncates by (score desc, id)
+    val top2 = Similarity.rrfFuse(Seq("lex" -> a, "dense" -> b),
+      "id", "r", topN = 2).collect()
+    assert(top2.map(_.getAs[Long]("id")).toSeq === Seq(1L, 2L))
+    // duplicate leg names refuse loudly
+    assertThrows[IllegalArgumentException] {
+      Similarity.rrfFuse(Seq("x" -> a, "x" -> b), "id", "r", 5)
+    }
+  }
 }
