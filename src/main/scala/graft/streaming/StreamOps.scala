@@ -563,6 +563,69 @@ object StreamOps {
         ()
     }.start()
 
+  /** One reservoir item: the (priority, id, weight) triple the
+    * streaming sampler keeps per kept row. */
+  case class ReservoirItem(p: Double, id: Long, w: Double)
+  private[streaming] case class ReservoirState(items: List[ReservoirItem])
+  case class ReservoirOut(stratum: String, id: Long, weight: Double,
+      priority: Double, tau: Double, w_hat: Double)
+
+  /** Streaming weighted reservoir — [[graft.operators.Packing
+    * .prioritySample]] lifted to an unbounded arrival stream. Per
+    * stratum, state holds the k+1 LARGEST priorities seen so far
+    * (priority = w/u with the same md5-derived uniform as the batch
+    * sampler), and every micro-batch emits (Update mode) the current
+    * k-row sample with the current threshold τ and estimator
+    * ŵ = max(w, τ). Priority sampling is MERGEABLE — the top-(k+1) of
+    * a union is the top-(k+1) of any partial top-(k+1)s unioned with
+    * the rest — so after any prefix of batches the emitted reservoir
+    * is EXACTLY `Packing.prioritySampleByGroup` of that prefix's union
+    * (spec-pinned), and replays are idempotent: a re-delivered id
+    * recomputes the same priority and deduplicates in-state instead of
+    * occupying two slots.
+    *
+    * State per stratum is k+1 triples — bounded by the sample size,
+    * never by the stream; per-batch work is one merge-sort of
+    * (state ∪ arrivals) per stratum inside the task. At 100 TB-scale
+    * arrival rates the strata (sources, languages) are the
+    * parallelism, exactly as in the batch flavor. */
+  def prioritySampleStream(stream: DataFrame, groupCol: String,
+      idCol: String, weightCol: String, k: Int,
+      salt: String = "|prio"): DataFrame = {
+    require(k >= 1, s"prioritySampleStream k out of range: $k")
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    implicit val itemEnc: Encoder[(String, Long, Double, Double)] =
+      Encoders.product[(String, Long, Double, Double)]
+    implicit val outEnc: Encoder[ReservoirOut] =
+      Encoders.product[ReservoirOut]
+    implicit val stateEnc: Encoder[ReservoirState] =
+      Encoders.product[ReservoirState]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    val scored = stream.select(
+      col(groupCol).cast("string"),
+      col(idCol).cast("long"),
+      col(weightCol).cast("double"),
+      graft.operators.Packing.priorityCol(col(idCol), col(weightCol), salt))
+      .as[(String, Long, Double, Double)]
+    scored.groupByKey(_._1)
+      .flatMapGroupsWithState[ReservoirState, ReservoirOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (g, it, state) =>
+          val arrivals = it.map { case (_, id, w, p) =>
+            ReservoirItem(p, id, w) }
+          val merged = (state.getOption.map(_.items).getOrElse(Nil) ++
+            arrivals)
+            .sortBy(i => (-i.p, i.id))
+            .distinctBy(_.id) // replay idempotency: same id, same slot
+            .take(k + 1)
+          state.update(ReservoirState(merged))
+          val tau = if (merged.size == k + 1) merged.last.p else 0.0
+          merged.take(k).iterator.map(i =>
+            ReservoirOut(g, i.id, i.w, i.p, tau, math.max(i.w, tau)))
+      }.toDF()
+  }
+
   /** Event-time window start/end as plain columns (dashboard-friendly
     * projection of the struct). */
   def flattenWindow(df: DataFrame, windowCol: String = "window"): DataFrame =

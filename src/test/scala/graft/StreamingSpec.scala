@@ -1034,4 +1034,57 @@ class StreamingSpec extends SparkSpec {
       .select("key", "est").as[(String, Long)].collect().toSet
     assert(after3 === before)
   }
+
+  test("prioritySampleStream: streamed reservoir == batch sampler on " +
+      "every prefix; replays change nothing") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[TestEvt]
+    val k = 3
+    val out = StreamOps.prioritySampleStream(in.toDF(), "event_type",
+      "user_id", "value", k)
+    val results =
+      scala.collection.mutable.Map.empty[Long, Set[(String, Long, Double,
+        Double, Double, Double)]]
+    val q = out.writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], bid: Long) =>
+        results(bid) = df.select("stratum", "id", "weight", "priority",
+          "tau", "w_hat").as[(String, Long, Double, Double, Double,
+          Double)].collect().toSet
+        ()
+      }.start()
+    def mk(ids: Range, typ: String): Seq[TestEvt] = ids.map(i =>
+      TestEvt(i.toLong, ts("2024-01-01 00:00:00"), typ, (i % 7 + 1).toDouble))
+    def batchRef(evts: Seq[TestEvt]) = {
+      import spark.implicits._
+      Packing.prioritySampleByGroup(evts.toDF(), "event_type", "user_id",
+          "value", k)
+        .select(col("event_type"), col("user_id"), col("weight"),
+          col("priority"), col("tau"), col("w_hat"))
+        .as[(String, Long, Double, Double, Double, Double)].collect().toSet
+    }
+    // prefix 1: both strata, fewer than k+1 rows each -> tau = 0
+    val b0 = mk(1 to 2, "click") ++ mk(101 to 102, "view")
+    in.addData(b0: _*); q.processAllAvailable()
+    assert(results(0L) === batchRef(b0))
+    assert(results(0L).forall(_._5 === 0.0)) // tau: under-full reservoir
+    // prefix 2: spill past k+1 in both strata -> live tau, k rows each
+    val b1 = mk(3 to 8, "click") ++ mk(103 to 108, "view")
+    in.addData(b1: _*); q.processAllAvailable()
+    assert(results(1L) === batchRef(b0 ++ b1))
+    assert(results(1L).count(_._1 == "click") === k)
+    assert(results(1L).count(_._1 == "view") === k)
+    // prefix 3: one stratum only — the untouched stratum is NOT
+    // re-emitted (consumers keep latest-per-stratum), the touched one
+    // still equals the batch sampler over its full prefix
+    val b2 = mk(9 to 12, "click")
+    in.addData(b2: _*); q.processAllAvailable()
+    assert(results(2L).forall(_._1 == "click"))
+    assert(results(2L) ===
+      batchRef((b0 ++ b1 ++ b2).filter(_.event_type == "click")))
+    // replay: re-deliver already-seen rows — reservoir unchanged
+    in.addData(b2: _*); q.processAllAvailable()
+    assert(results(3L) === results(2L))
+    q.stop()
+  }
 }
