@@ -26,6 +26,18 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** The hybrid queries' shared lexical leg: BM25 over the fixed term
+    * set, docs containing ≥ 1 term ranked by (bm25 desc, doc_id) inside
+    * the top-[[HybridLegK]] window. One definition so the exact and
+    * ANN hybrid flavors can never drift on the lexical side. */
+  private def hybridLexLeg(s: SparkSession, d: String): DataFrame =
+    Relational.withScalableOrdinal(
+      TextAnalysis.bm25Scores(t(s, d, "documents"), "doc_id", "text",
+        Bm25Terms).filter(col("bm25") > 0),
+      Seq(col("bm25").desc, col("doc_id")), "rank")
+      .filter(col("rank") <= HybridLegK)
+      .select(col("doc_id"), col("rank"))
+
   /** The corpus-bisecting gopher thresholds, shared by EVERY call site
     * that gates on the rule (text_gopher, text_source_report,
     * text_curation_dag, the NB label frame) and by gopherKeepSql —
@@ -1357,19 +1369,29 @@ object SparkEntry {
       // which is why RRF is the production hybrid-search default.
       // Each leg ranks only inside its own top-K window
       val emb = t(s, d, "embeddings")
-      val lex = Relational.withScalableOrdinal(
-        TextAnalysis.bm25Scores(t(s, d, "documents"), "doc_id", "text",
-          Bm25Terms).filter(col("bm25") > 0),
-        Seq(col("bm25").desc, col("doc_id")), "rank")
-        .filter(col("rank") <= HybridLegK)
-        .select(col("doc_id"), col("rank"))
       // q_id -1: a synthetic query id outside the corpus domain, so
       // the scorer's self-pair exclusion never drops a real candidate
       val q = emb.filter(col("vec_id") === 0)
         .select(lit(-1L).as("vec_id"), col("embedding"))
       val dense = Similarity.bruteForceTopK(emb, q, HybridLegK)
         .select(col("n_id").as("doc_id"), col("rank"))
-      Similarity.rrfFuse(Seq("lex" -> lex, "dense" -> dense), "doc_id",
+      Similarity.rrfFuse(
+        Seq("lex" -> hybridLexLeg(s, d), "dense" -> dense), "doc_id",
+        "rank", topN = 20)
+    }),
+    "sim_hybrid_rrf_ann" -> ((s, d) => {
+      // the hybrid's PRODUCTION dense leg: the exact scorer swapped
+      // for the IVF probe (nprobe/nlist of the corpus scored instead
+      // of all of it) — the shape a 100 TB hybrid search runs, with
+      // sim_hybrid_rrf as its exact anchor. Query = corpus vector 0
+      // probing its nprobe nearest cells; self excluded, as in
+      // sim_ann_ivf
+      val emb = t(s, d, "embeddings")
+      val dense = Similarity.ivfTopK(emb, emb.filter(col("vec_id") === 0),
+          HybridLegK, nlist = IvfNlist, nprobe = IvfNprobe)
+        .select(col("n_id").as("doc_id"), col("rank"))
+      Similarity.rrfFuse(
+        Seq("lex" -> hybridLexLeg(s, d), "dense" -> dense), "doc_id",
         "rank", topN = 20)
     }),
     "sim_ann_lsh" -> ((s, d) => {
@@ -1843,14 +1865,14 @@ object SparkEntry {
     * fits fitCentroids' sample cap (true at every test SF).
     */
   private def ivfSql(nlist: Int, nprobe: Int, k: Int, iters: Int,
-      seed: Long): String = {
+      seed: Long, qPred: String = "vec_id < 10"): String = {
     val dot = oSqlDot _
     val nrm = oSqlNrm _
     "WITH emb AS (SELECT vec_id, embedding FROM embeddings), " +
       coarseLloydCtes("", nlist, iters, seed) + ", " +
       s"pc AS (SELECT e.vec_id, e.embedding, ${nrm("e.embedding")} AS vnorm, c.cell, ${oSqlSimDiv(dot("e.embedding", "c.cvec"), s"${nrm("e.embedding")} * c.cnorm")} AS csim FROM emb e CROSS JOIN c$iters c), " +
       "cb AS (SELECT vec_id AS n_id, embedding AS n_vec, vnorm AS n_norm, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn FROM pc) t WHERE rn = 1), " +
-      s"qb AS (SELECT vec_id AS q_id, embedding AS q_vec, vnorm AS q_norm, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn FROM pc WHERE vec_id < 10) t WHERE rn <= $nprobe), " +
+      s"qb AS (SELECT vec_id AS q_id, embedding AS q_vec, vnorm AS q_norm, cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn FROM pc WHERE $qPred) t WHERE rn <= $nprobe), " +
       s"scored AS (SELECT q_id, n_id, ${oSqlSimDiv(dot("q_vec", "n_vec"), "q_norm * n_norm")} AS sim FROM cb JOIN qb USING (cell) WHERE n_id <> q_id), " +
       "ranked AS (SELECT q_id, n_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS \"rank\" FROM scored) " +
       s"SELECT q_id, \"rank\", n_id, round(sim, 4) AS cosine_sim FROM ranked WHERE \"rank\" <= $k"
@@ -2144,6 +2166,24 @@ object SparkEntry {
       "ranked AS (SELECT q_id, n_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS \"rank\" FROM scored) " +
       s"SELECT q_id, \"rank\", n_id, round(sim, 4) AS cosine_sim FROM ranked WHERE \"rank\" <= $k"
   }
+
+  /** The hybrid-RRF oracle shell shared by the exact and ANN flavors:
+    * lexical leg (the text_bm25 mirror, positive scores ranked inside
+    * the top-K window) + the caller's dense-leg CTE chain (must end in
+    * `dense(doc_id, rn)`) + rank fusion — coalesce'd 1/(60+rank) IEEE
+    * divides summed in fixed order, top 20 by (rrf desc, doc_id). */
+  private def hybridRrfSql(denseCtes: String): String =
+    s"WITH lexall AS (SELECT doc_id, bm25 FROM (${bm25Sql(Bm25Terms, k1 = 1.2, b = 0.75)}) bb WHERE bm25 > 0), " +
+      "lex AS (SELECT doc_id, rn FROM (SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rn FROM lexall) t " +
+      s"WHERE rn <= $HybridLegK), " +
+      denseCtes + ", " +
+      "u AS (SELECT doc_id, 'lex' AS leg, rn FROM lex UNION ALL SELECT doc_id, 'dense' AS leg, rn FROM dense), " +
+      "g AS (SELECT doc_id, max(CASE WHEN leg = 'dense' THEN rn END) AS rank_dense, " +
+      "max(CASE WHEN leg = 'lex' THEN rn END) AS rank_lex FROM u GROUP BY doc_id) " +
+      "SELECT doc_id, rank_dense, rank_lex, " +
+      "coalesce(1.0 / (60.0 + CAST(rank_dense AS DOUBLE)), 0.0) + " +
+      "coalesce(1.0 / (60.0 + CAST(rank_lex AS DOUBLE)), 0.0) AS rrf " +
+      "FROM g ORDER BY rrf DESC, doc_id LIMIT 20"
 
   /** DuckDB cosine with the same float math as VectorFns.cosine:
     * element-order double accumulation. */
@@ -3486,20 +3526,20 @@ object SparkEntry {
       // query id is synthetic), ranks windowed per leg, fusion =
       // coalesce'd 1/(60+rank) sums — correctly-rounded IEEE divides
       // in a fixed order, so the doubles hash-match unrounded
-      (s"WITH lexall AS (SELECT doc_id, bm25 FROM (${bm25Sql(Bm25Terms, k1 = 1.2, b = 0.75)}) bb WHERE bm25 > 0), " +
-        "lex AS (SELECT doc_id, rn FROM (SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rn FROM lexall) t " +
-        s"WHERE rn <= $HybridLegK), " +
+      hybridRrfSql(
         "q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0), " +
-        s"scored AS (SELECT vec_id AS n_id, ${cosSql("q_vec", "embedding")} AS sim FROM embeddings, q), " +
-        "dense AS (SELECT n_id AS doc_id, rn FROM (SELECT n_id, CAST(row_number() OVER (ORDER BY sim DESC, n_id) AS BIGINT) AS rn FROM scored) t " +
-        s"WHERE rn <= $HybridLegK), " +
-        "u AS (SELECT doc_id, 'lex' AS leg, rn FROM lex UNION ALL SELECT doc_id, 'dense' AS leg, rn FROM dense), " +
-        "g AS (SELECT doc_id, max(CASE WHEN leg = 'dense' THEN rn END) AS rank_dense, " +
-        "max(CASE WHEN leg = 'lex' THEN rn END) AS rank_lex FROM u GROUP BY doc_id) " +
-        "SELECT doc_id, rank_dense, rank_lex, " +
-        "coalesce(1.0 / (60.0 + CAST(rank_dense AS DOUBLE)), 0.0) + " +
-        "coalesce(1.0 / (60.0 + CAST(rank_lex AS DOUBLE)), 0.0) AS rrf " +
-        "FROM g ORDER BY rrf DESC, doc_id LIMIT 20"),
+          s"scored AS (SELECT vec_id AS n_id, ${cosSql("q_vec", "embedding")} AS sim FROM embeddings, q), " +
+          "dense AS (SELECT n_id AS doc_id, rn FROM (SELECT n_id, CAST(row_number() OVER (ORDER BY sim DESC, n_id) AS BIGINT) AS rn FROM scored) t " +
+          s"WHERE rn <= $HybridLegK)"),
+    "sim_hybrid_rrf_ann" ->
+      // the production flavor: dense leg = the sim_ann_ivf probe replay
+      // (same fit CTEs, query restricted to vec 0, k widened to the
+      // hybrid window) nested as a derived table; the lexical leg and
+      // fusion come from the SAME builder as sim_hybrid_rrf
+      hybridRrfSql(
+        "dense AS (SELECT n_id AS doc_id, \"rank\" AS rn FROM (" +
+          ivfSql(nlist = IvfNlist, nprobe = IvfNprobe, k = HybridLegK,
+            iters = 2, seed = 42L, qPred = "vec_id = 0") + ") iv)"),
     "sim_knn_topk" ->
       ("WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10), " +
         "c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings), " +
