@@ -151,5 +151,19 @@ object syntax {
     def ivfPqIndexReport(corpus: DataFrame,
         codebooks: Array[Array[Array[Float]]], nlist: Int): DataFrame =
       Similarity.ivfPqIndexReport(df, corpus, codebooks, nlist)
+
+    // sampling
+    def prioritySample(idCol: String, weightCol: String,
+        k: Int): DataFrame =
+      Packing.prioritySample(df, idCol, weightCol, k)
+    def prioritySampleByGroup(groupCol: String, idCol: String,
+        weightCol: String, k: Int): DataFrame =
+      Packing.prioritySampleByGroup(df, groupCol, idCol, weightCol, k)
   }
+
+  /** Fusion entry point mirroring the operator object (not a DataFrame
+    * method — it combines several ranked frames, none privileged). */
+  def rrfFuse(legs: Seq[(String, DataFrame)], idCol: String,
+      rankCol: String, topN: Int, k0: Int = 60): DataFrame =
+    Similarity.rrfFuse(legs, idCol, rankCol, topN, k0)
 }

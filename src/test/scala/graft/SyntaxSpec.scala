@@ -51,5 +51,17 @@ class SyntaxSpec extends SparkSpec {
       graft.operators.Similarity.ivfPqTopK(vecs,
         vecs.filter(col("vec_id") < 2), 2, 2, coarse, cb)
         .collect().toSet)
+    // round-13 forwarders
+    val weighted = (1 to 30).map(i => (i.toLong, (i % 5 + 1).toLong))
+      .toDF("id", "w")
+    assert(weighted.prioritySample("id", "w", 5).collect().toSet ===
+      graft.operators.Packing.prioritySample(weighted, "id", "w", 5)
+        .collect().toSet)
+    val legA = Seq((1L, 1L), (2L, 2L)).toDF("id", "r")
+    val legB = Seq((2L, 1L), (3L, 2L)).toDF("id", "r")
+    assert(rrfFuse(Seq("a" -> legA, "b" -> legB), "id", "r", 3)
+      .collect().toSet ===
+      graft.operators.Similarity.rrfFuse(
+        Seq("a" -> legA, "b" -> legB), "id", "r", 3).collect().toSet)
   }
 }
