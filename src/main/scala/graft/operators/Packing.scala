@@ -659,9 +659,16 @@ object Packing {
     * Output: (id, weight double, priority double, tau double,
     * w_hat double) — `tau` constant across rows; `w_hat` =
     * max(weight, τ), the unbiased per-row estimate. */
+  /** Output columns the samplers claim — an input id/group column with
+    * one of these names would be silently shadowed, so refuse loudly
+    * (the mixtureSample reserved-column convention). */
+  private val PriorityReserved = Set("weight", "priority", "tau", "w_hat")
+
   def prioritySample(df: DataFrame, idCol: String, weightCol: String,
       k: Int, salt: String = "|prio"): DataFrame = {
     require(k >= 1, s"prioritySample k out of range: $k")
+    require(!PriorityReserved.contains(idCol),
+      s"prioritySample: id column '$idCol' collides with an output column")
     val scored = df.select(col(idCol),
       col(weightCol).cast("double").as("weight"),
       priorityCol(col(idCol), col(weightCol), salt).as("priority"))
@@ -687,6 +694,11 @@ object Packing {
   def prioritySampleByGroup(df: DataFrame, groupCol: String, idCol: String,
       weightCol: String, k: Int, salt: String = "|prio"): DataFrame = {
     require(k >= 1, s"prioritySampleByGroup k out of range: $k")
+    Seq("id" -> idCol, "group" -> groupCol).foreach { case (role, c) =>
+      require(!PriorityReserved.contains(c),
+        s"prioritySampleByGroup: $role column '$c' collides with an " +
+          "output column")
+    }
     val scored = df.select(col(groupCol), col(idCol),
       col(weightCol).cast("double").as("weight"),
       priorityCol(col(idCol), col(weightCol), salt).as("priority"))

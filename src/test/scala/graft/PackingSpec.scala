@@ -552,6 +552,15 @@ class PackingSpec extends SparkSpec {
     val picked = Packing.prioritySample(mixed, "id", "w", 10)
       .select(col("id")).as[Long].collect().toSet
     assert(picked === (61L to 70L).toSet)
+    // reserved output column guard
+    assertThrows[IllegalArgumentException] {
+      Packing.prioritySample(tiny.withColumnRenamed("id", "tau"),
+        "tau", "w", 5)
+    }
+    assertThrows[IllegalArgumentException] {
+      Packing.prioritySampleByGroup(
+        tiny.withColumn("priority", lit("g")), "priority", "id", "w", 5)
+    }
   }
 
   test("prioritySampleByGroup: k per group, per-group tau, same hash") {
