@@ -1385,10 +1385,15 @@ object SparkEntry {
       // of all of it) — the shape a 100 TB hybrid search runs, with
       // sim_hybrid_rrf as its exact anchor. Query = corpus vector 0
       // probing its nprobe nearest cells; self excluded, as in
-      // sim_ann_ivf
+      // sim_ann_ivf. As a probe-the-index production shape it uses the
+      // memoized coarse quantizer (the *_probe precomputed-artifact
+      // convention) — fitIvfPq's coarse equals fitCentroids at
+      // (nlist, iters 2, seed 42) bit-for-bit (spec-asserted), so the
+      // oracle's in-SQL fit replay is unchanged
       val emb = t(s, d, "embeddings")
       val dense = Similarity.ivfTopK(emb, emb.filter(col("vec_id") === 0),
-          HybridLegK, nlist = IvfNlist, nprobe = IvfNprobe)
+          HybridLegK, nlist = IvfNlist, nprobe = IvfNprobe,
+          coarse = Some(ivfPqArtifacts(s, d)._1))
         .select(col("n_id").as("doc_id"), col("rank"))
       Similarity.rrfFuse(
         Seq("lex" -> hybridLexLeg(s, d), "dense" -> dense), "doc_id",
