@@ -71,6 +71,50 @@ object Layout {
       s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})"
     }.mkString("(", " | ", ")")
 
+  /** N-dimensional Morton interleave — the general form of
+    * [[zorderValue]] for warehouses that cluster on 3–4 dims: bit i of
+    * dimension j lands at position i·n + j (round-robin), so rows
+    * adjacent in z-value are close in EVERY dimension and each bucket
+    * covers a bounded n-box. Same domain requirement per dim
+    * (0 ≤ v < 2^bits, see [[zorderValue]]); n·bits must fit a signed
+    * long. At n = 2 this IS [[zorderValue]] bit-for-bit (spec-pinned).
+    * Pruning power per dim decays with n (each dim contributes
+    * bits/n of the leading bits) — 2–4 dims is the useful range, the
+    * same guidance every z-order warehouse documents. */
+  def zorderValueN(dims: Seq[Column], bits: Int,
+      checked: Boolean = false): Column = {
+    val n = dims.size
+    require(n >= 1, "zorderValueN: no dimensions")
+    require(bits >= 1 && n.toLong * bits <= 62,
+      s"zorderValueN: n*bits out of range: $n*$bits")
+    val longs = dims.map(_.cast("long"))
+    val z = (0 until bits).flatMap { i =>
+      longs.zipWithIndex.map { case (d, j) =>
+        shiftleft(shiftrightunsigned(d, i).bitwiseAND(lit(1L)), i * n + j)
+      }
+    }.reduce(_ bitwiseOR _)
+    if (!checked) z
+    else {
+      val lim = 1L << bits
+      val bad = longs.map(d => d < 0 || d >= lim).reduce(_ || _)
+      when(bad, raise_error(concat(
+        lit(s"zorderValueN: input outside [0, $lim): ("),
+        concat_ws(", ", longs.map(_.cast("string")): _*), lit(")")))
+        .cast("long"))
+        .otherwise(z)
+    }
+  }
+
+  /** The DuckDB-replayable SQL text of [[zorderValueN]]. */
+  def zorderSqlN(dims: Seq[String], bits: Int): String = {
+    val n = dims.size
+    (0 until bits).flatMap { i =>
+      dims.zipWithIndex.map { case (d, j) =>
+        s"((($d >> $i) & 1) << ${i * n + j})"
+      }
+    }.mkString("(", " | ", ")")
+  }
+
   /** Assign each row to one of `nBuckets` near-equal-size buckets by
     * rank in `order` — the bucket IS the file in the write path. The
     * assignment is exact integer arithmetic, floor((rank−1)·B / N), so

@@ -155,4 +155,44 @@ class LayoutSpec extends SparkSpec {
       Layout.bloomProbeBuckets(spark, bare, "attr", present)
     }
   }
+
+  test("zorderValueN: n=2 equals zorderValue; n=3 is a bijection with " +
+      "round-robin bit placement; checked flags out-of-domain") {
+    // n = 2: bit-for-bit the 2-d interleave
+    val two = grid.withColumn("z2", Layout.zorderValue(col("x"), col("y"), 5))
+      .withColumn("zn", Layout.zorderValueN(Seq(col("x"), col("y")), 5))
+    assert(two.filter(col("z2") =!= col("zn")).count() === 0L)
+    // n = 3 on the full 8×8×8 cube: reference interleave + bijectivity
+    def ref3(v: Seq[Long], bits: Int): Long =
+      (0 until bits).flatMap(i => v.zipWithIndex.map { case (d, j) =>
+        ((d >> i) & 1L) << (i * 3 + j) }).reduce(_ | _)
+    val cube = (0 until 8).flatMap(a => (0 until 8).flatMap(b =>
+      (0 until 8).map(c => (a, b, c)))).toDF("a", "b", "c")
+    val got3 = cube.withColumn("z",
+      Layout.zorderValueN(Seq(col("a"), col("b"), col("c")), 3))
+      .as[(Int, Int, Int, Long)].collect()
+    got3.foreach { case (a, b, c, z) =>
+      assert(z === ref3(Seq(a.toLong, b.toLong, c.toLong), 3), s"($a,$b,$c)")
+    }
+    assert(got3.map(_._4).distinct.length === 512)
+    // locality: within any z-contiguous run of 64 = 4^3 cube cells,
+    // every dim spans at most 4 values (the bounded n-box property)
+    got3.sortBy(_._4).grouped(64).foreach { blk =>
+      assert(blk.map(_._1).max - blk.map(_._1).min <= 3)
+      assert(blk.map(_._2).max - blk.map(_._2).min <= 3)
+      assert(blk.map(_._3).max - blk.map(_._3).min <= 3)
+    }
+    // out-of-domain: silent aliasing unchecked, loud with checked=true
+    val bad = Seq((8, 1, 1)).toDF("a", "b", "c")
+    val err = intercept[Exception] {
+      bad.select(Layout.zorderValueN(Seq(col("a"), col("b"), col("c")), 3,
+        checked = true)).collect()
+    }
+    assert(err.getMessage.contains("outside"))
+    // SQL mirror agrees (the oracle-replay contract)
+    val viaSql = cube.selectExpr(
+      s"${Layout.zorderSqlN(Seq("a", "b", "c"), 3)} AS z")
+      .as[Long].collect().sorted
+    assert(viaSql.toSeq === got3.map(_._4).sorted.toSeq)
+  }
 }
