@@ -79,6 +79,34 @@ object SparkEntry {
     * key — deterministic and SQL-replayable). */
   val BloomBuckets = 8
   val BloomProbeCount = 10
+  /** The rel_quality_verdicts suite over events, paired POSITIONALLY
+    * with [[qualityMetricsSql]] (each entry the DuckDB mirror of the
+    * same-index metric). `value_cap` is the deliberate failure —
+    * max(events.value) ≈ 327 at every SF — so pass=false is exercised
+    * in the oracle row set, not just the spec. */
+  private def qualitySuite: Seq[Quality.Constraint] = Seq(
+    Quality.completeness("ts_complete", "ts"),
+    Quality.completenessAtLeast("props_present", "props", 0.95),
+    Quality.uniqueRatio("event_id_unique", "event_id", ">=", 1.0),
+    Quality.fractionWhere("type_in_domain", "event_type",
+      col("event_type").isin("click", "purchase", "error", "signup",
+        "view"), ">=", 1.0),
+    Quality.minOf("value_nonneg", "value", ">=", 0.0),
+    Quality.maxOf("value_cap", "value", "<=", 100.0),
+    Quality.meanOf("value_mean_cap", "value", "<=", 200.0))
+  private def qualityMetricsSql: Seq[String] = Seq(
+    "CAST(count(ts) AS DOUBLE) / count(*)",
+    "CAST(count(props) AS DOUBLE) / count(*)",
+    "CAST(count(DISTINCT event_id) AS DOUBLE) / greatest(count(event_id), 1)",
+    "CAST(sum(CASE WHEN event_type IN ('click','purchase','error','signup','view') THEN 1 ELSE 0 END) AS DOUBLE) / count(*)",
+    "CAST(min(value) AS DOUBLE)",
+    "CAST(max(value) AS DOUBLE)",
+    "CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / CAST(greatest(count(value), 1) AS DOUBLE)")
+  /** Profile columns for rel_quality_profile: BIGINT/VARCHAR only, so
+    * the min/max STRING rendering is engine-portable (the scaladoc on
+    * [[Quality.profile]] — float/timestamp strings are not). */
+  val QualityProfileCols: Seq[String] =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
   val ZorderBox: Seq[(String, Long, Long)] =
     // sy range sits inside one y half-space — a box straddling the y
     // midpoint would cross every y-quadrant and z-order would degrade
@@ -442,6 +470,16 @@ object SparkEntry {
           (col("__bloom_scan") <= col("truth_buckets") + 3)
             .as("bloom_tight"))
     }),
+    "rel_quality_verdicts" -> ((s, d) =>
+      // Deequ-shaped constraint suite: 7 named constraints = ONE
+      // aggregate pass over events (QualitySpec pins the single-scan
+      // plan); every metric exact-integer/decimal-derived so the
+      // verdict row set is bit-deterministic cross-engine
+      Quality.check(t(s, d, "events"), qualitySuite)),
+    "rel_quality_profile" -> ((s, d) =>
+      // discovery half: per-column null/distinct/min/max/completeness
+      // in one scan, long format
+      Quality.profile(t(s, d, "orders"), QualityProfileCols)),
     "rel_approx_quantiles" -> ((s, d) => {
       // the percentile sketch gated like the distinct sketches — but on
       // the estimator's ACTUAL guarantee, which is rank (not value)
@@ -3711,6 +3749,13 @@ object SparkEntry {
     "rel_approx_quantiles" ->
       ("SELECT l_returnflag, count(*) AS n_rows, true AS within_tolerance " +
         "FROM lineitem GROUP BY 1"),
+    // quality-gate oracles: generated from the SAME suite object the
+    // Spark query runs (Quality.checkSql/profileSql), so the constraint
+    // list can never drift between engines
+    "rel_quality_verdicts" ->
+      Quality.checkSql("events", qualitySuite, qualityMetricsSql),
+    "rel_quality_profile" ->
+      Quality.profileSql("orders", QualityProfileCols),
     // cdc oracles: the delta fixtures are derived from the base tables
     // with the same modular rules on both sides, so every branch
     // (update, insert, delete, survive) is replayed verbatim

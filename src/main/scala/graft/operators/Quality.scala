@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality validation — the gate a 100 TB ingest runs
+  * BEFORE the data reaches training pipelines, a gap-fill family (the
+  * reference validates nothing: its consumer repairs one nullable
+  * column inline, consumer/StreamProcessor.scala:101-114, and trusts
+  * the rest of the schema). The shape follows the published constraint
+  * checkers (AWS Deequ's Check/Analyzer split, Great Expectations'
+  * expectation suites): a suite of named constraints compiles to ONE
+  * aggregate pass over the table — every metric a plain aggregate
+  * expression, map-side combined, no shuffle beyond the single global
+  * reduce — and the verdict is a small table (one row per constraint)
+  * a pipeline can join, alert on, or block a load with.
+  *
+  * Determinism contract (the oracle gate): every metric is derived
+  * from exact integers (counts, conditional counts, distinct counts)
+  * or exact decimal sums, with AT MOST ONE IEEE double division at
+  * the end — correctly-rounded, hence bit-identical in any compliant
+  * engine. No double is ever summed across rows (double addition is
+  * order-dependent; decimal addition is not).
+  *
+  * At 100 TB: one constraint suite = one scan regardless of suite
+  * size. Exact `countDistinct` metrics are the one cost cliff: a
+  * single one rewrites to an extra keyed pre-aggregate (one more
+  * exchange); two or more on different columns trigger Spark's Expand
+  * (one input-row copy per distinct column). Suites heavy on
+  * uniqueness checks over high-cardinality columns should swap
+  * [[uniqueRatio]] for [[approxUniqueRatio]] — same verdict row, HLL
+  * sketch, no expansion — and keep the exact flavor for audits.
+  */
+object Quality {
+
+  /** One named constraint: `metric` must be an AGGREGATE expression
+    * producing a double; the verdict is `metric op threshold` with
+    * `op` one of `>=`, `<=`. Build metrics with the combinators below
+    * (they keep the determinism contract); hand-rolled metrics must
+    * keep it themselves. */
+  final case class Constraint(
+      name: String,
+      column: String,
+      metric: Column,
+      op: String,
+      threshold: Double) {
+    require(op == ">=" || op == "<=", s"constraint $name: bad op $op")
+  }
+
+  private def nRows: Column = count(lit(1)).cast("double")
+
+  /** Fraction of rows where `c` is non-null (Deequ Completeness). */
+  def completeness(name: String, c: String): Constraint =
+    Constraint(name, c, count(col(c)).cast("double") / nRows, ">=", 1.0)
+
+  def completenessAtLeast(name: String, c: String, t: Double): Constraint =
+    Constraint(name, c, count(col(c)).cast("double") / nRows, ">=", t)
+
+  /** distinct(c) / count(c) — 1.0 iff `c` is unique among non-nulls
+    * (Deequ Uniqueness). EXACT: costs one Expand row-copy per such
+    * metric in the shared pass. */
+  def uniqueRatio(name: String, c: String, op: String, t: Double): Constraint =
+    Constraint(name, c,
+      countDistinct(col(c)).cast("double") /
+        greatest(count(col(c)), lit(1L)).cast("double"), op, t)
+
+  /** The HLL flavor of [[uniqueRatio]] — no Expand, ±rsd relative
+    * error, the 100 TB default. NOT oracle-exact (sketch estimates are
+    * engine-specific); gate it with a tolerance, not equality. */
+  def approxUniqueRatio(name: String, c: String, op: String, t: Double,
+      rsd: Double = 0.05): Constraint =
+    Constraint(name, c,
+      approx_count_distinct(col(c), rsd).cast("double") /
+        greatest(count(col(c)), lit(1L)).cast("double"), op, t)
+
+  /** Fraction of ALL rows satisfying `pred` (null predicate counts as
+    * a failure — the conservative reading). Deequ Compliance. */
+  def fractionWhere(name: String, c: String, pred: Column, op: String,
+      t: Double): Constraint =
+    Constraint(name, c,
+      sum(when(pred, 1L).otherwise(0L)).cast("double") / nRows, op, t)
+
+  /** min/max of a numeric column, compared against a bound. Exact for
+    * integer and decimal columns; doubles pass through bit-exactly
+    * (min/max never rounds). */
+  def minOf(name: String, c: String, op: String, t: Double): Constraint =
+    Constraint(name, c, min(col(c)).cast("double"), op, t)
+
+  def maxOf(name: String, c: String, op: String, t: Double): Constraint =
+    Constraint(name, c, max(col(c)).cast("double"), op, t)
+
+  /** Mean of a numeric column via an EXACT decimal sum (scale 10) and
+    * one final double division — order-independent, unlike avg() over
+    * doubles. Input values must carry ≤10 fractional digits for the
+    * widening cast to be lossless (true for prices, quantities,
+    * counters; not for arbitrary doubles). */
+  def meanOf(name: String, c: String, op: String, t: Double): Constraint =
+    Constraint(name, c,
+      sum(col(c).cast("decimal(28,10)")).cast("double") /
+        greatest(count(col(c)), lit(1L)).cast("double"), op, t)
+
+  /** Run a suite in ONE aggregate pass: returns one row per
+    * constraint — (name, column, metric, op, threshold, pass) — in
+    * suite order. The wide 1-row aggregate is unpivoted driver-free
+    * (explode of a literal-struct array over the single row). */
+  def check(df: DataFrame, suite: Seq[Constraint]): DataFrame = {
+    require(suite.nonEmpty, "Quality.check: empty suite")
+    val names = suite.map(_.name)
+    require(names.distinct.size == names.size,
+      s"Quality.check: duplicate constraint names: ${names.diff(names.distinct).distinct.mkString(", ")}")
+    val wide = df.agg(
+      suite.head.metric.as("m0"),
+      suite.tail.zipWithIndex.map { case (cst, i) =>
+        cst.metric.as(s"m${i + 1}")
+      }: _*)
+    val rows = suite.zipWithIndex.map { case (cst, i) =>
+      val m = col(s"m$i")
+      val pass = cst.op match {
+        case ">=" => m >= lit(cst.threshold)
+        case "<=" => m <= lit(cst.threshold)
+      }
+      struct(
+        lit(cst.name).as("name"), lit(cst.column).as("column"),
+        m.as("metric"), lit(cst.op).as("op"),
+        lit(cst.threshold).as("threshold"),
+        // a NULL metric (e.g. min of an all-null column) fails loudly
+        coalesce(pass, lit(false)).as("pass"))
+    }
+    wide.select(explode(array(rows: _*)).as("c")).select(col("c.*"))
+  }
+
+  /** The DuckDB mirror of [[check]]: same suite, same math, rendered
+    * as one aggregate CTE + an unpivot over literal rows. `metricSql`
+    * must mirror each constraint's metric expression (the caller owns
+    * the pairing — same order as the suite). */
+  def checkSql(table: String, suite: Seq[Constraint],
+      metricSql: Seq[String]): String = {
+    require(suite.size == metricSql.size, "checkSql: suite/sql mismatch")
+    val aggs = metricSql.zipWithIndex
+      .map { case (m, i) => s"$m AS m$i" }.mkString(", ")
+    val rows = suite.zipWithIndex.map { case (cst, i) =>
+      val cmp = s"m$i ${cst.op} ${cst.threshold}"
+      s"SELECT '${cst.name}' AS name, '${cst.column}' AS \"column\", " +
+        s"m$i AS metric, '${cst.op}' AS op, " +
+        s"CAST(${cst.threshold} AS DOUBLE) AS threshold, " +
+        s"coalesce($cmp, false) AS pass FROM w"
+    }.mkString(" UNION ALL ")
+    s"WITH w AS (SELECT $aggs FROM $table) $rows"
+  }
+
+  /** Single-pass column profile — the discovery half (what Deequ calls
+    * ColumnProfilerRunner): per column, row count, null count, exact
+    * distinct count, completeness, and min/max rendered as strings so
+    * heterogeneous columns share one long-format schema. String
+    * rendering is engine-portable for integer, string, and date
+    * columns; float/decimal columns profile correctly but their
+    * min/max STRINGS are engine-formatted — keep those out of
+    * cross-engine comparisons (or compare the numeric metrics only).
+    * Cost: one scan; one Expand copy per column for the exact
+    * distinct. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "Quality.profile: no columns")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c"))
+    }
+    val wide = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val rows = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col("n_rows").as("n_rows"),
+        (col("n_rows") - col(s"nn_$c")).as("n_nulls"),
+        col(s"nd_$c").as("n_distinct"),
+        col(s"nn_$c").cast("double") /
+          greatest(col("n_rows"), lit(1L)).cast("double") as "completeness",
+        col(s"mn_$c").as("min_value"),
+        col(s"mx_$c").as("max_value"))
+    }
+    wide.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** The DuckDB mirror of [[profile]] for the same column list. */
+  def profileSql(table: String, cols: Seq[String]): String = {
+    val aggs = ("count(*) AS n_rows" +: cols.flatMap { c =>
+      Seq(s"count($c) AS nn_$c", s"count(DISTINCT $c) AS nd_$c",
+        s"CAST(min($c) AS VARCHAR) AS mn_$c",
+        s"CAST(max($c) AS VARCHAR) AS mx_$c")
+    }).mkString(", ")
+    val rows = cols.map { c =>
+      s"SELECT '$c' AS \"column\", n_rows, n_rows - nn_$c AS n_nulls, " +
+        s"nd_$c AS n_distinct, " +
+        s"CAST(nn_$c AS DOUBLE) / greatest(n_rows, 1) AS completeness, " +
+        s"mn_$c AS min_value, mx_$c AS max_value FROM w"
+    }.mkString(" UNION ALL ")
+    s"WITH w AS (SELECT $aggs FROM $table) $rows"
+  }
+}

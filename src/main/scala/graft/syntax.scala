@@ -159,6 +159,12 @@ object syntax {
     def prioritySampleByGroup(groupCol: String, idCol: String,
         weightCol: String, k: Int): DataFrame =
       Packing.prioritySampleByGroup(df, groupCol, idCol, weightCol, k)
+
+    // data-quality gate
+    def qualityCheck(suite: Seq[Quality.Constraint]): DataFrame =
+      Quality.check(df, suite)
+    def qualityProfile(cols: Seq[String]): DataFrame =
+      Quality.profile(df, cols)
   }
 
   /** Fusion entry point mirroring the operator object (not a DataFrame

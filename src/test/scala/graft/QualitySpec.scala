@@ -1,0 +1,120 @@
+package graft
+
+import graft.operators.Quality
+import org.apache.spark.sql.functions._
+
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  // 10 rows: id unique; k has nulls (2) and dups; v numeric with a
+  // negative outlier; s in a 2-value domain except one stray
+  private def frame = Seq(
+    (1L, Option(10L), 1.5, "a"), (2L, Option(10L), 2.5, "a"),
+    (3L, Option(20L), 0.25, "b"), (4L, None, 4.0, "b"),
+    (5L, Option(30L), -1.0, "a"), (6L, Option(30L), 0.5, "zzz"),
+    (7L, Option(40L), 3.25, "b"), (8L, None, 2.0, "a"),
+    (9L, Option(50L), 1.0, "b"), (10L, Option(50L), 0.75, "a"))
+    .toDF("id", "k", "v", "s")
+
+  test("check: one pass, exact metrics, verdicts in suite order") {
+    val suite = Seq(
+      Quality.completeness("k_complete", "k"),            // 0.8 < 1 fail
+      Quality.completenessAtLeast("k_mostly", "k", 0.75), // pass
+      Quality.uniqueRatio("id_unique", "id", ">=", 1.0),  // pass
+      Quality.uniqueRatio("k_card", "k", "<=", 0.7),      // 5/8 pass
+      Quality.fractionWhere("s_domain", "s",
+        col("s").isin("a", "b"), ">=", 1.0),              // 0.9 fail
+      Quality.minOf("v_nonneg", "v", ">=", 0.0),          // -1 fail
+      Quality.maxOf("v_cap", "v", "<=", 4.0),             // pass
+      Quality.meanOf("v_mean", "v", "<=", 2.0))           // 1.475 pass
+    val out = Quality.check(frame, suite)
+    // ONE scan: the whole suite folds into aggregates over a single
+    // leaf — no self-join/union re-reading the source
+    assert(out.queryExecution.optimizedPlan.collectLeaves().size === 1)
+    val rows = out.collect().map(r =>
+      (r.getString(0), r.getDouble(2), r.getBoolean(5)))
+    assert(rows.map(_._1).toSeq ===
+      suite.map(_.name), "suite order preserved")
+    val byName = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byName("k_complete") === ((0.8, false)))
+    assert(byName("k_mostly") === ((0.8, true)))
+    assert(byName("id_unique") === ((1.0, true)))
+    assert(byName("k_card") === ((0.625, true)))
+    assert(byName("s_domain") === ((0.9, false)))
+    assert(byName("v_nonneg") === ((-1.0, false)))
+    assert(byName("v_cap") === ((4.0, true)))
+    assert(byName("v_mean") === ((1.475, true)))
+  }
+
+  test("check: null predicate rows count as failures; null metric fails " +
+      "loudly instead of passing vacuously") {
+    val df = Seq((1L, Option("x")), (2L, None), (3L, Option("y")))
+      .toDF("id", "s")
+      .withColumn("allnull", lit(null).cast("double"))
+    val out = Quality.check(df, Seq(
+      // s = 'x' is NULL on the null row -> counted as non-compliant
+      Quality.fractionWhere("s_is_x", "s", col("s") === "x", ">=", 0.5),
+      // min(allnull) is NULL -> pass coalesces to false
+      Quality.minOf("ghost_floor", "allnull", ">=", 0.0)))
+      .collect().map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    assert(out("s_is_x") === false) // 1/3 < 0.5
+    assert(out("ghost_floor") === false)
+  }
+
+  test("approxUniqueRatio: no Expand in the plan (the exact flavor has " +
+      "one), estimate within tolerance") {
+    val big = spark.range(10000)
+      .select(col("id"), (col("id") % 97).as("k"), (col("id") % 7).as("j"))
+    // Expand appears once the suite holds DISTINCTs on >=2 columns (a
+    // single distinct is rewritten as a two-phase group-by instead)
+    val exact = Quality.check(big, Seq(
+      Quality.uniqueRatio("u", "k", "<=", 1.0),
+      Quality.uniqueRatio("u2", "j", "<=", 1.0)))
+    val approx = Quality.check(big, Seq(
+      Quality.approxUniqueRatio("u", "k", "<=", 1.0),
+      Quality.approxUniqueRatio("u2", "j", "<=", 1.0)))
+    val exactPlan = exact.queryExecution.executedPlan.toString
+    val approxPlan = approx.queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"), "exact distinct expands (control)")
+    assert(!approxPlan.contains("Expand"), "HLL flavor must not expand")
+    val est = approx.collect().head.getDouble(2)
+    val truth = 97.0 / 10000
+    assert(math.abs(est - truth) <= truth * 0.15,
+      s"estimate $est vs $truth")
+  }
+
+  test("check: rejects duplicate names and bad ops") {
+    intercept[IllegalArgumentException] {
+      Quality.check(frame, Seq(
+        Quality.minOf("m", "v", ">=", 0), Quality.maxOf("m", "v", "<=", 1)))
+    }
+    intercept[IllegalArgumentException] {
+      Quality.Constraint("x", "v", lit(1.0), "==", 1.0)
+    }
+  }
+
+  test("profile: nulls, exact distincts, portable min/max strings, one " +
+      "scan") {
+    val out = Quality.profile(frame, Seq("id", "k", "s"))
+    assert(out.queryExecution.optimizedPlan.collectLeaves().size === 1)
+    val rows = out.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+        r.getString(5), r.getString(6)))).toMap
+    // min/max computed on the TYPED column, then rendered: "10" not "9"
+    assert(rows("id") === ((10L, 0L, 10L, 1.0, "1", "10")))
+    assert(rows("k") === ((10L, 2L, 5L, 0.8, "10", "50")))
+    assert(rows("s") === ((10L, 0L, 3L, 1.0, "a", "zzz")))
+  }
+
+  test("checkSql/profileSql render one row per constraint/column") {
+    val suite = Seq(Quality.completeness("c", "k"),
+      Quality.maxOf("m", "v", "<=", 4.0))
+    val sql = Quality.checkSql("t", suite,
+      Seq("CAST(count(k) AS DOUBLE) / count(*)", "CAST(max(v) AS DOUBLE)"))
+    assert(sql.split("UNION ALL").length === 2)
+    assert(sql.contains("'c' AS name") && sql.contains("m1 <= 4.0"))
+    val psql = Quality.profileSql("t", Seq("a", "b"))
+    assert(psql.split("UNION ALL").length === 2)
+    assert(psql.contains("count(DISTINCT a) AS nd_a"))
+  }
+}
