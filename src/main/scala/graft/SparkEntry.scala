@@ -74,6 +74,17 @@ object SparkEntry {
     * 64 buckets stand in for files. */
   val ZorderBits = 7
   val ZorderBuckets = 64
+  /** 3-D z-order witness parameters (rel_zorder3_skip): the
+    * zorderValueN round-robin form on (l_partkey mod 32, l_suppkey
+    * mod 8, l_linenumber) at 5 SHARED bits — the narrow dims (sy, ln
+    * < 8) waste their two high interleave positions, the documented
+    * equal-width trade-off every N-d Morton implementation makes, so
+    * the witness shows pruning that survives it. One 3-D box
+    * (~3.6% of rows) vs the arrival baseline. */
+  val Zorder3Bits = 5
+  val Zorder3Buckets = 64
+  val Zorder3Box: Seq[(String, Long, Long)] =
+    Seq(("px", 8L, 15L), ("sy", 2L, 5L), ("ln", 1L, 2L))
   /** Bloom-filter layout parameters (rel_bloom_skip): 8 "files",
     * probed with the 10 rarest customer keys (fewest orders, ties by
     * key — deterministic and SQL-replayable). */
@@ -469,6 +480,27 @@ object SparkEntry {
             .as("no_false_negatives"),
           (col("__bloom_scan") <= col("truth_buckets") + 3)
             .as("bloom_tight"))
+    }),
+    "rel_zorder3_skip" -> ((s, d) => {
+      // the N-dimensional witness: same zone-map/skip machinery as
+      // rel_zorder_skip but clustered by zorderValueN over THREE dims;
+      // two legs (zorder3 vs arrival) keep the timed cost at ~2/3 of
+      // the 2-D query's three
+      val li = t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        pmod(col("l_partkey"), lit(32)).as("px"),
+        pmod(col("l_suppkey"), lit(8)).as("sy"),
+        col("l_linenumber").as("ln"))
+      val tie = Seq(col("l_orderkey"), col("l_linenumber"))
+      val z = Layout.zorderValueN(
+        Seq(col("px"), col("sy"), col("ln")), Zorder3Bits)
+      val dims = Zorder3Box.map(_._1)
+      def witness(layout: String, order: Seq[Column]) =
+        Layout.skipWitness(
+          Layout.zoneMap(
+            Layout.bucketByOrder(li, order, Zorder3Buckets), "bucket",
+            dims), layout, Zorder3Box)
+      witness("zorder3", z +: tie).unionByName(witness("arrival", tie))
     }),
     "rel_quality_verdicts" -> ((s, d) =>
       // Deequ-shaped constraint suite: 7 named constraints = ONE
@@ -2741,6 +2773,24 @@ object SparkEntry {
   /** One layout leg of the rel_zorder_skip oracle: replays
     * Layout.bucketByOrder's exact integer rank formula, the zone map,
     * and the skip test for the given ORDER BY expression. */
+  /** One layout leg of the rel_zorder3_skip oracle — the 3-D form of
+    * [[zoneSkipSql]], box bounds from [[Zorder3Box]]. */
+  private def zone3SkipSql(layout: String, orderExpr: String): String = {
+    val skip = Zorder3Box.map { case (dc, lo, hi) =>
+      s"max($dc) < $lo OR min($dc) > $hi"
+    }.mkString("(", " OR ", ")")
+    "SELECT count(*) AS buckets_total, " +
+      "CAST(sum(CASE WHEN skip THEN 1 ELSE 0 END) AS BIGINT) AS buckets_skipped, " +
+      "CAST(sum(CASE WHEN skip THEN 0 ELSE n_rows END) AS BIGINT) AS rows_scanned, " +
+      s"'$layout' AS layout FROM (" +
+      s"SELECT bucket, count(*) AS n_rows, $skip AS skip " +
+      "FROM (" +
+      s"SELECT px, sy, ln, ((row_number() OVER (ORDER BY $orderExpr) - 1) * $Zorder3Buckets) " +
+      "// (SELECT count(*) FROM lineitem) AS bucket " +
+      "FROM (SELECT l_orderkey, l_linenumber, l_partkey % 32 AS px, " +
+      "l_suppkey % 8 AS sy, l_linenumber AS ln FROM lineitem)) GROUP BY bucket)"
+  }
+
   private def zoneSkipSql(layout: String, orderExpr: String): String = {
     val (pxLo, pxHi) = (ZorderBox(0)._2, ZorderBox(0)._3)
     val (syLo, syHi) = (ZorderBox(1)._2, ZorderBox(1)._3)
@@ -3749,6 +3799,12 @@ object SparkEntry {
     "rel_approx_quantiles" ->
       ("SELECT l_returnflag, count(*) AS n_rows, true AS within_tolerance " +
         "FROM lineitem GROUP BY 1"),
+    "rel_zorder3_skip" ->
+      (zone3SkipSql("zorder3",
+          Layout.zorderSqlN(Seq("px", "sy", "ln"), Zorder3Bits) +
+            ", l_orderkey, l_linenumber") +
+        " UNION ALL " +
+        zone3SkipSql("arrival", "l_orderkey, l_linenumber")),
     // quality-gate oracles: generated from the SAME suite object the
     // Spark query runs (Quality.checkSql/profileSql), so the constraint
     // list can never drift between engines
