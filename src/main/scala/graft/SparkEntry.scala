@@ -118,6 +118,17 @@ object SparkEntry {
     * [[Quality.profile]] — float/timestamp strings are not). */
   val QualityProfileCols: Seq[String] =
     Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+  /** Drift thresholds for rel_quality_drift: the derived "today"
+    * corpus nulls out ~20% of o_orderpriority and collapses o_custkey
+    * to 100 values, so 0.05/0.02 trip at EVERY SF (measured: null
+    * jump ≥ 0.18, ratio jump ≥ 0.033) while the untouched columns
+    * stay quiet. */
+  val QualityNullJump = 0.05
+  val QualityCardJump = 0.02
+  /** The derived "today" side of rel_quality_drift, SQL-replayable. */
+  private def qualityDriftedSql: String =
+    "(SELECT o_orderkey, o_custkey % 100 AS o_custkey, o_orderstatus, " +
+      "nullif(o_orderpriority, '1-URGENT') AS o_orderpriority FROM orders) pert"
   val ZorderBox: Seq[(String, Long, Long)] =
     // sy range sits inside one y half-space — a box straddling the y
     // midpoint would cross every y-quadrant and z-order would degrade
@@ -512,6 +523,24 @@ object SparkEntry {
       // discovery half: per-column null/distinct/min/max/completeness
       // in one scan, long format
       Quality.profile(t(s, d, "orders"), QualityProfileCols)),
+    "rel_quality_drift" -> ((s, d) => {
+      // profile-drift monitor: yesterday = orders as-is, today = a
+      // derived corpus with ~20% of o_orderpriority nulled and
+      // o_custkey collapsed to 100 values — null_drift and
+      // cardinality_drift must trip on exactly those columns while
+      // o_orderkey/o_orderstatus stay quiet (the derived-fixture
+      // convention of the cdc_* family)
+      val orders = t(s, d, "orders")
+      val today = orders.select(col("o_orderkey"),
+        (col("o_custkey") % lit(100)).as("o_custkey"),
+        col("o_orderstatus"),
+        nullif(col("o_orderpriority"), lit("1-URGENT"))
+          .as("o_orderpriority"))
+      Quality.profileDiff(
+        Quality.profile(orders, QualityProfileCols),
+        Quality.profile(today, QualityProfileCols),
+        QualityNullJump, QualityCardJump)
+    }),
     "rel_approx_quantiles" -> ((s, d) => {
       // the percentile sketch gated like the distinct sketches — but on
       // the estimator's ACTUAL guarantee, which is rank (not value)
@@ -3812,6 +3841,11 @@ object SparkEntry {
       Quality.checkSql("events", qualitySuite, qualityMetricsSql),
     "rel_quality_profile" ->
       Quality.profileSql("orders", QualityProfileCols),
+    "rel_quality_drift" ->
+      Quality.profileDiffSql(
+        Quality.profileSql("orders", QualityProfileCols),
+        Quality.profileSql(qualityDriftedSql, QualityProfileCols),
+        QualityNullJump, QualityCardJump),
     // cdc oracles: the delta fixtures are derived from the base tables
     // with the same modular rules on both sides, so every branch
     // (update, insert, delete, survive) is replayed verbatim

@@ -181,6 +181,70 @@ object Quality {
     wide.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
 
+  /** Drift detection between two [[profile]] outputs (yesterday's
+    * corpus vs today's) — the monitoring half of the gate: a schema
+    * that silently starts shipping nulls, collapsing cardinality, or
+    * shifting range is exactly what a 100 TB ingest can't eyeball.
+    * Inner-joins the two profiles on column name and flags per column:
+    * null-rate jump beyond `maxNullRateJump` (absolute), distinct-RATIO
+    * drop/rise beyond `maxDistinctRatioJump` (absolute — ratio, not
+    * count, so table growth alone never trips it), and any min/max
+    * boundary change. Cost: both inputs are profile outputs (rows =
+    * columns), so the diff is driver-trivial whatever the table size.
+    * Determinism: ratios of exact counts, string equality — no new
+    * float surface. */
+  def profileDiff(oldP: DataFrame, newP: DataFrame,
+      maxNullRateJump: Double, maxDistinctRatioJump: Double): DataFrame = {
+    val o = oldP.select(col("column"),
+      (lit(1.0) - col("completeness")).as("null_rate_old"),
+      (col("n_distinct").cast("double") /
+        greatest(col("n_rows"), lit(1L)).cast("double"))
+        .as("distinct_ratio_old"),
+      col("min_value").as("min_old"), col("max_value").as("max_old"))
+    val n = newP.select(col("column"),
+      (lit(1.0) - col("completeness")).as("null_rate_new"),
+      (col("n_distinct").cast("double") /
+        greatest(col("n_rows"), lit(1L)).cast("double"))
+        .as("distinct_ratio_new"),
+      col("min_value").as("min_new"), col("max_value").as("max_new"))
+    val nullJump = abs(col("null_rate_new") - col("null_rate_old"))
+    val cardJump = abs(col("distinct_ratio_new") - col("distinct_ratio_old"))
+    // null-safe: a column whose min/max went NULL (all-null today) is
+    // a range change, not a silent equality
+    val rangeChanged =
+      not(col("min_new") <=> col("min_old")) ||
+        not(col("max_new") <=> col("max_old"))
+    o.join(n, Seq("column")).select(
+      col("column"), col("null_rate_old"), col("null_rate_new"),
+      col("distinct_ratio_old"), col("distinct_ratio_new"),
+      (nullJump > lit(maxNullRateJump)).as("null_drift"),
+      (cardJump > lit(maxDistinctRatioJump)).as("cardinality_drift"),
+      rangeChanged.as("range_drift"),
+      (nullJump > lit(maxNullRateJump) ||
+        cardJump > lit(maxDistinctRatioJump) || rangeChanged)
+        .as("drifted"))
+  }
+
+  /** The DuckDB mirror of [[profileDiff]]: `oldSql`/`newSql` must be
+    * [[profileSql]]-shaped queries (same output columns). */
+  def profileDiffSql(oldSql: String, newSql: String,
+      maxNullRateJump: Double, maxDistinctRatioJump: Double): String = {
+    def side(tag: String, q: String) =
+      s"$tag AS (SELECT \"column\", 1.0 - completeness AS null_rate_$tag, " +
+        s"CAST(n_distinct AS DOUBLE) / greatest(n_rows, 1) AS distinct_ratio_$tag, " +
+        s"min_value AS min_$tag, max_value AS max_$tag FROM ($q))"
+    s"WITH ${side("old", oldSql)}, ${side("new", newSql)} " +
+      "SELECT \"column\", null_rate_old, null_rate_new, " +
+      "distinct_ratio_old, distinct_ratio_new, " +
+      s"abs(null_rate_new - null_rate_old) > $maxNullRateJump AS null_drift, " +
+      s"abs(distinct_ratio_new - distinct_ratio_old) > $maxDistinctRatioJump AS cardinality_drift, " +
+      "(min_new IS DISTINCT FROM min_old OR max_new IS DISTINCT FROM max_old) AS range_drift, " +
+      s"(abs(null_rate_new - null_rate_old) > $maxNullRateJump OR " +
+      s"abs(distinct_ratio_new - distinct_ratio_old) > $maxDistinctRatioJump OR " +
+      "min_new IS DISTINCT FROM min_old OR max_new IS DISTINCT FROM max_old) AS drifted " +
+      "FROM old JOIN new USING (\"column\")"
+  }
+
   /** The DuckDB mirror of [[profile]] for the same column list. */
   def profileSql(table: String, cols: Seq[String]): String = {
     val aggs = ("count(*) AS n_rows" +: cols.flatMap { c =>

@@ -106,6 +106,41 @@ class QualitySpec extends SparkSpec {
     assert(rows("s") === ((10L, 0L, 3L, 1.0, "a", "zzz")))
   }
 
+  test("profileDiff: flags null/cardinality/range drift per column, " +
+      "quiet columns stay quiet, all-null min is a range change") {
+    val yesterday = Seq(
+      (1L, Option("a"), Option(10L)), (2L, Option("b"), Option(20L)),
+      (3L, Option("c"), Option(30L)), (4L, Option("d"), Option(40L)))
+      .toDF("id", "s", "v")
+    // today: s loses half its values to null (null jump 0.5),
+    // v collapses to one value (ratio 1.0 -> 0.25 + range shift),
+    // id untouched
+    val today = Seq(
+      (1L, Option("a"), Option(7L)), (2L, None, Option(7L)),
+      (3L, Option("c"), Option(7L)), (4L, None, Option(7L)))
+      .toDF("id", "s", "v")
+    val diff = graft.operators.Quality.profileDiff(
+      Quality.profile(yesterday, Seq("id", "s", "v")),
+      Quality.profile(today, Seq("id", "s", "v")),
+      maxNullRateJump = 0.1, maxDistinctRatioJump = 0.1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getBoolean(5), r.getBoolean(6), r.getBoolean(7),
+          r.getBoolean(8)))).toMap
+    assert(diff("id") === ((false, false, false, false)))
+    assert(diff("s") === ((true, true, true, true))) // d -> c max shift too
+    assert(diff("v") === ((false, true, true, true)))
+
+    // an all-null column today: min/max strings go NULL — null-safe
+    // compare must report range drift, not silent equality
+    val gone = today.withColumn("v", lit(null).cast("long"))
+    val d2 = Quality.profileDiff(
+      Quality.profile(yesterday, Seq("v")),
+      Quality.profile(gone, Seq("v")), 2.0, 2.0)
+      .collect().head
+    assert(d2.getBoolean(7) === true, "range_drift on vanished column")
+    assert(d2.getBoolean(8) === true)
+  }
+
   test("checkSql/profileSql render one row per constraint/column") {
     val suite = Seq(Quality.completeness("c", "k"),
       Quality.maxOf("m", "v", "<=", 4.0))
