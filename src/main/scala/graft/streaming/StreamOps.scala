@@ -443,6 +443,30 @@ object StreamOps {
         ()
     }.start()
 
+  /** Per-micro-batch data-quality monitor: runs a
+    * [[graft.operators.Quality.check]] suite over each arriving batch
+    * and hands the verdict table (one row per constraint, stamped with
+    * the batch id) to `sink` — the continuous face of the batch gate,
+    * the curateAndPackBatches shape. State-free by construction: a
+    * suite is ONE aggregate pass over the batch, so the monitor adds
+    * no state store and no watermark, and each batch's verdicts equal
+    * `Quality.check` on the same arrival set (spec-pinned). A load
+    * gate composes in the sink: read the `pass` column and quarantine
+    * or abort that batch's write — per-BATCH validation being exactly
+    * what a streaming ingest wants (a corpus-wide constraint like
+    * global uniqueness composes upstream via the incremental*Flags
+    * probes instead). */
+  def qualityVerdictBatches(stream: DataFrame,
+      suite: Seq[graft.operators.Quality.Constraint])(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        sink(graft.operators.Quality.check(batch, suite)
+          .withColumn("batch_id", lit(batchId)), batchId)
+        ()
+    }.start()
+
   /** Streaming token-window substring-dup probe against a static
     * [[graft.operators.TextAnalysis.windowHashIndex]] (read back from
     * parquet) — the incremental face of dedupTokenWindows, the

@@ -580,6 +580,48 @@ class StreamingSpec extends SparkSpec {
     assert(!perBatch(0L).exists(_._4.split(",").contains("2")))
   }
 
+  test("qualityVerdictBatches: per-batch verdicts == the batch gate, " +
+      "stamped with the batch id") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Quality
+    val suite = Seq(
+      Quality.uniqueRatio("uid_unique", "user_id", ">=", 1.0),
+      Quality.fractionWhere("no_errors", "event_type",
+        col("event_type") =!= "error", ">=", 1.0),
+      Quality.maxOf("value_cap", "value", "<=", 10.0))
+    val b1 = Seq( // clean batch: all three pass
+      TestEvt(1, ts("2024-01-01 00:00:00"), "click", 1.0),
+      TestEvt(2, ts("2024-01-01 00:00:01"), "view", 2.0))
+    val b2 = Seq( // dup user + an error + an outlier: all three fail
+      TestEvt(3, ts("2024-01-01 00:01:00"), "error", 99.0),
+      TestEvt(3, ts("2024-01-01 00:01:01"), "click", 1.0))
+    def verdicts(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("name"), col("metric"), col("pass"))
+      .as[(String, Double, Boolean)].collect().toSet
+    val perBatch = scala.collection.mutable.Map.empty[
+      Long, Set[(String, Double, Boolean)]]
+    val in = MemoryStream[TestEvt]
+    val q = StreamOps.qualityVerdictBatches(in.toDF(), suite) {
+      (v, batchId) =>
+        // the stamp matches the callback id on every row
+        assert(v.select(col("batch_id")).distinct()
+          .as[Long].collect().toSeq === Seq(batchId))
+        perBatch(batchId) = verdicts(v.drop("batch_id"))
+    }
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    in.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(perBatch.keySet === Set(0L, 1L))
+    // each micro-batch's verdict table equals the BATCH gate over
+    // exactly that arrival set
+    assert(perBatch(0L) === verdicts(Quality.check(b1.toDF(), suite)))
+    assert(perBatch(1L) === verdicts(Quality.check(b2.toDF(), suite)))
+    assert(perBatch(0L).forall(_._3), "clean batch all-pass")
+    assert(perBatch(1L).forall(!_._3), "dirty batch all-fail")
+  }
+
   test("probeAdmitAdvance inside foreachBatch runs the full dedup loop") {
     implicit val ctx = spark.sqlContext
     // the production arrival pipeline end-to-end: every micro-batch
