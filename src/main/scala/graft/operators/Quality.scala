@@ -181,6 +181,28 @@ object Quality {
     wide.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
 
+  /** The load gate: run the suite and THROW if any constraint fails,
+    * naming every failing constraint with its measured metric — the
+    * "abort the write, don't ship the corrupt partition" composition
+    * point. Returns the input unchanged on success so it chains:
+    * `Quality.enforce(df, suite).write.parquet(...)`. Driver cost is
+    * one suite-sized collect (rows = constraints, never data). */
+  def enforce(df: DataFrame, suite: Seq[Constraint]): DataFrame = {
+    val failed = check(df, suite).filter(!col("pass"))
+      .select(col("name"), col("column"), col("metric"), col("op"),
+        col("threshold"))
+      .collect()
+    if (failed.nonEmpty) {
+      val detail = failed.map { r =>
+        s"${r.getString(0)} (${r.getString(1)}): metric ${r.getDouble(2)} " +
+          s"violates ${r.getString(3)} ${r.getDouble(4)}"
+      }.mkString("; ")
+      throw new IllegalStateException(
+        s"Quality.enforce: ${failed.length} constraint(s) failed — $detail")
+    }
+    df
+  }
+
   /** Drift detection between two [[profile]] outputs (yesterday's
     * corpus vs today's) — the monitoring half of the gate: a schema
     * that silently starts shipping nulls, collapsing cardinality, or

@@ -165,6 +165,8 @@ object syntax {
       Quality.check(df, suite)
     def qualityProfile(cols: Seq[String]): DataFrame =
       Quality.profile(df, cols)
+    def qualityEnforce(suite: Seq[Quality.Constraint]): DataFrame =
+      Quality.enforce(df, suite)
   }
 
   /** Fusion entry point mirroring the operator object (not a DataFrame

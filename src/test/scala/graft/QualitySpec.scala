@@ -106,6 +106,22 @@ class QualitySpec extends SparkSpec {
     assert(rows("s") === ((10L, 0L, 3L, 1.0, "a", "zzz")))
   }
 
+  test("enforce: passes through clean data, throws naming every " +
+      "failing constraint") {
+    val suite = Seq(
+      Quality.uniqueRatio("id_unique", "id", ">=", 1.0),
+      Quality.maxOf("v_cap", "v", "<=", 10.0))
+    assert(Quality.enforce(frame, suite).count() === 10L)
+    val dirty = frame.union(frame.limit(1)) // dup id breaks uniqueness
+      .withColumn("v", col("v") * 100)      // and the cap
+    val e = intercept[IllegalStateException] {
+      Quality.enforce(dirty, suite)
+    }
+    assert(e.getMessage.contains("2 constraint(s) failed"))
+    assert(e.getMessage.contains("id_unique") &&
+      e.getMessage.contains("v_cap"))
+  }
+
   test("profileDiff: flags null/cardinality/range drift per column, " +
       "quiet columns stay quiet, all-null min is a range change") {
     val yesterday = Seq(
