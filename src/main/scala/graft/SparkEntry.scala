@@ -129,6 +129,11 @@ object SparkEntry {
   private def qualityDriftedSql: String =
     "(SELECT o_orderkey, o_custkey % 100 AS o_custkey, o_orderstatus, " +
       "nullif(o_orderpriority, '1-URGENT') AS o_orderpriority FROM orders) pert"
+  /** PSI bin edges for rel_quality_psi: o_totalprice is ~uniform on
+    * [1e3, 5e5] at every SF, so fixed 100k edges give populated bins
+    * and the ×1.1 derived shift moves ~10% of mass per edge — PSI
+    * lands in the "shifting" band, non-vacuous everywhere. */
+  val PsiEdges: Seq[Double] = Seq(1e5, 2e5, 3e5, 4e5)
   val ZorderBox: Seq[(String, Long, Long)] =
     // sy range sits inside one y half-space — a box straddling the y
     // midpoint would cross every y-quadrant and z-order would degrade
@@ -523,6 +528,16 @@ object SparkEntry {
       // discovery half: per-column null/distinct/min/max/completeness
       // in one scan, long format
       Quality.profile(t(s, d, "orders"), QualityProfileCols)),
+    "rel_quality_psi" -> ((s, d) => {
+      // distribution-drift monitor: PSI of o_totalprice against a
+      // ×1.1-shifted derivation over fixed literal bin edges — per-bin
+      // terms plus the bin=-1 ordered-fold total
+      val orders = t(s, d, "orders")
+      Quality.psi(orders,
+        orders.select((col("o_totalprice") * lit(1.1))
+          .as("o_totalprice")),
+        "o_totalprice", PsiEdges)
+    }),
     "rel_quality_drift" -> ((s, d) => {
       // profile-drift monitor: yesterday = orders as-is, today = a
       // derived corpus with ~20% of o_orderpriority nulled and
@@ -3841,6 +3856,11 @@ object SparkEntry {
       Quality.checkSql("events", qualitySuite, qualityMetricsSql),
     "rel_quality_profile" ->
       Quality.profileSql("orders", QualityProfileCols),
+    "rel_quality_psi" ->
+      Quality.psiSql("orders",
+        "(SELECT o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice " +
+          "FROM orders) shifted",
+        "o_totalprice", PsiEdges),
     "rel_quality_drift" ->
       Quality.profileDiffSql(
         Quality.profileSql("orders", QualityProfileCols),

@@ -267,6 +267,99 @@ object Quality {
       "FROM old JOIN new USING (\"column\")"
   }
 
+  /** Population stability index over FIXED bin edges — the standard
+    * ML-monitoring distribution-drift metric ([[profileDiff]] sees
+    * schema-level drift; PSI sees a value distribution sliding inside
+    * an unchanged schema). Bins are (-inf,e0), [e0,e1), …,
+    * [e(n-1),inf): edges are caller-fixed literals, NOT quantiles of
+    * either side, so bin ids are pure per-row arithmetic — no sampled
+    * boundaries, bit-identical in any engine. Counts are
+    * add-1-smoothed (empty bins contribute finite terms — the
+    * standard epsilon dodge made exact), fractions are single IEEE
+    * divisions of exact integers, and each bin's term
+    * (p_new − p_old)·ln(p_new/p_old) is rounded at 4 decimals to
+    * absorb engine-ulp ln (the bm25 convention). NULL values are
+    * excluded (their drift belongs to [[profileDiff]]'s null rate).
+    *
+    * Output: one row per bin — (bin, n_old, n_new, p_old, p_new,
+    * psi_term) — plus a bin = −1 TOTAL row whose psi_term is the
+    * ordered fold of the rounded terms (sorted ascending, so the
+    * IEEE sum order is pinned cross-engine). Interpretation is the
+    * industry folklore scale: < 0.1 stable, 0.1–0.25 shifting,
+    * > 0.25 drifted. Cost: one aggregate pass per side to ≤ bins
+    * rows; everything after is bounded by the bin count. */
+  def psi(oldDf: DataFrame, newDf: DataFrame, c: String,
+      edges: Seq[Double]): DataFrame = {
+    require(edges.nonEmpty, "psi: no edges")
+    require(edges == edges.sorted && edges.distinct.size == edges.size,
+      "psi: edges must be strictly increasing")
+    val nb = edges.size + 1
+    def binCounts(df: DataFrame, alias: String) = df
+      .where(col(c).isNotNull)
+      .select(edges.map(e => when(col(c) >= lit(e), 1L).otherwise(0L))
+        .reduce(_ + _).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as(alias))
+    val spine = oldDf.sparkSession.range(nb.toLong)
+      .select(col("id").as("bin"))
+    val joined = spine
+      .join(binCounts(oldDf, "n_old"), Seq("bin"), "left")
+      .join(binCounts(newDf, "n_new"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    // totals via a 1-row cross join (bounded; a global window here
+    // would trip the fleet-wide unpartitioned-window audit)
+    val totals = joined.agg(sum(col("n_old")).as("tot_old"),
+      sum(col("n_new")).as("tot_new"))
+    val bins = joined.crossJoin(totals).select(
+      col("bin"), col("n_old"), col("n_new"),
+      ((col("n_old") + lit(1L)).cast("double") /
+        (col("tot_old") + lit(nb.toLong)).cast("double")).as("p_old"),
+      ((col("n_new") + lit(1L)).cast("double") /
+        (col("tot_new") + lit(nb.toLong)).cast("double")).as("p_new"))
+      .withColumn("psi_term",
+        round((col("p_new") - col("p_old")) *
+          log(col("p_new") / col("p_old")), 4))
+    val total = bins.agg(
+      sum(col("n_old")).as("n_old"), sum(col("n_new")).as("n_new"),
+      round(aggregate(sort_array(collect_list(col("psi_term"))),
+        lit(0.0), (acc, x) => acc + x), 4).as("psi_term"))
+      .select(lit(-1L).as("bin"), col("n_old"), col("n_new"),
+        lit(1.0).as("p_old"), lit(1.0).as("p_new"), col("psi_term"))
+    bins.unionByName(total)
+  }
+
+  /** The DuckDB mirror of [[psi]]: `oldFrom`/`newFrom` are table
+    * names or parenthesized-subquery-with-alias strings exposing
+    * `valueExpr`. */
+  def psiSql(oldFrom: String, newFrom: String, valueExpr: String,
+      edges: Seq[Double]): String = {
+    val nb = edges.size + 1
+    val binExpr = edges
+      .map(e => s"CASE WHEN $valueExpr >= $e THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
+    def side(tag: String, from: String) =
+      s"${tag}c AS (SELECT $binExpr AS bin, count(*) AS n_$tag " +
+        s"FROM $from WHERE $valueExpr IS NOT NULL GROUP BY 1)"
+    s"WITH ${side("old", oldFrom)}, ${side("new", newFrom)}, " +
+      s"spine AS (SELECT unnest(range($nb)) AS bin), " +
+      "j AS (SELECT spine.bin, coalesce(n_old, 0) AS n_old, " +
+      "coalesce(n_new, 0) AS n_new FROM spine " +
+      "LEFT JOIN oldc ON spine.bin = oldc.bin " +
+      "LEFT JOIN newc ON spine.bin = newc.bin), " +
+      "t AS (SELECT sum(n_old) AS tot_old, sum(n_new) AS tot_new FROM j), " +
+      "b AS (SELECT bin, n_old, n_new, " +
+      s"CAST(n_old + 1 AS DOUBLE) / (tot_old + $nb) AS p_old, " +
+      s"CAST(n_new + 1 AS DOUBLE) / (tot_new + $nb) AS p_new " +
+      "FROM j, t), " +
+      "r AS (SELECT bin, n_old, n_new, p_old, p_new, " +
+      "round((p_new - p_old) * ln(p_new / p_old), 4) AS psi_term FROM b) " +
+      "SELECT * FROM r UNION ALL " +
+      "SELECT CAST(-1 AS BIGINT) AS bin, CAST(sum(n_old) AS BIGINT), " +
+      "CAST(sum(n_new) AS BIGINT), CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE), " +
+      "round(list_aggregate(list_sort(list(psi_term)), 'sum'), 4) FROM r"
+  }
+
   /** The DuckDB mirror of [[profile]] for the same column list. */
   def profileSql(table: String, cols: Seq[String]): String = {
     val aggs = ("count(*) AS n_rows" +: cols.flatMap { c =>

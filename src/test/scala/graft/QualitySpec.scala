@@ -157,6 +157,39 @@ class QualitySpec extends SparkSpec {
     assert(d2.getBoolean(8) === true)
   }
 
+  test("psi: hand-computed bins, add-1 smoothing on empty bins, null " +
+      "exclusion, ordered-fold total, identical sides -> 0") {
+    // edges (10, 20): bins (-inf,10) / [10,20) / [20,inf)
+    val old_ = Seq(1.0, 5.0, 12.0, 25.0).toDF("x")
+    val new_ = Seq(Option(11.0), Option(13.0), Option(30.0), None)
+      .toDF("x") // null excluded -> n=3; bin0 EMPTY (smoothing leg)
+    val rows = Quality.psi(old_, new_, "x", Seq(10.0, 20.0))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(rows.keySet === Set(-1L, 0L, 1L, 2L))
+    // smoothed fractions: p = (n+1)/(tot+3), tot_old=4, tot_new=3
+    def term(no: Long, nn: Long) = {
+      val po = (no + 1.0) / 7.0; val pn = (nn + 1.0) / 6.0
+      BigDecimal((pn - po) * math.log(pn / po))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(rows(0L) === ((2L, 0L, 3.0 / 7, 1.0 / 6, term(2, 0))))
+    assert(rows(1L) === ((1L, 2L, 2.0 / 7, 3.0 / 6, term(1, 2))))
+    assert(rows(2L) === ((1L, 1L, 2.0 / 7, 2.0 / 6, term(1, 1))))
+    val expTotal = Seq(term(2, 0), term(1, 2), term(1, 1)).sorted.sum
+    assert(rows(-1L)._1 === 4L && rows(-1L)._2 === 3L)
+    assert(math.abs(rows(-1L)._5 - expTotal) < 1e-9)
+    assert(rows(-1L)._5 > 0.25, "a 2/4->0/3 bin collapse reads as drifted")
+    // identical distributions: every term and the total are exactly 0
+    val same = Quality.psi(old_, old_, "x", Seq(10.0, 20.0))
+      .select(col("psi_term")).as[Double].collect()
+    assert(same.forall(_ === 0.0))
+    intercept[IllegalArgumentException] {
+      Quality.psi(old_, new_, "x", Seq(20.0, 10.0))
+    }
+  }
+
   test("checkSql/profileSql render one row per constraint/column") {
     val suite = Seq(Quality.completeness("c", "k"),
       Quality.maxOf("m", "v", "<=", 4.0))
