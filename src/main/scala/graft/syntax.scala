@@ -167,6 +167,9 @@ object syntax {
       Quality.profile(df, cols)
     def qualityEnforce(suite: Seq[Quality.Constraint]): DataFrame =
       Quality.enforce(df, suite)
+    def psiAgainst(newDf: DataFrame, c: String,
+        edges: Seq[Double]): DataFrame =
+      Quality.psi(df, newDf, c, edges)
   }
 
   /** Fusion entry point mirroring the operator object (not a DataFrame

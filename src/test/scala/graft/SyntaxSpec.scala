@@ -63,5 +63,16 @@ class SyntaxSpec extends SparkSpec {
       .collect().toSet ===
       graft.operators.Similarity.rrfFuse(
         Seq("a" -> legA, "b" -> legB), "id", "r", 3).collect().toSet)
+    // quality forwarders
+    val q = graft.operators.Quality
+    val suite = Seq(q.completeness("id_ok", "id"),
+      q.maxOf("w_cap", "w", "<=", 5.0))
+    assert(weighted.qualityCheck(suite).collect().toSet ===
+      q.check(weighted, suite).collect().toSet)
+    assert(weighted.qualityProfile(Seq("id", "w")).collect().toSet ===
+      q.profile(weighted, Seq("id", "w")).collect().toSet)
+    assert(weighted.qualityEnforce(suite).count() === 30L)
+    assert(weighted.psiAgainst(weighted, "w", Seq(3.0)).collect().toSet ===
+      q.psi(weighted, weighted, "w", Seq(3.0)).collect().toSet)
   }
 }
