@@ -528,6 +528,28 @@ object SparkEntry {
       // discovery half: per-column null/distinct/min/max/completeness
       // in one scan, long format
       Quality.profile(t(s, d, "orders"), QualityProfileCols)),
+    "rel_quality_profile_merged" -> ((s, d) => {
+      // incremental profiling witness: shard orders by key parity,
+      // profile each shard once, merge STATES (never rescan), and
+      // check the merged profile — counts/min/max exact by merge
+      // algebra, the HLL distinct estimate gated by an in-plan
+      // tolerance boolean vs the full-table exact (the
+      // rel_approx_distinct convention; DataSketches register unions
+      // are order-insensitive, so the boolean is deterministic)
+      val orders = t(s, d, "orders")
+      val sh = Quality.profileShard(
+          orders.where(col("o_orderkey") % 2 === 0), QualityProfileCols)
+        .unionByName(Quality.profileShard(
+          orders.where(col("o_orderkey") % 2 === 1), QualityProfileCols))
+      Quality.mergeProfileShards(sh, QualityProfileCols)
+        .join(Quality.profile(orders, QualityProfileCols)
+          .select(col("column"), col("n_distinct")), "column")
+        .select(col("column"), col("n_rows"), col("n_nulls"),
+          col("completeness"), col("min_value"), col("max_value"),
+          (abs(col("n_distinct_est") - col("n_distinct")) <=
+            col("n_distinct") * lit(0.05))
+            .as("distinct_within_tolerance"))
+    }),
     "rel_quality_psi" -> ((s, d) => {
       // distribution-drift monitor: PSI of o_totalprice against a
       // ×1.1-shifted derivation over fixed literal bin edges — per-bin
@@ -3856,6 +3878,13 @@ object SparkEntry {
       Quality.checkSql("events", qualitySuite, qualityMetricsSql),
     "rel_quality_profile" ->
       Quality.profileSql("orders", QualityProfileCols),
+    "rel_quality_profile_merged" ->
+      // exact fields replay the full-table profile (shards partition
+      // the table, merges are lossless); the sketch estimate is the
+      // pinned tolerance boolean
+      ("SELECT \"column\", n_rows, n_nulls, completeness, min_value, " +
+        "max_value, true AS distinct_within_tolerance FROM (" +
+        Quality.profileSql("orders", QualityProfileCols) + ")"),
     "rel_quality_psi" ->
       Quality.psiSql("orders",
         "(SELECT o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice " +

@@ -360,6 +360,64 @@ object Quality {
       "round(list_aggregate(list_sort(list(psi_term)), 'sum'), 4) FROM r"
   }
 
+  /** Shardable profile state — the incremental face of [[profile]]
+    * for a corpus too large (or too append-only) to rescan: profile
+    * each shard/day/partition ONCE into a 1-row mergeable state and
+    * fold states instead of data. Counts, min and max merge exactly
+    * (sum / min / max are associative); the distinct count travels as
+    * a DataSketches HLL sketch (`hll_sketch_agg`), the one
+    * approximate field ([[profile]]'s exact distinct is the thing
+    * that CANNOT be merged post-aggregation). The estimate is NOT
+    * bit-stable under shard reordering — DataSketches' HIP
+    * accumulator is presentation-order-dependent (measured: ±0.7% on
+    * a 1000-distinct column), so downstream checks must gate it with
+    * a tolerance band (the rel_approx_distinct convention), never
+    * equality; the default lgK=12 sketch's ~1% rsd sits comfortably
+    * inside a 5% band. Sketchable
+    * input types are int/long/string/binary — the same column kinds
+    * whose min/max strings render portably. Persist shard rows as a
+    * plain table; [[mergeProfileShards]] folds any subset. */
+  def profileShard(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "Quality.profileShard: no columns")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"),
+        hll_sketch_agg(col(c)).as(s"hll_$c"),
+        min(col(c)).as(s"mn_$c"),
+        max(col(c)).as(s"mx_$c"))
+    }
+    df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  /** Fold [[profileShard]] rows into the long-format profile: exact
+    * n_rows / n_nulls / completeness / min / max (the merges are
+    * lossless) and `n_distinct_est` from the unioned HLL sketches.
+    * Input may be any union of shard rows — one per day, per
+    * partition, per backfill — and folding is associative, so
+    * re-merging a merged state with new shards is the same as
+    * merging everything at once. */
+  def mergeProfileShards(shards: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "Quality.mergeProfileShards: no columns")
+    val aggs = cols.flatMap { c =>
+      Seq(sum(col(s"nn_$c")).as(s"nn_$c"),
+        hll_union_agg(col(s"hll_$c")).as(s"hll_$c"),
+        min(col(s"mn_$c")).as(s"mn_$c"),
+        max(col(s"mx_$c")).as(s"mx_$c"))
+    }
+    val wide = shards.agg(sum(col("n_rows")).as("n_rows"), aggs: _*)
+    val rows = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col("n_rows").as("n_rows"),
+        (col("n_rows") - col(s"nn_$c")).as("n_nulls"),
+        hll_sketch_estimate(col(s"hll_$c")).as("n_distinct_est"),
+        col(s"nn_$c").cast("double") /
+          greatest(col("n_rows"), lit(1L)).cast("double") as "completeness",
+        col(s"mn_$c").cast("string").as("min_value"),
+        col(s"mx_$c").cast("string").as("max_value"))
+    }
+    wide.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
+
   /** The DuckDB mirror of [[profile]] for the same column list. */
   def profileSql(table: String, cols: Seq[String]): String = {
     val aggs = ("count(*) AS n_rows" +: cols.flatMap { c =>

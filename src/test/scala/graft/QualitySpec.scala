@@ -157,6 +157,53 @@ class QualitySpec extends SparkSpec {
     assert(d2.getBoolean(8) === true)
   }
 
+  test("profileShard/mergeProfileShards: exact fields survive any " +
+      "sharding, distinct estimate tracks exact") {
+    val big = spark.range(1000).select(col("id"),
+      (col("id") % 37).cast("long").as("k"),
+      concat(lit("s"), (col("id") % 97).cast("string")).as("s"))
+      .withColumn("k", when(col("id") % 10 === 0, lit(null)).otherwise(col("k")))
+    val cols = Seq("id", "k", "s")
+    def shard(m: Long) = (0L until m).map(i =>
+      Quality.profileShard(big.where(col("id") % m === i), cols))
+      .reduce(_ unionByName _)
+    val exact = Quality.profile(big, cols).collect()
+      .map(r => r.getString(0) -> r).toMap
+    for (m <- Seq(1L, 4L)) {
+      val merged = Quality.mergeProfileShards(shard(m), cols).collect()
+        .map(r => r.getString(0) -> r).toMap
+      cols.foreach { c =>
+        val (e, g) = (exact(c), merged(c))
+        // n_rows, n_nulls, completeness, min, max: merge-lossless
+        assert(g.getLong(1) === e.getLong(1), s"$c n_rows @$m")
+        assert(g.getLong(2) === e.getLong(2), s"$c n_nulls @$m")
+        assert(g.getDouble(4) === e.getDouble(4), s"$c completeness @$m")
+        assert(g.getString(5) === e.getString(5), s"$c min @$m")
+        assert(g.getString(6) === e.getString(6), s"$c max @$m")
+        // the HLL estimate is the one approximate field
+        val est = g.getLong(3); val truth = e.getLong(3)
+        assert(math.abs(est - truth) <= math.max(1L, truth / 20),
+          s"$c distinct est $est vs $truth @$m")
+      }
+    }
+    // shard REORDERING: exact fields identical; the HLL estimate is
+    // allowed to wobble (DataSketches' HIP accumulator is
+    // presentation-order-dependent — the scaladoc's caveat) but must
+    // stay inside the tolerance band both ways
+    val fwd = Quality.mergeProfileShards(shard(4L), cols).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val rev = Quality.mergeProfileShards(
+      (3L to 0L by -1L).map(i =>
+        Quality.profileShard(big.where(col("id") % 4 === i), cols))
+        .reduce(_ unionByName _), cols).collect()
+      .map(r => r.getString(0) -> r).toMap
+    cols.foreach { c =>
+      Seq(1, 2, 5, 6).foreach(i => assert(fwd(c).get(i) === rev(c).get(i)))
+      val truth = exact(c).getLong(3)
+      assert(math.abs(rev(c).getLong(3) - truth) <= math.max(1L, truth / 20))
+    }
+  }
+
   test("psi: hand-computed bins, add-1 smoothing on empty bins, null " +
       "exclusion, ordered-fold total, identical sides -> 0") {
     // edges (10, 20): bins (-inf,10) / [10,20) / [20,inf)
