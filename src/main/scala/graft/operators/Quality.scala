@@ -288,22 +288,45 @@ object Quality {
     * industry folklore scale: < 0.1 stable, 0.1–0.25 shifting,
     * > 0.25 drifted. Cost: one aggregate pass per side to ≤ bins
     * rows; everything after is bounded by the bin count. */
-  def psi(oldDf: DataFrame, newDf: DataFrame, c: String,
-      edges: Seq[Double]): DataFrame = {
+  private def requireEdges(edges: Seq[Double]): Unit = {
     require(edges.nonEmpty, "psi: no edges")
     require(edges == edges.sorted && edges.distinct.size == edges.size,
       "psi: edges must be strictly increasing")
-    val nb = edges.size + 1
-    def binCounts(df: DataFrame, alias: String) = df
-      .where(col(c).isNotNull)
+  }
+
+  /** Per-bin counts of `c` over the [[psi]] bin layout — the
+    * persistable BASELINE artifact of the drift watch: compute once
+    * over the reference corpus, write the ≤ edges+1 rows, and feed
+    * [[psiFromBaseline]] forever after without rescanning the
+    * reference. Output: (bin, n). */
+  def binCounts(df: DataFrame, c: String, edges: Seq[Double]): DataFrame = {
+    requireEdges(edges)
+    df.where(col(c).isNotNull)
       .select(edges.map(e => when(col(c) >= lit(e), 1L).otherwise(0L))
         .reduce(_ + _).as("bin"))
-      .groupBy(col("bin")).agg(count(lit(1)).as(alias))
-    val spine = oldDf.sparkSession.range(nb.toLong)
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+  }
+
+  def psi(oldDf: DataFrame, newDf: DataFrame, c: String,
+      edges: Seq[Double]): DataFrame =
+    psiFromBaseline(binCounts(oldDf, c, edges), newDf, c, edges)
+
+  /** [[psi]] against a precomputed [[binCounts]] baseline — the
+    * production shape: the old side costs a ≤ bins-row read, only the
+    * new side is scanned. `psi(old, new, …)` is DEFINED as
+    * `psiFromBaseline(binCounts(old, …), new, …)`, so the flavors
+    * cannot drift. */
+  def psiFromBaseline(oldCounts: DataFrame, newDf: DataFrame, c: String,
+      edges: Seq[Double]): DataFrame = {
+    requireEdges(edges)
+    val nb = edges.size + 1
+    val spine = newDf.sparkSession.range(nb.toLong)
       .select(col("id").as("bin"))
     val joined = spine
-      .join(binCounts(oldDf, "n_old"), Seq("bin"), "left")
-      .join(binCounts(newDf, "n_new"), Seq("bin"), "left")
+      .join(oldCounts.select(col("bin"), col("n").as("n_old")),
+        Seq("bin"), "left")
+      .join(binCounts(newDf, c, edges)
+        .select(col("bin"), col("n").as("n_new")), Seq("bin"), "left")
       .select(col("bin"),
         coalesce(col("n_old"), lit(0L)).as("n_old"),
         coalesce(col("n_new"), lit(0L)).as("n_new"))

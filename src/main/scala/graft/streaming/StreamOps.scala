@@ -467,6 +467,29 @@ object StreamOps {
         ()
     }.start()
 
+  /** Per-micro-batch PSI drift watch against a FROZEN baseline — the
+    * streaming face of [[graft.operators.Quality.psi]], the
+    * qualityVerdictBatches shape: each arriving batch bins once (one
+    * aggregate pass over the batch), joins the persisted
+    * [[graft.operators.Quality.binCounts]] artifact (≤ bins rows —
+    * the baseline corpus is NEVER rescanned), and hands the per-bin
+    * terms + bin = −1 total, stamped with the batch id, to `sink`.
+    * State-free; `edges` MUST be the ones the baseline was built
+    * with (fixed-literal edges are the PSI contract — re-deriving
+    * them per batch would make the metric self-normalizing and
+    * blind). */
+  def psiBatches(stream: DataFrame, baselineCounts: DataFrame,
+      c: String, edges: Seq[Double])(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        sink(graft.operators.Quality
+          .psiFromBaseline(baselineCounts, batch, c, edges)
+          .withColumn("batch_id", lit(batchId)), batchId)
+        ()
+    }.start()
+
   /** Streaming token-window substring-dup probe against a static
     * [[graft.operators.TextAnalysis.windowHashIndex]] (read back from
     * parquet) — the incremental face of dedupTokenWindows, the

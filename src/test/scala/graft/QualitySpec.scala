@@ -235,6 +235,19 @@ class QualitySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Quality.psi(old_, new_, "x", Seq(20.0, 10.0))
     }
+    // production shape: the baseline survives a parquet round trip and
+    // psiFromBaseline reproduces psi bit-for-bit (it IS the definition)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_psi_base").toString + "/baseline"
+    Quality.binCounts(old_, "x", Seq(10.0, 20.0)).write.parquet(dir)
+    val replayed = Quality.psiFromBaseline(
+      spark.read.parquet(dir), new_, "x", Seq(10.0, 20.0))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+    val direct = Quality.psi(old_, new_, "x", Seq(10.0, 20.0))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+    assert(replayed === direct)
   }
 
   test("checkSql/profileSql render one row per constraint/column") {

@@ -622,6 +622,44 @@ class StreamingSpec extends SparkSpec {
     assert(perBatch(1L).forall(!_._3), "dirty batch all-fail")
   }
 
+  test("psiBatches: per-batch drift vs a frozen baseline == batch psi " +
+      "on the same arrivals") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Quality
+    val edges = Seq(2.0, 5.0)
+    val baselineDf = Seq(1.0, 1.5, 3.0, 4.0, 6.0, 7.0).toDF("value")
+    val baseline = Quality.binCounts(baselineDf, "value", edges)
+      .cache() // frozen artifact, read per batch, never rebuilt
+    val b1 = Seq(TestEvt(1, ts("2024-01-01 00:00:00"), "click", 1.0),
+      TestEvt(2, ts("2024-01-01 00:00:01"), "view", 3.0))
+    val b2 = Seq(TestEvt(3, ts("2024-01-01 00:01:00"), "click", 8.0),
+      TestEvt(4, ts("2024-01-01 00:01:01"), "view", 9.0))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("bin"), col("n_old"), col("n_new"), col("psi_term"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val perBatch = scala.collection.mutable.Map.empty[
+      Long, Set[(Long, Long, Long, Double)]]
+    val in = MemoryStream[TestEvt]
+    val q = StreamOps.psiBatches(in.toDF(), baseline, "value", edges) {
+      (psi, batchId) => perBatch(batchId) = rows(psi.drop("batch_id"))
+    }
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    in.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(perBatch.keySet === Set(0L, 1L))
+    assert(perBatch(0L) ===
+      rows(Quality.psiFromBaseline(baseline, b1.toDF(), "value", edges)))
+    assert(perBatch(1L) ===
+      rows(Quality.psiFromBaseline(baseline, b2.toDF(), "value", edges)))
+    // batch 2's values all land in the top bin: its total must read
+    // as more drifted than batch 1's in-distribution arrivals
+    def total(s: Set[(Long, Long, Long, Double)]) =
+      s.find(_._1 == -1L).get._4
+    assert(total(perBatch(1L)) > total(perBatch(0L)))
+  }
+
   test("probeAdmitAdvance inside foreachBatch runs the full dedup loop") {
     implicit val ctx = spark.sqlContext
     // the production arrival pipeline end-to-end: every micro-batch
