@@ -560,6 +560,15 @@ object SparkEntry {
           .as("o_totalprice")),
         "o_totalprice", PsiEdges)
     }),
+    "rel_quality_psi_grouped" -> ((s, d) => {
+      // the stratified drift watch: same shift, PSI per order status —
+      // a global PSI can read stable while one stratum drifts
+      val orders = t(s, d, "orders")
+      Quality.psiByGroup(orders,
+        orders.select(col("o_orderstatus"),
+          (col("o_totalprice") * lit(1.1)).as("o_totalprice")),
+        "o_totalprice", "o_orderstatus", PsiEdges)
+    }),
     "rel_quality_drift" -> ((s, d) => {
       // profile-drift monitor: yesterday = orders as-is, today = a
       // derived corpus with ~20% of o_orderpriority nulled and
@@ -3890,6 +3899,11 @@ object SparkEntry {
         "(SELECT o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice " +
           "FROM orders) shifted",
         "o_totalprice", PsiEdges),
+    "rel_quality_psi_grouped" ->
+      Quality.psiByGroupSql("orders",
+        "(SELECT o_orderstatus, o_totalprice * CAST(1.1 AS DOUBLE) " +
+          "AS o_totalprice FROM orders) shifted",
+        "o_totalprice", "o_orderstatus", PsiEdges),
     "rel_quality_drift" ->
       Quality.profileDiffSql(
         Quality.profileSql("orders", QualityProfileCols),

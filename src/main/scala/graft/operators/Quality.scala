@@ -352,6 +352,94 @@ object Quality {
     bins.unionByName(total)
   }
 
+  /** [[psi]] stratified by a group column — per-source /
+    * per-language drift, the monitoring shape a multi-source corpus
+    * needs (a global PSI can read stable while one source drifts and
+    * another compensates). Groups are the UNION of groups present on
+    * either side (a source that vanished or appeared still gets its
+    * rows — smoothing makes the empty side finite and very drifted,
+    * which is the right signal). Per group: the same smoothed terms
+    * and a bin = −1 ordered-fold total as [[psi]]. Everything is
+    * equi-joins on (group, bin) and bounded aggregates — no windows;
+    * output size = groups × (bins + 1), so `groupCol` should be
+    * low-cardinality (sources, languages — not user ids). */
+  def psiByGroup(oldDf: DataFrame, newDf: DataFrame, c: String,
+      groupCol: String, edges: Seq[Double]): DataFrame = {
+    requireEdges(edges)
+    val nb = edges.size + 1
+    def counts(df: DataFrame, alias: String) = df
+      .where(col(c).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        edges.map(e => when(col(c) >= lit(e), 1L).otherwise(0L))
+          .reduce(_ + _).as("bin"))
+      .groupBy(col("g"), col("bin")).agg(count(lit(1)).as(alias))
+    val oc = counts(oldDf, "n_old")
+    val nc = counts(newDf, "n_new")
+    val groups = oc.select(col("g")).union(nc.select(col("g"))).distinct()
+    val spine = groups.crossJoin(
+      oldDf.sparkSession.range(nb.toLong).select(col("id").as("bin")))
+    val joined = spine
+      .join(oc, Seq("g", "bin"), "left").join(nc, Seq("g", "bin"), "left")
+      .select(col("g"), col("bin"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val totals = joined.groupBy(col("g")).agg(
+      sum(col("n_old")).as("tot_old"), sum(col("n_new")).as("tot_new"))
+    val bins = joined.join(totals, Seq("g")).select(
+      col("g"), col("bin"), col("n_old"), col("n_new"),
+      ((col("n_old") + lit(1L)).cast("double") /
+        (col("tot_old") + lit(nb.toLong)).cast("double")).as("p_old"),
+      ((col("n_new") + lit(1L)).cast("double") /
+        (col("tot_new") + lit(nb.toLong)).cast("double")).as("p_new"))
+      .withColumn("psi_term",
+        round((col("p_new") - col("p_old")) *
+          log(col("p_new") / col("p_old")), 4))
+    val total = bins.groupBy(col("g")).agg(
+      sum(col("n_old")).as("n_old"), sum(col("n_new")).as("n_new"),
+      round(aggregate(sort_array(collect_list(col("psi_term"))),
+        lit(0.0), (acc, x) => acc + x), 4).as("psi_term"))
+      .select(col("g"), lit(-1L).as("bin"), col("n_old"), col("n_new"),
+        lit(1.0).as("p_old"), lit(1.0).as("p_new"), col("psi_term"))
+    bins.unionByName(total)
+  }
+
+  /** The DuckDB mirror of [[psiByGroup]]. */
+  def psiByGroupSql(oldFrom: String, newFrom: String, valueExpr: String,
+      groupExpr: String, edges: Seq[Double]): String = {
+    val nb = edges.size + 1
+    val binExpr = edges
+      .map(e => s"CASE WHEN $valueExpr >= $e THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
+    def side(tag: String, from: String) =
+      s"${tag}c AS (SELECT $groupExpr AS g, $binExpr AS bin, " +
+        s"count(*) AS n_$tag FROM $from " +
+        s"WHERE $valueExpr IS NOT NULL AND $groupExpr IS NOT NULL " +
+        "GROUP BY 1, 2)"
+    s"WITH ${side("old", oldFrom)}, ${side("new", newFrom)}, " +
+      "groups AS (SELECT DISTINCT g FROM " +
+      "(SELECT g FROM oldc UNION SELECT g FROM newc)), " +
+      s"spine AS (SELECT g, bin FROM groups, " +
+      s"(SELECT unnest(range($nb)) AS bin) bb), " +
+      "j AS (SELECT spine.g, spine.bin, coalesce(n_old, 0) AS n_old, " +
+      "coalesce(n_new, 0) AS n_new FROM spine " +
+      "LEFT JOIN oldc ON spine.g = oldc.g AND spine.bin = oldc.bin " +
+      "LEFT JOIN newc ON spine.g = newc.g AND spine.bin = newc.bin), " +
+      "t AS (SELECT g, sum(n_old) AS tot_old, sum(n_new) AS tot_new " +
+      "FROM j GROUP BY 1), " +
+      "b AS (SELECT j.g, bin, n_old, n_new, " +
+      s"CAST(n_old + 1 AS DOUBLE) / (tot_old + $nb) AS p_old, " +
+      s"CAST(n_new + 1 AS DOUBLE) / (tot_new + $nb) AS p_new " +
+      "FROM j JOIN t ON j.g = t.g), " +
+      "r AS (SELECT g, bin, n_old, n_new, p_old, p_new, " +
+      "round((p_new - p_old) * ln(p_new / p_old), 4) AS psi_term FROM b) " +
+      "SELECT * FROM r UNION ALL " +
+      "SELECT g, CAST(-1 AS BIGINT), CAST(sum(n_old) AS BIGINT), " +
+      "CAST(sum(n_new) AS BIGINT), CAST(1.0 AS DOUBLE), " +
+      "CAST(1.0 AS DOUBLE), " +
+      "round(list_aggregate(list_sort(list(psi_term)), 'sum'), 4) " +
+      "FROM r GROUP BY g"
+  }
+
   /** The DuckDB mirror of [[psi]]: `oldFrom`/`newFrom` are table
     * names or parenthesized-subquery-with-alias strings exposing
     * `valueExpr`. */

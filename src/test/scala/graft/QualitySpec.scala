@@ -250,6 +250,32 @@ class QualitySpec extends SparkSpec {
     assert(replayed === direct)
   }
 
+  test("psiByGroup: per-stratum totals, union-of-groups (vanished and " +
+      "appeared sources still report), stable stratum reads ~0") {
+    val edges = Seq(10.0)
+    val old_ = Seq(("a", 1.0), ("a", 2.0), ("a", 15.0),
+      ("b", 1.0), ("b", 20.0), ("gone", 5.0)).toDF("src", "x")
+    // a: unchanged; b: all mass moves above the edge; gone: vanished;
+    // fresh: appeared
+    val new_ = Seq(("a", 1.0), ("a", 2.0), ("a", 15.0),
+      ("b", 11.0), ("b", 20.0), ("fresh", 3.0)).toDF("src", "x")
+    val out = Quality.psiByGroup(old_, new_, "x", "src", edges)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(6)))).toMap
+    // 4 groups x (2 bins + total)
+    assert(out.keySet.map(_._1) === Set("a", "b", "gone", "fresh"))
+    assert(out.size === 12)
+    def total(g: String) = out((g, -1L))
+    assert(total("a") === ((3L, 3L, 0.0)), "unchanged stratum is exactly 0")
+    assert(total("b")._3 > 0.0, "shifted stratum drifts")
+    // vanished/appeared: the empty side is all-smoothing — loudly
+    // drifted, never a crash or a silent drop
+    assert(total("gone") === ((1L, 0L, total("gone")._3)))
+    assert(total("fresh")._1 === 0L && total("fresh")._2 === 1L)
+    assert(total("gone")._3 > total("a")._3)
+    assert(total("fresh")._3 > total("a")._3)
+  }
+
   test("checkSql/profileSql render one row per constraint/column") {
     val suite = Seq(Quality.completeness("c", "k"),
       Quality.maxOf("m", "v", "<=", 4.0))
