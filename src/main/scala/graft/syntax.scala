@@ -170,6 +170,11 @@ object syntax {
     def psiAgainst(newDf: DataFrame, c: String,
         edges: Seq[Double]): DataFrame =
       Quality.psi(df, newDf, c, edges)
+    def psiByGroupAgainst(newDf: DataFrame, c: String, groupCol: String,
+        edges: Seq[Double]): DataFrame =
+      Quality.psiByGroup(df, newDf, c, groupCol, edges)
+    def qualityProfileShard(cols: Seq[String]): DataFrame =
+      Quality.profileShard(df, cols)
   }
 
   /** Fusion entry point mirroring the operator object (not a DataFrame

@@ -74,5 +74,13 @@ class SyntaxSpec extends SparkSpec {
     assert(weighted.qualityEnforce(suite).count() === 30L)
     assert(weighted.psiAgainst(weighted, "w", Seq(3.0)).collect().toSet ===
       q.psi(weighted, weighted, "w", Seq(3.0)).collect().toSet)
+    val grouped = weighted.withColumn("src",
+      when(col("id") % 2 === 0, "a").otherwise("b"))
+    assert(grouped.psiByGroupAgainst(grouped, "w", "src", Seq(3.0))
+      .collect().toSet ===
+      q.psiByGroup(grouped, grouped, "w", "src", Seq(3.0)).collect().toSet)
+    assert(q.mergeProfileShards(
+        weighted.qualityProfileShard(Seq("id")), Seq("id"))
+      .collect().head.getLong(1) === 30L)
   }
 }
