@@ -129,6 +129,40 @@ object SparkEntry {
   private def qualityDriftedSql: String =
     "(SELECT o_orderkey, o_custkey % 100 AS o_custkey, o_orderstatus, " +
       "nullif(o_orderpriority, '1-URGENT') AS o_orderpriority FROM orders) pert"
+  /** The rel_quality_embeddings suite — the embedding-health gate an
+    * ANN/near-dup pipeline runs before indexing (a NaN or zero vector
+    * poisons cosine scores silently). Same positional pairing
+    * convention as [[qualitySuite]]; every metric is a conditional
+    * count over per-row array predicates, so the verdict set is
+    * exact. */
+  private def embQualitySuite: Seq[Quality.Constraint] = Seq(
+    Quality.completeness("vec_present", "embedding"),
+    Quality.uniqueRatio("vec_id_unique", "vec_id", ">=", 1.0),
+    Quality.fractionWhere("dims_64", "embedding",
+      size(col("embedding")) === 64, ">=", 1.0),
+    Quality.fractionWhere("no_nan", "embedding",
+      !exists(col("embedding"), x => isnan(x)), ">=", 1.0),
+    Quality.fractionWhere("nonzero_norm", "embedding",
+      aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))
+        > lit(0.0), ">=", 1.0),
+    // the deliberate failure: iid md5-uniform components are nowhere
+    // near unit norm, so a unit-norm expectation trips at every SF
+    Quality.fractionWhere("unit_norm", "embedding",
+      abs(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))
+        - lit(1.0)) <= lit(0.01), ">=", 0.99))
+  private def embQualityMetricsSql: Seq[String] = {
+    val norm2 = "list_aggregate(list_transform(embedding, " +
+      "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')"
+    Seq(
+      "CAST(count(embedding) AS DOUBLE) / count(*)",
+      "CAST(count(DISTINCT vec_id) AS DOUBLE) / greatest(count(vec_id), 1)",
+      "CAST(sum(CASE WHEN len(embedding) = 64 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)",
+      "CAST(sum(CASE WHEN len(list_filter(embedding, x -> isnan(x))) = 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)",
+      s"CAST(sum(CASE WHEN $norm2 > 0.0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)",
+      s"CAST(sum(CASE WHEN abs($norm2 - 1.0) <= 0.01 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")
+  }
   /** PSI bin edges for rel_quality_psi: o_totalprice is ~uniform on
     * [1e3, 5e5] at every SF, so fixed 100k edges give populated bins
     * and the ×1.1 derived shift moves ~10% of mass per edge — PSI
@@ -550,6 +584,11 @@ object SparkEntry {
             col("n_distinct") * lit(0.05))
             .as("distinct_within_tolerance"))
     }),
+    "rel_quality_embeddings" -> ((s, d) =>
+      // embedding-health gate: presence, key uniqueness, dims, NaN,
+      // zero-norm — one pass over the vectors; the unit-norm
+      // constraint is the deliberate failure (iid components)
+      Quality.check(t(s, d, "embeddings"), embQualitySuite)),
     "rel_quality_psi" -> ((s, d) => {
       // distribution-drift monitor: PSI of o_totalprice against a
       // ×1.1-shifted derivation over fixed literal bin edges — per-bin
@@ -3894,6 +3933,8 @@ object SparkEntry {
       ("SELECT \"column\", n_rows, n_nulls, completeness, min_value, " +
         "max_value, true AS distinct_within_tolerance FROM (" +
         Quality.profileSql("orders", QualityProfileCols) + ")"),
+    "rel_quality_embeddings" ->
+      Quality.checkSql("embeddings", embQualitySuite, embQualityMetricsSql),
     "rel_quality_psi" ->
       Quality.psiSql("orders",
         "(SELECT o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice " +
