@@ -57,6 +57,12 @@ object QualityScaleCheck {
     val tHll = minOf2(Quality.check(li, hll).collect())
     println(f"EXACT_DISTINCT_4=$tExact%.3f")
     println(f"HLL_DISTINCT_4=$tHll%.3f")
+
+    // the same cliff at the profile surface: audit vs scale flavor
+    val tProf = minOf2(Quality.profile(li, distinctCols).collect())
+    val tApprox = minOf2(Quality.approxProfile(li, distinctCols).collect())
+    println(f"PROFILE_EXACT=$tProf%.3f")
+    println(f"PROFILE_APPROX=$tApprox%.3f")
     spark.stop()
   }
 }

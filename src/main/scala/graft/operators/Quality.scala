@@ -529,6 +529,16 @@ object Quality {
     wide.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
 
+  /** The scale flavor of [[profile]]: identical long-format output
+    * with `n_distinct_est` (HLL) in place of the exact distinct — no
+    * Expand, no per-column input copies, ONE scan with constant
+    * sketch state. Defined as the 1-shard [[mergeProfileShards]] ∘
+    * [[profileShard]] composition, so the incremental and one-shot
+    * flavors cannot drift. At 100 TB this is the default;
+    * [[profile]] is the audit flavor. */
+  def approxProfile(df: DataFrame, cols: Seq[String]): DataFrame =
+    mergeProfileShards(profileShard(df, cols), cols)
+
   /** The DuckDB mirror of [[profile]] for the same column list. */
   def profileSql(table: String, cols: Seq[String]): String = {
     val aggs = ("count(*) AS n_rows" +: cols.flatMap { c =>

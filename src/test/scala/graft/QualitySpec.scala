@@ -250,6 +250,21 @@ class QualitySpec extends SparkSpec {
     assert(replayed === direct)
   }
 
+  test("approxProfile: profile's exact fields, HLL distinct, no Expand") {
+    val big = spark.range(5000).select(col("id"),
+      (col("id") % 61).as("k"))
+    val ap = Quality.approxProfile(big, Seq("id", "k"))
+    assert(!ap.queryExecution.executedPlan.toString.contains("Expand"))
+    val rows = ap.collect().map(r => r.getString(0) -> r).toMap
+    val ex = Quality.profile(big, Seq("id", "k")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    Seq("id", "k").foreach { c =>
+      Seq(1, 2, 4, 5, 6).foreach(i => assert(rows(c).get(i) === ex(c).get(i)))
+      val (est, truth) = (rows(c).getLong(3), ex(c).getLong(3))
+      assert(math.abs(est - truth) <= math.max(1L, truth / 20), s"$c")
+    }
+  }
+
   test("psiByGroup: per-stratum totals, union-of-groups (vanished and " +
       "appeared sources still report), stable stratum reads ~0") {
     val edges = Seq(10.0)
