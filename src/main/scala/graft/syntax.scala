@@ -175,6 +175,8 @@ object syntax {
       Quality.psiByGroup(df, newDf, c, groupCol, edges)
     def qualityProfileShard(cols: Seq[String]): DataFrame =
       Quality.profileShard(df, cols)
+    def qualityApproxProfile(cols: Seq[String]): DataFrame =
+      Quality.approxProfile(df, cols)
   }
 
   /** Fusion entry point mirroring the operator object (not a DataFrame

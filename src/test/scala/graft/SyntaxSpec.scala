@@ -82,5 +82,7 @@ class SyntaxSpec extends SparkSpec {
     assert(q.mergeProfileShards(
         weighted.qualityProfileShard(Seq("id")), Seq("id"))
       .collect().head.getLong(1) === 30L)
+    assert(weighted.qualityApproxProfile(Seq("id")).collect().toSet ===
+      q.approxProfile(weighted, Seq("id")).collect().toSet)
   }
 }
