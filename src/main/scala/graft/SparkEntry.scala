@@ -584,6 +584,24 @@ object SparkEntry {
             col("n_distinct") * lit(0.05))
             .as("distinct_within_tolerance"))
     }),
+    "rel_quality_orphans" -> ((s, d) => {
+      // referential integrity: lineitem→orders is intact by
+      // construction (0 orphans); the broken leg shifts every third
+      // child key out of the parent's range — orphan_rate lands at
+      // ~1/3 at every SF, proving the counter counts (the derived-
+      // fixture convention)
+      val li = t(s, d, "lineitem")
+      val orders = t(s, d, "orders")
+      Quality.orphanRate(li, "l_orderkey", orders, "o_orderkey")
+        .withColumn("leg", lit("intact"))
+        .unionByName(
+          Quality.orphanRate(
+            li.select(when(col("l_orderkey") % 3 === 0,
+                col("l_orderkey") + lit(100000000L))
+              .otherwise(col("l_orderkey")).as("l_orderkey")),
+            "l_orderkey", orders, "o_orderkey")
+            .withColumn("leg", lit("broken")))
+    }),
     "rel_quality_embeddings" -> ((s, d) =>
       // embedding-health gate: presence, key uniqueness, dims, NaN,
       // zero-norm — one pass over the vectors; the unit-norm
@@ -3933,6 +3951,16 @@ object SparkEntry {
       ("SELECT \"column\", n_rows, n_nulls, completeness, min_value, " +
         "max_value, true AS distinct_within_tolerance FROM (" +
         Quality.profileSql("orders", QualityProfileCols) + ")"),
+    "rel_quality_orphans" ->
+      ("SELECT 'intact' AS leg, * FROM (" +
+        Quality.orphanRateSql("lineitem", "l_orderkey",
+          "orders", "o_orderkey") + ") UNION ALL " +
+        "SELECT 'broken' AS leg, * FROM (" +
+        Quality.orphanRateSql(
+          "(SELECT CASE WHEN l_orderkey % 3 = 0 " +
+            "THEN l_orderkey + 100000000 ELSE l_orderkey END " +
+            "AS l_orderkey FROM lineitem)",
+          "l_orderkey", "orders", "o_orderkey") + ")"),
     "rel_quality_embeddings" ->
       Quality.checkSql("embeddings", embQualitySuite, embQualityMetricsSql),
     "rel_quality_psi" ->

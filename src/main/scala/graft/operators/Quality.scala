@@ -181,6 +181,49 @@ object Quality {
     wide.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
 
+  /** Referential-integrity check — the one classic constraint the
+    * single-pass [[check]] cannot express because it spans TWO
+    * tables: what fraction of child rows reference a key absent from
+    * the parent (orphans)? One LEFT ANTI join on the key plus exact
+    * counts; null child keys are counted separately (they are
+    * incomplete, not orphaned — completeness is [[completeness]]'s
+    * job). At scale the anti join shuffles both sides on the key
+    * once; AQE broadcasts a small parent, and bucketed layouts on the
+    * key (the mergeUpsert note in SCALE.md) make it exchange-free.
+    * Output: one row — (n_child, n_null_keys, n_orphans,
+    * orphan_rate) with orphan_rate = n_orphans / non-null children,
+    * a single IEEE division of exact counts. */
+  def orphanRate(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame = {
+    val keyed = child.select(col(childKey).as("__k"))
+    val nonNull = keyed.where(col("__k").isNotNull)
+    val orphans = nonNull.join(
+      parent.select(col(parentKey).as("__k")).distinct(),
+      Seq("__k"), "left_anti")
+    val counts = keyed.agg(
+      count(lit(1)).as("n_child"),
+      sum(when(col("__k").isNull, 1L).otherwise(0L)).as("n_null_keys"))
+    counts.crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+      .select(col("n_child"), col("n_null_keys"), col("n_orphans"),
+        (col("n_orphans").cast("double") /
+          greatest(col("n_child") - col("n_null_keys"), lit(1L))
+            .cast("double")).as("orphan_rate"))
+  }
+
+  /** The DuckDB mirror of [[orphanRate]]. */
+  def orphanRateSql(childFrom: String, childKey: String,
+      parentFrom: String, parentKey: String): String =
+    s"SELECT count(*) AS n_child, " +
+      s"CAST(sum(CASE WHEN $childKey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_keys, " +
+      s"CAST(sum(CASE WHEN $childKey IS NOT NULL AND NOT EXISTS " +
+      s"(SELECT 1 FROM $parentFrom p WHERE p.$parentKey = c.$childKey) " +
+      "THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans, " +
+      s"CAST(sum(CASE WHEN $childKey IS NOT NULL AND NOT EXISTS " +
+      s"(SELECT 1 FROM $parentFrom p WHERE p.$parentKey = c.$childKey) " +
+      "THEN 1 ELSE 0 END) AS DOUBLE) / " +
+      s"greatest(count(*) - sum(CASE WHEN $childKey IS NULL THEN 1 ELSE 0 END), 1) AS orphan_rate " +
+      s"FROM $childFrom c"
+
   /** The load gate: run the suite and THROW if any constraint fails,
     * naming every failing constraint with its measured metric — the
     * "abort the write, don't ship the corrupt partition" composition

@@ -250,6 +250,22 @@ class QualitySpec extends SparkSpec {
     assert(replayed === direct)
   }
 
+  test("orphanRate: nulls are incomplete not orphaned, duplicate " +
+      "parents count once, exact rate") {
+    val parent = Seq(1L, 2L, 2L, 3L).toDF("pk") // dup parent keys
+    val child = Seq(Option(1L), Option(2L), Option(9L), Option(8L), None)
+      .toDF("fk")
+    val r = Quality.orphanRate(child, "fk", parent, "pk").collect().head
+    assert(r.getLong(0) === 5L)  // n_child counts ALL rows
+    assert(r.getLong(1) === 1L)  // the null key
+    assert(r.getLong(2) === 2L)  // 9 and 8
+    assert(r.getDouble(3) === 0.5) // 2 of 4 non-null
+    // intact relation: exactly zero
+    val ok = Quality.orphanRate(parent.toDF("fk"), "fk", parent, "pk")
+      .collect().head
+    assert(ok.getLong(2) === 0L && ok.getDouble(3) === 0.0)
+  }
+
   test("approxProfile: profile's exact fields, HLL distinct, no Expand") {
     val big = spark.range(5000).select(col("id"),
       (col("id") % 61).as("k"))
