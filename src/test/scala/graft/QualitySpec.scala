@@ -281,6 +281,37 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("psi invariants: every term >= 0 (same-sign product), swap " +
+      "symmetry, empty side finite, counts conserved") {
+    val edges = Seq(5.0, 10.0)
+    val frames = Seq(
+      "uniform" -> Seq(1.0, 4.0, 6.0, 9.0, 11.0, 14.0),
+      "low-skew" -> Seq(1.0, 1.0, 2.0, 3.0, 4.0, 4.5),
+      "high-skew" -> Seq(11.0, 12.0, 13.0, 14.0),
+      "edge-exact" -> Seq(5.0, 10.0, 5.0, 10.0),
+      "empty" -> Seq.empty[Double])
+    for ((na, a) <- frames; (nb, b) <- frames) {
+      val ad = a.toDF("x"); val bd = b.toDF("x")
+      val fwd = Quality.psi(ad, bd, "x", edges).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getDouble(5)))).toMap
+      // (p_new - p_old) and ln(p_new/p_old) always share sign, so
+      // every term — and the total — is >= 0 on ANY pair of inputs
+      fwd.values.foreach { case (_, _, t) =>
+        assert(t >= 0.0 && !t.isNaN && !t.isInfinite, s"$na vs $nb: $t")
+      }
+      // counts conserved through binning + smoothing bookkeeping
+      assert(fwd(-1L)._1 === a.size.toLong, s"$na n_old")
+      assert(fwd(-1L)._2 === b.size.toLong, s"$nb n_new")
+      // the formula is symmetric in (old, new): swapping sides leaves
+      // every per-bin term — hence the total — identical
+      val rev = Quality.psi(bd, ad, "x", edges).collect()
+        .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+      fwd.foreach { case (bin, (_, _, t)) =>
+        assert(rev(bin) === t, s"$na/$nb bin $bin") }
+    }
+  }
+
   test("psiByGroup: per-stratum totals, union-of-groups (vanished and " +
       "appeared sources still report), stable stratum reads ~0") {
     val edges = Seq(10.0)
