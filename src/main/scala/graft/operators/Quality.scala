@@ -45,6 +45,12 @@ object Quality {
       op: String,
       threshold: Double) {
     require(op == ">=" || op == "<=", s"constraint $name: bad op $op")
+    // names and column labels are embedded as SQL literals by
+    // checkSql — reject anything that could break the mirror
+    require(name.matches("[A-Za-z0-9_.:\\- ]+"),
+      s"constraint name not SQL-literal-safe: $name")
+    require(column.matches("[A-Za-z0-9_.:\\- ]*"),
+      s"constraint column label not SQL-literal-safe: $column")
   }
 
   private def nRows: Column = count(lit(1)).cast("double")

@@ -91,6 +91,11 @@ class QualitySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Quality.Constraint("x", "v", lit(1.0), "==", 1.0)
     }
+    // names flow into checkSql as SQL literals — quotes are refused
+    // at construction, not discovered when the oracle breaks
+    intercept[IllegalArgumentException] {
+      Quality.Constraint("bad'name", "v", lit(1.0), ">=", 1.0)
+    }
   }
 
   test("profile: nulls, exact distincts, portable min/max strings, one " +
