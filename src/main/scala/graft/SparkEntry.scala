@@ -3417,7 +3417,7 @@ object SparkEntry {
       // hash-match UNROUNDED; ties broken by doc_id on both sides
       (s"WITH p AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight, " +
         "CAST(n_chars AS DOUBLE) / (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|prio'), 1, 15) AS BIGINT) + 1 AS DOUBLE) / 1152921504606846976.0) AS priority " +
-        "FROM documents), " +
+        "FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0), " +
         "r AS (SELECT doc_id, weight, priority, row_number() OVER (ORDER BY priority DESC, doc_id) AS rn FROM p), " +
         s"tau AS (SELECT coalesce(min(CASE WHEN rn = ${PrioritySampleK + 1} THEN priority END), 0.0) AS tau FROM r) " +
         "SELECT doc_id, weight, priority, tau, greatest(weight, tau) AS w_hat " +
@@ -3426,7 +3426,7 @@ object SparkEntry {
       // per-source windows and per-source τ — the stratified mirror
       (s"WITH p AS (SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS weight, " +
         "CAST(n_chars AS DOUBLE) / (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|prio'), 1, 15) AS BIGINT) + 1 AS DOUBLE) / 1152921504606846976.0) AS priority " +
-        "FROM documents), " +
+        "FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0), " +
         "r AS (SELECT source, doc_id, weight, priority, row_number() OVER (PARTITION BY source ORDER BY priority DESC, doc_id) AS rn FROM p), " +
         s"t2 AS (SELECT source, coalesce(min(CASE WHEN rn = ${PrioritySampleGroupK + 1} THEN priority END), 0.0) AS tau FROM r GROUP BY source) " +
         "SELECT r.source, doc_id, weight, priority, tau, greatest(weight, tau) AS w_hat " +

@@ -650,11 +650,17 @@ object Packing {
     * come from ONE TakeOrderedAndProject (per-partition bounded heaps,
     * k+1 rows per task cross the wire — never a global sort); the
     * threshold τ and ranks are then computed on that ≤ k+1-row frame
-    * (driver-bounded by the sample size, not the data). Rows with
-    * weight ≤ 0 never sample (priority ≤ 0 < any positive priority;
-    * they still count toward nothing). If the input has ≤ k rows the
-    * whole input is the sample and τ = 0 (ŵ = w exactly — the DLT
-    * degenerate case).
+    * (driver-bounded by the sample size, not the data).
+    *
+    * Weight hygiene: the DLT estimator assumes nonnegative weights, so
+    * NULL and negative weights are EXCLUDED up front (a NULL weight
+    * would otherwise yield a NULL priority, and a negative one a
+    * negative "sample" row padding an undersized top-k — both outside
+    * the estimator's contract). Zero-weight rows stay eligible: their
+    * priority is 0, so they enter only when fewer than k positive-weight
+    * rows exist, and then τ = 0 gives them ŵ = 0 — still exact. If the
+    * filtered input has ≤ k rows the whole input is the sample and
+    * τ = 0 (ŵ = w exactly — the DLT degenerate case).
     *
     * Output: (id, weight double, priority double, tau double,
     * w_hat double) — `tau` constant across rows; `w_hat` =
@@ -669,9 +675,11 @@ object Packing {
     require(k >= 1, s"prioritySample k out of range: $k")
     require(!PriorityReserved.contains(idCol),
       s"prioritySample: id column '$idCol' collides with an output column")
-    val scored = df.select(col(idCol),
-      col(weightCol).cast("double").as("weight"),
-      priorityCol(col(idCol), col(weightCol), salt).as("priority"))
+    val scored = df
+      .where(col(weightCol).isNotNull && col(weightCol).cast("double") >= 0)
+      .select(col(idCol),
+        col(weightCol).cast("double").as("weight"),
+        priorityCol(col(idCol), col(weightCol), salt).as("priority"))
     // k+1 largest priorities: bounded heap, not a sort
     val top = scored.orderBy(col("priority").desc, col(idCol)).limit(k + 1)
     val ranked = Relational.withScalableOrdinal(top,
@@ -699,9 +707,11 @@ object Packing {
         s"prioritySampleByGroup: $role column '$c' collides with an " +
           "output column")
     }
-    val scored = df.select(col(groupCol), col(idCol),
-      col(weightCol).cast("double").as("weight"),
-      priorityCol(col(idCol), col(weightCol), salt).as("priority"))
+    val scored = df
+      .where(col(weightCol).isNotNull && col(weightCol).cast("double") >= 0)
+      .select(col(groupCol), col(idCol),
+        col(weightCol).cast("double").as("weight"),
+        priorityCol(col(idCol), col(weightCol), salt).as("priority"))
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("priority").desc, col(idCol))
     scored.withColumn("__rank", row_number().over(w))

@@ -256,7 +256,10 @@ object Quality {
     * corpus vs today's) — the monitoring half of the gate: a schema
     * that silently starts shipping nulls, collapsing cardinality, or
     * shifting range is exactly what a 100 TB ingest can't eyeball.
-    * Inner-joins the two profiles on column name and flags per column:
+    * FULL-outer-joins the two profiles on column name (a column that
+    * appeared or vanished between snapshots — the loudest schema
+    * drift — gets a row with `in_old`/`in_new` presence flags and is
+    * always `drifted`) and flags per column:
     * null-rate jump beyond `maxNullRateJump` (absolute), distinct-RATIO
     * drop/rise beyond `maxDistinctRatioJump` (absolute — ratio, not
     * count, so table growth alone never trips it), and any min/max
@@ -266,13 +269,13 @@ object Quality {
     * float surface. */
   def profileDiff(oldP: DataFrame, newP: DataFrame,
       maxNullRateJump: Double, maxDistinctRatioJump: Double): DataFrame = {
-    val o = oldP.select(col("column"),
+    val o = oldP.select(col("column"), lit(true).as("in_old"),
       (lit(1.0) - col("completeness")).as("null_rate_old"),
       (col("n_distinct").cast("double") /
         greatest(col("n_rows"), lit(1L)).cast("double"))
         .as("distinct_ratio_old"),
       col("min_value").as("min_old"), col("max_value").as("max_old"))
-    val n = newP.select(col("column"),
+    val n = newP.select(col("column"), lit(true).as("in_new"),
       (lit(1.0) - col("completeness")).as("null_rate_new"),
       (col("n_distinct").cast("double") /
         greatest(col("n_rows"), lit(1L)).cast("double"))
@@ -285,14 +288,26 @@ object Quality {
     val rangeChanged =
       not(col("min_new") <=> col("min_old")) ||
         not(col("max_new") <=> col("max_old"))
-    o.join(n, Seq("column")).select(
-      col("column"), col("null_rate_old"), col("null_rate_new"),
+    // FULL outer: a column that appeared or vanished between snapshots
+    // is the loudest schema drift — an inner join would emit no row for
+    // it at all. Unmatched columns always set drifted (via the presence
+    // flags); their jump comparisons are null → coalesced to false so
+    // the specific-drift booleans stay three-valued-logic-free.
+    val inOld = coalesce(col("in_old"), lit(false))
+    val inNew = coalesce(col("in_new"), lit(false))
+    o.join(n, Seq("column"), "full").select(
+      col("column"), inOld.as("in_old"), inNew.as("in_new"),
+      col("null_rate_old"), col("null_rate_new"),
       col("distinct_ratio_old"), col("distinct_ratio_new"),
-      (nullJump > lit(maxNullRateJump)).as("null_drift"),
-      (cardJump > lit(maxDistinctRatioJump)).as("cardinality_drift"),
+      coalesce(nullJump > lit(maxNullRateJump), lit(false))
+        .as("null_drift"),
+      coalesce(cardJump > lit(maxDistinctRatioJump), lit(false))
+        .as("cardinality_drift"),
       rangeChanged.as("range_drift"),
-      (nullJump > lit(maxNullRateJump) ||
-        cardJump > lit(maxDistinctRatioJump) || rangeChanged)
+      (!inOld || !inNew ||
+        coalesce(nullJump > lit(maxNullRateJump), lit(false)) ||
+        coalesce(cardJump > lit(maxDistinctRatioJump), lit(false)) ||
+        rangeChanged)
         .as("drifted"))
   }
 
@@ -301,19 +316,23 @@ object Quality {
   def profileDiffSql(oldSql: String, newSql: String,
       maxNullRateJump: Double, maxDistinctRatioJump: Double): String = {
     def side(tag: String, q: String) =
-      s"$tag AS (SELECT \"column\", 1.0 - completeness AS null_rate_$tag, " +
+      s"$tag AS (SELECT \"column\", TRUE AS in_$tag, " +
+        s"1.0 - completeness AS null_rate_$tag, " +
         s"CAST(n_distinct AS DOUBLE) / greatest(n_rows, 1) AS distinct_ratio_$tag, " +
         s"min_value AS min_$tag, max_value AS max_$tag FROM ($q))"
     s"WITH ${side("old", oldSql)}, ${side("new", newSql)} " +
-      "SELECT \"column\", null_rate_old, null_rate_new, " +
+      "SELECT \"column\", coalesce(in_old, FALSE) AS in_old, " +
+      "coalesce(in_new, FALSE) AS in_new, " +
+      "null_rate_old, null_rate_new, " +
       "distinct_ratio_old, distinct_ratio_new, " +
-      s"abs(null_rate_new - null_rate_old) > $maxNullRateJump AS null_drift, " +
-      s"abs(distinct_ratio_new - distinct_ratio_old) > $maxDistinctRatioJump AS cardinality_drift, " +
+      s"coalesce(abs(null_rate_new - null_rate_old) > $maxNullRateJump, FALSE) AS null_drift, " +
+      s"coalesce(abs(distinct_ratio_new - distinct_ratio_old) > $maxDistinctRatioJump, FALSE) AS cardinality_drift, " +
       "(min_new IS DISTINCT FROM min_old OR max_new IS DISTINCT FROM max_old) AS range_drift, " +
-      s"(abs(null_rate_new - null_rate_old) > $maxNullRateJump OR " +
-      s"abs(distinct_ratio_new - distinct_ratio_old) > $maxDistinctRatioJump OR " +
+      "(NOT coalesce(in_old, FALSE) OR NOT coalesce(in_new, FALSE) OR " +
+      s"coalesce(abs(null_rate_new - null_rate_old) > $maxNullRateJump, FALSE) OR " +
+      s"coalesce(abs(distinct_ratio_new - distinct_ratio_old) > $maxDistinctRatioJump, FALSE) OR " +
       "min_new IS DISTINCT FROM min_old OR max_new IS DISTINCT FROM max_old) AS drifted " +
-      "FROM old JOIN new USING (\"column\")"
+      "FROM old FULL JOIN new USING (\"column\")"
   }
 
   /** Population stability index over FIXED bin edges — the standard
@@ -347,14 +366,30 @@ object Quality {
     * persistable BASELINE artifact of the drift watch: compute once
     * over the reference corpus, write the ≤ edges+1 rows, and feed
     * [[psiFromBaseline]] forever after without rescanning the
-    * reference. Output: (bin, n). */
+    * reference. Output: (bin, n). Exclusions: NULL values (their
+    * drift belongs to [[profileDiff]]'s null rate) and, for
+    * float/double columns, NaN — engine NaN-ordering semantics would
+    * otherwise silently land NaN in the top bin (Spark and DuckDB
+    * both order NaN above all values), skewing PSI with a value that
+    * is missing data, not a distribution shift. The SQL mirrors
+    * ([[psiSql]]/[[psiByGroupSql]]) apply the same guard. */
   def binCounts(df: DataFrame, c: String, edges: Seq[Double]): DataFrame = {
     requireEdges(edges)
-    df.where(col(c).isNotNull)
+    df.where(binnableValues(df, c))
       .select(edges.map(e => when(col(c) >= lit(e), 1L).otherwise(0L))
         .reduce(_ + _).as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("n"))
   }
+
+  /** NULL- and (for float columns) NaN-excluding bin filter shared by
+    * the PSI counters. */
+  private def binnableValues(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.DoubleType |
+          org.apache.spark.sql.types.FloatType =>
+        col(c).isNotNull && !isnan(col(c))
+      case _ => col(c).isNotNull
+    }
 
   def psi(oldDf: DataFrame, newDf: DataFrame, c: String,
       edges: Seq[Double]): DataFrame =
@@ -364,16 +399,32 @@ object Quality {
     * production shape: the old side costs a ≤ bins-row read, only the
     * new side is scanned. `psi(old, new, …)` is DEFINED as
     * `psiFromBaseline(binCounts(old, …), new, …)`, so the flavors
-    * cannot drift. */
+    * cannot drift.
+    *
+    * The baseline artifact is VALIDATED in-plan: a baseline row whose
+    * bin falls outside [0, edges.size] (an artifact built with a
+    * different edge list than the one passed here) raises a descriptive
+    * error instead of silently dropping off the spine's left join and
+    * losing baseline mass — a plausible-but-wrong PSI was the failure
+    * mode. The check is a per-row expression on the ≤ bins-row
+    * artifact (no driver action), so it composes into streaming
+    * drift-watch plans unchanged. */
   def psiFromBaseline(oldCounts: DataFrame, newDf: DataFrame, c: String,
       edges: Seq[Double]): DataFrame = {
     requireEdges(edges)
     val nb = edges.size + 1
     val spine = newDf.sparkSession.range(nb.toLong)
       .select(col("id").as("bin"))
+    val oldChecked = oldCounts.select(
+      when(col("bin") < 0L || col("bin") >= nb.toLong,
+        raise_error(concat(
+          lit(s"psiFromBaseline: baseline bin outside [0, ${nb - 1}] — " +
+            "artifact built with different edges? bin="),
+          col("bin").cast("string"))))
+        .otherwise(col("bin")).as("bin"),
+      col("n").as("n_old"))
     val joined = spine
-      .join(oldCounts.select(col("bin"), col("n").as("n_old")),
-        Seq("bin"), "left")
+      .join(oldChecked, Seq("bin"), "left")
       .join(binCounts(newDf, c, edges)
         .select(col("bin"), col("n").as("n_new")), Seq("bin"), "left")
       .select(col("bin"),
@@ -417,7 +468,7 @@ object Quality {
     requireEdges(edges)
     val nb = edges.size + 1
     def counts(df: DataFrame, alias: String) = df
-      .where(col(c).isNotNull && col(groupCol).isNotNull)
+      .where(binnableValues(df, c) && col(groupCol).isNotNull)
       .select(col(groupCol).as("g"),
         edges.map(e => when(col(c) >= lit(e), 1L).otherwise(0L))
           .reduce(_ + _).as("bin"))
@@ -462,7 +513,9 @@ object Quality {
     def side(tag: String, from: String) =
       s"${tag}c AS (SELECT $groupExpr AS g, $binExpr AS bin, " +
         s"count(*) AS n_$tag FROM $from " +
-        s"WHERE $valueExpr IS NOT NULL AND $groupExpr IS NOT NULL " +
+        s"WHERE $valueExpr IS NOT NULL " +
+        s"AND NOT isnan(CAST($valueExpr AS DOUBLE)) " +
+        s"AND $groupExpr IS NOT NULL " +
         "GROUP BY 1, 2)"
     s"WITH ${side("old", oldFrom)}, ${side("new", newFrom)}, " +
       "groups AS (SELECT DISTINCT g FROM " +
@@ -500,7 +553,8 @@ object Quality {
       .mkString("(", " + ", ")")
     def side(tag: String, from: String) =
       s"${tag}c AS (SELECT $binExpr AS bin, count(*) AS n_$tag " +
-        s"FROM $from WHERE $valueExpr IS NOT NULL GROUP BY 1)"
+        s"FROM $from WHERE $valueExpr IS NOT NULL " +
+        s"AND NOT isnan(CAST($valueExpr AS DOUBLE)) GROUP BY 1)"
     s"WITH ${side("old", oldFrom)}, ${side("new", newFrom)}, " +
       s"spine AS (SELECT unnest(range($nb)) AS bin), " +
       "j AS (SELECT spine.bin, coalesce(n_old, 0) AS n_old, " +

@@ -1262,7 +1262,9 @@ object Similarity {
     * stack.
     *
     * Each leg is (name, frame with (idCol, rankCol)) — ranks 1-based
-    * within that leg's own top-K window. Contributions fold in
+    * within that leg's own top-K window. A duplicated id within a leg
+    * is collapsed to its best (min) rank before fusing, so each leg
+    * contributes at most one term per id. Contributions fold in
     * LEG-NAME-SORTED order (the ordered-fold convention), so the
     * double-precision sum is bit-identical in any engine computing the
     * same divisions: 1/(k0+rank) is one correctly-rounded IEEE divide,
@@ -1283,10 +1285,17 @@ object Similarity {
     require(legs.map(_._1).distinct.size == legs.size,
       "rrfFuse: duplicate leg names")
     require(topN >= 1 && k0 >= 0, s"rrfFuse: bad topN=$topN k0=$k0")
+    // a leg frame is not trusted to carry unique ids: a duplicated
+    // (id, rank) would otherwise contribute 1/(k0+rank) twice while
+    // rank_<leg> showed a single rank — silently inflating that doc.
+    // Dedupe to the BEST (min) rank per (leg, id) first; the frames
+    // are output-window-sized (Σ legs·K rows), so the extra aggregate
+    // is bounded by the shortlist, never the corpus.
     val tagged = legs.map { case (name, df) =>
       df.select(col(idCol), lit(name).as("__leg"),
         col(rankCol).cast("long").as("__r"))
     }.reduce(_ unionByName _)
+      .groupBy(col(idCol), col("__leg")).agg(min(col("__r")).as("__r"))
     val rankCols = legs.map(_._1).sorted.map { name =>
       max(when(col("__leg") === name, col("__r"))).as(s"rank_$name")
     }

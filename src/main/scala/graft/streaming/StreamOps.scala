@@ -649,11 +649,16 @@ object StreamOps {
     implicit val stateEnc: Encoder[ReservoirState] =
       Encoders.product[ReservoirState]
     implicit val keyEnc: Encoder[String] = Encoders.STRING
-    val scored = stream.select(
-      col(groupCol).cast("string"),
-      col(idCol).cast("long"),
-      col(weightCol).cast("double"),
-      graft.operators.Packing.priorityCol(col(idCol), col(weightCol), salt))
+    // same weight hygiene as the batch sampler (NULL/negative weights
+    // are outside the DLT estimator's contract) — keeps the
+    // prefix-union == batch-sampler equivalence exact on dirty input
+    val scored = stream
+      .where(col(weightCol).isNotNull && col(weightCol).cast("double") >= 0)
+      .select(
+        col(groupCol).cast("string"),
+        col(idCol).cast("long"),
+        col(weightCol).cast("double"),
+        graft.operators.Packing.priorityCol(col(idCol), col(weightCol), salt))
       .as[(String, Long, Double, Double)]
     scored.groupByKey(_._1)
       .flatMapGroupsWithState[ReservoirState, ReservoirOut](

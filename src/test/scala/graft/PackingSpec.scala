@@ -552,6 +552,23 @@ class PackingSpec extends SparkSpec {
     val picked = Packing.prioritySample(mixed, "id", "w", 10)
       .select(col("id")).as[Long].collect().toSet
     assert(picked === (61L to 70L).toSet)
+    // NULL and negative weights are outside the DLT contract: they are
+    // excluded up front, never padding an undersized sample with
+    // w_hat <= 0 or NULL-priority rows
+    val dirty = (Seq((1L, Option(5L)), (2L, Option(3L)),
+      (3L, None), (4L, Option(-7L))) ++
+      (5L to 8L).map(i => (i, Option(-1L)))).toDF("id", "w")
+    val kept = Packing.prioritySample(dirty, "id", "w", 10).collect()
+    assert(kept.map(_.getAs[Long]("id")).toSet === Set(1L, 2L),
+      "only nonnegative-weight rows are eligible")
+    kept.foreach { r =>
+      assert(r.getAs[Double]("w_hat") >= 0.0)
+      assert(r.getAs[Double]("tau") === 0.0) // 2 survivors <= k
+    }
+    val keptG = Packing.prioritySampleByGroup(
+      dirty.withColumn("g", lit("s")), "g", "id", "w", 10)
+      .select(col("id")).as[Long].collect().toSet
+    assert(keptG === Set(1L, 2L))
     // reserved output column guard
     assertThrows[IllegalArgumentException] {
       Packing.prioritySample(tiny.withColumnRenamed("id", "tau"),

@@ -145,8 +145,10 @@ class QualitySpec extends SparkSpec {
       Quality.profile(today, Seq("id", "s", "v")),
       maxNullRateJump = 0.1, maxDistinctRatioJump = 0.1)
       .collect().map(r => r.getString(0) ->
-        ((r.getBoolean(5), r.getBoolean(6), r.getBoolean(7),
-          r.getBoolean(8)))).toMap
+        ((r.getAs[Boolean]("null_drift"),
+          r.getAs[Boolean]("cardinality_drift"),
+          r.getAs[Boolean]("range_drift"),
+          r.getAs[Boolean]("drifted")))).toMap
     assert(diff("id") === ((false, false, false, false)))
     assert(diff("s") === ((true, true, true, true))) // d -> c max shift too
     assert(diff("v") === ((false, true, true, true)))
@@ -158,8 +160,38 @@ class QualitySpec extends SparkSpec {
       Quality.profile(yesterday, Seq("v")),
       Quality.profile(gone, Seq("v")), 2.0, 2.0)
       .collect().head
-    assert(d2.getBoolean(7) === true, "range_drift on vanished column")
-    assert(d2.getBoolean(8) === true)
+    assert(d2.getAs[Boolean]("range_drift") === true,
+      "range_drift on vanished column")
+    assert(d2.getAs[Boolean]("drifted") === true)
+  }
+
+  test("profileDiff: a column that appears or vanishes between " +
+      "snapshots is a drifted row, not a silently-missing one") {
+    val yesterday = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val today = Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+    val diff = Quality.profileDiff(
+      Quality.profile(yesterday, Seq("id", "s")),
+      Quality.profile(today, Seq("id", "v")),
+      maxNullRateJump = 0.5, maxDistinctRatioJump = 0.5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(diff.keySet === Set("id", "s", "v"),
+      "full outer join: every column from either side gets a row")
+    // vanished column: present old-side only, always drifted
+    val s = diff("s")
+    assert(s.getAs[Boolean]("in_old") && !s.getAs[Boolean]("in_new"))
+    assert(s.getAs[Boolean]("drifted"))
+    // appeared column: present new-side only, always drifted
+    val v = diff("v")
+    assert(!v.getAs[Boolean]("in_old") && v.getAs[Boolean]("in_new"))
+    assert(v.getAs[Boolean]("drifted"))
+    // the jump booleans on a one-sided row are false (not null) —
+    // presence carries the drift, comparisons stay two-valued
+    assert(!s.getAs[Boolean]("null_drift") &&
+      !s.getAs[Boolean]("cardinality_drift"))
+    // shared, unchanged column stays quiet
+    val id = diff("id")
+    assert(id.getAs[Boolean]("in_old") && id.getAs[Boolean]("in_new"))
+    assert(!id.getAs[Boolean]("drifted"))
   }
 
   test("profileShard/mergeProfileShards: exact fields survive any " +
@@ -253,6 +285,42 @@ class QualitySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
     assert(replayed === direct)
+
+    // a baseline built with MORE edges than the ones passed in has
+    // bins beyond the spine — that artifact mismatch must raise, not
+    // silently drop baseline mass off the left join
+    val wideBaseline =
+      Quality.binCounts(old_, "x", Seq(5.0, 10.0, 15.0, 20.0))
+    val err = intercept[Exception] {
+      Quality.psiFromBaseline(wideBaseline, new_, "x", Seq(10.0, 20.0))
+        .collect()
+    }
+    assert(err.getMessage.contains("baseline bin outside"),
+      s"expected the artifact-mismatch raise, got: ${err.getMessage}")
+  }
+
+  test("binCounts/psi: NaN values are excluded like NULL, not binned " +
+      "into the top bucket by NaN-ordering semantics") {
+    val edges = Seq(10.0, 20.0)
+    val clean = Seq(5.0, 15.0, 25.0).toDF("x")
+    val dirty = Seq(5.0, 15.0, 25.0, Double.NaN, Double.NaN).toDF("x")
+    val cleanCounts = Quality.binCounts(clean, "x", edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dirtyCounts = Quality.binCounts(dirty, "x", edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dirtyCounts === cleanCounts,
+      "NaN rows must not land in any bin (they would hit the top bin " +
+        "via NaN > everything ordering)")
+    // grouped flavor applies the same guard
+    val dirtyG = Seq(("a", 5.0), ("a", Double.NaN), ("b", 25.0))
+      .toDF("g", "x")
+    val psiG = Quality.psiByGroup(dirtyG, dirtyG, "x", "g", edges)
+      .filter(col("bin") =!= lit(-1L))
+    val totals = psiG.groupBy(col("g"))
+      .agg(sum(col("n_old")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(totals === Map("a" -> 1L, "b" -> 1L),
+      "per-group bin totals count only non-NaN values")
   }
 
   test("orphanRate: nulls are incomplete not orphaned, duplicate " +

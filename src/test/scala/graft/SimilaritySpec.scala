@@ -757,4 +757,23 @@ class SimilaritySpec extends SparkSpec {
       Similarity.rrfFuse(Seq("x" -> a, "x" -> b), "id", "r", 5)
     }
   }
+
+  test("rrfFuse: a duplicated id within a leg contributes its best " +
+      "rank once, never a double score") {
+    val clean = Seq((1L, 1L), (2L, 2L)).toDF("id", "r")
+    // dirty leg: id 1 appears at ranks 1 AND 3 (an upstream bug the
+    // fuser must not amplify — pre-fix it summed both terms while
+    // rank_dirty showed only max(rank))
+    val dirty = Seq((1L, 1L), (1L, 3L), (2L, 2L)).toDF("id", "r")
+    val fusedDirty = Similarity.rrfFuse(Seq("leg" -> dirty), "id", "r",
+      topN = 10).collect()
+    val fusedClean = Similarity.rrfFuse(Seq("leg" -> clean), "id", "r",
+      topN = 10).collect()
+    def byId(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("rank_leg"), r.getAs[Double]("rrf")))).toMap
+    assert(byId(fusedDirty) === byId(fusedClean),
+      "dedupe to min rank: the dup row must change nothing")
+    assert(byId(fusedDirty)(1L) === ((1L, 1.0 / 61)))
+  }
 }
