@@ -1941,6 +1941,71 @@ object SparkEntry {
             .as("phash_stable"),
           (abs(col("__lo") - col("__lj")) <= 1.0).as("luma_within"))
     }),
+    "media_audio_features" -> ((s, d) =>
+      // REAL audio decode: synthesize a WAV blob per doc (RIFF/PCM16,
+      // id-derived length, planted silence blocks), parse it with the
+      // chunk-walking RIFF reader, and reduce the DECODED samples to
+      // clip features. The oracle recomputes every sum from the sample
+      // formula without touching the bytes — a header-offset,
+      // endianness, or sign bug breaks the hash match
+      Audio.audioFeatures(s,
+          Audio.synthesizeWav(s, t(s, d, "documents"), "doc_id").toDF)
+        .toDF.select(col("media_id"), col("sample_rate"), col("n_samples"),
+          col("duration_ms"), col("peak"), col("n_zero_cross"),
+          col("sum_abs"), col("sum_sq"), col("mean_abs"), col("rms"))),
+    "media_audio_silence" -> ((s, d) =>
+      // VAD baseline: maximal quiet runs (|s| < 100) at least 40
+      // samples long over the decoded stream. The synthesizer plants
+      // exact-zero 50-sample blocks; the detector must find them (plus
+      // any deterministic quiet-noise extensions) at the right offsets
+      Audio.silenceSegments(s,
+          Audio.synthesizeWav(s, t(s, d, "documents"), "doc_id").toDF,
+          threshold = 100, minRun = 40)
+        .toDF.select(col("media_id"), col("seg_idx"), col("start_idx"),
+          col("n"))),
+    "media_audio_resample" -> ((s, d) =>
+      // decode → decimate ×4 → re-encode at 2 kHz → decode AGAIN and
+      // feature the result: the full codec round trip under a kernel,
+      // oracle replaying the decimated formula (sample j reads source
+      // index 4j)
+      Audio.audioFeatures(s,
+          Audio.resampleWav(s,
+            Audio.synthesizeWav(s, t(s, d, "documents"), "doc_id").toDF,
+            factor = 4).toDF)
+        .toDF.select(col("media_id"), col("sample_rate"), col("n_samples"),
+          col("duration_ms"), col("peak"), col("n_zero_cross"),
+          col("sum_abs"), col("sum_sq"), col("mean_abs"), col("rms"))),
+    "media_video_frames" -> ((s, d) =>
+      // REAL multi-frame decode: GVID clips (id-derived dims, 4-6
+      // frames, planted scene structure) parsed by the container
+      // walker, per-frame integer features — the frame-explode shape
+      // (F rows per clip). Oracle replays the frame formula per pixel
+      Video.videoFrameFeatures(s,
+          Video.synthesizeGvid(s, t(s, d, "documents"), "doc_id").toDF)
+        .toDF.select(col("media_id"), col("frame_idx"), col("width"),
+          col("height"), col("px_sum"), col("mean_luma"))),
+    "media_video_scenes" -> ((s, d) =>
+      // shot-boundary detection: Σ|Δchannel| between consecutive
+      // decoded frames, cut when the mean per-channel change exceeds 8
+      // gray levels. The fixture makes this EXACT: in-scene frames
+      // differ by +1 per channel, boundaries by ≥ 51 — so is_cut must
+      // reproduce the planted scene structure precisely
+      Video.sceneChanges(s,
+          Video.synthesizeGvid(s, t(s, d, "documents"), "doc_id").toDF,
+          meanDiffThr = 8)
+        .toDF.select(col("media_id"), col("frame_idx"), col("diff_sum"),
+          col("n_ch"), col("is_cut"))),
+    "media_video_keyframes" -> ((s, d) =>
+      // keyframe sampling: frame 0 + the first frame of every detected
+      // shot, stamped with the shot ordinal. The oracle derives
+      // keyframes from the PLANTED structure (f % sceneLen = 0), so the
+      // detector must recover ground truth exactly, and the px_sum
+      // proves the right frame block was decoded for each keyframe
+      Video.keyframes(s,
+          Video.synthesizeGvid(s, t(s, d, "documents"), "doc_id").toDF,
+          meanDiffThr = 8)
+        .toDF.select(col("media_id"), col("frame_idx"), col("scene_idx"),
+          col("px_sum"))),
 
     // --- incremental table maintenance (§2 gap-fill: the reference's
     // sink is append-only, but a maintained 100 TB corpus needs MERGE /
@@ -3919,6 +3984,71 @@ object SparkEntry {
         "CAST(6 + doc_id % 4 AS BIGINT) AS height, true AS dims_match, " +
         "true AS phash_stable, true AS luma_within " +
         "FROM documents WHERE doc_id < 100"),
+    // audio oracles: replay the WAV synthesizer's sample formula —
+    // sample i of clip id is 0 in every third 50-block, else
+    // (id·37 + i·11 + i²%193) % 4001 − 2000 — never touching the
+    // encoded bytes. Exact integer sums, raw divisions, one
+    // correctly-rounded sqrt (bit-identical across engines)
+    "media_audio_features" ->
+      ("WITH m AS (SELECT doc_id AS media_id, doc_id AS base, CAST(400 + (doc_id % 7) * 40 AS BIGINT) AS n FROM documents), " +
+        "s AS (SELECT media_id, n, t.i AS i, CASE WHEN (t.i // 50) % 3 = 2 THEN 0 ELSE (base*37 + t.i*11 + (t.i*t.i) % 193) % 4001 - 2000 END AS v " +
+        "FROM m, LATERAL (SELECT unnest(range(0, m.n)) AS i) t), " +
+        "f AS (SELECT media_id, max(n) AS n, CAST(max(abs(v)) AS BIGINT) AS peak, CAST(sum(abs(v)) AS BIGINT) AS sum_abs, CAST(sum(v*v) AS BIGINT) AS sum_sq FROM s GROUP BY media_id), " +
+        "z AS (SELECT media_id, CAST(count(*) FILTER (WHERE (v > 0 AND prev < 0) OR (v < 0 AND prev > 0)) AS BIGINT) AS n_zero_cross " +
+        "FROM (SELECT media_id, v, lag(v) OVER (PARTITION BY media_id ORDER BY i) AS prev FROM s) GROUP BY media_id) " +
+        "SELECT f.media_id, CAST(8000 AS BIGINT) AS sample_rate, f.n AS n_samples, (f.n * 1000) // 8000 AS duration_ms, " +
+        "f.peak, z.n_zero_cross, f.sum_abs, f.sum_sq, f.sum_abs / CAST(f.n AS DOUBLE) AS mean_abs, sqrt(f.sum_sq / CAST(f.n AS DOUBLE)) AS rms " +
+        "FROM f JOIN z USING (media_id)"),
+    // silence oracle: run detection over the replayed samples via the
+    // gaps-and-islands grouping (i − row_number within quiet rows)
+    "media_audio_silence" ->
+      ("WITH m AS (SELECT doc_id AS media_id, doc_id AS base, CAST(400 + (doc_id % 7) * 40 AS BIGINT) AS n FROM documents), " +
+        "s AS (SELECT media_id, t.i AS i, CASE WHEN (t.i // 50) % 3 = 2 THEN 0 ELSE (base*37 + t.i*11 + (t.i*t.i) % 193) % 4001 - 2000 END AS v " +
+        "FROM m, LATERAL (SELECT unnest(range(0, m.n)) AS i) t), " +
+        "r AS (SELECT media_id, i, i - row_number() OVER (PARTITION BY media_id ORDER BY i) AS grp FROM s WHERE abs(v) < 100), " +
+        "g AS (SELECT media_id, min(i) AS start_idx, CAST(count(*) AS BIGINT) AS n FROM r GROUP BY media_id, grp HAVING count(*) >= 40) " +
+        "SELECT media_id, CAST(row_number() OVER (PARTITION BY media_id ORDER BY start_idx) - 1 AS BIGINT) AS seg_idx, start_idx, n FROM g"),
+    // resample oracle: decimated sample j reads source index 4j; clip
+    // length becomes ceil(n/4), rate 2000
+    "media_audio_resample" ->
+      ("WITH m AS (SELECT doc_id AS media_id, doc_id AS base, (CAST(400 + (doc_id % 7) * 40 AS BIGINT) + 3) // 4 AS n FROM documents), " +
+        "s AS (SELECT media_id, n, t.j*4 AS i, CASE WHEN ((t.j*4) // 50) % 3 = 2 THEN 0 ELSE (base*37 + (t.j*4)*11 + ((t.j*4)*(t.j*4)) % 193) % 4001 - 2000 END AS v " +
+        "FROM m, LATERAL (SELECT unnest(range(0, m.n)) AS j) t), " +
+        "f AS (SELECT media_id, max(n) AS n, CAST(max(abs(v)) AS BIGINT) AS peak, CAST(sum(abs(v)) AS BIGINT) AS sum_abs, CAST(sum(v*v) AS BIGINT) AS sum_sq FROM s GROUP BY media_id), " +
+        "z AS (SELECT media_id, CAST(count(*) FILTER (WHERE (v > 0 AND prev < 0) OR (v < 0 AND prev > 0)) AS BIGINT) AS n_zero_cross " +
+        "FROM (SELECT media_id, v, lag(v) OVER (PARTITION BY media_id ORDER BY i) AS prev FROM s) GROUP BY media_id) " +
+        "SELECT f.media_id, CAST(2000 AS BIGINT) AS sample_rate, f.n AS n_samples, (f.n * 1000) // 2000 AS duration_ms, " +
+        "f.peak, z.n_zero_cross, f.sum_abs, f.sum_sq, f.sum_abs / CAST(f.n AS DOUBLE) AS mean_abs, sqrt(f.sum_sq / CAST(f.n AS DOUBLE)) AS rms " +
+        "FROM f JOIN z USING (media_id)"),
+    // video oracles: replay the GVID synthesizer's channel formula —
+    // channel i of frame f is ((id·31 + (f÷L)·53 + i·7 + i²%97) % 251)
+    // + f%L with L the id-derived scene length — never touching bytes
+    "media_video_frames" ->
+      ("WITH m AS (SELECT doc_id AS media_id, doc_id AS base, CAST(8 + doc_id % 5 AS BIGINT) AS w, CAST(6 + doc_id % 4 AS BIGINT) AS h, " +
+        "CAST(4 + doc_id % 3 AS BIGINT) AS nf, CAST(2 + doc_id % 2 AS BIGINT) AS sl FROM documents), " +
+        "v AS (SELECT media_id, w, h, fr.f AS f, t.i % 3 AS c, ((base*31 + (fr.f // sl)*53 + t.i*7 + (t.i*t.i) % 97) % 251) + fr.f % sl AS v " +
+        "FROM m, LATERAL (SELECT unnest(range(0, m.nf)) AS f) fr, LATERAL (SELECT unnest(range(0, m.w*m.h*3)) AS i) t) " +
+        "SELECT media_id, f AS frame_idx, w AS width, h AS height, CAST(sum(v) AS BIGINT) AS px_sum, " +
+        "sum(CASE c WHEN 0 THEN 2126*v WHEN 1 THEN 7152*v ELSE 722*v END) / (10000.0 * (w*h)) AS mean_luma " +
+        "FROM v GROUP BY media_id, f, w, h"),
+    "media_video_scenes" ->
+      ("WITH m AS (SELECT doc_id AS media_id, doc_id AS base, CAST(8 + doc_id % 5 AS BIGINT) AS w, CAST(6 + doc_id % 4 AS BIGINT) AS h, " +
+        "CAST(4 + doc_id % 3 AS BIGINT) AS nf, CAST(2 + doc_id % 2 AS BIGINT) AS sl FROM documents), " +
+        "d AS (SELECT media_id, w, h, fr.f AS f, " +
+        "abs((((base*31 + (fr.f // sl)*53 + t.i*7 + (t.i*t.i) % 97) % 251) + fr.f % sl) - " +
+        "(((base*31 + ((fr.f-1) // sl)*53 + t.i*7 + (t.i*t.i) % 97) % 251) + (fr.f-1) % sl)) AS ad " +
+        "FROM m, LATERAL (SELECT unnest(range(1, m.nf)) AS f) fr, LATERAL (SELECT unnest(range(0, m.w*m.h*3)) AS i) t) " +
+        "SELECT media_id, f AS frame_idx, CAST(sum(ad) AS BIGINT) AS diff_sum, w*h*3 AS n_ch, sum(ad) > 8*w*h*3 AS is_cut " +
+        "FROM d GROUP BY media_id, f, w, h"),
+    // keyframe oracle derives from the PLANTED structure (a shot starts
+    // exactly where f % L = 0) — the detector must recover ground truth
+    "media_video_keyframes" ->
+      ("WITH m AS (SELECT doc_id AS media_id, doc_id AS base, CAST(8 + doc_id % 5 AS BIGINT) AS w, CAST(6 + doc_id % 4 AS BIGINT) AS h, " +
+        "CAST(4 + doc_id % 3 AS BIGINT) AS nf, CAST(2 + doc_id % 2 AS BIGINT) AS sl FROM documents), " +
+        "k AS (SELECT media_id, base, w, h, sl, fr.f AS f FROM m, LATERAL (SELECT unnest(range(0, m.nf)) AS f) fr WHERE fr.f % sl = 0), " +
+        "v AS (SELECT media_id, f, sl, ((base*31 + (f // sl)*53 + t.i*7 + (t.i*t.i) % 97) % 251) + f % sl AS v " +
+        "FROM k, LATERAL (SELECT unnest(range(0, k.w*k.h*3)) AS i) t) " +
+        "SELECT media_id, f AS frame_idx, f // sl AS scene_idx, CAST(sum(v) AS BIGINT) AS px_sum FROM v GROUP BY media_id, f, sl"),
     // the sketch queries gate through IN-PLAN tolerance booleans (the
     // estimates themselves are engine-specific; the exact counts and
     // the ≤3σ agreement are not) — every query is oracle-checked
