@@ -188,6 +188,11 @@ object SparkEntry {
     * 10 per source in the stratified flavor. */
   val PrioritySampleK = 50
   val PrioritySampleGroupK = 10
+  /** DSIR importance-resampling parameters: hashed-ngram bucket count
+    * and resample size (buckets small enough that the model oracle is
+    * readable, large enough that collisions don't flatten the LLRs). */
+  val DsirBuckets = 1024
+  val DsirSampleK = 50
   /** Sequence-packing parameters (token budget per pack, hash groups). */
   val PackBudget = 256L
   val PackGroups = 32
@@ -1346,6 +1351,36 @@ object SparkEntry {
       // arrivals with the same math (TextAnalysisSpec)
       TextAnalysis.nbQualityScorePortable(
         gopherLabeledDocs(s, d), "doc_id", "text", "keep")),
+    "text_dsir_model" -> ((s, d) => {
+      // DSIR fit, inspectable half: exact hashed-ngram bucket counts
+      // (unigrams + bigrams, md5-uniform buckets) of the TARGET
+      // distribution (the English slice) vs the RAW corpus — pure
+      // integers, ≤ DsirBuckets rows however large the corpus
+      val docs = t(s, d, "documents")
+      Dsir.dsirCounts(docs.filter(col("lang") === "en"), docs, "text",
+        DsirBuckets)
+    }),
+    "text_dsir_score" -> ((s, d) => {
+      // DSIR scoring: per-doc log importance weight Σ λ_bucket under
+      // the frozen hashed-ngram model (target = English slice, raw =
+      // whole corpus). Portable ordered fold, round(.,4) — the NB
+      // scoring convention
+      val docs = t(s, d, "documents")
+      Dsir.dsirScorePortable(docs,
+          Dsir.dsirModel(docs.filter(col("lang") === "en"), docs, "text",
+            DsirBuckets), "doc_id", "text", DsirBuckets)
+        .select(col("doc_id"), col("n_features"), col("log_w"))
+    }),
+    "text_dsir_sample" -> ((s, d) => {
+      // DSIR selection: Gumbel top-k on log_w + g_id — k docs without
+      // replacement ∝ importance weight, deterministic in ids (the
+      // priority-sampling convention lifted to importance weights).
+      // One bounded-heap top-k; rank over the ≤ k survivor frame
+      val docs = t(s, d, "documents")
+      Dsir.dsirResample(docs,
+        Dsir.dsirModel(docs.filter(col("lang") === "en"), docs, "text",
+          DsirBuckets), "doc_id", "text", DsirBuckets, DsirSampleK)
+    }),
     "text_line_dedup" -> ((s, d) =>
       // the synthetic corpus has no newlines, so the delimiter is the
       // word boundary — same operator, line granularity is a parameter
@@ -3143,6 +3178,42 @@ object SparkEntry {
         "(SELECT prior FROM dt) + list_aggregate(list_sort(list(llr)), 'sum') AS lo FROM i GROUP BY doc_id) " +
         "SELECT doc_id, n_tokens, CAST(0 AS BIGINT) AS n_oov, " +
         "round(lo, 4) AS log_odds, lo > 0 AS predicted_keep FROM sc"),
+    // DSIR oracles: hashed unigram+bigram features (md5-uniform mod
+    // 1024 — the minhash bucket convention), exact integer counts for
+    // the fit; λ and Gumbel keys take ln() of bit-identical integer-
+    // derived doubles with ordered folds + round(.,4) (the NB scoring
+    // convention)
+    "text_dsir_model" ->
+      (s"WITH tok AS (SELECT doc_id, lang, regexp_extract_all($normSql, '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS ts FROM documents), " +
+        "uni AS (SELECT doc_id, lang, unnest(ts) AS feat FROM tok), " +
+        "bi AS (SELECT doc_id, lang, ts[t.i] || ' ' || ts[t.i + 1] AS feat FROM tok, LATERAL (SELECT unnest(range(1, len(ts))) AS i) t), " +
+        "fb AS (SELECT doc_id, lang, CAST('0x' || substr(md5(feat), 1, 15) AS BIGINT) % 1024 AS b FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)) " +
+        "SELECT b AS bucket, CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_target, " +
+        "CAST(count(*) AS BIGINT) AS n_raw FROM fb GROUP BY b"),
+    "text_dsir_score" ->
+      (s"WITH tok AS (SELECT doc_id, lang, regexp_extract_all($normSql, '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS ts FROM documents), " +
+        "uni AS (SELECT doc_id, lang, unnest(ts) AS feat FROM tok), " +
+        "bi AS (SELECT doc_id, lang, ts[t.i] || ' ' || ts[t.i + 1] AS feat FROM tok, LATERAL (SELECT unnest(range(1, len(ts))) AS i) t), " +
+        "fb AS (SELECT doc_id, lang, CAST('0x' || substr(md5(feat), 1, 15) AS BIGINT) % 1024 AS b FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)), " +
+        "tt AS (SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS r FROM fb), " +
+        "m AS (SELECT b, (ln(CAST(nt + 1 AS DOUBLE)) - ln(CAST(t + 1024 AS DOUBLE))) - (ln(CAST(nr + 1 AS DOUBLE)) - ln(CAST(r + 1024 AS DOUBLE))) AS lam " +
+        "FROM (SELECT b, CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nt, CAST(count(*) AS BIGINT) AS nr FROM fb GROUP BY b), tt), " +
+        "i AS (SELECT fb.doc_id, m.lam FROM fb JOIN m USING (b)) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features, " +
+        "round(list_aggregate(list_sort(list(lam)), 'sum'), 4) AS log_w FROM i GROUP BY doc_id"),
+    "text_dsir_sample" ->
+      (s"WITH tok AS (SELECT doc_id, lang, regexp_extract_all($normSql, '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS ts FROM documents), " +
+        "uni AS (SELECT doc_id, lang, unnest(ts) AS feat FROM tok), " +
+        "bi AS (SELECT doc_id, lang, ts[t.i] || ' ' || ts[t.i + 1] AS feat FROM tok, LATERAL (SELECT unnest(range(1, len(ts))) AS i) t), " +
+        "fb AS (SELECT doc_id, lang, CAST('0x' || substr(md5(feat), 1, 15) AS BIGINT) % 1024 AS b FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)), " +
+        "tt AS (SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS r FROM fb), " +
+        "m AS (SELECT b, (ln(CAST(nt + 1 AS DOUBLE)) - ln(CAST(t + 1024 AS DOUBLE))) - (ln(CAST(nr + 1 AS DOUBLE)) - ln(CAST(r + 1024 AS DOUBLE))) AS lam " +
+        "FROM (SELECT b, CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nt, CAST(count(*) AS BIGINT) AS nr FROM fb GROUP BY b), tt), " +
+        "i AS (SELECT fb.doc_id, m.lam FROM fb JOIN m USING (b)), " +
+        "sc AS (SELECT doc_id, list_aggregate(list_sort(list(lam)), 'sum') AS lw FROM i GROUP BY doc_id), " +
+        "g AS (SELECT doc_id, lw, lw - ln(-ln(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|dsir'), 1, 15) AS BIGINT) + 1 AS DOUBLE) / 1152921504606846976.0)) AS key FROM sc), " +
+        "rk AS (SELECT doc_id, lw, key, row_number() OVER (ORDER BY key DESC, doc_id) AS rn FROM g) " +
+        "SELECT doc_id, round(lw, 4) AS log_w, round(key, 4) AS sample_key, CAST(rn AS BIGINT) AS \"rank\" FROM rk WHERE rn <= 50"),
     "rel_profile" -> profileSql("events",
       Seq("event_id", "ts", "user_id", "event_type", "value", "props")),
     "text_chunks" -> chunksSql(chunkSize = 12, overlap = 4),
