@@ -2042,6 +2042,29 @@ object SparkEntry {
         .toDF.select(col("media_id"), col("frame_idx"), col("scene_idx"),
           col("px_sum"))),
 
+    // --- iterative graph analytics ---
+    "graph_pagerank" -> ((s, d) => {
+      // PageRank (GraphX staticPageRank semantics, 3 rounds, α=0.85,
+      // portable ordered folds — the link-reputation prior of web-
+      // corpus curation) over the trade graph: customer→supplier for
+      // every distinct order line, supplier→customer where the line
+      // was returned (cycles, so iteration genuinely propagates).
+      // Node ids: custkey·2 (even) / suppkey·2+1 (odd). Ranks are
+      // pure IEEE +,/,· — no libm — so raw doubles hash-match
+      val ol = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag")),
+          col("o_orderkey") === col("l_orderkey"))
+      val fwd = ol.select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+      val back = ol.filter(col("l_returnflag") === "R")
+        .select((col("l_suppkey") * 2 + 1).as("src"),
+          (col("o_custkey") * 2).as("dst")).distinct()
+      Graph.pageRank(fwd.unionByName(back), iters = 3, alpha = 0.85,
+        portable = true)
+    }),
+
     // --- incremental table maintenance (§2 gap-fill: the reference's
     // sink is append-only, but a maintained 100 TB corpus needs MERGE /
     // diff / log-replay / SCD2 — see operators/Incremental.scala) ---
@@ -4120,6 +4143,30 @@ object SparkEntry {
         "v AS (SELECT media_id, f, sl, ((base*31 + (f // sl)*53 + t.i*7 + (t.i*t.i) % 97) % 251) + f % sl AS v " +
         "FROM k, LATERAL (SELECT unnest(range(0, k.w*k.h*3)) AS i) t) " +
         "SELECT media_id, f AS frame_idx, f // sl AS scene_idx, CAST(sum(v) AS BIGINT) AS px_sum FROM v GROUP BY media_id, f, sl"),
+    // pagerank oracle: the 3 rounds unrolled as CTEs — 1/N, rank/deg,
+    // α-damping are all correctly-rounded IEEE ops on both engines, and
+    // the per-node in-sums use the ordered list fold, so raw doubles
+    // hash-match with no rounding anywhere (the RRF convention)
+    "graph_pagerank" -> {
+      val e = "SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+        "UNION ALL SELECT DISTINCT l_suppkey*2+1 AS src, o_custkey*2 AS dst " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey WHERE l_returnflag = 'R'"
+      def round(i: Int) =
+        s"c$i AS (SELECT e.dst AS node, r${i - 1}.rank / CAST(d.deg AS DOUBLE) AS c " +
+          s"FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node JOIN d ON e.src = d.src), " +
+          s"s$i AS (SELECT node, list_aggregate(list_sort(list(c)), 'sum') AS inr FROM c$i GROUP BY node), " +
+          s"r$i AS (SELECT nodes.node, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / CAST(n.n AS DOUBLE) " +
+          s"+ CAST(0.85 AS DOUBLE) * coalesce(s$i.inr, CAST(0 AS DOUBLE)) AS rank " +
+          s"FROM nodes CROSS JOIN n LEFT JOIN s$i ON nodes.node = s$i.node)"
+      s"WITH e AS ($e), " +
+        "nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)), " +
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes), " +
+        "d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src), " +
+        "r0 AS (SELECT node, CAST(1 AS DOUBLE) / CAST(n.n AS DOUBLE) AS rank FROM nodes CROSS JOIN n), " +
+        s"${round(1)}, ${round(2)}, ${round(3)} " +
+        "SELECT node, rank FROM r3"
+    },
     // the sketch queries gate through IN-PLAN tolerance booleans (the
     // estimates themselves are engine-specific; the exact counts and
     // the ≤3σ agreement are not) — every query is oracle-checked

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranksOf(edges: Seq[(Long, Long)], iters: Int = 3,
+      portable: Boolean = true): Map[Long, Double] =
+    Graph.pageRank(edges.toDF("src", "dst"), iters, portable = portable)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("a symmetric cycle is the uniform fixed point: every rank stays " +
+      "exactly 1/N through every round") {
+    val r = ranksOf(Seq((1L, 2L), (2L, 3L), (3L, 1L)), iters = 5)
+    // (1-a)/3 + a*(1/3)/1 = 1/3 EXACTLY in IEEE when rank is 1/3?
+    // not bit-exactly in general — assert tight numeric equality
+    r.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12, r))
+  }
+
+  test("a hub absorbing many spokes outranks them; spokes stay at the " +
+      "teleport floor") {
+    // 10 spokes all point at node 100; nobody points back
+    val edges = (1L to 10L).map(i => (i, 100L))
+    val r = ranksOf(edges)
+    val n = 11.0
+    assert(r(100L) > r(1L) * 5)
+    // a spoke has NO in-edges: rank = (1-α)/N exactly after round 1+
+    assert(r(1L) === (1.0 - 0.85) / n)
+    (1L to 10L).foreach(i => assert(r(i) === r(1L)))
+  }
+
+  test("dangling mass decays (GraphX semantics): total rank < 1 when a " +
+      "sink exists, and the sink still outranks its feeder") {
+    val r = ranksOf(Seq((1L, 2L)))  // 2 is a pure sink
+    assert(r.values.sum < 1.0)
+    assert(r(2L) > r(1L))
+  }
+
+  test("hand-computed two-round chain: ranks match the recurrence") {
+    // 1 -> 2 -> 3, N=3, α=0.85, start 1/3
+    val r = ranksOf(Seq((1L, 2L), (2L, 3L)), iters = 2)
+    val n = 3.0; val a = 0.85; val base = (1.0 - a) / n
+    val r1 = Map(1L -> base, 2L -> (base + a / n), 3L -> (base + a / n))
+    val expect2 = Map(
+      1L -> base,
+      2L -> (base + a * r1(1L)),
+      3L -> (base + a * r1(2L)))
+    expect2.foreach { case (k, v) => assert(math.abs(r(k) - v) < 1e-15) }
+  }
+
+  test("portable and algebraic flavors agree; portable is bit-stable " +
+      "under repartitioning") {
+    val edges = (for {
+      s <- 1L to 40L
+      d <- Seq(s % 7, (s * 3) % 11 + 20)
+      if s != d
+    } yield (s, d)).distinct
+    val p = ranksOf(edges, portable = true)
+    val alg = ranksOf(edges, portable = false)
+    p.foreach { case (k, v) => assert(math.abs(alg(k) - v) < 1e-12) }
+    val again = Graph.pageRank(
+      edges.toDF("src", "dst").repartition(7), 3, portable = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    p.foreach { case (k, v) => assert(again(k) === v) } // bit-exact
+  }
+
+  test("guards: bad iters/alpha fail at construction") {
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    intercept[IllegalArgumentException](Graph.pageRank(e, 0))
+    intercept[IllegalArgumentException](Graph.pageRank(e, 3, alpha = 1.0))
+  }
+}
