@@ -46,7 +46,12 @@ object Graph {
       portable: Boolean = false): DataFrame = {
     require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
     require(alpha > 0 && alpha < 1, s"pageRank: alpha out of (0,1): $alpha")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    // a NULL endpoint is a malformed edge, not a node: it would enter
+    // the node spine via distinct() yet never match the src equi-join —
+    // a phantom node holding teleport mass. Drop such edges up front.
+    val e = edges.select(col("src"), col("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint(true)
     try {
       val nodes = e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node")))

@@ -232,6 +232,29 @@ class AudioVideoSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(600))
   }
 
+  test("audio/video kernels run UNCHANGED on a live streaming frame " +
+      "(stateless mapPartitions — the arrival path needs no new code) " +
+      "and match the batch result exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val batchMedia = Audio.synthesizeWav(spark, ids(10), "doc_id").collect()
+    val in = MemoryStream[Multimodal.MediaRow]
+    val q = Audio.audioFeatures(spark, in.toDF())
+      .writeStream.format("memory").queryName("graft_av_stream")
+      .outputMode("append").start()
+    in.addData(batchMedia.take(6))
+    in.addData(batchMedia.drop(6))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("graft_av_stream")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("sum_abs"), r.getAs[Double]("rms"))).toMap
+    val batch = Audio.audioFeatures(spark,
+      Audio.synthesizeWav(spark, ids(10), "doc_id").toDF).collect()
+      .map(f => f.media_id -> ((f.sum_abs, f.rms))).toMap
+    assert(streamed === batch)
+  }
+
   test("audio/video payloads interop with the generic media operators " +
       "(chunking and exact payload dedup see them as opaque binaries)") {
     val wav = Audio.synthesizeWav(spark, ids(8), "doc_id", Some(4L)).toDF

@@ -66,6 +66,17 @@ class GraphSpec extends SparkSpec {
     p.foreach { case (k, v) => assert(again(k) === v) } // bit-exact
   }
 
+  test("NULL-endpoint edges are dropped, never become phantom nodes") {
+    val edges = Seq((java.lang.Long.valueOf(1L), java.lang.Long.valueOf(2L)),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(3L)),
+      (java.lang.Long.valueOf(4L), null.asInstanceOf[java.lang.Long]))
+      .toDF("src", "dst")
+    val r = Graph.pageRank(edges, 2).collect()
+      .map(x => Option(x.get(0)).map(_.asInstanceOf[Long]) -> x.getDouble(1))
+    // only nodes 1 and 2 exist; no null node row, N = 2
+    assert(r.map(_._1).toSet === Set(Some(1L), Some(2L)))
+  }
+
   test("guards: bad iters/alpha fail at construction") {
     val e = Seq((1L, 2L)).toDF("src", "dst")
     intercept[IllegalArgumentException](Graph.pageRank(e, 0))
