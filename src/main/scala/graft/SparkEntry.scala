@@ -1596,6 +1596,13 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
     }),
+    "sim_hard_negatives" -> ((s, d) => {
+      // contrastive-training negative mining: per anchor the 5 MOST
+      // similar vectors of a DIFFERENT label (exclusion fused into the
+      // join predicate — excluded pairs never reach scoring)
+      val emb = t(s, d, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10), 5)
+    }),
     "sim_nn_blocked" -> ((s, d) =>
       Similarity.nearestInBlock(t(s, d, "embeddings"), "vec_id", "embedding",
         "label")),
@@ -3930,6 +3937,14 @@ object SparkEntry {
         s"scored AS (SELECT q_id, n_id, ${cosSql("q_vec", "n_vec")} AS sim FROM q CROSS JOIN c WHERE n_id <> q_id), " +
         "ranked AS (SELECT q_id, n_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS \"rank\" FROM scored) " +
         "SELECT q_id, \"rank\", n_id, round(sim, 4) AS cosine_sim FROM ranked WHERE \"rank\" <= 5"),
+    // hard negatives: the knn oracle with the different-label predicate
+    // fused into the pair filter
+    "sim_hard_negatives" ->
+      ("WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label FROM embeddings WHERE vec_id < 10), " +
+        "c AS (SELECT vec_id AS n_id, embedding AS n_vec, label AS n_label FROM embeddings), " +
+        s"scored AS (SELECT q_id, n_id, n_label, ${cosSql("q_vec", "n_vec")} AS sim FROM q CROSS JOIN c WHERE n_id <> q_id AND n_label <> q_label), " +
+        "ranked AS (SELECT q_id, n_id, n_label, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS \"rank\" FROM scored) " +
+        "SELECT q_id, \"rank\", n_id, n_label, round(sim, 4) AS cosine_sim FROM ranked WHERE \"rank\" <= 5"),
     // sim_ann_recall oracle: the EXACT side replayed in full (same
     // ranking CTE as sim_knn_topk, folded to a count + rank-ordered
     // signature), facet booleans pinned true — the rel_approx_distinct

@@ -98,6 +98,40 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: per anchor, the
+    * `k` MOST similar corpus vectors whose label DIFFERS from the
+    * anchor's — the informative negatives a contrastive loss needs
+    * (random negatives are trivially separable; the near-but-wrong
+    * ones carry the gradient). Exact flavor: anchors broadcast (the
+    * bruteForceTopK shape — anchors are a bounded training batch, the
+    * corpus is the big side), label exclusion fused into the join
+    * predicate so excluded pairs never reach scoring, bounded-heap
+    * top-k. For corpus-scale anchor sets, probe a persisted IVF index
+    * instead (`ivfTopK`/`ivfPqProbeIndex` with an over-fetched k, then
+    * drop same-label rows — over-fetch because the filter prunes
+    * post-probe).
+    * Output: (q_id, rank, n_id, n_label, cosine_sim). */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val q = broadcast(anchors.select(col(idCol).as("q_id"),
+      col(vecCol).as("q_vec"), col(labelCol).as("q_label"),
+      VectorFns.norm2(col(vecCol)).as("q_norm")))
+    val scored = corpus.select(col(idCol).as("n_id"),
+        col(vecCol).as("n_vec"), col(labelCol).as("n_label"),
+        VectorFns.norm2(col(vecCol)).as("n_norm"))
+      .join(q, col("n_id") =!= col("q_id") &&
+        col("n_label") =!= col("q_label"))
+      .withColumn("sim", VectorFns.simDiv(
+        VectorFns.dot(col("q_vec"), col("n_vec")),
+        col("q_norm") * col("n_norm")))
+    rankTopK(scored, k)
+      .join(corpus.select(col(idCol).as("n_id"),
+        col(labelCol).as("n_label")), "n_id")
+      .select(col("q_id"), col("rank"), col("n_id"), col("n_label"),
+        col("cosine_sim"))
+  }
+
   /** Per-row nearest neighbor within a blocking key (e.g. a cluster
     * label or LSH bucket): the blocked form of all-pairs near-dup
     * detection. Join fan-out is bounded by the largest block, not n².

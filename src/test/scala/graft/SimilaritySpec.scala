@@ -31,6 +31,24 @@ class SimilaritySpec extends SparkSpec {
     assert(out.size === 2)
   }
 
+  test("hardNegatives excludes the anchor's OWN label even when it is " +
+      "the most similar vector, and ranks the rest by cosine") {
+    // anchor 0 (label a): vector 1 is its nearest neighbor but shares
+    // the label — a contrastive negative must NEVER be a positive
+    val out = Similarity.hardNegatives(vecs,
+      vecs.filter(col("vec_id") === 0), 3)
+      .select("rank", "n_id", "n_label").as[(Long, Long, String)]
+      .collect().sortBy(_._1)
+    assert(out.forall(_._3 === "b"))
+    assert(out.map(_._2).toSet === Set(3L, 4L))
+    // the different-label list is exactly the label-filtered knn
+    val knn = Similarity.bruteForceTopK(
+      vecs.filter(col("label") === "b"),
+      vecs.filter(col("vec_id") === 0), 3)
+      .select("rank", "n_id").as[(Long, Long)].collect().toMap
+    out.foreach { case (r, id, _) => assert(knn(r) === id) }
+  }
+
   test("nearestInBlock only pairs within the blocking key") {
     val out = Similarity.nearestInBlock(vecs, "vec_id", "embedding", "label")
       .select("vec_id", "nn_id").as[(Long, Long)].collect().toMap
