@@ -1165,6 +1165,12 @@ object SparkEntry {
       // lowest (doc_id, pos) occurrence
       TextAnalysis.dedupParagraphs(t(s, d, "documents"),
         "doc_id", "text", " ")),
+    "text_span_corrupt" -> ((s, d) =>
+      // T5-style span corruption: ~15% of tokens masked in 3-aligned
+      // maximal runs, <extra_id_K> sentinels in the input, masked
+      // tokens as the target — deterministic in (doc_id, pos), so a
+      // re-run regenerates byte-identical training pairs
+      TextAnalysis.spanCorrupt(t(s, d, "documents"), "doc_id", "text")),
     "text_window_dedup" -> ((s, d) =>
       // Lee et al.-style substring dedup: 8-token sliding windows,
       // first occurrence wins, covered tokens drop, kept spans merge
@@ -3208,6 +3214,26 @@ object SparkEntry {
         "(SELECT prior FROM dt) + list_aggregate(list_sort(list(llr)), 'sum') AS lo FROM i GROUP BY doc_id) " +
         "SELECT doc_id, n_tokens, CAST(0 AS BIGINT) AS n_oov, " +
         "round(lo, 4) AS log_odds, lo > 0 AS predicted_keep FROM sc"),
+    // span corruption: the mask decision, run grouping, sentinel
+    // numbering and both reassemblies replayed with windows + ordered
+    // string_agg — the mask is an md5-uniform of (doc, pos÷3), so both
+    // engines decide every position identically
+    "text_span_corrupt" ->
+      (s"WITH tok AS (SELECT doc_id, p.i - 1 AS pos, ts[p.i] AS tok FROM " +
+        s"(SELECT doc_id, regexp_extract_all($normSql, '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS ts FROM documents) d0, " +
+        "LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i) p), " +
+        "m AS (SELECT doc_id, pos, tok, CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|span|' || CAST(pos // 3 AS VARCHAR)), 1, 15) AS BIGINT) + 1 AS DOUBLE) / 1152921504606846976.0 < CAST(0.15 AS DOUBLE) AS msk FROM tok), " +
+        "s AS (SELECT *, msk AND NOT coalesce(lag(msk) OVER (PARTITION BY doc_id ORDER BY pos), FALSE) AS span_start FROM m), " +
+        "k AS (SELECT *, sum(CASE WHEN span_start THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS kk FROM s), " +
+        "pc AS (SELECT doc_id, pos, msk, span_start, " +
+        "CASE WHEN NOT msk THEN tok WHEN span_start THEN '<extra_id_' || CAST(kk AS VARCHAR) || '>' END AS ip, " +
+        "CASE WHEN msk THEN CASE WHEN span_start THEN '<extra_id_' || CAST(kk AS VARCHAR) || '> ' || tok ELSE tok END END AS tp FROM k) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(CASE WHEN msk THEN 1 ELSE 0 END) AS BIGINT) AS n_masked, " +
+        "CAST(sum(CASE WHEN span_start THEN 1 ELSE 0 END) AS BIGINT) AS n_spans, " +
+        "coalesce(string_agg(ip, ' ' ORDER BY pos) FILTER (WHERE ip IS NOT NULL), '') AS input_text, " +
+        "coalesce(string_agg(tp, ' ' ORDER BY pos) FILTER (WHERE tp IS NOT NULL), '') AS target_text " +
+        "FROM pc GROUP BY doc_id"),
     // DSIR oracles: hashed unigram+bigram features (md5-uniform mod
     // 1024 — the minhash bucket convention), exact integer counts for
     // the fit; λ and Gumbel keys take ln() of bit-identical integer-

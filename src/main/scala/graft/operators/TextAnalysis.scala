@@ -1269,6 +1269,64 @@ object TextAnalysis {
     filter(ws, (_, p) =>
       !exists(dupStarts, w0 => w0 <= p && p < w0 + k))
 
+  /** T5/UL2-style span corruption — the pretraining-TARGET generator:
+    * deterministically mask ~`ratio` of each document's tokens in
+    * `groupSize`-aligned spans, replace each maximal masked run with a
+    * `<extra_id_K>` sentinel in the input, and emit the masked tokens
+    * (sentinel-prefixed, in order) as the target sequence. Masking is
+    * a pure id+position function (md5-uniform of (id, salt, pos÷g) —
+    * reproducible across engines, partitionings, reprocessings), so a
+    * re-run regenerates byte-identical training pairs: the property a
+    * resumable 100 TB target-generation job needs.
+    *
+    * Shape: one generator + two windows and one aggregate ALL
+    * partitioned by the document id (never global), reassembly via the
+    * sorted-struct fold (the text-op convention — collect_list order
+    * is not trusted). Adjacent masked groups merge into ONE span
+    * (maximal runs), exactly as T5's span-corruption objective
+    * specifies. Output: (id, n_tokens, n_masked, n_spans, input_text,
+    * target_text). Zero-token docs emit nothing (the tokenize-then-agg
+    * convention). */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+      groupSize: Int = 3, ratio: Double = 0.15,
+      salt: String = "|span|"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(groupSize >= 1, s"spanCorrupt: groupSize must be >= 1")
+    require(ratio > 0 && ratio < 1, s"spanCorrupt: ratio out of (0,1)")
+    val tok = df.select(col(idCol),
+      posexplode(TextFns.bpeishTokens(col(textCol))).as(Seq("pos", "tok")))
+    val h = conv(substring(md5(concat(col(idCol).cast("string"), lit(salt),
+      expr(s"pos div $groupSize").cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val masked = (h + lit(1L)).cast("double") / lit(TwoPow60Span) <
+      lit(ratio)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val withRuns = tok.withColumn("__m", masked)
+      .withColumn("__start",
+        col("__m") && !coalesce(lag(col("__m"), 1).over(w), lit(false)))
+      .withColumn("__k",
+        sum(col("__start").cast("long")).over(w) - 1)
+    val sentinel = concat(lit("<extra_id_"), col("__k").cast("string"),
+      lit(">"))
+    val inputPiece = when(!col("__m"), col("tok"))
+      .when(col("__start"), sentinel)
+    val targetPiece = when(col("__m"),
+      when(col("__start"), concat(sentinel, lit(" "), col("tok")))
+        .otherwise(col("tok")))
+    def joined(piece: Column) = array_join(
+      transform(sort_array(collect_list(when(piece.isNotNull,
+        struct(col("pos").as("p"), piece.as("s"))))), x => x("s")), " ")
+    withRuns.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__m").cast("long")).as("n_masked"),
+        sum(col("__start").cast("long")).as("n_spans"),
+        joined(inputPiece).as("input_text"),
+        joined(targetPiece).as("target_text"))
+  }
+
+  /** 2^60 — the md5-uniform denominator (the priorityCol constant). */
+  private val TwoPow60Span: Double = 1152921504606846976.0d
+
   def dedupTokenWindows(df: DataFrame, idCol: String, textCol: String,
       k: Int, delim: String = " "): DataFrame =
     dedupTokenWindowsKeyed(df, idCol, textCol, k, delim,

@@ -817,4 +817,61 @@ class TextAnalysisSpec extends SparkSpec {
     assert(dflt(1L)._3 && dflt(3L)._3)
     assert(!dflt(2L)._3 && !dflt(4L)._3)
   }
+
+  test("spanCorrupt: splicing each target span back at its sentinel " +
+      "reconstructs the original token stream exactly (the lossless-" +
+      "pair invariant), sentinels number 0..n_spans-1 in order, and " +
+      "the output is repartition-deterministic") {
+    import graft.functions.TextFns
+    val docs = (0L until 40L).map(id =>
+      (id, ("the quick brown fox jumps over the lazy dog and then " +
+        s"runs far away home again x$id y$id z$id ") * 4))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.spanCorrupt(docs, "doc_id", "text").collect()
+    assert(out.length === 40)
+    val orig = docs.select(col("doc_id"),
+        TextFns.bpeishTokens(col("text")).as("ts"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val sentinelRe = "<extra_id_(\\d+)>".r
+    var sawMask = false
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val input = r.getAs[String]("input_text").split(" ").toSeq
+      val target = r.getAs[String]("target_text")
+      val nSpans = r.getAs[Long]("n_spans")
+      // parse the target into span_k -> tokens
+      val spans: Map[Long, Seq[String]] =
+        if (target.isEmpty) Map.empty
+        else {
+          val parts = sentinelRe.split(target).toSeq.map(_.trim)
+          val ks = sentinelRe.findAllMatchIn(target)
+            .map(_.group(1).toLong).toSeq
+          assert(parts.head.isEmpty) // target starts with a sentinel
+          ks.zip(parts.tail).map { case (k, p) =>
+            k -> p.split(" ").toSeq.filter(_.nonEmpty) }.toMap
+        }
+      assert(spans.keySet === (0L until nSpans).toSet)
+      // splice: each sentinel in the input expands to its span tokens
+      val rebuilt = input.flatMap {
+        case sentinelRe(k) => spans(k.toLong)
+        case t => Seq(t)
+      }
+      assert(rebuilt === orig(id), s"doc $id")
+      // sentinels appear in increasing order in the input
+      val ksInInput = input.collect { case sentinelRe(k) => k.toLong }
+      assert(ksInInput === ksInInput.sorted)
+      assert(r.getAs[Long]("n_masked") >= nSpans)
+      if (nSpans > 0) sawMask = true
+    }
+    assert(sawMask) // the fixture is long enough that masking happened
+    // repartition-deterministic (mask is a pure id+pos function)
+    val again = TextAnalysis.spanCorrupt(docs.repartition(7), "doc_id",
+      "text").collect().map(r => r.getLong(0) ->
+      (r.getAs[String]("input_text"), r.getAs[String]("target_text")))
+      .toMap
+    out.foreach { r =>
+      assert(again(r.getLong(0)) ===
+        ((r.getAs[String]("input_text"), r.getAs[String]("target_text"))))
+    }
+  }
 }
