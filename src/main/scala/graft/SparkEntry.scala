@@ -622,6 +622,16 @@ object SparkEntry {
           .as("o_totalprice")),
         "o_totalprice", PsiEdges)
     }),
+    "rel_quality_js" -> ((s, d) => {
+      // the bounded (≤ ln 2) symmetric drift companion to PSI: JSD on
+      // the same fixture, bins, smoothing, and bin=-1 total — PSI
+      // alarms (it explodes as a bin empties), JSD trends
+      val orders = t(s, d, "orders")
+      Quality.jsDivergence(orders,
+        orders.select((col("o_totalprice") * lit(1.1))
+          .as("o_totalprice")),
+        "o_totalprice", PsiEdges)
+    }),
     "rel_quality_psi_grouped" -> ((s, d) => {
       // the stratified drift watch: same shift, PSI per order status —
       // a global PSI can read stable while one stratum drifts
@@ -1171,6 +1181,11 @@ object SparkEntry {
       // tokens as the target — deterministic in (doc_id, pos), so a
       // re-run regenerates byte-identical training pairs
       TextAnalysis.spanCorrupt(t(s, d, "documents"), "doc_id", "text")),
+    "text_fim_split" -> ((s, d) =>
+      // fill-in-the-middle: two md5-uniform cuts per doc →
+      // (prefix, middle, suffix) + the PSM training string. ONE
+      // per-row projection — scan-speed, stream-ready
+      TextAnalysis.fimSplit(t(s, d, "documents"), "doc_id", "text")),
     "text_window_dedup" -> ((s, d) =>
       // Lee et al.-style substring dedup: 8-token sliding windows,
       // first occurrence wins, covered tokens drop, kept spans merge
@@ -3234,6 +3249,20 @@ object SparkEntry {
         "coalesce(string_agg(ip, ' ' ORDER BY pos) FILTER (WHERE ip IS NOT NULL), '') AS input_text, " +
         "coalesce(string_agg(tp, ' ' ORDER BY pos) FILTER (WHERE tp IS NOT NULL), '') AS target_text " +
         "FROM pc GROUP BY doc_id"),
+    // FIM: the two uniform cuts and all three slices replayed; DuckDB
+    // array_to_string(empty) is NULL where Spark's array_join is '' —
+    // coalesced at the edge
+    "text_fim_split" ->
+      (s"WITH d0 AS (SELECT doc_id, regexp_extract_all($normSql, '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS ts FROM documents), " +
+        "c0 AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n, " +
+        "least(CAST(floor(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|fim|' || 'c1'), 1, 15) AS BIGINT) + 1 AS DOUBLE) / 1152921504606846976.0 * (len(ts) + 1)) AS BIGINT), CAST(len(ts) AS BIGINT)) AS cut1 FROM d0), " +
+        "c1 AS (SELECT doc_id, ts, n, cut1, cut1 + least(CAST(floor(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|fim|' || 'c2'), 1, 15) AS BIGINT) + 1 AS DOUBLE) / 1152921504606846976.0 * (n - cut1 + 1)) AS BIGINT), n - cut1) AS cut2 FROM c0), " +
+        "p AS (SELECT doc_id, n AS n_tokens, cut1, cut2, " +
+        "coalesce(array_to_string(list_slice(ts, 1, CAST(cut1 AS INT)), ' '), '') AS prefix, " +
+        "coalesce(array_to_string(list_slice(ts, CAST(cut1 + 1 AS INT), CAST(cut2 AS INT)), ' '), '') AS middle, " +
+        "coalesce(array_to_string(list_slice(ts, CAST(cut2 + 1 AS INT), CAST(n AS INT)), ' '), '') AS suffix FROM c1) " +
+        "SELECT doc_id, n_tokens, cut1, cut2, prefix, middle, suffix, " +
+        "'<PRE> ' || prefix || ' <SUF> ' || suffix || ' <MID> ' || middle AS psm_text FROM p"),
     // DSIR oracles: hashed unigram+bigram features (md5-uniform mod
     // 1024 — the minhash bucket convention), exact integer counts for
     // the fit; λ and Gumbel keys take ln() of bit-identical integer-
@@ -4254,6 +4283,11 @@ object SparkEntry {
       Quality.checkSql("embeddings", embQualitySuite, embQualityMetricsSql),
     "rel_quality_psi" ->
       Quality.psiSql("orders",
+        "(SELECT o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice " +
+          "FROM orders) shifted",
+        "o_totalprice", PsiEdges),
+    "rel_quality_js" ->
+      Quality.jsSql("orders",
         "(SELECT o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice " +
           "FROM orders) shifted",
         "o_totalprice", PsiEdges),

@@ -410,7 +410,19 @@ object Quality {
     * artifact (no driver action), so it composes into streaming
     * drift-watch plans unchanged. */
   def psiFromBaseline(oldCounts: DataFrame, newDf: DataFrame, c: String,
-      edges: Seq[Double]): DataFrame = {
+      edges: Seq[Double]): DataFrame =
+    withTermTotal(
+      smoothedBins(oldCounts, newDf, c, edges, "psiFromBaseline")
+        .withColumn("psi_term",
+          round((col("p_new") - col("p_old")) *
+            log(col("p_new") / col("p_old")), 4)),
+      "psi_term")
+
+  /** Shared spine of the fixed-bin drift metrics: validated baseline
+    * counts + new-side counts left-joined onto the 0..edges bin spine,
+    * add-1-smoothed into (bin, n_old, n_new, p_old, p_new). */
+  private def smoothedBins(oldCounts: DataFrame, newDf: DataFrame,
+      c: String, edges: Seq[Double], caller: String): DataFrame = {
     requireEdges(edges)
     val nb = edges.size + 1
     val spine = newDf.sparkSession.range(nb.toLong)
@@ -418,7 +430,7 @@ object Quality {
     val oldChecked = oldCounts.select(
       when(col("bin") < 0L || col("bin") >= nb.toLong,
         raise_error(concat(
-          lit(s"psiFromBaseline: baseline bin outside [0, ${nb - 1}] — " +
+          lit(s"$caller: baseline bin outside [0, ${nb - 1}] — " +
             "artifact built with different edges? bin="),
           col("bin").cast("string"))))
         .otherwise(col("bin")).as("bin"),
@@ -434,22 +446,49 @@ object Quality {
     // would trip the fleet-wide unpartitioned-window audit)
     val totals = joined.agg(sum(col("n_old")).as("tot_old"),
       sum(col("n_new")).as("tot_new"))
-    val bins = joined.crossJoin(totals).select(
+    joined.crossJoin(totals).select(
       col("bin"), col("n_old"), col("n_new"),
       ((col("n_old") + lit(1L)).cast("double") /
         (col("tot_old") + lit(nb.toLong)).cast("double")).as("p_old"),
       ((col("n_new") + lit(1L)).cast("double") /
         (col("tot_new") + lit(nb.toLong)).cast("double")).as("p_new"))
-      .withColumn("psi_term",
-        round((col("p_new") - col("p_old")) *
-          log(col("p_new") / col("p_old")), 4))
+  }
+
+  /** Append the bin = −1 ordered-fold total row (the psi/js output
+    * convention: per-bin terms + one grand total). */
+  private def withTermTotal(bins: DataFrame, termName: String): DataFrame = {
     val total = bins.agg(
       sum(col("n_old")).as("n_old"), sum(col("n_new")).as("n_new"),
-      round(aggregate(sort_array(collect_list(col("psi_term"))),
-        lit(0.0), (acc, x) => acc + x), 4).as("psi_term"))
+      round(aggregate(sort_array(collect_list(col(termName))),
+        lit(0.0), (acc, x) => acc + x), 4).as(termName))
       .select(lit(-1L).as("bin"), col("n_old"), col("n_new"),
-        lit(1.0).as("p_old"), lit(1.0).as("p_new"), col("psi_term"))
+        lit(1.0).as("p_old"), lit(1.0).as("p_new"), col(termName))
     bins.unionByName(total)
+  }
+
+  /** Jensen–Shannon divergence over the same smoothed fixed-bin
+    * distributions as [[psi]] — the BOUNDED (≤ ln 2), symmetric,
+    * never-infinite drift companion: PSI explodes as a bin empties
+    * (useful as an alarm, unhelpful as a dashboard trend); JSD
+    * saturates, so it trends cleanly however disjoint the corpora
+    * get. Per bin m = (p+q)/2 and
+    * js_term = ½·p·ln(p/m) + ½·q·ln(q/m); the bin = −1 row carries the
+    * ordered-fold total. Same artifact path as PSI:
+    * [[jsFromBaseline]] consumes a persisted [[binCounts]] frame with
+    * the identical in-plan edge validation. */
+  def jsDivergence(oldDf: DataFrame, newDf: DataFrame, c: String,
+      edges: Seq[Double]): DataFrame =
+    jsFromBaseline(binCounts(oldDf, c, edges), newDf, c, edges)
+
+  def jsFromBaseline(oldCounts: DataFrame, newDf: DataFrame, c: String,
+      edges: Seq[Double]): DataFrame = {
+    val m = (col("p_old") + col("p_new")) / lit(2.0)
+    withTermTotal(
+      smoothedBins(oldCounts, newDf, c, edges, "jsFromBaseline")
+        .withColumn("js_term",
+          round(lit(0.5) * col("p_old") * log(col("p_old") / m) +
+            lit(0.5) * col("p_new") * log(col("p_new") / m), 4)),
+      "js_term")
   }
 
   /** [[psi]] stratified by a group column — per-source /
@@ -572,6 +611,37 @@ object Quality {
       "SELECT CAST(-1 AS BIGINT) AS bin, CAST(sum(n_old) AS BIGINT), " +
       "CAST(sum(n_new) AS BIGINT), CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE), " +
       "round(list_aggregate(list_sort(list(psi_term)), 'sum'), 4) FROM r"
+  }
+
+  /** DuckDB mirror of [[jsDivergence]] — psiSql with the JS term. */
+  def jsSql(oldFrom: String, newFrom: String, valueExpr: String,
+      edges: Seq[Double]): String = {
+    val nb = edges.size + 1
+    val binExpr = edges
+      .map(e => s"CASE WHEN $valueExpr >= $e THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
+    def side(tag: String, from: String) =
+      s"${tag}c AS (SELECT $binExpr AS bin, count(*) AS n_$tag " +
+        s"FROM $from WHERE $valueExpr IS NOT NULL " +
+        s"AND NOT isnan(CAST($valueExpr AS DOUBLE)) GROUP BY 1)"
+    s"WITH ${side("old", oldFrom)}, ${side("new", newFrom)}, " +
+      s"spine AS (SELECT unnest(range($nb)) AS bin), " +
+      "j AS (SELECT spine.bin, coalesce(n_old, 0) AS n_old, " +
+      "coalesce(n_new, 0) AS n_new FROM spine " +
+      "LEFT JOIN oldc ON spine.bin = oldc.bin " +
+      "LEFT JOIN newc ON spine.bin = newc.bin), " +
+      "t AS (SELECT sum(n_old) AS tot_old, sum(n_new) AS tot_new FROM j), " +
+      "b AS (SELECT bin, n_old, n_new, " +
+      s"CAST(n_old + 1 AS DOUBLE) / (tot_old + $nb) AS p_old, " +
+      s"CAST(n_new + 1 AS DOUBLE) / (tot_new + $nb) AS p_new " +
+      "FROM j, t), " +
+      "r AS (SELECT bin, n_old, n_new, p_old, p_new, " +
+      "round(0.5 * p_old * ln(p_old / ((p_old + p_new) / 2.0)) " +
+      "+ 0.5 * p_new * ln(p_new / ((p_old + p_new) / 2.0)), 4) AS js_term FROM b) " +
+      "SELECT * FROM r UNION ALL " +
+      "SELECT CAST(-1 AS BIGINT) AS bin, CAST(sum(n_old) AS BIGINT), " +
+      "CAST(sum(n_new) AS BIGINT), CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE), " +
+      "round(list_aggregate(list_sort(list(js_term)), 'sum'), 4) FROM r"
   }
 
   /** Shardable profile state — the incremental face of [[profile]]

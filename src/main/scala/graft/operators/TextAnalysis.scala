@@ -1327,6 +1327,49 @@ object TextAnalysis {
   /** 2^60 — the md5-uniform denominator (the priorityCol constant). */
   private val TwoPow60Span: Double = 1152921504606846976.0d
 
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022 — the
+    * code-model pretraining transform): split each document's token
+    * stream at two deterministic cut points into (prefix, middle,
+    * suffix) and emit the PSM-ordered training string
+    * `<PRE> prefix <SUF> suffix <MID> middle`. Cuts are md5-uniforms
+    * of (id, salt): c1 uniform on [0, n], c2 uniform on [c1, n] — a
+    * pure id function, so re-runs regenerate byte-identical pairs
+    * (the spanCorrupt property). ONE per-row projection — no explode,
+    * no window, no shuffle: the transform runs at scan speed on batch
+    * and streaming frames alike. Output: (id, n_tokens, cut1, cut2,
+    * prefix, middle, suffix, psm_text). Zero-token docs emit the empty
+    * triple (cuts 0,0) rather than dropping — FIM is a row transform,
+    * not an aggregate. */
+  def fimSplit(df: DataFrame, idCol: String, textCol: String,
+      salt: String = "|fim|"): DataFrame = {
+    def u(tag: String) = (conv(substring(md5(concat(
+      col(idCol).cast("string"), lit(salt), lit(tag))), 1, 15), 16, 10)
+      .cast("long") + lit(1L)).cast("double") / lit(TwoPow60Span)
+    val ts = TextFns.bpeishTokens(col(textCol))
+    df.select(col(idCol), ts.as("__ts"))
+      .withColumn("n_tokens", size(col("__ts")).cast("long"))
+      // floor(u·(n+1)) lands uniformly on 0..n; u ∈ (0,1] makes the
+      // top value a measure-zero edge both engines floor identically
+      .withColumn("cut1",
+        floor(u("c1") * (col("n_tokens") + 1).cast("double"))
+          .cast("long"))
+      .withColumn("cut1", least(col("cut1"), col("n_tokens")))
+      .withColumn("cut2", col("cut1") +
+        least(floor(u("c2") *
+          (col("n_tokens") - col("cut1") + 1).cast("double")).cast("long"),
+          col("n_tokens") - col("cut1")))
+      .select(col(idCol), col("n_tokens"), col("cut1"), col("cut2"),
+        array_join(slice(col("__ts"), lit(1), col("cut1").cast("int")),
+          " ").as("prefix"),
+        array_join(slice(col("__ts"), col("cut1").cast("int") + 1,
+          (col("cut2") - col("cut1")).cast("int")), " ").as("middle"),
+        array_join(slice(col("__ts"), col("cut2").cast("int") + 1,
+          (col("n_tokens") - col("cut2")).cast("int") + 1), " ")
+          .as("suffix"))
+      .withColumn("psm_text", concat(lit("<PRE> "), col("prefix"),
+        lit(" <SUF> "), col("suffix"), lit(" <MID> "), col("middle")))
+  }
+
   def dedupTokenWindows(df: DataFrame, idCol: String, textCol: String,
       k: Int, delim: String = " "): DataFrame =
     dedupTokenWindowsKeyed(df, idCol, textCol, k, delim,

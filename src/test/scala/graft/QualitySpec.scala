@@ -385,6 +385,44 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("jsDivergence invariants: every term in [0, ln 2], swap " +
+      "symmetry, identical sides ~0, and it stays BOUNDED where psi " +
+      "explodes (the disjoint-corpora case)") {
+    val edges = Seq(5.0, 10.0)
+    val frames = Seq(
+      "uniform" -> Seq(1.0, 4.0, 6.0, 9.0, 11.0, 14.0),
+      "low-skew" -> Seq(1.0, 1.0, 2.0, 3.0, 4.0, 4.5),
+      "high-skew" -> Seq(11.0, 12.0, 13.0, 14.0),
+      "empty" -> Seq.empty[Double])
+    val ln2 = math.log(2.0)
+    for ((na, a) <- frames; (nb, b) <- frames) {
+      val ad = a.toDF("x"); val bd = b.toDF("x")
+      val fwd = Quality.jsDivergence(ad, bd, "x", edges).collect()
+        .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+      fwd.foreach { case (bin, t) =>
+        assert(t >= -1e-12 && !t.isNaN && !t.isInfinite, s"$na/$nb $bin")
+        assert(t <= ln2 + 1e-9, s"$na/$nb bin $bin: $t > ln2")
+      }
+      val rev = Quality.jsDivergence(bd, ad, "x", edges).collect()
+        .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+      fwd.foreach { case (bin, t) => assert(rev(bin) === t) }
+    }
+    val same = Seq(1.0, 6.0, 12.0).toDF("x")
+    Quality.jsDivergence(same, same, "x", edges)
+      .select(col("js_term")).as[Double].collect()
+      .foreach(t => assert(t === 0.0))
+    // disjoint corpora: psi total is large and unbounded-ish, js total
+    // saturates below ln 2 — the dashboard-trend property
+    val lo = Seq.fill(50)(1.0).toDF("x")
+    val hi = Seq.fill(50)(14.0).toDF("x")
+    val psiTot = Quality.psi(lo, hi, "x", edges)
+      .filter(col("bin") === -1L).head().getDouble(5)
+    val jsTot = Quality.jsDivergence(lo, hi, "x", edges)
+      .filter(col("bin") === -1L).head().getDouble(5)
+    assert(psiTot > 2 * ln2)
+    assert(jsTot <= ln2 + 1e-9 && jsTot > 0.3)
+  }
+
   test("psiByGroup: per-stratum totals, union-of-groups (vanished and " +
       "appeared sources still report), stable stratum reads ~0") {
     val edges = Seq(10.0)

@@ -874,4 +874,41 @@ class TextAnalysisSpec extends SparkSpec {
         ((r.getAs[String]("input_text"), r.getAs[String]("target_text"))))
     }
   }
+
+  test("fimSplit: prefix+middle+suffix is exactly the original token " +
+      "stream, cuts are ordered and in-range, empty docs survive, and " +
+      "the plan is a pure projection (no exchange)") {
+    import graft.functions.TextFns
+    val docs = ((0L until 50L).map(id =>
+      (id, s"one two three four five six seven eight nine ten x$id")) :+
+      (99L, "")).toDF("doc_id", "text")
+    val fim = TextAnalysis.fimSplit(docs, "doc_id", "text")
+    assert(!fim.queryExecution.executedPlan.toString.contains("Exchange"))
+    val out = fim.collect()
+    assert(out.length === 51) // the empty doc is a row, not a drop
+    val orig = docs.select(col("doc_id"),
+        TextFns.bpeishTokens(col("text")).as("ts"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    def toks(s: String) = s.split(" ").toSeq.filter(_.nonEmpty)
+    var sawMiddle = false
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (n, c1, c2) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("cut1"), r.getAs[Long]("cut2"))
+      assert(0 <= c1 && c1 <= c2 && c2 <= n, s"doc $id: $c1 $c2 $n")
+      val (p, m, sfx) = (r.getAs[String]("prefix"),
+        r.getAs[String]("middle"), r.getAs[String]("suffix"))
+      assert(toks(p) ++ toks(m) ++ toks(sfx) === orig(id), s"doc $id")
+      assert(toks(p).length === c1 && toks(m).length === c2 - c1)
+      assert(r.getAs[String]("psm_text") ===
+        s"<PRE> $p <SUF> $sfx <MID> $m")
+      if (m.nonEmpty) sawMiddle = true
+    }
+    assert(sawMiddle) // the cuts actually produce non-degenerate splits
+    val again = TextAnalysis.fimSplit(docs.repartition(5), "doc_id",
+      "text").collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("psm_text")).toMap
+    out.foreach(r =>
+      assert(again(r.getLong(0)) === r.getAs[String]("psm_text")))
+  }
 }
