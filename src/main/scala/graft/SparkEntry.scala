@@ -2070,6 +2070,32 @@ object SparkEntry {
         .toDF.select(col("media_id"), col("frame_idx"), col("scene_idx"),
           col("px_sum"))),
 
+    "media_audio_near_dups" -> ((s, d) => {
+      // CONTENT-level audio dedup: planted id%25 duplicate groups,
+      // odd ids re-containered with a RIFF LIST/INFO metadata chunk —
+      // byte-different payloads, identical decoded streams. Pairing
+      // keys on what the clip SOUNDS like (content_sig over decoded
+      // samples), so the re-tagged copies pair with their originals
+      // while same_bytes exposes the container difference
+      val base = Audio.synthesizeWav(s,
+        t(s, d, "documents").filter(col("doc_id") < 200), "doc_id",
+        Some(25L)).toDF
+      Audio.contentNearDups(s,
+        base.filter(col("media_id") % 2 === 0).unionByName(
+          Audio.withInfoChunk(s,
+            base.filter(col("media_id") % 2 === 1),
+            "tagged-by-graft!").toDF))
+    }),
+    "media_video_near_dups" -> ((s, d) =>
+      // clip-level near-dup on shared DECODED-frame content: planted
+      // id%25 groups pair at overlap 1.0 sharing all 4-6 frames;
+      // distinct bases never collide (mod-251 shift analysis in the
+      // AudioVideoSpec distinctness check)
+      Video.videoFrameNearDups(s,
+        Video.synthesizeGvid(s,
+          t(s, d, "documents").filter(col("doc_id") < 200), "doc_id",
+          Some(25L)).toDF)),
+
     // --- iterative graph analytics ---
     "graph_pagerank" -> ((s, d) => {
       // PageRank (GraphX staticPageRank semantics, 3 rounds, α=0.85,
@@ -4213,6 +4239,22 @@ object SparkEntry {
         "v AS (SELECT media_id, f, sl, ((base*31 + (f // sl)*53 + t.i*7 + (t.i*t.i) % 97) % 251) + f % sl AS v " +
         "FROM k, LATERAL (SELECT unnest(range(0, k.w*k.h*3)) AS i) t) " +
         "SELECT media_id, f AS frame_idx, f // sl AS scene_idx, CAST(sum(v) AS BIGINT) AS px_sum FROM v GROUP BY media_id, f, sl"),
+    // audio/video content near-dup oracles: pure group combinatorics
+    // (the media_near_dups_px convention) — ids sharing id%25 carry
+    // identical decoded content, so every within-group pair appears;
+    // same_bytes is parity (the INFO-tagged odd ids share bytes among
+    // themselves); video pairs share all 4+(base%3) frames at 1.0
+    "media_audio_near_dups" ->
+      ("WITH m AS (SELECT doc_id FROM documents WHERE doc_id < 200) " +
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "(a.doc_id % 2) = (b.doc_id % 2) AS same_bytes " +
+        "FROM m a JOIN m b ON a.doc_id % 25 = b.doc_id % 25 AND a.doc_id < b.doc_id"),
+    "media_video_near_dups" ->
+      ("WITH m AS (SELECT doc_id FROM documents WHERE doc_id < 200) " +
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "CAST(4 + (a.doc_id % 25) % 3 AS BIGINT) AS n_shared, " +
+        "CAST(1.0 AS DOUBLE) AS overlap_frac " +
+        "FROM m a JOIN m b ON a.doc_id % 25 = b.doc_id % 25 AND a.doc_id < b.doc_id"),
     // pagerank oracle: the 3 rounds unrolled as CTEs — 1/N, rank/deg,
     // α-damping are all correctly-rounded IEEE ops on both engines, and
     // the per-node in-sums use the ordered list fold, so raw doubles

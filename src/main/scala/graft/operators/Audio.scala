@@ -263,6 +263,90 @@ object Audio {
       }
   }
 
+  /** Attach a RIFF `LIST`/INFO metadata chunk (the standard WAV
+    * tagging mechanism) between `fmt ` and `data` — a REAL container
+    * rewrite: payload bytes change, decoded samples don't. Doubles as
+    * the planted byte-different/content-equal fixture for content-
+    * level dedup (the upscalePpm convention). */
+  def withInfoChunk(spark: SparkSession, media: DataFrame,
+      info: String): Dataset[Multimodal.MediaRow] = {
+    import spark.implicits._
+    val tag = info.getBytes("US-ASCII")
+    require(tag.length % 2 == 0,
+      "withInfoChunk: pad `info` to even length (RIFF word alignment)")
+    media.select("media_id", "payload", "media_type", "n_bytes")
+      .as[Multimodal.MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val a = decodeWav(r.payload) // validates; we re-encode clean
+          val base = encodeWav(a.sampleRate, a.channels, a.samples)
+          val chunk = new Array[Byte](8 + 4 + tag.length)
+          chunk(0) = 'L'; chunk(1) = 'I'; chunk(2) = 'S'; chunk(3) = 'T'
+          putIntLE(chunk, 4, 4 + tag.length)
+          chunk(8) = 'I'; chunk(9) = 'N'; chunk(10) = 'F'; chunk(11) = 'O'
+          System.arraycopy(tag, 0, chunk, 12, tag.length)
+          val out = base.take(36) ++ chunk ++ base.drop(36)
+          putIntLE(out, 4, out.length - 8)
+          Multimodal.MediaRow(r.media_id, out, r.media_type,
+            out.length.toLong)
+        }
+      }
+  }
+
+  /** Per-clip CONTENT signature vs payload signature: md5 over the
+    * decoded sample stream (rate+channels prefixed, so a resampled or
+    * remixed clip never collides) next to md5 over the raw container
+    * bytes. Two encodings of one recording share `content_sig` and
+    * differ in `payload_sig` — the content-level dedup key the image
+    * path gets from [[Multimodal.decodedPixelPayloads]]. */
+  def contentSignatures(spark: SparkSession,
+      media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "payload", "media_type", "n_bytes")
+      .as[Multimodal.MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val a = decodeWav(r.payload)
+          val buf = new Array[Byte](8 + a.samples.length * 2)
+          putIntLE(buf, 0, a.sampleRate)
+          putIntLE(buf, 4, a.channels)
+          var i = 0
+          while (i < a.samples.length) {
+            putShortLE(buf, 8 + i * 2, a.samples(i)); i += 1
+          }
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+          (r.media_id, hex(md.digest(buf)), {
+            val md2 = java.security.MessageDigest.getInstance("MD5")
+            hex(md2.digest(r.payload))
+          })
+        }
+      }.toDF("media_id", "content_sig", "payload_sig")
+  }
+
+  /** Content-level exact dedup pairs: clips whose DECODED streams are
+    * identical, however the container framed them. One signature
+    * projection + one equi-join on the content hash (never all-pairs);
+    * signatures shared by more than `maxPerSig` media drop first (the
+    * frameNearDups boilerplate/fan-out guard). Output: (a_id, b_id,
+    * same_bytes). */
+  def contentNearDups(spark: SparkSession, media: DataFrame,
+      maxPerSig: Int = 64): DataFrame = {
+    val sigs = contentSignatures(spark, media)
+    val kept = sigs.join(
+      sigs.groupBy(col("content_sig")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= maxPerSig)
+        .select(col("content_sig")),
+      "content_sig")
+    kept.select(col("content_sig"), col("media_id").as("a_id"),
+        col("payload_sig").as("__pa"))
+      .join(kept.select(col("content_sig"), col("media_id").as("b_id"),
+        col("payload_sig").as("__pb")), "content_sig")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (col("__pa") === col("__pb")).as("same_bytes"))
+  }
+
   /** Decimate by an integer `factor` (keep every factor-th sample) and
     * re-encode at rate/factor — the naive-but-exact resampler
     * (production would low-pass first; decimation is the deterministic

@@ -198,6 +198,62 @@ object Video {
       }
   }
 
+  /** One (media_id, frame_sig) row per DISTINCT decoded-frame content
+    * of each clip: md5 over (width, height, RGB block) — the
+    * content-level frame fingerprint (two clips sharing footage share
+    * signatures however their containers differ). */
+  def frameSignatures(spark: SparkSession,
+      media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "payload", "media_type", "n_bytes")
+      .as[Multimodal.MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val v = decodeGvid(r.payload)
+          val head = s"${v.width}x${v.height}:".getBytes("US-ASCII")
+          v.frames.iterator.map { px =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            md.update(head); md.update(px)
+            (r.media_id, md.digest().map("%02x".format(_)).mkString)
+          }.toSet.iterator // distinct within the clip
+        }
+      }.toDF("media_id", "frame_sig")
+  }
+
+  /** Clip-level near-dup pairing on shared decoded-frame content —
+    * [[Multimodal.frameNearDups]] re-keyed from byte chunks to REAL
+    * frames: pairs form through the frame-signature equi-join (never
+    * all-pairs), frames appearing in more than `maxMediaPerFrame`
+    * clips drop first (boilerplate intros/logos AND the fan-out
+    * guard), `overlap_frac` = shared / min(frame counts). */
+  def videoFrameNearDups(spark: SparkSession, media: DataFrame,
+      minShared: Long = 1L, maxMediaPerFrame: Int = 64): DataFrame = {
+    val sigs = frameSignatures(spark, media)
+    val kept = sigs.join(
+      sigs.groupBy(col("frame_sig")).agg(count(lit(1)).as("__nm"))
+        .filter(col("__nm") <= maxMediaPerFrame)
+        .select(col("frame_sig")),
+      "frame_sig")
+    val counts = kept.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("__nf"))
+    val pairs = kept.select(col("frame_sig"), col("media_id").as("a_id"))
+      .join(kept.select(col("frame_sig"), col("media_id").as("b_id")),
+        "frame_sig")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    pairs
+      .join(counts.select(col("media_id").as("a_id"),
+        col("__nf").as("__na")), "a_id")
+      .join(counts.select(col("media_id").as("b_id"),
+        col("__nf").as("__nb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          least(col("__na"), col("__nb")).cast("double"))
+          .as("overlap_frac"))
+  }
+
   /** Keyframe sampling: frame 0 plus the first frame of every detected
     * shot, stamped with its shot ordinal — the decode-only-what-you-
     * keep shape (a downstream image kernel runs on keyframes, not on

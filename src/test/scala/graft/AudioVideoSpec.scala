@@ -232,6 +232,57 @@ class AudioVideoSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(600))
   }
 
+  test("withInfoChunk rewrites the container without touching content: " +
+      "payload_sig changes, content_sig doesn't, and contentNearDups " +
+      "pairs the tagged copy with its original as same_bytes=false") {
+    val plain = Audio.synthesizeWav(spark, ids(4), "doc_id").toDF
+    val tagged = Audio.withInfoChunk(spark,
+      plain.filter(col("media_id") === 0), "unit-test-tag!!!").toDF
+      .withColumn("media_id", lit(100L))
+    val sigs = Audio.contentSignatures(spark, plain.unionByName(tagged))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2))).toMap
+    assert(sigs(100L)._1 === sigs(0L)._1)   // content preserved
+    assert(sigs(100L)._2 !== sigs(0L)._2)   // bytes differ
+    val pairs = Audio.contentNearDups(spark, plain.unionByName(tagged))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(pairs.toSeq === Seq((0L, 100L, false)))
+  }
+
+  test("contentSignatures keys on (rate, channels, samples): a " +
+      "decimated clip never collides with its source") {
+    val media = Audio.synthesizeWav(spark, ids(3), "doc_id").toDF
+    val down = Audio.resampleWav(spark, media, 4).toDF
+      .withColumn("media_id", col("media_id") + 100)
+    val all = Audio.contentSignatures(spark, media.unionByName(down))
+      .select("content_sig").as[String].collect()
+    assert(all.distinct.length === all.length)
+  }
+
+  test("videoFrameNearDups: hand-built partial overlap scores " +
+      "shared/min(nf), and a boilerplate frame drops before pairing") {
+    def frame(seed: Int) = Array.tabulate[Byte](12)(i => (seed + i).toByte)
+    def clip(id: Long, seeds: Int*) = (id, Video.encodeGvid(
+      Video.DecodedVideo(2, 2, seeds.map(frame).toArray)),
+      "video/x-gvid", 0L)
+    // clips 1 & 2 share frames 10, 11 (2 of 4); clip 3 is disjoint
+    val media = Seq(
+      clip(1L, 10, 11, 12, 13), clip(2L, 10, 11, 20, 21),
+      clip(3L, 30, 31, 32, 33))
+      .toDF("media_id", "payload", "media_type", "n_bytes")
+    val pairs = Video.videoFrameNearDups(spark, media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(pairs.toSeq === Seq((1L, 2L, 2L, 0.5)))
+    // an intro frame present in EVERY clip pairs nothing once the
+    // boilerplate cap trips
+    val intro = Seq(clip(1L, 99, 1, 2, 3), clip(2L, 99, 4, 5, 6),
+      clip(3L, 99, 7, 8, 9))
+      .toDF("media_id", "payload", "media_type", "n_bytes")
+    assert(Video.videoFrameNearDups(spark, intro,
+      maxMediaPerFrame = 2).collect().isEmpty)
+  }
+
   test("audio/video kernels run UNCHANGED on a live streaming frame " +
       "(stateless mapPartitions — the arrival path needs no new code) " +
       "and match the batch result exactly") {
