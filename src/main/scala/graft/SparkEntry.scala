@@ -68,6 +68,26 @@ object SparkEntry {
 
   val MinhashK = 16
   val LshBands = 4
+  /** Count-Min sketch width (rel_cms_freq): 512 cells × 4 public-LCG
+    * hash rows ≈ e/512 ≈ 0.5% of N worst-case overestimate. */
+  val CmsWidth = 512
+  /** Funnel stages (rel_funnel): the view→click→purchase ordering over
+    * the events domain — each later stage counts only at-or-after the
+    * user's earliest completion of the previous one. */
+  val FunnelStages = Seq("view", "click", "purchase")
+  /** Trajectory truncation (rel_trajectories): sequences cap at the
+    * first 40 events per user — the cap applies BEFORE any list
+    * materializes, so per-user state never exceeds it. */
+  val TrajMaxLen = 40
+  /** Preference-pair grouping (text_pref_pairs): doc_id mod 64 stands
+    * in for a shared prompt; n_chars is the stand-in reward. Pairs
+    * with margin < 1 drop (can't-separate pairs are training noise). */
+  val PrefGroups = 64
+  val PrefMinMargin = 1.0
+  /** Chat-template split (text_chat_template): first 16 whitespace
+    * tokens = user turn, remainder = assistant turn (the masked span). */
+  val ChatPromptWords = 16
+  val ChatSystem = "You are a helpful assistant."
   /** Z-order layout parameters (rel_zorder_skip): dims are
     * (l_partkey mod 128, l_suppkey mod 8) so 7 interleave bits cover
     * the space and the one literal box stays selective at every SF;
@@ -2188,7 +2208,62 @@ object SparkEntry {
         .select(col("user_id"), col("event_type"),
           unix_micros(col("valid_from").cast("timestamp")).as("valid_from_us"),
           unix_micros(col("valid_to").cast("timestamp")).as("valid_to_us"),
-          col("is_current")))
+          col("is_current"))),
+
+    // --- graph structure beyond PageRank ---
+    "graph_triangles" -> ((s, d) => {
+      // degree-ordered triangle count + clustering coefficient over
+      // the co-purchase graph (parts sharing an order). The orientation
+      // is the scale story: wedges enumerate at each edge's LOWER-
+      // degree endpoint, so hub fan-out is bounded by oriented
+      // out-degree (O(√m)), never raw degree
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("dst"))
+      Graph.triangleCounts(
+        a.join(b, "l_orderkey").where(col("src") < col("dst"))
+          .select(col("src"), col("dst")))
+    }),
+
+    // --- mergeable frequency sketch (Count-Min) ---
+    "rel_cms_freq" -> ((s, d) => {
+      // build the 4×512 CMS over l_partkey, probe the 10 heaviest keys
+      // (exact count desc, key asc — deterministic), and emit exact vs
+      // estimate side by side. The universal (a·k+b) mod p mod w hash
+      // is pure integer arithmetic, so the oracle replays the cells
+      // bit-for-bit — the estimate itself is hash-gated, no tolerance
+      val li = t(s, d, "lineitem")
+      val sketch = Sketches.cmsBuild(li, "l_partkey", CmsWidth)
+      val probes = li.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("l_partkey")).limit(10)
+      Sketches.cmsEstimate(sketch, probes, "l_partkey", CmsWidth)
+        .select(col("l_partkey"), col("n_exact"), col("n_est"),
+          (col("n_est") >= col("n_exact")).as("never_under"))
+    }),
+
+    // --- event-sequence analytics (funnel / cohorts / trajectories) ---
+    "rel_funnel" -> ((s, d) =>
+      Events.funnel(t(s, d, "events"), "user_id", "ts", "event_type",
+        FunnelStages)),
+    "rel_cohorts" -> ((s, d) =>
+      Events.cohortRetention(t(s, d, "events"), "user_id", "ts")),
+    "rel_trajectories" -> ((s, d) =>
+      Events.trajectories(t(s, d, "events"), "user_id", "ts",
+        "event_id", "event_type", TrajMaxLen)),
+
+    // --- post-training data assembly (DPO pairs / chat templates) ---
+    "text_pref_pairs" -> ((s, d) =>
+      Preference.preferencePairs(
+          t(s, d, "documents")
+            .withColumn("prompt_key", col("doc_id") % PrefGroups),
+          "doc_id", "prompt_key", "n_chars", PrefMinMargin)
+        .select(col("prompt_key"), col("chosen_id"), col("rejected_id"),
+          col("chosen_score"), col("rejected_score"), col("margin"))),
+    "text_chat_template" -> ((s, d) =>
+      Preference.chatTemplate(t(s, d, "documents"), "doc_id", "text",
+        ChatPromptWords, ChatSystem))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -4390,6 +4465,93 @@ object SparkEntry {
         "SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS valid_from_us, " +
         "CAST(epoch_us(lead(ts) OVER w) AS BIGINT) AS valid_to_us, " +
         "(lead(ts) OVER w) IS NULL AS is_current " +
-        "FROM k WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)")
+        "FROM k WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"),
+    // triangle oracle: the same degree-ordered orientation unrolled as
+    // CTEs — counts are exact integers; the coefficient mirrors the
+    // Spark op order (2·T, then /(d·(d−1))) so doubles are bit-equal
+    "graph_triangles" ->
+      ("WITH c AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b " +
+        "FROM lineitem a JOIN lineitem b " +
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+        "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM " +
+        "(SELECT a AS node FROM c UNION ALL SELECT b AS node FROM c) GROUP BY node), " +
+        "o AS (SELECT CASE WHEN da.degree < db.degree OR (da.degree = db.degree AND c.a < c.b) THEN c.a ELSE c.b END AS src, " +
+        "CASE WHEN da.degree < db.degree OR (da.degree = db.degree AND c.a < c.b) THEN c.b ELSE c.a END AS dst " +
+        "FROM c JOIN deg da ON c.a = da.node JOIN deg db ON c.b = db.node), " +
+        "wg AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS x " +
+        "FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst < e2.dst), " +
+        "tr AS (SELECT wg.u, wg.v, wg.x FROM wg JOIN c ON wg.v = c.a AND wg.x = c.b), " +
+        "pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM " +
+        "(SELECT u AS node FROM tr UNION ALL SELECT v FROM tr UNION ALL SELECT x FROM tr) GROUP BY node) " +
+        "SELECT deg.node, deg.degree, coalesce(pn.n_tri, 0) AS n_tri, " +
+        "round(CASE WHEN deg.degree >= 2 THEN " +
+        "CAST(2 AS DOUBLE) * CAST(coalesce(pn.n_tri, 0) AS DOUBLE) / " +
+        "(CAST(deg.degree AS DOUBLE) * (CAST(deg.degree AS DOUBLE) - CAST(1 AS DOUBLE))) " +
+        "ELSE CAST(0 AS DOUBLE) END, 4) AS clustering " +
+        "FROM deg LEFT JOIN pn ON deg.node = pn.node"),
+    // CMS oracle: the universal-hash cells replayed exactly — the
+    // estimate is integer-deterministic, so it hash-gates with no
+    // tolerance boolean (unlike the engine-specific HLL sketches)
+    "rel_cms_freq" ->
+      ("WITH par(r, a, b) AS (VALUES (0, 1103515245, 12345), " +
+        "(1, 214013, 2531011), (2, 134775813, 89), (3, 1664525, 1013904223)), " +
+        s"cells AS (SELECT p.r, ((p.a * l_partkey + p.b) % 2147483647) % $CmsWidth AS c, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM lineitem CROSS JOIN par p GROUP BY 1, 2), " +
+        "probes AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_exact " +
+        "FROM lineitem GROUP BY 1 ORDER BY n_exact DESC, l_partkey LIMIT 10) " +
+        "SELECT pr.l_partkey, pr.n_exact, CAST(min(cells.cnt) AS BIGINT) AS n_est, " +
+        "min(cells.cnt) >= pr.n_exact AS never_under " +
+        "FROM probes pr CROSS JOIN par p JOIN cells ON cells.r = p.r " +
+        s"AND cells.c = ((p.a * pr.l_partkey + p.b) % 2147483647) % $CmsWidth " +
+        "GROUP BY 1, 2"),
+    // funnel oracle: per-stage earliest-qualifying-event chain
+    "rel_funnel" ->
+      ("WITH s0 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id), " +
+        "s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e " +
+        "JOIN s0 ON e.user_id = s0.user_id AND e.ts >= s0.t " +
+        "WHERE e.event_type = 'click' GROUP BY e.user_id), " +
+        "s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e " +
+        "JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t " +
+        "WHERE e.event_type = 'purchase' GROUP BY e.user_id) " +
+        "SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s0 " +
+        "UNION ALL SELECT 1, 'click', count(*) FROM s1 " +
+        "UNION ALL SELECT 2, 'purchase', count(*) FROM s2"),
+    "rel_cohorts" ->
+      ("WITH f AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cw FROM events GROUP BY user_id) " +
+        "SELECT strftime(f.cw, '%Y-%m-%d') AS cohort_week, " +
+        "CAST(date_diff('day', f.cw, CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT) AS week_offset, " +
+        "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users " +
+        "FROM events e JOIN f ON e.user_id = f.user_id GROUP BY 1, 2"),
+    "rel_trajectories" ->
+      (s"WITH r AS (SELECT user_id, event_type, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn, " +
+        "count(*) OVER (PARTITION BY user_id) AS n FROM events) " +
+        "SELECT user_id, CAST(max(n) AS BIGINT) AS n_events, " +
+        "string_agg(event_type, '>' ORDER BY rn) AS traj " +
+        s"FROM r WHERE rn <= $TrajMaxLen GROUP BY user_id"),
+    // preference-pair oracle: both argmax windows replayed with the
+    // same deterministic tie-breaks; scores/margins are integer-valued
+    // doubles, so no rounding boundary exists
+    "text_pref_pairs" ->
+      (s"WITH s AS (SELECT doc_id % $PrefGroups AS prompt_key, doc_id, " +
+        "CAST(n_chars AS DOUBLE) AS score FROM documents), " +
+        "c AS (SELECT prompt_key, doc_id AS chosen_id, score AS chosen_score, " +
+        "row_number() OVER (PARTITION BY prompt_key ORDER BY score DESC, doc_id ASC) AS rn FROM s), " +
+        "rj AS (SELECT prompt_key, doc_id AS rejected_id, score AS rejected_score, " +
+        "row_number() OVER (PARTITION BY prompt_key ORDER BY score ASC, doc_id DESC) AS rn FROM s) " +
+        "SELECT c.prompt_key, chosen_id, rejected_id, chosen_score, rejected_score, " +
+        "chosen_score - rejected_score AS margin " +
+        "FROM c JOIN rj ON c.prompt_key = rj.prompt_key AND c.rn = 1 AND rj.rn = 1 " +
+        s"WHERE chosen_id <> rejected_id AND chosen_score - rejected_score >= CAST($PrefMinMargin AS DOUBLE)"),
+    "text_chat_template" ->
+      (s"WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents), " +
+        s"p AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n, " +
+        s"array_to_string(list_slice(ts, 1, $ChatPromptWords), ' ') AS prompt, " +
+        s"array_to_string(list_slice(ts, ${ChatPromptWords + 1}, len(ts)), ' ') AS response " +
+        s"FROM t0 WHERE len(ts) > $ChatPromptWords) " +
+        s"SELECT doc_id, '<|system|>$ChatSystem<|user|>' || prompt || '<|assistant|>' || response || '<|end|>' AS rendered, " +
+        s"CAST(${"<|system|>".length + ChatSystem.length + "<|user|>".length} + length(prompt) + ${"<|assistant|>".length} AS BIGINT) AS mask_start, " +
+        s"CAST(${"<|system|>".length + ChatSystem.length + "<|user|>".length} + length(prompt) + ${"<|assistant|>".length} + length(response) AS BIGINT) AS mask_end, " +
+        s"n AS n_tokens, n - $ChatPromptWords AS n_tokens_masked FROM p")
   )
 }

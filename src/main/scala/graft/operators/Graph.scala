@@ -96,4 +96,68 @@ object Graph {
       out
     } finally Checkpoints.releaseIntermediate(e)
   }
+
+  /** Exact per-node triangle counts + local clustering coefficient over
+    * an undirected edge list — the classic "compact-forward" /
+    * degree-ordered node-iterator (Latapy 2008; the algorithm behind
+    * every distributed triangle count since Suri & Vassilvitskii's
+    * MR-graph paper), expressed as three equi-joins.
+    *
+    * Input rows are treated as undirected: (src,dst) is canonicalized
+    * to (a < b) and deduped; self-loops and NULL endpoints drop.
+    *
+    * Scale shape — the whole point of the degree ordering: wedges are
+    * enumerated only at each edge's LOWER-(degree, id) endpoint, so a
+    * celebrity node with degree d contributes O(d) oriented in-edges
+    * but almost no oriented out-edges — the wedge fan-out per node is
+    * bounded by its oriented out-degree (O(√m) on any graph), never by
+    * its raw degree. Without this, one d=10⁶ hub yields 10¹² wedge
+    * rows at 100 TB; with it, the same hub yields ~0. The closing-edge
+    * check is an equi-join of wedges against the canonical edge set on
+    * the (min, max) endpoint pair — shuffle-partitioned both sides,
+    * no broadcast of anything data-sized.
+    *
+    * Output: (node, degree, n_tri, clustering) — one row per node with
+    * degree ≥ 1; `clustering` = 2·T/(d·(d−1)) rounded to 4 (0.0 when
+    * d < 2), integer columns BIGINT. Deterministic: counts are exact
+    * integers. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = canon.select(col("a").as("node"))
+      .unionByName(canon.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    // orient each canonical edge from its lower-(degree, id) endpoint
+    val lowFirst = canon
+      .join(deg.select(col("node").as("a"), col("degree").as("__da")), "a")
+      .join(deg.select(col("node").as("b"), col("degree").as("__db")), "b")
+      .select(col("a"), col("b"),
+        (col("__da") < col("__db") ||
+          (col("__da") === col("__db") && col("a") < col("b"))).as("__fwd"))
+    val oriented = lowFirst.select(
+      when(col("__fwd"), col("a")).otherwise(col("b")).as("src"),
+      when(col("__fwd"), col("b")).otherwise(col("a")).as("dst"))
+    // wedges at the low endpoint; closing edge looked up in canonical
+    // (a < b) form because orientation does not preserve id order
+    val e1 = oriented.select(col("src").as("u"), col("dst").as("v"))
+    val e2 = oriented.select(col("src").as("u"), col("dst").as("w"))
+    val wedges = e1.join(e2, Seq("u")).where(col("v") < col("w"))
+    val tris = wedges.join(
+      canon.select(col("a").as("v"), col("b").as("w")), Seq("v", "w"))
+    val perNode = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree").cast("long").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).cast("long").as("n_tri"),
+        round(when(col("degree") >= 2,
+          lit(2.0) * coalesce(col("n_tri"), lit(0L)).cast("double") /
+            (col("degree").cast("double") *
+              (col("degree").cast("double") - lit(1.0))))
+          .otherwise(lit(0.0)), 4).as("clustering"))
+  }
 }

@@ -6,6 +6,54 @@ import org.apache.spark.sql.functions._
 class GraphSpec extends SparkSpec {
   import spark.implicits._
 
+  private def tris(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Double)] =
+    Graph.triangleCounts(edges.toDF("src", "dst")).collect()
+      .map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("degree"), r.getAs[Long]("n_tri"),
+          r.getAs[Double]("clustering")))).toMap
+
+  test("triangleCounts: K4 — every node sits in C(3,2)=3 triangles with " +
+      "clustering exactly 1") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val r = tris(k4)
+    assert(r.size == 4)
+    r.values.foreach { case (deg, t, c) =>
+      assert(deg == 3L); assert(t == 3L); assert(c == 1.0)
+    }
+  }
+
+  test("triangleCounts: a path and a star are triangle-free; degree-1 " +
+      "nodes report clustering 0 (not NaN)") {
+    val path = tris(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(path.values.forall(_._2 == 0L))
+    assert(path(1L) == ((1L, 0L, 0.0)))
+    val star = tris((2L to 6L).map(i => (1L, i)))
+    assert(star.values.forall(_._2 == 0L))
+    assert(star(1L)._1 == 5L)
+  }
+
+  test("triangleCounts: duplicate, reversed, and self-loop edges do not " +
+      "change the count (canonicalization)") {
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val dirty = tri ++ Seq((2L, 1L), (3L, 2L), (1L, 1L), (2L, 2L)) ++ tri
+    val r = tris(dirty)
+    assert(r == tris(tri))
+    r.values.foreach { case (deg, t, c) =>
+      assert(deg == 2L); assert(t == 1L); assert(c == 1.0)
+    }
+  }
+
+  test("triangleCounts: two triangles sharing a node sum at the hinge; " +
+      "hinge clustering is 2·2/(4·3)") {
+    // bowtie: 1-2-3 and 3-4-5
+    val r = tris(Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (3L, 4L), (4L, 5L), (5L, 3L)))
+    assert(r(3L)._1 == 4L)
+    assert(r(3L)._2 == 2L)
+    assert(r(3L)._3 == 0.3333) // round(1/3, 4)
+    assert(r(1L)._2 == 1L && r(5L)._2 == 1L)
+  }
+
   private def ranksOf(edges: Seq[(Long, Long)], iters: Int = 3,
       portable: Boolean = true): Map[Long, Double] =
     Graph.pageRank(edges.toDF("src", "dst"), iters, portable = portable)

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Preference
+import org.apache.spark.sql.functions._
+
+class PreferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, Long, Double)*) =
+    rows.toDF("id", "grp", "score")
+
+  test("preferencePairs: argmax is chosen, argmin rejected, margin is " +
+      "their difference") {
+    val out = Preference.preferencePairs(
+      docs((1L, 0L, 5.0), (2L, 0L, 9.0), (3L, 0L, 1.0)),
+      "id", "grp", "score").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("chosen_id") == 2L)
+    assert(r.getAs[Long]("rejected_id") == 3L)
+    assert(r.getAs[Double]("margin") == 8.0)
+  }
+
+  test("preferencePairs: a fully-tied group still yields two DISTINCT " +
+      "rows (min id chosen, max id rejected) and is then margin-filtered") {
+    val tied = docs((1L, 0L, 4.0), (2L, 0L, 4.0), (3L, 0L, 4.0))
+    val loose = Preference.preferencePairs(tied, "id", "grp", "score",
+      minMargin = 0.0).collect()
+    assert(loose.length == 1)
+    assert(loose.head.getAs[Long]("chosen_id") == 1L)
+    assert(loose.head.getAs[Long]("rejected_id") == 3L)
+    // with a positive margin floor the zero-margin pair drops
+    assert(Preference.preferencePairs(tied, "id", "grp", "score",
+      minMargin = 0.5).isEmpty)
+  }
+
+  test("preferencePairs: single-candidate groups drop; independent " +
+      "groups pair independently") {
+    val out = Preference.preferencePairs(
+        docs((1L, 0L, 5.0), (2L, 1L, 3.0), (3L, 1L, 7.0)),
+        "id", "grp", "score")
+      .collect().map(r => r.getAs[Long]("grp") ->
+        (r.getAs[Long]("chosen_id"), r.getAs[Long]("rejected_id"))).toMap
+    assert(out == Map(1L -> (3L, 2L)))
+  }
+
+  test("chatTemplate: the mask span is EXACTLY the assistant response " +
+      "substring, and token counts split at promptWords") {
+    val df = Seq((7L, "a b c d e")).toDF("id", "text")
+    val r = Preference.chatTemplate(df, "id", "text",
+      promptWords = 2, system = "sys").collect().head
+    val rendered = r.getAs[String]("rendered")
+    assert(rendered == "<|system|>sys<|user|>a b<|assistant|>c d e<|end|>")
+    val (s, e) = (r.getAs[Long]("mask_start").toInt,
+      r.getAs[Long]("mask_end").toInt)
+    assert(rendered.substring(s, e) == "c d e")
+    assert(r.getAs[Long]("n_tokens") == 5L)
+    assert(r.getAs[Long]("n_tokens_masked") == 3L)
+  }
+
+  test("chatTemplate: docs with no response tokens drop (n <= promptWords)") {
+    val df = Seq((1L, "a b"), (2L, "a b c")).toDF("id", "text")
+    val out = Preference.chatTemplate(df, "id", "text", 2, "s")
+      .select("id").as[Long].collect()
+    assert(out.toSeq == Seq(2L))
+    intercept[IllegalArgumentException] {
+      Preference.chatTemplate(df, "id", "text", 0, "s")
+    }
+  }
+}
