@@ -88,6 +88,10 @@ object SparkEntry {
     * tokens = user turn, remainder = assistant turn (the masked span). */
   val ChatPromptWords = 16
   val ChatSystem = "You are a helpful assistant."
+  /** Bradley-Terry MM rounds (rel_bradley_terry): 3 rounds over the
+    * 25-nation tournament — enough for the ordering to stabilize;
+    * the oracle unrolls the same 3 rounds. */
+  val BtIters = 3
   /** Z-order layout parameters (rel_zorder_skip): dims are
     * (l_partkey mod 128, l_suppkey mod 8) so 7 interleave bits cover
     * the space and the one literal box stays selective at every SF;
@@ -2263,7 +2267,33 @@ object SparkEntry {
           col("chosen_score"), col("rejected_score"), col("margin"))),
     "text_chat_template" -> ((s, d) =>
       Preference.chatTemplate(t(s, d, "documents"), "doc_id", "text",
-        ChatPromptWords, ChatSystem))
+        ChatPromptWords, ChatSystem)),
+
+    // --- pairwise-preference rating fit (Bradley-Terry MM) ---
+    "rel_bradley_terry" -> ((s, d) => {
+      // the 25-nation tournament: within each order, supplier nations
+      // compete on total shipped quantity (integral-valued doubles —
+      // exact sums, no tie-boundary hazard); equal totals are
+      // undecided and drop. 3 MM rounds, portable ordered folds, raw
+      // doubles hash-gated unrounded (the graph_pagerank convention)
+      val li = t(s, d, "lineitem")
+      val sup = t(s, d, "supplier")
+      val byNat = li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .groupBy(col("l_orderkey").as("o"),
+          col("s_nationkey").cast("long").as("nat"))
+        .agg(sum(col("l_quantity")).as("v"))
+      val a = byNat.select(col("o"), col("nat").as("na"), col("v").as("va"))
+      val b = byNat.select(col("o"), col("nat").as("nb"), col("v").as("vb"))
+      val outcomes = a.join(b, "o")
+        .where(col("na") < col("nb") && col("va") =!= col("vb"))
+        .select(
+          when(col("va") > col("vb"), col("na")).otherwise(col("nb"))
+            .as("winner"),
+          when(col("va") > col("vb"), col("nb")).otherwise(col("na"))
+            .as("loser"))
+      Preference.bradleyTerry(outcomes, "winner", "loser", BtIters,
+        portable = true)
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -4552,6 +4582,37 @@ object SparkEntry {
         s"SELECT doc_id, '<|system|>$ChatSystem<|user|>' || prompt || '<|assistant|>' || response || '<|end|>' AS rendered, " +
         s"CAST(${"<|system|>".length + ChatSystem.length + "<|user|>".length} + length(prompt) + ${"<|assistant|>".length} AS BIGINT) AS mask_start, " +
         s"CAST(${"<|system|>".length + ChatSystem.length + "<|user|>".length} + length(prompt) + ${"<|assistant|>".length} + length(response) AS BIGINT) AS mask_end, " +
-        s"n AS n_tokens, n - $ChatPromptWords AS n_tokens_masked FROM p")
+        s"n AS n_tokens, n - $ChatPromptWords AS n_tokens_masked FROM p"),
+    // Bradley-Terry oracle: the same 3 MM rounds unrolled as CTEs,
+    // ordered folds via list_aggregate(list_sort(...)) — raw doubles
+    // hash-gate unrounded (the graph_pagerank precedent)
+    "rel_bradley_terry" -> {
+      def btRound(i: Int) =
+        s"d$i AS (SELECT sym.i AS player, list_aggregate(list_sort(" +
+          s"list(CAST(sym.n AS DOUBLE) / (ri.rating + rj.rating))), 'sum') AS den " +
+          s"FROM sym JOIN r${i - 1} ri ON sym.i = ri.player " +
+          s"JOIN r${i - 1} rj ON sym.j = rj.player GROUP BY 1), " +
+          s"u$i AS (SELECT w.player, w.n_wins, CAST(w.n_wins AS DOUBLE) / d$i.den AS u " +
+          s"FROM w JOIN d$i ON w.player = d$i.player), " +
+          s"t$i AS (SELECT list_aggregate(list_sort(list(u)), 'sum') AS tot FROM u$i), " +
+          s"r$i AS (SELECT player, n_wins, u * CAST(np.np AS DOUBLE) / t$i.tot AS rating " +
+          s"FROM u$i CROSS JOIN np CROSS JOIN t$i)"
+      "WITH bn AS (SELECT l_orderkey AS o, CAST(s_nationkey AS BIGINT) AS nat, " +
+        "sum(l_quantity) AS v FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1, 2), " +
+        "pr AS (SELECT CASE WHEN a.v > b.v THEN a.nat ELSE b.nat END AS winner, " +
+        "CASE WHEN a.v > b.v THEN b.nat ELSE a.nat END AS loser " +
+        "FROM bn a JOIN bn b ON a.o = b.o AND a.nat < b.nat AND a.v <> b.v), " +
+        "cmp AS (SELECT least(winner, loser) AS a, greatest(winner, loser) AS b, " +
+        "CAST(count(*) AS BIGINT) AS n FROM pr GROUP BY 1, 2), " +
+        "sym AS (SELECT a AS i, b AS j, n FROM cmp UNION ALL SELECT b, a, n FROM cmp), " +
+        "players AS (SELECT DISTINCT i AS player FROM sym), " +
+        "np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM players), " +
+        "wn AS (SELECT winner AS player, CAST(count(*) AS BIGINT) AS n_wins FROM pr GROUP BY 1), " +
+        "w AS (SELECT players.player, coalesce(wn.n_wins, 0) AS n_wins " +
+        "FROM players LEFT JOIN wn ON players.player = wn.player), " +
+        "r0 AS (SELECT player, n_wins, CAST(1 AS DOUBLE) AS rating FROM w), " +
+        s"${btRound(1)}, ${btRound(2)}, ${btRound(3)} " +
+        "SELECT player, n_wins, rating FROM r3"
+    }
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -82,5 +82,101 @@ object Preference {
         (length(pre) + length(response)).cast("long").as("mask_end"),
         n.as("n_tokens"),
         (n - promptWords).as("n_tokens_masked"))
+  }
+
+  /** Fit Bradley-Terry strengths from decided pairwise outcomes — the
+    * rating model behind reward-model data curation (which responses /
+    * annotators / sources consistently win) and LLM-arena leaderboards.
+    * Input: one row per decided comparison (`winnerCol`, `loserCol`);
+    * NULL endpoints and self-comparisons drop.
+    *
+    * `iters` rounds of Hunter's MM update (Hunter 2004, "MM algorithms
+    * for generalized Bradley-Terry models"):
+    * p_i ← W_i / Σ_j n_ij/(p_i+p_j), then rescaled so mean(p) = 1
+    * (the MM objective is scale-invariant; without the rescale the
+    * iterate wanders in scale and cross-engine comparison is
+    * meaningless). Players with zero wins rate 0 after one round —
+    * the MLE boundary, reported, not an error.
+    *
+    * Scale shape: the comparison matrix aggregates once to one row per
+    * unordered player pair (n_ij) — all further work is
+    * player-cardinality-sized, independent of the outcome row count.
+    * Per round: one sym⋈ratings double equi-join + one groupBy(player)
+    * fold + one tiny (1-row) total broadcast — the pageRank loop
+    * conventions exactly (per-round localCheckpoint lineage
+    * truncation, eager release of the dead iterate).
+    *
+    * Determinism: strengths are built from correctly-rounded IEEE ops
+    * only (+, /, ×) — no libm. With `portable = true` the per-player
+    * denominator and the global total use ordered folds
+    * (sort-then-sum), so the result is BIT-identical across engines
+    * and partitionings; default sums algebraically (the scale
+    * default: ±ulp order noise, constant state per key).
+    *
+    * Output: (player, n_wins, rating) — one row per player appearing
+    * in any decided comparison. */
+  def bradleyTerry(outcomes: DataFrame, winnerCol: String,
+      loserCol: String, iters: Int,
+      portable: Boolean = false): DataFrame = {
+    require(iters >= 1, s"bradleyTerry: iters must be >= 1, got $iters")
+    val pr = outcomes
+      .select(col(winnerCol).as("__w"), col(loserCol).as("__l"))
+      .where(col("__w").isNotNull && col("__l").isNotNull &&
+        col("__w") =!= col("__l"))
+    // one row per unordered pair — everything after this is
+    // player-cardinality-sized
+    val cmp = pr.groupBy(least(col("__w"), col("__l")).as("a"),
+        greatest(col("__w"), col("__l")).as("b"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    try {
+      val sym = cmp.select(col("a").as("i"), col("b").as("j"), col("n"))
+        .unionByName(
+          cmp.select(col("b").as("i"), col("a").as("j"), col("n")))
+      val wins = pr.groupBy(col("__w").as("player"))
+        .agg(count(lit(1)).as("n_wins"))
+      val players = sym.select(col("i").as("player")).distinct()
+      val np = players.agg(count(lit(1)).as("__np"))
+      val fold: Column => Column =
+        if (portable)
+          c => aggregate(sort_array(collect_list(c)), lit(0.0), _ + _)
+        else c => sum(c)
+      var ratings = players
+        .join(wins, Seq("player"), "left")
+        .select(col("player"),
+          coalesce(col("n_wins"), lit(0L)).as("n_wins"),
+          lit(1.0).as("rating"))
+        .localCheckpoint(true)
+      var it = 0
+      while (it < iters) {
+        val denom = sym
+          .join(ratings.select(col("player").as("i"),
+            col("rating").as("__pi")), "i")
+          .join(ratings.select(col("player").as("j"),
+            col("rating").as("__pj")), "j")
+          .groupBy(col("i").as("player"))
+          .agg(fold(col("n").cast("double") /
+            (col("__pi") + col("__pj"))).as("__den"))
+        val unnorm = ratings.select(col("player"), col("n_wins"))
+          .join(denom, "player")
+          .select(col("player"), col("n_wins"),
+            (col("n_wins").cast("double") / col("__den")).as("__u"))
+        val total = unnorm.agg(fold(col("__u")).as("__tot"))
+        val next = unnorm
+          .crossJoin(broadcast(total))
+          .crossJoin(broadcast(np))
+          .select(col("player"), col("n_wins"),
+            (col("__u") * col("__np").cast("double") / col("__tot"))
+              .as("rating"))
+          .localCheckpoint(true)
+        Checkpoints.releaseIntermediate(ratings)
+        ratings = next
+        it += 1
+      }
+      val out = ratings.select(col("player"), col("n_wins"), col("rating"))
+        .localCheckpoint(true)
+      Checkpoints.releaseIntermediate(ratings)
+      out
+    } finally Checkpoints.releaseIntermediate(cmp)
   }
 }

@@ -67,4 +67,56 @@ class PreferenceSpec extends SparkSpec {
       Preference.chatTemplate(df, "id", "text", 0, "s")
     }
   }
+
+  private def games(rows: (Long, Long)*) =
+    rows.toDF("winner", "loser")
+
+  test("bradleyTerry: a transitive tournament orders strengths, and the " +
+      "rescale pins mean rating to exactly 1") {
+    val out = Preference.bradleyTerry(
+        games((1L, 2L), (1L, 2L), (2L, 3L), (2L, 3L), (1L, 3L), (1L, 3L)),
+        "winner", "loser", iters = 5)
+      .collect().map(r => r.getAs[Long]("player") ->
+        r.getAs[Double]("rating")).toMap
+    assert(out(1L) > out(2L) && out(2L) > out(3L))
+    assert(math.abs(out.values.sum - 3.0) < 1e-12)
+  }
+
+  test("bradleyTerry: a perfectly-balanced rivalry rates both players " +
+      "exactly 1; zero-win players rate exactly 0 (the MLE boundary)") {
+    val even = Preference.bradleyTerry(
+        games((1L, 2L), (2L, 1L)), "winner", "loser", iters = 3)
+      .collect().map(r => r.getAs[Long]("player") ->
+        r.getAs[Double]("rating")).toMap
+    assert(even == Map(1L -> 1.0, 2L -> 1.0))
+    val shutout = Preference.bradleyTerry(
+        games((1L, 2L), (1L, 2L)), "winner", "loser", iters = 3)
+      .collect().map(r => (r.getAs[Long]("player"),
+        r.getAs[Long]("n_wins"), r.getAs[Double]("rating")))
+    assert(shutout.toSet == Set((1L, 2L, 2.0), (2L, 0L, 0.0)))
+  }
+
+  test("bradleyTerry: NULL endpoints and self-comparisons drop; the " +
+      "portable fold matches the algebraic one on a small tournament") {
+    val dirty = Seq((Some(1L), Some(2L)), (Some(2L), Some(2L)),
+        (None, Some(1L)), (Some(3L), None), (Some(2L), Some(3L)))
+      .toDF("winner", "loser")
+    val players = Preference.bradleyTerry(dirty, "winner", "loser", 2)
+      .select("player").as[Long].collect().toSet
+    assert(players == Set(1L, 2L, 3L))
+    val t = games((1L, 2L), (2L, 3L), (3L, 1L), (1L, 2L))
+    val fast = Preference.bradleyTerry(t, "winner", "loser", 4)
+      .collect().map(r => r.getAs[Long]("player") ->
+        r.getAs[Double]("rating")).toMap
+    val portable = Preference.bradleyTerry(t, "winner", "loser", 4,
+        portable = true)
+      .collect().map(r => r.getAs[Long]("player") ->
+        r.getAs[Double]("rating")).toMap
+    fast.keySet.foreach { k =>
+      assert(math.abs(fast(k) - portable(k)) < 1e-9, s"player $k")
+    }
+    intercept[IllegalArgumentException] {
+      Preference.bradleyTerry(t, "winner", "loser", 0)
+    }
+  }
 }
