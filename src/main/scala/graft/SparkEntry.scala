@@ -92,6 +92,10 @@ object SparkEntry {
     * 25-nation tournament — enough for the ordering to stabilize;
     * the oracle unrolls the same 3 rounds. */
   val BtIters = 3
+  /** Label-propagation rounds (graph_labelprop): 3 deterministic
+    * synchronous rounds over the co-purchase graph; the oracle
+    * unrolls the same 3. */
+  val LpIters = 3
   /** Z-order layout parameters (rel_zorder_skip): dims are
     * (l_partkey mod 128, l_suppkey mod 8) so 7 interleave bits cover
     * the space and the one literal box stays selective at every SF;
@@ -2228,6 +2232,18 @@ object SparkEntry {
       Graph.triangleCounts(
         a.join(b, "l_orderkey").where(col("src") < col("dst"))
           .select(col("src"), col("dst")))
+    }),
+    "graph_labelprop" -> ((s, d) => {
+      // deterministic synchronous LPA over the same co-purchase graph:
+      // 3 rounds of neighbor-majority labels (min-label tie-break) —
+      // density communities, vs CC's connectivity clusters
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("dst"))
+      Graph.labelPropagation(
+        a.join(b, "l_orderkey").where(col("src") < col("dst"))
+          .select(col("src"), col("dst")), LpIters)
     }),
 
     // --- mergeable frequency sketch (Count-Min) ---
@@ -4613,6 +4629,26 @@ object SparkEntry {
         "r0 AS (SELECT player, n_wins, CAST(1 AS DOUBLE) AS rating FROM w), " +
         s"${btRound(1)}, ${btRound(2)}, ${btRound(3)} " +
         "SELECT player, n_wins, rating FROM r3"
+    },
+    // LPA oracle: the same 3 synchronous rounds unrolled — integer
+    // counts + min-label tie-break, no floating point anywhere
+    "graph_labelprop" -> {
+      def lpRound(i: Int) =
+        s"g$i AS (SELECT sym.node, l.label, count(*) AS cnt " +
+          s"FROM sym JOIN l${i - 1} l ON sym.nbr = l.node GROUP BY 1, 2), " +
+          s"l$i AS (SELECT node, label FROM (SELECT node, label, " +
+          "row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn " +
+          s"FROM g$i) WHERE rn = 1)"
+      "WITH c AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b " +
+        "FROM lineitem a JOIN lineitem b " +
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+        "sym AS (SELECT a AS node, b AS nbr FROM c UNION ALL SELECT b, a FROM c), " +
+        "l0 AS (SELECT DISTINCT node, node AS label FROM sym), " +
+        s"${lpRound(1)}, ${lpRound(2)}, ${lpRound(3)}, " +
+        "sz AS (SELECT label, CAST(count(*) AS BIGINT) AS community_size " +
+        "FROM l3 GROUP BY 1) " +
+        "SELECT l3.node, l3.label, sz.community_size " +
+        "FROM l3 JOIN sz ON l3.label = sz.label"
     }
   )
 }

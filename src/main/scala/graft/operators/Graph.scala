@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over edge lists — the PageRank-family
@@ -159,5 +160,70 @@ object Graph {
             (col("degree").cast("double") *
               (col("degree").cast("double") - lit(1.0))))
           .otherwise(lit(0.0)), 4).as("clustering"))
+  }
+
+  /** Synchronous label propagation (Raghavan 2007) over an undirected
+    * edge list — the cheap community detector: each node starts
+    * labeled with its own id; each round every node adopts the label
+    * most frequent among its NEIGHBORS, ties broken by MIN label.
+    * Fully deterministic (the classic algorithm's random tie-break and
+    * random visit order are replaced by total orders), so fixed-`iters`
+    * output is reproducible across engines and partitionings — the
+    * property the async textbook variant cannot offer. Communities are
+    * density-driven, unlike [[Dedup.duplicateClusters]]' connectivity
+    * components (one bridge edge merges two CC's; LPA keeps them
+    * apart).
+    *
+    * Scale shape per round: ONE sym⋈labels equi-join on the neighbor
+    * key + ONE (node, label) count aggregate + ONE argmax window
+    * partitioned by node — per-node window state is one row, and the
+    * window rides the aggregate's hash partitioning on node. Lineage
+    * truncated per round (the pageRank conventions); iteration count
+    * is the only loop bound.
+    *
+    * Input rows are treated as undirected: canonicalized, deduped;
+    * self-loops and NULL endpoints drop. Output: (node, label,
+    * community_size) — size is the final label's member count. */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1,
+      s"labelPropagation: iters must be >= 1, got $iters")
+    val canon = edges
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    try {
+      val sym = canon.select(col("a").as("node"), col("b").as("nbr"))
+        .unionByName(canon.select(col("b").as("node"), col("a").as("nbr")))
+      var labels = sym.select(col("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+        .localCheckpoint(true)
+      var it = 0
+      while (it < iters) {
+        val counts = sym
+          .join(labels.select(col("node").as("nbr"), col("label")), "nbr")
+          .groupBy(col("node"), col("label"))
+          .agg(count(lit(1)).as("__cnt"))
+        val byMajority = Window.partitionBy(col("node"))
+          .orderBy(col("__cnt").desc, col("label").asc)
+        val next = counts
+          .withColumn("__rn", row_number().over(byMajority))
+          .where(col("__rn") === 1)
+          .select(col("node"), col("label"))
+          .localCheckpoint(true)
+        Checkpoints.releaseIntermediate(labels)
+        labels = next
+        it += 1
+      }
+      val sizes = labels.groupBy(col("label"))
+        .agg(count(lit(1)).as("community_size"))
+      val out = labels.join(sizes, "label")
+        .select(col("node"), col("label"), col("community_size"))
+        .localCheckpoint(true)
+      Checkpoints.releaseIntermediate(labels)
+      out
+    } finally Checkpoints.releaseIntermediate(canon)
   }
 }

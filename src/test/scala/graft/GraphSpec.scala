@@ -130,4 +130,49 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](Graph.pageRank(e, 0))
     intercept[IllegalArgumentException](Graph.pageRank(e, 3, alpha = 1.0))
   }
+
+  private def lpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, (Long, Long)] =
+    Graph.labelPropagation(edges.toDF("src", "dst"), iters).collect()
+      .map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("label"), r.getAs[Long]("community_size")))).toMap
+
+  test("labelPropagation: two disjoint triangles converge to separate " +
+      "min-node labels with community_size 3") {
+    val out = lpa(Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L)), iters = 3)
+    assert(out == Map(
+      1L -> ((1L, 3L)), 2L -> ((1L, 3L)), 3L -> ((1L, 3L)),
+      10L -> ((10L, 3L)), 11L -> ((10L, 3L)), 12L -> ((10L, 3L))))
+  }
+
+  test("labelPropagation: one bridge edge does NOT merge two dense " +
+      "communities (the density-vs-connectivity contrast with CC)") {
+    // two K4's joined by a single bridge 4-5: CC would report one
+    // component; LPA keeps two communities
+    val k4a = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val k4b = for (a <- 5L to 8L; b <- (a + 1) to 8L) yield (a, b)
+    val out = lpa(k4a ++ k4b :+ ((4L, 5L)), iters = 3)
+    assert((1L to 4L).forall(n => out(n)._1 == 1L))
+    assert((5L to 8L).forall(n => out(n)._1 == 5L))
+    assert(out(1L)._2 == 4L && out(8L)._2 == 4L)
+  }
+
+  test("labelPropagation: dirty input canonicalizes (dups, reversed " +
+      "edges, self-loops, NULLs drop); iters guard fires") {
+    val dirty = Seq((Some(1L), Some(2L)), (Some(2L), Some(1L)),
+        (Some(1L), Some(2L)), (Some(2L), Some(2L)),
+        (None, Some(3L)), (Some(3L), None))
+      .toDF("src", "dst")
+    // only the 1-2 edge survives. A lone pair OSCILLATES under
+    // synchronous updates (each adopts the other's label every round):
+    // odd iters swap, even iters restore — deterministic either way
+    val odd = Graph.labelPropagation(dirty, 1).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert(odd == Map(1L -> 2L, 2L -> 1L))
+    val even = Graph.labelPropagation(dirty, 2).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert(even == Map(1L -> 1L, 2L -> 2L))
+    intercept[IllegalArgumentException](
+      Graph.labelPropagation(dirty, 0))
+  }
 }
