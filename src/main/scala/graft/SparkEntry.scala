@@ -96,6 +96,22 @@ object SparkEntry {
     * synchronous rounds over the co-purchase graph; the oracle
     * unrolls the same 3. */
   val LpIters = 3
+  /** Fellegi-Sunter linkage model (rel_record_linkage): three fields
+    * over the customer-vs-perturbed-customer candidate pairs blocked
+    * on (nation, segment). The m/u probabilities turn into log2
+    * likelihood-ratio DOUBLE LITERALS driver-side — both engines sum
+    * the same bits in the same field order. Thresholds sit so clean
+    * pairs match (~24.6), single-field damage lands in the clerical
+    * band (possible), and same-block strangers fall below it. */
+  val LinkMatchTh = 15.0
+  val LinkPossibleTh = 2.0
+  val LinkFieldsDef: Seq[LinkField] = Seq(
+    LinkField("name_exact", col("l_name") === col("r_name"),
+      m = 0.75, u = 0.0005),
+    LinkField("bal_close", abs(col("l_bal") - col("r_bal")) <= lit(0.01),
+      m = 0.85, u = 0.001),
+    LinkField("bal_coarse", abs(col("l_bal") - col("r_bal")) <= lit(5.0),
+      m = 0.97, u = 0.05))
   /** Z-order layout parameters (rel_zorder_skip): dims are
     * (l_partkey mod 128, l_suppkey mod 8) so 7 interleave bits cover
     * the space and the one literal box stays selective at every SF;
@@ -2309,6 +2325,35 @@ object SparkEntry {
             .as("loser"))
       Preference.bradleyTerry(outcomes, "winner", "loser", BtIters,
         portable = true)
+    }),
+
+    // --- probabilistic record linkage (Fellegi-Sunter) ---
+    "rel_record_linkage" -> ((s, d) => {
+      // link customer against a deterministically-damaged copy of
+      // itself: suffix-perturbed names (%5), NULLed names (%17 — the
+      // zero-weight missing-data state), and balance shifts at three
+      // magnitudes (%3 benign, %13 breaks the tight band, %11 breaks
+      // both). Blocked on (nation, segment) — candidates are
+      // block-bounded, never all-pairs
+      val c = t(s, d, "customer")
+      val left = c.select(col("c_custkey").as("left_id"),
+        col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+        col("c_name").as("l_name"), col("c_acctbal").as("l_bal"))
+      val right = c.select((col("c_custkey") + 1000000L).as("right_id"),
+        col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+        when(col("c_custkey") % 17 === 0, lit(null))
+          .when(col("c_custkey") % 5 === 0, concat(col("c_name"), lit("~")))
+          .otherwise(col("c_name")).as("r_name"),
+        (col("c_acctbal") +
+          when(col("c_custkey") % 3 === 0, lit(0.005))
+            .when(col("c_custkey") % 13 === 0, lit(3.0))
+            .when(col("c_custkey") % 11 === 0, lit(1000.0))
+            .otherwise(lit(0.0))).as("r_bal"))
+      Linkage.linkPairs(left, right, Seq("nat", "seg"), LinkFieldsDef,
+          LinkMatchTh, LinkPossibleTh)
+        .select(col("left_id"), col("right_id"), col("agree_name_exact"),
+          col("agree_bal_close"), col("agree_bal_coarse"), col("score"),
+          col("verdict"))
     })
   )
 
@@ -4649,6 +4694,42 @@ object SparkEntry {
         "FROM l3 GROUP BY 1) " +
         "SELECT l3.node, l3.label, sz.community_size " +
         "FROM l3 JOIN sz ON l3.label = sz.label"
+    },
+    // Fellegi-Sunter oracle: the SAME LinkField instances supply the
+    // weight literals, summed in the same field order. The literals
+    // go through STRING casts — DuckDB parses a bare 17-digit numeric
+    // as DECIMAL and its decimal→double conversion double-rounds
+    // (10550746785383243 > 2^53), off strtod by an ulp; CAST('…' AS
+    // DOUBLE) is strtod and returns Scala's exact bits
+    "rel_record_linkage" -> {
+      def w(flag: String, f: LinkField) =
+        s"CASE WHEN $flag IS NULL THEN CAST(0 AS DOUBLE) " +
+          s"WHEN $flag THEN CAST('${f.agreeWeight}' AS DOUBLE) " +
+          s"ELSE CAST('${f.disagreeWeight}' AS DOUBLE) END"
+      val Seq(fn, fc, fo) = LinkFieldsDef
+      "WITH lft AS (SELECT c_custkey AS left_id, c_nationkey AS nat, " +
+        "c_mktsegment AS seg, c_name AS l_name, c_acctbal AS l_bal FROM customer), " +
+        "rgt AS (SELECT c_custkey + 1000000 AS right_id, c_nationkey AS nat, " +
+        "c_mktsegment AS seg, " +
+        "CASE WHEN c_custkey % 17 = 0 THEN NULL " +
+        "WHEN c_custkey % 5 = 0 THEN c_name || '~' ELSE c_name END AS r_name, " +
+        "c_acctbal + CASE WHEN c_custkey % 3 = 0 THEN CAST(0.005 AS DOUBLE) " +
+        "WHEN c_custkey % 13 = 0 THEN CAST(3.0 AS DOUBLE) " +
+        "WHEN c_custkey % 11 = 0 THEN CAST(1000.0 AS DOUBLE) " +
+        "ELSE CAST(0 AS DOUBLE) END AS r_bal FROM customer), " +
+        "sc AS (SELECT left_id, right_id, " +
+        "l_name = r_name AS agree_name_exact, " +
+        "abs(l_bal - r_bal) <= CAST(0.01 AS DOUBLE) AS agree_bal_close, " +
+        "abs(l_bal - r_bal) <= CAST(5.0 AS DOUBLE) AS agree_bal_coarse " +
+        "FROM lft JOIN rgt USING (nat, seg)), " +
+        s"sw AS (SELECT *, ${w("agree_name_exact", fn)} + " +
+        s"${w("agree_bal_close", fc)} + ${w("agree_bal_coarse", fo)} AS score FROM sc) " +
+        "SELECT left_id, right_id, agree_name_exact, agree_bal_close, " +
+        "agree_bal_coarse, score, " +
+        s"CASE WHEN score >= CAST($LinkMatchTh AS DOUBLE) THEN 'match' " +
+        s"WHEN score >= CAST($LinkPossibleTh AS DOUBLE) THEN 'possible' " +
+        "ELSE 'nonmatch' END AS verdict " +
+        s"FROM sw WHERE score >= CAST($LinkPossibleTh AS DOUBLE)"
     }
   )
 }
