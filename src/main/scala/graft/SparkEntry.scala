@@ -105,6 +105,11 @@ object SparkEntry {
     * band (possible), and same-block strangers fall below it. */
   val LinkMatchTh = 15.0
   val LinkPossibleTh = 2.0
+  /** k-anonymity ladder (rel_k_anonymity): k=10 over customer
+    * quasi-identifiers, five generalization levels from
+    * near-unique (nation, segment, whole-dollar balance) down to
+    * nation-only — the suppression-vs-k curve at every SF. */
+  val KAnonK = 10
   val LinkFieldsDef: Seq[LinkField] = Seq(
     LinkField("name_exact", col("l_name") === col("r_name"),
       m = 0.75, u = 0.0005),
@@ -2354,7 +2359,19 @@ object SparkEntry {
         .select(col("left_id"), col("right_id"), col("agree_name_exact"),
           col("agree_bal_close"), col("agree_bal_coarse"), col("score"),
           col("verdict"))
-    })
+    }),
+
+    // --- privacy gate: k-anonymity over a generalization ladder ---
+    "rel_k_anonymity" -> ((s, d) =>
+      Quality.kAnonymity(t(s, d, "customer"), Seq(
+        "nation_seg_bal1" -> Seq(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal")).cast("long")),
+        "nation_seg_bal100" -> Seq(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 100.0).cast("long")),
+        "nation_seg_bal1000" -> Seq(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000.0).cast("long")),
+        "nation_seg" -> Seq(col("c_nationkey"), col("c_mktsegment")),
+        "nation" -> Seq(col("c_nationkey"))), KAnonK))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -4730,6 +4747,21 @@ object SparkEntry {
         s"WHEN score >= CAST($LinkPossibleTh AS DOUBLE) THEN 'possible' " +
         "ELSE 'nonmatch' END AS verdict " +
         s"FROM sw WHERE score >= CAST($LinkPossibleTh AS DOUBLE)"
-    }
+    },
+    // k-anonymity oracle: per-level mirrors generated by the shared
+    // kAnonymitySql builder — the oracle groups by the raw QI
+    // expressions (no key-string needed; class counts are identical)
+    "rel_k_anonymity" -> Seq(
+      (0, "nation_seg_bal1",
+        "c_nationkey, c_mktsegment, CAST(floor(c_acctbal) AS BIGINT)"),
+      (1, "nation_seg_bal100",
+        "c_nationkey, c_mktsegment, CAST(floor(c_acctbal / 100.0) AS BIGINT)"),
+      (2, "nation_seg_bal1000",
+        "c_nationkey, c_mktsegment, CAST(floor(c_acctbal / 1000.0) AS BIGINT)"),
+      (3, "nation_seg", "c_nationkey, c_mktsegment"),
+      (4, "nation", "c_nationkey"))
+      .map { case (i, name, qi) =>
+        Quality.kAnonymitySql("customer", i, name, qi, KAnonK)
+      }.mkString(" UNION ALL ")
   )
 }

@@ -712,6 +712,76 @@ object Quality {
   def approxProfile(df: DataFrame, cols: Seq[String]): DataFrame =
     mergeProfileShards(profileShard(df, cols), cols)
 
+  /** k-anonymity report over a generalization ladder (Sweeney 2002) —
+    * the privacy gate a training-data release needs: a row is
+    * re-identifiable when its quasi-identifier combination is shared
+    * by fewer than k rows. Each `levels` entry is a named
+    * quasi-identifier list, coarser at higher levels (bucket the
+    * value, drop a column…); the report shows, per level, how much
+    * data the suppression model would discard and what k the kept
+    * classes actually achieve — the curve an operator reads to pick
+    * the cheapest level that meets policy.
+    *
+    * Scale shape: ONE scan — each row expands to one (level, key)
+    * pair per level (keys are sentinel-coalesced string
+    * concatenations, so NULLs can't collide with adjacent fields),
+    * then one (level, key) count and one levels-sized rollup. No
+    * driver-side anything; output has one row per level.
+    *
+    * Determinism: counts are exact integers; `suppression_rate` is a
+    * single exact integer-to-integer IEEE division. QI expressions
+    * are cast to string — bucket doubles to integers FIRST (floor
+    * division), never feed raw doubles.
+    *
+    * Output: (lvl, level, n_rows, n_classes, n_suppressed_rows,
+    * suppression_rate, k_effective) — `k_effective` is the smallest
+    * surviving class (0 when every class is suppressed). */
+  def kAnonymity(df: DataFrame, levels: Seq[(String, Seq[Column])],
+      k: Int): DataFrame = {
+    require(k >= 2, s"kAnonymity: k must be >= 2, got $k")
+    require(levels.nonEmpty, "kAnonymity: need at least one level")
+    require(levels.map(_._1).distinct.size == levels.size,
+      "kAnonymity: duplicate level names")
+    require(levels.forall(_._2.nonEmpty),
+      "kAnonymity: a level needs at least one quasi-identifier")
+    val tagged = df.select(explode(array(levels.zipWithIndex.map {
+      case ((name, qis), i) =>
+        struct(lit(i.toLong).as("lvl"), lit(name).as("level"),
+          // \u0001-separated, NULLs to a distinct sentinel: concat_ws
+          // alone SKIPS nulls -- ("a",NULL,"b") would collide with
+          // ("a","b",NULL) -- and concatenation without a separator
+          // would collide ("a","bc") with ("ab","c")
+          concat_ws("\u0001",
+            qis.map(q => coalesce(q.cast("string"), lit("\u0002"))): _*)
+            .as("key"))
+    }: _*)).as("t")).select(col("t.*"))
+    val classes = tagged.groupBy(col("lvl"), col("level"), col("key"))
+      .agg(count(lit(1)).as("n"))
+    classes.groupBy(col("lvl"), col("level"))
+      .agg(sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        sum(when(col("n") < k, col("n")).otherwise(lit(0L)))
+          .as("n_suppressed_rows"),
+        min(when(col("n") >= k, col("n"))).as("__ke"))
+      .select(col("lvl"), col("level"), col("n_rows"), col("n_classes"),
+        col("n_suppressed_rows"),
+        (col("n_suppressed_rows").cast("double") /
+          col("n_rows").cast("double")).as("suppression_rate"),
+        coalesce(col("__ke"), lit(0L)).as("k_effective"))
+  }
+
+  /** The DuckDB mirror of one [[kAnonymity]] level: `qiSql` is the
+    * comma-joined quasi-identifier expression list. */
+  def kAnonymitySql(table: String, lvl: Int, level: String,
+      qiSql: String, k: Int): String =
+    s"SELECT CAST($lvl AS BIGINT) AS lvl, '$level' AS level, " +
+      "CAST(sum(n) AS BIGINT) AS n_rows, " +
+      "CAST(count(*) AS BIGINT) AS n_classes, " +
+      s"CAST(coalesce(sum(CASE WHEN n < $k THEN n END), 0) AS BIGINT) AS n_suppressed_rows, " +
+      s"CAST(coalesce(sum(CASE WHEN n < $k THEN n END), 0) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS suppression_rate, " +
+      s"CAST(coalesce(min(CASE WHEN n >= $k THEN n END), 0) AS BIGINT) AS k_effective " +
+      s"FROM (SELECT count(*) AS n FROM $table GROUP BY $qiSql)"
+
   /** The DuckDB mirror of [[profile]] for the same column list. */
   def profileSql(table: String, cols: Seq[String]): String = {
     val aggs = ("count(*) AS n_rows" +: cols.flatMap { c =>

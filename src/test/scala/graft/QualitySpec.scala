@@ -460,4 +460,48 @@ class QualitySpec extends SparkSpec {
     assert(psql.split("UNION ALL").length === 2)
     assert(psql.contains("count(DISTINCT a) AS nd_a"))
   }
+
+  test("kAnonymity: per-level class counts, suppression, and achieved " +
+      "k follow the generalization ladder") {
+    // 12 rows: (region, age) QIs — raw level has classes of sizes
+    // 4/4/2/1/1; region-only has 9/3
+    val df = Seq(
+      ("east", 30), ("east", 30), ("east", 30), ("east", 30),
+      ("east", 40), ("east", 40), ("east", 40), ("east", 40),
+      ("west", 30), ("west", 30), ("east", 55), ("west", 99))
+      .toDF("region", "age")
+    val out = Quality.kAnonymity(df, Seq(
+        "raw" -> Seq(col("region"), col("age")),
+        "region_only" -> Seq(col("region"))), k = 3)
+      .collect().map(r => r.getAs[String]("level") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_classes"),
+          r.getAs[Long]("n_suppressed_rows"),
+          r.getAs[Double]("suppression_rate"),
+          r.getAs[Long]("k_effective")))).toMap
+    assert(out("raw") == ((12L, 5L, 4L, 4.0 / 12.0, 4L)))
+    assert(out("region_only") == ((12L, 2L, 0L, 0.0, 3L)))
+  }
+
+  test("kAnonymity: NULL quasi-identifiers form their own class and " +
+      "cannot collide with adjacent fields; all-suppressed reports " +
+      "k_effective 0") {
+    val df = Seq((Some("a"), None: Option[String]), (None, Some("a")),
+        (Some("a"), None), (None, Some("a")))
+      .toDF("x", "y")
+    val out = Quality.kAnonymity(df,
+        Seq("xy" -> Seq(col("x"), col("y"))), k = 2)
+      .collect().head
+    // ("a",NULL) and (NULL,"a") are DISTINCT classes of 2 each
+    assert(out.getAs[Long]("n_classes") == 2L)
+    assert(out.getAs[Long]("n_suppressed_rows") == 0L)
+    val strict = Quality.kAnonymity(df,
+        Seq("xy" -> Seq(col("x"), col("y"))), k = 3)
+      .collect().head
+    assert(strict.getAs[Long]("n_suppressed_rows") == 4L)
+    assert(strict.getAs[Long]("k_effective") == 0L)
+    intercept[IllegalArgumentException](
+      Quality.kAnonymity(df, Seq("a" -> Seq(col("x"))), k = 1))
+    intercept[IllegalArgumentException](
+      Quality.kAnonymity(df, Seq.empty, k = 2))
+  }
 }
