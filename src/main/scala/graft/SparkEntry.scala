@@ -2361,6 +2361,20 @@ object SparkEntry {
           col("verdict"))
     }),
 
+    // --- SQ8 scalar quantization of embeddings ---
+    "sim_scalar_quant" -> ((s, d) => {
+      // fit the per-dim (lo,hi) ranges (dims-sized artifact), encode
+      // every vector to int8 codes in one scan, and report the
+      // reconstruction error the recall budget depends on. min/max
+      // are exact, so the oracle REFITS in SQL and lands on the
+      // identical doubles — no literals cross engines
+      val emb = t(s, d, "embeddings")
+      val ranges = Similarity.fitSqRanges(emb, "embedding")
+      Similarity.sqEncode(emb, "vec_id", "embedding", ranges)
+        .select(col("vec_id"), col("checksum"), col("max_abs_err"),
+          col("mse"))
+    }),
+
     // --- privacy gate: k-anonymity over a generalization ladder ---
     "rel_k_anonymity" -> ((s, d) =>
       Quality.kAnonymity(t(s, d, "customer"), Seq(
@@ -4748,6 +4762,24 @@ object SparkEntry {
         "ELSE 'nonmatch' END AS verdict " +
         s"FROM sw WHERE score >= CAST($LinkPossibleTh AS DOUBLE)"
     },
+    // SQ8 oracle: refit the exact per-dim min/max in SQL, replay the
+    // floor(x·255 + 0.5) code path and the sorted-fold MSE — raw
+    // doubles hash-gate unrounded
+    "sim_scalar_quant" ->
+      ("WITH x AS (SELECT vec_id, t.i AS d, CAST(t.x AS DOUBLE) AS v " +
+        "FROM embeddings, LATERAL (SELECT unnest(embedding) AS x, " +
+        "unnest(range(0, len(embedding))) AS i) t), " +
+        "st AS (SELECT d, min(v) AS lo, max(v) AS hi FROM x GROUP BY d), " +
+        "q AS (SELECT vec_id, v, lo, hi, " +
+        "CASE WHEN hi = lo THEN 0 ELSE greatest(CAST(0 AS BIGINT), " +
+        "least(CAST(255 AS BIGINT), CAST(floor((v - lo) / (hi - lo) * 255 + 0.5) AS BIGINT))) END AS code " +
+        "FROM x JOIN st USING (d)), " +
+        "e AS (SELECT vec_id, code, " +
+        "abs(v - (lo + CAST(code AS DOUBLE) / 255 * (hi - lo))) AS err FROM q) " +
+        "SELECT vec_id, CAST(sum(code) AS BIGINT) AS checksum, " +
+        "max(err) AS max_abs_err, " +
+        "list_aggregate(list_sort(list(err * err)), 'sum') / 64 AS mse " +
+        "FROM e GROUP BY vec_id"),
     // k-anonymity oracle: per-level mirrors generated by the shared
     // kAnonymitySql builder — the oracle groups by the raw QI
     // expressions (no key-string needed; class counts are identical)

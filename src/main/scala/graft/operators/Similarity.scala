@@ -1345,4 +1345,71 @@ object Similarity {
       .orderBy(col("rrf").desc, col(idCol))
       .limit(topN)
   }
+
+  /** Per-dimension (lo, hi) ranges over the corpus — the SQ8 scalar
+    * quantizer's entire "codebook" (FAISS ScalarQuantizer QT_8bit
+    * train step). ONE scan (posexplode → per-dim min/max); the
+    * collect is dims-sized — a bounded fit artifact like the IVF/PQ
+    * centroids, never data-sized. min/max are EXACT (no ordering
+    * sensitivity), so an oracle recomputing them in SQL lands on the
+    * identical doubles. */
+  def fitSqRanges(corpus: DataFrame, vecCol: String): Array[(Double, Double)] = {
+    val stats = corpus
+      .select(posexplode(col(vecCol)).as(Seq("d", "v")))
+      .groupBy(col("d"))
+      .agg(min(col("v").cast("double")).as("lo"),
+        max(col("v").cast("double")).as("hi"))
+      .orderBy(col("d"))
+      .collect()
+    require(stats.nonEmpty, "fitSqRanges: empty corpus")
+    require(stats.map(_.getInt(0)).toSeq == stats.indices.toSeq,
+      "fitSqRanges: ragged embedding dimensions")
+    stats.map(r => (r.getDouble(1), r.getDouble(2)))
+  }
+
+  /** int8 scalar quantization (SQ8): code_d = round((v_d − lo_d) /
+    * (hi_d − lo_d) · 255) clamped to [0, 255] — 4× smaller than
+    * float32, the cheapest memory lever an ANN index has; constant
+    * dimensions (hi = lo) code to 0. Alongside the codes it reports
+    * the reconstruction error a consumer needs to decide if SQ8 is
+    * admissible for its recall target: per-row max |v − dequant(v)|
+    * and the MSE.
+    *
+    * Scale shape: a single per-row projection — the ranges enter as
+    * dims-sized LITERAL arrays, zero joins, zero shuffles,
+    * stream-ready (the gopherRules shape).
+    *
+    * Determinism: rounding is floor(x·255 + 0.5) — floor is exact
+    * IEEE, avoiding round()'s HALF_UP-vs-banker's divergence; codes
+    * and checksum are integers; max is order-safe; the MSE folds the
+    * SORTED squared-error array (the portable-fold convention), so
+    * every output is bit-reproducible in any IEEE engine.
+    *
+    * Output: (idCol, codes array<bigint>, checksum, max_abs_err, mse). */
+  def sqEncode(df: DataFrame, idCol: String, vecCol: String,
+      ranges: Array[(Double, Double)]): DataFrame = {
+    require(ranges.nonEmpty, "sqEncode: empty ranges")
+    val lo = typedLit(ranges.map(_._1))
+    val hi = typedLit(ranges.map(_._2))
+    val dims = ranges.length
+    val codes = transform(col(vecCol), (v, i) => {
+      val l = element_at(lo, i + 1); val h = element_at(hi, i + 1)
+      when(h === l, lit(0L)).otherwise(
+        greatest(lit(0L), least(lit(255L),
+          floor((v.cast("double") - l) / (h - l) * lit(255.0) + lit(0.5)))))
+    })
+    val errs = transform(col(vecCol), (v, i) => {
+      val l = element_at(lo, i + 1); val h = element_at(hi, i + 1)
+      abs(v.cast("double") -
+        (l + element_at(col("codes"), i + 1).cast("double") / lit(255.0) *
+          (h - l)))
+    })
+    df.select(col(idCol), col(vecCol), codes.as("codes"))
+      .select(col(idCol), col("codes"), errs.as("__errs"))
+      .select(col(idCol), col("codes"),
+        aggregate(col("codes"), lit(0L), _ + _).as("checksum"),
+        array_max(col("__errs")).as("max_abs_err"),
+        (aggregate(sort_array(transform(col("__errs"), e => e * e)),
+          lit(0.0), _ + _) / lit(dims.toDouble)).as("mse"))
+  }
 }

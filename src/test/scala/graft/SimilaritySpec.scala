@@ -794,4 +794,42 @@ class SimilaritySpec extends SparkSpec {
       "dedupe to min rank: the dup row must change nothing")
     assert(byId(fusedDirty)(1L) === ((1L, 1.0 / 61)))
   }
+
+  test("sqEncode: codes hit the range endpoints exactly, constant dims " +
+      "code to 0, and a perfectly-grid-aligned corpus reconstructs " +
+      "losslessly") {
+    // dim0 spans [0, 255] on integer grid points -- SQ8 on a 255-wide
+    // range is exact; dim1 is constant
+    val df = Seq((1L, Seq(0f, 7f)), (2L, Seq(255f, 7f)),
+        (3L, Seq(51f, 7f))).toDF("id", "vec")
+    val ranges = Similarity.fitSqRanges(df, "vec")
+    assert(ranges.toSeq == Seq((0.0, 255.0), (7.0, 7.0)))
+    val out = Similarity.sqEncode(df, "id", "vec", ranges).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[scala.collection.Seq[Long]]("codes").toSeq, r.getAs[Long]("checksum"),
+          r.getAs[Double]("max_abs_err"), r.getAs[Double]("mse")))).toMap
+    assert(out(1L) == ((Seq(0L, 0L), 0L, 0.0, 0.0)))
+    assert(out(2L) == ((Seq(255L, 0L), 255L, 0.0, 0.0)))
+    assert(out(3L) == ((Seq(51L, 0L), 51L, 0.0, 0.0)))
+  }
+
+  test("sqEncode: off-grid values round to the nearest code and the " +
+      "error stats bound the quantization step") {
+    // range [0, 2]: step = 2/255; v = 1.0 -> 127.5 -> floor(+0.5) = 128
+    val df = Seq((1L, Seq(0f)), (2L, Seq(2f)), (3L, Seq(1f)))
+      .toDF("id", "vec")
+    val ranges = Similarity.fitSqRanges(df, "vec")
+    assert(ranges.toSeq == Seq((0.0, 2.0)))
+    val out = Similarity.sqEncode(df, "id", "vec", ranges).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[scala.collection.Seq[Long]]("codes").toSeq, r.getAs[Double]("max_abs_err"))))
+      .toMap
+    assert(out(1L)._1 == Seq(0L) && out(2L)._1 == Seq(255L))
+    assert(out(3L)._1 == Seq(128L))
+    // dequant error of the midpoint is at most half a step
+    val step = 2.0 / 255.0
+    assert(out(3L)._2 <= step / 2 + 1e-12 && out(3L)._2 > 0.0)
+    intercept[IllegalArgumentException](
+      Similarity.sqEncode(df, "id", "vec", Array.empty))
+  }
 }
