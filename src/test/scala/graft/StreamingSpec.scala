@@ -1167,4 +1167,46 @@ class StreamingSpec extends SparkSpec {
     assert(results(3L) === results(2L))
     q.stop()
   }
+
+  test("Linkage.linkPairs is stream-legal as-is: arrivals probe a " +
+      "static registry statelessly and match the batch run exactly") {
+    import graft.operators.{LinkField, Linkage}
+    implicit val ctx = spark.sqlContext
+    // static clean registry: (block, name, balance)
+    val registry = Seq((101L, 0L, "ann", 10.0), (102L, 0L, "bob", 50.0),
+        (103L, 1L, "cam", 70.0))
+      .toDF("right_id", "blk", "r_name", "r_bal")
+    val fields = Seq(
+      LinkField("name", col("l_name") === col("r_name"), 0.9, 0.01),
+      LinkField("bal", org.apache.spark.sql.functions.abs(
+        col("l_bal") - col("r_bal")) <= org.apache.spark.sql.functions
+        .lit(0.5), 0.8, 0.05))
+    val in = MemoryStream[(Long, Long, String, Double)]
+    val arrivals = in.toDF()
+      .toDF("left_id", "blk", "l_name", "l_bal")
+    val flagged = Linkage.linkPairs(arrivals, registry, Seq("blk"),
+      fields, matchThreshold = 5.0, possibleThreshold = 0.0)
+    assert(flagged.isStreaming, "the probe must remain a stream")
+    val name = fresh()
+    val q = flagged.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val batch1 = Seq((1L, 0L, "ann", 10.2), (2L, 0L, "zed", 999.0),
+      (3L, 1L, "cam", 70.0))
+    in.addData(batch1: _*); q.processAllAvailable()
+    val got = spark.table(name)
+      .select("left_id", "right_id", "verdict").as[(Long, Long, String)]
+      .collect().toSet
+    // (1,ann) both agree -> match; (3,cam) both agree -> match;
+    // (2,zed) disagrees everything -> dropped nonmatch; cross-block
+    // pairs never scored
+    assert(got == Set((1L, 101L, "match"), (3L, 103L, "match")))
+    // the stream result IS the batch result on the same arrivals
+    val batchRun = Linkage.linkPairs(
+        batch1.toDF("left_id", "blk", "l_name", "l_bal"), registry,
+        Seq("blk"), fields, 5.0, 0.0)
+      .select("left_id", "right_id", "verdict").as[(Long, Long, String)]
+      .collect().toSet
+    assert(got == batchRun)
+    q.stop()
+  }
 }
