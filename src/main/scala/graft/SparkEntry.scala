@@ -122,6 +122,59 @@ object SparkEntry {
       m = 0.85, u = 0.001),
     LinkField("bal_coarse", abs(col("l_bal") - col("r_bal")) <= lit(5.0),
       m = 0.97, u = 0.05))
+
+  /** The linkage fixture + Fellegi-Sunter scoring as a shared DuckDB
+    * CTE chain (lft/rgt/sc/sw) — rel_record_linkage reads the
+    * decisions, rel_golden_records continues into survivorship.
+    * Weight literals go through CAST('…' AS DOUBLE): DuckDB parses
+    * bare >16-digit numerics as DECIMAL and double-rounds the
+    * conversion, an ulp off strtod. */
+  private def linkageCtes: String = {
+    def w(flag: String, f: LinkField) =
+      s"CASE WHEN $flag IS NULL THEN CAST(0 AS DOUBLE) " +
+        s"WHEN $flag THEN CAST('${f.agreeWeight}' AS DOUBLE) " +
+        s"ELSE CAST('${f.disagreeWeight}' AS DOUBLE) END"
+    val Seq(fn, fc, fo) = LinkFieldsDef
+    "lft AS (SELECT c_custkey AS left_id, c_nationkey AS nat, " +
+      "c_mktsegment AS seg, c_name AS l_name, c_acctbal AS l_bal FROM customer), " +
+      "rgt AS (SELECT c_custkey + 1000000 AS right_id, c_nationkey AS nat, " +
+      "c_mktsegment AS seg, " +
+      "CASE WHEN c_custkey % 17 = 0 THEN NULL " +
+      "WHEN c_custkey % 5 = 0 THEN c_name || '~' ELSE c_name END AS r_name, " +
+      "c_acctbal + CASE WHEN c_custkey % 3 = 0 THEN CAST(0.005 AS DOUBLE) " +
+      "WHEN c_custkey % 13 = 0 THEN CAST(3.0 AS DOUBLE) " +
+      "WHEN c_custkey % 11 = 0 THEN CAST(1000.0 AS DOUBLE) " +
+      "ELSE CAST(0 AS DOUBLE) END AS r_bal FROM customer), " +
+      "sc AS (SELECT left_id, right_id, " +
+      "l_name = r_name AS agree_name_exact, " +
+      "abs(l_bal - r_bal) <= CAST(0.01 AS DOUBLE) AS agree_bal_close, " +
+      "abs(l_bal - r_bal) <= CAST(5.0 AS DOUBLE) AS agree_bal_coarse " +
+      "FROM lft JOIN rgt USING (nat, seg)), " +
+      s"sw AS (SELECT *, ${w("agree_name_exact", fn)} + " +
+      s"${w("agree_bal_close", fc)} + ${w("agree_bal_coarse", fo)} AS score FROM sc)"
+  }
+
+  /** The linkage fixture's clean side (rel_record_linkage /
+    * rel_golden_records). */
+  private def linkageLeft(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select(col("c_custkey").as("left_id"),
+      col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+      col("c_name").as("l_name"), col("c_acctbal").as("l_bal"))
+
+  /** The deterministically-damaged side: NULLed names (%17), suffixed
+    * names (%5), balance shifts at three magnitudes (%3/%13/%11). */
+  private def linkageRight(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select(
+      (col("c_custkey") + 1000000L).as("right_id"),
+      col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+      when(col("c_custkey") % 17 === 0, lit(null))
+        .when(col("c_custkey") % 5 === 0, concat(col("c_name"), lit("~")))
+        .otherwise(col("c_name")).as("r_name"),
+      (col("c_acctbal") +
+        when(col("c_custkey") % 3 === 0, lit(0.005))
+          .when(col("c_custkey") % 13 === 0, lit(3.0))
+          .when(col("c_custkey") % 11 === 0, lit(1000.0))
+          .otherwise(lit(0.0))).as("r_bal"))
   /** Z-order layout parameters (rel_zorder_skip): dims are
     * (l_partkey mod 128, l_suppkey mod 8) so 7 interleave bits cover
     * the space and the one literal box stays selective at every SF;
@@ -2345,25 +2398,34 @@ object SparkEntry {
       // magnitudes (%3 benign, %13 breaks the tight band, %11 breaks
       // both). Blocked on (nation, segment) — candidates are
       // block-bounded, never all-pairs
-      val c = t(s, d, "customer")
-      val left = c.select(col("c_custkey").as("left_id"),
-        col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
-        col("c_name").as("l_name"), col("c_acctbal").as("l_bal"))
-      val right = c.select((col("c_custkey") + 1000000L).as("right_id"),
-        col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
-        when(col("c_custkey") % 17 === 0, lit(null))
-          .when(col("c_custkey") % 5 === 0, concat(col("c_name"), lit("~")))
-          .otherwise(col("c_name")).as("r_name"),
-        (col("c_acctbal") +
-          when(col("c_custkey") % 3 === 0, lit(0.005))
-            .when(col("c_custkey") % 13 === 0, lit(3.0))
-            .when(col("c_custkey") % 11 === 0, lit(1000.0))
-            .otherwise(lit(0.0))).as("r_bal"))
-      Linkage.linkPairs(left, right, Seq("nat", "seg"), LinkFieldsDef,
-          LinkMatchTh, LinkPossibleTh)
+      Linkage.linkPairs(linkageLeft(s, d), linkageRight(s, d),
+          Seq("nat", "seg"), LinkFieldsDef, LinkMatchTh, LinkPossibleTh)
         .select(col("left_id"), col("right_id"), col("agree_name_exact"),
           col("agree_bal_close"), col("agree_bal_coarse"), col("score"),
           col("verdict"))
+    }),
+    "rel_golden_records" -> ((s, d) => {
+      // survivorship over the confirmed matches: members carry a
+      // source priority (clean left = 0, damaged right = 1); the four
+      // rules demonstrate why the choice matters — Prefer(name)
+      // recovers the clean name while Longest(name) keeps the
+      // '~'-suffixed damage
+      val left = linkageLeft(s, d); val right = linkageRight(s, d)
+      val matches = Linkage.linkPairs(left, right, Seq("nat", "seg"),
+          LinkFieldsDef, LinkMatchTh, LinkPossibleTh)
+        .where(col("verdict") === "match")
+        .select(col("left_id"), col("right_id"))
+      val members = left.join(matches, "left_id")
+        .select(col("left_id").as("cluster"), lit(0L).as("prio"),
+          col("l_name").as("name"), col("l_name").as("name_long"),
+          col("l_bal").as("bal_hi"), col("l_bal").as("bal_lo"))
+        .unionByName(right.join(matches, "right_id")
+          .select(col("left_id").as("cluster"), lit(1L).as("prio"),
+            col("r_name").as("name"), col("r_name").as("name_long"),
+            col("r_bal").as("bal_hi"), col("r_bal").as("bal_lo")))
+      Linkage.goldenRecords(members, "cluster", Seq(
+        Linkage.Prefer("name", "prio"), Linkage.Longest("name_long"),
+        Linkage.MaxOf("bal_hi"), Linkage.MinOf("bal_lo")))
     }),
 
     // --- SQ8 scalar quantization of embeddings ---
@@ -4753,36 +4815,30 @@ object SparkEntry {
     // as DECIMAL and its decimal→double conversion double-rounds
     // (10550746785383243 > 2^53), off strtod by an ulp; CAST('…' AS
     // DOUBLE) is strtod and returns Scala's exact bits
-    "rel_record_linkage" -> {
-      def w(flag: String, f: LinkField) =
-        s"CASE WHEN $flag IS NULL THEN CAST(0 AS DOUBLE) " +
-          s"WHEN $flag THEN CAST('${f.agreeWeight}' AS DOUBLE) " +
-          s"ELSE CAST('${f.disagreeWeight}' AS DOUBLE) END"
-      val Seq(fn, fc, fo) = LinkFieldsDef
-      "WITH lft AS (SELECT c_custkey AS left_id, c_nationkey AS nat, " +
-        "c_mktsegment AS seg, c_name AS l_name, c_acctbal AS l_bal FROM customer), " +
-        "rgt AS (SELECT c_custkey + 1000000 AS right_id, c_nationkey AS nat, " +
-        "c_mktsegment AS seg, " +
-        "CASE WHEN c_custkey % 17 = 0 THEN NULL " +
-        "WHEN c_custkey % 5 = 0 THEN c_name || '~' ELSE c_name END AS r_name, " +
-        "c_acctbal + CASE WHEN c_custkey % 3 = 0 THEN CAST(0.005 AS DOUBLE) " +
-        "WHEN c_custkey % 13 = 0 THEN CAST(3.0 AS DOUBLE) " +
-        "WHEN c_custkey % 11 = 0 THEN CAST(1000.0 AS DOUBLE) " +
-        "ELSE CAST(0 AS DOUBLE) END AS r_bal FROM customer), " +
-        "sc AS (SELECT left_id, right_id, " +
-        "l_name = r_name AS agree_name_exact, " +
-        "abs(l_bal - r_bal) <= CAST(0.01 AS DOUBLE) AS agree_bal_close, " +
-        "abs(l_bal - r_bal) <= CAST(5.0 AS DOUBLE) AS agree_bal_coarse " +
-        "FROM lft JOIN rgt USING (nat, seg)), " +
-        s"sw AS (SELECT *, ${w("agree_name_exact", fn)} + " +
-        s"${w("agree_bal_close", fc)} + ${w("agree_bal_coarse", fo)} AS score FROM sc) " +
+    "rel_record_linkage" ->
+      (s"WITH $linkageCtes " +
         "SELECT left_id, right_id, agree_name_exact, agree_bal_close, " +
         "agree_bal_coarse, score, " +
         s"CASE WHEN score >= CAST($LinkMatchTh AS DOUBLE) THEN 'match' " +
         s"WHEN score >= CAST($LinkPossibleTh AS DOUBLE) THEN 'possible' " +
         "ELSE 'nonmatch' END AS verdict " +
-        s"FROM sw WHERE score >= CAST($LinkPossibleTh AS DOUBLE)"
-    },
+        s"FROM sw WHERE score >= CAST($LinkPossibleTh AS DOUBLE)"),
+    // survivorship oracle: same match CTEs, then struct-ordered
+    // min/max aggregates — DuckDB orders {'k':…,'v':…} structs
+    // field-by-field exactly like Spark
+    "rel_golden_records" ->
+      (s"WITH $linkageCtes, " +
+        s"m AS (SELECT left_id, right_id FROM sw WHERE score >= CAST($LinkMatchTh AS DOUBLE)), " +
+        "mem AS (SELECT left_id AS cluster, 0 AS prio, l_name AS name, " +
+        "l_name AS name_long, l_bal AS bal_hi, l_bal AS bal_lo " +
+        "FROM lft JOIN m USING (left_id) " +
+        "UNION ALL SELECT m.left_id, 1, r_name, r_name, r_bal, r_bal " +
+        "FROM rgt JOIN m USING (right_id)) " +
+        "SELECT cluster, CAST(count(*) AS BIGINT) AS n_members, " +
+        "min(CASE WHEN name IS NOT NULL THEN {'k': prio, 'v': name} END).v AS name, " +
+        "max(CASE WHEN name_long IS NOT NULL THEN {'k': len(name_long), 'v': name_long} END).v AS name_long, " +
+        "max(bal_hi) AS bal_hi, min(bal_lo) AS bal_lo " +
+        "FROM mem GROUP BY 1"),
     // compaction oracle: the same sorted running-fill as ONE exclusive
     // prefix-sum window — all integers, bin = prefix // target
     "rel_compaction_plan" ->

@@ -93,4 +93,63 @@ object Linkage {
     if (keepNonMatches) scored
     else scored.where(col("verdict") =!= "nonmatch")
   }
+
+  /** One survivorship decision in [[goldenRecords]]: which value of
+    * `field` survives when a matched cluster's members disagree. Every
+    * rule is a deterministic STRUCT-ORDERED aggregate (both Spark and
+    * DuckDB order structs field-by-field), ties broken by the value
+    * itself — no first()/any_value() nondeterminism anywhere. */
+  sealed trait SurvivorRule { def field: String }
+  /** Longest non-null string wins (ties → lexicographically greatest). */
+  final case class Longest(field: String) extends SurvivorRule
+  /** Numeric max / min. */
+  final case class MaxOf(field: String) extends SurvivorRule
+  final case class MinOf(field: String) extends SurvivorRule
+  /** Value from the row with the GREATEST `tsField` among rows where
+    * `field` is non-null (ties → greatest value). */
+  final case class Latest(field: String, tsField: String) extends SurvivorRule
+  /** Value from the row with the SMALLEST `priorityField` among rows
+    * where `field` is non-null (ties → smallest value) — source
+    * preference: tag each source with a priority and the most trusted
+    * source that HAS the field wins. */
+  final case class Prefer(field: String, priorityField: String)
+      extends SurvivorRule
+
+  /** Survivorship — the golden-record half of entity resolution: after
+    * [[linkPairs]] (or any clustering) has decided WHICH records are
+    * the same entity, merge each cluster into one record, field by
+    * field, under explicit [[SurvivorRule]]s (the Talend/Informatica
+    * "survivorship" step, deterministic by construction).
+    *
+    * ONE pass: a single groupBy(cluster) carrying one struct-ordered
+    * aggregate per rule plus the member count — no per-field windows,
+    * no second scan. Per-cluster state is one struct per rule.
+    *
+    * Output: (clusterCol, n_members, <one column per rule, named by
+    * its field>). A rule whose field is null on EVERY member yields
+    * NULL (min/max skip null structs in both engines). */
+  def goldenRecords(records: DataFrame, clusterCol: String,
+      rules: Seq[SurvivorRule]): DataFrame = {
+    require(rules.nonEmpty, "goldenRecords: need at least one rule")
+    require(rules.map(_.field).distinct.size == rules.size,
+      "goldenRecords: one rule per field (duplicate field)")
+    val aggs = rules.map {
+      case Longest(f) =>
+        max(when(col(f).isNotNull,
+          struct(length(col(f)).as("k"), col(f).as("v"))))
+          .getField("v").as(f)
+      case MaxOf(f) => max(col(f)).as(f)
+      case MinOf(f) => min(col(f)).as(f)
+      case Latest(f, ts) =>
+        max(when(col(f).isNotNull,
+          struct(col(ts).as("k"), col(f).as("v"))))
+          .getField("v").as(f)
+      case Prefer(f, p) =>
+        min(when(col(f).isNotNull,
+          struct(col(p).as("k"), col(f).as("v"))))
+          .getField("v").as(f)
+    }
+    records.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("n_members"), aggs: _*)
+  }
 }

@@ -76,4 +76,43 @@ class LinkageSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Linkage.linkPairs(l, r, Seq("blk"), fields, 0.0, 1.0))
   }
+
+  test("goldenRecords: every rule picks its winner deterministically, " +
+      "all-null fields survive as NULL, one pass per cluster") {
+    val members = Seq(
+      // cluster 1: three sources disagreeing everywhere
+      (1L, 2L, Option("Ann B"), 10.0, 100L),
+      (1L, 0L, Option("Ann"), 30.0, 50L),
+      (1L, 1L, Option("Ann Brown~"), 20.0, 200L),
+      // cluster 2: the preferred source is missing the name -> falls
+      // through to the next priority; one member has the only ts-max
+      (2L, 0L, None, 5.0, 10L),
+      (2L, 1L, Option("Bob"), 7.0, 20L))
+      .toDF("cluster", "prio", "name", "bal", "ts")
+    val out = Linkage.goldenRecords(members, "cluster", Seq(
+        Linkage.Prefer("name", "prio"),
+        Linkage.MaxOf("bal"),
+        Linkage.Latest("ts", "ts")))
+      .collect().map(r => r.getAs[Long]("cluster") ->
+        ((r.getAs[Long]("n_members"), r.getAs[String]("name"),
+          r.getAs[Double]("bal"), r.getAs[Long]("ts")))).toMap
+    assert(out(1L) == ((3L, "Ann", 30.0, 200L)))
+    assert(out(2L) == ((2L, "Bob", 7.0, 20L)))
+
+    // Longest picks by char count (ties -> greatest string); a field
+    // null on EVERY member yields NULL, not a crash
+    val allNull = Seq((9L, Option.empty[String], Option.empty[String]),
+        (9L, Option("xy"), None), (9L, Option("abc"), None))
+      .toDF("cluster", "s", "ghost")
+    val g = Linkage.goldenRecords(allNull, "cluster", Seq(
+        Linkage.Longest("s"), Linkage.Longest("ghost")))
+      .collect().head
+    assert(g.getAs[String]("s") == "abc")
+    assert(g.isNullAt(g.fieldIndex("ghost")))
+    intercept[IllegalArgumentException](
+      Linkage.goldenRecords(allNull, "cluster", Seq.empty))
+    intercept[IllegalArgumentException](
+      Linkage.goldenRecords(allNull, "cluster",
+        Seq(Linkage.Longest("s"), Linkage.MinOf("s"))))
+  }
 }
