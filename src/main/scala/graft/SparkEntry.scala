@@ -115,6 +115,35 @@ object SparkEntry {
     * near-unique (nation, segment, whole-dollar balance) down to
     * nation-only — the suppression-vs-k curve at every SF. */
   val KAnonK = 10
+  /** l-diversity (rel_l_diversity): l=3 distinct market segments per
+    * equivalence class, over a QI ladder that EXCLUDES the sensitive
+    * column — nation+balance buckets down to nation-only. Read next
+    * to the k-anonymity curve: classes big enough for k can still be
+    * segment-homogeneous. */
+  val LDivL = 3
+  /** Inverted-index probes (text_index_*): the conjunctive query pairs
+    * the rarest corpus term ('dup', df≈5% of docs) with a common one —
+    * candidate postings are bounded by the RAREST term's df, the
+    * selectivity story a term-bucketed index exists for. The phrase
+    * is a consecutive-bigram probe over positions. */
+  val IndexAndTerms: Seq[String] = Seq("dup", "spark")
+  val IndexPhrase: Seq[String] = Seq("spark", "join")
+  val IndexBm25K = 50
+  /** Attribution (rel_attribution): view/click touches credit purchase
+    * value within a 3-day lookback, all four standard models at once. */
+  val AttribTouches: Seq[String] = Seq("view", "click")
+  val AttribConv = "purchase"
+  val AttribLookbackSec: Long = 3L * 24 * 3600
+  /** EWMA (rel_ewma): α=0.5 makes every lag weight a dyadic rational
+    * (exactly representable, parses bit-identically as a SQL literal);
+    * horizon 8 truncates 0.39% of the weight mass — the renormalized
+    * divisor absorbs it. */
+  val EwmaAlpha = 0.5
+  val EwmaHorizon = 8
+  /** Feature hashing (text_feature_hash): 32 buckets over a 31-term
+    * vocabulary — collisions guaranteed, so the signed-count
+    * cancellation path is actually exercised at every SF. */
+  val FeatureHashDims = 32
   val LinkFieldsDef: Seq[LinkField] = Seq(
     LinkField("name_exact", col("l_name") === col("r_name"),
       m = 0.75, u = 0.0005),
@@ -384,6 +413,28 @@ object SparkEntry {
         if (cur != null && (cur._1 eq s)) cur else (s, idx))
       if (winner._2 ne idx) idx.unpersist()
       winner._2
+    }
+  }
+
+  /** Memoized postings-index artifacts (index, docLengths) for the
+    * text_index_* probes — the lexical mirror of [[ivfPqIndex]]'s
+    * build-once-probe-many loop, same publish discipline. */
+  private val postingsIndexes = new java.util.concurrent.ConcurrentHashMap[
+    String, (SparkSession, DataFrame, DataFrame)]()
+  private def postingsIndex(s: SparkSession,
+      d: String): (DataFrame, DataFrame) = {
+    val hit = postingsIndexes.get(d)
+    if (hit != null && (hit._1 eq s)) (hit._2, hit._3)
+    else {
+      val docs = t(s, d, "documents")
+      val idx = Retrieval.invertedIndex(docs, "doc_id", "text").persist()
+      idx.count()
+      val dl = Retrieval.docLengths(docs, "doc_id", "text").persist()
+      dl.count()
+      val winner = postingsIndexes.compute(d, (_, cur) =>
+        if (cur != null && (cur._1 eq s)) cur else (s, idx, dl))
+      if (winner._2 ne idx) { idx.unpersist(); dl.unpersist() }
+      (winner._2, winner._3)
     }
   }
 
@@ -2468,7 +2519,47 @@ object SparkEntry {
         "nation_seg_bal1000" -> Seq(col("c_nationkey"), col("c_mktsegment"),
           floor(col("c_acctbal") / 1000.0).cast("long")),
         "nation_seg" -> Seq(col("c_nationkey"), col("c_mktsegment")),
-        "nation" -> Seq(col("c_nationkey"))), KAnonK))
+        "nation" -> Seq(col("c_nationkey"))), KAnonK)),
+
+    // --- privacy gate: l-diversity on a sensitive column the QIs
+    //     exclude (homogeneity attack check, read with k-anonymity) ---
+    "rel_l_diversity" -> ((s, d) =>
+      Quality.lDiversity(t(s, d, "customer"), Seq(
+        "nation_bal100" -> Seq(col("c_nationkey"),
+          floor(col("c_acctbal") / 100.0).cast("long")),
+        "nation_bal1000" -> Seq(col("c_nationkey"),
+          floor(col("c_acctbal") / 1000.0).cast("long")),
+        "nation" -> Seq(col("c_nationkey"))),
+        col("c_mktsegment"), LDivL)),
+
+    // --- inverted-index retrieval: build-once, probe-many lexical
+    //     search (the postings mirror of the ANN index loop) ---
+    "text_index_stats" -> ((s, d) =>
+      Retrieval.indexStats(postingsIndex(s, d)._1)),
+    "text_index_probe" -> ((s, d) =>
+      Retrieval.conjunctiveProbe(postingsIndex(s, d)._1, IndexAndTerms)),
+    "text_index_phrase" -> ((s, d) =>
+      Retrieval.phraseProbe(postingsIndex(s, d)._1, IndexPhrase)),
+    "text_index_bm25" -> ((s, d) => {
+      val (idx, dl) = postingsIndex(s, d)
+      Retrieval.bm25Probe(idx, dl, Bm25Terms, IndexBm25K)
+    }),
+
+    // --- multi-touch attribution over the event log ---
+    "rel_attribution" -> ((s, d) =>
+      Events.attribution(t(s, d, "events"), "user_id", "ts", "event_id",
+        "event_type", "value", AttribTouches, AttribConv,
+        AttribLookbackSec)),
+
+    // --- bounded-horizon EWMA per user (time-series smoothing) ---
+    "rel_ewma" -> ((s, d) =>
+      Events.ewmaByKey(t(s, d, "events"), "user_id", "ts", "event_id",
+        "value", EwmaAlpha, EwmaHorizon)),
+
+    // --- hashing-trick vectorizer (fit-free sparse features) ---
+    "text_feature_hash" -> ((s, d) =>
+      TextAnalysis.featureHash(t(s, d, "documents"), "doc_id", "text",
+        FeatureHashDims))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -4881,6 +4972,131 @@ object SparkEntry {
       (4, "nation", "c_nationkey"))
       .map { case (i, name, qi) =>
         Quality.kAnonymitySql("customer", i, name, qi, KAnonK)
-      }.mkString(" UNION ALL ")
+      }.mkString(" UNION ALL "),
+
+    // l-diversity oracle: per-level mirrors from the shared builder,
+    // sensitive column outside the QI ladder
+    "rel_l_diversity" -> Seq(
+      (0, "nation_bal100",
+        "c_nationkey, CAST(floor(c_acctbal / 100.0) AS BIGINT)"),
+      (1, "nation_bal1000",
+        "c_nationkey, CAST(floor(c_acctbal / 1000.0) AS BIGINT)"),
+      (2, "nation", "c_nationkey"))
+      .map { case (i, name, qi) =>
+        Quality.lDiversitySql("customer", i, name, qi, "c_mktsegment", LDivL)
+      }.mkString(" UNION ALL "),
+
+    // inverted-index oracles: postings rebuilt from scratch in DuckDB
+    // (zip-unnest positions); the Spark side reads its persisted index
+    "text_index_stats" -> (postingsCte +
+      ", dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1) " +
+      "SELECT term, df, CAST(sum(tf) AS BIGINT) AS total_tf, " +
+      "CAST(max(tf) AS BIGINT) AS max_tf " +
+      "FROM post JOIN dfs USING (term) GROUP BY term, df"),
+    "text_index_probe" -> (postingsCte +
+      s" SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, " +
+      "CAST(sum(tf) AS BIGINT) AS total_tf FROM post " +
+      s"WHERE term IN ${IndexAndTerms.map(t => s"'$t'").mkString("(", ", ", ")")} " +
+      s"GROUP BY doc_id HAVING count(*) = ${IndexAndTerms.distinct.size}"),
+    "text_index_phrase" -> phraseSql(IndexPhrase),
+    "text_index_bm25" ->
+      ("SELECT doc_id, bm25, rank FROM (SELECT doc_id, bm25, " +
+        "row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank " +
+        s"FROM (${bm25Sql(Bm25Terms, k1 = 1.2, b = 0.75)}) s WHERE bm25 > 0) r " +
+        s"WHERE rank <= $IndexBm25K"),
+
+    "rel_attribution" -> attributionSql(AttribTouches, AttribConv,
+      AttribLookbackSec),
+    "rel_ewma" -> ewmaSql(EwmaAlpha, EwmaHorizon),
+
+    "text_feature_hash" ->
+      (s"WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents), " +
+        "p AS (SELECT doc_id, unnest(ws) AS term FROM w) " +
+        "SELECT doc_id, " +
+        s"CAST('0x' || substr(md5(term), 1, 7) AS BIGINT) % $FeatureHashDims AS bucket, " +
+        "CAST(sum(CASE WHEN CAST('0x' || substr(md5(term), 8, 1) AS BIGINT) % 2 = 0 " +
+        "THEN 1 ELSE -1 END) AS BIGINT) AS weight " +
+        "FROM p GROUP BY 1, 2")
   )
+
+  /** Shared DuckDB postings CTE for the text_index_* oracles: tokens
+    * with 0-based positions (parallel unnests zip in DuckDB), then
+    * (term, doc) postings with tf — mirrors Retrieval.invertedIndex. */
+  private def postingsCte: String =
+    s"WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents), " +
+      "p AS (SELECT doc_id, unnest(ws) AS term, unnest(range(len(ws))) AS pos FROM w), " +
+      "post AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM p GROUP BY 1, 2)"
+
+  /** Mirrors Retrieval.phraseProbe: the flat-positions join chain —
+    * p0 anchors, each later word must sit at pos + i in the same doc. */
+  private def phraseSql(phrase: Seq[String]): String = {
+    val joins = phrase.zipWithIndex.drop(1).map { case (w, i) =>
+      s"JOIN p p$i ON p$i.doc_id = p0.doc_id AND p$i.pos = p0.pos + $i " +
+        s"AND p$i.term = '$w'"
+    }.mkString(" ")
+    postingsCte +
+      s" SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences " +
+      s"FROM p p0 $joins WHERE p0.term = '${phrase.head}' GROUP BY p0.doc_id"
+  }
+
+  /** Mirrors Events.attribution: same left-join qualification, same
+    * per-conversion windows, the same exact-rational weight CASEs, and
+    * the ordered-fold credit sum (list_sort + list_aggregate). */
+  private def attributionSql(touches: Seq[String], conv: String,
+      lookbackSec: Long): String = {
+    val touchList = touches.map(t => s"'$t'").mkString("(", ", ", ")")
+    val models = Seq(
+      "first_touch" ->
+        ("CASE WHEN n = 0 THEN CAST(1.0 AS DOUBLE) " +
+          "WHEN rn = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"),
+      "last_touch" ->
+        ("CASE WHEN n = 0 THEN CAST(1.0 AS DOUBLE) " +
+          "WHEN rn = n THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"),
+      "linear" ->
+        ("CASE WHEN n = 0 THEN CAST(1.0 AS DOUBLE) " +
+          "ELSE CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE) END"),
+      "position" ->
+        ("CASE WHEN n = 0 THEN CAST(1.0 AS DOUBLE) " +
+          "WHEN n = 1 THEN CAST(1.0 AS DOUBLE) " +
+          "WHEN n = 2 THEN CAST(0.5 AS DOUBLE) " +
+          "WHEN rn = 1 OR rn = n THEN CAST(0.4 AS DOUBLE) " +
+          "ELSE CAST(0.2 AS DOUBLE) / (CAST(n AS DOUBLE) - CAST(2.0 AS DOUBLE)) END"))
+    val unpivot = models.map { case (name, w) =>
+      "SELECT CASE WHEN tid IS NULL THEN '(none)' ELSE ttype END AS touch_type, " +
+        s"'$name' AS model, v * ($w) AS credit FROM st"
+    }.mkString(" UNION ALL ")
+    s"WITH c AS (SELECT user_id AS u, ts AS cts, event_id AS cid, value AS v " +
+      s"FROM events WHERE event_type = '$conv'), " +
+      "tch AS (SELECT user_id AS tu, ts AS tts, event_id AS tid, " +
+      s"event_type AS ttype FROM events WHERE event_type IN $touchList), " +
+      "j AS (SELECT c.u, c.cts, c.cid, c.v, t.tts, t.tid, t.ttype " +
+      "FROM c LEFT JOIN tch t ON c.u = t.tu AND t.tts < c.cts " +
+      s"AND t.tts >= c.cts - INTERVAL $lookbackSec SECOND), " +
+      "st AS (SELECT *, count(tid) OVER (PARTITION BY cid) AS n, " +
+      "row_number() OVER (PARTITION BY cid ORDER BY tts, tid) AS rn FROM j), " +
+      s"un AS ($unpivot) " +
+      "SELECT model, touch_type, CAST(count(*) AS BIGINT) AS n_touches, " +
+      "round(list_aggregate(list_sort(list(credit)), 'sum'), 4) AS credit " +
+      "FROM un GROUP BY 1, 2"
+  }
+
+  /** Mirrors Events.ewmaByKey: the same fixed left-associated lag-term
+    * chain with dyadic weight literals (α = .5 ⇒ exact in DECIMAL and
+    * DOUBLE alike), one rounded division at the edge. */
+  private def ewmaSql(alpha: Double, horizon: Int): String = {
+    val inner = "SELECT event_id, user_id, value, " +
+      (0 until horizon).map { j =>
+        (if (j == 0) "value" else s"lag(value, $j) OVER w") + s" AS l$j"
+      }.mkString(", ") +
+      " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    def weight(j: Int): Double = alpha * math.pow(1.0 - alpha, j)
+    val num = (0 until horizon).map(j =>
+      s"(CASE WHEN l$j IS NOT NULL THEN CAST(${weight(j)} AS DOUBLE) * l$j " +
+        "ELSE CAST(0.0 AS DOUBLE) END)").mkString(" + ")
+    val den = (0 until horizon).map(j =>
+      s"(CASE WHEN l$j IS NOT NULL THEN CAST(${weight(j)} AS DOUBLE) " +
+        "ELSE CAST(0.0 AS DOUBLE) END)").mkString(" + ")
+    s"SELECT event_id, user_id, value, round(($num) / ($den), 4) AS ewma " +
+      s"FROM ($inner) t"
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -77,6 +77,131 @@ object Events {
       .groupBy(date_format(col("__cw"), "yyyy-MM-dd").as("cohort_week"),
         col("week_offset"))
       .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+
+  /** Multi-touch attribution: distribute each conversion's value over
+    * the user's preceding touch events under four standard models at
+    * once — `first_touch`, `last_touch`, `linear`, and `position`
+    * (40/20/40: 40% first, 40% last, 20% split across the middle;
+    * degenerate paths collapse to 100% / 50–50). A touch qualifies if
+    * it is the same user's, STRICTLY before the conversion, and within
+    * `lookbackSeconds`. Conversions with no qualifying touch keep
+    * their value on a `(none)` row, so every model conserves total
+    * conversion value (spec-pinned).
+    *
+    * Scale shape: one user-keyed equi-join (touch×conversion pairs are
+    * bounded per user by activity × lookback, never cross-user), one
+    * window partitioned by conversion id (per-conversion state =
+    * that conversion's touch count), one bounded aggregate to
+    * models × touch-types rows. At 100 TB both sides pre-partition on
+    * the user key and the join rides one exchange.
+    *
+    * Determinism: per-touch weights are exact rationals of exact
+    * counts times the conversion value; the final per-cell sum is the
+    * ordered fold over sorted credits (the zscore/centroids
+    * convention), rounded at 4 — bit-identical across engines and
+    * partitionings. Production flavor at extreme scale: swap the fold
+    * for a plain `sum` (order-free up to ulps) — the fold holds the
+    * cell's credit list in one aggregation buffer.
+    *
+    * Output: (model, touch_type, n_touches, credit) — `n_touches`
+    * counts credited touch rows (`(none)` rows count conversions). */
+  def attribution(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, valueCol: String,
+      touchTypes: Seq[String], convType: String,
+      lookbackSeconds: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "attribution: no touch types")
+    require(!touchTypes.contains(convType),
+      s"attribution: conversion type $convType cannot also be a touch type")
+    require(lookbackSeconds > 0, "attribution: lookback must be positive")
+    val conv = df.filter(col(typeCol) === convType)
+      .select(col(userCol).as("__u"), col(tsCol).as("__cts"),
+        col(idCol).as("__cid"), col(valueCol).as("__v"))
+    val touch = df.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("__tu"), col(tsCol).as("__tts"),
+        col(idCol).as("__tid"), col(typeCol).as("__ttype"))
+    // qualification lives in the JOIN CONDITION: a conversion whose
+    // touches all fall outside the lookback must surface as an
+    // unmatched `(none)` row (value conservation), not vanish under a
+    // post-join filter
+    val paired = conv.join(touch,
+      col("__u") === col("__tu") &&
+        col("__tts") < col("__cts") &&
+        col("__tts") >= col("__cts") - expr(
+          s"INTERVAL $lookbackSeconds SECONDS"),
+      "left")
+    val byConv = Window.partitionBy(col("__cid"))
+    val ordered = Window.partitionBy(col("__cid"))
+      .orderBy(col("__tts"), col("__tid"))
+    val staged = paired
+      .withColumn("__n", count(col("__tid")).over(byConv))
+      .withColumn("__rn", row_number().over(ordered))
+    val n = col("__n").cast("double")
+    val first = col("__rn") === 1
+    val last = col("__rn") === col("__n")
+    def model(name: String, w: Column) = struct(lit(name).as("model"),
+      (col("__v") * w).as("credit"))
+    val weighted = staged.select(
+      when(col("__tid").isNull, lit("(none)")).otherwise(col("__ttype"))
+        .as("touch_type"),
+      explode(array(
+        model("first_touch",
+          when(col("__n") === 0, lit(1.0))
+            .otherwise(when(first, lit(1.0)).otherwise(lit(0.0)))),
+        model("last_touch",
+          when(col("__n") === 0, lit(1.0))
+            .otherwise(when(last, lit(1.0)).otherwise(lit(0.0)))),
+        model("linear",
+          when(col("__n") === 0, lit(1.0)).otherwise(lit(1.0) / n)),
+        model("position",
+          when(col("__n") === 0, lit(1.0))
+            .otherwise(when(col("__n") === 1, lit(1.0))
+              .otherwise(when(col("__n") === 2, lit(0.5))
+                .otherwise(when(first || last, lit(0.4))
+                  .otherwise(lit(0.2) / (n - 2.0)))))))).as("m"))
+      .select(col("m.model").as("model"), col("touch_type"),
+        col("m.credit").as("credit"))
+    weighted.groupBy(col("model"), col("touch_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        round(aggregate(sort_array(collect_list(col("credit"))),
+          lit(0.0), _ + _), 4).as("credit"))
+  }
+
+  /** Bounded-horizon exponentially weighted moving average per key:
+    * at each event, the weight-renormalized EWMA of the last
+    * `horizon` values (current included) in (ts, id) order —
+    * `Σ α(1−α)^j · x_{i−j} / Σ α(1−α)^j` over the available lags
+    * j = 0…horizon−1 (pandas `ewm(adjust=True)` semantics on a
+    * truncated history). Truncation error is bounded by
+    * (1−α)^horizon of the weight mass — pick horizon so that's
+    * below the rounding edge (α = 0.5, horizon = 8 ⇒ 0.4%).
+    *
+    * Scale shape: one key-partitioned window (sorts spill, never
+    * collect) feeding a FIXED expression tree of `horizon` lag terms —
+    * no per-row list state at all, unlike a collect_list frame; the
+    * plan is the same whatever the key's history length.
+    * Determinism: the term chain is left-associated in lag order on
+    * both engines, weights are exact double literals, one rounded
+    * division at the edge.
+    *
+    * Output: the id, key and value columns plus `ewma`. */
+  def ewmaByKey(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, alpha: Double,
+      horizon: Int): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"ewmaByKey: alpha in (0,1), got $alpha")
+    require(horizon >= 1, s"ewmaByKey: horizon must be >= 1, got $horizon")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val terms = (0 until horizon).map { j =>
+      val weight = alpha * math.pow(1.0 - alpha, j)
+      val x = lag(col(valueCol), j).over(w)
+      (when(x.isNotNull, lit(weight) * x).otherwise(lit(0.0)),
+        when(x.isNotNull, lit(weight)).otherwise(lit(0.0)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    df.select(col(idCol), col(keyCol), col(tsCol), col(valueCol))
+      .withColumn("ewma", round(num / den, 4))
+      .drop(tsCol)
   }
 
   /** Per-user event trajectories: the first `maxLen` events in

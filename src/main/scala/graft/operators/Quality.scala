@@ -770,6 +770,76 @@ object Quality {
         coalesce(col("__ke"), lit(0L)).as("k_effective"))
   }
 
+  /** Distinct-l-diversity over the same generalization ladder as
+    * [[kAnonymity]]: k-anonymity stops re-identification by class
+    * size, but a class whose SENSITIVE attribute is constant still
+    * leaks it (the homogeneity attack); l-diversity requires every
+    * equivalence class to hold at least `l` distinct sensitive
+    * values. The report shows, per ladder level, how many classes
+    * (and rows) violate that — read together with the k-anonymity
+    * curve to pick the release level.
+    *
+    * Scale shape: one scan expanding each row to one (level, key,
+    * sensitive) triple per level, one exact distinct per class
+    * (grouping directly on the (lvl, key, sensitive) triple first —
+    * no countDistinct Expand), one levels-sized rollup.
+    *
+    * Output: (lvl, level, n_classes, n_diverse_classes,
+    * n_violating_classes, n_rows_at_risk, at_risk_rate, l_effective)
+    * — `l_effective` is the worst class's distinct-value count. */
+  def lDiversity(df: DataFrame, levels: Seq[(String, Seq[Column])],
+      sensitive: Column, l: Int): DataFrame = {
+    require(l >= 2, s"lDiversity: l must be >= 2, got $l")
+    require(levels.nonEmpty, "lDiversity: need at least one level")
+    require(levels.map(_._1).distinct.size == levels.size,
+      "lDiversity: duplicate level names")
+    val tagged = df.select(explode(array(levels.zipWithIndex.map {
+      case ((name, qis), i) =>
+        struct(lit(i.toLong).as("lvl"), lit(name).as("level"),
+          concat_ws("\u0001",
+            qis.map(q => coalesce(q.cast("string"), lit("\u0002"))): _*)
+            .as("key"),
+          coalesce(sensitive.cast("string"), lit("\u0002")).as("sens"))
+    }: _*)).as("t")).select(col("t.*"))
+    // two stacked exact aggregates instead of one countDistinct: the
+    // first collapses to unique (lvl, key, sens) rows (map-side
+    // partials apply), the second counts them per class
+    val classes = tagged
+      .groupBy(col("lvl"), col("level"), col("key"), col("sens"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("lvl"), col("level"), col("key"))
+      .agg(sum(col("n")).as("n_rows"), count(lit(1)).as("n_sens"))
+    classes.groupBy(col("lvl"), col("level"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("n_sens") >= l, 1L).otherwise(0L))
+          .as("n_diverse_classes"),
+        sum(when(col("n_sens") < l, 1L).otherwise(0L))
+          .as("n_violating_classes"),
+        sum(when(col("n_sens") < l, col("n_rows")).otherwise(lit(0L)))
+          .as("n_rows_at_risk"),
+        sum(col("n_rows")).as("__tot"),
+        min(col("n_sens")).as("l_effective"))
+      .select(col("lvl"), col("level"), col("n_classes"),
+        col("n_diverse_classes"), col("n_violating_classes"),
+        col("n_rows_at_risk"),
+        (col("n_rows_at_risk").cast("double") /
+          col("__tot").cast("double")).as("at_risk_rate"),
+        col("l_effective"))
+  }
+
+  /** The DuckDB mirror of one [[lDiversity]] level. */
+  def lDiversitySql(table: String, lvl: Int, level: String,
+      qiSql: String, sensSql: String, l: Int): String =
+    s"SELECT CAST($lvl AS BIGINT) AS lvl, '$level' AS level, " +
+      "CAST(count(*) AS BIGINT) AS n_classes, " +
+      s"CAST(coalesce(sum(CASE WHEN n_sens >= $l THEN 1 END), 0) AS BIGINT) AS n_diverse_classes, " +
+      s"CAST(coalesce(sum(CASE WHEN n_sens < $l THEN 1 END), 0) AS BIGINT) AS n_violating_classes, " +
+      s"CAST(coalesce(sum(CASE WHEN n_sens < $l THEN n_rows END), 0) AS BIGINT) AS n_rows_at_risk, " +
+      s"CAST(coalesce(sum(CASE WHEN n_sens < $l THEN n_rows END), 0) AS DOUBLE) / CAST(sum(n_rows) AS DOUBLE) AS at_risk_rate, " +
+      "CAST(min(n_sens) AS BIGINT) AS l_effective " +
+      s"FROM (SELECT count(*) AS n_rows, count(DISTINCT coalesce(CAST($sensSql AS VARCHAR), chr(2))) AS n_sens " +
+      s"FROM $table GROUP BY $qiSql)"
+
   /** The DuckDB mirror of one [[kAnonymity]] level: `qiSql` is the
     * comma-joined quasi-identifier expression list. */
   def kAnonymitySql(table: String, lvl: Int, level: String,

@@ -561,6 +561,37 @@ object TextAnalysis {
       .select(col(idCol), round(score, 4).as("bm25"))
   }
 
+  /** Hashing-trick (feature-hashing) vectorizer: each token maps to a
+    * bucket in [0, dims) via the md5-head hash and contributes a
+    * Weinberger-style ±1 signed count (the sign hash cancels collision
+    * bias in expectation), yielding a fixed-width sparse vector per
+    * document with NO vocabulary fit, no dictionary to broadcast, and
+    * no OOV path — the classic scale move when the vocabulary is
+    * unbounded (URLs, code identifiers, typo soup). Feeds the same
+    * model surface as the NB classifier's word features, but its width
+    * is a constant chosen up front, whatever the corpus.
+    *
+    * Scale shape: explode + ONE (doc, bucket) hash aggregate — tokens
+    * never leave their rows unaggregated past the map-side partial;
+    * output is ≤ dims rows per doc. Determinism: md5-derived bucket
+    * and sign (exact in any BIGINT engine), integer weights.
+    *
+    * Output: (id, bucket, weight) — zero-weight cells (full ± sign
+    * cancellation) are kept: downstream dot products treat the row as
+    * an explicit zero, and dropping them would make the sparsity
+    * pattern depend on collision luck. */
+  def featureHash(df: DataFrame, idCol: String, textCol: String,
+      dims: Int): DataFrame = {
+    require(dims >= 2, s"featureHash: dims must be >= 2, got $dims")
+    df.select(col(idCol), explode(TextFns.words(col(textCol))).as("__t"))
+      .select(col(idCol),
+        (TextFns.shingleHash(col("__t")) % dims).as("bucket"),
+        when(conv(substring(md5(col("__t")), 8, 1), 16, 10)
+          .cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L)).as("__s"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("__s")).as("weight"))
+  }
+
   /** Content fingerprints: normalized md5 plus a coarse 16-char prefix
     * "rolling" bucket (first 64 bits) usable as a shard key. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =

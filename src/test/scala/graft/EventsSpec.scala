@@ -131,4 +131,103 @@ class EventsSpec extends SparkSpec {
       Events.trajectories(df, "user_id", "ts", "event_id", "event_type", 0)
     }
   }
+
+  // --- attribution ---
+
+  private def evv(rows: (Long, String, String, Long, Double)*) =
+    rows.map { case (u, t, ty, id, v) => (u, ts(t), ty, id, v) }
+      .toDF("user_id", "ts", "event_type", "event_id", "value")
+
+  private def attrib(df: org.apache.spark.sql.DataFrame) =
+    Events.attribution(df, "user_id", "ts", "event_id", "event_type",
+        "value", Seq("view", "click"), "purchase", lookbackSeconds = 3600)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(3))).toMap
+
+  test("attribution: 3-touch path splits per model exactly") {
+    val df = evv(
+      (1L, "2024-01-01 10:00:00", "view", 1L, 0.0),
+      (1L, "2024-01-01 10:10:00", "click", 2L, 0.0),
+      (1L, "2024-01-01 10:20:00", "view", 3L, 0.0),
+      (1L, "2024-01-01 10:30:00", "purchase", 4L, 90.0))
+    val out = attrib(df)
+    // first_touch: all to the first view; last_touch: all to the last view
+    assert(out(("first_touch", "view")) == 90.0)
+    assert(out(("first_touch", "click")) == 0.0)
+    assert(out(("last_touch", "view")) == 90.0)
+    // linear: 30 each -> view 60, click 30
+    assert(out(("linear", "view")) == 60.0)
+    assert(out(("linear", "click")) == 30.0)
+    // position 40/20/40: first view 36, middle click 18, last view 36
+    assert(out(("position", "view")) == 72.0)
+    assert(out(("position", "click")) == 18.0)
+  }
+
+  test("attribution: degenerate paths (0, 1, 2 touches) and lookback") {
+    val df = evv(
+      // user 1: no touches at all -> (none)
+      (1L, "2024-01-01 10:00:00", "purchase", 1L, 10.0),
+      // user 2: single touch -> everything on it in every model
+      (2L, "2024-01-01 10:00:00", "click", 2L, 0.0),
+      (2L, "2024-01-01 10:01:00", "purchase", 3L, 20.0),
+      // user 3: touch OUTSIDE the 1 h lookback -> (none)
+      (3L, "2024-01-01 08:00:00", "view", 4L, 0.0),
+      (3L, "2024-01-01 10:00:00", "purchase", 5L, 40.0),
+      // user 4: touch AT the purchase instant is not strictly before
+      (4L, "2024-01-01 10:00:00", "view", 6L, 0.0),
+      (4L, "2024-01-01 10:00:00", "purchase", 7L, 80.0))
+    val out = attrib(df)
+    for (m <- Seq("first_touch", "last_touch", "linear", "position")) {
+      assert(out((m, "(none)")) == 130.0, m) // 10 + 40 + 80
+      assert(out((m, "click")) == 20.0, m)
+      // every model conserves total conversion value
+      assert(out.collect { case ((`m`, _), c) => c }.sum == 150.0, m)
+    }
+    // two-touch path: position collapses to 50/50 (= linear)
+    val two = attrib(evv(
+      (9L, "2024-01-01 10:00:00", "view", 1L, 0.0),
+      (9L, "2024-01-01 10:01:00", "click", 2L, 0.0),
+      (9L, "2024-01-01 10:02:00", "purchase", 3L, 50.0)))
+    assert(two(("position", "view")) == 25.0)
+    assert(two(("position", "click")) == 25.0)
+    assert(two(("last_touch", "click")) == 50.0)
+    assert(two(("first_touch", "view")) == 50.0)
+  }
+
+  test("attribution: conversion type must not be a touch type") {
+    intercept[IllegalArgumentException] {
+      Events.attribution(evv(), "user_id", "ts", "event_id", "event_type",
+        "value", Seq("view", "purchase"), "purchase", 60)
+    }
+  }
+
+  // --- ewmaByKey ---
+
+  test("ewmaByKey: renormalized weights, hand-computed series") {
+    val df = evv(
+      (1L, "2024-01-01 00:00:01", "view", 1L, 1.0),
+      (1L, "2024-01-01 00:00:02", "view", 2L, 2.0),
+      (1L, "2024-01-01 00:00:03", "view", 3L, 4.0),
+      // other key: independent series
+      (2L, "2024-01-01 00:00:01", "view", 4L, 10.0))
+    val out = Events.ewmaByKey(df, "user_id", "ts", "event_id", "value",
+        alpha = 0.5, horizon = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(out(1L) == 1.0) // first event: its own value
+    assert(out(2L) == 1.6667) // (.5*2 + .25*1)/.75 = 5/3, rounded at 4
+    assert(out(3L) == 3.0) // (.5*4 + .25*2 + .125*1)/.875 exactly
+    assert(out(4L) == 10.0)
+  }
+
+  test("ewmaByKey: horizon truncates — an old value beyond the window " +
+      "stops contributing") {
+    val df = evv((1L to 4L).map(i =>
+      (1L, f"2024-01-01 00:00:0$i", "view", i,
+        if (i == 1) 1000.0 else 0.0)): _*)
+    val out = Events.ewmaByKey(df, "user_id", "ts", "event_id", "value",
+        alpha = 0.5, horizon = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(out(3L) == 0.0) // value@1 fell out of the 2-lag horizon
+    assert(out(2L) == 333.3333) // (.25*1000)/.75, rounded at 4
+  }
 }

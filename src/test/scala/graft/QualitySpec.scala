@@ -504,4 +504,31 @@ class QualitySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Quality.kAnonymity(df, Seq.empty, k = 2))
   }
+
+  test("lDiversity: homogeneous classes flagged, NULL sensitive is one " +
+      "ordinary value, l_effective = worst class") {
+    import spark.implicits._
+    val df = Seq(
+      // class A: 3 rows, sensitive {x, y, z} -> diverse at l=2
+      ("A", Some("x")), ("A", Some("y")), ("A", Some("z")),
+      // class B: 2 rows, both "x" -> homogeneous (the attack case)
+      ("B", Some("x")), ("B", Some("x")),
+      // class C: NULL + "x" -> NULL counts as its own single value
+      ("C", None), ("C", Some("x"))).toDF("qi", "sens")
+    val out = Quality.lDiversity(df, Seq("qi" -> Seq(col("qi"))),
+      col("sens"), l = 2).collect().head
+    assert(out.getLong(2) == 3L) // n_classes
+    assert(out.getLong(3) == 2L) // diverse: A and C
+    assert(out.getLong(4) == 1L) // violating: B
+    assert(out.getLong(5) == 2L) // rows at risk: B's 2
+    assert(out.getDouble(6) == 2.0 / 7.0)
+    assert(out.getLong(7) == 1L) // l_effective: B's single value
+    // two NULLs are the SAME sentinel value, not two distinct ones
+    val nn = Quality.lDiversity(
+      Seq(("D", None: Option[String]), ("D", None)).toDF("qi", "sens"),
+      Seq("only" -> Seq(col("qi"))), col("sens"), l = 2).collect().head
+    assert(nn.getLong(7) == 1L)
+    intercept[IllegalArgumentException](
+      Quality.lDiversity(df, Seq("a" -> Seq(col("qi"))), col("sens"), 1))
+  }
 }

@@ -911,4 +911,31 @@ class TextAnalysisSpec extends SparkSpec {
     out.foreach(r =>
       assert(again(r.getLong(0)) === r.getAs[String]("psm_text")))
   }
+
+  test("featureHash: stable buckets in range, repeated tokens stack " +
+      "their sign, weight mass bounded by token count") {
+    import spark.implicits._
+    val df = Seq((1L, "foo foo foo"), (2L, "foo bar"), (3L, "foo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.featureHash(df, "doc_id", "text", dims = 32)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    assert(out.forall { case ((_, b), _) => b >= 0 && b < 32 })
+    val byDoc = out.groupBy(_._1._1)
+    // same token, same bucket, same sign: "foo foo foo" is one ±3 cell
+    assert(byDoc(1L).map(_._2).toSeq.map(math.abs) == Seq(3L))
+    assert(byDoc(3L).map(_._2).toSeq.map(math.abs) == Seq(1L))
+    // foo's cell in doc 1 and doc 3 agree on bucket and sign direction
+    val fooCell1 = byDoc(1L).head
+    val fooCell3 = byDoc(3L).head
+    assert(fooCell1._1._2 == fooCell3._1._2)
+    assert(fooCell1._2.sign == fooCell3._2.sign)
+    assert(byDoc(2L).map(c => math.abs(c._2)).sum <= 2)
+    // deterministic under repartition
+    val again = TextAnalysis.featureHash(df.repartition(7), "doc_id",
+      "text", dims = 32).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(again == out.toMap)
+    intercept[IllegalArgumentException](
+      TextAnalysis.featureHash(df, "doc_id", "text", 1))
+  }
 }
