@@ -2540,6 +2540,21 @@ object SparkEntry {
       Retrieval.conjunctiveProbe(postingsIndex(s, d)._1, IndexAndTerms)),
     "text_index_phrase" -> ((s, d) =>
       Retrieval.phraseProbe(postingsIndex(s, d)._1, IndexPhrase)),
+    "text_index_advance" -> ((s, d) => {
+      // the incremental loop end-to-end: index 90% of the corpus,
+      // advance with the remaining 10% as arrivals, report the
+      // advanced index's stats — the oracle computes the same stats
+      // over the FULL corpus (advance == rebuild, spec-pinned)
+      val docs = t(s, d, "documents")
+      val post = Retrieval.postings(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+      val (p2, d2) = Retrieval.advancePostingsIndex(post,
+        Retrieval.termDfs(post),
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+      Retrieval.indexStats(p2.join(d2, "term")
+        .select(col("term"), col("df"), col("doc_id"), col("tf"),
+          col("positions")))
+    }),
     "text_index_bm25" -> ((s, d) => {
       val (idx, dl) = postingsIndex(s, d)
       Retrieval.bm25Probe(idx, dl, Bm25Terms, IndexBm25K)
@@ -4999,6 +5014,13 @@ object SparkEntry {
       s"WHERE term IN ${IndexAndTerms.map(t => s"'$t'").mkString("(", ", ", ")")} " +
       s"GROUP BY doc_id HAVING count(*) = ${IndexAndTerms.distinct.size}"),
     "text_index_phrase" -> phraseSql(IndexPhrase),
+    // advance == rebuild: the oracle is the full-corpus stats, same
+    // SQL as text_index_stats
+    "text_index_advance" -> (postingsCte +
+      ", dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1) " +
+      "SELECT term, df, CAST(sum(tf) AS BIGINT) AS total_tf, " +
+      "CAST(max(tf) AS BIGINT) AS max_tf " +
+      "FROM post JOIN dfs USING (term) GROUP BY term, df"),
     "text_index_bm25" ->
       ("SELECT doc_id, bm25, rank FROM (SELECT doc_id, bm25, " +
         "row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank " +

@@ -43,19 +43,64 @@ object Retrieval {
     * become partition-pruned point reads. */
   def invertedIndex(df: DataFrame, idCol: String, textCol: String,
       maxDf: Option[Long] = None): DataFrame = {
-    val postings = df
-      .select(col(idCol).as("doc_id"), TextFns.words(col(textCol)).as("__w"))
+    val post = postings(df, idCol, textCol)
+    val dfs = termDfs(post)
+    val capped = maxDf.fold(dfs)(cap => dfs.where(col("df") <= cap))
+    post.join(capped, "term")
+      .select(col("term"), col("df"), col("doc_id"), col("tf"),
+        col("positions"))
+  }
+
+  /** The df-free postings half of the index artifact — what the
+    * INCREMENTAL loop persists (df denormalization would go stale the
+    * moment arrivals add documents; the split artifact keeps postings
+    * append-only and the df table merge-updatable). Output:
+    * (term, doc_id, tf, positions). */
+  def postings(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), TextFns.words(col(textCol)).as("__w"))
       .select(col("doc_id"), posexplode(col("__w")).as(Seq("pos", "term")))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"),
         sort_array(collect_list(col("pos").cast("long"))).as("positions"))
-    // (term, doc_id) is unique after the first aggregate, so df is a
-    // plain count — no countDistinct Expand at scale
-    val dfs = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val capped = maxDf.fold(dfs)(cap => dfs.where(col("df") <= cap))
-    postings.join(capped, "term")
-      .select(col("term"), col("df"), col("doc_id"), col("tf"),
-        col("positions"))
+
+  /** Document frequencies of a [[postings]] table. (term, doc_id) is
+    * unique there, so df is a plain count — no countDistinct Expand. */
+  def termDfs(post: DataFrame): DataFrame =
+    post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+  /** Advance a persisted postings index with newly-admitted documents
+    * — the maintenance half of the incremental retrieval loop (the
+    * advanceIvfPqIndex / advanceWindowHashIndex shape). Unlike the
+    * hash indexes, postings have no canonical-slot competition: a new
+    * document only APPENDS (term, doc) rows, and — because arrival doc
+    * ids are disjoint from indexed ones — df is ADDITIVE, so the df
+    * table updates by a vocabulary-bounded outer merge summing the two
+    * sides. Nothing over the existing postings recomputes, the corpus
+    * is never rescanned.
+    *
+    * Idempotent at document granularity: an arrival whose doc_id the
+    * postings already contain is dropped whole (anti-join on doc_id),
+    * so a replayed batch contributes nothing and df never
+    * double-counts. Ids are immutable-content handles (the reserved-id
+    * contract): re-submitting different text under an indexed id is
+    * ignored, not merged. Equals a rebuild over corpus ∪ arrivals
+    * row-for-row (spec-pinned).
+    *
+    * Returns (postings ∪ new postings, merged dfs). */
+  def advancePostingsIndex(post: DataFrame, dfs: DataFrame,
+      newDocs: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
+    val admitted = postings(newDocs, idCol, textCol)
+      .join(post.select(col("doc_id")).distinct(), Seq("doc_id"),
+        "left_anti")
+    val newDfs = dfs
+      .select(col("term"), col("df").as("__df_old"))
+      .join(termDfs(admitted).select(col("term"), col("df").as("__df_new")),
+        Seq("term"), "full")
+      .select(col("term"),
+        (coalesce(col("__df_old"), lit(0L)) +
+          coalesce(col("__df_new"), lit(0L))).as("df"))
+    (post.unionByName(admitted), newDfs)
   }
 
   /** Per-document token counts — the doc-length side table of the

@@ -177,6 +177,39 @@ object syntax {
       Quality.profileShard(df, cols)
     def qualityApproxProfile(cols: Seq[String]): DataFrame =
       Quality.approxProfile(df, cols)
+    def kAnonymity(levels: Seq[(String, Seq[Column])], k: Int): DataFrame =
+      Quality.kAnonymity(df, levels, k)
+    def lDiversity(levels: Seq[(String, Seq[Column])], sensitive: Column,
+        l: Int): DataFrame =
+      Quality.lDiversity(df, levels, sensitive, l)
+
+    // inverted-index retrieval
+    def invertedIndex(idCol: String, textCol: String,
+        maxDf: Option[Long] = None): DataFrame =
+      Retrieval.invertedIndex(df, idCol, textCol, maxDf)
+    def docLengths(idCol: String, textCol: String): DataFrame =
+      Retrieval.docLengths(df, idCol, textCol)
+    def conjunctiveProbe(terms: Seq[String]): DataFrame =
+      Retrieval.conjunctiveProbe(df, terms)
+    def phraseProbe(phrase: Seq[String]): DataFrame =
+      Retrieval.phraseProbe(df, phrase)
+    def bm25ProbeWith(docLens: DataFrame, terms: Seq[String],
+        k: Int): DataFrame =
+      Retrieval.bm25Probe(df, docLens, terms, k)
+
+    // event analytics
+    def attribution(userCol: String, tsCol: String, idCol: String,
+        typeCol: String, valueCol: String, touchTypes: Seq[String],
+        convType: String, lookbackSeconds: Long): DataFrame =
+      Events.attribution(df, userCol, tsCol, idCol, typeCol, valueCol,
+        touchTypes, convType, lookbackSeconds)
+    def ewmaByKey(keyCol: String, tsCol: String, idCol: String,
+        valueCol: String, alpha: Double, horizon: Int): DataFrame =
+      Events.ewmaByKey(df, keyCol, tsCol, idCol, valueCol, alpha, horizon)
+
+    // vectorizers
+    def featureHash(idCol: String, textCol: String, dims: Int): DataFrame =
+      TextAnalysis.featureHash(df, idCol, textCol, dims)
   }
 
   /** Fusion entry point mirroring the operator object (not a DataFrame

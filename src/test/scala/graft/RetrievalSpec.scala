@@ -78,6 +78,40 @@ class RetrievalSpec extends SparkSpec {
     assert(probe.nonEmpty)
   }
 
+  test("advancePostingsIndex == rebuild over corpus ∪ arrivals; " +
+      "idempotent; indexed ids immutable") {
+    val arrivals = Seq(
+      (5L, "alpha epsilon"),
+      (6L, "beta alpha beta")).toDF("doc_id", "text")
+    val post = Retrieval.postings(docs, "doc_id", "text")
+    val dfs = Retrieval.termDfs(post)
+    val (p2, d2) = Retrieval.advancePostingsIndex(post, dfs, arrivals,
+      "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3))).toSet
+    val rebuilt = Retrieval.postings(docs.unionByName(arrivals),
+      "doc_id", "text")
+    assert(rows(p2.select(col("term"), col("doc_id"), col("tf"),
+      col("positions"))) ==
+      rows(rebuilt.select(col("term"), col("doc_id"), col("tf"),
+        col("positions"))))
+    val d2Map = d2.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(d2Map == Map("alpha" -> 4L, "beta" -> 4L, "gamma" -> 2L,
+      "delta" -> 1L, "epsilon" -> 1L))
+    // replay: the same batch contributes nothing
+    val (p3, d3) = Retrieval.advancePostingsIndex(p2, d2, arrivals,
+      "doc_id", "text")
+    assert(p3.count() == p2.count())
+    assert(d3.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      == d2Map)
+    // an indexed id with DIFFERENT text is ignored, not merged
+    val (p4, d4) = Retrieval.advancePostingsIndex(p2, d2,
+      Seq((5L, "zeta zeta")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(p4.filter(col("term") === "zeta").count() == 0)
+    assert(d4.filter(col("term") === "zeta").count() == 0)
+  }
+
   test("bm25Probe: rank is dense from 1 and ordered by (bm25 desc, id)") {
     val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
     val index = Retrieval.invertedIndex(corpus, "doc_id", "text")

@@ -84,5 +84,39 @@ class SyntaxSpec extends SparkSpec {
       .collect().head.getLong(1) === 30L)
     assert(weighted.qualityApproxProfile(Seq("id")).collect().toSet ===
       q.approxProfile(weighted, Seq("id")).collect().toSet)
+    // round-14 forwarders
+    val priv = Seq(("A", "x"), ("A", "y"), ("B", "x"), ("B", "x"))
+      .toDF("qi", "sens")
+    assert(priv.kAnonymity(Seq("l0" -> Seq(col("qi"))), 2)
+      .collect().toSet ===
+      q.kAnonymity(priv, Seq("l0" -> Seq(col("qi"))), 2).collect().toSet)
+    assert(priv.lDiversity(Seq("l0" -> Seq(col("qi"))), col("sens"), 2)
+      .collect().toSet ===
+      q.lDiversity(priv, Seq("l0" -> Seq(col("qi"))), col("sens"), 2)
+        .collect().toSet)
+    val idx2 = docs.invertedIndex("doc_id", "text")
+    assert(idx2.collect().toSet ===
+      graft.operators.Retrieval.invertedIndex(docs, "doc_id", "text")
+        .collect().toSet)
+    assert(idx2.conjunctiveProbe(Seq("a", "b")).count() === 2L)
+    assert(idx2.phraseProbe(Seq("a", "b")).count() === 2L)
+    assert(idx2.bm25ProbeWith(docs.docLengths("doc_id", "text"),
+      Seq("a"), 10).count() === 2L)
+    val evts = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L,
+        "view", 0.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), 2L,
+        "purchase", 8.0)).toDF("user_id", "ts", "event_id",
+      "event_type", "value")
+    assert(evts.attribution("user_id", "ts", "event_id", "event_type",
+      "value", Seq("view"), "purchase", 3600).collect().toSet ===
+      graft.operators.Events.attribution(evts, "user_id", "ts",
+        "event_id", "event_type", "value", Seq("view"), "purchase", 3600)
+        .collect().toSet)
+    assert(evts.ewmaByKey("user_id", "ts", "event_id", "value", 0.5, 4)
+      .count() === 2L)
+    assert(docs.featureHash("doc_id", "text", 16).collect().toSet ===
+      graft.operators.TextAnalysis.featureHash(docs, "doc_id", "text", 16)
+        .collect().toSet)
   }
 }
