@@ -144,6 +144,20 @@ object SparkEntry {
     * vocabulary — collisions guaranteed, so the signed-count
     * cancellation path is actually exercised at every SF. */
   val FeatureHashDims = 32
+  /** Matryoshka truncation (sim_matryoshka): 64-d fixture probed at a
+    * 16-d prefix — the 4× flop/memory cut; `in_full_topk` reports the
+    * overlap trade on this (non-MRL-trained) fixture honestly. */
+  val MatryoshkaDims = 16
+  /** LSH recall witness floor (dedup_lsh_recall): banding currently
+    * surfaces 100% of the exact j≥0.5 answer at every SF (twins sit
+    * near j=1); 90 leaves headroom for corpus drift while still
+    * catching any banding regression. */
+  val LshRecallFloorPct = 90
+  /** Entity-coherent temporal split (rel_temporal_split): first-seen
+    * boundaries inside day 1 of the events span, where user first
+    * appearances actually spread (71/40/39 users at sf0.01). */
+  val SplitTrainEnd = "2024-01-01 06:00:00"
+  val SplitTestStart = "2024-01-01 12:00:00"
   val LinkFieldsDef: Seq[LinkField] = Seq(
     LinkField("name_exact", col("l_name") === col("r_name"),
       m = 0.75, u = 0.0005),
@@ -2574,7 +2588,33 @@ object SparkEntry {
     // --- hashing-trick vectorizer (fit-free sparse features) ---
     "text_feature_hash" -> ((s, d) =>
       TextAnalysis.featureHash(t(s, d, "documents"), "doc_id", "text",
-        FeatureHashDims))
+        FeatureHashDims)),
+
+    // --- LSH answer-quality witness (the sim_ann_recall convention
+    //     applied to the dedup banding stack) ---
+    "dedup_lsh_recall" -> ((s, d) =>
+      Dedup.lshRecallReport(t(s, d, "documents"), "doc_id", "text",
+        minJaccard = 0.5, MinhashK, LshBands, LshRecallFloorPct)),
+
+    // --- matryoshka truncated-prefix retrieval + overlap witness ---
+    "sim_matryoshka" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val full = Similarity.bruteForceTopK(emb, q, 5)
+        .select(col("q_id"), col("n_id"), lit(true).as("in_full_topk"))
+      Similarity.matryoshkaTopK(emb, q, 5, MatryoshkaDims)
+        .join(full, Seq("q_id", "n_id"), "left")
+        .select(col("q_id"), col("rank"), col("n_id"), col("cosine_sim"),
+          coalesce(col("in_full_topk"), lit(false)).as("in_full_topk"))
+    }),
+
+    // --- entity-coherent temporal split with embargo ---
+    "rel_temporal_split" -> ((s, d) =>
+      Relational.entityTemporalSplit(t(s, d, "events"), "user_id", "ts",
+          SplitTrainEnd, SplitTestStart)
+        .groupBy(col("split"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -5038,7 +5078,54 @@ object SparkEntry {
         s"CAST('0x' || substr(md5(term), 1, 7) AS BIGINT) % $FeatureHashDims AS bucket, " +
         "CAST(sum(CASE WHEN CAST('0x' || substr(md5(term), 8, 1) AS BIGINT) % 2 = 0 " +
         "THEN 1 ELSE -1 END) AS BIGINT) AS weight " +
-        "FROM p GROUP BY 1, 2")
+        "FROM p GROUP BY 1, 2"),
+
+    // LSH recall witness oracle: truth = the dedup_jaccard_prefix
+    // brute-force mirror, candidates = the dedup_lsh_pairs banding
+    // mirror, counts + the integer-exact floor comparison
+    "dedup_lsh_recall" ->
+      (shingleCte + sigCte + s", bands AS ($bandSelects), " +
+        "cd AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a " +
+        "JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id), " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i FROM sh a " +
+        "JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "tr AS (SELECT a_id, b_id FROM inter " +
+        "JOIN sizes sa ON inter.a_id = sa.doc_id JOIN sizes sb ON inter.b_id = sb.doc_id " +
+        "WHERE i / (sa.n + sb.n - i) >= 0.5), " +
+        "hit AS (SELECT a_id, b_id FROM tr WHERE EXISTS " +
+        "(SELECT 1 FROM cd WHERE cd.a_id = tr.a_id AND cd.b_id = tr.b_id)) " +
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_true, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM cd) AS n_candidates, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit, " +
+        "((SELECT count(*) FROM hit) * 100 >= " +
+        s"(SELECT count(*) FROM tr) * $LshRecallFloorPct) AS recall_ok"),
+
+    // matryoshka oracle: the sim_knn_topk ranking CTE at BOTH widths,
+    // truncation via 1-based inclusive list slicing
+    "sim_matryoshka" -> {
+      val md = MatryoshkaDims
+      "WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10), " +
+        "c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings), " +
+        s"ts AS (SELECT q_id, n_id, ${cosSql(s"q_vec[1:$md]", s"n_vec[1:$md]")} AS sim " +
+        "FROM q CROSS JOIN c WHERE n_id <> q_id), " +
+        "tr AS (SELECT q_id, n_id, sim, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS \"rank\" FROM ts), " +
+        s"fs AS (SELECT q_id, n_id, ${cosSql("q_vec", "n_vec")} AS sim " +
+        "FROM q CROSS JOIN c WHERE n_id <> q_id), " +
+        "fr AS (SELECT q_id, n_id FROM (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS r FROM fs) x WHERE r <= 5) " +
+        "SELECT tr.q_id, tr.\"rank\", tr.n_id, round(tr.sim, 4) AS cosine_sim, " +
+        "EXISTS (SELECT 1 FROM fr WHERE fr.q_id = tr.q_id AND fr.n_id = tr.n_id) AS in_full_topk " +
+        "FROM tr WHERE tr.\"rank\" <= 5"
+    },
+
+    "rel_temporal_split" ->
+      ("SELECT s AS split, CAST(count(*) AS BIGINT) AS n_users, " +
+        "CAST(sum(ne) AS BIGINT) AS n_events FROM (" +
+        "SELECT user_id, count(*) AS ne, " +
+        s"CASE WHEN min(ts) < TIMESTAMP '$SplitTrainEnd' THEN 'train' " +
+        s"WHEN min(ts) >= TIMESTAMP '$SplitTestStart' THEN 'test' " +
+        "ELSE 'embargo' END AS s " +
+        "FROM events GROUP BY user_id) t GROUP BY 1")
   )
 
   /** Shared DuckDB postings CTE for the text_index_* oracles: tokens

@@ -1101,4 +1101,40 @@ object Dedup {
       .select(col("cluster_id"), col("n_docs"), col("n_pairs"),
         col("min_edit"), col("max_edit"))
   }
+
+  /** ANSWER-quality witness for the LSH banding stack (the
+    * sim_ann_recall convention applied to dedup): what fraction of the
+    * EXACT Jaccard-join answer ([[jaccardPairsPrefix]], the full
+    * no-recall-trade truth) does [[lshCandidatePairs]]' banding
+    * surface as candidates? A banding regression (bad permutation
+    * constants, broken band split, over-aggressive bucket cap) shows
+    * up here as a recall drop long before any downstream metric moves.
+    *
+    * One row: (n_true, n_candidates, n_hit, recall_ok) — `recall_ok`
+    * is the INTEGER-EXACT floor comparison n_hit·100 ≥ n_true·floorPct
+    * (never a float boundary; vacuously true on an empty truth set).
+    * n_candidates is the cost side of the trade — recall alone can be
+    * gamed by emitting everything.
+    *
+    * Cost: the exact join IS the witness's price (prefix-filtered, so
+    * candidate generation is df-capped, never all-pairs); run it at
+    * audit cadence on a sample split, not per-ingest. */
+  def lshRecallReport(df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double, k: Int, bands: Int,
+      floorPct: Int = 90): DataFrame = {
+    require(floorPct >= 0 && floorPct <= 100,
+      s"lshRecallReport: floorPct in [0,100], got $floorPct")
+    val truth = jaccardPairsPrefix(df, idCol, textCol, minJaccard)
+      .select(col("a_id"), col("b_id"))
+    val cand = lshCandidatePairs(df, idCol, textCol, k, bands)
+      .select(col("a_id"), col("b_id"))
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    val nHit = truth.join(cand, Seq("a_id", "b_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    nTrue.crossJoin(nCand).crossJoin(nHit)
+      .select(col("n_true"), col("n_candidates"), col("n_hit"),
+        (col("n_hit") * 100L >= col("n_true") * floorPct.toLong)
+          .as("recall_ok"))
+  }
 }

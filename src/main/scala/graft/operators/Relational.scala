@@ -583,6 +583,41 @@ object Relational {
         .otherwise(lit("test")))
   }
 
+  /** Entity-coherent temporal split with an embargo gap — the
+    * time-series counterpart of [[deterministicSplit]] (hash splits
+    * leak FUTURE information into train when rows are time-ordered
+    * observations). Every entity is assigned WHOLE, by its FIRST
+    * event's timestamp: first-seen before `trainEnd` → train,
+    * at-or-after `testStart` → test, first-seen inside the embargo
+    * gap (or the boundary rows of a gapless split) → "embargo",
+    * dropped by convention downstream. Whole-entity assignment kills
+    * the subtler leak too: a user with rows in both train and test
+    * lets a model memorize the entity, not the signal (the
+    * clusterSafeSplit argument, keyed by time instead of content).
+    * With `trainEnd == testStart` the embargo bucket is exactly empty.
+    *
+    * Scale shape: one key-partitioned aggregate for first-seen + one
+    * key equi-join back — the cohortRetention shape. Deterministic:
+    * timestamp comparisons only, no hashing, no sampling.
+    *
+    * Output: the input plus (first_ts, split). The no-cross-split
+    * invariant (each key in exactly one split) holds by construction;
+    * the rel_temporal_split oracle counts violators anyway (0). */
+  def entityTemporalSplit(df: DataFrame, keyCol: String, tsCol: String,
+      trainEnd: String, testStart: String): DataFrame = {
+    require(java.sql.Timestamp.valueOf(trainEnd).compareTo(
+      java.sql.Timestamp.valueOf(testStart)) <= 0,
+      s"entityTemporalSplit: trainEnd $trainEnd after testStart $testStart")
+    val first = df.groupBy(col(keyCol))
+      .agg(min(col(tsCol)).as("first_ts"))
+      .withColumn("split",
+        when(col("first_ts") < to_timestamp(lit(trainEnd)), lit("train"))
+          .when(col("first_ts") >= to_timestamp(lit(testStart)),
+            lit("test"))
+          .otherwise(lit("embargo")))
+    df.join(first, keyCol)
+  }
+
   /** Deterministic per-key fractional sampling: keep ~`fraction` of
     * each key's rows, chosen by a stable content hash of the row id —
     * the dataset-balancing primitive that DOWNWEIGHTS overrepresented

@@ -132,6 +132,31 @@ object Similarity {
         col("cosine_sim"))
   }
 
+  /** Matryoshka (MRL) truncated-dimension retrieval: exact cosine
+    * top-k over only the FIRST `dims` coordinates of every vector —
+    * the cheap first-stage pass when embeddings were trained with
+    * matryoshka representation learning (prefixes of the vector are
+    * themselves valid embeddings; Kusupati et al., NeurIPS'22). A
+    * 64→16 truncation cuts dot-product flops and index memory 4× and
+    * the full-dimension exact pass survives as the rerank stage.
+    * Cosine normalizes by the TRUNCATED norms, so no explicit
+    * renormalization step exists to get wrong.
+    *
+    * On non-MRL-trained embeddings (like the iid test fixture) prefix
+    * dimensions are merely a random projection — overlap with the
+    * full-d answer is the measured trade, which is exactly what the
+    * sim_matryoshka witness reports via its `in_full_topk` flag.
+    * Output: (q_id, rank, n_id, cosine_sim) — the bruteForceTopK
+    * contract at the truncated dimensionality. */
+  def matryoshkaTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      dims: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(dims >= 1, s"matryoshkaTopK: dims must be >= 1, got $dims")
+    def trunc(df: DataFrame) =
+      df.select(col(idCol), slice(col(vecCol), 1, dims).as(vecCol))
+    bruteForceTopK(trunc(corpus), trunc(queries), k, idCol, vecCol)
+  }
+
   /** Per-row nearest neighbor within a blocking key (e.g. a cluster
     * label or LSH bucket): the blocked form of all-pairs near-dup
     * detection. Join fan-out is bounded by the largest block, not n².

@@ -210,6 +210,19 @@ object syntax {
     // vectorizers
     def featureHash(idCol: String, textCol: String, dims: Int): DataFrame =
       TextAnalysis.featureHash(df, idCol, textCol, dims)
+
+    // witnesses / splits / truncated retrieval
+    def lshRecallReport(idCol: String, textCol: String,
+        minJaccard: Double, k: Int, bands: Int,
+        floorPct: Int = 90): DataFrame =
+      Dedup.lshRecallReport(df, idCol, textCol, minJaccard, k, bands,
+        floorPct)
+    def entityTemporalSplit(keyCol: String, tsCol: String,
+        trainEnd: String, testStart: String): DataFrame =
+      Relational.entityTemporalSplit(df, keyCol, tsCol, trainEnd,
+        testStart)
+    def matryoshkaTopK(queries: DataFrame, k: Int, dims: Int): DataFrame =
+      Similarity.matryoshkaTopK(df, queries, k, dims)
   }
 
   /** Fusion entry point mirroring the operator object (not a DataFrame

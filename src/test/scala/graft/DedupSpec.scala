@@ -517,4 +517,30 @@ class DedupSpec extends SparkSpec {
     assert(d((1L, 2L)) === 0L)  // normalization-equal heads
     assert(d((1L, 3L)) === 3L)  // dog -> cat
   }
+
+  test("lshRecallReport: banding surfaces planted near-dups; floor " +
+      "boolean integer-exact; empty truth is vacuously ok") {
+    import spark.implicits._
+    // two byte-identical pairs (j=1, always banded) + unrelated docs
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven"),
+      (4L, "one two three four five six seven"),
+      (5L, "completely unrelated words here instead now"))
+      .toDF("doc_id", "text")
+    val out = Dedup.lshRecallReport(docs, "doc_id", "text",
+      minJaccard = 0.5, k = 16, bands = 4, floorPct = 90).collect().head
+    assert(out.getLong(0) == 2L) // n_true: the two identical pairs
+    assert(out.getLong(2) == 2L) // n_hit: identical sigs always collide
+    assert(out.getLong(1) >= 2L) // candidates at least cover them
+    assert(out.getBoolean(3))
+    // no pair reaches j >= 0.9 -> empty truth -> vacuous true
+    val empty = Dedup.lshRecallReport(
+      Seq((1L, "a b c d e f"), (2L, "g h i j k l")).toDF("doc_id", "text"),
+      "doc_id", "text", minJaccard = 0.9, k = 16, bands = 4).collect().head
+    assert(empty.getLong(0) == 0L && empty.getBoolean(3))
+    intercept[IllegalArgumentException](
+      Dedup.lshRecallReport(docs, "doc_id", "text", 0.5, 16, 4, 101))
+  }
 }

@@ -589,6 +589,40 @@ class RelationalSpec extends SparkSpec {
     assert(present.contains("h1"))
   }
 
+  test("entityTemporalSplit: whole-entity assignment by FIRST event, " +
+      "embargo bucket, gapless split leaves embargo empty") {
+    import spark.implicits._
+    val df = Seq(
+      // user 1 first-seen day 1 but ALSO active day 9 — stays train whole
+      (1L, ts("2024-01-01"), 1L), (1L, ts("2024-01-09"), 2L),
+      // user 2 first-seen inside the gap
+      (2L, ts("2024-01-04"), 3L),
+      // user 3 first-seen exactly at testStart (>= boundary -> test)
+      (3L, ts("2024-01-05"), 4L), (3L, ts("2024-01-06"), 5L),
+      // user 4 first-seen exactly at trainEnd -> embargo (not < bound)
+      (4L, ts("2024-01-03"), 6L))
+      .toDF("user_id", "ts", "event_id")
+    val out = Relational.entityTemporalSplit(df, "user_id", "ts",
+      "2024-01-03 00:00:00", "2024-01-05 00:00:00")
+    val byUser = out.select(col("user_id"), col("split")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // exactly one split per user (the no-leak invariant)
+    assert(byUser.map(_._1).distinct.length == byUser.length)
+    val m = byUser.toMap
+    assert(m == Map(1L -> "train", 2L -> "embargo", 3L -> "test",
+      4L -> "embargo"))
+    // every ROW of a user carries the user's split (day-9 row included)
+    assert(out.filter(col("user_id") === 1L && col("split") =!= "train")
+      .count() == 0)
+    // gapless: trainEnd == testStart -> embargo exactly empty
+    val gapless = Relational.entityTemporalSplit(df, "user_id", "ts",
+      "2024-01-05 00:00:00", "2024-01-05 00:00:00")
+    assert(gapless.filter(col("split") === "embargo").count() == 0)
+    intercept[IllegalArgumentException](
+      Relational.entityTemporalSplit(df, "user_id", "ts",
+        "2024-01-06 00:00:00", "2024-01-05 00:00:00"))
+  }
+
   private def ts(s: String): java.sql.Timestamp =
     java.sql.Timestamp.valueOf(if (s.length == 10) s + " 00:00:00" else s)
 }

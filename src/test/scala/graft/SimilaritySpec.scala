@@ -832,4 +832,32 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Similarity.sqEncode(df, "id", "vec", Array.empty))
   }
+
+  test("matryoshkaTopK: prefix cosine reorders where the tail disagrees; " +
+      "full-width truncation degenerates to bruteForceTopK") {
+    import spark.implicits._
+    // query q: prefix (first 2 dims) favors n=20, full vector favors
+    // n=10 via the tail — truncation must flip the top-1
+    val corpus = Seq(
+      (10L, Array(1f, 0f, 10f, 10f)),
+      (20L, Array(2f, 0.1f, -1f, 1f)),
+      (30L, Array(-1f, -1f, -1f, -1f))).toDF("vec_id", "embedding")
+    val q = Seq((1L, Array(2f, 0.1f, 5f, 5f))).toDF("vec_id", "embedding")
+    val trunc = Similarity.matryoshkaTopK(corpus, q, 3, dims = 2)
+      .orderBy(col("rank")).collect().map(_.getLong(2)).toSeq
+    val full = Similarity.bruteForceTopK(corpus, q, 3)
+      .orderBy(col("rank")).collect().map(_.getLong(2)).toSeq
+    assert(trunc.head == 20L) // exact prefix match wins at 2 dims
+    assert(full.head == 10L)  // the tail flips it at 4 dims
+    // dims >= width: identical to the full scan, row for row
+    val same = Similarity.matryoshkaTopK(corpus, q, 3, dims = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val ref = Similarity.bruteForceTopK(corpus, q, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(same == ref)
+    intercept[IllegalArgumentException](
+      Similarity.matryoshkaTopK(corpus, q, 3, dims = 0))
+  }
 }

@@ -118,5 +118,19 @@ class SyntaxSpec extends SparkSpec {
     assert(docs.featureHash("doc_id", "text", 16).collect().toSet ===
       graft.operators.TextAnalysis.featureHash(docs, "doc_id", "text", 16)
         .collect().toSet)
+    assert(docs.lshRecallReport("doc_id", "text", 0.5, 16, 4)
+      .columns.toSeq ===
+      Seq("n_true", "n_candidates", "n_hit", "recall_ok"))
+    assert(evts.entityTemporalSplit("user_id", "ts",
+      "2024-01-01 10:00:30", "2024-01-01 10:00:30")
+      .select("split").distinct().collect().map(_.getString(0)).toSet
+      === Set("train"))
+    val mvecs = (0 until 6).map(i =>
+      (i.toLong, Array.tabulate(4)(j => (i + j + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    assert(mvecs.matryoshkaTopK(mvecs.filter(col("vec_id") < 1), 2, 2)
+      .collect().toSet ===
+      graft.operators.Similarity.matryoshkaTopK(mvecs,
+        mvecs.filter(col("vec_id") < 1), 2, 2).collect().toSet)
   }
 }
