@@ -158,6 +158,10 @@ object SparkEntry {
     * appearances actually spread (71/40/39 users at sf0.01). */
   val SplitTrainEnd = "2024-01-01 06:00:00"
   val SplitTestStart = "2024-01-01 12:00:00"
+  /** Calibration bins (text_nb_calibration): edges spanning the NB
+    * log-odds range (−5.3…2.8 at sf0.01), binned on the ROUNDED score
+    * — the engines' rounded log_odds hash-match, so bins agree. */
+  val NbCalibEdges: Seq[Double] = Seq(-4.0, -2.0, -1.0, 0.0, 1.0, 2.0)
   val LinkFieldsDef: Seq[LinkField] = Seq(
     LinkField("name_exact", col("l_name") === col("r_name"),
       m = 0.75, u = 0.0005),
@@ -2614,7 +2618,50 @@ object SparkEntry {
           SplitTrainEnd, SplitTestStart)
         .groupBy(col("split"))
         .agg(countDistinct(col("user_id")).as("n_users"),
-          count(lit(1)).as("n_events")))
+          count(lit(1)).as("n_events"))),
+
+    // --- eval harness: classifier PR/F1, score calibration, nDCG ---
+    "text_nb_eval" -> ((s, d) => {
+      // the distillation loop's verdict: NB (fit on the gopher labels)
+      // scored back against those labels — fit-on-self, so this is the
+      // TRAINING fit quality, the ceiling a held-out eval reads against
+      val labeled = gopherLabeledDocs(s, d)
+      Quality.binaryEval(
+        TextAnalysis.nbQualityScorePortable(labeled, "doc_id", "text",
+            "keep")
+          .select(col("doc_id"), col("predicted_keep"))
+          .join(labeled.select(col("doc_id"), col("keep")), "doc_id"),
+        col("predicted_keep"), col("keep"))
+    }),
+    "text_nb_calibration" -> ((s, d) => {
+      val labeled = gopherLabeledDocs(s, d)
+      Quality.calibrationBins(
+        TextAnalysis.nbQualityScorePortable(labeled, "doc_id", "text",
+            "keep")
+          .select(col("doc_id"), col("log_odds"))
+          .join(labeled.select(col("doc_id"), col("keep")), "doc_id"),
+        "log_odds", col("keep"), NbCalibEdges)
+    }),
+    "sim_ndcg" -> ((s, d) => {
+      // rank quality of the exact knn under same-label binary
+      // relevance: rel = neighbor shares the query's cluster label;
+      // n_rel = that label's corpus population minus the query itself
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val qLab = q.select(col("vec_id").as("q_id"),
+        col("label").as("q_label"))
+      val ranked = Similarity.bruteForceTopK(emb, q, 5)
+        .join(emb.select(col("vec_id").as("n_id"),
+          col("label").as("n_label")), "n_id")
+        .join(broadcast(qLab), "q_id")
+        .select(col("q_id"), col("rank"),
+          (col("n_label") === col("q_label")).as("rel"))
+      val nRel = qLab.join(
+          emb.groupBy(col("label")).agg(count(lit(1)).as("__n")),
+          col("q_label") === col("label"))
+        .select(col("q_id"), (col("__n") - 1L).as("n_rel"))
+      Similarity.ndcgBinary(ranked, nRel, 5)
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -3193,6 +3240,24 @@ object SparkEntry {
       s"SELECT a_id, b_id, hamming_dist FROM p WHERE hamming_dist <= $maxDist"
   }
 
+  /** The NB fit-on-self scoring chain (labels → token counts → llr
+    * model → per-doc ordered-fold scores in `sc(doc_id, n_tokens,
+    * lo)`, with the label CTE `g(doc_id, keep)` still in scope) —
+    * shared by the score, eval and calibration oracles so the three
+    * can never drift. */
+  private lazy val nbScoredCtes: String =
+    s"WITH g AS (SELECT doc_id, $gopherKeepSql AS keep FROM documents), " +
+      s"tok AS (SELECT doc_id, unnest(regexp_extract_all($normSql, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS token FROM documents), " +
+      "lt AS (SELECT t.doc_id, t.token, g.keep FROM tok t JOIN g USING (doc_id)), " +
+      "c AS (SELECT token, CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS np, " +
+      "CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS nn FROM lt GROUP BY token), " +
+      "tt AS (SELECT CAST(sum(np) AS BIGINT) AS tp, CAST(sum(nn) AS BIGINT) AS tn, CAST(count(*) AS BIGINT) AS v FROM c), " +
+      "dt AS (SELECT ln(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)) - ln(CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS DOUBLE)) AS prior FROM g), " +
+      "m AS (SELECT token, (ln(CAST(np + 1 AS DOUBLE)) - ln(CAST(tp + v AS DOUBLE))) - (ln(CAST(nn + 1 AS DOUBLE)) - ln(CAST(tn + v AS DOUBLE))) AS llr FROM c, tt), " +
+      "i AS (SELECT l.doc_id, m.llr FROM lt l JOIN m USING (token)), " +
+      "sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+      "(SELECT prior FROM dt) + list_aggregate(list_sort(list(llr)), 'sum') AS lo FROM i GROUP BY doc_id)"
+
   private val wordsSql =
     "string_split_regex(trim(lower(text)), '\\s+')"
 
@@ -3668,19 +3733,38 @@ object SparkEntry {
       // absorbed by round(.,4), and the sign margin is corpus-wide
       // >> ulp (min |log_odds| ~ 1e0 at sf0.01 — TextAnalysisSpec pins a
       // planted-margin case)
-      (s"WITH g AS (SELECT doc_id, $gopherKeepSql AS keep FROM documents), " +
-        s"tok AS (SELECT doc_id, unnest(regexp_extract_all($normSql, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS token FROM documents), " +
-        "lt AS (SELECT t.doc_id, t.token, g.keep FROM tok t JOIN g USING (doc_id)), " +
-        "c AS (SELECT token, CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS np, " +
-        "CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS nn FROM lt GROUP BY token), " +
-        "tt AS (SELECT CAST(sum(np) AS BIGINT) AS tp, CAST(sum(nn) AS BIGINT) AS tn, CAST(count(*) AS BIGINT) AS v FROM c), " +
-        "dt AS (SELECT ln(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)) - ln(CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS DOUBLE)) AS prior FROM g), " +
-        "m AS (SELECT token, (ln(CAST(np + 1 AS DOUBLE)) - ln(CAST(tp + v AS DOUBLE))) - (ln(CAST(nn + 1 AS DOUBLE)) - ln(CAST(tn + v AS DOUBLE))) AS llr FROM c, tt), " +
-        "i AS (SELECT l.doc_id, m.llr FROM lt l JOIN m USING (token)), " +
-        "sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
-        "(SELECT prior FROM dt) + list_aggregate(list_sort(list(llr)), 'sum') AS lo FROM i GROUP BY doc_id) " +
-        "SELECT doc_id, n_tokens, CAST(0 AS BIGINT) AS n_oov, " +
+      (nbScoredCtes +
+        " SELECT doc_id, n_tokens, CAST(0 AS BIGINT) AS n_oov, " +
         "round(lo, 4) AS log_odds, lo > 0 AS predicted_keep FROM sc"),
+    // classifier eval: the sc scores joined back on their own labels,
+    // confusion counts + single-division rates
+    "text_nb_eval" ->
+      (nbScoredCtes + ", j AS (SELECT lo > 0 AS p, keep AS t FROM sc " +
+        "JOIN g USING (doc_id)), " +
+        "cm AS (SELECT CAST(coalesce(sum(CASE WHEN p AND t THEN 1 END), 0) AS BIGINT) AS tp, " +
+        "CAST(coalesce(sum(CASE WHEN p AND NOT t THEN 1 END), 0) AS BIGINT) AS fp, " +
+        "CAST(coalesce(sum(CASE WHEN NOT p AND t THEN 1 END), 0) AS BIGINT) AS fn, " +
+        "CAST(coalesce(sum(CASE WHEN NOT p AND NOT t THEN 1 END), 0) AS BIGINT) AS tn, " +
+        "CAST(coalesce(sum(CASE WHEN p IS NULL OR t IS NULL THEN 1 END), 0) AS BIGINT) AS n_null FROM j) " +
+        "SELECT tp, fp, fn, tn, n_null, " +
+        "CASE WHEN tp + fp + fn + tn > 0 THEN CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE) END AS accuracy, " +
+        "CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision, " +
+        "CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall, " +
+        "CASE WHEN tp * 2 + fp + fn > 0 THEN CAST(tp * 2 AS DOUBLE) / CAST(tp * 2 + fp + fn AS DOUBLE) END AS f1 FROM cm"),
+    // calibration: the psi bin layout over the ROUNDED score (the
+    // engines' rounded log_odds are hash-equal, so bins agree)
+    "text_nb_calibration" -> {
+      val binExpr = NbCalibEdges
+        .map(e => s"(CASE WHEN s >= $e THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      nbScoredCtes + ", j AS (SELECT round(lo, 4) AS s, keep FROM sc " +
+        "JOIN g USING (doc_id)) " +
+        s"SELECT CAST($binExpr AS BIGINT) AS bin, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(coalesce(sum(CASE WHEN keep THEN 1 END), 0) AS BIGINT) AS n_pos, " +
+        "CAST(coalesce(sum(CASE WHEN keep THEN 1 END), 0) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pos_rate " +
+        "FROM j GROUP BY 1"
+    },
     // span corruption: the mask decision, run grouping, sentinel
     // numbering and both reassemblies replayed with windows + ordered
     // string_agg — the mask is an md5-uniform of (doc, pos÷3), so both
@@ -5125,7 +5209,24 @@ object SparkEntry {
         s"CASE WHEN min(ts) < TIMESTAMP '$SplitTrainEnd' THEN 'train' " +
         s"WHEN min(ts) >= TIMESTAMP '$SplitTestStart' THEN 'test' " +
         "ELSE 'embargo' END AS s " +
-        "FROM events GROUP BY user_id) t GROUP BY 1")
+        "FROM events GROUP BY user_id) t GROUP BY 1"),
+
+    // nDCG oracle: the knn ranking CTE + label relevance, DCG as the
+    // rank-ordered struct fold, IDCG as the closed min(k, n_rel) sum
+    "sim_ndcg" ->
+      ("WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label FROM embeddings WHERE vec_id < 10), " +
+        "c AS (SELECT vec_id AS n_id, embedding AS n_vec, label AS n_label FROM embeddings), " +
+        s"scored AS (SELECT q_id, n_id, n_label, q_label, ${cosSql("q_vec", "n_vec")} AS sim FROM q CROSS JOIN c WHERE n_id <> q_id), " +
+        "ranked AS (SELECT q_id, (n_label = q_label) AS rel, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS r FROM scored), " +
+        "d AS (SELECT q_id, list_aggregate(list_transform(list_sort(list({'k': r, 'v': CASE WHEN rel THEN 1.0 / log2(CAST(r + 1 AS DOUBLE)) ELSE CAST(0.0 AS DOUBLE) END})), s -> s.v), 'sum') AS dcg " +
+        "FROM ranked WHERE r <= 5 GROUP BY q_id), " +
+        "lc AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY 1), " +
+        "nr AS (SELECT q.q_id, lc.n - 1 AS n_rel FROM q JOIN lc ON q.q_label = lc.label), " +
+        "f AS (SELECT d.q_id, nr.n_rel, d.dcg, " +
+        "CASE WHEN nr.n_rel >= 1 THEN list_aggregate(list_transform(range(1, least(5, nr.n_rel) + 1), i -> 1.0 / log2(CAST(i + 1 AS DOUBLE))), 'sum') ELSE CAST(0.0 AS DOUBLE) END AS idcg " +
+        "FROM d JOIN nr USING (q_id)) " +
+        "SELECT q_id, n_rel, round(dcg, 4) AS dcg, round(idcg, 4) AS idcg, " +
+        "CASE WHEN idcg > 0 THEN round(dcg / idcg, 4) END AS ndcg FROM f")
   )
 
   /** Shared DuckDB postings CTE for the text_index_* oracles: tokens

@@ -770,6 +770,67 @@ object Quality {
         coalesce(col("__ke"), lit(0L)).as("k_effective"))
   }
 
+  /** Binary-classifier evaluation in ONE aggregate pass: confusion
+    * counts plus accuracy / precision / recall / F1 — the verdict
+    * row a quality-classifier distillation loop (NB vs its heuristic
+    * labels, or any gate vs human audit labels) reads before trusting
+    * the model. Rows where either side is NULL are counted separately
+    * (`n_null`), never silently folded into a class.
+    *
+    * Determinism: all four rates are SINGLE divisions of exact
+    * integers — F1 uses the algebraic identity 2·tp/(2·tp+fp+fn), so
+    * no composed float arithmetic exists to drift. Zero denominators
+    * yield NULL (undefined, loudly), not 0.
+    *
+    * Output: one row — (tp, fp, fn, tn, n_null, accuracy, precision,
+    * recall, f1). */
+  def binaryEval(df: DataFrame, pred: Column, truth: Column): DataFrame = {
+    val p = pred.cast("boolean")
+    val t = truth.cast("boolean")
+    val counted = df.agg(
+      sum(when(p && t, 1L).otherwise(0L)).as("tp"),
+      sum(when(p && !t, 1L).otherwise(0L)).as("fp"),
+      sum(when(!p && t, 1L).otherwise(0L)).as("fn"),
+      sum(when(!p && !t, 1L).otherwise(0L)).as("tn"),
+      sum(when(p.isNull || t.isNull, 1L).otherwise(0L)).as("n_null"))
+    def ratio(num: Column, den: Column) =
+      when(den > 0, num.cast("double") / den.cast("double"))
+    counted.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      col("n_null"),
+      ratio(col("tp") + col("tn"),
+        col("tp") + col("fp") + col("fn") + col("tn")).as("accuracy"),
+      ratio(col("tp"), col("tp") + col("fp")).as("precision"),
+      ratio(col("tp"), col("tp") + col("fn")).as("recall"),
+      ratio(col("tp") * 2L,
+        col("tp") * 2L + col("fp") + col("fn")).as("f1"))
+  }
+
+  /** Calibration (reliability-diagram) bins: the [[psi]] fixed-edge
+    * bin layout applied to a classifier SCORE, with each bin's
+    * empirical positive rate — a well-calibrated score's pos_rate
+    * rises monotonically through the bins; a flat or folded curve
+    * says the score ranks but its magnitude lies. NULL scores/labels
+    * and (for float scores) NaN are excluded, like [[binCounts]].
+    *
+    * Output: (bin, n, n_pos, pos_rate) — exact counts, one exact
+    * division. Bins follow the psi convention: (-inf,e0), [e0,e1) …
+    * [e_last,inf). */
+  def calibrationBins(df: DataFrame, scoreCol: String, truth: Column,
+      edges: Seq[Double]): DataFrame = {
+    requireEdges(edges)
+    df.where(binnableValues(df, scoreCol) && truth.isNotNull)
+      .select(edges.map(e =>
+          when(col(scoreCol) >= lit(e), 1L).otherwise(0L))
+        .reduce(_ + _).as("bin"),
+        truth.cast("boolean").as("__t"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("n_pos"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double"))
+          .as("pos_rate"))
+  }
+
   /** Distinct-l-diversity over the same generalization ladder as
     * [[kAnonymity]]: k-anonymity stops re-identification by class
     * size, but a class whose SENSITIVE attribute is constant still

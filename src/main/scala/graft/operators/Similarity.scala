@@ -157,6 +157,47 @@ object Similarity {
     bruteForceTopK(trunc(corpus), trunc(queries), k, idCol, vecCol)
   }
 
+  /** Binary-relevance nDCG@k — the rank-quality metric of a retrieval
+    * eval harness (recall says WHETHER the relevant docs surfaced;
+    * nDCG says how HIGH). `ranked` carries (q_id, rank, rel) — a
+    * top-k result joined with its relevance labels; `nRel` carries
+    * the per-query TOTAL relevant count (q_id, n_rel), which the
+    * ideal DCG needs and the retrieved list alone cannot know.
+    *
+    * DCG folds the ≤k per-query gain terms in RANK order (sorted
+    * struct fold — bounded state, deterministic); IDCG is a closed
+    * expression over min(k, n_rel) ideal positions. Both round at 4
+    * (log2 ulp, the bm25 convention); nDCG is NULL when n_rel = 0
+    * (undefined, loudly — not a fake 0 or 1).
+    *
+    * Output: (q_id, n_rel, dcg, idcg, ndcg). Scale shape: one
+    * q-keyed aggregate over the (queries×k)-row eval frame + one
+    * q-keyed join — eval-set-sized, never corpus-sized. */
+  def ndcgBinary(ranked: DataFrame, nRel: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"ndcgBinary: k must be >= 1, got $k")
+    val gain = when(col("rel"),
+      lit(1.0) / log2(col("rank").cast("double") + 1.0)).otherwise(lit(0.0))
+    val dcg = ranked.where(col("rank") <= k)
+      .groupBy(col("q_id"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("rank").as("k"),
+          gain.as("v")))),
+        lit(0.0), (acc, x) => acc + x.getField("v")).as("__dcg"))
+    val idcg = when(col("n_rel") >= 1L,
+      aggregate(
+        transform(
+          sequence(lit(1), least(lit(k), col("n_rel")).cast("int")),
+          i => lit(1.0) / log2(i.cast("double") + 1.0)),
+        lit(0.0), _ + _)).otherwise(lit(0.0))
+    dcg.join(nRel, "q_id")
+      .withColumn("__idcg", idcg)
+      .select(col("q_id"), col("n_rel"),
+        round(col("__dcg"), 4).as("dcg"),
+        round(col("__idcg"), 4).as("idcg"),
+        when(col("__idcg") > 0,
+          round(col("__dcg") / col("__idcg"), 4)).as("ndcg"))
+  }
+
   /** Per-row nearest neighbor within a blocking key (e.g. a cluster
     * label or LSH bucket): the blocked form of all-pairs near-dup
     * detection. Join fan-out is bounded by the largest block, not n².

@@ -223,6 +223,15 @@ object syntax {
         testStart)
     def matryoshkaTopK(queries: DataFrame, k: Int, dims: Int): DataFrame =
       Similarity.matryoshkaTopK(df, queries, k, dims)
+
+    // eval harness
+    def binaryEval(pred: Column, truth: Column): DataFrame =
+      Quality.binaryEval(df, pred, truth)
+    def calibrationBins(scoreCol: String, truth: Column,
+        edges: Seq[Double]): DataFrame =
+      Quality.calibrationBins(df, scoreCol, truth, edges)
+    def ndcgBinary(nRel: DataFrame, k: Int): DataFrame =
+      Similarity.ndcgBinary(df, nRel, k)
   }
 
   /** Fusion entry point mirroring the operator object (not a DataFrame

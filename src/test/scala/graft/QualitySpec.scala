@@ -531,4 +531,45 @@ class QualitySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Quality.lDiversity(df, Seq("a" -> Seq(col("qi"))), col("sens"), 1))
   }
+
+  test("binaryEval: hand-counted confusion matrix, single-division " +
+      "rates, NULLs counted apart, zero denominators stay NULL") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(true), Some(true)), (Some(true), Some(true)),   // tp x2
+      (Some(true), Some(false)),                            // fp
+      (Some(false), Some(true)), (Some(false), Some(true)),
+      (Some(false), Some(true)),                            // fn x3
+      (Some(false), Some(false)), (Some(false), Some(false)), // tn x2
+      (None, Some(true)), (Some(true), None))               // nulls x2
+      .toDF("p", "t")
+    val out = Quality.binaryEval(df, col("p"), col("t")).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2),
+      out.getLong(3), out.getLong(4)) == ((2L, 1L, 3L, 2L, 2L)))
+    assert(out.getDouble(5) == 4.0 / 8.0)  // accuracy
+    assert(out.getDouble(6) == 2.0 / 3.0)  // precision
+    assert(out.getDouble(7) == 2.0 / 5.0)  // recall
+    assert(out.getDouble(8) == 4.0 / 8.0)  // f1 = 2tp/(2tp+fp+fn)
+    // degenerate: never predicts positive -> precision NULL, not 0
+    val neg = Quality.binaryEval(
+      Seq((false, true), (false, false)).toDF("p", "t"),
+      col("p"), col("t")).collect().head
+    assert(neg.isNullAt(6) && neg.getDouble(7) == 0.0)
+  }
+
+  test("calibrationBins: psi bin layout, empirical positive rate per " +
+      "bin, NULL score excluded") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(-1.0), false), (Some(-0.5), false), (Some(-0.1), true),
+      (Some(0.2), true), (Some(0.9), true), (Some(0.4), false),
+      (None, true)).toDF("s", "keep")
+    val out = Quality.calibrationBins(df, "s", col("keep"), Seq(0.0))
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0L) == ((3L, 1L, 1.0 / 3.0))) // below 0: one true
+    assert(out(1L) == ((3L, 2L, 2.0 / 3.0))) // at/above 0: two true
+    intercept[IllegalArgumentException](
+      Quality.calibrationBins(df, "s", col("keep"), Seq.empty))
+  }
 }

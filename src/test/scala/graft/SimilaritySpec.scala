@@ -860,4 +860,34 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Similarity.matryoshkaTopK(corpus, q, 3, dims = 0))
   }
+
+  test("ndcgBinary: hand-computed gains, ideal normalization, " +
+      "perfect ranking = 1.0, zero-relevant query stays NULL") {
+    import spark.implicits._
+    def l2(x: Double) = math.log(x) / math.log(2.0)
+    val ranked = Seq(
+      // q1: rel at ranks 1 and 3 of 5; 2 relevant exist in total
+      (1L, 1L, true), (1L, 2L, false), (1L, 3L, true),
+      (1L, 4L, false), (1L, 5L, false),
+      // q2: perfect — both relevant docs at the top
+      (2L, 1L, true), (2L, 2L, true), (2L, 3L, false),
+      // q3: nothing relevant exists
+      (3L, 1L, false), (3L, 2L, false))
+      .toDF("q_id", "rank", "rel")
+    val nRel = Seq((1L, 2L), (2L, 2L), (3L, 0L)).toDF("q_id", "n_rel")
+    val out = Similarity.ndcgBinary(ranked, nRel, k = 5)
+      .collect().map(r => (r.getLong(0), r)).toMap
+    val ideal2 = 1.0 / l2(2.0) + 1.0 / l2(3.0)
+    val dcg1 = 1.0 / l2(2.0) + 1.0 / l2(4.0)
+    assert(out(1L).getDouble(2) ==
+      BigDecimal(dcg1).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    assert(out(1L).getDouble(3) ==
+      BigDecimal(ideal2).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    assert(out(2L).getDouble(4) == 1.0) // perfect ranking
+    assert(out(3L).getDouble(2) == 0.0 && out(3L).isNullAt(4))
+    intercept[IllegalArgumentException](
+      Similarity.ndcgBinary(ranked, nRel, 0))
+  }
 }
