@@ -162,6 +162,9 @@ object SparkEntry {
     * log-odds range (−5.3…2.8 at sf0.01), binned on the ROUNDED score
     * — the engines' rounded log_odds hash-match, so bins agree. */
   val NbCalibEdges: Seq[Double] = Seq(-4.0, -2.0, -1.0, 0.0, 1.0, 2.0)
+  /** RBO persistence (sim_rbo): the Webber et al. convention p = 0.9
+    * — ~86% of the weight mass inside the top 5 at k = 5. */
+  val RboP = 0.9
   val LinkFieldsDef: Seq[LinkField] = Seq(
     LinkField("name_exact", col("l_name") === col("r_name"),
       m = 0.75, u = 0.0005),
@@ -2661,7 +2664,22 @@ object SparkEntry {
           col("q_label") === col("label"))
         .select(col("q_id"), (col("__n") - 1L).as("n_rel"))
       Similarity.ndcgBinary(ranked, nRel, 5)
-    })
+    }),
+    "sim_rbo" -> ((s, d) => {
+      // list-agreement between the matryoshka first stage and the
+      // full-width exact ranking — the quantified version of
+      // sim_matryoshka's per-row overlap flag
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      Similarity.rboOverlap(
+        Similarity.bruteForceTopK(emb, q, 5),
+        Similarity.matryoshkaTopK(emb, q, 5, MatryoshkaDims),
+        k = 5, p = RboP)
+    }),
+
+    // --- source redundancy matrix (vocabulary Jaccard per pair) ---
+    "text_source_overlap" -> ((s, d) =>
+      TextAnalysis.sourceOverlap(t(s, d, "documents"), "source", "text"))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -5226,8 +5244,43 @@ object SparkEntry {
         "CASE WHEN nr.n_rel >= 1 THEN list_aggregate(list_transform(range(1, least(5, nr.n_rel) + 1), i -> 1.0 / log2(CAST(i + 1 AS DOUBLE))), 'sum') ELSE CAST(0.0 AS DOUBLE) END AS idcg " +
         "FROM d JOIN nr USING (q_id)) " +
         "SELECT q_id, n_rel, round(dcg, 4) AS dcg, round(idcg, 4) AS idcg, " +
-        "CASE WHEN idcg > 0 THEN round(dcg / idcg, 4) END AS ndcg FROM f")
+        "CASE WHEN idcg > 0 THEN round(dcg / idcg, 4) END AS ndcg FROM f"),
+
+    "sim_rbo" -> rboSql(k = 5, p = RboP, md = MatryoshkaDims),
+
+    "text_source_overlap" ->
+      (s"WITH v AS (SELECT DISTINCT src, w FROM (SELECT source AS src, unnest($wordsSql) AS w FROM documents) t), " +
+        "sz AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1), " +
+        "i AS (SELECT a.src AS source_a, b.src AS source_b, CAST(count(*) AS BIGINT) AS n_common " +
+        "FROM v a JOIN v b ON a.w = b.w AND a.src < b.src GROUP BY 1, 2) " +
+        "SELECT sa.src AS source_a, sb.src AS source_b, sa.n AS n_a, sb.n AS n_b, " +
+        "coalesce(i.n_common, 0) AS n_common, " +
+        "CAST(coalesce(i.n_common, 0) AS DOUBLE) / CAST(sa.n + sb.n - coalesce(i.n_common, 0) AS DOUBLE) AS jaccard " +
+        "FROM sz sa JOIN sz sb ON sa.src < sb.src " +
+        "LEFT JOIN i ON i.source_a = sa.src AND i.source_b = sb.src")
   )
+
+  /** Mirrors Similarity.rboOverlap over the (full-width, matryoshka)
+    * leg pair: both ranking CTEs, the closed per-match weight W(m)
+    * planted as CAST('…' AS DOUBLE) literals (DuckDB double-rounds
+    * bare >16-digit numerics), ordered-fold sum. */
+  private def rboSql(k: Int, p: Double, md: Int): String = {
+    val wCase = (1 to k).map { m =>
+      val v = (m to k).foldLeft(0.0)((acc, d) =>
+        acc + (1 - p) * math.pow(p, d - 1) / d)
+      s"WHEN $m THEN CAST('$v' AS DOUBLE)"
+    }.mkString(" ")
+    "WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10), " +
+      "c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings), " +
+      s"fs AS (SELECT q_id, n_id, ${cosSql("q_vec", "n_vec")} AS sim FROM q CROSS JOIN c WHERE n_id <> q_id), " +
+      s"fa AS (SELECT q_id, n_id, r FROM (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS r FROM fs) x WHERE r <= $k), " +
+      s"ts AS (SELECT q_id, n_id, ${cosSql(s"q_vec[1:$md]", s"n_vec[1:$md]")} AS sim FROM q CROSS JOIN c WHERE n_id <> q_id), " +
+      s"ta AS (SELECT q_id, n_id, r FROM (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS r FROM ts) x WHERE r <= $k), " +
+      "mm AS (SELECT fa.q_id, greatest(fa.r, ta.r) AS mx FROM fa JOIN ta ON fa.q_id = ta.q_id AND fa.n_id = ta.n_id), " +
+      s"g AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_common, round(list_aggregate(list_sort(list(CASE mx $wCase END)), 'sum'), 4) AS rbo FROM mm GROUP BY q_id) " +
+      "SELECT q.q_id, coalesce(g.n_common, 0) AS n_common, coalesce(g.rbo, CAST(0.0 AS DOUBLE)) AS rbo " +
+      "FROM q LEFT JOIN g ON q.q_id = g.q_id"
+  }
 
   /** Shared DuckDB postings CTE for the text_index_* oracles: tokens
     * with 0-based positions (parallel unnests zip in DuckDB), then

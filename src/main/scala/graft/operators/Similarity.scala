@@ -198,6 +198,59 @@ object Similarity {
           round(col("__dcg") / col("__idcg"), 4)).as("ndcg"))
   }
 
+  /** Truncated rank-biased overlap (RBO@k, Webber et al. TOIS'10) —
+    * the LIST-similarity metric of the eval harness: how much do two
+    * rankings of the same queries agree, weighted toward the top
+    * (where retrieval quality lives)? The drift monitor between an
+    * index rebuild and its predecessor, or between a cheap first-stage
+    * ranking and the exact one (the sim_rbo query compares matryoshka
+    * prefix retrieval against full-width exact).
+    *
+    * Per matched doc with ranks (ra, rb), its total contribution to
+    * (1−p)·Σ_{d=1..k} p^{d−1}·|A_d∩B_d|/d collapses to a CLOSED weight
+    * W(max(ra,rb)) = (1−p)·Σ_{d=m..k} p^{d−1}/d — precomputed
+    * driver-side for m = 1..k in fixed ascending-d order, planted as
+    * literals, so the engine does one join + one bounded ordered fold
+    * per query and no per-row transcendental math. RBO@k ∈ [0, 1];
+    * identical lists score Σ over all k (the truncated maximum, < 1
+    * by construction — no extrapolation term, so the metric is exact,
+    * not estimated). Queries present in either leg but sharing no
+    * docs score exactly 0.
+    *
+    * Scale shape: one (q, doc) equi-join between two eval-sized top-k
+    * frames + one q-keyed aggregate — never corpus-sized.
+    * Output: (q_id, n_common, rbo). */
+  def rboOverlap(legA: DataFrame, legB: DataFrame, k: Int,
+      p: Double): DataFrame = {
+    require(k >= 1, s"rboOverlap: k must be >= 1, got $k")
+    require(p > 0 && p < 1, s"rboOverlap: p in (0,1), got $p")
+    // W(m) in ascending-d order — the same fold order the oracle uses
+    val w: Map[Int, Double] = (1 to k).map { m =>
+      m -> (m to k).foldLeft(0.0)((acc, d) =>
+        acc + (1 - p) * math.pow(p, d - 1) / d)
+    }.toMap
+    val a = legA.select(col("q_id"), col("n_id"), col("rank").as("__ra"))
+      .where(col("__ra") <= k)
+    val b = legB.select(col("q_id"), col("n_id"), col("rank").as("__rb"))
+      .where(col("__rb") <= k)
+    val m = greatest(col("__ra"), col("__rb")).cast("int")
+    val weight = (1 to k).foldLeft(lit(0.0)) {
+      case (acc, mm) => when(m === mm, lit(w(mm))).otherwise(acc)
+    }
+    val spine = a.select(col("q_id")).union(b.select(col("q_id")))
+      .distinct()
+    val matched = a.join(b, Seq("q_id", "n_id"))
+      .select(col("q_id"), weight.as("__w"))
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_common"),
+        round(aggregate(sort_array(collect_list(col("__w"))),
+          lit(0.0), _ + _), 4).as("rbo"))
+    spine.join(matched, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("rbo"), lit(0.0)).as("rbo"))
+  }
+
   /** Per-row nearest neighbor within a blocking key (e.g. a cluster
     * label or LSH bucket): the blocked form of all-pairs near-dup
     * detection. Join fan-out is bounded by the largest block, not n².

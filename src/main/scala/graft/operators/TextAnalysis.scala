@@ -592,6 +592,46 @@ object TextAnalysis {
       .agg(sum(col("__s")).as("weight"))
   }
 
+  /** Source-pair vocabulary overlap — the redundancy matrix of a
+    * multi-source corpus: the Jaccard of each source pair's DISTINCT
+    * word vocabularies. A curation recipe reads it before setting
+    * mixture weights (two near-identical crawls shouldn't both get
+    * full weight) and before decontamination triage (high-overlap
+    * pairs are where cross-source dups hide). Vocabulary, not token,
+    * overlap: size-invariant, so a 100× bigger source doesn't read as
+    * "similar to everything".
+    *
+    * Scale shape: one distinct (source, word) aggregate (map-side
+    * partials collapse repeats), one word-keyed self-join bounded by
+    * vocabulary × source count, one sources²-sized output with a
+    * zero-overlap spine (disjoint pairs report 0, not nothing).
+    * Exact integer counts, one IEEE division.
+    *
+    * Output: (source_a, source_b, n_a, n_b, n_common, jaccard) for
+    * every unordered pair, source_a < source_b. */
+  def sourceOverlap(df: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    val vocab = df.select(col(sourceCol).as("__src"),
+        explode(TextFns.words(col(textCol))).as("__w"))
+      .distinct()
+    val sizes = vocab.groupBy(col("__src")).agg(count(lit(1)).as("n"))
+    val inter = vocab.select(col("__src").as("source_a"), col("__w"))
+      .join(vocab.select(col("__src").as("source_b"), col("__w")), "__w")
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    sizes.select(col("__src").as("source_a"), col("n").as("n_a"))
+      .join(sizes.select(col("__src").as("source_b"), col("n").as("n_b")))
+      .where(col("source_a") < col("source_b"))
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        (coalesce(col("n_common"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") -
+            coalesce(col("n_common"), lit(0L))).cast("double"))
+          .as("jaccard"))
+  }
+
   /** Content fingerprints: normalized md5 plus a coarse 16-char prefix
     * "rolling" bucket (first 64 bits) usable as a shard key. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =

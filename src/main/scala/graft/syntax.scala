@@ -232,6 +232,10 @@ object syntax {
       Quality.calibrationBins(df, scoreCol, truth, edges)
     def ndcgBinary(nRel: DataFrame, k: Int): DataFrame =
       Similarity.ndcgBinary(df, nRel, k)
+    def rboAgainst(other: DataFrame, k: Int, p: Double): DataFrame =
+      Similarity.rboOverlap(df, other, k, p)
+    def sourceOverlap(sourceCol: String, textCol: String): DataFrame =
+      TextAnalysis.sourceOverlap(df, sourceCol, textCol)
   }
 
   /** Fusion entry point mirroring the operator object (not a DataFrame

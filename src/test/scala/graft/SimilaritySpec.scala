@@ -890,4 +890,33 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Similarity.ndcgBinary(ranked, nRel, 0))
   }
+
+  test("rboOverlap: identical lists hit the truncated max 1-p^k, " +
+      "disjoint lists score 0 on the spine, hand-weighted partial") {
+    import spark.implicits._
+    def leg(rows: (Long, Long, Long)*) =
+      rows.toDF("q_id", "rank", "n_id")
+    val a = leg((1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L),
+      (2L, 1L, 10L), (2L, 2L, 20L),
+      (3L, 1L, 77L))
+    val b = leg((1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L),
+      (2L, 1L, 88L), (2L, 2L, 99L))
+    val out = Similarity.rboOverlap(a, b, k = 3, p = 0.9)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .toMap
+    val maxRbo = BigDecimal(1.0 - math.pow(0.9, 3))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((3L, maxRbo)))
+    assert(out(2L) == ((0L, 0.0))) // disjoint, still reported
+    assert(out(3L) == ((0L, 0.0))) // q only in leg A: spine keeps it
+    // partial: A=[x,y], B=[y,z] at k=2, p=0.5 -> only y, m=2,
+    // W(2) = (1-p)·p/2 = 0.125
+    val pa = leg((9L, 1L, 1L), (9L, 2L, 2L))
+    val pb = leg((9L, 1L, 2L), (9L, 2L, 3L))
+    val partial = Similarity.rboOverlap(pa, pb, k = 2, p = 0.5)
+      .collect().head
+    assert(partial.getLong(1) == 1L && partial.getDouble(2) == 0.125)
+    intercept[IllegalArgumentException](
+      Similarity.rboOverlap(pa, pb, 2, 1.0))
+  }
 }

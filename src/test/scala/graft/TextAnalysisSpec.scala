@@ -938,4 +938,22 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextAnalysis.featureHash(df, "doc_id", "text", 1))
   }
+
+  test("sourceOverlap: exact vocabulary Jaccard per pair, disjoint " +
+      "pair reported as 0, repeats collapse to distinct vocab") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "cat dog cat dog"),    // vocab {cat, dog}
+      ("a", "dog bird"),           // a: {cat, dog, bird}
+      ("b", "dog bird fish"),      // b: {dog, bird, fish}
+      ("c", "zebra")).toDF("source", "text")
+    val out = TextAnalysis.sourceOverlap(df, "source", "text")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(out(("a", "b")) == ((3L, 3L, 2L, 2.0 / 4.0)))
+    assert(out(("a", "c")) == ((3L, 1L, 0L, 0.0)))
+    assert(out(("b", "c")) == ((3L, 1L, 0L, 0.0)))
+    assert(out.size == 3)
+  }
 }
