@@ -165,6 +165,11 @@ object SparkEntry {
   /** RBO persistence (sim_rbo): the Webber et al. convention p = 0.9
     * — ~86% of the weight mass inside the top 5 at k = 5. */
   val RboP = 0.9
+  /** t-closeness threshold (rel_t_closeness): TVD > 0.5 flags a class
+    * whose segment distribution sits more than half the total
+    * variation from the global — small nation/balance classes cross
+    * it, whole-nation classes don't, at every SF. */
+  val TClosenessT = 0.5
   val LinkFieldsDef: Seq[LinkField] = Seq(
     LinkField("name_exact", col("l_name") === col("r_name"),
       m = 0.75, u = 0.0005),
@@ -2679,7 +2684,17 @@ object SparkEntry {
 
     // --- source redundancy matrix (vocabulary Jaccard per pair) ---
     "text_source_overlap" -> ((s, d) =>
-      TextAnalysis.sourceOverlap(t(s, d, "documents"), "source", "text"))
+      TextAnalysis.sourceOverlap(t(s, d, "documents"), "source", "text")),
+
+    // --- privacy ladder rung 3: t-closeness (distribution distance) ---
+    "rel_t_closeness" -> ((s, d) =>
+      Quality.tCloseness(t(s, d, "customer"), Seq(
+        "nation_bal100" -> Seq(col("c_nationkey"),
+          floor(col("c_acctbal") / 100.0).cast("long")),
+        "nation_bal1000" -> Seq(col("c_nationkey"),
+          floor(col("c_acctbal") / 1000.0).cast("long")),
+        "nation" -> Seq(col("c_nationkey"))),
+        col("c_mktsegment"), TClosenessT))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -5257,7 +5272,18 @@ object SparkEntry {
         "coalesce(i.n_common, 0) AS n_common, " +
         "CAST(coalesce(i.n_common, 0) AS DOUBLE) / CAST(sa.n + sb.n - coalesce(i.n_common, 0) AS DOUBLE) AS jaccard " +
         "FROM sz sa JOIN sz sb ON sa.src < sb.src " +
-        "LEFT JOIN i ON i.source_a = sa.src AND i.source_b = sb.src")
+        "LEFT JOIN i ON i.source_a = sa.src AND i.source_b = sb.src"),
+
+    "rel_t_closeness" -> Seq(
+      (0, "nation_bal100",
+        "c_nationkey, CAST(floor(c_acctbal / 100.0) AS BIGINT)"),
+      (1, "nation_bal1000",
+        "c_nationkey, CAST(floor(c_acctbal / 1000.0) AS BIGINT)"),
+      (2, "nation", "c_nationkey"))
+      .map { case (i, name, qi) =>
+        Quality.tClosenessSql("customer", i, name, qi, "c_mktsegment",
+          TClosenessT)
+      }.mkString(" UNION ALL ")
   )
 
   /** Mirrors Similarity.rboOverlap over the (full-width, matryoshka)

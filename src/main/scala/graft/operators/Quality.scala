@@ -888,6 +888,98 @@ object Quality {
         col("l_effective"))
   }
 
+  /** t-closeness over the same generalization ladder (Li et al.,
+    * ICDE'07) — the third rung of the privacy ladder: k-anonymity
+    * bounds class SIZE, l-diversity bounds distinct sensitive VALUES,
+    * t-closeness bounds how far a class's sensitive DISTRIBUTION sits
+    * from the global one (a class that is 95% one diagnosis still
+    * leaks even with l=3 distinct values). Distance is total
+    * variation — ½·Σ|p_class − p_global| — the standard categorical
+    * instantiation of the paper's EMD with unit ground distance.
+    *
+    * Determinism: fractions are single divisions of exact counts; the
+    * per-class TVD folds its ≤|sensitive domain| terms in sorted
+    * order and rounds at 4; per-level max is a max of rounded values.
+    *
+    * Scale shape: one ladder expansion, one (lvl, key, sens) count,
+    * one (lvl, sens) global count, one class×domain spine join
+    * (bounded by classes × domain size), one levels-sized rollup.
+    * Output: (lvl, level, n_classes, n_violating_classes,
+    * n_rows_at_risk, at_risk_rate, max_tvd). */
+  def tCloseness(df: DataFrame, levels: Seq[(String, Seq[Column])],
+      sensitive: Column, t: Double): DataFrame = {
+    require(t > 0 && t < 1, s"tCloseness: t in (0,1), got $t")
+    require(levels.nonEmpty, "tCloseness: need at least one level")
+    require(levels.map(_._1).distinct.size == levels.size,
+      "tCloseness: duplicate level names")
+    val tagged = df.select(explode(array(levels.zipWithIndex.map {
+      case ((name, qis), i) =>
+        struct(lit(i.toLong).as("lvl"), lit(name).as("level"),
+          concat_ws("",
+            qis.map(q => coalesce(q.cast("string"), lit(""))): _*)
+            .as("key"),
+          coalesce(sensitive.cast("string"), lit("")).as("sens"))
+    }: _*)).as("x")).select(col("x.*"))
+    val classSens = tagged
+      .groupBy(col("lvl"), col("level"), col("key"), col("sens"))
+      .agg(count(lit(1)).as("nc_s"))
+    val classTotals = classSens.groupBy(col("lvl"), col("level"),
+        col("key"))
+      .agg(sum(col("nc_s")).as("nc"))
+    val globalSens = tagged.groupBy(col("lvl"), col("sens"))
+      .agg(count(lit(1)).as("ng_s"))
+    val globalTotals = globalSens.groupBy(col("lvl"))
+      .agg(sum(col("ng_s")).as("ng"))
+    // spine: every class × every sensitive value of its level, so a
+    // value ABSENT from a class still contributes |0 − p_global|
+    val spine = classTotals.join(globalSens, Seq("lvl"))
+      .join(globalTotals, Seq("lvl"))
+    val perClass = spine
+      .join(classSens, Seq("lvl", "level", "key", "sens"), "left")
+      .select(col("lvl"), col("level"), col("key"), col("nc"),
+        abs(coalesce(col("nc_s"), lit(0L)).cast("double") /
+            col("nc").cast("double") -
+          col("ng_s").cast("double") / col("ng").cast("double"))
+          .as("__d"))
+      .groupBy(col("lvl"), col("level"), col("key"))
+      .agg(max(col("nc")).as("n_rows"),
+        round(aggregate(sort_array(collect_list(col("__d"))),
+          lit(0.0), _ + _) / 2.0, 4).as("tvd"))
+    perClass.groupBy(col("lvl"), col("level"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("tvd") > t, 1L).otherwise(0L))
+          .as("n_violating_classes"),
+        sum(when(col("tvd") > t, col("n_rows")).otherwise(lit(0L)))
+          .as("n_rows_at_risk"),
+        sum(col("n_rows")).as("__tot"),
+        max(col("tvd")).as("max_tvd"))
+      .select(col("lvl"), col("level"), col("n_classes"),
+        col("n_violating_classes"), col("n_rows_at_risk"),
+        (col("n_rows_at_risk").cast("double") /
+          col("__tot").cast("double")).as("at_risk_rate"),
+        col("max_tvd"))
+  }
+
+  /** The DuckDB mirror of one [[tCloseness]] level. */
+  def tClosenessSql(table: String, lvl: Int, level: String,
+      qiSql: String, sensSql: String, t: Double): String = {
+    val sens = s"coalesce(CAST($sensSql AS VARCHAR), chr(2))"
+    s"SELECT CAST($lvl AS BIGINT) AS lvl, '$level' AS level, " +
+      "CAST(count(*) AS BIGINT) AS n_classes, " +
+      s"CAST(coalesce(sum(CASE WHEN tvd > $t THEN 1 END), 0) AS BIGINT) AS n_violating_classes, " +
+      s"CAST(coalesce(sum(CASE WHEN tvd > $t THEN n_rows END), 0) AS BIGINT) AS n_rows_at_risk, " +
+      s"CAST(coalesce(sum(CASE WHEN tvd > $t THEN n_rows END), 0) AS DOUBLE) / CAST(sum(n_rows) AS DOUBLE) AS at_risk_rate, " +
+      "max(tvd) AS max_tvd FROM (" +
+      s"SELECT key, max(nc) AS n_rows, round(list_aggregate(list_sort(list(d)), 'sum') / 2.0, 4) AS tvd FROM (" +
+      s"SELECT ct.key, ct.nc, abs(CAST(coalesce(cs.nc_s, 0) AS DOUBLE) / CAST(ct.nc AS DOUBLE) - CAST(gs.ng_s AS DOUBLE) / CAST(gt.ng AS DOUBLE)) AS d " +
+      s"FROM (SELECT key, CAST(sum(n) AS BIGINT) AS nc FROM (SELECT concat_ws(chr(1), $qiSql) AS key, count(*) AS n FROM $table GROUP BY $qiSql, $sens) c0 GROUP BY key) ct " +
+      s"CROSS JOIN (SELECT $sens AS sens, CAST(count(*) AS BIGINT) AS ng_s FROM $table GROUP BY 1) gs " +
+      s"CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS ng FROM $table) gt " +
+      s"LEFT JOIN (SELECT concat_ws(chr(1), $qiSql) AS key, $sens AS sens, CAST(count(*) AS BIGINT) AS nc_s FROM $table GROUP BY $qiSql, $sens) cs " +
+      "ON cs.key = ct.key AND cs.sens = gs.sens" +
+      ") sp GROUP BY key) pc"
+  }
+
   /** The DuckDB mirror of one [[lDiversity]] level. */
   def lDiversitySql(table: String, lvl: Int, level: String,
       qiSql: String, sensSql: String, l: Int): String =

@@ -182,6 +182,9 @@ object syntax {
     def lDiversity(levels: Seq[(String, Seq[Column])], sensitive: Column,
         l: Int): DataFrame =
       Quality.lDiversity(df, levels, sensitive, l)
+    def tCloseness(levels: Seq[(String, Seq[Column])], sensitive: Column,
+        t: Double): DataFrame =
+      Quality.tCloseness(df, levels, sensitive, t)
 
     // inverted-index retrieval
     def invertedIndex(idCol: String, textCol: String,

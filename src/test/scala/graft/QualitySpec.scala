@@ -532,6 +532,26 @@ class QualitySpec extends SparkSpec {
       Quality.lDiversity(df, Seq("a" -> Seq(col("qi"))), col("sens"), 1))
   }
 
+  test("tCloseness: hand-computed TVD with absent-value spine, " +
+      "homogeneous class maximal, global-mirroring class zero") {
+    import spark.implicits._
+    // global: 4×x, 4×y -> p = (.5, .5)
+    val df = Seq(
+      ("A", "x"), ("A", "y"), ("A", "x"), ("A", "y"), // mirrors global
+      ("B", "x"), ("B", "x"),                          // homogeneous x
+      ("C", "y"), ("C", "y")).toDF("qi", "sens")
+    val out = Quality.tCloseness(df, Seq("l0" -> Seq(col("qi"))),
+      col("sens"), t = 0.4).collect().head
+    // TVD: A = 0; B = ½(|1-.5| + |0-.5|) = .5; C = .5 -> 2 violations
+    assert(out.getLong(2) == 3L)
+    assert(out.getLong(3) == 2L)
+    assert(out.getLong(4) == 4L) // B and C rows
+    assert(out.getDouble(5) == 4.0 / 8.0)
+    assert(out.getDouble(6) == 0.5)
+    intercept[IllegalArgumentException](
+      Quality.tCloseness(df, Seq("a" -> Seq(col("qi"))), col("sens"), 1.0))
+  }
+
   test("binaryEval: hand-counted confusion matrix, single-division " +
       "rates, NULLs counted apart, zero denominators stay NULL") {
     import spark.implicits._
