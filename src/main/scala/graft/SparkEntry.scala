@@ -170,6 +170,15 @@ object SparkEntry {
     * variation from the global — small nation/balance classes cross
     * it, whole-nation classes don't, at every SF. */
   val TClosenessT = 0.5
+  /** Label-noise margin (text_label_noise): a confident disagreement
+    * is |log-odds| > 1 against the given label (odds beyond e:1). */
+  val NoiseMargin = 1.0
+  /** MAD outlier multiplier (rel_mad_outliers): on the UNIFORM-ish
+    * o_totalprice fixture |x−med|max/MAD sits at exactly 2 (MAD =
+    * range/4), so k = 2.0 flags only the extreme tails and stays
+    * non-vacuous at every SF (41/178/426 rows at sf0.001/0.01/0.1);
+    * on Gaussian-ish production data the conventional k is 3 ≈ 2σ. */
+  val MadK = 2.0
   val LinkFieldsDef: Seq[LinkField] = Seq(
     LinkField("name_exact", col("l_name") === col("r_name"),
       m = 0.75, u = 0.0005),
@@ -2694,7 +2703,27 @@ object SparkEntry {
         "nation_bal1000" -> Seq(col("c_nationkey"),
           floor(col("c_acctbal") / 1000.0).cast("long")),
         "nation" -> Seq(col("c_nationkey"))),
-        col("c_mktsegment"), TClosenessT))
+        col("c_mktsegment"), TClosenessT)),
+
+    // --- confident-learning label-noise prune list ---
+    "text_label_noise" -> ((s, d) => {
+      val labeled = gopherLabeledDocs(s, d)
+      Quality.confidentMislabels(
+        TextAnalysis.nbQualityScorePortable(labeled, "doc_id", "text",
+            "keep")
+          .select(col("doc_id"), col("log_odds"))
+          .join(labeled.select(col("doc_id"), col("keep")), "doc_id"),
+        col("log_odds"), col("keep"), NoiseMargin)
+    }),
+
+    // --- robust (median/MAD) per-group outliers ---
+    "rel_mad_outliers" -> ((s, d) =>
+      Relational.madOutliers(t(s, d, "orders"), "o_orderpriority",
+        "o_orderkey", "o_totalprice", MadK)),
+
+    // --- Benford first-digit audit ---
+    "rel_benford" -> ((s, d) =>
+      Quality.benfordReport(t(s, d, "orders"), "o_totalprice"))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -5283,8 +5312,54 @@ object SparkEntry {
       .map { case (i, name, qi) =>
         Quality.tClosenessSql("customer", i, name, qi, "c_mktsegment",
           TClosenessT)
-      }.mkString(" UNION ALL ")
+      }.mkString(" UNION ALL "),
+
+    // label noise: the nb score chain, ROUNDED log-odds compared
+    // against the margin (the rounded scores hash-match cross-engine)
+    "text_label_noise" ->
+      (nbScoredCtes + ", j AS (SELECT sc.doc_id, round(lo, 4) AS log_odds, keep " +
+        "FROM sc JOIN g USING (doc_id)) " +
+        "SELECT doc_id, log_odds, keep, " +
+        s"CASE WHEN keep AND log_odds < -$NoiseMargin THEN 'labeled_pos_scored_neg' " +
+        s"WHEN NOT keep AND log_odds > $NoiseMargin THEN 'labeled_neg_scored_pos' END AS noise_kind " +
+        "FROM j WHERE (keep AND log_odds < -" + NoiseMargin +
+        ") OR (NOT keep AND log_odds > " + NoiseMargin + ")"),
+
+    "rel_mad_outliers" ->
+      ("WITH m AS (SELECT o_orderpriority AS g, round(quantile_cont(o_totalprice, 0.5), 4) AS med FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1), " +
+        "w AS (SELECT o.o_orderpriority AS g, o.o_orderkey, o.o_totalprice, m.med, abs(CAST(o.o_totalprice AS DOUBLE) - m.med) AS ad " +
+        "FROM orders o JOIN m ON o.o_orderpriority = m.g WHERE o.o_totalprice IS NOT NULL), " +
+        "d AS (SELECT g, round(quantile_cont(ad, 0.5), 4) AS mad FROM w GROUP BY 1) " +
+        "SELECT w.g AS o_orderpriority, w.o_orderkey, w.o_totalprice, w.med, d.mad, round(w.ad, 4) AS deviation " +
+        s"FROM w JOIN d USING (g) WHERE w.ad > $MadK * d.mad"),
+
+    "rel_benford" -> benfordSql("orders", "o_totalprice")
   )
+
+  /** Mirrors Quality.benfordReport: integer-rendered first digit,
+    * CAST('…' AS DOUBLE) Benford probabilities, (n−e)·(n−e)/e terms,
+    * psi-style −1 total row with the ordered fold. */
+  private def benfordSql(table: String, c: String): String = {
+    val pCase = (1 to 9).map { d =>
+      s"WHEN $d THEN CAST('${math.log10(1.0 + 1.0 / d)}' AS DOUBLE)"
+    }.mkString(" ")
+    s"WITH src AS (SELECT abs(CAST($c AS DOUBLE)) AS v FROM $table " +
+      s"WHERE $c IS NOT NULL AND abs(CAST($c AS DOUBLE)) >= 1.0), " +
+      "cnt AS (SELECT CAST(substr(CAST(CAST(floor(v) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit, " +
+      "CAST(count(*) AS BIGINT) AS n FROM src GROUP BY 1), " +
+      "spine AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS digit), " +
+      "b AS (SELECT s.digit, coalesce(cnt.n, 0) AS n FROM spine s LEFT JOIN cnt USING (digit)), " +
+      "t AS (SELECT CAST(sum(n) AS DOUBLE) AS nn, CAST(sum(n) AS BIGINT) AS ntot FROM b), " +
+      s"bins AS (SELECT digit, n, CASE digit $pCase END AS p, " +
+      s"(CASE digit $pCase END) * t.nn AS e FROM b, t) " +
+      "SELECT digit, n, p AS p_expected, e AS n_expected, " +
+      "round((CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e) / e, 4) AS chi_term FROM bins " +
+      "UNION ALL " +
+      "SELECT CAST(-1 AS BIGINT) AS digit, t.ntot AS n, CAST(1.0 AS DOUBLE) AS p_expected, " +
+      "t.nn AS n_expected, " +
+      "(SELECT round(list_aggregate(list_sort(list(round((CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e) / e, 4))), 'sum'), 4) FROM bins) AS chi_term " +
+      "FROM t"
+  }
 
   /** Mirrors Similarity.rboOverlap over the (full-width, matryoshka)
     * leg pair: both ranking CTEs, the closed per-match weight W(m)

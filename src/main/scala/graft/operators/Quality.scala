@@ -888,6 +888,78 @@ object Quality {
         col("l_effective"))
   }
 
+  /** Confident-learning label-noise pruner (the Northcutt et al.
+    * JAIR'21 idea at its one-margin core): rows where a trained
+    * scorer CONFIDENTLY disagrees with the given label — positive
+    * label but score below −margin, negative label but score above
+    * +margin — are the mislabel candidates a curation loop prunes or
+    * re-audits before the next distillation round (label noise is
+    * where a distilled gate's ceiling comes from). Emits the flagged
+    * rows only, with the disagreement direction; margin in score
+    * units (log-odds for the NB gate) keeps "confident" explicit
+    * rather than a hidden percentile.
+    *
+    * Pure per-row projection + filter — scan-speed, stream-legal,
+    * output bounded by the noise rate. Deterministic: one literal
+    * comparison per row on an already-deterministic score. */
+  def confidentMislabels(df: DataFrame, score: Column, label: Column,
+      margin: Double): DataFrame = {
+    require(margin > 0, s"confidentMislabels: margin must be > 0")
+    val lab = label.cast("boolean")
+    df.withColumn("noise_kind",
+        when(lab && score < -margin, lit("labeled_pos_scored_neg"))
+          .when(!lab && score > margin, lit("labeled_neg_scored_pos")))
+      .where(col("noise_kind").isNotNull)
+  }
+
+  /** Benford first-digit audit — the classic fabricated-numbers test
+    * for financial/count columns: the first significant digit of
+    * naturally-scaled data follows P(d) = log10(1+1/d); a flat or
+    * spiked digit histogram flags synthetic or truncated data. The
+    * digit comes from the INTEGER rendering of floor(|value|)
+    * (identical across engines — float log10 at power-of-ten
+    * boundaries is not), so values in (0,1) and NULLs/zeros are
+    * excluded and counted nowhere.
+    *
+    * Output: one row per digit 1–9 — (digit, n, p_expected,
+    * n_expected, chi_term) with chi_term = (n−e)²/e rounded at 4 —
+    * plus a digit = −1 TOTAL row whose chi_term is the ordered fold
+    * of the rounded terms (the psi total-row convention). Compare
+    * against χ²(8): > 15.5 rejects uniform-vs-Benford at 5%. One
+    * aggregate pass to 9 rows. */
+  def benfordReport(df: DataFrame, c: String): DataFrame = {
+    val v = abs(col(c).cast("double"))
+    val digit = substring(floor(v).cast("long").cast("string"), 1, 1)
+      .cast("long")
+    val counts = df
+      .where(col(c).isNotNull && v >= 1.0)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val spine = df.sparkSession.range(1, 10).select(col("id").as("digit"))
+      .join(counts, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"))
+    val total = spine.agg(sum(col("n")).as("__N"))
+    val pExp = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+    val pCol = (1 to 9).foldLeft(lit(0.0)) {
+      case (acc, d) => when(col("digit") === d, lit(pExp(d - 1)))
+        .otherwise(acc)
+    }
+    // (n−e)·(n−e), never pow(x, 2): both engines multiply identically,
+    // pow's libm path is an ulp hazard
+    val e = pCol * col("__N").cast("double")
+    val diff = col("n").cast("double") - e
+    val bins = spine.crossJoin(total).select(
+      col("digit"), col("n"), pCol.as("p_expected"),
+      e.as("n_expected"),
+      round(diff * diff / e, 4).as("chi_term"))
+    val totalRow = bins.agg(sum(col("n")).as("n"),
+      round(aggregate(sort_array(collect_list(col("chi_term"))),
+        lit(0.0), _ + _), 4).as("chi_term"))
+      .select(lit(-1L).as("digit"), col("n"), lit(1.0).as("p_expected"),
+        col("n").cast("double").as("n_expected"), col("chi_term"))
+    bins.unionByName(totalRow)
+  }
+
   /** t-closeness over the same generalization ladder (Li et al.,
     * ICDE'07) — the third rung of the privacy ladder: k-anonymity
     * bounds class SIZE, l-diversity bounds distinct sensitive VALUES,

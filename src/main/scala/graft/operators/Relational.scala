@@ -618,6 +618,42 @@ object Relational {
     df.join(first, keyCol)
   }
 
+  /** Robust per-group outliers via median absolute deviation — the
+    * heavy-tail-safe alternative to the z-score family (mean and
+    * stddev are themselves dragged by the outliers they're meant to
+    * find; the median and MAD are 50%-breakdown robust). A row flags
+    * when |x − median| > k·MAD of its group; k = 3 on MAD units
+    * roughly matches 2σ on Gaussian data (MAD ≈ 0.6745σ).
+    *
+    * Two grouped EXACT percentile aggregates (median, then median of
+    * |x − median|) + one group-keyed join back — the zscore shape with
+    * sorts inside the aggregates (they spill, never collect). Both
+    * engines interpolate the even-count median identically
+    * (lower + (upper−lower)·frac); med/MAD round at 4 — on
+    * decimal-grid inputs (prices, counts) the grid survives rounding,
+    * so the flag comparison sees identical bits cross-engine.
+    *
+    * Output: the outlier rows only — (group, id, value, med, mad,
+    * deviation) with deviation = |x − med| rounded at 4. An all-equal
+    * group has MAD 0: then ANY deviation > 0 flags (k·0 = 0) — the
+    * strictest reading, documented rather than special-cased. */
+  def madOutliers(df: DataFrame, grp: String, idCol: String,
+      valueCol: String, k: Double): DataFrame = {
+    require(k > 0, s"madOutliers: k must be > 0, got $k")
+    val v = col(valueCol).cast("double")
+    val med = df.where(v.isNotNull)
+      .groupBy(col(grp))
+      .agg(round(expr(s"percentile($valueCol, 0.5)"), 4).as("med"))
+    val withMed = df.where(v.isNotNull).join(med, grp)
+      .withColumn("__ad", abs(v - col("med")))
+    val mad = withMed.groupBy(col(grp))
+      .agg(round(expr("percentile(__ad, 0.5)"), 4).as("mad"))
+    withMed.join(mad, grp)
+      .where(col("__ad") > lit(k) * col("mad"))
+      .select(col(grp), col(idCol), col(valueCol), col("med"), col("mad"),
+        round(col("__ad"), 4).as("deviation"))
+  }
+
   /** Deterministic per-key fractional sampling: keep ~`fraction` of
     * each key's rows, chosen by a stable content hash of the row id —
     * the dataset-balancing primitive that DOWNWEIGHTS overrepresented

@@ -230,6 +230,14 @@ object syntax {
     // eval harness
     def binaryEval(pred: Column, truth: Column): DataFrame =
       Quality.binaryEval(df, pred, truth)
+    def confidentMislabels(score: Column, label: Column,
+        margin: Double): DataFrame =
+      Quality.confidentMislabels(df, score, label, margin)
+    def benfordReport(c: String): DataFrame =
+      Quality.benfordReport(df, c)
+    def madOutliers(grp: String, idCol: String, valueCol: String,
+        k: Double): DataFrame =
+      Relational.madOutliers(df, grp, idCol, valueCol, k)
     def calibrationBins(scoreCol: String, truth: Column,
         edges: Seq[Double]): DataFrame =
       Quality.calibrationBins(df, scoreCol, truth, edges)

@@ -532,6 +532,44 @@ class QualitySpec extends SparkSpec {
       Quality.lDiversity(df, Seq("a" -> Seq(col("qi"))), col("sens"), 1))
   }
 
+  test("confidentMislabels: only confident DISAGREEMENTS flag, " +
+      "direction labeled, margin exclusive") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 5.0, true),   // confident agree -> clean
+      (2L, -5.0, true),  // labeled pos, scored hard neg -> noise
+      (3L, 5.0, false),  // labeled neg, scored hard pos -> noise
+      (4L, -0.5, true),  // inside the margin -> clean
+      (5L, -1.0, true))  // AT the margin: not strictly beyond -> clean
+      .toDF("id", "score", "label")
+    val out = Quality.confidentMislabels(df, col("score"), col("label"),
+        margin = 1.0)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(out == Map(2L -> "labeled_pos_scored_neg",
+      3L -> "labeled_neg_scored_pos"))
+    intercept[IllegalArgumentException](
+      Quality.confidentMislabels(df, col("score"), col("label"), 0.0))
+  }
+
+  test("benfordReport: hand-built digit histogram, spine keeps empty " +
+      "digits, chi total is the ordered fold, sub-1 values excluded") {
+    import spark.implicits._
+    // 1xx appears 4x, 2xx 1x, 9 1x; 0.5 excluded
+    val df = Seq(100.0, 150.0, 199.0, 1.0, 250.0, 9.0, 0.5, -120.0)
+      .toDF("v")
+    val out = Quality.benfordReport(df, "v")
+      .collect().map(r => (r.getLong(0), r)).toMap
+    assert(out(1L).getLong(1) == 5L) // incl. abs(-120)
+    assert(out(2L).getLong(1) == 1L)
+    assert(out(9L).getLong(1) == 1L)
+    assert(out(3L).getLong(1) == 0L) // spine keeps it
+    assert(out(-1L).getLong(1) == 7L)
+    assert(out(1L).getDouble(2) == math.log10(2.0))
+    // total chi = sum of the 9 rounded terms
+    val terms = (1L to 9L).map(d => out(d).getDouble(4))
+    assert(math.abs(out(-1L).getDouble(4) - terms.sorted.sum) < 5e-4)
+  }
+
   test("tCloseness: hand-computed TVD with absent-value spine, " +
       "homogeneous class maximal, global-mirroring class zero") {
     import spark.implicits._

@@ -623,6 +623,34 @@ class RelationalSpec extends SparkSpec {
         "2024-01-06 00:00:00", "2024-01-05 00:00:00"))
   }
 
+  test("madOutliers: robust to the outlier itself, exact medians, " +
+      "all-equal group flags any deviation, threshold exclusive") {
+    import spark.implicits._
+    // group a: median 3, MAD 1 (|1,2,3,4,100|-3 -> 2,1,0,1,97)
+    val df = Seq(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0), ("a", 4L, 4.0),
+      ("a", 5L, 100.0),
+      // group b: all equal -> MAD 0, the off row flags at any k
+      ("b", 6L, 7.0), ("b", 7L, 7.0), ("b", 8L, 7.0), ("b", 9L, 7.1))
+      .toDF("g", "id", "v")
+    val out = Relational.madOutliers(df, "g", "id", "v", k = 3.0)
+      .collect().map(r => (r.getLong(1),
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // the 100 outlier did NOT drag the median (3) or MAD (1):
+    // a z-score over this group (mean 22, huge σ) would flag nothing
+    assert(out.keySet == Set(5L, 9L))
+    assert(out(5L) == ((3.0, 1.0, 97.0)))
+    assert(out(9L)._2 == 0.0 && out(9L)._3 == 0.1)
+    // rows AT k·MAD exactly do not flag (strict >): {1,2,3} has
+    // med 2, MAD 1 — at k = 1 the extremes sit exactly on the bound
+    val boundary = Relational.madOutliers(
+      Seq(("c", 10L, 1.0), ("c", 11L, 2.0), ("c", 12L, 3.0))
+        .toDF("g", "id", "v"), "g", "id", "v", 1.0)
+    assert(boundary.count() == 0)
+    intercept[IllegalArgumentException](
+      Relational.madOutliers(df, "g", "id", "v", 0.0))
+  }
+
   private def ts(s: String): java.sql.Timestamp =
     java.sql.Timestamp.valueOf(if (s.length == 10) s + " 00:00:00" else s)
 }
