@@ -2723,7 +2723,13 @@ object SparkEntry {
 
     // --- Benford first-digit audit ---
     "rel_benford" -> ((s, d) =>
-      Quality.benfordReport(t(s, d, "orders"), "o_totalprice"))
+      Quality.benfordReport(t(s, d, "orders"), "o_totalprice")),
+
+    // --- categorical concentration (entropy / HHI) — the mixture-
+    //     planning signal over the corpus's source and language mix ---
+    "rel_concentration" -> ((s, d) =>
+      Quality.concentrationReport(t(s, d, "documents"),
+        Seq("source", "lang")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -5333,7 +5339,11 @@ object SparkEntry {
         "SELECT w.g AS o_orderpriority, w.o_orderkey, w.o_totalprice, w.med, d.mad, round(w.ad, 4) AS deviation " +
         s"FROM w JOIN d USING (g) WHERE w.ad > $MadK * d.mad"),
 
-    "rel_benford" -> benfordSql("orders", "o_totalprice")
+    "rel_benford" -> benfordSql("orders", "o_totalprice"),
+
+    "rel_concentration" -> Seq("source", "lang")
+      .map(Quality.concentrationSql("documents", _))
+      .mkString(" UNION ALL ")
   )
 
   /** Mirrors Quality.benfordReport: integer-rendered first digit,

@@ -888,6 +888,64 @@ object Quality {
         col("l_effective"))
   }
 
+  /** Categorical concentration report — Shannon entropy and the
+    * Herfindahl–Hirschman index per column: the mixture-planning
+    * signal (is the corpus dominated by one source/language/label?)
+    * and the drift complement to [[profile]]'s distinct counts (a
+    * stable n_distinct can hide a collapsing distribution). Per
+    * column: non-null rows, exact distinct count, entropy in nats
+    * with its normalized form (entropy / ln n_distinct — 1 means
+    * uniform), and HHI = Σ p² (1 means single-valued).
+    *
+    * Determinism: value fractions are exact divisions; entropy/HHI
+    * fold their per-value terms in sorted order and round at 4 (ln
+    * ulp, the psi convention). State per column is one row per
+    * DISTINCT value — this is a CATEGORICAL audit tool (sources,
+    * labels, priorities), not for high-cardinality ids, same caveat
+    * as profile's exact distincts.
+    *
+    * Output: (column, n_rows, n_distinct, entropy, norm_entropy,
+    * hhi) — norm_entropy NULL for a single-valued column (0/0). */
+  def concentrationReport(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "concentrationReport: no columns")
+    require(cols.distinct.size == cols.size,
+      "concentrationReport: duplicate columns")
+    cols.map { c =>
+      val counts = df.where(col(c).isNotNull)
+        .groupBy(col(c).cast("string").as("__v"))
+        .agg(count(lit(1)).as("__n"))
+      val folded = counts.agg(
+        sum(col("__n")).as("__N"), count(lit(1)).as("n_distinct"),
+        sort_array(collect_list(col("__n"))).as("__ns"))
+      val p = (n: Column) => n.cast("double") / col("__N").cast("double")
+      folded.select(
+        lit(c).as("column"), col("__N").as("n_rows"), col("n_distinct"),
+        round(aggregate(col("__ns"), lit(0.0),
+          (acc, n) => acc - p(n) * log(p(n))), 4).as("entropy"),
+        when(col("n_distinct") > 1L,
+          round(aggregate(col("__ns"), lit(0.0),
+            (acc, n) => acc - p(n) * log(p(n))) /
+            log(col("n_distinct").cast("double")), 4))
+          .as("norm_entropy"),
+        round(aggregate(col("__ns"), lit(0.0),
+          (acc, n) => acc + p(n) * p(n)), 4).as("hhi"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** The DuckDB mirror of one [[concentrationReport]] column. */
+  def concentrationSql(table: String, c: String): String =
+    s"SELECT '$c' AS \"column\", CAST(sum(n) AS BIGINT) AS n_rows, " +
+      "CAST(count(*) AS BIGINT) AS n_distinct, " +
+      "round(list_aggregate(list_transform(list_sort(list(n)), x -> " +
+      "-(CAST(x AS DOUBLE) / CAST(any_value(tot) AS DOUBLE)) * ln(CAST(x AS DOUBLE) / CAST(any_value(tot) AS DOUBLE))), 'sum'), 4) AS entropy, " +
+      "CASE WHEN count(*) > 1 THEN round(list_aggregate(list_transform(list_sort(list(n)), x -> " +
+      "-(CAST(x AS DOUBLE) / CAST(any_value(tot) AS DOUBLE)) * ln(CAST(x AS DOUBLE) / CAST(any_value(tot) AS DOUBLE))), 'sum') / ln(CAST(count(*) AS DOUBLE)), 4) END AS norm_entropy, " +
+      "round(list_aggregate(list_transform(list_sort(list(n)), x -> " +
+      "(CAST(x AS DOUBLE) / CAST(any_value(tot) AS DOUBLE)) * (CAST(x AS DOUBLE) / CAST(any_value(tot) AS DOUBLE))), 'sum'), 4) AS hhi " +
+      s"FROM (SELECT CAST($c AS VARCHAR) AS v, count(*) AS n FROM $table " +
+      s"WHERE $c IS NOT NULL GROUP BY 1), " +
+      s"(SELECT CAST(count($c) AS BIGINT) AS tot FROM $table)"
+
   /** Confident-learning label-noise pruner (the Northcutt et al.
     * JAIR'21 idea at its one-margin core): rows where a trained
     * scorer CONFIDENTLY disagrees with the given label — positive

@@ -235,6 +235,8 @@ object syntax {
       Quality.confidentMislabels(df, score, label, margin)
     def benfordReport(c: String): DataFrame =
       Quality.benfordReport(df, c)
+    def concentrationReport(cols: Seq[String]): DataFrame =
+      Quality.concentrationReport(df, cols)
     def madOutliers(grp: String, idCol: String, valueCol: String,
         k: Double): DataFrame =
       Relational.madOutliers(df, grp, idCol, valueCol, k)

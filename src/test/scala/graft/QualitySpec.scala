@@ -532,6 +532,32 @@ class QualitySpec extends SparkSpec {
       Quality.lDiversity(df, Seq("a" -> Seq(col("qi"))), col("sens"), 1))
   }
 
+  test("concentrationReport: uniform column norm-entropy 1, skewed " +
+      "column HHI toward 1, single-valued column NULL norm-entropy") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "x", "k"), ("b", "x", "k"), ("c", "x", "k"), ("d", "y", "k"))
+      .toDF("uniform", "skew", "constant")
+    val out = Quality.concentrationReport(df,
+        Seq("uniform", "skew", "constant"))
+      .collect().map(r => (r.getString(0), r)).toMap
+    val u = out("uniform")
+    assert(u.getLong(2) == 4L)
+    assert(u.getDouble(3) ==
+      BigDecimal(math.log(4.0)).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(u.getDouble(4) == 1.0) // uniform -> normalized entropy 1
+    assert(u.getDouble(5) == 0.25) // HHI = 4·(1/4)²
+    val s = out("skew") // p = (3/4, 1/4): HHI = 9/16 + 1/16 = .625
+    assert(s.getDouble(5) == 0.625)
+    assert(s.getDouble(4) < 1.0)
+    val c = out("constant")
+    assert(c.getLong(2) == 1L && c.getDouble(3) == 0.0 && c.isNullAt(4)
+      && c.getDouble(5) == 1.0)
+    intercept[IllegalArgumentException](
+      Quality.concentrationReport(df, Seq.empty))
+  }
+
   test("confidentMislabels: only confident DISAGREEMENTS flag, " +
       "direction labeled, margin exclusive") {
     import spark.implicits._
