@@ -5354,7 +5354,8 @@ object SparkEntry {
       s"WHEN $d THEN CAST('${math.log10(1.0 + 1.0 / d)}' AS DOUBLE)"
     }.mkString(" ")
     s"WITH src AS (SELECT abs(CAST($c AS DOUBLE)) AS v FROM $table " +
-      s"WHERE $c IS NOT NULL AND abs(CAST($c AS DOUBLE)) >= 1.0), " +
+      s"WHERE $c IS NOT NULL AND abs(CAST($c AS DOUBLE)) >= 1.0 " +
+      s"AND abs(CAST($c AS DOUBLE)) < 9.0e18), " +
       "cnt AS (SELECT CAST(substr(CAST(CAST(floor(v) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit, " +
       "CAST(count(*) AS BIGINT) AS n FROM src GROUP BY 1), " +
       "spine AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS digit), " +
@@ -5470,7 +5471,9 @@ object SparkEntry {
     val den = (0 until horizon).map(j =>
       s"(CASE WHEN l$j IS NOT NULL THEN CAST(${weight(j)} AS DOUBLE) " +
         "ELSE CAST(0.0 AS DOUBLE) END)").mkString(" + ")
-    s"SELECT event_id, user_id, value, round(($num) / ($den), 4) AS ewma " +
+    // den = 0 -> NULL on both engines (the Spark side's guard mirror)
+    s"SELECT event_id, user_id, value, " +
+      s"CASE WHEN ($den) > 0 THEN round(($num) / ($den), 4) END AS ewma " +
       s"FROM ($inner) t"
   }
 }

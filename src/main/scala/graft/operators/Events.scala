@@ -199,8 +199,12 @@ object Events {
     }
     val num = terms.map(_._1).reduce(_ + _)
     val den = terms.map(_._2).reduce(_ + _)
+    // guard the all-NULL window: den = 0 must yield NULL on BOTH
+    // engines (unguarded, Spark's 0.0/0.0 is NaN while DuckDB's is
+    // NULL — a cross-engine divergence waiting for the first NULL-
+    // valued key history)
     df.select(col(idCol), col(keyCol), col(tsCol), col(valueCol))
-      .withColumn("ewma", round(num / den, 4))
+      .withColumn("ewma", when(den > 0, round(num / den, 4)))
       .drop(tsCol)
   }
 

@@ -902,7 +902,11 @@ object Quality {
     * ulp, the psi convention). State per column is one row per
     * DISTINCT value — this is a CATEGORICAL audit tool (sources,
     * labels, priorities), not for high-cardinality ids, same caveat
-    * as profile's exact distincts.
+    * as profile's exact distincts. Each column must hold at least one
+    * non-null value: an all-null column reports entropy 0.0 here but
+    * produces NO row in the SQL mirror (empty-group aggregate) — its
+    * absence of data belongs to [[profile]]'s completeness, not to a
+    * concentration number.
     *
     * Output: (column, n_rows, n_distinct, entropy, norm_entropy,
     * hhi) — norm_entropy NULL for a single-valued column (0/0). */
@@ -990,7 +994,10 @@ object Quality {
     val digit = substring(floor(v).cast("long").cast("string"), 1, 1)
       .cast("long")
     val counts = df
-      .where(col(c).isNotNull && v >= 1.0)
+      // upper bound: past 2^63 the long cast of floor(v) overflows
+      // (engine-divergently) — magnitudes beyond any real ledger are
+      // excluded rather than risked
+      .where(col(c).isNotNull && v >= 1.0 && v < 9.0e18)
       .select(digit.as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
     val spine = df.sparkSession.range(1, 10).select(col("id").as("digit"))

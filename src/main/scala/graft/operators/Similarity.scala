@@ -163,6 +163,9 @@ object Similarity {
     * top-k result joined with its relevance labels; `nRel` carries
     * the per-query TOTAL relevant count (q_id, n_rel), which the
     * ideal DCG needs and the retrieved list alone cannot know.
+    * CONTRACT: `nRel` holds exactly one row per q_id (a per-query
+    * aggregate by construction) — a duplicated q_id would fan the
+    * join into duplicated output rows.
     *
     * DCG folds the ≤k per-query gain terms in RANK order (sorted
     * struct fold — bounded state, deterministic); IDCG is a closed
@@ -229,10 +232,16 @@ object Similarity {
       m -> (m to k).foldLeft(0.0)((acc, d) =>
         acc + (1 - p) * math.pow(p, d - 1) / d)
     }.toMap
-    val a = legA.select(col("q_id"), col("n_id"), col("rank").as("__ra"))
-      .where(col("__ra") <= k)
-    val b = legB.select(col("q_id"), col("n_id"), col("rank").as("__rb"))
-      .where(col("__rb") <= k)
+    // collapse duplicated ids within a leg to their BEST rank before
+    // joining — a dirty leg must not double-contribute a doc (the
+    // rrfFuse hardening, applied here from the start)
+    def dedupLeg(leg: DataFrame, rank: String) =
+      leg.select(col("q_id"), col("n_id"), col("rank"))
+        .where(col("rank") <= k)
+        .groupBy(col("q_id"), col("n_id"))
+        .agg(min(col("rank")).as(rank))
+    val a = dedupLeg(legA, "__ra")
+    val b = dedupLeg(legB, "__rb")
     val m = greatest(col("__ra"), col("__rb")).cast("int")
     val weight = (1 to k).foldLeft(lit(0.0)) {
       case (acc, mm) => when(m === mm, lit(w(mm))).otherwise(acc)

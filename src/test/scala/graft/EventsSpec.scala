@@ -219,6 +219,24 @@ class EventsSpec extends SparkSpec {
     assert(out(4L) == 10.0)
   }
 
+  test("ewmaByKey: an all-NULL lag window yields NULL, never NaN") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts", TimestampType), StructField("event_id", LongType),
+      StructField("value", DoubleType)))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, ts("2024-01-01 00:00:01"), 1L, null),
+      org.apache.spark.sql.Row(1L, ts("2024-01-01 00:00:02"), 2L, 4.0))
+    val df = spark.createDataFrame(rows, schema)
+    val out = Events.ewmaByKey(df, "user_id", "ts", "event_id", "value",
+        alpha = 0.5, horizon = 1)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(1L).isEmpty) // den 0 -> NULL (Spark NaN would diverge
+                            // from DuckDB NULL)
+    assert(out(2L).contains(4.0))
+  }
+
   test("ewmaByKey: horizon truncates — an old value beyond the window " +
       "stops contributing") {
     val df = evv((1L to 4L).map(i =>

@@ -594,6 +594,11 @@ class QualitySpec extends SparkSpec {
     // total chi = sum of the 9 rounded terms
     val terms = (1L to 9L).map(d => out(d).getDouble(4))
     assert(math.abs(out(-1L).getDouble(4) - terms.sorted.sum) < 5e-4)
+    // magnitudes past the long boundary are excluded, not risked
+    val big = Quality.benfordReport(
+      Seq(5.0, 1.0e19).toDF("v"), "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(big(-1L) == 1L && big(5L) == 1L)
   }
 
   test("tCloseness: hand-computed TVD with absent-value spine, " +

@@ -918,5 +918,12 @@ class SimilaritySpec extends SparkSpec {
     assert(partial.getLong(1) == 1L && partial.getDouble(2) == 0.125)
     intercept[IllegalArgumentException](
       Similarity.rboOverlap(pa, pb, 2, 1.0))
+    // a dirty leg (duplicated id) collapses to its BEST rank and
+    // contributes once — the rrfFuse hardening
+    val dirty = leg((9L, 1L, 1L), (9L, 2L, 1L)) // id 1 at ranks 1 AND 2
+    val clean = leg((9L, 1L, 1L))
+    val dd = Similarity.rboOverlap(dirty, clean, k = 2, p = 0.5)
+      .collect().head
+    assert(dd.getLong(1) == 1L && dd.getDouble(2) == 0.625) // W(1) once
   }
 }
