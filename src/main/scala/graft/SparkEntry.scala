@@ -170,6 +170,56 @@ object SparkEntry {
     * variation from the global — small nation/balance classes cross
     * it, whole-nation classes don't, at every SF. */
   val TClosenessT = 0.5
+  /** Frozen unigram piece table (text_unigram_tokenize): the sf0.01
+    * fit artifact — vocab 40, maxPieceLen 4, 3 hard-EM rounds, seed
+    * 120 — frozen as the demonstration vocabulary, the
+    * scoreAgainstNbModel frozen-artifact convention: the FIT is
+    * spec-verified (deterministic across partitionings, single-char
+    * coverage, lossless segmentation) and NOT SQL-expressible (EM
+    * rounds); the ENCODE under the frozen table is what the oracle
+    * replays at every SF via a recursive-CTE Viterbi. */
+  val UnigramMaxPieceLen = 4
+  val UnigramPieces: Seq[Unigram.Piece] = Seq(
+    Unigram.Piece("a", -2.6387758112912487),
+    Unigram.Piece("b", -3.7325209993742914),
+    Unigram.Piece("batc", -4.3759447445818065),
+    Unigram.Piece("c", -4.402958812993062),
+    Unigram.Piece("co", -4.379148164299344),
+    Unigram.Piece("cust", -4.379148164299344),
+    Unigram.Piece("d", -3.7125536138604227),
+    Unigram.Piece("e", -2.4756847054912874),
+    Unigram.Piece("er", -4.380218255359188),
+    Unigram.Piece("f", -4.46859322465127),
+    Unigram.Piece("filt", -4.380218255359188),
+    Unigram.Piece("g", -3.0430219216395757),
+    Unigram.Piece("h", -3.736450277514181),
+    Unigram.Piece("hash", -4.365340191333009),
+    Unigram.Piece("i", -3.3287379774491117),
+    Unigram.Piece("j", -11.21969469358803),
+    Unigram.Piece("join", -4.347566592249045),
+    Unigram.Piece("k", -3.7370128654333796),
+    Unigram.Piece("l", -3.312779204909444),
+    Unigram.Piece("lumn", -4.379148164299344),
+    Unigram.Piece("m", -4.429597458074126),
+    Unigram.Piece("n", -3.725820806804472),
+    Unigram.Piece("o", -3.7437887242206336),
+    Unigram.Piece("omer", -4.379148164299344),
+    Unigram.Piece("or", -3.7325209993742914),
+    Unigram.Piece("p", -4.4117597498881045),
+    Unigram.Piece("par", -3.7471939488504726),
+    Unigram.Piece("q", -4.448905269679051),
+    Unigram.Piece("r", -3.044991811118569),
+    Unigram.Piece("row", -4.36956852744253),
+    Unigram.Piece("s", -3.3257495553520715),
+    Unigram.Piece("scan", -4.377011411349609),
+    Unigram.Piece("st", -3.75633164806801),
+    Unigram.Piece("t", -3.058319670390544),
+    Unigram.Piece("ta", -3.7147526251918594),
+    Unigram.Piece("u", -4.4117597498881045),
+    Unigram.Piece("ue", -3.7415249994282456),
+    Unigram.Piece("v", -3.7186125693281595),
+    Unigram.Piece("w", -3.739266387513823),
+    Unigram.Piece("y", -3.742090450390442))
   /** Label-noise margin (text_label_noise): a confident disagreement
     * is |log-odds| > 1 against the given label (odds beyond e:1). */
   val NoiseMargin = 1.0
@@ -2729,7 +2779,17 @@ object SparkEntry {
     //     planning signal over the corpus's source and language mix ---
     "rel_concentration" -> ((s, d) =>
       Quality.concentrationReport(t(s, d, "documents"),
-        Seq("source", "lang")))
+        Seq("source", "lang"))),
+
+    // --- unigram-LM tokenizer (the SentencePiece family, completing
+    //     the BPE loop): seed statistics + frozen-vocab encode ---
+    "text_unigram_seed" -> ((s, d) =>
+      Unigram.seedCounts(
+        Unigram.wordFrequencies(t(s, d, "documents"), "text"),
+        UnigramMaxPieceLen)),
+    "text_unigram_tokenize" -> ((s, d) =>
+      Unigram.tokenize(t(s, d, "documents"), "doc_id", "text",
+        UnigramPieces, UnigramMaxPieceLen))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -5343,8 +5403,62 @@ object SparkEntry {
 
     "rel_concentration" -> Seq("source", "lang")
       .map(Quality.concentrationSql("documents", _))
-      .mkString(" UNION ALL ")
+      .mkString(" UNION ALL "),
+
+    "text_unigram_seed" ->
+      (s"WITH wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM " +
+        s"(SELECT unnest($wordsSql) AS word FROM documents) t " +
+        "WHERE length(word) > 0 GROUP BY 1), " +
+        "sub AS (SELECT substr(word, i, l) AS piece, freq FROM wf, " +
+        "LATERAL (SELECT unnest(range(1, length(word) + 1)) AS i) a, " +
+        s"LATERAL (SELECT unnest(range(1, least($UnigramMaxPieceLen, length(word) - i + 1) + 1)) AS l) b) " +
+        "SELECT piece, CAST(sum(freq) AS BIGINT) AS n FROM sub GROUP BY 1"),
+
+    "text_unigram_tokenize" -> unigramTokenizeSql(UnigramPieces,
+      UnigramMaxPieceLen)
   )
+
+  /** Mirrors Unigram.tokenize under the frozen piece table: a
+    * recursive-CTE Viterbi over the DISTINCT corpus words (DP forward
+    * pass accumulating best-score and back-pointer lists, struct-max
+    * with the same longest-piece tie-break, then a backtrack CTE),
+    * re-assembled per document in word order. Piece log-probs plant
+    * as CAST('…' AS DOUBLE) map values; unknown single chars at
+    * Unigram.UnkLogp, absent multi-char pieces at −1e18. */
+  private def unigramTokenizeSql(pieces: Seq[Unigram.Piece],
+      maxPieceLen: Int): String = {
+    val entries = pieces.map(p =>
+      s"'${p.piece}': CAST('${p.logp}' AS DOUBLE)").mkString(", ")
+    val m = s"MAP {$entries}"
+    val unk = s"CAST('${Unigram.UnkLogp}' AS DOUBLE)"
+    s"WITH RECURSIVE w AS (SELECT doc_id, $wordsSql AS ws FROM documents), " +
+      "seq AS (SELECT doc_id, unnest(ws) AS word, unnest(range(len(ws))) AS pos FROM w), " +
+      "dw AS (SELECT DISTINCT word FROM seq WHERE length(word) > 0), " +
+      "dp AS (" +
+      "SELECT word, 0 AS j, [CAST(0.0 AS DOUBLE)] AS best, [0] AS back FROM dw " +
+      "UNION ALL " +
+      "SELECT dp.word, dp.j + 1, list_append(dp.best, c.sc), list_append(dp.back, c.bi) " +
+      "FROM dp, LATERAL (" +
+      "SELECT max(st).s AS sc, -(max(st).mi) AS bi FROM (" +
+      "SELECT {'s': dp.best[i + 1] + CASE WHEN dp.j + 1 - i = 1 " +
+      s"THEN coalesce(($m)[substr(dp.word, i + 1, 1)][1], $unk) " +
+      s"ELSE coalesce(($m)[substr(dp.word, i + 1, dp.j + 1 - i)][1], CAST(-1e18 AS DOUBLE)) END, " +
+      "'mi': -i} AS st " +
+      s"FROM (SELECT unnest(range(greatest(0, dp.j + 1 - $maxPieceLen), dp.j + 1)) AS i) t) u) c " +
+      "WHERE dp.j < length(dp.word)), " +
+      "fin AS (SELECT word, back FROM dp WHERE j = length(word)), " +
+      "bt AS (" +
+      "SELECT word, length(word) AS k, back, CAST([] AS VARCHAR[]) AS pieces FROM fin " +
+      "UNION ALL " +
+      "SELECT word, back[k + 1] AS k, back, " +
+      "list_prepend(substr(word, back[k + 1] + 1, k - back[k + 1]), pieces) " +
+      "FROM bt WHERE k > 0), " +
+      "seg AS (SELECT word, pieces FROM bt WHERE k = 0), " +
+      "doc AS (SELECT s.doc_id, flatten(list(sg.pieces ORDER BY s.pos)) AS pieces " +
+      "FROM seq s JOIN seg sg USING (word) GROUP BY s.doc_id) " +
+      "SELECT doc_id, pieces, CAST(len(pieces) AS BIGINT) AS n_pieces, " +
+      "md5(array_to_string(pieces, ' ')) AS pieces_sig FROM doc"
+  }
 
   /** Mirrors Quality.benfordReport: integer-rendered first digit,
     * CAST('…' AS DOUBLE) Benford probabilities, (n−e)·(n−e)/e terms,

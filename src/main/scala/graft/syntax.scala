@@ -249,6 +249,11 @@ object syntax {
       Similarity.rboOverlap(df, other, k, p)
     def sourceOverlap(sourceCol: String, textCol: String): DataFrame =
       TextAnalysis.sourceOverlap(df, sourceCol, textCol)
+
+    // unigram tokenizer
+    def unigramTokenize(idCol: String, textCol: String,
+        pieces: Seq[Unigram.Piece], maxPieceLen: Int): DataFrame =
+      Unigram.tokenize(df, idCol, textCol, pieces, maxPieceLen)
   }
 
   /** Fusion entry point mirroring the operator object (not a DataFrame
