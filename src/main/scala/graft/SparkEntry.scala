@@ -2789,7 +2789,39 @@ object SparkEntry {
         UnigramMaxPieceLen)),
     "text_unigram_tokenize" -> ((s, d) =>
       Unigram.tokenize(t(s, d, "documents"), "doc_id", "text",
-        UnigramPieces, UnigramMaxPieceLen))
+        UnigramPieces, UnigramMaxPieceLen)),
+    "text_tokenizer_report" -> ((s, d) => {
+      // the family synthesis row: whitespace vs BPE (fit in-body, the
+      // text_bpe_tokenize convention) vs unigram (frozen vocab) on one
+      // corpus — pieces/word is the fertility metric a tokenizer
+      // choice is judged by; chars/piece uses the shared word-char
+      // total so the three flavors divide the same numerator
+      val docs = t(s, d, "documents")
+      val base = docs
+        .select(explode(TextFns.words(col("text"))).as("w"))
+        .agg(count(lit(1)).as("__nw"),
+          sum(length(col("w"))).as("__nc"))
+      def row(flavor: String, perDoc: DataFrame, np: String) =
+        perDoc.agg(count(lit(1)).as("n_docs"),
+            sum(col(np)).as("total_pieces"))
+          .crossJoin(broadcast(base))
+          .select(lit(flavor).as("flavor"), col("n_docs"),
+            col("total_pieces"),
+            (col("total_pieces").cast("double") /
+              col("__nw").cast("double")).as("pieces_per_word"),
+            (col("__nc").cast("double") /
+              col("total_pieces").cast("double")).as("chars_per_piece"))
+      row("whitespace",
+        docs.select(size(TextFns.words(col("text"))).cast("long")
+          .as("np")), "np")
+        .unionByName(row("bpe",
+          TextAnalysis.bpeTokenize(docs, "doc_id", "text",
+            TextAnalysis.fitBpeMerges(docs, "text", BpeMergeCount))
+            .select(col("n_tokens")), "n_tokens"))
+        .unionByName(row("unigram",
+          Unigram.tokenize(docs, "doc_id", "text", UnigramPieces,
+            UnigramMaxPieceLen).select(col("n_pieces")), "n_pieces"))
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -5415,7 +5447,31 @@ object SparkEntry {
         "SELECT piece, CAST(sum(freq) AS BIGINT) AS n FROM sub GROUP BY 1"),
 
     "text_unigram_tokenize" -> unigramTokenizeSql(UnigramPieces,
-      UnigramMaxPieceLen)
+      UnigramMaxPieceLen),
+
+    "text_tokenizer_report" -> {
+      val base = "(SELECT CAST(count(*) AS BIGINT) AS nw, " +
+        "CAST(sum(length(w)) AS BIGINT) AS nc FROM " +
+        s"(SELECT unnest($wordsSql) AS w FROM documents) t) b"
+      def row(flavor: String, sub: String) =
+        s"SELECT '$flavor' AS flavor, n_docs, total_pieces, " +
+          "CAST(total_pieces AS DOUBLE) / CAST(nw AS DOUBLE) AS pieces_per_word, " +
+          "CAST(nc AS DOUBLE) / CAST(total_pieces AS DOUBLE) AS chars_per_piece " +
+          s"FROM ($sub) q, $base"
+      row("whitespace",
+        s"SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+          s"CAST(sum(len($wordsSql)) AS BIGINT) AS total_pieces FROM documents") +
+        " UNION ALL " +
+        row("bpe",
+          "SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+            "CAST(sum(n_tokens) AS BIGINT) AS total_pieces FROM " +
+            s"(${bpeTokenizeSql(BpeMergeCount)}) bb") +
+        " UNION ALL " +
+        row("unigram",
+          "SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+            "CAST(sum(n_pieces) AS BIGINT) AS total_pieces FROM " +
+            s"(${unigramTokenizeSql(UnigramPieces, UnigramMaxPieceLen)}) uu")
+    }
   )
 
   /** Mirrors Unigram.tokenize under the frozen piece table: a

@@ -1209,4 +1209,37 @@ class StreamingSpec extends SparkSpec {
     assert(got == batchRun)
     q.stop()
   }
+
+  test("unigram tokenize is stream-legal AS-IS: per-batch output == " +
+      "the batch run on the same arrivals") {
+    implicit val ctx = spark.sqlContext
+    val pieces = Seq(graft.operators.Unigram.Piece("ab", -1.0),
+      graft.operators.Unigram.Piece("a", -2.0),
+      graft.operators.Unigram.Piece("b", -2.0),
+      graft.operators.Unigram.Piece("c", -3.0))
+    val in = MemoryStream[TestDoc]
+    val out = graft.operators.Unigram.tokenize(in.toDF(), "doc_id",
+      "text", pieces, maxPieceLen = 2)
+    assert(out.isStreaming) // a stateful op here would have failed plan
+    val name = fresh()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val docs = Seq(
+      TestDoc(1L, ts("2024-01-01 00:00:00"), "abc ab"),
+      TestDoc(2L, ts("2024-01-01 00:00:01"), "cab"))
+    in.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(name)
+      .select("doc_id", "pieces", "pieces_sig")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toList,
+        r.getString(2))).toSet
+    val batch = graft.operators.Unigram.tokenize(
+        docs.toDF(), "doc_id", "text", pieces, 2)
+      .select("doc_id", "pieces", "pieces_sig")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toList,
+        r.getString(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.find(_._1 == 1L).get._2 == List("ab", "c", "ab"))
+  }
 }
