@@ -2790,6 +2790,13 @@ object SparkEntry {
     "text_unigram_tokenize" -> ((s, d) =>
       Unigram.tokenize(t(s, d, "documents"), "doc_id", "text",
         UnigramPieces, UnigramMaxPieceLen)),
+    "text_unigram_ids" -> ((s, d) =>
+      // the unigram loop's final stage (the text_bpe_ids analog):
+      // frozen vocab, alphabetical piece ids, unk singletons at -1
+      Unigram.encodeIds(t(s, d, "documents"), "doc_id", "text",
+          UnigramPieces, UnigramMaxPieceLen)
+        .select(col("doc_id"), col("n_pieces"), col("n_oov"),
+          col("ids_sig"))),
     "text_tokenizer_report" -> ((s, d) => {
       // the family synthesis row: whitespace vs BPE (fit in-body, the
       // text_bpe_tokenize convention) vs unigram (frozen vocab) on one
@@ -5448,6 +5455,18 @@ object SparkEntry {
 
     "text_unigram_tokenize" -> unigramTokenizeSql(UnigramPieces,
       UnigramMaxPieceLen),
+
+    "text_unigram_ids" -> {
+      val vocab = Unigram.vocabulary(UnigramPieces)
+      val entries = vocab.toSeq.sortBy(_._1)
+        .map { case (p, i) => s"'$p': $i" }.mkString(", ")
+      s"SELECT doc_id, n_pieces, " +
+        "CAST(len(list_filter(ids, i -> i = -1)) AS BIGINT) AS n_oov, " +
+        "md5(array_to_string(list_transform(ids, i -> CAST(i AS VARCHAR)), ',')) AS ids_sig " +
+        s"FROM (SELECT doc_id, n_pieces, list_transform(pieces, p -> " +
+        s"coalesce((MAP {$entries})[p][1], -1)) AS ids " +
+        s"FROM (${unigramTokenizeSql(UnigramPieces, UnigramMaxPieceLen)}) tt) ii"
+    },
 
     "text_tokenizer_report" -> {
       val base = "(SELECT CAST(count(*) AS BIGINT) AS nw, " +

@@ -188,6 +188,29 @@ object Unigram {
     } finally words.unpersist()
   }
 
+  /** Deterministic piece→id vocabulary of a piece table: ids are the
+    * 0-based rank in (piece asc) order — stable under refits that keep
+    * the same piece set, engine-replayable (no hash order anywhere). */
+  def vocabulary(pieces: Seq[Piece]): Map[String, Int] =
+    pieces.map(_.piece).sorted.zipWithIndex.toMap
+
+  /** [[tokenize]] → TOKEN IDS (what packs ship) under the frozen
+    * vocabulary: unknown-character fallback singletons — the only
+    * pieces outside the table — encode as −1 and count in `n_oov`.
+    * Output: (id, ids, n_pieces, n_oov, ids_sig). */
+  def encodeIds(df: DataFrame, idCol: String, textCol: String,
+      pieces: Seq[Piece], maxPieceLen: Int): DataFrame = {
+    val vocab = vocabulary(pieces)
+    val ids = transform(col("pieces"),
+      p => coalesce(element_at(typedLit(vocab), p), lit(-1)))
+    tokenize(df, idCol, textCol, pieces, maxPieceLen)
+      .select(col(idCol), ids.as("ids"), col("n_pieces"))
+      .select(col(idCol), col("ids"), col("n_pieces"),
+        size(filter(col("ids"), i => i === -1)).cast("long").as("n_oov"),
+        md5(array_join(transform(col("ids"), _.cast("string")), ","))
+          .as("ids_sig"))
+  }
+
   /** Tokenize under a FROZEN piece table (the artifact loop: fit once,
     * tokenize forever) — per word one Viterbi pass over the broadcast
     * map; unknown characters fall back to [[UnkLogp]] singletons, so

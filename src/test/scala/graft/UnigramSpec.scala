@@ -89,4 +89,21 @@ class UnigramSpec extends SparkSpec {
       .head().getSeq[String](1)
     assert(zs.contains("z") && zs.mkString("") == "lowz")
   }
+
+  test("encodeIds: alphabetical stable ids, corpus-fit vocab has zero " +
+      "oov, unknown chars encode -1 and count") {
+    val pieces = Unigram.fitUnigram(corpus, "text", vocabSize = 30,
+      maxPieceLen = 4, rounds = 3, seedSize = 60)
+    val vocab = Unigram.vocabulary(pieces)
+    assert(vocab.toSeq.sortBy(_._2).map(_._1) == vocab.keys.toSeq.sorted)
+    val onCorpus = Unigram.encodeIds(corpus, "doc_id", "text", pieces, 4)
+      .collect()
+    assert(onCorpus.forall(_.getLong(3) == 0L)) // fit-on-self: no oov
+    onCorpus.foreach(r =>
+      assert(r.getSeq[Int](1).size.toLong == r.getLong(2)))
+    val z = Unigram.encodeIds(Seq((9L, "lowz")).toDF("doc_id", "text"),
+      "doc_id", "text", pieces, 4).head()
+    assert(z.getLong(3) == 1L)
+    assert(z.getSeq[Int](1).contains(-1))
+  }
 }
