@@ -1052,10 +1052,14 @@ object Quality {
     val tagged = df.select(explode(array(levels.zipWithIndex.map {
       case ((name, qis), i) =>
         struct(lit(i.toLong).as("lvl"), lit(name).as("level"),
-          concat_ws("",
-            qis.map(q => coalesce(q.cast("string"), lit(""))): _*)
+          // the kAnonymity/lDiversity key convention (\u0001 separator,
+          // \u0002 NULL sentinel -- see kAnonymity for why), matching
+          // tClosenessSql's chr(1)/chr(2); bare concatenation would
+          // merge distinct QI tuples ("1","23") with ("12","3")
+          concat_ws("\u0001",
+            qis.map(q => coalesce(q.cast("string"), lit("\u0002"))): _*)
             .as("key"),
-          coalesce(sensitive.cast("string"), lit("")).as("sens"))
+          coalesce(sensitive.cast("string"), lit("\u0002")).as("sens"))
     }: _*)).as("x")).select(col("x.*"))
     val classSens = tagged
       .groupBy(col("lvl"), col("level"), col("key"), col("sens"))

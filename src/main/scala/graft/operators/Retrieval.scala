@@ -204,6 +204,11 @@ object Retrieval {
           lit(b) * col("dl").cast("double") / (col("__sumdl") / col("__N"))))
     }.reduce(_ + _)
     val scored = perDoc.select(col("doc_id"), round(score, 4).as("bm25"))
+      // filter on the ROUNDED score, exactly like the scan flavor's
+      // .filter(bm25 > 0) and the oracle's WHERE bm25 > 0: a raw score
+      // can be positive yet round to 0.0000 (near-ubiquitous term at
+      // large N), and the two paths must agree at that edge
+      .where(col("bm25") > 0)
     Relational.withScalableOrdinal(scored,
         Seq(col("bm25").desc, col("doc_id")), "rank")
       .where(col("rank") <= k)

@@ -192,7 +192,11 @@ object Similarity {
           sequence(lit(1), least(lit(k), col("n_rel")).cast("int")),
           i => lit(1.0) / log2(i.cast("double") + 1.0)),
         lit(0.0), _ + _)).otherwise(lit(0.0))
-    dcg.join(nRel, "q_id")
+    // left-join FROM the label side: a labeled query whose retrieval
+    // came back empty must score dcg 0 (and ndcg 0 when n_rel > 0),
+    // not silently vanish from the eval report
+    nRel.join(dcg, Seq("q_id"), "left")
+      .withColumn("__dcg", coalesce(col("__dcg"), lit(0.0)))
       .withColumn("__idcg", idcg)
       .select(col("q_id"), col("n_rel"),
         round(col("__dcg"), 4).as("dcg"),

@@ -57,27 +57,16 @@ object StreamDemo {
     val checkpoint = d("graft.consumer.output.checkpointDir")
 
     // --- producer: slice the source table into ordered JSON batch drops
-    val events = Tables(spark, sfDir, table)
-      .select(StreamSources.eventSchema.fieldNames.map(col): _*)
-    val prepared = Replay.prepare(events, Seq(col("ts"), col("event_id")))
-    val total = prepared.count()
-    val confBatch = d("graft.producer.data.batchSize").toLong
-    val batchSize = if (confBatch > 0) confBatch else math.max(1L, total / 5)
-    val nBatches = Replay.batchCount(prepared, batchSize)
-    Replay.writeBatches(prepared, busDir, batchSize, nBatches,
-      intervalMillis = d("graft.producer.data.intervalSeconds").toLong * 1000L,
-      format = d("graft.producer.file.format"))
+    // (the SAME body the standalone ProducerMain container runs)
+    val total = Tables(spark, sfDir, table).count()
+    val nBatches = ProducerMain.produce(spark, c)
     println(s"PRODUCED_BATCHES=$nBatches")
 
-    // --- consumer: file stream -> four checkpointed datasets
-    // batches land one-subdirectory-each; the file source doesn't
-    // recurse, so watch them with a glob
-    val stream = StreamSources.fileStream(spark, s"$watchDir/*",
-      format = d("graft.consumer.source.format"),
-      maxFilesPerTrigger = d("graft.consumer.source.maxFilesPerTrigger").toInt)
-    val q = MultiSink.start(stream, MultiSink.Config.fromConf(c,
-      keyA = "user_id", tagA = "pickup_location",
-      keyB = "event_type", tagB = "dropoff_location"))
+    // --- consumer: file stream -> four checkpointed datasets (the SAME
+    // body the standalone ConsumerMain container runs); batches land
+    // one-subdirectory-each; the file source doesn't recurse, so the
+    // consumer watches with a glob
+    val q = ConsumerMain.startConsumer(spark, c)
     q.processAllAvailable()
     q.stop()
 

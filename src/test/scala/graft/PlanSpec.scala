@@ -220,6 +220,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("every query's output schema is scalar-only (driver-sortable)") {
+    // the driver canonicalizes results with a pandas sort, which cannot
+    // sort list/map/struct cells — text_unigram_tokenize went oracle-err
+    // in round 14 by emitting a raw array column. The *_sig convention
+    // (md5 of a canonical join) exists for exactly this; any complex
+    // type in a declared query output fails here before it fails there
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    def complexCols(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] => s"${f.name}: ${f.dataType.simpleString}"
+      }.toSeq
+    for (name <- SparkEntry.queries.keys) {
+      val bad = complexCols(SparkEntry.queries(name)(spark, sf))
+      assert(bad.isEmpty,
+        s"$name emits non-scalar output columns ${bad.mkString(", ")} — " +
+          "ship a *_sig md5 instead (the driver's pandas sort chokes on these)")
+    }
+    // anti-vacuity control: a planted array column must be caught
+    val planted = spark.range(3).toDF("x")
+      .withColumn("arr", array(col("x"), col("x") + 1))
+    assert(complexCols(planted) == Seq("arr: array<bigint>"),
+      "schema sweep missed a planted array column — it is vacuous")
+  }
+
   test("the window sweep fails a planted violation (anti-vacuity control)") {
     // a deliberately unpartitioned window over an UNLIMITED scan must
     // be caught — if this stops failing, the sweep has gone blind

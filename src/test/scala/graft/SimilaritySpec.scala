@@ -874,9 +874,14 @@ class SimilaritySpec extends SparkSpec {
       // q3: nothing relevant exists
       (3L, 1L, false), (3L, 2L, false))
       .toDF("q_id", "rank", "rel")
-    val nRel = Seq((1L, 2L), (2L, 2L), (3L, 0L)).toDF("q_id", "n_rel")
+    // q4: labeled (n_rel = 1) but retrieval returned ZERO rows — must
+    // still appear, scoring dcg 0 / ndcg 0, not silently drop
+    val nRel = Seq((1L, 2L), (2L, 2L), (3L, 0L), (4L, 1L))
+      .toDF("q_id", "n_rel")
     val out = Similarity.ndcgBinary(ranked, nRel, k = 5)
       .collect().map(r => (r.getLong(0), r)).toMap
+    assert(out.contains(4L) && out(4L).getDouble(2) == 0.0 &&
+      out(4L).getDouble(4) == 0.0)
     val ideal2 = 1.0 / l2(2.0) + 1.0 / l2(3.0)
     val dcg1 = 1.0 / l2(2.0) + 1.0 / l2(4.0)
     assert(out(1L).getDouble(2) ==

@@ -59,6 +59,7 @@ def main(sf_dir, out_dir, only=None):
         try:
             got = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            got_types = dict(zip(got.columns, (str(t) for t in got.types)))
             got_cols, got_rows = got.columns, got.fetchall()
         except Exception as e:
             print(f"FAIL {name}: cannot read spark output: {e}")
@@ -66,9 +67,25 @@ def main(sf_dir, out_dir, only=None):
             continue
         try:
             want = con.sql(sql)
+            want_types = dict(zip(want.columns, (str(t) for t in want.types)))
             want_cols, want_rows = want.columns, want.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        # dtype lint: the DRIVER compares through pandas, where a
+        # DuckDB type wider than the Spark output's parquet type
+        # materializes differently (HUGEINT -> float64 hashed '0.0'
+        # vs int64 '0' -- the round-14 rel_compaction_plan red).
+        # fetchall() is dtype-blind, so value equality below would
+        # never catch this class; assert result types match instead.
+        bad_types = sorted(
+            f"{c}: spark={got_types[c]} oracle={want_types[c]}"
+            for c in set(got_types) & set(want_types)
+            if got_types[c] != want_types[c])
+        if bad_types:
+            print(f"FAIL {name}: oracle dtype drift (pandas hash hazard): "
+                  + "; ".join(bad_types))
             n_fail += 1
             continue
         gc, gr = table_key(got_cols, got_rows)
