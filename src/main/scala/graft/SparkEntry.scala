@@ -220,6 +220,27 @@ object SparkEntry {
     Unigram.Piece("v", -3.7186125693281595),
     Unigram.Piece("w", -3.739266387513823),
     Unigram.Piece("y", -3.742090450390442))
+  /** Frozen WordPiece vocabulary (text_wordpiece_tokenize/_ids): the
+    * sf0.01 fit artifact — 24 merges over the documents corpus —
+    * frozen as the demonstration vocabulary (the UnigramPieces
+    * convention): the FIT's round-1 pair-score statistics are
+    * oracle-gated standalone (text_wordpiece_pairs, fully
+    * SQL-expressible); the full iterative fit is spec-verified
+    * (WordPieceSpec: hand-scored merges, partitioning determinism);
+    * the ENCODE under the frozen vocab is what the oracle replays at
+    * every SF via a recursive-CTE greedy longest-match march. */
+  val WordPieceVocab: Seq[String] = Seq(
+    "##a", "##b", "##bl", "##c", "##ch", "##d",
+    "##e", "##g", "##h", "##i", "##in", "##k",
+    "##l", "##lu", "##lum", "##lumn", "##m", "##n",
+    "##o", "##p", "##r", "##s", "##sh", "##t",
+    "##u", "##up", "##us", "##w", "##y", "[UNK]",
+    "a", "ag", "agg", "b", "bi", "big",
+    "c", "cus", "d", "f", "fi", "fil",
+    "g", "h", "j", "k", "l", "li",
+    "lin", "m", "o", "p", "q", "qu",
+    "r", "s", "sp", "t", "th", "v",
+    "w", "wi", "win", "wind")
   /** Label-noise margin (text_label_noise): a confident disagreement
     * is |log-odds| > 1 against the given label (odds beyond e:1). */
   val NoiseMargin = 1.0
@@ -2819,12 +2840,34 @@ object SparkEntry {
           UnigramPieces, UnigramMaxPieceLen)
         .select(col("doc_id"), col("n_pieces"), col("n_oov"),
           col("ids_sig"))),
+    // --- WordPiece tokenizer (the BERT family, completing the
+    //     trilogy: BPE merges-by-count, unigram prunes-by-likelihood,
+    //     WordPiece merges-by-likelihood-gain): round-1 fit statistics
+    //     + frozen-vocab greedy encode ---
+    "text_wordpiece_pairs" -> ((s, d) =>
+      WordPiece.pairScores(t(s, d, "documents"), "text")),
+    "text_wordpiece_tokenize" -> ((s, d) =>
+      // scalar-only projection (the *_sig convention): the pieces
+      // array travels as its md5 sig; WordPiece.tokenize itself keeps
+      // returning the array for callers
+      WordPiece.tokenize(t(s, d, "documents"), "doc_id", "text",
+          WordPieceVocab)
+        .select(col("doc_id"), col("n_pieces"), col("n_unk"),
+          col("pieces_sig"))),
+    "text_wordpiece_ids" -> ((s, d) =>
+      // the WordPiece loop's final stage: sorted-vocab ranks; [UNK]
+      // is a real vocabulary entry so there is no -1 channel — n_unk
+      // counts UNK pieces instead
+      WordPiece.encodeIds(t(s, d, "documents"), "doc_id", "text",
+          WordPieceVocab)
+        .select(col("doc_id"), col("n_pieces"), col("n_unk"),
+          col("ids_sig"))),
     "text_tokenizer_report" -> ((s, d) => {
       // the family synthesis row: whitespace vs BPE (fit in-body, the
-      // text_bpe_tokenize convention) vs unigram (frozen vocab) on one
-      // corpus — pieces/word is the fertility metric a tokenizer
-      // choice is judged by; chars/piece uses the shared word-char
-      // total so the three flavors divide the same numerator
+      // text_bpe_tokenize convention) vs unigram vs wordpiece (frozen
+      // vocabs) on one corpus — pieces/word is the fertility metric a
+      // tokenizer choice is judged by; chars/piece uses the shared
+      // word-char total so the four flavors divide the same numerator
       val docs = t(s, d, "documents")
       val base = docs
         .select(explode(TextFns.words(col("text"))).as("w"))
@@ -2850,6 +2893,9 @@ object SparkEntry {
         .unionByName(row("unigram",
           Unigram.tokenize(docs, "doc_id", "text", UnigramPieces,
             UnigramMaxPieceLen).select(col("n_pieces")), "n_pieces"))
+        .unionByName(row("wordpiece",
+          WordPiece.tokenize(docs, "doc_id", "text", WordPieceVocab)
+            .select(col("n_pieces")), "n_pieces"))
     })
   )
 
@@ -5493,6 +5539,36 @@ object SparkEntry {
         s"FROM (${unigramTokenizeSql(UnigramPieces, UnigramMaxPieceLen)}) tt) ii"
     },
 
+    "text_wordpiece_pairs" ->
+      (s"WITH wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM " +
+        s"(SELECT unnest($wordsSql) AS word FROM documents) t " +
+        "WHERE length(word) > 0 GROUP BY 1), " +
+        "sy AS (SELECT word, freq, i, CASE WHEN i = 1 THEN substr(word, 1, 1) " +
+        "ELSE '##' || substr(word, i, 1) END AS s FROM wf, " +
+        "LATERAL (SELECT unnest(range(1, length(word) + 1)) AS i) a), " +
+        "sc AS (SELECT s, CAST(sum(freq) AS BIGINT) AS ns FROM sy GROUP BY 1), " +
+        "pr AS (SELECT x.s AS a, y.s AS b, CAST(sum(x.freq) AS BIGINT) AS n_pair " +
+        "FROM sy x JOIN sy y ON x.word = y.word AND y.i = x.i + 1 GROUP BY 1, 2) " +
+        "SELECT p.a, p.b, p.n_pair, ca.ns AS n_a, cb.ns AS n_b, " +
+        "CAST(p.n_pair AS DOUBLE) / (CAST(ca.ns AS DOUBLE) * CAST(cb.ns AS DOUBLE)) AS score " +
+        "FROM pr p JOIN sc ca ON p.a = ca.s JOIN sc cb ON p.b = cb.s"),
+
+    "text_wordpiece_tokenize" ->
+      ("SELECT doc_id, n_pieces, n_unk, pieces_sig FROM " +
+        s"(${wordpieceTokenizeSql(WordPieceVocab)}) t"),
+
+    "text_wordpiece_ids" -> {
+      val vocab = WordPiece.vocabulary(WordPieceVocab)
+      val entries = vocab.toSeq.sortBy(_._1)
+        .map { case (p, i) => s"'${p.replace("'", "''")}': $i" }
+        .mkString(", ")
+      s"SELECT doc_id, n_pieces, n_unk, " +
+        "md5(array_to_string(list_transform(ids, i -> CAST(i AS VARCHAR)), ',')) AS ids_sig " +
+        s"FROM (SELECT doc_id, n_pieces, n_unk, list_transform(pieces, p -> " +
+        s"(MAP {$entries})[p][1]) AS ids " +
+        s"FROM (${wordpieceTokenizeSql(WordPieceVocab)}) tt) ii"
+    },
+
     "text_tokenizer_report" -> {
       val base = "(SELECT CAST(count(*) AS BIGINT) AS nw, " +
         "CAST(sum(length(w)) AS BIGINT) AS nc FROM " +
@@ -5514,7 +5590,12 @@ object SparkEntry {
         row("unigram",
           "SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
             "CAST(sum(n_pieces) AS BIGINT) AS total_pieces FROM " +
-            s"(${unigramTokenizeSql(UnigramPieces, UnigramMaxPieceLen)}) uu")
+            s"(${unigramTokenizeSql(UnigramPieces, UnigramMaxPieceLen)}) uu") +
+        " UNION ALL " +
+        row("wordpiece",
+          "SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+            "CAST(sum(n_pieces) AS BIGINT) AS total_pieces FROM " +
+            s"(${wordpieceTokenizeSql(WordPieceVocab)}) ww")
     }
   )
 
@@ -5557,6 +5638,45 @@ object SparkEntry {
       "doc AS (SELECT s.doc_id, flatten(list(sg.pieces ORDER BY s.pos)) AS pieces " +
       "FROM seq s JOIN seg sg USING (word) GROUP BY s.doc_id) " +
       "SELECT doc_id, pieces, CAST(len(pieces) AS BIGINT) AS n_pieces, " +
+      "md5(array_to_string(pieces, ' ')) AS pieces_sig FROM doc"
+  }
+
+  /** Mirrors WordPiece.tokenize under the frozen vocabulary: a
+    * recursive-CTE greedy longest-match march over the DISTINCT
+    * corpus words (state = (word, offset, pieces); each step a
+    * struct-max over candidate lengths probing the vocab MAP —
+    * longest match wins, continuations probe with the '##' prefix; a
+    * step with NO match jumps the offset to the end with pieces =
+    * ['[UNK]'], the all-or-nothing BERT contract), re-assembled per
+    * document in word order. */
+  private def wordpieceTokenizeSql(vocab: Seq[String]): String = {
+    val entries = vocab
+      .map(p => s"'${p.replace("'", "''")}': 1").mkString(", ")
+    val m = s"MAP {$entries}"
+    val (maxInit, maxCont) = WordPiece.probeBounds(vocab)
+    s"WITH RECURSIVE w AS (SELECT doc_id, $wordsSql AS ws FROM documents), " +
+      "seq AS (SELECT doc_id, unnest(ws) AS word, unnest(range(len(ws))) AS pos FROM w), " +
+      "dw AS (SELECT DISTINCT word FROM seq WHERE length(word) > 0), " +
+      "gm AS (" +
+      "SELECT word, 0 AS off, CAST([] AS VARCHAR[]) AS pieces FROM dw " +
+      "UNION ALL " +
+      "SELECT gm.word, " +
+      "CASE WHEN c.len IS NULL THEN length(gm.word) ELSE gm.off + c.len END AS off, " +
+      "CASE WHEN c.len IS NULL THEN ['[UNK]'] ELSE list_append(gm.pieces, c.piece) END AS pieces " +
+      "FROM gm, LATERAL (" +
+      "SELECT max(st).l AS len, max(st).p AS piece FROM (" +
+      s"SELECT CASE WHEN ($m)[CASE WHEN gm.off = 0 THEN substr(gm.word, 1, t.l) " +
+      "ELSE '##' || substr(gm.word, gm.off + 1, t.l) END][1] IS NOT NULL " +
+      "THEN {'l': t.l, 'p': CASE WHEN gm.off = 0 THEN substr(gm.word, 1, t.l) " +
+      "ELSE '##' || substr(gm.word, gm.off + 1, t.l) END} END AS st " +
+      s"FROM (SELECT unnest(range(1, least(CASE WHEN gm.off = 0 THEN $maxInit " +
+      s"ELSE $maxCont END, length(gm.word) - gm.off) + 1)) AS l) t) u) c " +
+      "WHERE gm.off < length(gm.word)), " +
+      "fin AS (SELECT word, pieces FROM gm WHERE off = length(word)), " +
+      "doc AS (SELECT s.doc_id, flatten(list(f.pieces ORDER BY s.pos)) AS pieces " +
+      "FROM seq s JOIN fin f USING (word) GROUP BY s.doc_id) " +
+      "SELECT doc_id, pieces, CAST(len(pieces) AS BIGINT) AS n_pieces, " +
+      "CAST(len(list_filter(pieces, p -> p = '[UNK]')) AS BIGINT) AS n_unk, " +
       "md5(array_to_string(pieces, ' ')) AS pieces_sig FROM doc"
   }
 

@@ -258,4 +258,75 @@ class LayoutSpec extends SparkSpec {
       Layout.compactFiles(spark, dir, partial, out + "_x")
     }
   }
+
+  test("compaction at scale: 160 real heterogeneous files -- plan " +
+      "equals an independent flat reference, executor writes one " +
+      "file per bin with exactly the planned rows in each") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_frag160")
+      .toString
+    val out = java.nio.file.Files.createTempDirectory("graft_comp160")
+      .toString
+    // 160 real parquet files with genuinely varied sizes: group ids
+    // grow as floor(sqrt(id)) (group g holds ~2g+1 rows), hashed over
+    // 160 partitions -- deterministic, no rand()
+    val n = 300000L
+    spark.range(n)
+      .withColumn("b", floor(sqrt(col("id").cast("double"))))
+      .withColumn("v", col("id") % 97)
+      .repartition(160, col("b"))
+      .write.mode("overwrite").parquet(dir)
+    val inv = Layout.fileInventory(spark, dir)
+    val files = inv.collect()
+      .map(r => (r.getAs[String]("file_name"), r.getAs[Long]("bytes")))
+    assert(files.length >= 100, s"want >=100 real files, got ${files.length}")
+    assert(files.map(_._2).distinct.length > 20, "sizes genuinely vary")
+    val target = files.map(_._2).sum / 12 + 1
+    val plan = Layout.compactionPlan(inv, "file_name", "bytes", target)
+    val got = plan.collect()
+      .map(r => r.getAs[String]("file_name") -> r.getAs[Long]("bin"))
+      .toMap
+    // independent flat reference: (bytes desc, name asc) exclusive
+    // running sum div target -- recomputed driver-side from scratch
+    var prefix = 0L
+    val expect = files.sortBy { case (f, b) => (-b, f) }.map {
+      case (f, b) =>
+        val bin = prefix / target
+        prefix += b
+        f -> bin
+    }.toMap
+    assert(got == expect, "plan == flat reference at 160 files")
+    assert(got.size == files.length, "every file planned exactly once")
+    // byte fill: every bin except the last crosses its target stride
+    val byBytes = files.toMap
+    val fills = got.groupBy(_._2).view
+      .mapValues(_.keys.map(byBytes).sum).toMap
+    val last = fills.keys.max
+    fills.foreach { case (bin, total) =>
+      if (bin != last)
+        assert(fills.filter { case (k, _) => k <= bin }.values.sum >=
+          bin * target + 1, s"bin $bin prefix underfilled (total $total)")
+    }
+    // execute: one physical file per bin, planned rows land in it
+    Layout.compactFiles(spark, dir, plan, out)
+    val written = spark.read.parquet(out)
+    assert(written.count() == n, "zero rows lost")
+    // per-file source row counts -> plan-implied per-bin row counts
+    val srcRows = spark.read.parquet(dir)
+      .withColumn("f", element_at(split(input_file_name(), "/"), -1))
+      .groupBy("f").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wantRows = got.toSeq.groupBy(_._2).view
+      .mapValues(_.map { case (f, _) => srcRows(f) }.sum).toMap
+    val gotRows = written.groupBy("bin").count().collect()
+      .map(r => r.getAs[Long]("bin") -> r.getAs[Long]("count")).toMap
+    assert(gotRows == wantRows, "each bin holds exactly its planned rows")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val filesPerBin = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .filter(_.getPath.getName.startsWith("bin="))
+      .map(d => fs.listStatus(d.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")))
+    assert(filesPerBin.length == wantRows.size && filesPerBin.forall(_ == 1),
+      "exactly one physical file per bin")
+  }
 }
