@@ -1610,6 +1610,19 @@ object SparkEntry {
           docs.filter(col("doc_id") % 2 === 0), "text", 3),
         "doc_id", "text", 3)
     }),
+    "text_self_info_kn" -> ((s, d) => {
+      // interpolated Kneser-Ney bigram scoring vs a model frozen on
+      // HALF the corpus (doc_id parity — the backoff query's fixture):
+      // fit-on-self never interpolates (every corpus bigram is in its
+      // own model — the spec anchor), so scoring ALL docs makes
+      // n_interp and n_ctx_unseen genuinely fire, and unlike the MLE
+      // scorer no seen-context position is dropped (every P_KN > 0)
+      val docs = t(s, d, "documents")
+      TextAnalysis.scoreAgainstKnModelPortable(docs,
+        TextAnalysis.kneserNeyModel(
+          docs.filter(col("doc_id") % 2 === 0), "text"),
+        "doc_id", "text")
+    }),
     "text_gopher" -> ((s, d) =>
       // thresholds chosen to BISECT this corpus (words 10-99 median 56,
       // mean word len 3.7-5.3) so both keep outcomes are exercised
@@ -3921,6 +3934,34 @@ object SparkEntry {
         "WHERE coalesce(a.info, b.info, c.info) IS NOT NULL) " +
         "SELECT doc_id, count(*) AS n_ngrams, CAST(sum(bo) AS BIGINT) AS n_backoff, " +
         "round(list_aggregate(list_sort(list(info)), 'sum') / count(*), 4) AS self_info_bo " +
+        "FROM sc GROUP BY doc_id"),
+    "text_self_info_kn" ->
+      // interpolated KN replayed: the fit is exact integer counts
+      // (bigram types, context totals, continuation/type counts on
+      // the even-doc half); the per-position probability mirrors the
+      // engine's expression dag op-for-op (D = 0.75 is exact binary,
+      // every step an exactly-rounded IEEE op on identical bits), so
+      // ln sees identical inputs; ordered fold + round(.,4) as always
+      (s"WITH base AS (SELECT doc_id, regexp_extract_all($normSql, '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS ts FROM documents), " +
+        "fbase AS (SELECT ts FROM base WHERE doc_id % 2 = 0), " +
+        "bi AS (SELECT doc_id, ts[i] AS u, ts[i + 1] AS w FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM base) t), " +
+        "fbi AS (SELECT ts[i] AS u, ts[i + 1] AS w FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM fbase) t), " +
+        "bg AS (SELECT u, w, CAST(count(*) AS BIGINT) AS cuw FROM fbi GROUP BY 1, 2), " +
+        "ctx AS (SELECT u, CAST(sum(cuw) AS BIGINT) AS cu, CAST(count(*) AS BIGINT) AS n1u FROM bg GROUP BY 1), " +
+        "cont AS (SELECT w, CAST(count(*) AS BIGINT) AS n1w FROM bg GROUP BY 1), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n1tot FROM bg), " +
+        "sc AS (SELECT b.doc_id, " +
+        "CASE WHEN x.cu IS NULL THEN CAST(n.n1w AS DOUBLE) / CAST(t.n1tot AS DOUBLE) " +
+        "ELSE (greatest(CAST(coalesce(g.cuw, 0) AS DOUBLE) - 0.75, 0.0) + " +
+        "(0.75 * CAST(x.n1u AS DOUBLE)) * (CAST(n.n1w AS DOUBLE) / CAST(t.n1tot AS DOUBLE))) / CAST(x.cu AS DOUBLE) END AS p, " +
+        "CASE WHEN x.cu IS NULL THEN 1 ELSE 0 END AS cb, " +
+        "CASE WHEN g.cuw IS NULL AND x.cu IS NOT NULL THEN 1 ELSE 0 END AS ni " +
+        "FROM bi b JOIN cont n ON b.w = n.w CROSS JOIN tot t " +
+        "LEFT JOIN ctx x ON b.u = x.u " +
+        "LEFT JOIN bg g ON b.u = g.u AND b.w = g.w) " +
+        "SELECT doc_id, count(*) AS n_ngrams, CAST(sum(cb) AS BIGINT) AS n_ctx_unseen, " +
+        "CAST(sum(ni) AS BIGINT) AS n_interp, " +
+        "round(list_aggregate(list_sort(list(- ln(p))), 'sum') / count(*), 4) AS self_info_kn " +
         "FROM sc GROUP BY doc_id"),
     "text_vocab" ->
       (s"WITH tok AS (SELECT unnest(regexp_extract_all($normSql, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS token FROM documents), " +

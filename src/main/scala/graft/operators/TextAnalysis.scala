@@ -983,6 +983,124 @@ object TextAnalysis {
         round(mean(col("__info"), count(lit(1))), 4).as("self_info_bo"))
   }
 
+  /** Kneser-Ney absolute discount: the standard D = 0.75 of Chen &
+    * Goodman 1998's empirical study — exactly representable in
+    * binary (3/4), so subtracting and multiplying it is exact FP in
+    * both engines. */
+  val KnDiscount = 0.75
+
+  /** The persistable INTERPOLATED KNESER-NEY bigram bundle — the
+    * production rung of the LM-scoring ladder (MLE [[selfInfoNgramModel]]
+    * skips unseen contexts; stupid backoff [[backoffNgramModel]]
+    * penalizes a fixed α per skipped order; KN (Kneser & Ney 1995,
+    * Chen & Goodman 1998) redistributes a fixed discount D of every
+    * seen pair's mass to a CONTINUATION prior P_cont(w) =
+    * N1+(·,w)/N1+(·,·) — how many distinct contexts w follows, not
+    * how often w occurs — the fix for bursty tokens like "francisco"
+    * that are frequent but only ever follow one context).
+    *
+    * One `__part`-tagged bundle (the backoffNgramModel convention):
+    * "bg" (u, w, c(u,w)); "ctx" (u, c(u,·), N1+(u,·)); "cont"
+    * (w, N1+(·,w)); "tot" (N1+(·,·)). All exact integers — the fit
+    * is fully SQL-replayable; row count is bigram-TYPE-bounded. */
+  def kneserNeyModel(df: DataFrame, textCol: String): DataFrame = {
+    val bg = bigramRows(df, textCol)
+      .groupBy(col("__prev").as("__u"), col("__tok2").as("__w"))
+      .agg(count(lit(1)).as("__n"))
+    val nullS = lit(null).cast("string")
+    val nullL = lit(null).cast("long")
+    bg.select(lit("bg").as("__part"), col("__u"), col("__w"),
+        col("__n").as("__c1"), nullL.as("__c2"))
+      .unionByName(bg.groupBy(col("__u"))
+        .agg(sum(col("__n")).as("__c1"), count(lit(1)).as("__c2"))
+        .select(lit("ctx").as("__part"), col("__u"), nullS.as("__w"),
+          col("__c1"), col("__c2")))
+      .unionByName(bg.groupBy(col("__w"))
+        .agg(count(lit(1)).as("__c1"))
+        .select(lit("cont").as("__part"), nullS.as("__u"), col("__w"),
+          col("__c1"), nullL.as("__c2")))
+      .unionByName(bg.agg(count(lit(1)).as("__c1"))
+        .select(lit("tot").as("__part"), nullS.as("__u"),
+          nullS.as("__w"), col("__c1"), nullL.as("__c2")))
+  }
+
+  /** Score documents against a FROZEN [[kneserNeyModel]]:
+    * P_KN(w|u) = (max(c(u,w) − D, 0) + D·N1+(u,·)·P_cont(w)) / c(u,·)
+    * for a seen context u, and P_cont(w) outright for an unseen one;
+    * positions whose TOKEN w has no continuation entry are skipped
+    * (the OOV convention — no vocabulary-size prior). Every
+    * probability is strictly positive, so unlike the MLE scorer no
+    * seen-context position is ever dropped. Plan shape: three
+    * type-bounded equi-joins + one broadcast 1-row cross — the
+    * scoreAgainstBackoffModel shape. Output: (id, n_ngrams,
+    * n_ctx_unseen — positions scored by the continuation prior alone,
+    * n_interp — seen context but UNSEEN pair, where interpolation
+    * carries everything; both are in-plan non-vacuity witnesses —
+    * self_info_kn rounded at 4). */
+  def scoreAgainstKnModel(df: DataFrame, model: DataFrame,
+      idCol: String, textCol: String,
+      d: Double = KnDiscount): DataFrame =
+    knAgg(df, model, idCol, textCol, d, (i, _) => avg(i))
+
+  /** Oracle-portable flavor (ordered fold — the
+    * selfInfoNgramPortable convention). */
+  def scoreAgainstKnModelPortable(df: DataFrame, model: DataFrame,
+      idCol: String, textCol: String,
+      d: Double = KnDiscount): DataFrame =
+    knAgg(df, model, idCol, textCol, d,
+      (i, cnt) => aggregate(sort_array(collect_list(i)), lit(0.0), _ + _) / cnt)
+
+  /** Fit-on-self flavor: every corpus bigram is in its own model, so
+    * n_ctx_unseen ≡ 0 and n_interp ≡ 0 — the spec anchor. The
+    * operator earns its keep on FROZEN models over new text. */
+  def selfInfoKneserNey(df: DataFrame, idCol: String, textCol: String,
+      d: Double = KnDiscount): DataFrame =
+    scoreAgainstKnModel(df, kneserNeyModel(df, textCol),
+      idCol, textCol, d)
+
+  private def knAgg(df: DataFrame, model: DataFrame, idCol: String,
+      textCol: String, d: Double,
+      mean: (Column, Column) => Column): DataFrame = {
+    require(d > 0 && d < 1, s"Kneser-Ney discount in (0,1), got $d")
+    val rows = bigramRows(df, textCol, col(idCol))
+    val bg = model.filter(col("__part") === "bg")
+      .select(col("__u").as("__bu"), col("__w").as("__bw"),
+        col("__c1").as("__cuw"))
+    val ctx = model.filter(col("__part") === "ctx")
+      .select(col("__u").as("__xu"), col("__c1").as("__cu"),
+        col("__c2").as("__n1u"))
+    val cont = model.filter(col("__part") === "cont")
+      .select(col("__w").as("__cw"), col("__c1").as("__n1w"))
+    val tot = model.filter(col("__part") === "tot")
+      .select(col("__c1").as("__n1tot"))
+    // expression structure mirrored EXACTLY by the DuckDB oracle: the
+    // per-position probability is a fixed dag of exactly-rounded IEEE
+    // ops over exact integer counts + the exactly-representable D, so
+    // both engines feed ln identical bits (ln ulp daylight absorbed
+    // by the 4-decimal round — the backoff-scorer convention)
+    val pcont = col("__n1w").cast("double") / col("__n1tot").cast("double")
+    val p = when(col("__cu").isNull, pcont)
+      .otherwise((greatest(
+        coalesce(col("__cuw"), lit(0L)).cast("double") - lit(d),
+        lit(0.0)) +
+        (lit(d) * col("__n1u").cast("double")) * pcont) /
+        col("__cu").cast("double"))
+    rows
+      .join(cont, col("__tok2") === col("__cw"))
+      .crossJoin(broadcast(tot))
+      .join(ctx, col("__prev") === col("__xu"), "left")
+      .join(bg, col("__prev") === col("__bu") &&
+        col("__tok2") === col("__bw"), "left")
+      .withColumn("__info", -log(p))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("__cu").isNull, 1L).otherwise(0L))
+          .as("n_ctx_unseen"),
+        sum(when(col("__cuw").isNull && col("__cu").isNotNull, 1L)
+          .otherwise(0L)).as("n_interp"),
+        round(mean(col("__info"), count(lit(1))), 4).as("self_info_kn"))
+  }
+
   /** Gopher-style rule filter (Rae et al. 2021's quality heuristics,
     * the industry-standard cheap gate): word-count bounds, mean-word-
     * length bounds, symbol-to-word ratio (hash + ellipsis), and a

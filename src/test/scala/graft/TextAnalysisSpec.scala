@@ -530,6 +530,90 @@ class TextAnalysisSpec extends SparkSpec {
     a.foreach { case (d, v) => assert(math.abs(v - p(d)) < 1e-9, s"doc $d") }
   }
 
+  test("kneserNey: hand-computed probabilities -- seen pair, " +
+      "interpolated pair, unseen context, OOV token") {
+    // fit "a b a b a c": bg (a,b)=2 (b,a)=2 (a,c)=1; ctx a:(3,2) b:(2,1);
+    // cont b/a/c each 1; n1tot=3 bigram types
+    val fit = Seq((0L, "a b a b a c")).toDF("doc_id", "text")
+    val model = TextAnalysis.kneserNeyModel(fit, "text")
+    val score = Seq((10L, "a b"), (11L, "a a"), (12L, "c b"),
+      (13L, "a q")).toDF("doc_id", "text")
+    val out = TextAnalysis.scoreAgainstKnModel(score, model,
+        "doc_id", "text")
+      .select("doc_id", "n_ngrams", "n_ctx_unseen", "n_interp",
+        "self_info_kn")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    // seen pair (a,b): p = (max(2-.75,0) + .75*2*(1/3)) / 3
+    assert(out(10L) ===
+      ((1L, 0L, 0L, r4(-math.log((1.25 + 0.75 * 2 * (1.0 / 3)) / 3)))))
+    // unseen pair, seen ctx (a,a): p = (.75*2*(1/3)) / 3 = 1/6
+    assert(out(11L) === ((1L, 0L, 1L, r4(math.log(6.0)))))
+    // unseen ctx c: p = pcont(b) = 1/3
+    assert(out(12L) === ((1L, 1L, 0L, r4(math.log(3.0)))))
+    // q has no continuation entry: position skipped, doc emits nothing
+    assert(!out.contains(13L))
+  }
+
+  test("kneserNey: fit-on-self never interpolates; continuation " +
+      "prior ignores raw frequency (the bursty-token fix)") {
+    val docs = Seq(
+      (1L, "the fast join runs the fast scan"),
+      (2L, "the fast join beats the slow scan")).toDF("doc_id", "text")
+    val self = TextAnalysis.selfInfoKneserNey(docs, "doc_id", "text")
+      .select("doc_id", "n_ctx_unseen", "n_interp", "self_info_kn")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(self.nonEmpty)
+    self.foreach { case (d, cb, ni, s) =>
+      assert(cb === 0L && ni === 0L, s"fit-on-self fired on doc $d")
+      assert(s > 0.0)
+    }
+    // "francisco" occurs 3x but only ever after "san"; "york" once.
+    // After an UNSEEN context both score the continuation prior, and
+    // the priors are EQUAL (1 distinct context each) -- raw frequency
+    // does not leak in. That is Kneser-Ney's defining property.
+    val burst = Seq((0L,
+      "san francisco san francisco san francisco new york new delhi"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.kneserNeyModel(burst, "text")
+    val probes = Seq((20L, "q francisco"), (21L, "q york"))
+      .toDF("doc_id", "text")
+    val p = TextAnalysis.scoreAgainstKnModel(probes, m, "doc_id", "text")
+      .select("doc_id", "n_ctx_unseen", "self_info_kn")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(p(20L)._1 === 1L && p(21L)._1 === 1L)
+    assert(p(20L)._2 === p(21L)._2,
+      "continuation prior must not favor the frequent-but-bursty token")
+  }
+
+  test("kneserNey flavors agree within 1e-9 (algebraic vs ordered " +
+      "fold); probabilities always positive so no seen-context drop") {
+    val docs = Seq(
+      (1L, "the fast join runs the fast scan merge"),
+      (2L, "slow scan the fast join merge runs"),
+      (3L, "merge the slow join")).toDF("doc_id", "text")
+    val model = TextAnalysis.kneserNeyModel(
+      docs.filter(col("doc_id") =!= 3L), "text")
+    val a = TextAnalysis.scoreAgainstKnModel(
+        docs, model, "doc_id", "text")
+      .select("doc_id", "self_info_kn").as[(Long, Double)].collect().toMap
+    val p = TextAnalysis.scoreAgainstKnModelPortable(
+        docs, model, "doc_id", "text")
+      .select("doc_id", "self_info_kn").as[(Long, Double)].collect().toMap
+    assert(a.keySet === p.keySet && a.nonEmpty)
+    a.foreach { case (d, v) => assert(math.abs(v - p(d)) < 1e-9, s"doc $d") }
+    // every doc-3 position whose TOKEN is in the continuation table
+    // scores (MLE would drop their unseen contexts/pairs): of the 3
+    // bigrams, (the,slow) is skipped -- "slow" never follows anything
+    // in the fit half -- and (merge,the) + (slow,join) both score
+    val d3 = TextAnalysis.scoreAgainstKnModel(
+        docs.filter(col("doc_id") === 3L), model, "doc_id", "text")
+      .select("n_ngrams", "n_interp").as[(Long, Long)].head()
+    assert(d3 === ((2L, 2L)), "both in-vocab doc-3 bigrams interpolate")
+  }
+
   test("fitBpeMerges learns the classic low/lower/newest merges") {
     val docs = Seq((1L, "low low low lower lower newest")).toDF("doc_id", "text")
     val merges = TextAnalysis.fitBpeMerges(docs, "text", 3)
