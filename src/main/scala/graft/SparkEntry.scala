@@ -1610,6 +1610,18 @@ object SparkEntry {
           docs.filter(col("doc_id") % 2 === 0), "text", 3),
         "doc_id", "text", 3)
     }),
+    "text_ppl_buckets" -> ((s, d) => {
+      // the CCNet head/middle/tail split: unigram self-info as the
+      // perplexity proxy, terciles PER LANGUAGE (the paper buckets
+      // per language — a hard global cut would just rank languages)
+      val docs = t(s, d, "documents")
+      TextAnalysis.pplBuckets(
+        TextAnalysis.selfInfoScorePortable(docs, "doc_id", "text")
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id"),
+        "lang", "self_info")
+        .select(col("doc_id"), col("lang"), col("self_info"),
+          col("t1"), col("t2"), col("bucket"))
+    }),
     "text_self_info_kn" -> ((s, d) => {
       // interpolated Kneser-Ney bigram scoring vs a model frozen on
       // HALF the corpus (doc_id parity — the backoff query's fixture):
@@ -3935,6 +3947,21 @@ object SparkEntry {
         "SELECT doc_id, count(*) AS n_ngrams, CAST(sum(bo) AS BIGINT) AS n_backoff, " +
         "round(list_aggregate(list_sort(list(info)), 'sum') / count(*), 4) AS self_info_bo " +
         "FROM sc GROUP BY doc_id"),
+    "text_ppl_buckets" ->
+      // CCNet buckets replayed: the self-info CTEs (rounded at 4 —
+      // hash-equal inputs), per-language quantile_cont terciles at
+      // the 4-decimal fractions, rounded cuts, <=-comparison
+      (s"WITH tok AS (SELECT doc_id, unnest(regexp_extract_all($normSql, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS tok FROM documents), " +
+        "freq AS (SELECT tok, count(*) AS n FROM tok GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_n FROM freq), " +
+        "i AS (SELECT doc_id, ln(CAST(total_n AS DOUBLE)) - ln(CAST(n AS DOUBLE)) AS info FROM tok JOIN freq USING (tok), tot), " +
+        "si AS (SELECT doc_id, round(list_aggregate(list_sort(list(info)), 'sum') / count(*), 4) AS self_info FROM i GROUP BY doc_id), " +
+        "sl AS (SELECT si.doc_id, d.lang, si.self_info FROM si JOIN documents d USING (doc_id)), " +
+        "cuts AS (SELECT lang, round(quantile_cont(self_info, 0.3333), 4) AS t1, " +
+        "round(quantile_cont(self_info, 0.6667), 4) AS t2 FROM sl GROUP BY lang) " +
+        "SELECT doc_id, lang, self_info, t1, t2, " +
+        "CASE WHEN self_info <= t1 THEN 'head' WHEN self_info <= t2 THEN 'middle' ELSE 'tail' END AS bucket " +
+        "FROM sl JOIN cuts USING (lang)"),
     "text_self_info_kn" ->
       // interpolated KN replayed: the fit is exact integer counts
       // (bigram types, context totals, continuation/type counts on

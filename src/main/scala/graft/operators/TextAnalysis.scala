@@ -709,6 +709,40 @@ object TextAnalysis {
     selfInfoAgg(df, idCol, textCol, (info, n) =>
       aggregate(sort_array(collect_list(info)), lit(0.0), _ + _) / n)
 
+  /** CCNet-style perplexity buckets (Wenzek et al. 2020): split a
+    * SCORED corpus into head / middle / tail by per-group terciles of
+    * the score — the published language-model-filtering recipe (CCNet
+    * buckets per LANGUAGE on KenLM perplexity; any of this engine's
+    * LM scores — [[selfInfoScore]], [[selfInfoNgram]],
+    * [[scoreAgainstKnModel]] — slots in as the score column, lower =
+    * more predictable = head). Head+middle is the conventional keep.
+    *
+    * Determinism: cut points are EXACT per-group percentiles of the
+    * (already 4-rounded, hash-equal) score, themselves rounded at 4
+    * (the madOutliers convention); the tercile fractions are the
+    * 4-decimal literals 0.3333/0.6667 — short enough that both
+    * engines' decimal→double conversion is the same nearest double
+    * (the >16-digit literal hazard avoided), with negligible
+    * distance from the exact thirds. Bucket compare is then a
+    * comparison of bit-identical doubles.
+    *
+    * Scale shape: one grouped exact-percentile aggregate (per-group
+    * sort state — swap in approx_percentile upstream if group counts
+    * explode; groups here are languages) + one group-count-bounded
+    * broadcast join back. Output: input columns + (t1, t2, bucket). */
+  def pplBuckets(scored: DataFrame, groupCol: String,
+      scoreCol: String): DataFrame = {
+    val cuts = scored.where(col(scoreCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(round(expr(s"percentile($scoreCol, 0.3333)"), 4).as("t1"),
+        round(expr(s"percentile($scoreCol, 0.6667)"), 4).as("t2"))
+    scored.join(broadcast(cuts), groupCol)
+      .withColumn("bucket",
+        when(col(scoreCol) <= col("t1"), "head")
+          .when(col(scoreCol) <= col("t2"), "middle")
+          .otherwise("tail"))
+  }
+
   /** The frozen unigram model of a corpus: one (token, surprisal) row
     * per vocabulary entry — surprisal = ln(N) − ln(n_tok). This is the
     * PERSISTABLE artifact of the self-information pipeline: fit once on

@@ -530,6 +530,32 @@ class TextAnalysisSpec extends SparkSpec {
     a.foreach { case (d, v) => assert(math.abs(v - p(d)) < 1e-9, s"doc $d") }
   }
 
+  test("pplBuckets: per-group terciles split head/middle/tail " +
+      "evenly and never mix orders; cuts are group-local") {
+    val scored = ((1 to 9).map(i => (i.toLong, "en", i.toDouble)) ++
+      (1 to 9).map(i => (100L + i, "fr", 1000.0 + i)))
+      .toDF("doc_id", "lang", "self_info")
+    val out = TextAnalysis.pplBuckets(scored, "lang", "self_info")
+      .select("doc_id", "lang", "self_info", "t1", "t2", "bucket")
+      .as[(Long, String, Double, Double, Double, String)].collect()
+    assert(out.length === 18)
+    Seq("en", "fr").foreach { g =>
+      val rows = out.filter(_._2 == g)
+      val byB = rows.groupBy(_._6).view.mapValues(_.map(_._3)).toMap
+      assert(byB.keySet === Set("head", "middle", "tail"))
+      assert(byB("head").size === 3 && byB("middle").size === 3 &&
+        byB("tail").size === 3, s"$g: even tercile split of 9")
+      assert(byB("head").max < byB("middle").min)
+      assert(byB("middle").max < byB("tail").min)
+    }
+    // cuts are PER GROUP: every fr score lands above every en cut,
+    // yet fr still has a head -- a global cut would put all of fr
+    // in tail
+    val fr = out.filter(_._2 == "fr")
+    assert(fr.forall(r => r._4 > 1000.0 && r._5 > 1000.0))
+    assert(fr.exists(_._6 == "head"))
+  }
+
   test("kneserNey: hand-computed probabilities -- seen pair, " +
       "interpolated pair, unseen context, OOV token") {
     // fit "a b a b a c": bg (a,b)=2 (b,a)=2 (a,c)=1; ctx a:(3,2) b:(2,1);
