@@ -1242,4 +1242,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.find(_._1 == 1L).get._2 == List("ab", "c", "ab"))
   }
+
+  test("wordpiece tokenize is stream-legal AS-IS: per-batch output " +
+      "== the batch run on the same arrivals") {
+    implicit val ctx = spark.sqlContext
+    val vocab = Seq("[UNK]", "ab", "a", "##a", "##b", "##c", "c")
+    val in = MemoryStream[TestDoc]
+    val out = graft.operators.WordPiece.tokenize(in.toDF(), "doc_id",
+      "text", vocab)
+    assert(out.isStreaming) // a stateful op here would have failed plan
+    val name = fresh()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    val docs = Seq(
+      TestDoc(1L, ts("2024-01-01 00:00:00"), "abc ab"),
+      TestDoc(2L, ts("2024-01-01 00:00:01"), "cab xq"))
+    in.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(name)
+      .select("doc_id", "pieces", "n_unk", "pieces_sig")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toList,
+        r.getLong(2), r.getString(3))).toSet
+    val batch = graft.operators.WordPiece.tokenize(
+        docs.toDF(), "doc_id", "text", vocab)
+      .select("doc_id", "pieces", "n_unk", "pieces_sig")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toList,
+        r.getLong(2), r.getString(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.find(_._1 == 1L).get._2 == List("ab", "##c", "ab"))
+    assert(streamed.find(_._1 == 2L).get._3 == 1L) // xq -> [UNK]
+  }
 }
