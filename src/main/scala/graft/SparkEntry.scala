@@ -241,6 +241,13 @@ object SparkEntry {
     "lin", "m", "o", "p", "q", "qu",
     "r", "s", "sp", "t", "th", "v",
     "w", "wi", "win", "wind")
+  /** Winnowing constants (text_winnow_fps / dedup_winnow_pairs):
+    * k = 3-token grams (the corpus shingle convention), window w = 4
+    * (guarantee threshold w + k − 1 = 6 tokens — well under the
+    * corpus's ≥10-word docs), df-cap 64 (the mega-bucket guard). */
+  val WinnowK = 3
+  val WinnowW = 4
+  val WinnowMaxBucket = 64
   /** Label-noise margin (text_label_noise): a confident disagreement
     * is |log-odds| > 1 against the given label (odds beyond e:1). */
   val NoiseMargin = 1.0
@@ -1465,6 +1472,32 @@ object SparkEntry {
       // collision-free corpora
       TextAnalysis.dedupTokenWindowsExact(t(s, d, "documents"),
         "doc_id", "text", k = 8)),
+    "text_winnow_fps" -> ((s, d) => {
+      // MOSS winnowing selection per doc: n_fps vs n_windows is the
+      // measured compression (expected density 2/(w+1)), fps_sig
+      // gates the exact selected (pos, hash) set
+      val docs = t(s, d, "documents")
+      val nw = docs.select(col("doc_id"),
+        greatest(size(split(col("text"), " ")) - (WinnowK - 1), lit(0))
+          .cast("long").as("n_windows"))
+      TextAnalysis.winnowFingerprints(docs, "doc_id", "text",
+          WinnowK, WinnowW)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fps"),
+          md5(array_join(transform(
+            sort_array(collect_list(struct(col("fpos"), col("fp")))),
+            x => concat(x("fpos").cast("string"), lit(":"), x("fp"))),
+            " ")).as("fps_sig"))
+        .join(nw, "doc_id")
+        .select(col("doc_id"), col("n_windows"), col("n_fps"),
+          col("fps_sig"))
+    }),
+    "dedup_winnow_pairs" -> ((s, d) =>
+      // shared-fingerprint candidate pairs (the MOSS triage), df-cap
+      // guarded — the compressed-index complement to the full
+      // window-hash posting
+      TextAnalysis.winnowPairs(t(s, d, "documents"), "doc_id", "text",
+        WinnowK, WinnowW, WinnowMaxBucket)),
     "text_vocab" -> ((s, d) =>
       TextAnalysis.vocabulary(t(s, d, "documents"), "text", 50)),
     "text_bpe_merges" -> ((s, d) =>
@@ -4162,6 +4195,22 @@ object SparkEntry {
         "SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_paras, " +
         "coalesce(a.n_kept, 0) AS n_kept, coalesce(a.text_deduped, '') AS text_deduped " +
         "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"),
+    "text_winnow_fps" ->
+      (s"WITH $winnowCtes " +
+        "SELECT doc_id, CAST(n_windows AS BIGINT) AS n_windows, " +
+        "CAST(count(*) AS BIGINT) AS n_fps, " +
+        "md5(string_agg(CAST(fpos AS VARCHAR) || ':' || fp, ' ' ORDER BY fpos)) AS fps_sig " +
+        "FROM wfe GROUP BY doc_id, n_windows"),
+
+    "dedup_winnow_pairs" ->
+      (s"WITH $winnowCtes, " +
+        "fpd AS (SELECT DISTINCT doc_id, fp FROM wfe), " +
+        s"cap AS (SELECT fp FROM fpd GROUP BY fp HAVING count(*) <= $WinnowMaxBucket) " +
+        "SELECT a.doc_id AS left_id, b.doc_id AS right_id, " +
+        "CAST(count(*) AS BIGINT) AS n_shared " +
+        "FROM fpd a JOIN fpd b USING (fp) JOIN cap USING (fp) " +
+        "WHERE a.doc_id < b.doc_id GROUP BY 1, 2"),
+
     "text_window_dedup" ->
       // full replay: hash every 8-token window, rank occurrences by
       // (doc_id, wpos) per hash, rank>1 spans mark coverage, a token
@@ -5707,6 +5756,31 @@ object SparkEntry {
       "FROM seq s JOIN seg sg USING (word) GROUP BY s.doc_id) " +
       "SELECT doc_id, pieces, CAST(len(pieces) AS BIGINT) AS n_pieces, " +
       "md5(array_to_string(pieces, ' ')) AS pieces_sig FROM doc"
+  }
+
+  /** Mirrors TextAnalysis.winnowFingerprints (k = WinnowK,
+    * w = WinnowW): k-gram md5 arrays per doc, per-window rightmost
+    * minimum via `len − list_position(reversed window, min)` (the
+    * exact formulation the engine uses — array_position over the
+    * reversed slice), short-doc whole-array window, list_distinct.
+    * Ends at CTE `wfe` = (doc_id, n_windows, fpos, fp). */
+  private val winnowCtes: String = {
+    val k = WinnowK
+    val w = WinnowW
+    s"wd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+      s"wh AS (SELECT doc_id, CASE WHEN len(ws) >= $k THEN " +
+      s"list_transform(range(0, len(ws) - ${k - 1}), i -> md5(array_to_string(list_slice(ws, i + 1, i + $k), ' '))) " +
+      "ELSE [] END AS hs FROM wd), " +
+      // selections travel as 'fpos:fp' strings: this DuckDB's
+      // list_distinct cannot histogram STRUCT lists (md5 hex has no
+      // ':', so the encoding is unambiguous)
+      "wsel AS (SELECT doc_id, len(hs) AS n_windows, list_distinct(CASE " +
+      s"WHEN len(hs) >= $w THEN list_transform(range(0, len(hs) - ${w - 1}), " +
+      s"j -> CAST(j + $w - list_position(list_reverse(list_slice(hs, j + 1, j + $w)), list_min(list_slice(hs, j + 1, j + $w))) AS VARCHAR) || ':' || list_min(list_slice(hs, j + 1, j + $w))) " +
+      "WHEN len(hs) >= 1 THEN [CAST(len(hs) - list_position(list_reverse(hs), list_min(hs)) AS VARCHAR) || ':' || list_min(hs)] " +
+      "ELSE [] END) AS fps FROM wh), " +
+      "wfu AS (SELECT doc_id, n_windows, unnest(fps) AS s FROM wsel), " +
+      "wfe AS (SELECT doc_id, n_windows, CAST(split_part(s, ':', 1) AS BIGINT) AS fpos, split_part(s, ':', 2) AS fp FROM wfu)"
   }
 
   /** Mirrors WordPiece.tokenize under the frozen vocabulary: a

@@ -1642,6 +1642,82 @@ object TextAnalysis {
         array_join(col("__kept"), delim).as("text_deduped"))
   }
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
+    * SIGMOD'03 — the MOSS algorithm): from each window of `w`
+    * consecutive k-gram hashes select the RIGHTMOST MINIMUM, then
+    * dedupe selections. The index-compression lever over
+    * [[windowHashIndex]]'s every-window posting: expected density
+    * 2/(w+1) of all windows, WITH the paper's guarantee — any shared
+    * token run of ≥ w+k−1 tokens between two documents shares at
+    * least one selected fingerprint (both sides select the same
+    * minimum inside the shared region), so containment detection
+    * keeps a hard floor instead of LSH's probabilistic recall.
+    *
+    * Rightmost-minimum is the stateless tie rule: md5 hex strings
+    * give a total lexicographic order shared verbatim by the oracle,
+    * and the rightmost occurrence is `w − position-in-reversed-window`
+    * — one array_position over the reversed slice, no sequential
+    * state, identical in both engines. A document with fewer than `w`
+    * windows (shorter than w+k−1 tokens) selects the minimum of ALL
+    * its windows — one whole-doc window — so short docs still
+    * fingerprint instead of vanishing.
+    *
+    * Pure per-row expression tree over the materialized hash array
+    * (O(n·w) per doc) + one explode — batch and streaming legal, no
+    * shuffle. Output: (id, fpos, fp) — 0-based window position and
+    * the selected hash, distinct per doc. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, delim: String = " "): DataFrame = {
+    require(k >= 2, "k-grams must span at least 2 tokens")
+    require(w >= 1, "winnow window must hold at least 1 hash")
+    val esc = java.util.regex.Pattern.quote(delim)
+    val h = col("__h")
+    def winSel(start: Column, len: Column): Column = {
+      val win = slice(h, start + 1, len)
+      val m = array_min(win)
+      struct((start + len - array_position(reverse(win), m))
+        .cast("int").as("fpos"), m.as("fp"))
+    }
+    val sel =
+      when(size(h) >= w,
+        transform(sequence(lit(0), size(h) - w),
+          j => winSel(j, lit(w))))
+        .when(size(h) >= 1, array(winSel(lit(0), size(h))))
+        .otherwise(array().cast("array<struct<fpos:int,fp:string>>"))
+    df.select(col(idCol), split(col(textCol), esc).as("__ws"))
+      .select(col(idCol), windowHashes(col("__ws"), k, delim).as("__h"))
+      .select(col(idCol), explode(array_distinct(sel)).as("__s"))
+      .select(col(idCol), col("__s.fpos").as("fpos"),
+        col("__s.fp").as("fp"))
+  }
+
+  /** MOSS-style candidate pairs from shared winnowed fingerprints:
+    * group by fingerprint (the blocking key — never all-pairs), drop
+    * hashes shared by more than `maxBucket` docs (the mega-bucket /
+    * df-cap guard: a boilerplate k-gram every doc contains is
+    * evidence of nothing and would quadratically explode its bucket),
+    * emit each co-occurring doc pair once with its shared-fingerprint
+    * count — the triage score MOSS ranks matches by. Output:
+    * (left_id, right_id, n_shared). */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, maxBucket: Int, delim: String = " "): DataFrame = {
+    require(maxBucket >= 2, "maxBucket must allow at least a pair")
+    val fps = winnowFingerprints(df, idCol, textCol, k, w, delim)
+      .select(col(idCol).as("__id"), col("fp")).distinct()
+    val capped = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__df"),
+        collect_list(col("__id")).as("__ids"))
+      .where(col("__df") <= maxBucket)
+    capped
+      .select(explode(col("__ids")).as("left_id"), col("fp"),
+        col("__ids"))
+      .select(col("left_id"), explode(col("__ids")).as("right_id"),
+        col("fp"))
+      .where(col("left_id") < col("right_id"))
+      .groupBy(col("left_id"), col("right_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** The persistable window-hash index behind the INCREMENTAL form of
     * [[dedupTokenWindows]] — one row per DISTINCT window hash with its
     * canonical (lowest (doc, pos)) occurrence, the exactDupGroups-

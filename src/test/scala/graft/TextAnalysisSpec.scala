@@ -530,6 +530,104 @@ class TextAnalysisSpec extends SparkSpec {
     a.foreach { case (d, v) => assert(math.abs(v - p(d)) < 1e-9, s"doc $d") }
   }
 
+  // driver-side reference winnow (Schleimer et al. fig. 5, rightmost-
+  // min tie rule) for property checks
+  private def refWinnow(text: String, k: Int, w: Int): Set[(Int, String)] = {
+    val ws = text.split(" ", -1)
+    if (ws.length < k) return Set.empty
+    val hs = (0 to ws.length - k).map { i =>
+      val s = ws.slice(i, i + k).mkString(" ")
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    val wins =
+      if (hs.length >= w) (0 to hs.length - w).map(j => (j, w))
+      else Seq((0, hs.length))
+    wins.map { case (j, len) =>
+      val win = hs.slice(j, j + len)
+      val m = win.min
+      val off = win.lastIndexOf(m)
+      (j + off, m)
+    }.toSet
+  }
+
+  test("winnowFingerprints equals the reference implementation, " +
+      "including rightmost-min ties and the short-doc window") {
+    val docs = Seq(
+      (1L, "a b c a b c a b c"), // duplicate k-grams -> in-window ties
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "x y z"), // exactly one window (< w windows)
+      (4L, "p q")) // shorter than k: no fingerprints
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.winnowFingerprints(docs, "doc_id", "text",
+        k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).toSet).toMap
+    val texts = Map(1L -> "a b c a b c a b c",
+      2L -> "the quick brown fox jumps over the lazy dog again and again",
+      3L -> "x y z", 4L -> "p q")
+    texts.foreach { case (id, tx) =>
+      val want = refWinnow(tx, 3, 4)
+      assert(got.getOrElse(id, Set.empty) === want, s"doc $id")
+    }
+    assert(!got.contains(4L), "sub-k doc has no fingerprints")
+    assert(got(3L).size === 1, "short doc selects one whole-doc window")
+    // doc 1's k-grams repeat with period 3, so every window of 4 holds
+    // a duplicated minimum -- the rightmost-min rule must have fired
+    assert(got(1L) === refWinnow("a b c a b c a b c", 3, 4))
+  }
+
+  test("winnowing guarantee: docs sharing a run of >= w+k-1 tokens " +
+      "share a fingerprint; density lands near 2/(w+1)") {
+    val shared = "alpha beta gamma delta epsilon zeta" // 6 = w+k-1
+    val docs = Seq(
+      (1L, s"one two $shared three four five six seven"),
+      (2L, s"red green blue $shared yellow purple orange pink"))
+      .toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowPairs(docs, "doc_id", "text",
+      k = 3, w = 4, maxBucket = 64).collect()
+    assert(pairs.length === 1 && pairs.head.getLong(0) === 1L &&
+      pairs.head.getLong(1) === 2L && pairs.head.getLong(2) >= 1L,
+      "guaranteed shared fingerprint for a w+k-1 run")
+    // density: a long diverse doc selects far fewer fingerprints than
+    // windows (expected 2/(w+1) = 0.4), never more than windows
+    val long = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val fps = TextAnalysis.winnowFingerprints(
+      Seq((9L, long)).toDF("doc_id", "text"), "doc_id", "text", 3, 4)
+      .count()
+    val nWindows = 200 - 2
+    assert(fps <= nWindows && fps < nWindows * 0.6,
+      s"density $fps/$nWindows should sit near 0.4")
+    assert(fps >= nWindows * 0.2)
+  }
+
+  test("winnowPairs: the df-cap drops boilerplate fingerprints") {
+    // 70 docs share a 6-token (= w+k-1) boilerplate prefix, so EVERY
+    // one is guaranteed to select the same in-region fingerprint
+    // (df = 70 > cap); their tails are unique, so boilerplate is their
+    // only overlap. Two other docs share a genuine rare run.
+    val boiler = (1 to 70).map(i =>
+      (i.toLong, s"c1 c2 c3 c4 c5 c6 filler$i middle$i end$i"))
+    val rare = Seq(
+      (101L, "unique alpha beta gamma delta epsilon zeta one"),
+      (102L, "other alpha beta gamma delta epsilon zeta two"))
+    val docs = (boiler ++ rare).toDF("doc_id", "text")
+    def pairsAt(cap: Int) = TextAnalysis.winnowPairs(docs, "doc_id",
+        "text", k = 3, w = 4, maxBucket = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = pairsAt(64)
+    val open = pairsAt(5000)
+    assert(capped.contains((101L, 102L)) && open.contains((101L, 102L)),
+      "rare shared run survives the cap")
+    // the guaranteed in-prefix fingerprint has df = 70 > 64: capping
+    // can only REMOVE pairs, and must remove at least the boiler
+    // pairs whose only overlap was capped fingerprints
+    assert(capped.subsetOf(open), "cap only removes pairs")
+    assert(capped.size < open.size, "df-70 fingerprint pairs dropped")
+    assert(open.size >= 70 * 69 / 2,
+      "uncapped: every boiler pair present via the shared prefix")
+  }
+
   test("pplBuckets: per-group terciles split head/middle/tail " +
       "evenly and never mix orders; cuts are group-local") {
     val scored = ((1 to 9).map(i => (i.toLong, "en", i.toDouble)) ++
