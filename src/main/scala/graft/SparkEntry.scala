@@ -1498,6 +1498,24 @@ object SparkEntry {
       // window-hash posting
       TextAnalysis.winnowPairs(t(s, d, "documents"), "doc_id", "text",
         WinnowK, WinnowW, WinnowMaxBucket)),
+    "dedup_incremental_winnow" -> ((s, d) => {
+      // the winnow production loop: 90% of the corpus builds the
+      // compressed fingerprint index, every 10th doc is the arrival
+      // batch probing it (the stream_window_dup_flags fixture at
+      // winnow granularity) — stateless stream-static equi-join, so
+      // the batch result IS the streamed result over these arrivals
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val arrivals = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("arrival_ts", col("doc_id"))
+      graft.streaming.StreamOps.incrementalWinnowDupFlags(arrivals,
+          TextAnalysis.winnowIndex(corpus, "doc_id", "text",
+            WinnowK, WinnowW),
+          "doc_id", "text", "arrival_ts", WinnowK, WinnowW)
+        .select(col("new_id"), col("arrival_ts"),
+          col("fpos").cast("long").as("fpos"), col("dup_of"),
+          col("dup_pos").cast("long").as("dup_pos"))
+    }),
     "text_vocab" -> ((s, d) =>
       TextAnalysis.vocabulary(t(s, d, "documents"), "text", 50)),
     "text_bpe_merges" -> ((s, d) =>
@@ -4211,6 +4229,18 @@ object SparkEntry {
         "FROM fpd a JOIN fpd b USING (fp) JOIN cap USING (fp) " +
         "WHERE a.doc_id < b.doc_id GROUP BY 1, 2"),
 
+    "dedup_incremental_winnow" ->
+      // corpus + arrival winnow CTEs instantiated separately; the
+      // index is the canonical (lowest (doc, pos)) occurrence per
+      // corpus fingerprint; probe = equi-join on the fingerprint
+      (s"WITH ${winnowCtesFor("c", "doc_id % 10 <> 0")}, " +
+        s"${winnowCtesFor("a", "doc_id % 10 = 0")}, " +
+        "idx AS (SELECT fp, doc_id AS dup_of, fpos AS dup_pos FROM " +
+        "(SELECT fp, doc_id, fpos, row_number() OVER (PARTITION BY fp ORDER BY doc_id, fpos) AS rn FROM cwfe) r WHERE rn = 1) " +
+        "SELECT a.doc_id AS new_id, CAST(a.doc_id AS BIGINT) AS arrival_ts, " +
+        "CAST(a.fpos AS BIGINT) AS fpos, i.dup_of, CAST(i.dup_pos AS BIGINT) AS dup_pos " +
+        "FROM awfe a JOIN idx i USING (fp)"),
+
     "text_window_dedup" ->
       // full replay: hash every 8-token window, rank occurrences by
       // (doc_id, wpos) per hash, rank>1 spans mark coverage, a token
@@ -5764,23 +5794,28 @@ object SparkEntry {
     * exact formulation the engine uses — array_position over the
     * reversed slice), short-doc whole-array window, list_distinct.
     * Ends at CTE `wfe` = (doc_id, n_windows, fpos, fp). */
-  private val winnowCtes: String = {
+  private val winnowCtes: String = winnowCtesFor("", "TRUE")
+
+  /** [[winnowCtes]] over a filtered doc subset with prefixed CTE
+    * names, so one oracle can instantiate it twice (corpus +
+    * arrivals — the incremental query). */
+  private def winnowCtesFor(p: String, where: String): String = {
     val k = WinnowK
     val w = WinnowW
-    s"wd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
-      s"wh AS (SELECT doc_id, CASE WHEN len(ws) >= $k THEN " +
+    s"${p}wd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE $where), " +
+      s"${p}wh AS (SELECT doc_id, CASE WHEN len(ws) >= $k THEN " +
       s"list_transform(range(0, len(ws) - ${k - 1}), i -> md5(array_to_string(list_slice(ws, i + 1, i + $k), ' '))) " +
-      "ELSE [] END AS hs FROM wd), " +
+      s"ELSE [] END AS hs FROM ${p}wd), " +
       // selections travel as 'fpos:fp' strings: this DuckDB's
       // list_distinct cannot histogram STRUCT lists (md5 hex has no
       // ':', so the encoding is unambiguous)
-      "wsel AS (SELECT doc_id, len(hs) AS n_windows, list_distinct(CASE " +
+      s"${p}wsel AS (SELECT doc_id, len(hs) AS n_windows, list_distinct(CASE " +
       s"WHEN len(hs) >= $w THEN list_transform(range(0, len(hs) - ${w - 1}), " +
       s"j -> CAST(j + $w - list_position(list_reverse(list_slice(hs, j + 1, j + $w)), list_min(list_slice(hs, j + 1, j + $w))) AS VARCHAR) || ':' || list_min(list_slice(hs, j + 1, j + $w))) " +
       "WHEN len(hs) >= 1 THEN [CAST(len(hs) - list_position(list_reverse(hs), list_min(hs)) AS VARCHAR) || ':' || list_min(hs)] " +
-      "ELSE [] END) AS fps FROM wh), " +
-      "wfu AS (SELECT doc_id, n_windows, unnest(fps) AS s FROM wsel), " +
-      "wfe AS (SELECT doc_id, n_windows, CAST(split_part(s, ':', 1) AS BIGINT) AS fpos, split_part(s, ':', 2) AS fp FROM wfu)"
+      s"ELSE [] END) AS fps FROM ${p}wh), " +
+      s"${p}wfu AS (SELECT doc_id, n_windows, unnest(fps) AS s FROM ${p}wsel), " +
+      s"${p}wfe AS (SELECT doc_id, n_windows, CAST(split_part(s, ':', 1) AS BIGINT) AS fpos, split_part(s, ':', 2) AS fp FROM ${p}wfu)"
   }
 
   /** Mirrors WordPiece.tokenize under the frozen vocabulary: a

@@ -1667,7 +1667,8 @@ object TextAnalysis {
     * shuffle. Output: (id, fpos, fp) — 0-based window position and
     * the selected hash, distinct per doc. */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
-      k: Int, w: Int, delim: String = " "): DataFrame = {
+      k: Int, w: Int, delim: String = " ",
+      keep: Seq[Column] = Nil): DataFrame = {
     require(k >= 2, "k-grams must span at least 2 tokens")
     require(w >= 1, "winnow window must hold at least 1 hash")
     val esc = java.util.regex.Pattern.quote(delim)
@@ -1684,11 +1685,12 @@ object TextAnalysis {
           j => winSel(j, lit(w))))
         .when(size(h) >= 1, array(winSel(lit(0), size(h))))
         .otherwise(array().cast("array<struct<fpos:int,fp:string>>"))
-    df.select(col(idCol), split(col(textCol), esc).as("__ws"))
-      .select(col(idCol), windowHashes(col("__ws"), k, delim).as("__h"))
-      .select(col(idCol), explode(array_distinct(sel)).as("__s"))
-      .select(col(idCol), col("__s.fpos").as("fpos"),
-        col("__s.fp").as("fp"))
+    val lead = col(idCol) +: keep
+    df.select(lead :+ split(col(textCol), esc).as("__ws"): _*)
+      .select(lead :+ windowHashes(col("__ws"), k, delim).as("__h"): _*)
+      .select(lead :+ explode(array_distinct(sel)).as("__s"): _*)
+      .select(lead :+ col("__s.fpos").as("fpos")
+        :+ col("__s.fp").as("fp"): _*)
   }
 
   /** MOSS-style candidate pairs from shared winnowed fingerprints:
@@ -1717,6 +1719,36 @@ object TextAnalysis {
       .groupBy(col("left_id"), col("right_id"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** The persistable WINNOWED fingerprint index — [[windowHashIndex]]
+    * at winnow granularity: one row per DISTINCT selected fingerprint
+    * with its canonical (lowest (doc, pos)) occurrence, at an
+    * expected 2/(w+1) of the full posting's rows while keeping the
+    * w+k−1 detection guarantee. The production containment-detection
+    * index (build once, persist, probe arrivals). */
+  def winnowIndex(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, delim: String = " "): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(col("fp"))
+      .orderBy(col(idCol), col("fpos"))
+    winnowFingerprints(df, idCol, textCol, k, w, delim)
+      .withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") === 1)
+      .select(col("fp"), col(idCol).as("corpus_id"),
+        col("fpos").as("corpus_pos"))
+  }
+
+  /** Advance a persisted [[winnowIndex]] with newly-admitted docs —
+    * the [[advanceWindowHashIndex]] contract verbatim: arrivals' own
+    * canonical fingerprints anti-joined against what the index owns,
+    * union in; idempotent; equals a rebuild over corpus ∪ arrivals
+    * under the reserved-id contract (spec-pinned). */
+  def advanceWinnowIndex(index: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String, k: Int, w: Int,
+      delim: String = " "): DataFrame =
+    index.unionByName(
+      winnowIndex(newDocs, idCol, textCol, k, w, delim)
+        .join(index.select(col("fp")), Seq("fp"), "left_anti"))
 
   /** The persistable window-hash index behind the INCREMENTAL form of
     * [[dedupTokenWindows]] — one row per DISTINCT window hash with its

@@ -521,6 +521,25 @@ object StreamOps {
         col("corpus_pos").as("dup_pos"))
   }
 
+  /** Winnowed-fingerprint arrival probe — incrementalWindowDupFlags
+    * at winnow granularity: arrivals fingerprint themselves with the
+    * same per-row selection the index was built with (pure expression
+    * tree — stream-legal as-is) and equi-join the persisted
+    * TextAnalysis.winnowIndex on the fingerprint. One row per matched
+    * fingerprint occurrence: (new_id, tsCol, fpos, dup_of, dup_pos) —
+    * the MOSS containment signal per arrival at ~2/(w+1) the probe
+    * volume of the full window-hash path. `k`/`w`/`delim` MUST match
+    * the index build. */
+  def incrementalWinnowDupFlags(stream: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, tsCol: String, k: Int, w: Int,
+      delim: String = " "): DataFrame =
+    graft.operators.TextAnalysis
+      .winnowFingerprints(stream, idCol, textCol, k, w, delim,
+        keep = Seq(col(tsCol)))
+      .join(index, Seq("fp"))
+      .select(col(idCol).as("new_id"), col(tsCol), col("fpos"),
+        col("corpus_id").as("dup_of"), col("corpus_pos").as("dup_pos"))
+
   /** Streaming heavy hitters — the advance-loop form of
     * Relational.heavyHittersSketch, possible because Misra-Gries
     * summaries merge associatively: per micro-batch, sketch the batch

@@ -628,6 +628,40 @@ class TextAnalysisSpec extends SparkSpec {
       "uncapped: every boiler pair present via the shared prefix")
   }
 
+  test("winnowIndex: canonical per fingerprint; advance equals " +
+      "rebuild under the reserved-id contract and is idempotent") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val arrivals = Seq(
+      (11L, "alpha beta gamma delta epsilon zeta nine ten"),
+      (12L, "fresh words only here nothing shared at all"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getInt(2))).toSet
+    val idx = TextAnalysis.winnowIndex(corpus, "doc_id", "text", 3, 4)
+    // one row per distinct fp
+    val fps = idx.select("fp").collect().map(_.getString(0))
+    assert(fps.length === fps.distinct.length)
+    val advanced = TextAnalysis.advanceWinnowIndex(idx, arrivals,
+      "doc_id", "text", 3, 4)
+    val rebuilt = TextAnalysis.winnowIndex(corpus.unionByName(arrivals),
+      "doc_id", "text", 3, 4)
+    assert(rows(advanced) === rows(rebuilt), "advance == rebuild")
+    // idempotent: re-advancing the same batch changes nothing
+    assert(rows(TextAnalysis.advanceWinnowIndex(advanced, arrivals,
+      "doc_id", "text", 3, 4)) === rows(advanced))
+    // the shared 6-token run's fingerprint stayed canonical at doc 1
+    val probe = graft.streaming.StreamOps.incrementalWinnowDupFlags(
+      arrivals.withColumn("ts", col("doc_id")), idx,
+      "doc_id", "text", "ts", 3, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(probe.nonEmpty && probe.forall(_ == ((11L, 1L))),
+      "only the sharing arrival flags, against corpus doc 1")
+  }
+
   test("pplBuckets: per-group terciles split head/middle/tail " +
       "evenly and never mix orders; cuts are group-local") {
     val scored = ((1 to 9).map(i => (i.toLong, "en", i.toDouble)) ++
