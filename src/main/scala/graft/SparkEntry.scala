@@ -248,6 +248,11 @@ object SparkEntry {
   val WinnowK = 3
   val WinnowW = 4
   val WinnowMaxBucket = 64
+  /** KMV sketch size (rel_kmv_custkeys / rel_kmv_overlap): k = 64
+    * (~13% relative error) — small enough that the ~130-distinct
+    * groups at sf0.001 already overflow it, so the ESTIMATOR branch
+    * (not the exact-small-set branch) is exercised at every SF. */
+  val KmvK = 64
   /** Label-noise margin (text_label_noise): a confident disagreement
     * is |log-odds| > 1 against the given label (odds beyond e:1). */
   val NoiseMargin = 1.0
@@ -2879,6 +2884,31 @@ object SparkEntry {
           .join(labeled.select(col("doc_id"), col("keep")), "doc_id"),
         col("log_odds"), col("keep"), NoiseMargin)
     }),
+
+    // --- KMV distinct sketches (deterministic, mergeable,
+    //     intersection-capable — the sketch family HLL cannot
+    //     hash-gate) ---
+    "rel_kmv_custkeys" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val sk = Sketches.kmvSketch(orders, Seq("o_orderpriority"),
+        col("o_custkey"), KmvK)
+      val ex = orders.groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      sk.join(ex, "o_orderpriority")
+        .select(col("o_orderpriority"), col("n_exact"),
+          size(col("kmv")).cast("long").as("n_kmv"),
+          Sketches.kmvEstimate(col("kmv"), KmvK).as("d_est"))
+        .withColumn("rel_err",
+          (col("d_est") - col("n_exact").cast("double")) /
+            col("n_exact").cast("double"))
+    }),
+    "rel_kmv_overlap" -> ((s, d) =>
+      // pairwise distinct-customer overlap between order priorities —
+      // the intersection estimate HLL structurally cannot produce
+      Sketches.kmvOverlap(
+        Sketches.kmvSketch(t(s, d, "orders"), Seq("o_orderpriority"),
+          col("o_custkey"), KmvK),
+        "o_orderpriority", KmvK)),
 
     // --- robust (median/MAD) per-group outliers ---
     "rel_mad_outliers" -> ((s, d) =>
@@ -5647,6 +5677,34 @@ object SparkEntry {
         "FROM j WHERE (keep AND log_odds < -" + NoiseMargin +
         ") OR (NOT keep AND log_odds > " + NoiseMargin + ")"),
 
+    "rel_kmv_custkeys" ->
+      // KMV replay: 60-bit md5-prefix hashes of the distinct values,
+      // per-group min-k via a partitioned rank, (k−1)·2^60/h_k with
+      // 2^60 planted through a BIGINT cast (never a 19-digit decimal
+      // literal), raw doubles end to end
+      (s"WITH $kmvCtes, " +
+        "km AS (SELECT g, CAST(count(*) AS BIGINT) AS n_kmv, max(h) AS hk FROM kmk GROUP BY g), " +
+        "ex AS (SELECT o_orderpriority AS g, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact FROM orders GROUP BY 1), " +
+        s"sel AS (SELECT g, n_exact, n_kmv, CASE WHEN n_kmv < $KmvK THEN CAST(n_kmv AS DOUBLE) " +
+        s"ELSE (CAST(${KmvK - 1} AS DOUBLE) * CAST(CAST(1152921504606846976 AS BIGINT) AS DOUBLE)) / CAST(hk AS DOUBLE) END AS d_est " +
+        "FROM km JOIN ex USING (g)) " +
+        "SELECT g AS o_orderpriority, n_exact, n_kmv, d_est, " +
+        "(d_est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err FROM sel"),
+
+    "rel_kmv_overlap" ->
+      (s"WITH $kmvCtes, " +
+        "ar AS (SELECT g, list(h ORDER BY h) AS kmv FROM kmk GROUP BY g), " +
+        "pr AS (SELECT a.g AS g_a, b.g AS g_b, a.kmv AS ka, b.kmv AS kb FROM ar a JOIN ar b ON a.g < b.g), " +
+        s"c AS (SELECT g_a, g_b, ka, kb, list_slice(list_sort(list_distinct(list_concat(ka, kb))), 1, $KmvK) AS m FROM pr), " +
+        "s2 AS (SELECT g_a, g_b, CAST(len(ka) AS BIGINT) AS n_a, CAST(len(kb) AS BIGINT) AS n_b, " +
+        "CAST(len(list_intersect(list_intersect(m, ka), kb)) AS BIGINT) AS shared_k, " +
+        s"least($KmvK, len(m)) AS l, m, " +
+        s"CASE WHEN len(m) < $KmvK THEN CAST(len(m) AS DOUBLE) " +
+        s"ELSE (CAST(${KmvK - 1} AS DOUBLE) * CAST(CAST(1152921504606846976 AS BIGINT) AS DOUBLE)) / CAST(m[$KmvK] AS DOUBLE) END AS union_est FROM c) " +
+        "SELECT g_a, g_b, n_a, n_b, shared_k, " +
+        "CAST(shared_k AS DOUBLE) / CAST(l AS DOUBLE) AS jaccard_est, union_est, " +
+        "(CAST(shared_k AS DOUBLE) / CAST(l AS DOUBLE)) * union_est AS inter_est FROM s2"),
+
     "rel_mad_outliers" ->
       ("WITH m AS (SELECT o_orderpriority AS g, round(quantile_cont(o_totalprice, 0.5), 4) AS med FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1), " +
         "w AS (SELECT o.o_orderpriority AS g, o.o_orderkey, o.o_totalprice, m.med, abs(CAST(o.o_totalprice AS DOUBLE) - m.med) AS ad " +
@@ -5794,6 +5852,15 @@ object SparkEntry {
     * exact formulation the engine uses — array_position over the
     * reversed slice), short-doc whole-array window, list_distinct.
     * Ends at CTE `wfe` = (doc_id, n_windows, fpos, fp). */
+  /** Shared KMV CTEs: distinct (priority, 60-bit custkey hash) +
+    * per-group min-k rows (the kmvSketch replay). Ends at CTE `kmk`
+    * = (g, h) with rank ≤ KmvK. */
+  private def kmvCtes: String =
+    "kh AS (SELECT DISTINCT o_orderpriority AS g, " +
+      "CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h FROM orders), " +
+      "kmk AS (SELECT g, h FROM (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM kh) r " +
+      s"WHERE rn <= $KmvK)"
+
   private val winnowCtes: String = winnowCtesFor("", "TRUE")
 
   /** [[winnowCtes]] over a filtered doc subset with prefixed CTE

@@ -61,6 +61,110 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** 2^60 — the KMV hash-space size, exactly representable as a
+    * double (a power of two), planted via a BIGINT cast on both
+    * engines (never a >16-digit decimal literal — the DuckDB
+    * decimal→double double-rounding hazard). */
+  val KmvSpace = 1152921504606846976L
+
+  private def kmvHash(value: Column): Column =
+    conv(substring(md5(value.cast("string")), 1, 15), 16, 10)
+      .cast("long")
+
+  /** K-minimum-values distinct sketch (Bar-Yossef et al. 2002; the
+    * Theta/KMV family DataSketches builds on) — the DETERMINISTIC
+    * distinct counter: per group keep the k smallest 60-bit md5-prefix
+    * hashes of the distinct values. Unlike HLL (whose HIP estimate is
+    * presentation-order-dependent — the profileShard caveat), a KMV
+    * sketch and its estimate are pure functions of the value SET:
+    * bit-identical across engines, partitionings and arrival orders,
+    * so the whole sketch pipeline is DuckDB-hash-gateable, and unlike
+    * HLL it supports set INTERSECTION estimates ([[kmvOverlap]]).
+    * Error ~1/√(k−2) relative; k·8 bytes per group. Two values
+    * colliding on the 60-bit prefix fold into one (P ≈ pairs·2⁻⁶⁰ —
+    * negligible, documented).
+    *
+    * Plan shape: one distinct-hash projection, one per-group min-k
+    * (rank window PARTITIONED by the group), one bounded collect_list
+    * (≤ k rows per group). Output: (groupCols*, kmv sorted-ascending
+    * array<long>, |kmv| ≤ k). */
+  def kmvSketch(df: DataFrame, groupCols: Seq[String], value: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, s"kmvSketch: k >= 2, got $k")
+    require(groupCols.nonEmpty, "kmvSketch: need group columns")
+    val hashed = df
+      .select(groupCols.map(col) :+ kmvHash(value).as("__h"): _*)
+      .distinct()
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("__h"))
+    hashed.withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") <= k)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(col("__h"))).as("kmv"))
+  }
+
+  /** The KMV distinct estimate of a sketch array: exact |kmv| when
+    * the sketch never filled (fewer distincts than k), else the
+    * classic (k−1)/θ with θ = kmv[k]/2^60. Every op is an
+    * exactly-rounded IEEE op on exactly-representable inputs —
+    * engine-replayable raw, no rounding needed. */
+  def kmvEstimate(kmv: Column, k: Int): Column =
+    when(size(kmv) < k, size(kmv).cast("double"))
+      .otherwise((lit((k - 1).toDouble) * lit(KmvSpace).cast("double")) /
+        element_at(kmv, k).cast("double"))
+
+  /** Merge KMV sketches to a coarser grouping WITHOUT re-reading
+    * data: union the hash arrays, re-take the k smallest — the
+    * mergeProfileShards pattern with a deterministic artifact.
+    * Associative and commutative (spec-pinned ≡ a direct sketch of
+    * the union). */
+  def kmvMerge(sketches: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("__h"))
+    sketches
+      .select(groupCols.map(col) :+ explode(col("kmv")).as("__h"): _*)
+      .distinct()
+      .withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") <= k)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(col("__h"))).as("kmv"))
+  }
+
+  /** Pairwise set-overlap estimates between the groups of a
+    * [[kmvSketch]] frame — the query HLL structurally cannot answer
+    * (HLL unions; it never intersects). For each group pair the
+    * merged sketch is the k smallest of the two arrays' union (a
+    * per-row array op — sketches are k-bounded), L = |merged|,
+    * shared = |merged ∩ A ∩ B|: jaccard_est = shared/L,
+    * union_est = the merged sketch's [[kmvEstimate]], and
+    * intersection_est = jaccard_est · union_est (Beyer et al.'s
+    * unbiased composition). Output: (g_a, g_b, n_a, n_b, shared_k,
+    * jaccard_est, union_est, inter_est) for every unordered pair. */
+  def kmvOverlap(sketches: DataFrame, groupCol: String,
+      k: Int): DataFrame = {
+    val a = sketches.select(col(groupCol).as("g_a"),
+      col("kmv").as("__ka"))
+    val b = sketches.select(col(groupCol).as("g_b"),
+      col("kmv").as("__kb"))
+    val merged = slice(array_sort(array_union(col("__ka"), col("__kb"))),
+      1, k)
+    a.join(b, col("g_a") < col("g_b"))
+      .withColumn("__m", merged)
+      .withColumn("__l", least(lit(k), size(col("__m"))))
+      .withColumn("__sh", size(array_intersect(
+        array_intersect(col("__m"), col("__ka")), col("__kb"))))
+      .select(col("g_a"), col("g_b"),
+        size(col("__ka")).cast("long").as("n_a"),
+        size(col("__kb")).cast("long").as("n_b"),
+        col("__sh").cast("long").as("shared_k"),
+        (col("__sh").cast("double") / col("__l").cast("double"))
+          .as("jaccard_est"),
+        kmvEstimate(col("__m"), k).as("union_est"),
+        ((col("__sh").cast("double") / col("__l").cast("double")) *
+          kmvEstimate(col("__m"), k)).as("inter_est"))
+  }
+
   /** Point-frequency estimates for `probes` (a bounded key frame)
     * against a built sketch: est(k) = min_r sketch[r][h_r(k)] — an
     * upper bound on the true count, within ε·N (ε ≈ e/width) with

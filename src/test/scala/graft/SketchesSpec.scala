@@ -63,6 +63,65 @@ class SketchesSpec extends SparkSpec {
     assert(m == d)
   }
 
+  private def vals(rows: Seq[(String, Long)]) = {
+    import spark.implicits._
+    rows.toDF("g", "v")
+  }
+
+  test("kmv: exact below k, deterministic across partitionings and " +
+      "duplicate arrivals; estimator lands inside the error bound") {
+    import spark.implicits._
+    val small = vals(Seq.tabulate(40)(i => ("a", i.toLong)))
+    val sk = Sketches.kmvSketch(small, Seq("g"), col("v"), k = 64)
+    val est = sk.select(Sketches.kmvEstimate(col("kmv"), 64))
+      .as[Double].head()
+    assert(est === 40.0, "below k the sketch IS the exact count")
+    // duplicates and partitioning must not move the sketch
+    val big = vals(Seq.tabulate(2000)(i => ("a", i.toLong)))
+    val s1 = Sketches.kmvSketch(big, Seq("g"), col("v"), 64)
+      .select("kmv").as[Seq[Long]].head()
+    val s2 = Sketches.kmvSketch(
+        big.unionByName(big).repartition(13), Seq("g"), col("v"), 64)
+      .select("kmv").as[Seq[Long]].head()
+    assert(s1 === s2, "pure function of the value SET")
+    val e = (63.0 * Sketches.KmvSpace.toDouble) / s1(63).toDouble
+    assert(math.abs(e - 2000.0) / 2000.0 < 0.4,
+      s"estimate $e outside the 3-sigma band around 2000")
+  }
+
+  test("kmv: merge of per-shard sketches equals the direct sketch " +
+      "of the union") {
+    import spark.implicits._
+    val a = vals(Seq.tabulate(900)(i => ("g1", i.toLong)))
+    val b = vals(Seq.tabulate(900)(i => ("g1", (i + 450).toLong)))
+    val merged = Sketches.kmvMerge(
+      Sketches.kmvSketch(a, Seq("g"), col("v"), 64)
+        .unionByName(Sketches.kmvSketch(b, Seq("g"), col("v"), 64)),
+      Seq("g"), 64).select("kmv").as[Seq[Long]].head()
+    val direct = Sketches.kmvSketch(a.unionByName(b), Seq("g"),
+      col("v"), 64).select("kmv").as[Seq[Long]].head()
+    assert(merged === direct)
+  }
+
+  test("kmv overlap: identical sets score jaccard exactly 1, " +
+      "disjoint exactly 0, half-overlap lands near 1/3") {
+    import spark.implicits._
+    val rows = Seq.tabulate(1000)(i => ("p", i.toLong)) ++
+      Seq.tabulate(1000)(i => ("q", i.toLong)) ++ // identical to p
+      Seq.tabulate(1000)(i => ("r", (i + 500).toLong)) ++ // half of p
+      Seq.tabulate(1000)(i => ("z", (i + 100000).toLong)) // disjoint
+    val sk = Sketches.kmvSketch(vals(rows), Seq("g"), col("v"), 64)
+    val out = Sketches.kmvOverlap(sk, "g", 64)
+      .select("g_a", "g_b", "jaccard_est", "inter_est")
+      .as[(String, String, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out(("p", "q"))._1 === 1.0, "identical sets: exact 1")
+    assert(out(("p", "z"))._1 === 0.0, "disjoint sets: exact 0")
+    val (jpr, ipr) = out(("p", "r"))
+    assert(math.abs(jpr - 1.0 / 3) < 0.15, s"jaccard $jpr vs 1/3")
+    assert(math.abs(ipr - 500.0) / 500.0 < 0.5, s"intersection $ipr vs 500")
+  }
+
   test("cms: build rejects degenerate parameters") {
     intercept[IllegalArgumentException] {
       Sketches.cmsBuild(keys(1L), "k", width = 1)
