@@ -188,6 +188,23 @@ object Unigram {
     } finally words.unpersist()
   }
 
+  /** The fitted piece table as its persistable artifact (the
+    * bpeMergesToDf convention): write once after [[fitUnigram]], read
+    * back with [[piecesFromDf]] wherever arrivals tokenize. */
+  def piecesToDf(spark: org.apache.spark.sql.SparkSession,
+      pieces: Seq[Piece]): DataFrame =
+    spark.createDataFrame(pieces)
+
+  /** Rehydrate a [[piecesToDf]] table (e.g. off parquet) into the
+    * (piece asc)-sorted table every scorer takes — the sort
+    * re-canonicalizes whatever row order parquet round-tripping
+    * produced, so fit → persist → reload → tokenize is bit-equal to
+    * fit → tokenize. */
+  def piecesFromDf(df: DataFrame): Seq[Piece] =
+    df.select(col("piece"), col("logp")).collect()
+      .map(r => Piece(r.getString(0), r.getDouble(1)))
+      .sortBy(_.piece).toSeq
+
   /** Deterministic piece→id vocabulary of a piece table: ids are the
     * 0-based rank in (piece asc) order — stable under refits that keep
     * the same piece set, engine-replayable (no hash order anywhere). */

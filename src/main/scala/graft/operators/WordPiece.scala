@@ -161,6 +161,24 @@ object WordPiece {
     } finally Checkpoints.releaseIntermediate(words)
   }
 
+  /** The fitted vocabulary as its persistable artifact (the
+    * bpeMergesToDf convention) — inference is merge-free, so the
+    * vocab IS the whole deployable tokenizer: one (id, piece) row per
+    * entry, ids the [[vocabulary]] ranks. */
+  def vocabToDf(spark: org.apache.spark.sql.SparkSession,
+      vocab: Seq[String]): DataFrame = {
+    import spark.implicits._
+    vocabulary(vocab).toSeq.sortBy(_._2)
+      .map { case (p, i) => (i, p) }.toDF("id", "piece")
+  }
+
+  /** Rehydrate a [[vocabToDf]] table (e.g. off parquet) into the
+    * sorted piece list [[tokenize]]/[[encodeIds]] take — persist →
+    * reload → tokenize is bit-equal to fit → tokenize. */
+  def vocabFromDf(df: DataFrame): Seq[String] =
+    df.select(col("piece")).collect().map(_.getString(0))
+      .toSeq.sorted
+
   /** Greedy longest-match segmentation of one word under a vocabulary
     * set — the BERT WordPiece inference algorithm, shared by
     * [[tokenize]] and the specs so they can never disagree. At each

@@ -49,6 +49,25 @@ class UnigramSpec extends SparkSpec {
     (2L, "low lower newest newest widest"),
     (3L, "low newest widest widest")).toDF("doc_id", "text")
 
+  test("pieces parquet round-trip: persist -> reload -> tokenize is " +
+      "bit-equal to fit -> tokenize") {
+    val pieces = Unigram.fitUnigram(corpus, "text", vocabSize = 30,
+      maxPieceLen = 4, rounds = 2, seedSize = 60)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_uni_pieces").toString
+    Unigram.piecesToDf(spark, pieces).write.mode("overwrite")
+      .parquet(dir)
+    val back = Unigram.piecesFromDf(spark.read.parquet(dir))
+    assert(back === pieces)
+    val a = Unigram.tokenize(corpus, "doc_id", "text", pieces, 4)
+      .select("doc_id", "pieces_sig").collect().map(r =>
+        (r.getLong(0), r.getString(1))).toSet
+    val b = Unigram.tokenize(corpus, "doc_id", "text", back, 4)
+      .select("doc_id", "pieces_sig").collect().map(r =>
+        (r.getLong(0), r.getString(1))).toSet
+    assert(a === b)
+  }
+
   test("fitUnigram: deterministic, single-char coverage, frequent " +
       "substrings survive pruning") {
     val a = Unigram.fitUnigram(corpus, "text", vocabSize = 30,

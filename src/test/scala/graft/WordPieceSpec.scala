@@ -167,6 +167,24 @@ class WordPieceSpec extends SparkSpec {
     }
   }
 
+  test("vocab parquet round-trip: persist -> reload -> tokenize is " +
+      "bit-equal to fit -> tokenize") {
+    val m = WordPiece.fitWordPiece(corpus, "text", numMerges = 6)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_wp_vocab").toString
+    WordPiece.vocabToDf(spark, m.vocab).write.mode("overwrite")
+      .parquet(dir)
+    val back = WordPiece.vocabFromDf(spark.read.parquet(dir))
+    assert(back === m.vocab)
+    val a = WordPiece.tokenize(corpus, "doc_id", "text", m.vocab)
+      .select("doc_id", "pieces_sig").collect().map(r =>
+        (r.getLong(0), r.getString(1))).toSet
+    val b = WordPiece.tokenize(corpus, "doc_id", "text", back)
+      .select("doc_id", "pieces_sig").collect().map(r =>
+        (r.getLong(0), r.getString(1))).toSet
+    assert(a === b)
+  }
+
   // --- pairScores (the oracle-facing round-1 statistics) ---
 
   test("pairScores: hand-checked counts and scores on the toy corpus") {
