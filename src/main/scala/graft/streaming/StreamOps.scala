@@ -629,6 +629,71 @@ object StreamOps {
         ()
     }.start()
 
+  /** Streaming KMV distinct sketches — the advance-loop form of
+    * Sketches.kmvSketch, possible because KMV sketches are pure SET
+    * functions (union + re-min-k is associative AND the merged sketch
+    * is bit-identical to a direct sketch of the union — stronger than
+    * the MG summaries' bracket): per micro-batch, sketch the batch,
+    * kmvMerge it into the running state persisted at `stateDir`, and
+    * hand (groups, n_kmv, d_est) to `sink` stamped with the batch id.
+    * After ANY prefix of batches the state EQUALS the one-shot sketch
+    * of the prefix's union (spec-pinned array equality, not just
+    * estimate agreement), so distinct-count dashboards never drift
+    * from their batch recomputation.
+    *
+    * Replay-safety and the run-id guard are the heavyHittersBatches
+    * contract verbatim: state rows carry (last_batch, run_id); a
+    * re-delivered batch skips the merge and re-emits from unchanged
+    * state; a fresh query pointed at survivor state fails loudly. */
+  def kmvBatches(stream: DataFrame, groupCols: Seq[String],
+      valueCol: String, k: Int, stateDir: String, runId: String)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val S = graft.operators.Sketches
+        val statePath = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = statePath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val prev =
+          if (fs.exists(statePath)) Some(spark.read.parquet(stateDir))
+          else None
+        prev.filter(p => !p.limit(1).isEmpty).foreach { p =>
+          val stored = p.select(col("run_id")).head().getString(0)
+          if (stored != runId) throw new IllegalStateException(
+            s"kmv state at $stateDir belongs to run '$stored', not " +
+              s"'$runId': wipe the state dir for a new query, or " +
+              "resume with the original runId")
+        }
+        val alreadyApplied = prev.exists(p =>
+          !p.limit(1).isEmpty &&
+            p.agg(max(col("last_batch"))).head().getLong(0) >= batchId)
+        val merged =
+          if (alreadyApplied) prev.get.drop("last_batch", "run_id")
+          else {
+            val batchSk = S.kmvSketch(batch, groupCols, col(valueCol), k)
+            prev match {
+              case Some(p) => S.kmvMerge(
+                p.drop("last_batch", "run_id").unionByName(batchSk),
+                groupCols, k)
+              case None => batchSk
+            }
+          }
+        val pinned = merged.withColumn("last_batch", lit(batchId))
+          .withColumn("run_id", lit(runId))
+          .localCheckpoint(true)
+        try {
+          pinned.write.mode("overwrite").parquet(stateDir)
+          sink(pinned.drop("last_batch", "run_id")
+            .select(groupCols.map(col) :+
+              size(col("kmv")).cast("long").as("n_kmv") :+
+              S.kmvEstimate(col("kmv"), k).as("d_est"): _*)
+            .withColumn("batch_id", lit(batchId)), batchId)
+        } finally graft.operators.Checkpoints.releaseIntermediate(pinned)
+        ()
+    }.start()
+
   /** One reservoir item: the (priority, id, weight) triple the
     * streaming sampler keeps per kept row. */
   case class ReservoirItem(p: Double, id: Long, w: Double)

@@ -52,6 +52,25 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(800))
   }
 
+  test("winnow fingerprint selection is exchange-free until the " +
+      "aggregate (pure per-row expression tree)") {
+    // the SELECTION itself (hash array -> per-window rightmost min ->
+    // distinct -> explode) must never shuffle: winnowFingerprints'
+    // whole plan is scan -> project -> generate
+    import graft.operators.TextAnalysis
+    val plan = TextAnalysis.winnowFingerprints(
+        Tables(spark, sf, "documents"), "doc_id", "text",
+        SparkEntry.WinnowK, SparkEntry.WinnowW)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+    // the pair query shuffles exactly where it should: on the
+    // fingerprint blocking key and the pair aggregate, never a sort
+    // -merge self-join of raw docs
+    val pairs = planOf("dedup_winnow_pairs")
+    assert(!pairs.contains("CartesianProduct") &&
+      !pairs.contains("SortMergeJoin"), pairs.take(800))
+  }
+
   test("boilerplate removal broadcasts the frequent-line table") {
     val plan = planOf("text_boilerplate")
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),

@@ -995,6 +995,58 @@ class StreamingSpec extends SparkSpec {
     assert(batch(10L) === "quiz intro answer paris")
   }
 
+  test("kmvBatches: streamed state is BIT-EQUAL to the one-shot " +
+      "sketch of the arrival union; replay guard refuses a foreign " +
+      "run id") {
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_kmv_state").toString
+    def evts(users: Range): Seq[TestEvt] = users.map(u =>
+      TestEvt(u.toLong, ts("2024-01-01 00:00:00"), "click", 1.0)).toSeq
+    val b1 = evts(0 until 300)
+    val b2 = evts(150 until 500) // overlaps b1 — set semantics matter
+    val results = scala.collection.mutable.Map.empty[Long,
+      Array[(String, Long, Double)]]
+    val in = MemoryStream[TestEvt]
+    val q = StreamOps.kmvBatches(in.toDF(), Seq("event_type"),
+      "user_id", k = 64, s"$base/state", runId = "run-k") { (res, id) =>
+      results(id) = res.select("event_type", "n_kmv", "d_est")
+        .as[(String, Long, Double)].collect()
+    }
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(results.keySet === Set(0L, 1L))
+    // the persisted state's arrays equal a direct sketch of the union
+    val state = spark.read.parquet(s"$base/state")
+      .select("event_type", "kmv")
+      .as[(String, Seq[Long])].collect().toMap
+    val direct = graft.operators.Sketches.kmvSketch((b1 ++ b2).toDF(),
+        Seq("event_type"), col("user_id"), 64)
+      .select("event_type", "kmv")
+      .as[(String, Seq[Long])].collect().toMap
+    assert(state.view.mapValues(_.toList).toMap ===
+      direct.view.mapValues(_.toList).toMap, "set function: bit-equal")
+    // and the emitted estimate matches the batch estimate
+    val batchEst = graft.operators.Sketches.kmvSketch((b1 ++ b2).toDF(),
+        Seq("event_type"), col("user_id"), 64)
+      .select(col("event_type"), graft.operators.Sketches.kmvEstimate(col("kmv"), 64))
+      .as[(String, Double)].collect().toMap
+    results(1L).foreach { case (g, _, est) =>
+      assert(est === batchEst(g)) }
+    // a new query against the survivor state must fail loudly
+    val in2 = MemoryStream[TestEvt]
+    val q2 = StreamOps.kmvBatches(in2.toDF(), Seq("event_type"),
+      "user_id", k = 64, s"$base/state", runId = "other") { (_, _) => () }
+    try {
+      in2.addData(b1: _*)
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+    } finally q2.stop()
+  }
+
   test("heavyHittersBatches (uncompacted): streamed result == batch " +
       "sketch over the union of arrivals") {
     implicit val ctx = spark.sqlContext
