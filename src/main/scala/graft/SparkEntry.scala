@@ -1691,6 +1691,16 @@ object SparkEntry {
           docs.filter(col("doc_id") % 2 === 0), "text"),
         "doc_id", "text")
     }),
+    "text_self_info_kn3" -> ((s, d) => {
+      // the trigram rung of interpolated KN (continuation counts at
+      // every lower order — the form production LMs shipped): same
+      // even-half frozen-model fixture; both backoff depths fire
+      val docs = t(s, d, "documents")
+      TextAnalysis.scoreAgainstKn3ModelPortable(docs,
+        TextAnalysis.kneserNeyTrigramModel(
+          docs.filter(col("doc_id") % 2 === 0), "text"),
+        "doc_id", "text")
+    }),
     "text_gopher" -> ((s, d) =>
       // thresholds chosen to BISECT this corpus (words 10-99 median 56,
       // mean word len 3.7-5.3) so both keep outcomes are exercised
@@ -4071,6 +4081,41 @@ object SparkEntry {
         "CAST(sum(ni) AS BIGINT) AS n_interp, " +
         "round(list_aggregate(list_sort(list(- ln(p))), 'sum') / count(*), 4) AS self_info_kn " +
         "FROM sc GROUP BY doc_id"),
+    "text_self_info_kn3" ->
+      // trigram interpolated KN replayed: raw counts at the top
+      // order, continuation counts below (all exact integers), the
+      // P2-inside-P3 dag mirrored with P2 as a named subquery column
+      (s"WITH base AS (SELECT doc_id, regexp_extract_all($normSql, '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS ts FROM documents), " +
+        "fbase AS (SELECT ts FROM base WHERE doc_id % 2 = 0), " +
+        "tri AS (SELECT doc_id, ts[i] AS v, ts[i + 1] AS u, ts[i + 2] AS w FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM base) t), " +
+        "ftri AS (SELECT ts[i] AS v, ts[i + 1] AS u, ts[i + 2] AS w FROM (SELECT ts, unnest(range(1, len(ts) - 1)) AS i FROM fbase) t), " +
+        "t3 AS (SELECT v, u, w, CAST(count(*) AS BIGINT) AS c3 FROM ftri GROUP BY 1, 2, 3), " +
+        "c3 AS (SELECT v, u, CAST(sum(c3) AS BIGINT) AS c3tot, CAST(count(*) AS BIGINT) AS n13 FROM t3 GROUP BY 1, 2), " +
+        "n2 AS (SELECT u, w, CAST(count(*) AS BIGINT) AS n1cuw FROM t3 GROUP BY 1, 2), " +
+        "u2 AS (SELECT u, CAST(sum(n1cuw) AS BIGINT) AS n1cusum, CAST(count(*) AS BIGINT) AS n1ud FROM n2 GROUP BY u), " +
+        "fbi AS (SELECT DISTINCT ts[i] AS u, ts[i + 1] AS w FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM fbase) t), " +
+        "c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS n1w FROM fbi GROUP BY 1), " +
+        "tt AS (SELECT CAST(count(*) AS BIGINT) AS n1tot FROM fbi), " +
+        "sc AS (SELECT b.doc_id, " +
+        "CASE WHEN x.n1cusum IS NULL THEN CAST(o.n1w AS DOUBLE) / CAST(t.n1tot AS DOUBLE) " +
+        "ELSE (greatest(CAST(coalesce(n.n1cuw, 0) AS DOUBLE) - 0.75, 0.0) + " +
+        "(0.75 * CAST(x.n1ud AS DOUBLE)) * (CAST(o.n1w AS DOUBLE) / CAST(t.n1tot AS DOUBLE))) / CAST(x.n1cusum AS DOUBLE) END AS p2, " +
+        "g.c3tot, g.n13, y.c3 AS c3w, x.n1cusum " +
+        "FROM tri b JOIN c1 o ON b.w = o.w CROSS JOIN tt t " +
+        "LEFT JOIN u2 x ON b.u = x.u " +
+        "LEFT JOIN n2 n ON b.u = n.u AND b.w = n.w " +
+        "LEFT JOIN c3 g ON b.v = g.v AND b.u = g.u " +
+        "LEFT JOIN t3 y ON b.v = y.v AND b.u = y.u AND b.w = y.w), " +
+        "sc2 AS (SELECT doc_id, " +
+        "CASE WHEN c3tot IS NULL THEN p2 " +
+        "ELSE (greatest(CAST(coalesce(c3w, 0) AS DOUBLE) - 0.75, 0.0) + " +
+        "(0.75 * CAST(n13 AS DOUBLE)) * p2) / CAST(c3tot AS DOUBLE) END AS p3, " +
+        "CASE WHEN c3tot IS NULL THEN 1 ELSE 0 END AS b3, " +
+        "CASE WHEN n1cusum IS NULL THEN 1 ELSE 0 END AS b2 FROM sc) " +
+        "SELECT doc_id, count(*) AS n_ngrams, CAST(sum(b3) AS BIGINT) AS n_ctx3_unseen, " +
+        "CAST(sum(b2) AS BIGINT) AS n_ctx2_unseen, " +
+        "round(list_aggregate(list_sort(list(- ln(p3))), 'sum') / count(*), 4) AS self_info_kn3 " +
+        "FROM sc2 GROUP BY doc_id"),
     "text_vocab" ->
       (s"WITH tok AS (SELECT unnest(regexp_extract_all($normSql, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS token FROM documents), " +
         "f AS (SELECT token, count(*) AS n_occurrences FROM tok GROUP BY 1) " +

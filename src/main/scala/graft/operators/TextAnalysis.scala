@@ -709,6 +709,149 @@ object TextAnalysis {
     selfInfoAgg(df, idCol, textCol, (info, n) =>
       aggregate(sort_array(collect_list(info)), lit(0.0), _ + _) / n)
 
+  /** Trigram position rows — (keep..., __v, __u, __w): like
+    * [[ngramRows]] at n = 3 but with the two context tokens SEPARATE
+    * (the KN recursion backs off through (v,u) → u → ∅ and needs u
+    * alone for the mid-order joins). Docs under 3 tokens emit
+    * nothing. */
+  private def triRows(df: DataFrame, textCol: String,
+      keep: Column*): DataFrame = {
+    val ts = col("__ts")
+    val tri = when(size(ts) >= 3,
+      transform(sequence(lit(1), size(ts) - 2),
+        i => struct(element_at(ts, i).as("v"),
+          element_at(ts, i + 1).as("u"),
+          element_at(ts, i + 2).as("w"))))
+    df.select((keep :+ TextFns.bpeishTokens(col(textCol)).as("__ts")): _*)
+      .select((keep :+ explode(tri).as("__t")): _*)
+      .select((keep :+ col("__t.v").as("__v") :+ col("__t.u").as("__u")
+        :+ col("__t.w").as("__w")): _*)
+  }
+
+  /** The persistable INTERPOLATED KNESER-NEY TRIGRAM bundle — the
+    * full production form of [[kneserNeyModel]]: the top order uses
+    * raw trigram counts; every LOWER order uses CONTINUATION counts
+    * (how many distinct contexts an event completes, not how often it
+    * occurs — Chen & Goodman 1998 eq. 4.24's interpolated KN):
+    *
+    *   Pc(w)      = N1+(·w) / N1+(··)                (over bigram types)
+    *   P2(w|u)    = (max(N1+(·uw) − D, 0) + D·N1+(u·cont)·Pc(w)) / N1+(·u·)
+    *   P3(w|v,u)  = (max(c3(vuw) − D, 0) + D·N1+(vu·)·P2(w|u)) / c3(vu·)
+    *
+    * One `__part`-tagged bundle, all exact integer counts
+    * (fully SQL-replayable), rows bounded by trigram TYPES:
+    * "t3" (v,u,w, c3); "c3" (v,u, c3tot, N1+(vu·)); "n2" (u,w,
+    * N1+(·uw)); "u2" (u, N1+(·u·), N1+(u·) over continuation types);
+    * "c1" (w, N1+(·w)); "tt" (N1+(··)). */
+  def kneserNeyTrigramModel(df: DataFrame, textCol: String): DataFrame = {
+    val t3types = triRows(df, textCol)
+      .groupBy(col("__v"), col("__u"), col("__w"))
+      .agg(count(lit(1)).as("__c3"))
+    val bgTypes = bigramRows(df, textCol)
+      .select(col("__prev").as("__u"), col("__tok2").as("__w"))
+      .distinct()
+    val nullS = lit(null).cast("string")
+    val nullL = lit(null).cast("long")
+    def part(name: String, d: DataFrame, v: Column, u: Column,
+        w: Column, c1: Column, c2: Column) =
+      d.select(lit(name).as("__part"), v.as("__kv"), u.as("__ku"),
+        w.as("__kw"), c1.as("__c1"), c2.as("__c2"))
+    part("t3", t3types, col("__v"), col("__u"), col("__w"),
+        col("__c3"), nullL)
+      .unionByName(part("c3",
+        t3types.groupBy(col("__v"), col("__u"))
+          .agg(sum(col("__c3")).as("a"), count(lit(1)).as("b")),
+        col("__v"), col("__u"), nullS, col("a"), col("b")))
+      .unionByName(part("n2",
+        t3types.groupBy(col("__u"), col("__w"))
+          .agg(count(lit(1)).as("a")),
+        nullS, col("__u"), col("__w"), col("a"), nullL))
+      .unionByName(part("u2",
+        t3types.groupBy(col("__u"), col("__w")).agg(count(lit(1)).as("x"))
+          .groupBy(col("__u"))
+          .agg(sum(col("x")).as("a"), count(lit(1)).as("b")),
+        nullS, col("__u"), nullS, col("a"), col("b")))
+      .unionByName(part("c1",
+        bgTypes.groupBy(col("__w")).agg(count(lit(1)).as("a")),
+        nullS, nullS, col("__w"), col("a"), nullL))
+      .unionByName(part("tt", bgTypes.agg(count(lit(1)).as("a")),
+        nullS, nullS, nullS, col("a"), nullL))
+  }
+
+  /** Score documents against a FROZEN [[kneserNeyTrigramModel]] —
+    * the bigram scorer's contract one order up: positions whose TOKEN
+    * lacks a continuation entry are skipped (OOV convention); an
+    * unseen (v,u) context falls to P2, an unseen u to Pc — every
+    * probability strictly positive, no seen-context drop. Output:
+    * (id, n_ngrams, n_ctx3_unseen, n_ctx2_unseen, self_info_kn3). */
+  def scoreAgainstKn3Model(df: DataFrame, model: DataFrame,
+      idCol: String, textCol: String,
+      d: Double = KnDiscount): DataFrame =
+    kn3Agg(df, model, idCol, textCol, d, (i, _) => avg(i))
+
+  /** Oracle-portable flavor (ordered fold). */
+  def scoreAgainstKn3ModelPortable(df: DataFrame, model: DataFrame,
+      idCol: String, textCol: String,
+      d: Double = KnDiscount): DataFrame =
+    kn3Agg(df, model, idCol, textCol, d,
+      (i, cnt) => aggregate(sort_array(collect_list(i)), lit(0.0), _ + _) / cnt)
+
+  /** Fit-on-self anchor: no position ever leaves the top order. */
+  def selfInfoKneserNey3(df: DataFrame, idCol: String, textCol: String,
+      d: Double = KnDiscount): DataFrame =
+    scoreAgainstKn3Model(df, kneserNeyTrigramModel(df, textCol),
+      idCol, textCol, d)
+
+  private def kn3Agg(df: DataFrame, model: DataFrame, idCol: String,
+      textCol: String, d: Double,
+      mean: (Column, Column) => Column): DataFrame = {
+    require(d > 0 && d < 1, s"Kneser-Ney discount in (0,1), got $d")
+    val rows = triRows(df, textCol, col(idCol))
+    def p(n: String) = model.filter(col("__part") === n)
+    val t3 = p("t3").select(col("__kv").as("__tv"), col("__ku").as("__tu"),
+      col("__kw").as("__tw"), col("__c1").as("__c3w"))
+    val c3 = p("c3").select(col("__kv").as("__cv"), col("__ku").as("__cu"),
+      col("__c1").as("__c3tot"), col("__c2").as("__n13"))
+    val n2 = p("n2").select(col("__ku").as("__nu"), col("__kw").as("__nw"),
+      col("__c1").as("__n1cuw"))
+    val u2 = p("u2").select(col("__ku").as("__uu"),
+      col("__c1").as("__n1cuSum"), col("__c2").as("__n1uD"))
+    val c1 = p("c1").select(col("__kw").as("__ow"), col("__c1").as("__n1w"))
+    val tt = p("tt").select(col("__c1").as("__n1tot"))
+    val pc = col("__n1w").cast("double") / col("__n1tot").cast("double")
+    val p2 = when(col("__n1cuSum").isNull, pc)
+      .otherwise((greatest(
+        coalesce(col("__n1cuw"), lit(0L)).cast("double") - lit(d),
+        lit(0.0)) +
+        (lit(d) * col("__n1uD").cast("double")) * pc) /
+        col("__n1cuSum").cast("double"))
+    rows
+      .join(c1, col("__w") === col("__ow"))
+      .crossJoin(broadcast(tt))
+      .join(u2, col("__u") === col("__uu"), "left")
+      .join(n2, col("__u") === col("__nu") &&
+        col("__w") === col("__nw"), "left")
+      .join(c3, col("__v") === col("__cv") &&
+        col("__u") === col("__cu"), "left")
+      .join(t3, col("__v") === col("__tv") &&
+        col("__u") === col("__tu") && col("__w") === col("__tw"), "left")
+      .withColumn("__p2", p2)
+      .withColumn("__p3", when(col("__c3tot").isNull, col("__p2"))
+        .otherwise((greatest(
+          coalesce(col("__c3w"), lit(0L)).cast("double") - lit(d),
+          lit(0.0)) +
+          (lit(d) * col("__n13").cast("double")) * col("__p2")) /
+          col("__c3tot").cast("double")))
+      .withColumn("__info", -log(col("__p3")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("__c3tot").isNull, 1L).otherwise(0L))
+          .as("n_ctx3_unseen"),
+        sum(when(col("__n1cuSum").isNull, 1L).otherwise(0L))
+          .as("n_ctx2_unseen"),
+        round(mean(col("__info"), count(lit(1))), 4).as("self_info_kn3"))
+  }
+
   /** CCNet-style perplexity buckets (Wenzek et al. 2020): split a
     * SCORED corpus into head / middle / tail by per-group terciles of
     * the score — the published language-model-filtering recipe (CCNet

@@ -746,6 +746,54 @@ class TextAnalysisSpec extends SparkSpec {
       "continuation prior must not favor the frequent-but-bursty token")
   }
 
+  test("kneserNey trigram: hand-computed probabilities at every " +
+      "backoff depth; fit-on-self never leaves the top order") {
+    // fit "a b c a b c a b d": trigram types (abc)x2 (bca)x2 (cab)x2
+    // (abd)x1; bigram types (a,b)(b,c)(c,a)(b,d) -> n1tot = 4
+    val fit = Seq((0L, "a b c a b c a b d")).toDF("doc_id", "text")
+    val model = TextAnalysis.kneserNeyTrigramModel(fit, "text")
+    val score = Seq((10L, "a b c"), (11L, "x b c"), (12L, "x y c"),
+      (13L, "x y q")).toDF("doc_id", "text")
+    val out = TextAnalysis.scoreAgainstKn3Model(score, model,
+        "doc_id", "text")
+      .select("doc_id", "n_ngrams", "n_ctx3_unseen", "n_ctx2_unseen",
+        "self_info_kn3")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    val pc = 1.0 / 4 // N1+(.c)=1 over 4 bigram types
+    val p2 = (math.max(1 - 0.75, 0.0) + (0.75 * 2) * pc) / 2 // u=b
+    val p3 = (math.max(2 - 0.75, 0.0) + (0.75 * 2) * p2) / 3 // ctx(a,b)
+    assert(out(10L) === ((1L, 0L, 0L, r4(-math.log(p3)))))
+    assert(out(11L) === ((1L, 1L, 0L, r4(-math.log(p2)))),
+      "unseen (v,u) falls to the continuation bigram")
+    assert(out(12L) === ((1L, 1L, 1L, r4(-math.log(pc)))),
+      "unseen u falls to the continuation prior")
+    assert(!out.contains(13L), "OOV token skipped")
+    // fit-on-self: every position stays at the top order
+    val self = TextAnalysis.selfInfoKneserNey3(fit, "doc_id", "text")
+      .select("n_ctx3_unseen", "n_ctx2_unseen")
+      .as[(Long, Long)].head()
+    assert(self === ((0L, 0L)))
+  }
+
+  test("kneserNey trigram flavors agree within 1e-9") {
+    val docs = Seq(
+      (1L, "the fast join runs the fast scan merge"),
+      (2L, "slow scan the fast join merge runs"),
+      (3L, "merge the slow join")).toDF("doc_id", "text")
+    val model = TextAnalysis.kneserNeyTrigramModel(
+      docs.filter(col("doc_id") =!= 3L), "text")
+    val a = TextAnalysis.scoreAgainstKn3Model(
+        docs, model, "doc_id", "text")
+      .select("doc_id", "self_info_kn3").as[(Long, Double)].collect().toMap
+    val p = TextAnalysis.scoreAgainstKn3ModelPortable(
+        docs, model, "doc_id", "text")
+      .select("doc_id", "self_info_kn3").as[(Long, Double)].collect().toMap
+    assert(a.keySet === p.keySet && a.nonEmpty)
+    a.foreach { case (d, v) => assert(math.abs(v - p(d)) < 1e-9, s"doc $d") }
+  }
+
   test("kneserNey flavors agree within 1e-9 (algebraic vs ordered " +
       "fold); probabilities always positive so no seen-context drop") {
     val docs = Seq(
