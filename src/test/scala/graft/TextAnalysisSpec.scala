@@ -577,6 +577,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L) === refWinnow("a b c a b c a b c", 3, 4))
   }
 
+  test("winnowFingerprints equals the reference on 40 seeded-random " +
+      "docs across (k, w) configs — ties exercised by a tiny vocab") {
+    val rnd = new scala.util.Random(20260816L)
+    val vocab = Vector("aa", "b", "ccc", "dd", "e", "fff", "gg", "h")
+    val docs = (1 to 40).map(i => (i.toLong,
+      Seq.fill(3 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    Seq((2, 3), (3, 4), (4, 2)).foreach { case (k, w) =>
+      val got = TextAnalysis.winnowFingerprints(df, "doc_id", "text",
+          k, w)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .groupBy(_._1).view
+        .mapValues(_.map(x => (x._2, x._3)).toSet).toMap
+      docs.foreach { case (id, tx) =>
+        assert(got.getOrElse(id, Set.empty) === refWinnow(tx, k, w),
+          s"doc $id at (k=$k, w=$w)")
+      }
+    }
+  }
+
   test("winnowing guarantee: docs sharing a run of >= w+k-1 tokens " +
       "share a fingerprint; density lands near 2/(w+1)") {
     val shared = "alpha beta gamma delta epsilon zeta" // 6 = w+k-1
