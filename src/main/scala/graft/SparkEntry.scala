@@ -2858,6 +2858,25 @@ object SparkEntry {
         .select(col("q_id"), (col("__n") - 1L).as("n_rel"))
       Similarity.ndcgBinary(ranked, nRel, 5)
     }),
+    "sim_mrr" -> ((s, d) => {
+      // the sim_ndcg fixture verbatim, scored by first-relevant rank
+      // (the known-item / RAG metric) with the -1 mean row
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val qLab = q.select(col("vec_id").as("q_id"),
+        col("label").as("q_label"))
+      val ranked = Similarity.bruteForceTopK(emb, q, 5)
+        .join(emb.select(col("vec_id").as("n_id"),
+          col("label").as("n_label")), "n_id")
+        .join(broadcast(qLab), "q_id")
+        .select(col("q_id"), col("rank"),
+          (col("n_label") === col("q_label")).as("rel"))
+      val nRel = qLab.join(
+          emb.groupBy(col("label")).agg(count(lit(1)).as("__n")),
+          col("q_label") === col("label"))
+        .select(col("q_id"), (col("__n") - 1L).as("n_rel"))
+      Similarity.mrrAtK(ranked, nRel, 5)
+    }),
     "sim_rbo" -> ((s, d) => {
       // list-agreement between the matryoshka first stage and the
       // full-width exact ranking — the quantified version of
@@ -5686,6 +5705,24 @@ object SparkEntry {
         "FROM nr LEFT JOIN d USING (q_id)) " +
         "SELECT q_id, n_rel, round(dcg, 4) AS dcg, round(idcg, 4) AS idcg, " +
         "CASE WHEN idcg > 0 THEN round(dcg / idcg, 4) END AS ndcg FROM f"),
+
+    "sim_mrr" ->
+      ("WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label FROM embeddings WHERE vec_id < 10), " +
+        "c AS (SELECT vec_id AS n_id, embedding AS n_vec, label AS n_label FROM embeddings), " +
+        s"scored AS (SELECT q_id, n_id, n_label, q_label, ${cosSql("q_vec", "n_vec")} AS sim FROM q CROSS JOIN c WHERE n_id <> q_id), " +
+        "ranked AS (SELECT q_id, (n_label = q_label) AS rel, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS BIGINT) AS r FROM scored), " +
+        "fst AS (SELECT q_id, CAST(min(r) AS BIGINT) AS first_rel_rank FROM ranked WHERE rel AND r <= 5 GROUP BY q_id), " +
+        "lc AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY 1), " +
+        "nr AS (SELECT q.q_id, lc.n - 1 AS n_rel FROM q JOIN lc ON q.q_label = lc.label), " +
+        "pq AS (SELECT nr.q_id, nr.n_rel, f.first_rel_rank, " +
+        "CASE WHEN nr.n_rel = 0 THEN NULL WHEN f.first_rel_rank IS NULL THEN CAST(0.0 AS DOUBLE) " +
+        "ELSE 1.0 / CAST(f.first_rel_rank AS DOUBLE) END AS rr " +
+        "FROM nr LEFT JOIN fst f USING (q_id)) " +
+        "SELECT q_id, n_rel, first_rel_rank, rr FROM pq " +
+        "UNION ALL " +
+        "SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(NULL AS BIGINT), " +
+        "round(list_aggregate(list_sort(list(rr)), 'sum') / count(*), 4) " +
+        "FROM pq WHERE n_rel > 0"),
 
     "sim_rbo" -> rboSql(k = 5, p = RboP, md = MatryoshkaDims),
 

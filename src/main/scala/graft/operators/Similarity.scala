@@ -205,6 +205,36 @@ object Similarity {
           round(col("__dcg") / col("__idcg"), 4)).as("ndcg"))
   }
 
+  /** MRR@k — the third leg of the eval harness (recall: DID the
+    * relevant docs surface; nDCG: how HIGH overall; MRR: how high the
+    * FIRST one — the metric of known-item search and RAG retrieval,
+    * where one good passage is enough). Same inputs and contracts as
+    * [[ndcgBinary]]: `ranked` = (q_id, rank, rel), `nRel` = one row
+    * per q_id; a labeled query with an empty retrieval scores rr 0
+    * (never vanishes); rr is NULL when n_rel = 0 (undefined, loudly).
+    * A final q_id = −1 row carries the mean over defined queries
+    * (ordered fold, rounded 4 — the benford total-row convention).
+    * Output: (q_id, n_rel, first_rel_rank, rr). */
+  def mrrAtK(ranked: DataFrame, nRel: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"mrrAtK: k must be >= 1, got $k")
+    val first = ranked.where(col("rel") && col("rank") <= k)
+      .groupBy(col("q_id"))
+      .agg(min(col("rank")).cast("long").as("first_rel_rank"))
+    val perQ = nRel.join(first, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_rel"), col("first_rel_rank"),
+        when(col("n_rel") === 0L, lit(null).cast("double"))
+          .when(col("first_rel_rank").isNull, lit(0.0))
+          .otherwise(lit(1.0) / col("first_rel_rank").cast("double"))
+          .as("rr"))
+    val total = perQ.where(col("n_rel") > 0)
+      .agg(round(aggregate(sort_array(collect_list(col("rr"))),
+        lit(0.0), _ + _) / count(lit(1)), 4).as("__mrr"))
+      .select(lit(-1L).as("q_id"), lit(-1L).as("n_rel"),
+        lit(null).cast("long").as("first_rel_rank"),
+        col("__mrr").as("rr"))
+    perQ.unionByName(total)
+  }
+
   /** Truncated rank-biased overlap (RBO@k, Webber et al. TOIS'10) —
     * the LIST-similarity metric of the eval harness: how much do two
     * rankings of the same queries agree, weighted toward the top

@@ -111,6 +111,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("Kneser-Ney scorers: model attaches are equi-joins; only the " +
+      "1-row type-total nests (the self-info convention)") {
+    Seq("text_self_info_kn", "text_self_info_kn3").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"), s"$q: ${plan.take(600)}")
+      assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+        s"$q: more than the 1-row total nests: ${plan.take(600)}")
+    }
+  }
+
   test("gopher rules plan zero exchanges (pure per-row gate)") {
     val plan = planOf("text_gopher")
     assert(!plan.contains("Exchange"), plan.take(800))

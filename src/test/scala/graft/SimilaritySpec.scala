@@ -896,6 +896,35 @@ class SimilaritySpec extends SparkSpec {
       Similarity.ndcgBinary(ranked, nRel, 0))
   }
 
+  test("mrrAtK: first-relevant reciprocal ranks, empty retrieval " +
+      "scores 0, zero-relevant stays NULL, mean row over defined " +
+      "queries only") {
+    import spark.implicits._
+    val ranked = Seq(
+      (1L, 1L, false), (1L, 2L, false), (1L, 3L, true), // first at 3
+      (2L, 1L, true), (2L, 2L, true), // first at 1
+      (3L, 1L, false), (3L, 2L, false), // nothing relevant exists
+      (5L, 6L, true)) // relevant but BEYOND k -> counts as miss
+      .toDF("q_id", "rank", "rel")
+    val nRel = Seq((1L, 2L), (2L, 2L), (3L, 0L), (4L, 1L), (5L, 1L))
+      .toDF("q_id", "n_rel")
+    val out = Similarity.mrrAtK(ranked, nRel, k = 5)
+      .collect().map(r => (r.getLong(0), r)).toMap
+    assert(out(1L).getLong(2) == 3L && out(1L).getDouble(3) == 1.0 / 3)
+    assert(out(2L).getLong(2) == 1L && out(2L).getDouble(3) == 1.0)
+    assert(out(3L).isNullAt(2) && out(3L).isNullAt(3), "n_rel 0: NULL")
+    assert(out(4L).isNullAt(2) && out(4L).getDouble(3) == 0.0,
+      "empty retrieval: rr 0, row kept")
+    assert(out(5L).isNullAt(2) && out(5L).getDouble(3) == 0.0,
+      "relevant beyond k is a miss")
+    // mean over defined queries: (1/3 + 1 + 0 + 0) / 4
+    val want = BigDecimal((1.0 / 3 + 1.0) / 4)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(-1L).getDouble(3) == want)
+    intercept[IllegalArgumentException](
+      Similarity.mrrAtK(ranked, nRel, 0))
+  }
+
   test("rboOverlap: identical lists hit the truncated max 1-p^k, " +
       "disjoint lists score 0 on the spine, hand-weighted partial") {
     import spark.implicits._
