@@ -1503,6 +1503,11 @@ object SparkEntry {
       // window-hash posting
       TextAnalysis.winnowPairs(t(s, d, "documents"), "doc_id", "text",
         WinnowK, WinnowW, WinnowMaxBucket)),
+    "dedup_winnow_containment" -> ((s, d) =>
+      // the MOSS percent-match: pairs normalized by the smaller
+      // side's fingerprint budget — full-containment pairs score ~1
+      TextAnalysis.winnowContainment(t(s, d, "documents"), "doc_id",
+        "text", WinnowK, WinnowW, WinnowMaxBucket)),
     "dedup_incremental_winnow" -> ((s, d) => {
       // the winnow production loop: 90% of the corpus builds the
       // compressed fingerprint index, every 10th doc is the arrival
@@ -4322,6 +4327,20 @@ object SparkEntry {
         "CAST(count(*) AS BIGINT) AS n_shared " +
         "FROM fpd a JOIN fpd b USING (fp) JOIN cap USING (fp) " +
         "WHERE a.doc_id < b.doc_id GROUP BY 1, 2"),
+
+    "dedup_winnow_containment" ->
+      (s"WITH $winnowCtes, " +
+        "fpd AS (SELECT DISTINCT doc_id, fp FROM wfe), " +
+        "cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf FROM fpd GROUP BY 1), " +
+        s"cap AS (SELECT fp FROM fpd GROUP BY fp HAVING count(*) <= $WinnowMaxBucket), " +
+        "pr AS (SELECT a.doc_id AS left_id, b.doc_id AS right_id, " +
+        "CAST(count(*) AS BIGINT) AS n_shared " +
+        "FROM fpd a JOIN fpd b USING (fp) JOIN cap USING (fp) " +
+        "WHERE a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT p.left_id, p.right_id, p.n_shared, ca.nf AS n_a, cb.nf AS n_b, " +
+        "CAST(p.n_shared AS DOUBLE) / CAST(least(ca.nf, cb.nf) AS DOUBLE) AS containment " +
+        "FROM pr p JOIN cnt ca ON p.left_id = ca.doc_id " +
+        "JOIN cnt cb ON p.right_id = cb.doc_id"),
 
     "dedup_incremental_winnow" ->
       // corpus + arrival winnow CTEs instantiated separately; the

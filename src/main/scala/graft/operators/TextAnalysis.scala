@@ -1863,6 +1863,32 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** MOSS percent-match report: [[winnowPairs]] normalized by each
+    * side's fingerprint budget — containment = n_shared /
+    * min(|fps_a|, |fps_b|), the score MOSS ranks submissions by (a
+    * small doc fully contained in a big one scores ~1 where jaccard
+    * would dilute it). n_shared counts CAP-SURVIVING shared
+    * fingerprints while the denominators count ALL of each doc's
+    * fingerprints, so boilerplate past the df-cap can only LOWER the
+    * score — the triage stays conservative. Output: (left_id,
+    * right_id, n_shared, n_a, n_b, containment). */
+  def winnowContainment(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, maxBucket: Int, delim: String = " "): DataFrame = {
+    val counts = winnowFingerprints(df, idCol, textCol, k, w, delim)
+      .select(col(idCol).as("__cid"), col("fp")).distinct()
+      .groupBy(col("__cid")).agg(count(lit(1)).as("__nf"))
+    winnowPairs(df, idCol, textCol, k, w, maxBucket, delim)
+      .join(counts.select(col("__cid").as("left_id"),
+        col("__nf").as("n_a")), "left_id")
+      .join(counts.select(col("__cid").as("right_id"),
+        col("__nf").as("n_b")), "right_id")
+      .select(col("left_id"), col("right_id"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        (col("n_shared").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"))
+          .as("containment"))
+  }
+
   /** The persistable WINNOWED fingerprint index — [[windowHashIndex]]
     * at winnow granularity: one row per DISTINCT selected fingerprint
     * with its canonical (lowest (doc, pos)) occurrence, at an
