@@ -2943,6 +2943,21 @@ object SparkEntry {
         Sketches.kmvSketch(t(s, d, "orders"), Seq("o_orderpriority"),
           col("o_custkey"), KmvK),
         "o_orderpriority", KmvK)),
+    "rel_kmv_merged" -> ((s, d) => {
+      // the merge-law cross-engine witness: the ENGINE sketches
+      // per-month shards and kmvMerge-folds them; the ORACLE replays
+      // the DIRECT one-shot sketch — a hash match proves
+      // shard-then-merge ≡ direct across engines (the set-function
+      // property production shard-maintenance relies on)
+      val monthly = t(s, d, "orders")
+        .withColumn("__m", date_trunc("month", col("o_orderdate")))
+      val shards = Sketches.kmvSketch(monthly,
+        Seq("o_orderpriority", "__m"), col("o_custkey"), KmvK)
+      Sketches.kmvMerge(shards, Seq("o_orderpriority"), KmvK)
+        .select(col("o_orderpriority"),
+          size(col("kmv")).cast("long").as("n_kmv"),
+          Sketches.kmvEstimate(col("kmv"), KmvK).as("d_est"))
+    }),
 
     // --- robust (median/MAD) per-group outliers ---
     "rel_mad_outliers" -> ((s, d) =>
@@ -5805,6 +5820,15 @@ object SparkEntry {
         "SELECT g_a, g_b, n_a, n_b, shared_k, " +
         "CAST(shared_k AS DOUBLE) / CAST(l AS DOUBLE) AS jaccard_est, union_est, " +
         "(CAST(shared_k AS DOUBLE) / CAST(l AS DOUBLE)) * union_est AS inter_est FROM s2"),
+
+    "rel_kmv_merged" ->
+      // deliberately the DIRECT replay (no shard CTEs): equality with
+      // the engine's shard-and-merge output IS the merge-law proof
+      (s"WITH $kmvCtes, " +
+        "km AS (SELECT g, CAST(count(*) AS BIGINT) AS n_kmv, max(h) AS hk FROM kmk GROUP BY g) " +
+        s"SELECT g AS o_orderpriority, n_kmv, CASE WHEN n_kmv < $KmvK THEN CAST(n_kmv AS DOUBLE) " +
+        s"ELSE (CAST(${KmvK - 1} AS DOUBLE) * CAST(CAST(1152921504606846976 AS BIGINT) AS DOUBLE)) / CAST(hk AS DOUBLE) END AS d_est " +
+        "FROM km"),
 
     "rel_mad_outliers" ->
       ("WITH m AS (SELECT o_orderpriority AS g, round(quantile_cont(o_totalprice, 0.5), 4) AS med FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1), " +
