@@ -1477,6 +1477,22 @@ object SparkEntry {
       // collision-free corpora
       TextAnalysis.dedupTokenWindowsExact(t(s, d, "documents"),
         "doc_id", "text", k = 8)),
+    "text_substring_dedup" -> ((s, d) =>
+      // Lee et al. 2022 ExactSubstr proper: remove-ALL-copies — every
+      // token covered by an 8-token window appearing >= 2 times
+      // ANYWHERE (any doc, incl. its own) is scrubbed from EVERY
+      // occurrence, and n_spans counts the maximal repeated regions.
+      // The remove-all + extent semantics text_window_dedup's
+      // keep-first rung deliberately does not have
+      TextAnalysis.substringDedup(t(s, d, "documents"),
+        "doc_id", "text", L = 8)),
+    "dedup_substring_spans" -> ((s, d) =>
+      // the EXTEND step as a first-class relation: maximal repeated
+      // spans of >= 8 tokens with full token extents — the audit
+      // report of what text_substring_dedup scrubs (anchor hash →
+      // group → extend; never a monolithic suffix array)
+      TextAnalysis.repeatedSpans(t(s, d, "documents"),
+        "doc_id", "text", L = 8)),
     "text_winnow_fps" -> ((s, d) => {
       // MOSS winnowing selection per doc: n_fps vs n_windows is the
       // measured compression (expected density 2/(w+1)), fps_sig
@@ -1507,6 +1523,12 @@ object SparkEntry {
       // the MOSS percent-match: pairs normalized by the smaller
       // side's fingerprint budget — full-containment pairs score ~1
       TextAnalysis.winnowContainment(t(s, d, "documents"), "doc_id",
+        "text", WinnowK, WinnowW, WinnowMaxBucket)),
+    "dedup_winnow_spans" -> ((s, d) =>
+      // the matched-SPAN report: shared fingerprints grouped by
+      // alignment shift, merged into maximal runs — WHICH paragraph
+      // leaked, with both sides' token extents, not just a pair score
+      TextAnalysis.winnowSpans(t(s, d, "documents"), "doc_id",
         "text", WinnowK, WinnowW, WinnowMaxBucket)),
     "dedup_incremental_winnow" -> ((s, d) => {
       // the winnow production loop: 90% of the corpus builds the
@@ -4357,6 +4379,34 @@ object SparkEntry {
         "FROM pr p JOIN cnt ca ON p.left_id = ca.doc_id " +
         "JOIN cnt cb ON p.right_id = cb.doc_id"),
 
+    "dedup_winnow_spans" ->
+      // shared fps pair up on the fingerprint (df-capped), group by
+      // alignment shift delta = left_fpos - right_fpos, consecutive
+      // matches within w + k - 1 = 6 merge into maximal runs (lag +
+      // running-sum islands), each run reported with both sides'
+      // token extents (a fingerprint covers k = 3 tokens)
+      (s"WITH $winnowCtes, " +
+        "cap AS (SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM wfe) fpd " +
+        s"GROUP BY fp HAVING count(*) <= $WinnowMaxBucket), " +
+        "pr AS (SELECT a.doc_id AS left_id, b.doc_id AS right_id, " +
+        "a.fpos - b.fpos AS delta, a.fpos AS lp " +
+        "FROM wfe a JOIN wfe b USING (fp) JOIN cap USING (fp) " +
+        "WHERE a.doc_id < b.doc_id), " +
+        "isl AS (SELECT left_id, right_id, delta, lp, " +
+        "CASE WHEN lag(lp) OVER (PARTITION BY left_id, right_id, delta ORDER BY lp) IS NULL " +
+        s"OR lp > lag(lp) OVER (PARTITION BY left_id, right_id, delta ORDER BY lp) + ${WinnowW + WinnowK - 1} " +
+        "THEN 1 ELSE 0 END AS brk FROM pr), " +
+        "g AS (SELECT left_id, right_id, delta, lp, " +
+        "sum(brk) OVER (PARTITION BY left_id, right_id, delta ORDER BY lp ROWS UNBOUNDED PRECEDING) AS grp FROM isl) " +
+        "SELECT left_id, right_id, CAST(delta AS BIGINT) AS delta, " +
+        "CAST(min(lp) AS BIGINT) AS left_start, " +
+        s"CAST(max(lp) + ${WinnowK - 1} AS BIGINT) AS left_end, " +
+        "CAST(min(lp) - delta AS BIGINT) AS right_start, " +
+        s"CAST(max(lp) + ${WinnowK - 1} - delta AS BIGINT) AS right_end, " +
+        s"CAST(max(lp) + ${WinnowK - 1} - min(lp) + 1 AS BIGINT) AS span_len, " +
+        "CAST(count(*) AS BIGINT) AS n_fps " +
+        "FROM g GROUP BY left_id, right_id, delta, grp"),
+
     "dedup_incremental_winnow" ->
       // corpus + arrival winnow CTEs instantiated separately; the
       // index is the canonical (lowest (doc, pos)) occurrence per
@@ -4369,6 +4419,43 @@ object SparkEntry {
         "CAST(a.fpos AS BIGINT) AS fpos, i.dup_of, CAST(i.dup_pos AS BIGINT) AS dup_pos " +
         "FROM awfe a JOIN idx i USING (fp)"),
 
+    "text_substring_dedup" ->
+      // ExactSubstr remove-all replay: a window is dup when its hash
+      // count over ALL occurrences >= 2 (no rank — every copy
+      // scrubs); n_spans = islands of dup starts merged at gap > 8
+      // (lag + CASE), coverage/reassembly the text_window_dedup
+      // algebra; docs with no dups restored by the LEFT joins
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "w AS (SELECT doc_id, i AS wpos, md5(array_to_string(list_slice(ws, i + 1, i + 8), ' ')) AS whash " +
+        "FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - 7)) AS i FROM d WHERE len(ws) >= 8) t), " +
+        "dup AS (SELECT doc_id, wpos FROM (SELECT doc_id, wpos, count(*) OVER (PARTITION BY whash) AS c FROM w) x WHERE c >= 2), " +
+        "isl AS (SELECT doc_id, wpos, CASE WHEN lag(wpos) OVER (PARTITION BY doc_id ORDER BY wpos) IS NULL " +
+        "OR wpos > lag(wpos) OVER (PARTITION BY doc_id ORDER BY wpos) + 8 THEN 1 ELSE 0 END AS brk FROM dup), " +
+        "nsp AS (SELECT doc_id, CAST(sum(brk) AS BIGINT) AS n_spans FROM isl GROUP BY doc_id), " +
+        "tok AS (SELECT doc_id, ws[p + 1] AS tk, p FROM (SELECT doc_id, ws, unnest(range(0, len(ws))) AS p FROM d) t), " +
+        "keep AS (SELECT t.doc_id, t.tk, t.p FROM tok t WHERE NOT EXISTS " +
+        "(SELECT 1 FROM dup u WHERE u.doc_id = t.doc_id AND u.wpos <= t.p AND t.p < u.wpos + 8)), " +
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, string_agg(tk, ' ' ORDER BY p) AS text_deduped FROM keep GROUP BY doc_id) " +
+        "SELECT d2.doc_id, CAST(len(string_split(d2.text, ' ')) AS BIGINT) AS n_tokens, " +
+        "coalesce(n.n_spans, 0) AS n_spans, coalesce(a.n_kept, 0) AS n_kept, " +
+        "coalesce(a.text_deduped, '') AS text_deduped " +
+        "FROM documents d2 LEFT JOIN agg a ON d2.doc_id = a.doc_id " +
+        "LEFT JOIN nsp n ON d2.doc_id = n.doc_id"),
+    "dedup_substring_spans" ->
+      // the extend step: same dup frame, islands keyed by running
+      // break-sum, each island reports its maximal extent
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "w AS (SELECT doc_id, i AS wpos, md5(array_to_string(list_slice(ws, i + 1, i + 8), ' ')) AS whash " +
+        "FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - 7)) AS i FROM d WHERE len(ws) >= 8) t), " +
+        "dup AS (SELECT doc_id, wpos FROM (SELECT doc_id, wpos, count(*) OVER (PARTITION BY whash) AS c FROM w) x WHERE c >= 2), " +
+        "isl AS (SELECT doc_id, wpos, CASE WHEN lag(wpos) OVER (PARTITION BY doc_id ORDER BY wpos) IS NULL " +
+        "OR wpos > lag(wpos) OVER (PARTITION BY doc_id ORDER BY wpos) + 8 THEN 1 ELSE 0 END AS brk FROM dup), " +
+        "g AS (SELECT doc_id, wpos, sum(brk) OVER (PARTITION BY doc_id ORDER BY wpos ROWS UNBOUNDED PRECEDING) AS grp FROM isl) " +
+        "SELECT doc_id, CAST(min(wpos) AS BIGINT) AS span_start, " +
+        "CAST(max(wpos) + 7 AS BIGINT) AS span_end, " +
+        "CAST(max(wpos) + 7 - min(wpos) + 1 AS BIGINT) AS span_len, " +
+        "CAST(count(*) AS BIGINT) AS n_windows " +
+        "FROM g GROUP BY doc_id, grp"),
     "text_window_dedup" ->
       // full replay: hash every 8-token window, rank occurrences by
       // (doc_id, wpos) per hash, rank>1 spans mark coverage, a token

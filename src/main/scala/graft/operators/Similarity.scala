@@ -226,9 +226,14 @@ object Similarity {
           .when(col("first_rel_rank").isNull, lit(0.0))
           .otherwise(lit(1.0) / col("first_rel_rank").cast("double"))
           .as("rr"))
+    // when NO query has n_rel > 0 the mean is 0.0/0 = NaN under
+    // Spark's IEEE double division, while DuckDB's list() over zero
+    // rows yields NULL — guard to NULL (the ndcgBinary idcg>0
+    // convention) so degenerate input stays cross-engine identical
     val total = perQ.where(col("n_rel") > 0)
-      .agg(round(aggregate(sort_array(collect_list(col("rr"))),
-        lit(0.0), _ + _) / count(lit(1)), 4).as("__mrr"))
+      .agg(when(count(lit(1)) > 0,
+        round(aggregate(sort_array(collect_list(col("rr"))),
+          lit(0.0), _ + _) / count(lit(1)), 4)).as("__mrr"))
       .select(lit(-1L).as("q_id"), lit(-1L).as("n_rel"),
         lit(null).cast("long").as("first_rel_rank"),
         col("__mrr").as("rr"))

@@ -872,7 +872,15 @@ object TextAnalysis {
     * Scale shape: one grouped exact-percentile aggregate (per-group
     * sort state — swap in approx_percentile upstream if group counts
     * explode; groups here are languages) + one group-count-bounded
-    * broadcast join back. Output: input columns + (t1, t2, bucket). */
+    * broadcast join back. Output: input columns + (t1, t2, bucket).
+    *
+    * NULL scores: the cut computation excludes them (a NULL cannot
+    * rank), and a NULL-scored ROW lands in `tail` — explicitly, below
+    * — the conservative call for a filtering recipe (an unscoreable
+    * doc is never promoted into the keep buckets). A group whose
+    * scores are ALL NULL has no cut row and its rows drop entirely
+    * via the inner join: no terciles exist for it, and emitting
+    * unranked rows as `tail` would fabricate a ranking. */
   def pplBuckets(scored: DataFrame, groupCol: String,
       scoreCol: String): DataFrame = {
     val cuts = scored.where(col(scoreCol).isNotNull)
@@ -881,7 +889,8 @@ object TextAnalysis {
         round(expr(s"percentile($scoreCol, 0.6667)"), 4).as("t2"))
     scored.join(broadcast(cuts), groupCol)
       .withColumn("bucket",
-        when(col(scoreCol) <= col("t1"), "head")
+        when(col(scoreCol).isNull, "tail") // explicit, not via NULL<=t fallthrough
+          .when(col(scoreCol) <= col("t1"), "head")
           .when(col(scoreCol) <= col("t2"), "middle")
           .otherwise("tail"))
   }
@@ -1785,6 +1794,126 @@ object TextAnalysis {
         array_join(col("__kept"), delim).as("text_deduped"))
   }
 
+  /** Duplicated length-`L` window START positions — the shared first
+    * half of the ExactSubstr family ([[repeatedSpans]] /
+    * [[substringDedup]]): every L-token sliding window hashed
+    * ([[windowHashes]]), per-hash (count, first-occurrence) computed
+    * as ONE map-side-combinable aggregate, positions of duplicated
+    * windows recovered by equi-join. Deliberately NO hash-partitioned
+    * window function: a boilerplate window repeated 10^6 times would
+    * make row_number sort a 10^6-row partition, while the aggregate
+    * folds it to one (count, min-struct) row and the join back is a
+    * plain shuffle equi-join AQE can skew-split.
+    *
+    * `keepFirst = false` (Lee et al. 2022 ExactSubstr, the released
+    * deduplicate-text-datasets behavior): EVERY occurrence of a
+    * window seen >= 2 times is a dup. `keepFirst = true`: the
+    * canonical (lowest (id, wpos)) occurrence survives — the
+    * [[dedupTokenWindows]] keep-one rule. */
+  private def repeatedWindowStarts(toks: DataFrame, idCol: String,
+      L: Int, delim: String, keepFirst: Boolean): DataFrame = {
+    val wins = toks.select(col(idCol),
+      posexplode(windowHashes(col("__ws"), L, delim))
+        .as(Seq("wpos", "whash")))
+    val stats = wins.groupBy(col("whash"))
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col(idCol), col("wpos"))).as("__first"))
+      .where(col("__cnt") >= 2)
+    val joined = wins.join(stats, "whash")
+    (if (keepFirst)
+      joined.where(struct(col(idCol), col("wpos")) =!= col("__first"))
+    else joined)
+      .select(col(idCol), col("wpos"))
+  }
+
+  /** Maximal repeated spans of length >= `L` tokens — the EXTEND step
+    * of Lee et al. 2022's ExactSubstr deduplication, as a first-class
+    * relation: duplicated L-windows ([[repeatedWindowStarts]]) merge
+    * into maximal runs per document (two overlapping-or-adjacent dup
+    * windows — next start <= previous start + L — belong to one
+    * repeated region), each run reported with its full extent. A
+    * repeated substring of length M >= L produces dup windows at
+    * every start inside it, so the merged run recovers the maximal
+    * extent EXACTLY — blocked anchor-hash + group + extend, never a
+    * monolithic suffix array (the distributed answer to the paper's
+    * single-node suffix-array build).
+    *
+    * Exact up to an md5 collision (2^-128/pair); the raw
+    * [[suffixKeys]] flavor of the same algebra exists downstream in
+    * [[dedupTokenWindowsExact]] when even that bound is unwanted.
+    *
+    * Shape: 1 map-combined agg + 1 equi-join + doc-partitioned
+    * windows (partition = one doc's dup starts, bounded by doc
+    * length). Output: (idCol, span_start, span_end, span_len,
+    * n_windows) — token-index extents, end inclusive. */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      L: Int, delim: String = " ",
+      keepFirst: Boolean = false): DataFrame = {
+    require(L >= 2, "repeatedSpans: L must span at least 2 tokens")
+    import org.apache.spark.sql.expressions.Window
+    val esc = java.util.regex.Pattern.quote(delim)
+    val toks = df.select(col(idCol), split(col(textCol), esc).as("__ws"))
+    val dups = repeatedWindowStarts(toks, idCol, L, delim, keepFirst)
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("wpos"))
+    dups
+      .withColumn("__prev", lag(col("wpos"), 1).over(byDoc))
+      .withColumn("__brk",
+        when(col("__prev").isNull || col("wpos") > col("__prev") + L, 1)
+          .otherwise(0))
+      .withColumn("__g", sum(col("__brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__g"))
+      .agg(min(col("wpos")).cast("long").as("span_start"),
+        (max(col("wpos")) + (L - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"),
+        col("n_windows"))
+  }
+
+  /** ExactSubstr DEDUPLICATION (Lee et al. 2022): remove every token
+    * covered by a duplicated L-window, merge what survives. The
+    * default `keepFirst = false` is the paper implementation's
+    * remove-ALL-copies semantics — a substring of >= L tokens that
+    * appears anywhere else in the corpus (any doc, including this
+    * one) is scrubbed from every occurrence; `keepFirst = true`
+    * recovers [[dedupTokenWindows]]'s keep-canonical rule from the
+    * same plan (spec-pinned equal). Every input doc survives in the
+    * output (possibly with empty text) — the LEFT-join restore
+    * convention of the text family.
+    *
+    * Output: (idCol, n_tokens, n_spans, n_kept, text_deduped) —
+    * n_spans counts the maximal repeated regions [[repeatedSpans]]
+    * would report (computed here as a pure array expression over the
+    * per-doc sorted dup starts: no second shuffle). */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+      L: Int, delim: String = " ",
+      keepFirst: Boolean = false): DataFrame = {
+    require(L >= 2, "substringDedup: L must span at least 2 tokens")
+    val esc = java.util.regex.Pattern.quote(delim)
+    val toks = df.select(col(idCol), split(col(textCol), esc).as("__ws"))
+    val dups = repeatedWindowStarts(toks, idCol, L, delim, keepFirst)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("wpos"))).as("__dws"))
+    val ds = col("__dws")
+    // element_at is 1-based, so index i probes the PREVIOUS element;
+    // greatest(i, 1) keeps ANSI element_at off index 0 (SQL `or` does
+    // not promise short-circuit order) — the i === 0 disjunct wins
+    // before the harmless ds[1] probe matters
+    val nSpans = size(filter(ds, (v, i) =>
+      i === 0 || v > element_at(ds, greatest(i, lit(1))) + L))
+    toks.join(dups, Seq(idCol), "left")
+      .select(col(idCol), col("__ws"),
+        coalesce(ds, array().cast("array<int>")).as("__dws"))
+      .select(col(idCol),
+        size(col("__ws")).cast("long").as("n_tokens"),
+        nSpans.cast("long").as("n_spans"),
+        tokensOutsideSpans(col("__ws"), col("__dws"), L).as("__kept"))
+      .select(col(idCol), col("n_tokens"), col("n_spans"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(col("__kept"), delim).as("text_deduped"))
+  }
+
   /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
     * SIGMOD'03 — the MOSS algorithm): from each window of `w`
     * consecutive k-gram hashes select the RIGHTMOST MINIMUM, then
@@ -1887,6 +2016,75 @@ object TextAnalysis {
         (col("n_shared").cast("double") /
           least(col("n_a"), col("n_b")).cast("double"))
           .as("containment"))
+  }
+
+  /** MOSS matched-SPAN report — [[winnowContainment]] sharpened from
+    * whole-doc scores to the matched extents a contamination check
+    * wants (WHICH eval paragraph leaked, not just "these docs
+    * overlap"): shared fingerprints of a pair group by their
+    * alignment shift `delta = left_fpos − right_fpos` (a verbatim
+    * shared token run places the same selected minimum at the same
+    * offset from each side's run start, so its fingerprints share one
+    * delta), then consecutive same-delta matches merge into maximal
+    * runs (winnowing selects at least one fingerprint per `w`
+    * windows, so in-run neighbors are <= w apart; the merge gap
+    * `w + k − 1` adds boundary slack). Each run is reported with both
+    * sides' token extents.
+    *
+    * Detection floor (the winnowing guarantee's converse): a shared
+    * run of >= w + k − 1 tokens yields >= 1 matched fingerprint;
+    * interior selections agree on both sides, so the reported extent
+    * under-covers the true shared span by at most w + k − 2 tokens at
+    * each BOUNDARY — a floor, never an overstatement, and the spec
+    * pins it on planted containment. Mega-bucket fingerprints drop
+    * via the [[winnowPairs]] df-cap before any pair forms.
+    *
+    * Shape: fingerprint equi-join (blocking key = fp, the winnowPairs
+    * plan) + pair-partitioned windows (partition = one pair's one
+    * alignment — bounded by the shared run's fingerprint count).
+    * Output: (left_id, right_id, delta, left_start, left_end,
+    * right_start, right_end, span_len, n_fps); extents are token
+    * indices, end inclusive (a fingerprint covers k tokens). */
+  def winnowSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, maxBucket: Int, delim: String = " "): DataFrame = {
+    require(maxBucket >= 2, "maxBucket must allow at least a pair")
+    import org.apache.spark.sql.expressions.Window
+    val fps = winnowFingerprints(df, idCol, textCol, k, w, delim)
+      .select(col(idCol).as("__id"), col("fpos"), col("fp"))
+    val cap = fps.select(col("__id"), col("fp")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxBucket)
+      .select(col("fp"))
+    val capped = fps.join(cap, "fp")
+    val pairs = capped.select(col("fp"), col("__id").as("left_id"),
+        col("fpos").as("__lp"))
+      .join(capped.select(col("fp"), col("__id").as("right_id"),
+        col("fpos").as("__rp")), "fp")
+      .where(col("left_id") < col("right_id"))
+      .select(col("left_id"), col("right_id"), col("__lp"), col("__rp"),
+        (col("__lp") - col("__rp")).as("delta"))
+    val byAlign = Window
+      .partitionBy(col("left_id"), col("right_id"), col("delta"))
+      .orderBy(col("__lp"))
+    val gap = w + k - 1
+    pairs
+      .withColumn("__prev", lag(col("__lp"), 1).over(byAlign))
+      .withColumn("__brk",
+        when(col("__prev").isNull || col("__lp") > col("__prev") + gap, 1)
+          .otherwise(0))
+      .withColumn("__g", sum(col("__brk")).over(byAlign
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("left_id"), col("right_id"), col("delta"), col("__g"))
+      .agg(min(col("__lp")).cast("long").as("left_start"),
+        (max(col("__lp")) + (k - 1)).cast("long").as("left_end"),
+        count(lit(1)).as("n_fps"))
+      .select(col("left_id"), col("right_id"),
+        col("delta").cast("long").as("delta"),
+        col("left_start"), col("left_end"),
+        (col("left_start") - col("delta")).as("right_start"),
+        (col("left_end") - col("delta")).as("right_end"),
+        (col("left_end") - col("left_start") + 1).as("span_len"),
+        col("n_fps"))
   }
 
   /** The persistable WINNOWED fingerprint index — [[windowHashIndex]]

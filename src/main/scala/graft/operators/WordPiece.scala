@@ -82,12 +82,15 @@ object WordPiece {
     * frequency, both vocabulary-bounded aggregates over the
     * distinct-word frame), score each pair `cnt/(cnt_a·cnt_b)`, admit
     * the top `batchSize` symbol-disjoint candidates in (score desc,
-    * cnt desc, a, b) order. Symbol-disjoint admission is EXACT here
-    * for the same reason as in fitBpeMerges, plus one more: a merge
-    * of (a,b) changes neither the pair count nor the symbol counts of
-    * any pair sharing no symbol with it (the merged symbol is
-    * brand-new; c and d occurrences are untouched), so every admitted
-    * score is the score sequential WordPiece would have seen. */
+    * cnt desc, a, b) order. Every ADMITTED score is exact — a merge of
+    * (a,b) changes neither the pair count nor the symbol counts of any
+    * pair sharing no symbol with it (the merged symbol is brand-new; c
+    * and d occurrences are untouched) — but the admission SET can
+    * diverge from sequential WordPiece at batchSize > 1: a merge
+    * admitted earlier in the round creates a new symbol whose pairs
+    * (e.g. (x, ab)) sequential fitting would score next and might rank
+    * above the remaining disjoint candidates of this round. Same
+    * caveat as batched BPE; batchSize = 1 replays sequential exactly. */
   def fitWordPiece(df: DataFrame, textCol: String, numMerges: Int,
       batchSize: Int = 1): WpModel = {
     require(numMerges >= 0, "fitWordPiece: numMerges >= 0")
@@ -229,6 +232,13 @@ object WordPiece {
   def tokenize(df: DataFrame, idCol: String, textCol: String,
       vocab: Seq[String]): DataFrame = {
     require(vocab.nonEmpty, "tokenize: empty vocabulary")
+    // greedyMatch emits the Unk sentinel for unmatchable words; a vocab
+    // without it would make that sentinel invisible downstream (and in
+    // encodeIds, element_at on the piece->id map would yield null ids
+    // that array_join silently DROPS from ids_sig). WpModel.vocab
+    // always carries it; the raw Seq[String] API must too.
+    require(vocab.contains(Unk),
+      s"tokenize: vocabulary must contain the $Unk sentinel")
     val spark = df.sparkSession
     import spark.implicits._
     val (maxInit, maxCont) = probeBounds(vocab)
@@ -260,6 +270,8 @@ object WordPiece {
     * (id, ids, n_pieces, n_unk, ids_sig). */
   def encodeIds(df: DataFrame, idCol: String, textCol: String,
       vocab: Seq[String]): DataFrame = {
+    require(vocab.contains(Unk),
+      s"encodeIds: vocabulary must contain the $Unk sentinel")
     val v = vocabulary(vocab)
     val ids = transform(col("pieces"),
       p => element_at(typedLit(v), p))

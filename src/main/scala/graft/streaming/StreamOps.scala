@@ -600,9 +600,9 @@ object StreamOps {
               "replays, so refusing to merge — wipe the state dir for " +
               "a new query, or resume with the original runId")
         }
-        val alreadyApplied = prev.exists(p =>
-          !p.limit(1).isEmpty &&
-            p.agg(max(col("last_batch"))).head().getLong(0) >= batchId)
+        val storedMax = prev.filter(p => !p.limit(1).isEmpty)
+          .map(_.agg(max(col("last_batch"))).head().getLong(0))
+        val alreadyApplied = storedMax.exists(_ >= batchId)
         val merged =
           if (alreadyApplied)
             prev.get.drop("last_batch", "run_id")
@@ -617,7 +617,13 @@ object StreamOps {
             if (compactState) R.compactHitterSummaries(merged0, capacity)
             else merged0
           }
-        val pinned = merged.withColumn("last_batch", lit(batchId))
+        // last_batch is the replay watermark — pin it to the running MAX,
+        // never the raw batchId: a replayed OLDER batch rewriting the
+        // watermark down would let a later replay of an intermediate
+        // batch slip past the guard and merge twice (breaking n_est <=
+        // true). Content on replay is unchanged; only the stamp matters.
+        val pinned = merged.withColumn("last_batch",
+            lit(storedMax.fold(batchId)(math.max(_, batchId))))
           .withColumn("run_id", lit(runId))
           .localCheckpoint(true)
         try {
@@ -666,9 +672,9 @@ object StreamOps {
               s"'$runId': wipe the state dir for a new query, or " +
               "resume with the original runId")
         }
-        val alreadyApplied = prev.exists(p =>
-          !p.limit(1).isEmpty &&
-            p.agg(max(col("last_batch"))).head().getLong(0) >= batchId)
+        val storedMax = prev.filter(p => !p.limit(1).isEmpty)
+          .map(_.agg(max(col("last_batch"))).head().getLong(0))
+        val alreadyApplied = storedMax.exists(_ >= batchId)
         val merged =
           if (alreadyApplied) prev.get.drop("last_batch", "run_id")
           else {
@@ -680,7 +686,13 @@ object StreamOps {
               case None => batchSk
             }
           }
-        val pinned = merged.withColumn("last_batch", lit(batchId))
+        // monotone replay watermark — the heavyHittersBatches fix
+        // verbatim: a replayed older batch must not regress last_batch
+        // below the true high-water mark (KMV merge is idempotent, so
+        // the hazard here is only the weakened guard contract, but the
+        // two loops share one contract and now share one stamp rule)
+        val pinned = merged.withColumn("last_batch",
+            lit(storedMax.fold(batchId)(math.max(_, batchId))))
           .withColumn("run_id", lit(runId))
           .localCheckpoint(true)
         try {

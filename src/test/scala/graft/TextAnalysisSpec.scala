@@ -649,6 +649,89 @@ class TextAnalysisSpec extends SparkSpec {
       "uncapped: every boiler pair present via the shared prefix")
   }
 
+  test("substringDedup: remove-ALL copies scrubs every occurrence; " +
+      "keepFirst recovers the dedupTokenWindows rule; spans counted") {
+    val docs = Seq(
+      (1L, "p q r s t u v w"),
+      (2L, "x y p q r s t z"),
+      (3L, "a b c"),
+      (4L, "m n o p m n o p")).toDF("doc_id", "text")
+    val all = TextAnalysis.substringDedup(docs, "doc_id", "text", L = 4)
+      .select("doc_id", "n_tokens", "n_spans", "n_kept", "text_deduped")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // remove-all: doc 1's copy of the shared run scrubs TOO (windows
+    // at 0,1 are duplicated by doc 2's at 2,3 — coverage 0..4)
+    assert(all(1L) === ((8L, 1L, 3L, "u v w")))
+    assert(all(2L) === ((8L, 1L, 3L, "x y z")))
+    assert(all(3L) === ((3L, 0L, 3L, "a b c")))
+    // within-doc repeat: dup windows at 0 and 4 are ADJACENT (4 = 0+4)
+    // so they merge into ONE span covering the whole doc
+    assert(all(4L) === ((8L, 1L, 0L, "")))
+    // keepFirst flavor = dedupTokenWindows semantics, same plan
+    val kept = TextAnalysis.substringDedup(docs, "doc_id", "text",
+        L = 4, keepFirst = true)
+      .select("doc_id", "n_tokens", "n_kept", "text_deduped")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val windows = TextAnalysis.dedupTokenWindows(docs, "doc_id",
+        "text", k = 4)
+      .select("doc_id", "n_tokens", "n_kept", "text_deduped")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(kept === windows)
+  }
+
+  test("repeatedSpans: maximal extents exact on planted repeats; " +
+      "adjacent dup windows merge; keepFirst spares the canonical") {
+    val docs = Seq(
+      (1L, "p q r s t u v w"),
+      (2L, "x y p q r s t z"),
+      (3L, "a b c"),
+      (4L, "m n o p m n o p")).toDF("doc_id", "text")
+    def spans(keepFirst: Boolean) =
+      TextAnalysis.repeatedSpans(docs, "doc_id", "text", L = 4,
+          keepFirst = keepFirst)
+        .select("doc_id", "span_start", "span_end", "span_len",
+          "n_windows")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(spans(keepFirst = false) === Set(
+      (1L, 0L, 4L, 5L, 2L),  // the shared 5-token run, both copies
+      (2L, 2L, 6L, 5L, 2L),
+      (4L, 0L, 7L, 8L, 2L))) // within-doc: two adjacent dup windows
+    assert(spans(keepFirst = true) === Set(
+      (2L, 2L, 6L, 5L, 2L),  // doc 1's canonical copy is spared
+      (4L, 4L, 7L, 4L, 1L))) // only the second occurrence's window
+  }
+
+  test("winnowSpans: planted containment reports one matched run " +
+      "with the right alignment and a floor on the extent") {
+    // P = 20 contained tokens; fillers are doc-unique so P is the
+    // pair's only overlap. k=3, w=4: detection floor w+k-1 = 6,
+    // boundary slack w+k-2 = 5 per side.
+    val p = (0 until 20).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, (0 until 10).map(i => s"a$i").mkString(" ") + " " + p +
+        " " + (10 until 20).map(i => s"a$i").mkString(" ")),
+      (2L, (0 until 5).map(i => s"b$i").mkString(" ") + " " + p +
+        " " + (5 until 10).map(i => s"b$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.winnowSpans(docs, "doc_id", "text",
+        k = 3, w = 4, maxBucket = 64)
+      .select("left_id", "right_id", "delta", "left_start", "left_end",
+        "right_start", "right_end", "span_len", "n_fps")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect()
+    assert(out.length === 1, s"one matched run, got ${out.toSeq}")
+    val r = out.head
+    assert(r._1 === 1L && r._2 === 2L)
+    // P starts at token 10 in doc 1, token 5 in doc 2
+    assert(r._3 === 5L, "alignment shift = 10 - 5")
+    assert(r._4 >= 10L && r._5 <= 29L, "left extent inside P")
+    assert(r._6 === r._4 - 5 && r._7 === r._5 - 5,
+      "right extent is the left extent shifted by delta")
+    assert(r._8 >= 20L - 2 * 5, "extent floor: |P| - slack per side")
+    assert(r._9 >= 1L)
+  }
+
   test("winnowIndex: canonical per fingerprint; advance equals " +
       "rebuild under the reserved-id contract and is idempotent") {
     val corpus = Seq(

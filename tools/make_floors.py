@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Regenerate bench_floors.json: per-query historical floor seconds.
+
+The floor is the MIN over every recorded full-sweep measurement
+(BENCH_r*.json + bench_latest.json) and every isolated adjudication
+(bench_partial.json + the "adjudicated" isolated numbers inside full
+sweeps). graft.Bench reads it to auto-adjudicate in-sweep drift: any
+query whose sweep min exceeds 1.3x its floor (with an absolute slack,
+see Bench.scala) is re-run isolated in the same JVM after the sweep,
+and both numbers land in the output JSON — the round-7 ABA protocol,
+mechanized (VERDICT r15 tasks 3+7).
+
+Only measurements at the driver's sweep SF (sf0.1) count — a floor
+recorded at another SF would misfire the drift detector.
+
+Run from the repo root after a round closes: tools/make_floors.py
+"""
+import glob
+import json
+import os
+import re
+import sys
+
+SWEEP_SF = "sf0.1"
+# driver BENCH_r*.json keep only a truncated "tail" of the bench line;
+# harvest whatever "name":seconds pairs survived truncation
+PAIR_RE = re.compile(r'"([a-z][a-z0-9_]+)":([0-9]+\.[0-9]+)')
+NON_QUERY_KEYS = {"value", "sf"}
+
+
+def main() -> None:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    floors: dict[str, float] = {}
+
+    def feed(name: str, sec: float) -> None:
+        if sec <= 0:
+            return
+        floors[name] = min(floors.get(name, sec), sec)
+
+    paths = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
+    paths += [os.path.join(root, p)
+              for p in ("bench_latest.json", "bench_partial.json")]
+    used = []
+    for p in paths:
+        if not os.path.exists(p):
+            continue
+        try:
+            with open(p) as f:
+                d = json.load(f)
+        except (json.JSONDecodeError, OSError) as e:
+            print(f"skip {p}: {e}", file=sys.stderr)
+            continue
+        sf = str(d.get("sf", ""))
+        if SWEEP_SF not in sf and sf != "0.1":
+            continue
+        failed = set(d.get("failed", []))
+        for q, sec in d.get("queries", {}).items():
+            if q not in failed:
+                feed(q, float(sec))
+        for q, pair in d.get("adjudicated", {}).items():
+            feed(q, float(pair.get("isolated", 0)))
+        for q, sec in PAIR_RE.findall(d.get("tail", "")):
+            if q not in failed and q not in NON_QUERY_KEYS:
+                feed(q, float(sec))
+        used.append(os.path.basename(p))
+
+    out = os.path.join(root, "bench_floors.json")
+    with open(out, "w") as f:
+        json.dump({"sf": SWEEP_SF, "sources": used,
+                   "floors": dict(sorted(floors.items()))}, f, indent=1)
+        f.write("\n")
+    print(f"wrote {out}: {len(floors)} floors from {len(used)} files")
+
+
+if __name__ == "__main__":
+    main()
