@@ -1548,6 +1548,30 @@ object SparkEntry {
           col("fpos").cast("long").as("fpos"), col("dup_of"),
           col("dup_pos").cast("long").as("dup_pos"))
     }),
+    "dedup_winnow_delete" -> ((s, d) => {
+      // the takedown loop: build the winnow index, DELETE every
+      // corpus doc with doc_id % 7 = 0 (canonical re-election from
+      // the persisted fingerprint posting), probe the arrivals
+      // against the vacuumed index. The oracle expresses the
+      // CONTRACT — an index rebuilt over corpus∖deleted — so the
+      // cross-engine equality IS delete == rebuild at corpus scale
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val arrivals = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("arrival_ts", col("doc_id"))
+      val idx = TextAnalysis.winnowIndex(corpus, "doc_id", "text",
+        WinnowK, WinnowW)
+      val occ = TextAnalysis.winnowFingerprints(corpus, "doc_id",
+        "text", WinnowK, WinnowW)
+      val vacuumed = TextAnalysis.deleteFromWinnowIndex(idx, occ,
+        "doc_id",
+        corpus.where(col("doc_id") % 7 === 0).select(col("doc_id")))
+      graft.streaming.StreamOps.incrementalWinnowDupFlags(arrivals,
+          vacuumed, "doc_id", "text", "arrival_ts", WinnowK, WinnowW)
+        .select(col("new_id"), col("arrival_ts"),
+          col("fpos").cast("long").as("fpos"), col("dup_of"),
+          col("dup_pos").cast("long").as("dup_pos"))
+    }),
     "text_vocab" -> ((s, d) =>
       TextAnalysis.vocabulary(t(s, d, "documents"), "text", 50)),
     "text_bpe_merges" -> ((s, d) =>
@@ -4456,6 +4480,19 @@ object SparkEntry {
         "CAST(max(wpos) + 7 - min(wpos) + 1 AS BIGINT) AS span_len, " +
         "CAST(count(*) AS BIGINT) AS n_windows " +
         "FROM g GROUP BY doc_id, grp"),
+    "dedup_winnow_delete" ->
+      // delete == rebuild IS the oracle: the index is built directly
+      // over corpus∖deleted (doc_id % 10 <> 0 AND % 7 <> 0) — the
+      // engine's build→delete→probe must land on exactly these rows
+      (s"WITH ${winnowCtesFor("c",
+          "doc_id % 10 <> 0 AND doc_id % 7 <> 0")}, " +
+        s"${winnowCtesFor("a", "doc_id % 10 = 0")}, " +
+        "idx AS (SELECT fp, doc_id AS dup_of, fpos AS dup_pos FROM " +
+        "(SELECT fp, doc_id, fpos, row_number() OVER (PARTITION BY fp ORDER BY doc_id, fpos) AS rn FROM cwfe) r WHERE rn = 1) " +
+        "SELECT a.doc_id AS new_id, CAST(a.doc_id AS BIGINT) AS arrival_ts, " +
+        "CAST(a.fpos AS BIGINT) AS fpos, i.dup_of, CAST(i.dup_pos AS BIGINT) AS dup_pos " +
+        "FROM awfe a JOIN idx i USING (fp)"),
+
     "text_window_dedup" ->
       // full replay: hash every 8-token window, rank occurrences by
       // (doc_id, wpos) per hash, rank>1 spans mark coverage, a token

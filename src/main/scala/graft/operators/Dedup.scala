@@ -635,6 +635,25 @@ object Dedup {
         simhashBandIndex(newDocs, idCol, textCol, maxDist, cleanBlocks))
       .dropDuplicates("band", "bv", "corpus_id")
 
+  /** DELETE documents from a persisted [[simhashBandIndex]] — the
+    * takedown/recrawl half of the incremental loop. Every index row
+    * is per-document (a doc owns exactly its own band rows; nothing
+    * canonical to re-elect), so deletion is ONE anti-join and the
+    * result is row-for-row the rebuild over corpus∖deleted; delete
+    * commutes with [[advanceSimhashIndex]] under the reserved-id
+    * contract (spec-pinned). The interim tombstone pattern — persist
+    * `deleted` beside the index and filter probe results on
+    * `dup_of` — yields IDENTICAL probe output for this family (each
+    * match row carries its corpus doc), so vacuum here is purely a
+    * space/scan reclaim, run on whatever cadence amortizes the
+    * rewrite. `deleted`: one column named `idCol`. */
+  def deleteFromSimhashIndex(index: DataFrame, idCol: String,
+      deleted: DataFrame): DataFrame =
+    index.join(
+        deleted.select(col(idCol).as("corpus_id")).distinct(),
+        Seq("corpus_id"), "left_anti")
+      .select(index.columns.map(col).toSeq: _*)
+
   /** Advance a persisted [[exactDupGroups]] fingerprint index with a
     * new batch: new-batch groups union in, colliding content hashes
     * MERGE (keep_id = min across batches — exactly the rebuilt

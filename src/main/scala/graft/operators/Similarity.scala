@@ -959,6 +959,24 @@ object Similarity {
         buildIvfPqIndex(newVecs, coarse, codebooks, idCol, vecCol))
       .dropDuplicates("corpus_id")
 
+  /** DELETE vectors from a persisted [[buildIvfPqIndex]] — the
+    * takedown half of the ANN maintenance loop
+    * (Dedup.deleteFromSimhashIndex's shape): one row per vector,
+    * nothing canonical, so deletion is ONE anti-join and equals a
+    * rebuild over corpus∖deleted with the same frozen artifacts;
+    * commutes with [[advanceIvfPqIndex]] under the reserved-id
+    * contract (spec-pinned). Tombstone interim: filtering probe
+    * results on corpus_id is exactly equivalent until the vacuum
+    * rewrite reclaims the rows (cell histograms — ivfPqIndexReport —
+    * read tombstones-applied, or drifting occupancy mislabels cells
+    * healthy). `deleted`: one column named `idCol`. */
+  def deleteFromIvfPqIndex(index: DataFrame, deleted: DataFrame,
+      idCol: String = "vec_id"): DataFrame =
+    index.join(
+        deleted.select(col(idCol).as("corpus_id")).distinct(),
+        Seq("corpus_id"), "left_anti")
+      .select(index.columns.map(col).toSeq: _*)
+
   /** Query-side nprobe-nearest-cells as a PURE per-row expression over
     * literal centroids — the array of the nprobe best cells, best
     * first. Ordering matches [[nearestCells]] exactly: array_sort over

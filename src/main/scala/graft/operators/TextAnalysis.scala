@@ -2117,6 +2117,78 @@ object TextAnalysis {
       winnowIndex(newDocs, idCol, textCol, k, w, delim)
         .join(index.select(col("fp")), Seq("fp"), "left_anti"))
 
+  /** DELETE documents from a persisted canonical (key, corpus_id,
+    * corpus_pos) index — the missing half of the advance loop
+    * (takedowns, recrawls). A canonical index cannot delete by
+    * anti-join alone: a key whose canonical OWNER dies may survive in
+    * other documents, so its canonical must be RE-ELECTED — which
+    * needs the per-document occurrence posting `occurrences`
+    * (keyCol, idCol, posCol rows for every doc, the frame the build
+    * aggregated; persist it bucketed by the key at build time so
+    * deletes never re-read text). Three bounded steps: surviving
+    * rows keep their slot (a surviving canonical is still the min
+    * over survivors); orphaned keys (owned by a deleted doc) re-elect
+    * min(struct(id, pos)) over SURVIVING occurrences of just those
+    * keys (semi-join pruned — cost scales with the deleted fraction,
+    * not the index); keys with no surviving occurrence drop. The
+    * result is row-for-row the rebuild over corpus∖deleted
+    * (spec-pinned), and delete commutes with advance under the
+    * reserved-id contract. */
+  private def deleteFromCanonicalIndex(index: DataFrame,
+      occurrences: DataFrame, keyCol: String, idCol: String,
+      posCol: String, deleted: DataFrame): DataFrame = {
+    val dead = deleted.select(col(idCol)).distinct()
+    // the USING-join can surface the join column first — re-project to
+    // the index's own column order so union/compare stay positional-safe
+    val keep = index.join(dead.select(col(idCol).as("corpus_id")),
+        Seq("corpus_id"), "left_anti")
+      .select(index.columns.map(col).toSeq: _*)
+    val orphanKeys = index
+      .join(dead.select(col(idCol).as("corpus_id")), Seq("corpus_id"),
+        "left_semi")
+      .select(col(keyCol))
+    val reelect = occurrences
+      .join(dead, Seq(idCol), "left_anti")
+      .join(orphanKeys, Seq(keyCol), "left_semi")
+      .groupBy(col(keyCol))
+      .agg(min(struct(col(idCol), col(posCol))).as("__c"))
+      .select(col(keyCol), col("__c")(idCol).as("corpus_id"),
+        col("__c")(posCol).as("corpus_pos"))
+    keep.unionByName(reelect.select(keep.columns.map(col).toSeq: _*))
+  }
+
+  /** [[deleteFromCanonicalIndex]] for [[winnowIndex]]: `occurrences`
+    * is the [[winnowFingerprints]] posting (idCol, fpos, fp) of the
+    * indexed corpus, `deleted` a one-column idCol frame. Equals
+    * `winnowIndex(corpus∖deleted)` row-for-row. */
+  def deleteFromWinnowIndex(index: DataFrame, occurrences: DataFrame,
+      idCol: String, deleted: DataFrame): DataFrame =
+    deleteFromCanonicalIndex(index, occurrences, "fp", idCol, "fpos",
+      deleted)
+
+  /** [[deleteFromCanonicalIndex]] for [[windowHashIndex]]:
+    * `occurrences` is the every-window posting (idCol, wpos, whash)
+    * the build exploded — [[windowPostings]] re-derives it from text
+    * when no persisted copy exists. */
+  def deleteFromWindowHashIndex(index: DataFrame,
+      occurrences: DataFrame, idCol: String,
+      deleted: DataFrame): DataFrame =
+    deleteFromCanonicalIndex(index, occurrences, "whash", idCol, "wpos",
+      deleted)
+
+  /** The per-document window posting (idCol, wpos, whash) —
+    * [[windowHashIndex]]'s pre-aggregation frame, exposed so builds
+    * can persist the occurrence store the delete path re-elects from. */
+  def windowPostings(df: DataFrame, idCol: String, textCol: String,
+      k: Int, delim: String = " "): DataFrame = {
+    require(k >= 2, "window must span at least 2 tokens")
+    val esc = java.util.regex.Pattern.quote(delim)
+    df.select(col(idCol), split(col(textCol), esc).as("__ws"))
+      .select(col(idCol),
+        posexplode(windowHashes(col("__ws"), k, delim))
+          .as(Seq("wpos", "whash")))
+  }
+
   /** The persistable window-hash index behind the INCREMENTAL form of
     * [[dedupTokenWindows]] — one row per DISTINCT window hash with its
     * canonical (lowest (doc, pos)) occurrence, the exactDupGroups-
@@ -2129,12 +2201,7 @@ object TextAnalysis {
       k: Int, delim: String = " "): DataFrame = {
     require(k >= 2, "window must span at least 2 tokens")
     import org.apache.spark.sql.expressions.Window
-    val esc = java.util.regex.Pattern.quote(delim)
-    val wins = df
-      .select(col(idCol), split(col(textCol), esc).as("__ws"))
-      .select(col(idCol),
-        posexplode(windowHashes(col("__ws"), k, delim))
-          .as(Seq("wpos", "whash")))
+    val wins = windowPostings(df, idCol, textCol, k, delim)
     val w = Window.partitionBy(col("whash"))
       .orderBy(col(idCol), col("wpos"))
     wins.withColumn("__rn", row_number().over(w))

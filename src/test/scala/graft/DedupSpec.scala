@@ -452,6 +452,38 @@ class DedupSpec extends SparkSpec {
     assert(!hits.contains(11L))
   }
 
+  test("deleteFromSimhashIndex: delete∘advance == rebuild over " +
+      "corpus∖ids; tombstone-filtered probe == vacuumed probe") {
+    import spark.implicits._
+    val a = docs.filter(col("doc_id") <= 2)
+    val b = docs.filter(col("doc_id") > 2)
+    def shSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("band", "bv", "corpus_id", "corpus_sh")
+        .as[(Int, Long, Long, Long)].collect().toSet
+    val grown = Dedup.advanceSimhashIndex(
+      Dedup.simhashBandIndex(a, "doc_id", "text"), b, "doc_id", "text")
+    val deleted = Dedup.deleteFromSimhashIndex(grown, "doc_id",
+      Seq(1L).toDF("doc_id"))
+    val rebuilt = Dedup.simhashBandIndex(
+      docs.where(col("doc_id") =!= 1), "doc_id", "text")
+    assert(shSet(deleted) === shSet(rebuilt), "delete == rebuild")
+    // delete commutes with advance (ids disjoint from the batch)
+    assert(shSet(Dedup.advanceSimhashIndex(
+      Dedup.deleteFromSimhashIndex(
+        Dedup.simhashBandIndex(a, "doc_id", "text"), "doc_id",
+        Seq(1L).toDF("doc_id")), b, "doc_id", "text")) === shSet(rebuilt))
+    // tombstone interim: filtering probe results on dup_of equals
+    // probing the vacuumed index (per-doc rows — nothing canonical)
+    val arrivals = Seq((11L, "the quick brown fox jumps over the " +
+      "lazy dog")).toDF("doc_id", "text")
+    def probe(idx: org.apache.spark.sql.DataFrame) =
+      Dedup.incrementalNearDups(arrivals, idx, "doc_id", "text")
+        .as[(Long, Long, Long)].collect().toSet
+    assert(probe(grown).filter(_._2 != 1L) === probe(deleted))
+    assert(probe(deleted).nonEmpty,
+      "doc 2 (the surviving normalized twin) still matches")
+  }
+
   test("advance*Index equals a batch rebuild of the grown corpus") {
     val a = docs.filter(col("doc_id") <= 2)
     val b = docs.filter(col("doc_id") > 2)

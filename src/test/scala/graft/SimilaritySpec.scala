@@ -360,6 +360,43 @@ class SimilaritySpec extends SparkSpec {
         .as[(Long, Long, Long, Double)].collect().toSet)
   }
 
+  test("deleteFromIvfPqIndex: delete∘advance == rebuild over " +
+      "corpus∖ids with the same frozen artifacts; probe-equal") {
+    val rnd = new scala.util.Random(23)
+    val all = (0 until 48).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val a = all.filter(col("vec_id") < 40)
+    val b = all.filter(col("vec_id") >= 40)
+    val (coarse, cb) = Similarity.fitIvfPq(a, "vec_id", "embedding",
+      dims = 8, nlist = 4, m = 4, ksub = 4, iters = 2, seed = 7L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("corpus_id", "cell", "codes")
+        .as[(Long, Int, Seq[Int])].collect().toSet
+    val dead = Seq(0L, 5L, 41L).toDF("vec_id")
+    val deleted = Similarity.deleteFromIvfPqIndex(
+      Similarity.advanceIvfPqIndex(
+        Similarity.buildIvfPqIndex(a, coarse, cb, "vec_id", "embedding"),
+        b, coarse, cb, "vec_id", "embedding"), dead)
+    val rebuilt = Similarity.buildIvfPqIndex(
+      all.where(!col("vec_id").isin(0L, 5L, 41L)), coarse, cb,
+      "vec_id", "embedding")
+    assert(rows(deleted) === rows(rebuilt), "delete == rebuild")
+    // idempotent; unknown ids are a no-op
+    assert(rows(Similarity.deleteFromIvfPqIndex(deleted,
+      Seq(0L, 999L).toDF("vec_id"))) === rows(rebuilt))
+    // probing the vacuumed index == probing the rebuild, and deleted
+    // vectors can never surface as neighbors
+    val queries = all.filter(col("vec_id") < 3)
+    def topk(idx: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqProbeIndex(idx, queries, 3, nprobe = 2, coarse, cb)
+        .select("q_id", "rank", "n_id", "cosine_sim")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    val got = topk(deleted)
+    assert(got === topk(rebuilt))
+    assert(got.forall(r => !Set(0L, 5L, 41L).contains(r._3)))
+  }
+
   test("IVFPQ index round-trips through parquet (the persisted shape)") {
     // the production claim is "persist the index, probe forever" — so
     // prove the parquet round-trip: write, read back, probe-equal

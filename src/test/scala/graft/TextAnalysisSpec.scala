@@ -732,6 +732,61 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r._9 >= 1L)
   }
 
+  test("deleteFromWinnowIndex / deleteFromWindowHashIndex: " +
+      "delete∘advance == rebuild over corpus∖ids, canonical " +
+      "re-election included; idempotent; sole-owner keys drop") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      // doc 2 shares the 6-token run — doc 1 owns its canonicals
+      (2L, "x1 x2 alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val arrivals = Seq(
+      (11L, "alpha beta gamma delta epsilon zeta nine ten"))
+      .toDF("doc_id", "text")
+    val all = corpus.unionByName(arrivals)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getInt(2))).toSet
+    def only(ids: Long*) = ids.toDF("doc_id")
+
+    // --- winnow flavor ---
+    val wIdx = TextAnalysis.advanceWinnowIndex(
+      TextAnalysis.winnowIndex(corpus, "doc_id", "text", 3, 4),
+      arrivals, "doc_id", "text", 3, 4)
+    val wOcc = TextAnalysis.winnowFingerprints(all, "doc_id", "text",
+      3, 4)
+    val wDel = TextAnalysis.deleteFromWinnowIndex(wIdx, wOcc,
+      "doc_id", only(1L))
+    val wReb = TextAnalysis.winnowIndex(all.where(col("doc_id") =!= 1),
+      "doc_id", "text", 3, 4)
+    assert(rows(wDel) === rows(wReb),
+      "winnow delete == rebuild (shared fps re-elect to doc 2, " +
+        "doc-1-only fps drop)")
+    // the shared run's fp moved to the NEXT-lowest owner, doc 2
+    assert(wDel.where(col("corpus_id") === 1).isEmpty)
+    assert(!wDel.where(col("corpus_id") === 2).isEmpty)
+    // idempotent; deleting an unknown id is a no-op
+    assert(rows(TextAnalysis.deleteFromWinnowIndex(wDel, wOcc,
+      "doc_id", only(1L, 99L))) === rows(wReb))
+    // deleting every owner of the shared run drops its fps entirely
+    val wGone = TextAnalysis.deleteFromWinnowIndex(wIdx, wOcc,
+      "doc_id", only(1L, 2L, 11L))
+    assert(rows(wGone) === rows(TextAnalysis.winnowIndex(
+      all.where(col("doc_id") === 3), "doc_id", "text", 3, 4)))
+
+    // --- every-window flavor, same contract ---
+    val hIdx = TextAnalysis.advanceWindowHashIndex(
+      TextAnalysis.windowHashIndex(corpus, "doc_id", "text", 4),
+      arrivals, "doc_id", "text", 4)
+    val hOcc = TextAnalysis.windowPostings(all, "doc_id", "text", 4)
+    val hDel = TextAnalysis.deleteFromWindowHashIndex(hIdx, hOcc,
+      "doc_id", only(1L))
+    assert(rows(hDel) === rows(TextAnalysis.windowHashIndex(
+      all.where(col("doc_id") =!= 1), "doc_id", "text", 4)),
+      "window-hash delete == rebuild")
+  }
+
   test("winnowIndex: canonical per fingerprint; advance equals " +
       "rebuild under the reserved-id contract and is idempotent") {
     val corpus = Seq(
