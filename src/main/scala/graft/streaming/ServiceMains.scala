@@ -20,9 +20,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object ProducerMain {
 
   /** Producer half: slice the configured source table into ordered
-    * batch drops on the bus directory (pacing from config). Returns the
-    * number of batches written. */
-  def produce(spark: SparkSession, c: GraftConfig): Long = {
+    * batch publishes on the event bus (pacing from config). The
+    * transport is the [[EventBus]] seam — `bus = None` builds the
+    * deployment [[FileBus]] from config, byte-identical to the
+    * pre-seam hard-wired file drop; tests pass a [[MemoryBus]]; a
+    * Kafka bus drops in the same way. Returns the number of batches
+    * published. */
+  def produce(spark: SparkSession, c: GraftConfig,
+      bus: Option[EventBus] = None): Long = {
     def d(k: String) = c.str(k, GraftConfig.Defaults(k))
     val events = Tables(spark, d("graft.producer.data.sourceDir"),
         d("graft.producer.data.table"))
@@ -32,10 +37,11 @@ object ProducerMain {
     val confBatch = d("graft.producer.data.batchSize").toLong
     val batchSize = if (confBatch > 0) confBatch else math.max(1L, total / 5)
     val nBatches = Replay.batchCount(prepared, batchSize)
-    Replay.writeBatches(prepared, d("graft.producer.file.outputDir"),
-      batchSize, nBatches,
-      intervalMillis = d("graft.producer.data.intervalSeconds").toLong * 1000L,
-      format = d("graft.producer.file.format"))
+    bus.getOrElse(new FileBus(d("graft.producer.file.outputDir"),
+        format = d("graft.producer.file.format")))
+      .publishBatches(prepared, batchSize, nBatches,
+        intervalMillis =
+          d("graft.producer.data.intervalSeconds").toLong * 1000L)
     nBatches
   }
 
@@ -62,13 +68,16 @@ object ConsumerMain {
     * `drainOnce` is set (catch up from the checkpoint and terminate —
     * the cron-run shape) and ProcessingTime otherwise (the always-on
     * container shape). */
-  def startConsumer(spark: SparkSession, c: GraftConfig): StreamingQuery = {
+  def startConsumer(spark: SparkSession, c: GraftConfig,
+      bus: Option[EventBus] = None): StreamingQuery = {
     def d(k: String) = c.str(k, GraftConfig.Defaults(k))
     val busDir = d("graft.producer.file.outputDir")
     val watchDir = c.str("graft.consumer.source.directory", busDir)
-    val stream = StreamSources.fileStream(spark, s"$watchDir/*",
-      format = d("graft.consumer.source.format"),
-      maxFilesPerTrigger = d("graft.consumer.source.maxFilesPerTrigger").toInt)
+    val stream = bus.getOrElse(new FileBus(watchDir,
+        format = d("graft.consumer.source.format"),
+        maxFilesPerTrigger =
+          d("graft.consumer.source.maxFilesPerTrigger").toInt))
+      .subscribe(spark)
     MultiSink.start(stream, MultiSink.Config.fromConf(c,
       keyA = "user_id", tagA = "pickup_location",
       keyB = "event_type", tagB = "dropoff_location"))

@@ -66,6 +66,53 @@ class StreamPipelineSpec extends SparkSpec {
     assert(top.nonEmpty && top.map(_._2).toSeq.sorted.reverse === top.map(_._2).toSeq)
   }
 
+  test("the same pipeline runs over the in-memory bus — the EventBus " +
+      "seam the reference's Kafka design promised") {
+    import graft.streaming.{FileBus, MemoryBus}
+    val base = Files.createTempDirectory("graft_membus").toString
+    val events = mkEvents(60)
+    val prepared = Replay.prepare(events, Seq(col("ts"), col("event_id")))
+    val nb = Replay.batchCount(prepared, 20)
+
+    // memory transport: publish through the seam, consume the seam's
+    // stream — zero filesystem between producer and consumer
+    val bus = new MemoryBus(spark)
+    bus.publishBatches(prepared, 20, nb, 0)
+    val q = MultiSink.start(bus.subscribe(spark), MultiSink.Config(
+      outDir = s"$base/mem/processed",
+      checkpointDir = s"$base/mem/checkpoint",
+      keyA = "user_id", tagA = "pickup_location",
+      keyB = "event_type", tagB = "dropoff_location",
+      triggerSeconds = 1L))
+    q.processAllAvailable()
+    q.stop()
+
+    // file transport THROUGH THE SAME SEAM: must reproduce the
+    // hard-wired runPipeline results byte-for-byte in dataset terms
+    val fileBus = new FileBus(s"$base/incoming")
+    fileBus.publishBatches(prepared, 20, nb, 0)
+    assert(runPipeline(s"$base/incoming", s"$base/file") === 60L)
+    prepared.unpersist()
+
+    // both transports conserve rows and per-tag counts identically
+    Seq("mem/processed", "file/processed").foreach { p =>
+      assert(spark.read.parquet(s"$base/$p/raw/batch_id=*")
+        .count() === 60L, p)
+      spark.read.parquet(s"$base/$p/combined_agg/batch_id=*")
+        .groupBy("aggregation_type")
+        .agg(sum("trip_count").as("s")).as[(String, Long)].collect()
+        .foreach { case (tag, s) => assert(s === 60L, s"$p/$tag") }
+    }
+    // same tagged totals per key on both transports
+    def tagged(p: String) = spark.read
+      .parquet(s"$base/$p/combined_agg/batch_id=*")
+      .groupBy(col("aggregation_type"),
+        col("location_id").cast("string").as("k"))
+      .agg(sum("trip_count").as("n"))
+      .as[(String, String, Long)].collect().toSet
+    assert(tagged("mem/processed") === tagged("file/processed"))
+  }
+
   test("AvailableNow drain processes the backlog and terminates itself") {
     val base = Files.createTempDirectory("graft_pipe3").toString
     val events = mkEvents(40)
