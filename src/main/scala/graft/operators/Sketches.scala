@@ -140,7 +140,14 @@ object Sketches {
     * union_est = the merged sketch's [[kmvEstimate]], and
     * intersection_est = jaccard_est · union_est (Beyer et al.'s
     * unbiased composition). Output: (g_a, g_b, n_a, n_b, shared_k,
-    * jaccard_est, union_est, inter_est) for every unordered pair. */
+    * jaccard_est, union_est, inter_est) for every unordered pair.
+    *
+    * Scale note: the `g_a < g_b` theta-join plans as a nested loop —
+    * deliberate, because the input is the per-GROUP sketch frame
+    * (group-count rows of k-bounded arrays, never corpus rows) and
+    * all-pairs IS the requested output, inherently quadratic in
+    * groups. Past ~10^4 groups, pre-filter the frame or bucket pairs
+    * by a blocking key before calling. */
   def kmvOverlap(sketches: DataFrame, groupCol: String,
       k: Int): DataFrame = {
     val a = sketches.select(col(groupCol).as("g_a"),
