@@ -35,11 +35,27 @@ object Bench {
         catch { case _: Throwable => failed += name; () }
         name -> (System.nanoTime() - t0) / 1e9
       }
-    runAll() // warmup: codegen, parquet footers, shuffle machinery
+    // dev knob for BIG-SF probes (sf10 ScaleGen sweeps, SCALE.md):
+    // per-query wall-times there are MINUTES, so the default
+    // warmup + 2-timed-pass protocol triples a multi-hour run to
+    // shave ~10 s of codegen warmup — passes=1 skips the warmup and
+    // times one cold pass. NEVER set for the driver's sf0.1 gate:
+    // the steady-state protocol below stays the default
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .map(_.toInt).getOrElse(2)
+    require(passes == 1 || passes == 2,
+      s"SPARK_GRAFT_BENCH_PASSES must be 1 or 2, got $passes")
+    if (passes == 2)
+      runAll() // warmup: codegen, parquet footers, shuffle machinery
     // two timed passes, per-query MIN: the machine is shared and single
     // runs swing 2-4x on noise; min is the standard robust estimator
-    val p1 = runAll().toMap
-    val swept = runAll().map { case (k, v) => k -> math.min(v, p1(k)) }
+    val first = runAll()
+    val swept =
+      if (passes == 1) first
+      else {
+        val p1 = first.toMap
+        runAll().map { case (k, v) => k -> math.min(v, p1(k)) }
+      }
     // AUTO-ADJUDICATION — the round-7 ABA protocol, mechanized (judge
     // r15 tasks 3+7). Some query bodies (try_-expression exception
     // paths above all) are pathologically sensitive to the 239-plan

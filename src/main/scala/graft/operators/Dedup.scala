@@ -238,17 +238,54 @@ object Dedup {
     require(minJaccard > 0 && minJaccard <= 1,
       "minJaccard must be in (0, 1] — prefix filtering needs a " +
         "positive threshold")
-    val (docs, prefixes) =
+    val (docs, _) =
       prefixPostings(df, idCol, textCol, minJaccard, maxDocFreq)
+    // EXACT-DUPLICATE COLLAPSE (the round-16 sf10 probe finding):
+    // jaccard and prefix-candidacy are pure functions of the shingle
+    // SET, so docs with identical sets collapse to one representative
+    // before any pair forms, and the full answer reconstructs exactly
+    // afterwards. Without this, duplicate-heavy corpora (ScaleGen ×100
+    // = 100 byte-identical copies per doc; real crawls are qualitatively
+    // the same) pay Σ C(copies·df, 2) candidate rows per prefix shingle
+    // AND ship two full shingle arrays per candidate through the verify
+    // join — the sf10 probe measured that at > 78 GB of spill. With the
+    // collapse, candidate generation + array verify run on DISTINCT
+    // CONTENTS (the sf0.1-sized problem at any copy depth); only the
+    // answer itself — (a, b, jaccard) triples — is copy-quadratic,
+    // because it IS. Within-group pairs are jaccard-1 by definition and
+    // are emitted algebraically, never verified.
+    val sig = md5(concat_ws(",",
+      transform(col("__toks"), _.getField("sh").cast("string"))))
+    val groups = docs
+      .select(col("doc"), sig.as("__sig"), col("__toks"), col("__n"))
+      .groupBy(col("__sig"))
+      .agg(sort_array(collect_list(col("doc"))).as("__members"),
+        min(col("doc")).as("__rep"),
+        first(col("__toks")).as("__toks"), first(col("__n")).as("__n"))
+      // eager pin: the group frame feeds FOUR consumers (reps, both
+      // expansion sides, within-group pairs) — without it the shingle
+      // scan + group agg re-run per consumer (the withScalableOrdinal
+      // convention; frame is distinct-content-bounded)
+      .localCheckpoint(true)
+    val reps = groups.select(col("__rep").as("doc"), col("__toks"),
+      col("__n"))
+    val pLen = greatest(
+      (col("__n") - ceil(col("__n") * minJaccard - 1e-9) + 1)
+        .cast("int"),
+      lit(1))
+    val prefixes = reps
+      .select(col("doc"), explode(slice(col("__toks"), lit(1), pLen))
+        .as("p"))
+      .select(col("doc"), col("p.sh").as("sh"))
     val cands = expandPairs(
       prefixes.groupBy(col("sh"))
         .agg(sort_array(collect_set(col("doc"))).as("ids"))
         .filter(size(col("ids")) > 1),
       "ids").distinct()
-    val full = docs.select(col("doc"),
+    val full = reps.select(col("doc"),
       transform(col("__toks"), _.getField("sh")).as("__arr"),
       col("__n"))
-    cands
+    val repPairs = cands
       .join(full.select(col("doc").as("a_id"), col("__arr").as("__aa"),
         col("__n").as("na")), "a_id")
       .join(full.select(col("doc").as("b_id"), col("__arr").as("__ba"),
@@ -257,8 +294,29 @@ object Dedup {
         size(array_intersect(col("__aa"), col("__ba"))).cast("long"))
       .withColumn("jaccard",
         round(col("i") / (col("na") + col("nb") - col("i")), 4))
-      .filter(col("i") / (col("na") + col("nb") - col("i")) >= minJaccard)
+      .filter(col("i") / (col("na") + col("nb") - col("i"))
+        >= minJaccard)
       .select(col("a_id"), col("b_id"), col("jaccard"))
+    // cross-group expansion: every member pair inherits its
+    // representatives' jaccard (identical sets); ids re-ordered so
+    // a_id < b_id regardless of how the groups interleave
+    val memA = groups.select(col("__rep").as("a_id"),
+      col("__members").as("__ma"))
+    val memB = groups.select(col("__rep").as("b_id"),
+      col("__members").as("__mb"))
+    val cross = repPairs.join(memA, "a_id").join(memB, "b_id")
+      .select(explode(col("__ma")).as("__a"), col("__mb"),
+        col("jaccard"))
+      .select(col("__a"), explode(col("__mb")).as("__b"),
+        col("jaccard"))
+      .select(least(col("__a"), col("__b")).as("a_id"),
+        greatest(col("__a"), col("__b")).as("b_id"), col("jaccard"))
+    // within-group: all C(members, 2) pairs at exact jaccard 1.0
+    val within = expandPairs(
+      groups.filter(size(col("__members")) > 1)
+        .select(col("__members").as("ids")), "ids")
+      .select(col("a_id"), col("b_id"), lit(1.0).as("jaccard"))
+    cross.unionByName(within)
   }
 
   /** The (per-doc sorted shingle table, prefix posting rows) behind

@@ -128,11 +128,19 @@ class DedupSpec extends SparkSpec {
 
   test("jaccardPairsPrefix == jaccardPairs row-for-row; prefix " +
       "postings genuinely shrink the index") {
-    // wider corpus: dup pair, near-dup, sub-threshold overlap, noise
+    // wider corpus: dup pair, near-dup, sub-threshold overlap, noise,
+    // PLUS a 4-deep byte-identical copy group (8,9,10 of doc 5) — the
+    // duplicate-density shape that exercises the exact-set COLLAPSE
+    // (cross-group pairs inherit the representatives' jaccard,
+    // within-group pairs emit algebraically at 1.0; ids interleave
+    // across groups so the least/greatest re-order is load-bearing)
     val corpus = (docs.as[(Long, String)].collect().toSeq ++ Seq(
       (5L, "the quick brown fox jumps over the lazy dog tonight"),
       (6L, "spark engines here differ completely from other content"),
-      (7L, "totally unrelated words about weather and mountains peaks")))
+      (7L, "totally unrelated words about weather and mountains peaks"),
+      (8L, "the quick brown fox jumps over the lazy dog tonight"),
+      (9L, "the quick brown fox jumps over the lazy dog tonight"),
+      (10L, "the quick brown fox jumps over the lazy dog tonight")))
       .toDF("doc_id", "text")
     for (t <- Seq(0.3, 0.5, 0.8)) {
       val full = Dedup.jaccardPairs(corpus, "doc_id", "text", t)
