@@ -16,6 +16,15 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // shuffle files of FINISHED jobs are only reclaimed when the
+      // ContextCleaner GCs their dependency objects — under a large
+      // driver heap a multi-query sweep can run for an hour without a
+      // single full GC, accumulating dead shuffle files until the disk
+      // fills (the round-16 sf10 probe failed exactly this way: later
+      // queries' spills hit "No space left" on a 78 GB volume while
+      // earlier queries' dead shuffles still held it). Default is
+      // 30min; 5min bounds the dead-file window at negligible GC cost
+      .config("spark.cleaner.periodicGC.interval", "5min")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

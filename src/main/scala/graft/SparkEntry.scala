@@ -2624,9 +2624,12 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_partkey"))
       val a = li.select(col("l_orderkey"), col("l_partkey").as("src"))
       val b = li.select(col("l_orderkey"), col("l_partkey").as("dst"))
+      // SPARK_GRAFT_TRI_WAVES bounds peak spill for big-SF probes
+      // (bit-identical output; 1 = the driver-gate single-job plan)
       Graph.triangleCounts(
         a.join(b, "l_orderkey").where(col("src") < col("dst"))
-          .select(col("src"), col("dst")))
+          .select(col("src"), col("dst")),
+        apexWaves = sys.env.getOrElse("SPARK_GRAFT_TRI_WAVES", "1").toInt)
     }),
     "graph_labelprop" -> ((s, d) => {
       // deterministic synchronous LPA over the same co-purchase graph:

@@ -121,17 +121,39 @@ object Graph {
     * Output: (node, degree, n_tri, clustering) — one row per node with
     * degree ≥ 1; `clustering` = 2·T/(d·(d−1)) rounded to 4 (0.0 when
     * d < 2), integer columns BIGINT. Deterministic: counts are exact
-    * integers. */
-  def triangleCounts(edges: DataFrame): DataFrame = {
-    val canon = edges
+    * integers.
+    *
+    * `apexWaves` (round-16 sf10 probe finding) bounds PEAK SPILL, not
+    * work: the closing join's shuffle is Θ(wedges) — exactly linear in
+    * copy-scaled data (measured: 41.1M wedges at sf0.1 → 4.11B at
+    * sf10 ×100) but ~130 GB of shuffle at sf10, which one machine's
+    * scratch disk cannot hold even though a 1000-executor cluster
+    * carries it at ~130 MB/executor. With apexWaves = W the apex set
+    * is hash-partitioned into W disjoint waves, each wave's wedges
+    * enumerate + close + reduce to per-node partial counts (eagerly
+    * checkpointed — node-bounded), and the wave's dead wedge shuffle
+    * is reclaimed before the next begins: peak disk ≈ wedges/W, the
+    * result bit-identical (every apex lands in exactly one wave; the
+    * final per-node sum reassembles corners across waves). W = 1 (the
+    * default, and the right setting on a real cluster) is the
+    * unchanged single-job plan. */
+  def triangleCounts(edges: DataFrame, apexWaves: Int = 1): DataFrame = {
+    require(apexWaves >= 1, s"apexWaves must be >= 1, got $apexWaves")
+    val canon0 = edges
       .where(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-    val deg = canon.select(col("a").as("node"))
+    // waves re-read canon/oriented once per wave — pin them (edge-
+    // bounded) so the distinct/orient work runs once; the single-wave
+    // path keeps the pure single-job plan untouched
+    val canon =
+      if (apexWaves == 1) canon0 else canon0.localCheckpoint(true)
+    val deg0 = canon.select(col("a").as("node"))
       .unionByName(canon.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val deg = if (apexWaves == 1) deg0 else deg0.localCheckpoint(true)
     // orient each canonical edge from its lower-(degree, id) endpoint
     val lowFirst = canon
       .join(deg.select(col("node").as("a"), col("degree").as("__da")), "a")
@@ -139,19 +161,38 @@ object Graph {
       .select(col("a"), col("b"),
         (col("__da") < col("__db") ||
           (col("__da") === col("__db") && col("a") < col("b"))).as("__fwd"))
-    val oriented = lowFirst.select(
+    val oriented0 = lowFirst.select(
       when(col("__fwd"), col("a")).otherwise(col("b")).as("src"),
       when(col("__fwd"), col("b")).otherwise(col("a")).as("dst"))
+    val oriented =
+      if (apexWaves == 1) oriented0 else oriented0.localCheckpoint(true)
     // wedges at the low endpoint; closing edge looked up in canonical
     // (a < b) form because orientation does not preserve id order
-    val e1 = oriented.select(col("src").as("u"), col("dst").as("v"))
-    val e2 = oriented.select(col("src").as("u"), col("dst").as("w"))
-    val wedges = e1.join(e2, Seq("u")).where(col("v") < col("w"))
-    val tris = wedges.join(
-      canon.select(col("a").as("v"), col("b").as("w")), Seq("v", "w"))
-    val perNode = tris
-      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    def perNodeFor(wave: Int): DataFrame = {
+      val keep =
+        if (apexWaves == 1) lit(true)
+        else pmod(xxhash64(col("src")), lit(apexWaves.toLong)) === wave
+      val mine = oriented.where(keep)
+      val e1 = mine.select(col("src").as("u"), col("dst").as("v"))
+      val e2 = mine.select(col("src").as("u"), col("dst").as("w"))
+      val wedges = e1.join(e2, Seq("u")).where(col("v") < col("w"))
+      val tris = wedges.join(
+        canon.select(col("a").as("v"), col("b").as("w")), Seq("v", "w"))
+      tris
+        .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    }
+    val perNode =
+      if (apexWaves == 1) perNodeFor(0)
+      else (0 until apexWaves).map { w =>
+        // eager: the wave RUNS here, its partial (node-bounded) is
+        // pinned, and the wave's wedge shuffle becomes garbage the
+        // cleaner can reap before the next wave needs the disk
+        val partial = perNodeFor(w).localCheckpoint(true)
+        System.gc() // nudge ContextCleaner at the dead shuffle deps
+        partial
+      }.reduce(_ unionByName _)
+        .groupBy(col("node")).agg(sum(col("n_tri")).as("n_tri"))
     deg.join(perNode, Seq("node"), "left")
       .select(col("node"), col("degree").cast("long").as("degree"),
         coalesce(col("n_tri"), lit(0L)).cast("long").as("n_tri"),

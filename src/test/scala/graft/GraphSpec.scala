@@ -32,6 +32,25 @@ class GraphSpec extends SparkSpec {
     assert(star(1L)._1 == 5L)
   }
 
+  test("triangleCounts: apexWaves chunking is bit-identical to the " +
+      "single-job plan on a triangle-rich random graph") {
+    // dense-ish deterministic graph: cliques bridged by a random
+    // sprinkle, so triangles span wave boundaries in every direction
+    val rnd = new scala.util.Random(31)
+    val cliques = for {
+      c <- 0L until 6L; a <- 0L until 7L; b <- (a + 1) until 7L
+    } yield (c * 7 + a, c * 7 + b)
+    val sprinkle = Seq.fill(60)(
+      (rnd.nextInt(42).toLong, rnd.nextInt(42).toLong))
+    val edges = (cliques ++ sprinkle).toDF("src", "dst")
+    def run(w: Int) = Graph.triangleCounts(edges, apexWaves = w)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val base = run(1)
+    assert(base.exists(_._3 >= 10L), "fixture is triangle-rich")
+    assert(run(3) === base, "3 waves == single job")
+    assert(run(8) === base, "8 waves (more waves than some apexes) ==")
+  }
+
   test("triangleCounts: duplicate, reversed, and self-loop edges do not " +
       "change the count (canonicalization)") {
     val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L))
