@@ -71,15 +71,28 @@ object Bench {
     // with one pass taken outside the interleave. Bounded at 16
     // queries (worst excess first) so a globally-noisy window cannot
     // double the bench; floors-file absence degrades to no-op.
+    // floors are recorded at ONE SF (the file's "sf" field, sf0.1 —
+    // make_floors.py's SWEEP_SF). A big-SF probe (sf1/sf10 ScaleGen
+    // sweeps) comparing multi-minute times against sf0.1 floors would
+    // flag ~everything as drifting and burn up to 16 isolated reruns
+    // mislabeling healthy queries — so unless this sweep's SF directory
+    // matches the floors' SF, degrade to no floors (ADVICE r16)
     val floors: Map[String, Double] =
       if (only.isDefined) Map.empty
       else scala.util.Try {
         val txt = java.nio.file.Files.readString(
           java.nio.file.Paths.get("bench_floors.json"))
-        val sec = txt.substring(txt.indexOf("\"floors\""))
-        "\"([A-Za-z][A-Za-z0-9_]*)\":\\s*([0-9]+\\.?[0-9]*)".r
-          .findAllMatchIn(sec)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val floorsSf = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        val sweepSf = java.nio.file.Paths.get(sfDir)
+          .getFileName.toString
+        if (floorsSf != sweepSf) Map.empty[String, Double]
+        else {
+          val sec = txt.substring(txt.indexOf("\"floors\""))
+          "\"([A-Za-z][A-Za-z0-9_]*)\":\\s*([0-9]+\\.?[0-9]*)".r
+            .findAllMatchIn(sec)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
       }.getOrElse(Map.empty)
     val drifting = swept.flatMap { case (name, v) =>
       floors.get(name).collect {
@@ -88,20 +101,50 @@ object Bench {
     }.sortBy { case (_, v, f) => f - v }.take(16)
     val adjudicated = drifting.map { case (name, inSweep, _) =>
       val fn = SparkEntry.queries(name)
+      // an adjudication-only failure must NOT poison the record: the
+      // query already succeeded in the sweep, so a rerun exception
+      // reads as Double.MaxValue (min keeps the genuine sweep time,
+      // never a fast-fail duration) and the name stays out of `failed`
+      // (ADVICE r16)
       def once(): Double = {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => failed += name; () }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => Double.MaxValue }
       }
       name -> (inSweep, math.min(once(), once()))
-    }.toMap
+    }.toMap.filter { case (name, (_, iso)) =>
+      // both isolated reruns threw: keep the sweep number, note it
+      // out-of-band, and do NOT serialize a MaxValue into the JSON
+      if (iso == Double.MaxValue)
+        System.err.println(s"[bench] adjudication rerun failed for $name; keeping in-sweep time")
+      iso != Double.MaxValue
+    }
     val results = swept.map { case (k, v) =>
       k -> adjudicated.get(k).fold(v) { case (_, iso) => math.min(v, iso) }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // CANARY-NORMALIZED TOTAL (judge r16 task 4): every cross-round
+    // delta so far needed a "quiet window" adjudication because the
+    // shared box's load swings totals 10-20%. rel_pricing_summary is a
+    // plan that never changes (one pushed filter + one 4-group hash
+    // agg), so its drift vs its recorded floor measures the WINDOW, not
+    // the code: total_normalized = total * (canary_floor / canary_now)
+    // rescales the sweep as if run at floor conditions. Emitted beside
+    // the raw total, never instead of it; absent when floors are
+    // unavailable (partial sweep, SF mismatch) or the canary failed.
+    val canary = "rel_pricing_summary"
+    val normalized = for {
+      floor <- floors.get(canary)
+      now <- results.collectFirst { case (k, v) if k == canary => v }
+      if now > 0 && !failed.contains(canary)
+    } yield total * (floor / now)
+    val normMark = normalized.fold("") { n =>
+      s""","total_normalized":$n,"canary":"$canary""""
+    }
     // failed queries are NAMED, not silently timed-to-exception — a
     // broken query must never read as a performance win
     val fails = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -113,7 +156,7 @@ object Bench {
       s"\"" + k + s"""\":{"in_sweep":$s,"isolated":$i}"""
     }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fails,"adjudicated":$adj$partialMark,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec"$normMark,"queries":$qs,"failed":$fails,"adjudicated":$adj$partialMark,"sf":"$sfDir"}"""
     println(json)
     // the driver's stdout capture keeps only a tail — at 100+ queries
     // that truncates the per-query map, so the full line ALSO lands in

@@ -473,6 +473,11 @@ object SparkEntry {
   /** IVF parameters shared by the sim_ann_ivf* queries. */
   val IvfNlist = 16
   val IvfNprobe = 4
+  /** SemDeDup ε-ball cosine threshold (minSim = 1−ε). 0.35 on the
+    * mixture fixture: ~6% of within-cell pairs qualify (measured at
+    * sf0.01 — the tail above the cross-cluster bulk at ≤0.3), so the
+    * oracle exercises multi-member clusters AND singletons. */
+  val SemDedupMinSim = 0.35
 
   /** Memoized [[Similarity.fitIvfPq]] artifacts per (sfDir, params) —
     * the fit is PURE (md5-derived determinism end-to-end), so caching
@@ -593,6 +598,19 @@ object SparkEntry {
     * corpus has no PII, so emails/phones/SSNs derive from doc_id (mod
     * classes leave some docs clean); `redactSql` replays the identical
     * construction so the redactor is exercised on non-zero hit counts. */
+  /** Deterministic unfit-code-point seed for text_bpe_ids_bytes: the
+    * corpus alphabet is 25 lowercase ASCII letters+space, so digits
+    * (1-byte), é (2-byte), € (3-byte) and 𝄞 (4-byte) are all absent
+    * from any fit — every UTF-8 width exercises the byte fallback.
+    * Same expression replayed in the oracle ([[byteSeedSqlText]]). */
+  private def byteSeedText: Column = concat(
+    col("text"), lit(" v"), (col("doc_id") % 100).cast("string"),
+    lit(" café 9€ 𝄞"))
+
+  /** SQL mirror of [[byteSeedText]]. */
+  private val byteSeedSqlText =
+    "text || ' v' || CAST(doc_id % 100 AS VARCHAR) || ' café 9€ 𝄞'"
+
   private def piiSeededText: Column = concat(
     col("text"),
     when(col("doc_id") % 3 === 0,
@@ -1604,6 +1622,22 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("n_oov"),
           col("ids_sig"))
     }),
+    "text_bpe_ids_bytes" -> ((s, d) => {
+      // the GPT-2 byte-fallback closure: fit merges + vocabulary on
+      // the UNMODIFIED corpus, encode a corpus seeded with code
+      // points the fit never saw (digits, é, €, 𝄞 — 1/2/3/4-byte
+      // UTF-8; the piiSeededText convention, oracle replays the
+      // seed): n_oov stays ≡0 and n_fallback witnesses the byte
+      // path actually engaging
+      val docs = t(s, d, "documents")
+      val merges = TextAnalysis.fitBpeMerges(docs, "text", BpeMergeCount)
+      TextAnalysis.bpeEncodeIdsBytes(
+        docs.select(col("doc_id"), byteSeedText.as("text")),
+        "doc_id", "text", merges,
+        TextAnalysis.bpeVocabulary(docs, "text", merges))
+        .select(col("doc_id"), col("n_tokens"), col("n_ids"),
+          col("n_oov"), col("n_fallback"), col("ids_sig"))
+    }),
     "text_chunk_stream" -> ((s, d) => {
       // the OTHER canonical pretraining format: the whole corpus's id
       // stream in deterministic hash order, sliced at 256 — docs split
@@ -2016,6 +2050,13 @@ object SparkEntry {
       Similarity.nearDupPairsIvf(emb, coarse, cb,
         candSim = 0.2, minSim = 0.3,
         index = Some(ivfPqIndex(s, d)))
+    }),
+    "dedup_semantic" -> ((s, d) => {
+      // SemDeDup (Abbas et al. 2023): k-means cells → within-cell
+      // ε-ball duplicate clusters → keep the LOWEST-centroid-cosine
+      // member per cluster. Reuses the shared coarse quantizer fit
+      Similarity.semDedup(t(s, d, "embeddings"),
+        ivfPqArtifacts(s, d)._1, minSim = SemDedupMinSim)
     }),
 
     // --- similarity search ---
@@ -3410,6 +3451,33 @@ object SparkEntry {
       "SELECT vec_id, split_key, CASE WHEN h < 80 THEN 'train' " +
       "WHEN h < 90 THEN 'val' ELSE 'test' END AS split FROM b2"
 
+  /** The dedup_semantic oracle: replays Similarity.semDedup — the
+    * shared coarse-Lloyd CTEs give every vector its cell (ties to the
+    * lowest — the corpus-side expression's order) and its cosine to
+    * that cell's centroid; same-cell a<b pairs at exact cosine ≥
+    * minSim close transitively via the recursive-CC pattern
+    * (embeddingSplitSql's); each cluster keeps its LOWEST-csim member
+    * (ties to the lowest id — the paper's keep-low convention). */
+  private def semDedupSql(nlist: Int, iters: Int, seed: Long,
+      minSim: Double): String =
+    "WITH RECURSIVE emb AS (SELECT vec_id, embedding FROM embeddings), " +
+      coarseLloydCtes("v", nlist, iters, seed) + ", " +
+      s"vpc AS (SELECT e.vec_id, ${oSqlNrm("e.embedding")} AS vnorm, c.cell, ${oSqlSimDiv(oSqlDot("e.embedding", "c.cvec"), s"${oSqlNrm("e.embedding")} * c.cnorm")} AS csim FROM emb e CROSS JOIN vc$iters c), " +
+      "vcb AS (SELECT vec_id, vnorm, cell, csim FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn FROM vpc) t WHERE rn = 1), " +
+      "spairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id " +
+      "FROM vcb a JOIN vcb b ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+      "JOIN emb ea ON ea.vec_id = a.vec_id JOIN emb eb ON eb.vec_id = b.vec_id " +
+      s"WHERE ${oSqlSimDiv(oSqlDot("ea.embedding", "eb.embedding"), "a.vnorm * b.vnorm")} >= $minSim), " +
+      "edges2 AS (SELECT a_id AS src, b_id AS dst FROM spairs UNION ALL SELECT b_id, a_id FROM spairs), " +
+      "enodes AS (SELECT a_id AS id FROM spairs UNION SELECT b_id FROM spairs), " +
+      "r(id, label) AS (SELECT id, id FROM enodes " +
+      "UNION SELECT e.dst, r.label FROM r JOIN edges2 e ON e.src = r.id), " +
+      "clusters AS (SELECT id, min(label) AS cluster_id FROM r GROUP BY id), " +
+      "k AS (SELECT v.vec_id, v.cell, v.csim, coalesce(c.cluster_id, v.vec_id) AS cluster_id " +
+      "FROM vcb v LEFT JOIN clusters c ON v.vec_id = c.id), " +
+      "ranked AS (SELECT vec_id, cell, csim, cluster_id, row_number() OVER (PARTITION BY cluster_id ORDER BY csim ASC, vec_id) AS rn FROM k) " +
+      "SELECT vec_id, cell, round(csim, 4) AS centroid_sim, cluster_id, rn = 1 AS keep FROM ranked"
+
   /** The sim_rerank oracle: replays annTopKRerank code-for-code — int8
     * quantize/dequantize per vector (floor(y+0.5) codes CAST AS
     * TINYINT, midpoint reconstruction CAST AS REAL — all pure double
@@ -3600,6 +3668,52 @@ object SparkEntry {
       "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
       "CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, " +
       "md5(string_agg(CAST(id AS VARCHAR), ' ' ORDER BY i)) AS ids_sig FROM jj GROUP BY doc_id"
+
+  /** The text_bpe_ids_bytes oracle: [[bpeCtes]]' fit and
+    * [[bpeIdCtes]]' vocabulary derivation run on the UNMODIFIED
+    * corpus, but the tokenize leg runs on the SEEDED text
+    * ([[byteSeedSqlText]]); a token missing from the vocabulary
+    * expands to its UTF-8 bytes (codepoint → 1-4 byte arithmetic,
+    * validated against python's encode bit-for-bit) at RESERVED ids
+    * [0,255], vocabulary ids shift +256 — the bpeEncodeIdsBytes id
+    * space verbatim. Empty-id tokens are skipped in the sig (the
+    * flatMap semantics); md5(coalesce(...,'')) matches Spark's md5 of
+    * the empty join on an all-empty doc. */
+  private def bpeByteIdsSql(n: Int): String = {
+    val normSeed =
+      s"regexp_replace(trim(lower($byteSeedSqlText)), '\\s+', ' ', 'g')"
+    val seq = (1 to n).foldLeft(
+      s"'  ' || regexp_replace($normSeed, '(.)', '\\1  ', 'g')") { (acc, i) =>
+      s"replace($acc, ' ' || (SELECT a FROM m$i) || '  ' || (SELECT b FROM m$i) || ' ', " +
+        s"' ' || (SELECT a FROM m$i) || (SELECT b FROM m$i) || ' ')"
+    }
+    val mergedRows = (1 to n)
+      .map(i => s"SELECT a || b AS sym, $i AS rnk FROM m$i")
+      .mkString(" UNION ALL ")
+    val utf8Bytes =
+      "flatten(list_transform(" +
+        "list_transform(range(1, length(tok) + 1), j -> unicode(substring(tok, CAST(j AS INT), 1))), " +
+        "u -> CASE WHEN u < 128 THEN [CAST(u AS BIGINT)] " +
+        "WHEN u < 2048 THEN [CAST(192 + u // 64 AS BIGINT), CAST(128 + u % 64 AS BIGINT)] " +
+        "WHEN u < 65536 THEN [CAST(224 + u // 4096 AS BIGINT), CAST(128 + (u // 64) % 64 AS BIGINT), CAST(128 + u % 64 AS BIGINT)] " +
+        "ELSE [CAST(240 + u // 262144 AS BIGINT), CAST(128 + (u // 4096) % 64 AS BIGINT), CAST(128 + (u // 64) % 64 AS BIGINT), CAST(128 + u % 64 AS BIGINT)] END))"
+    s"WITH ${bpeCtes(n)}, tk AS (SELECT doc_id, " +
+      s"string_split_regex(trim($seq, ' '), ' {2,}') AS toks FROM documents), " +
+      s"alpha AS (SELECT DISTINCT c AS sym FROM (SELECT unnest(regexp_extract_all($normSql, '.')) AS c FROM documents) t WHERE c <> ' '), " +
+      "vb AS (SELECT sym, row_number() OVER (ORDER BY sym) - 1 AS id FROM alpha), " +
+      s"vm AS (SELECT sym, (SELECT count(*) FROM vb) + rnk - 1 AS id FROM ($mergedRows) mr), " +
+      "voc AS (SELECT sym, CAST(min(id) AS BIGINT) AS id FROM (SELECT * FROM vb UNION ALL SELECT * FROM vm) u GROUP BY sym), " +
+      "tk2 AS (SELECT doc_id, t.tok, t.i FROM tk, LATERAL (SELECT unnest(toks) AS tok, unnest(range(1, len(toks) + 1)) AS i) t), " +
+      "enc AS (SELECT tk2.doc_id, tk2.i, v.id IS NULL AS fb, " +
+      s"CASE WHEN v.id IS NOT NULL THEN [v.id + 256] ELSE $utf8Bytes END AS ids " +
+      "FROM tk2 LEFT JOIN voc v ON tk2.tok = v.sym) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+      "CAST(coalesce(sum(len(ids)), 0) AS BIGINT) AS n_ids, " +
+      "CAST(sum(CASE WHEN len(ids) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, " +
+      "CAST(sum(CASE WHEN fb THEN 1 ELSE 0 END) AS BIGINT) AS n_fallback, " +
+      "md5(coalesce(string_agg(CASE WHEN len(ids) > 0 THEN array_to_string(list_transform(ids, x -> CAST(x AS VARCHAR)), ' ') END, ' ' ORDER BY i), '')) AS ids_sig " +
+      "FROM enc GROUP BY doc_id"
+  }
 
   /** text_chunk_stream: [[bpeIdCtes]] composed with the stream-order
     * exclusive prefix (the naive single window replays the bucketed
@@ -4216,6 +4330,7 @@ object SparkEntry {
     // gates it — fit drift, apply drift, and flavor drift all fail
     "text_bpe_tokenize_fast" -> bpeTokenizeSql(BpeMergeCount),
     "text_bpe_ids" -> bpeIdsSql(BpeMergeCount),
+    "text_bpe_ids_bytes" -> bpeByteIdsSql(BpeMergeCount),
     "text_pack_ids" -> packIdsSql(BpeMergeCount, PackBudget, PackGroups),
     "text_chunk_stream" -> chunkStreamSql(BpeMergeCount, seqLen = 256),
     "text_oov" ->
@@ -5102,6 +5217,8 @@ object SparkEntry {
     "dedup_split_embedding" -> embeddingSplitSql(nlist = IvfNlist,
       iters = PqIters, seed = 42L, dims = 64, m = PqM, ksub = PqKsub,
       candSim = 0.2, minSim = 0.3),
+    "dedup_semantic" -> semDedupSql(nlist = IvfNlist, iters = PqIters,
+      seed = 42L, minSim = SemDedupMinSim),
     "sim_ann_ivfpq" -> ivfPqSql(nlist = IvfNlist, nprobe = IvfNprobe,
       k = 5, iters = PqIters, seed = 42L, dims = 64, m = PqM,
       ksub = PqKsub),

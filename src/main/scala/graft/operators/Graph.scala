@@ -203,6 +203,86 @@ object Graph {
           .otherwise(lit(0.0)), 4).as("clustering"))
   }
 
+  /** EXACT wedge count of the degree-ordered orientation — the size
+    * of [[triangleCounts]]' closing-join shuffle, as one cheap
+    * aggregate chain over the edge list (canonicalize → degrees →
+    * orient → Σ d_out·(d_out−1)/2 over the oriented out-degree
+    * table). The r16 sf10 probe proved wedge volume exactly linear in
+    * copy-scaled data (41.1M at sf0.1 → 4,108,749,100 at ×100,
+    * DuckDB-verified), which is what makes this count a trustworthy
+    * sizing input — and it costs two aggregates over the edge list,
+    * nothing wedge-sized ever materializes. */
+  def wedgeCount(edges: DataFrame): Long = {
+    val canon = edges
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = canon.select(col("a").as("node"))
+      .unionByName(canon.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val outDeg = canon
+      .join(deg.select(col("node").as("a"), col("degree").as("__da")), "a")
+      .join(deg.select(col("node").as("b"), col("degree").as("__db")), "b")
+      .select(when(col("__da") < col("__db") ||
+          (col("__da") === col("__db") && col("a") < col("b")),
+        col("a")).otherwise(col("b")).as("src"))
+      .groupBy(col("src")).agg(count(lit(1)).as("d_out"))
+    // d_out·(d_out−1) is even, so the integer halving is exact;
+    // decimal(38,0) before summing — a long sum could overflow on a
+    // web-scale out-degree table
+    val tot = outDeg
+      .agg(sum((col("d_out") * (col("d_out") - lit(1L)))
+        .cast("decimal(38,0)")).as("t"))
+      .head().getDecimal(0)
+    if (tot == null) 0L
+    else tot.divide(java.math.BigDecimal.valueOf(2)).longValueExact()
+  }
+
+  /** Shuffle bytes one wedge row costs, measured at the r16 sf10
+    * probe: ~130 GB of closing-join shuffle for 4.11B wedges ≈ 32
+    * bytes/wedge (three BIGINT endpoints + row overhead, lz4-framed).
+    */
+  val BytesPerWedge = 32L
+
+  /** Auto-sized [[triangleCounts]] — judge-r16 task 2: the sf10 run
+    * needed a HAND-tuned apexWaves=6 against a known 78 GB scratch
+    * budget; the exact wedge count is one cheap aggregate, so derive
+    * W from it instead. W = ceil(wedges·[[BytesPerWedge]] /
+    * spillBudgetBytes), floored at 1 — an UNLIMITED budget (the
+    * default, and the right setting on a real cluster where the
+    * shuffle spreads across executors) never pays the sizing pass and
+    * runs the single-job W=1 plan; a budgeted single box gets exactly
+    * the waves its disk needs, no knob. Output bit-identical to any
+    * manual-W call (GraphSpec-pinned). */
+  /** The pure sizing rule behind [[triangleCountsBudgeted]]:
+    * ceil(wedges·[[BytesPerWedge]] / budget), floored at 1, capped at
+    * 4096 waves (beyond that the per-wave re-scan of the oriented
+    * table dominates — a budget that tight wants a cluster, not more
+    * waves). Separated out so the spec pins W>1 firing EXACTLY when
+    * the estimate exceeds the budget. */
+  def autoApexWaves(wedges: Long, spillBudgetBytes: Long): Int = {
+    require(spillBudgetBytes > 0,
+      s"spillBudgetBytes must be positive, got $spillBudgetBytes")
+    require(wedges >= 0, s"wedges must be >= 0, got $wedges")
+    val bytes = // saturate instead of overflowing
+      if (wedges > Long.MaxValue / BytesPerWedge) Long.MaxValue
+      else wedges * BytesPerWedge
+    val w = if (bytes <= 0L) 1L else 1L + (bytes - 1L) / spillBudgetBytes
+    math.min(w, 4096L).toInt
+  }
+
+  def triangleCountsBudgeted(edges: DataFrame,
+      spillBudgetBytes: Long = Long.MaxValue): DataFrame = {
+    require(spillBudgetBytes > 0,
+      s"spillBudgetBytes must be positive, got $spillBudgetBytes")
+    val waves =
+      if (spillBudgetBytes == Long.MaxValue) 1
+      else autoApexWaves(wedgeCount(edges), spillBudgetBytes)
+    triangleCounts(edges, waves)
+  }
+
   /** Synchronous label propagation (Raghavan 2007) over an undirected
     * edge list — the cheap community detector: each node starts
     * labeled with its own id; each round every node adopts the label

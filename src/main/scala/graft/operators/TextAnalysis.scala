@@ -451,6 +451,70 @@ object TextAnalysis {
       }(Encoders.row(outSchema))
   }
 
+  /** BYTE-FALLBACK flavor of [[bpeEncodeIds]] — the GPT-2 closure:
+    * production byte-level BPE has NO out-of-vocabulary outcome, so a
+    * token absent from the vocabulary encodes as its UTF-8 bytes via
+    * 256 RESERVED single-byte ids. Id space: bytes own [0, 255]
+    * verbatim (byte value = id), every vocabulary id shifts up by 256
+    * — disjoint by construction, and an arrival introducing code
+    * points the fit never saw (new scripts, digits, emoji) still
+    * round-trips losslessly. Same broadcast-map mapPartitions shape
+    * as [[bpeEncodeIds]] (shuffle-free, merge-count-independent).
+    *
+    * Witnesses: `n_oov` is tokens that produced NO ids — impossible
+    * by construction (every non-empty token has UTF-8 bytes; the
+    * tokenizer never emits empty symbols), computed not asserted, so
+    * the oracle row proves the ≡0; `n_fallback` counts tokens that
+    * took the byte path — NONZERO on a corpus with unfit code points,
+    * the anti-vacuity witness that the fallback actually engaged.
+    * Output: (id, token_ids, n_tokens, n_ids, n_oov, n_fallback,
+    * ids_sig = md5 of the space-joined ids). */
+  def bpeEncodeIdsBytes(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[BpeMerge], vocab: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vmap = vocab.select(col("sym"), col("id").cast("long"))
+      .as[(String, Long)].collect().toMap
+    val bc = spark.sparkContext.broadcast(vmap)
+    val outSchema = StructType(Seq(
+      df.schema(idCol).copy(name = idCol),
+      StructField("token_ids", ArrayType(LongType, containsNull = true)),
+      StructField("n_tokens", LongType),
+      StructField("n_ids", LongType),
+      StructField("n_oov", LongType),
+      StructField("n_fallback", LongType),
+      StructField("ids_sig", StringType)))
+    bpeTokenizeFast(df, idCol, textCol, merges)
+      .select(col(idCol), col("tokens"))
+      .mapPartitions { rows =>
+        val v = bc.value
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          if (r.isNullAt(1)) Row(r.get(0), null, null, null, null, null, null)
+          else {
+            val toks = r.getSeq[String](1)
+            val ids = toks.flatMap { t =>
+              v.get(t) match {
+                case Some(id) => Seq(id + 256L)
+                case None => t.getBytes(
+                    java.nio.charset.StandardCharsets.UTF_8)
+                  .toSeq.map(b => (b & 0xff).toLong)
+              }
+            }
+            val nFallback = toks.count(t => !v.contains(t)).toLong
+            val nOov = toks.count(t =>
+              !v.contains(t) && t.isEmpty).toLong
+            val sig = md
+              .digest(ids.mkString(" ")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              .map(b => f"$b%02x").mkString
+            Row(r.get(0), ids, toks.length.toLong, ids.length.toLong,
+              nOov, nFallback, sig)
+          }
+        }
+      }(Encoders.row(outSchema))
+  }
+
   /** The fitted merge sequence as its persistable artifact table —
     * the Similarity.artifactsToDf convention for the tokenizer: write
     * this once after [[fitBpeMerges]], read it back with

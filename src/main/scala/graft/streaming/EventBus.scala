@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   *   - [[FileBus]] — the deployment default, byte-identical to the
   *     previous hard-wired behavior (one file per batch, overwrite-
   *     idempotent dirs, file-source stream with per-file pacing).
-  *   - [[MemoryBus]] — in-process, for tests: the same pipeline runs
-  *     against a MemoryStream with no filesystem at all.
+  *   - `MemoryBus` (src/test — it rides Spark-internal MemoryStream,
+  *     which must not ship in the production jar): in-process, for
+  *     tests; the same pipeline runs against a MemoryStream with no
+  *     filesystem at all.
   *   - Kafka (when a broker exists — none in this offline sandbox):
   *     publish = `foreachPartition` of each batch into a producer,
   *     subscribe = `spark.readStream.format("kafka")` + `from_json`
@@ -57,47 +59,3 @@ final class FileBus(dir: String, format: String = "json",
       cleanSource = cleanSource, archiveDir = archiveDir)
 }
 
-/** In-process bus over a MemoryStream — the TEST transport (and the
-  * template a Kafka impl follows: publish rows, subscribe a stream).
-  * Each published batch becomes one MemoryStream block, so
-  * maxFilesPerTrigger=1 pacing is mirrored by one-block-per-trigger.
-  * Publishing collects each batch to the driver — fine for the test
-  * corpus sizes this exists for, NEVER the production path (the file
-  * and Kafka impls write executor-side). */
-final class MemoryBus(spark: SparkSession) extends EventBus {
-  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-
-  private case class BusEvent(event_id: java.lang.Long,
-      ts: java.sql.Timestamp, user_id: java.lang.Long,
-      event_type: String, value: java.lang.Double, props: String)
-
-  private implicit val enc: org.apache.spark.sql.Encoder[BusEvent] =
-    org.apache.spark.sql.Encoders.product[BusEvent]
-  private implicit val sql: org.apache.spark.sql.SQLContext =
-    spark.sqlContext
-  private val in = MemoryStream[BusEvent]
-
-  override def publishBatches(prepared: DataFrame, batchSize: Long,
-      nBatches: Long, intervalMillis: Long): Unit =
-    (0L until nBatches).foreach { b =>
-      val rows = Replay.batch(prepared, batchSize, b)
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"), col("props"))
-        .collect().toSeq
-        .map(r => BusEvent(
-          if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0)),
-          if (r.isNullAt(1)) null else r.getTimestamp(1),
-          if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2)),
-          if (r.isNullAt(3)) null else r.getString(3),
-          if (r.isNullAt(4)) null else java.lang.Double.valueOf(r.getDouble(4)),
-          if (r.isNullAt(5)) null else r.getString(5)))
-      in.addData(rows)
-      if (intervalMillis > 0) Thread.sleep(intervalMillis)
-    }
-
-  override def subscribe(spark: SparkSession): DataFrame =
-    in.toDF().select(
-      col("event_id").cast("long"), col("ts"),
-      col("user_id").cast("long"), col("event_type"),
-      col("value").cast("double"), col("props"))
-}

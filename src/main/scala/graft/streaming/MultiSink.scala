@@ -40,7 +40,13 @@ object MultiSink {
       // deliberate deviation: the marker name carries the batch id,
       // not a wall-clock stamp, so a replayed batch overwrites its own
       // marker — the sink family's idempotency contract
-      debugDir: Option[String] = None)
+      debugDir: Option[String] = None,
+      // engine-side observability (judge-r16 task 5): when set, the
+      // query is named and a name-filtered StreamingQueryListener
+      // appends one (batch_id, trigger_ts, rows, wall_ms, state_rows)
+      // row per micro-batch to this parquet dir — what the dashboard's
+      // freshness panel reads (Dashboard.collectPanels metricsDir)
+      metricsDir: Option[String] = None)
 
   object Config {
     /** Sink side from the config file's `graft.consumer.output` block
@@ -124,7 +130,18 @@ object MultiSink {
       df.write.mode("overwrite").format(cfg.format)
         .save(s"${cfg.outDir}/$name/batch_id=$batchId")
 
-    stream.writeStream
+    // metrics listener attaches BEFORE start (name-filtered — the
+    // query id only exists after start, and a fast AvailableNow drain
+    // can complete batch 0 before a post-start attach would land)
+    val queryName = cfg.metricsDir.map { dir =>
+      val name = "graft_multisink_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      StreamMetrics.attach(stream.sparkSession, dir,
+        onlyName = Some(name), detachOnTerminate = true)
+      name
+    }
+    val named = queryName.foldLeft(stream.writeStream)(_ queryName _)
+    named
       .outputMode("append")
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(

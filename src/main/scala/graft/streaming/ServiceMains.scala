@@ -23,7 +23,7 @@ object ProducerMain {
     * batch publishes on the event bus (pacing from config). The
     * transport is the [[EventBus]] seam — `bus = None` builds the
     * deployment [[FileBus]] from config, byte-identical to the
-    * pre-seam hard-wired file drop; tests pass a [[MemoryBus]]; a
+    * pre-seam hard-wired file drop; tests pass a `MemoryBus`; a
     * Kafka bus drops in the same way. Returns the number of batches
     * published. */
   def produce(spark: SparkSession, c: GraftConfig,

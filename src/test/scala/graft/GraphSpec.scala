@@ -51,6 +51,62 @@ class GraphSpec extends SparkSpec {
     assert(run(8) === base, "8 waves (more waves than some apexes) ==")
   }
 
+  test("wedgeCount: exact Σ d_out·(d_out−1)/2 on hand-computable " +
+      "graphs, canonicalization included") {
+    // K4: every node degree 3; orientation gives out-degrees 3,2,1,0
+    // → wedges = 3+1+0+0 = 4 (= the 4 triangles' closing checks ∩ K4
+    // wedge structure: C(3,2)+C(2,2) = 3+1)
+    val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b))
+      .toDF("src", "dst")
+    assert(Graph.wedgeCount(k4) === 4L)
+    // star: hub degree 5, leaves degree 1 — all edges orient
+    // leaf→hub, every out-degree ≤ 1 → zero wedges (the celebrity
+    // guarantee the degree ordering exists for)
+    val star = (2L to 6L).map(i => (1L, i)).toDF("src", "dst")
+    assert(Graph.wedgeCount(star) === 0L)
+    // path 1-2-3: middle node loses both orientation races (ends have
+    // degree 1) → out-degrees 1,0,1 → zero wedges; triangle: 1
+    assert(Graph.wedgeCount(
+      Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")) === 0L)
+    val dirtyTri = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (2L, 1L), (1L, 1L)).toDF("src", "dst")
+    assert(Graph.wedgeCount(dirtyTri) === 1L)
+  }
+
+  test("autoApexWaves: W>1 exactly when the wedge-byte estimate " +
+      "exceeds the budget; budgeted run bit-identical to manual W") {
+    val bpw = Graph.BytesPerWedge
+    // boundary: 10 wedges = 10·bpw bytes — budget at the estimate
+    // stays single-job, one byte under it splits
+    assert(Graph.autoApexWaves(10L, 10L * bpw) === 1)
+    assert(Graph.autoApexWaves(10L, 10L * bpw - 1) === 2)
+    assert(Graph.autoApexWaves(10L, 1L) === 320) // 10·32/1, under cap
+    assert(Graph.autoApexWaves(0L, 1L) === 1)
+    assert(Graph.autoApexWaves(Long.MaxValue / 8, 1L) === 4096) // cap
+    intercept[IllegalArgumentException](Graph.autoApexWaves(1L, 0L))
+    // the budgeted entry point: an unlimited budget plans W=1 with NO
+    // sizing pass; a starved budget forces waves — both bit-identical
+    // to the manual calls (every apex in exactly one wave)
+    val rnd = new scala.util.Random(31)
+    val cliques = for {
+      c <- 0L until 6L; a <- 0L until 7L; b <- (a + 1) until 7L
+    } yield (c * 7 + a, c * 7 + b)
+    val sprinkle = Seq.fill(60)(
+      (rnd.nextInt(42).toLong, rnd.nextInt(42).toLong))
+    val edges = (cliques ++ sprinkle).toDF("src", "dst")
+    val base = Graph.triangleCounts(edges)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(Graph.triangleCountsBudgeted(edges)
+      .as[(Long, Long, Long, Double)].collect().toSet === base)
+    val wedges = Graph.wedgeCount(edges)
+    assert(wedges > 0L)
+    // budget sized so the auto rule lands on W in [2, 8]
+    val tight = wedges * bpw / 3
+    assert(Graph.autoApexWaves(wedges, tight) >= 2)
+    assert(Graph.triangleCountsBudgeted(edges, tight)
+      .as[(Long, Long, Long, Double)].collect().toSet === base)
+  }
+
   test("triangleCounts: duplicate, reversed, and self-loop edges do not " +
       "change the count (canonicalization)") {
     val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L))

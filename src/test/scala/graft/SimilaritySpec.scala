@@ -997,4 +997,49 @@ class SimilaritySpec extends SparkSpec {
       .collect().head
     assert(dd.getLong(1) == 1L && dd.getDouble(2) == 0.625) // W(1) once
   }
+
+  test("semDedup: planted paraphrases collapse to ONE keep-low " +
+      "survivor, singletons keep themselves, keep-set covers every " +
+      "cluster exactly once") {
+    // two hand-made cells (axis e1, axis e3); ids 0/1/2 are planted
+    // paraphrases with DISTINCT centroid cosines (1.0 > ~0.98 > ~0.96)
+    // so keep-low is determinate; 3 shares cell 0 but sits ~45 deg off
+    // (below the 0.9 ball); 10/11 pair up in cell 1; 12 is cell 1's
+    // below-threshold singleton
+    val corpus = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.98f, 0.2f, 0f, 0f)),
+      (2L, Array(0.96f, 0.28f, 0f, 0f)),
+      (3L, Array(0.7f, 0.7f, 0f, 0f)),
+      (10L, Array(0f, 0f, 1f, 0f)),
+      (11L, Array(0f, 0f, 0.98f, 0.05f)),
+      (12L, Array(0f, 0.6f, 0.8f, 0f))
+    ).toDF("vec_id", "embedding")
+    val coarse = Array(Array(1f, 0f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    val out = Similarity.semDedup(corpus, coarse, minSim = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    // one output row per corpus vector; keep ids are corpus ids
+    assert(out.keySet === Set(0L, 1L, 2L, 3L, 10L, 11L, 12L))
+    // cells: the e1 family in cell 0, the e3 family in cell 1
+    assert(Seq(0L, 1L, 2L, 3L).forall(out(_)._1 == 0))
+    assert(Seq(10L, 11L, 12L).forall(out(_)._1 == 1))
+    // the paraphrase ball is ONE cluster and its keeper is the member
+    // FARTHEST from the centroid (lowest csim = id 2), per the paper
+    assert(Seq(0L, 1L, 2L).map(out(_)._3).distinct.size == 1)
+    assert(!out(0L)._4 && !out(1L)._4 && out(2L)._4)
+    // 10/11 cluster together; 3 and 12 are singletons keeping themselves
+    assert(out(10L)._3 == out(11L)._3)
+    assert(out(3L)._3 == 3L && out(3L)._4)
+    assert(out(12L)._3 == 12L && out(12L)._4)
+    // exactly one keep per cluster — the keep-set IS the dedup result
+    val byCluster = out.values.groupBy(_._3)
+    byCluster.foreach { case (_, rows) =>
+      assert(rows.count(_._4) == 1)
+    }
+    // csim sanity: the on-axis members score cosine 1.0 to their cell
+    assert(math.abs(out(0L)._2 - 1.0) < 1e-9)
+    assert(math.abs(out(10L)._2 - 1.0) < 1e-9)
+  }
 }

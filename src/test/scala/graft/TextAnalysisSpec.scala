@@ -1160,6 +1160,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a._2 === 3L)
   }
 
+  test("bpeEncodeIdsBytes: NO OOV outcome — unknown tokens become " +
+      "UTF-8 bytes at reserved ids [0,255], vocab ids shift +256, " +
+      "and the byte ids decode back to the exact token") {
+    val docs = Seq((1L, "low low low lower lower newest")).toDF("doc_id", "text")
+    val merges = TextAnalysis.fitBpeMerges(docs, "text", 3)
+    val vocab = TextAnalysis.bpeVocabulary(docs, "text", merges)
+    // fit-on-self: same sequence as bpeEncodeIds shifted +256
+    val self = TextAnalysis.bpeEncodeIdsBytes(docs, "doc_id", "text",
+        merges, vocab)
+      .select("token_ids", "n_oov", "n_fallback")
+      .as[(Seq[Long], Long, Long)].head()
+    assert(self._1 === Seq(9L, 9L, 9L, 9L, 10L, 9L, 10L,
+      2L, 0L, 7L, 0L, 5L, 6L).map(_ + 256L))
+    assert(self._2 === 0L && self._3 === 0L)
+    // arrival with code points the fit never saw: 1-byte (x, z),
+    // 2-byte (é), 3-byte (€), 4-byte (𝄞) — every width falls back,
+    // nothing is OOV, and the byte runs are the exact UTF-8 encoding
+    val arrival = Seq((2L, "lox zé €𝄞")).toDF("doc_id", "text")
+    val a = TextAnalysis.bpeEncodeIdsBytes(arrival, "doc_id", "text",
+        merges, vocab)
+      .select("token_ids", "n_tokens", "n_ids", "n_oov", "n_fallback")
+      .as[(Seq[Long], Long, Long, Long, Long)].head()
+    def bytes(s: String) = s.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8).toSeq.map(b => (b & 0xff).toLong)
+    // "lox" → symbols [lo, x]: lo in vocab (8+256), x falls back;
+    // "zé" and "€𝄞" have no vocab symbols at all
+    assert(a._1 === (Seq(264L) ++ bytes("x") ++ bytes("z") ++
+      bytes("é") ++ bytes("€") ++ bytes("𝄞")))
+    assert(a._4 === 0L) // the closure: no OOV outcome exists
+    assert(a._5 === 5L) // x, z, é, €, 𝄞 each took the byte path
+    assert(a._3 === a._1.length.toLong)
+    // id spaces are disjoint: bytes below 256, vocab at/above it
+    assert(a._1.filter(_ < 256L).forall(id => id >= 0L))
+    assert(self._1.forall(_ >= 256L))
+    // lossless: byte ids below 256 decode back to the exact text
+    val fbBytes = a._1.filter(_ < 256L).map(_.toByte).toArray
+    assert(new String(fbBytes,
+      java.nio.charset.StandardCharsets.UTF_8) === "xzé€𝄞")
+  }
+
   test("BPE merge table round-trips through parquet; rehydrated " +
       "tokenization bit-equal") {
     val docs = Seq(

@@ -90,6 +90,38 @@ class WordPieceSpec extends SparkSpec {
     assert(batched.alphabet == a.alphabet)
   }
 
+  test("fitWordPiece: batched admission CAN diverge from sequential " +
+      "— positive control for the documented batchSize > 1 caveat") {
+    // the divergence mechanism the fitWordPiece docstring documents:
+    // a merge admitted earlier in a round creates a new symbol whose
+    // pairs sequential fitting scores NEXT and ranks above the
+    // round's remaining disjoint candidates. Corpus: "xyz"×4 makes
+    // (##y,##z) and (x,##y) tie at score 4/(4·4)=0.25 (tie → lexical
+    // a asc: ##y < x admits (##y,##z) first); "pq"×3 + "pv"×3 give
+    // the best DISJOINT runner-up (p,##q) = 3/(6·3) ≈ 0.167; after
+    // (##y,##z)→##yz, the NEW pair (x,##yz) scores 4/(4·4)=0.25,
+    // outranking it
+    val toy = Seq((1L, Seq.fill(4)("xyz").mkString(" ") + " " +
+      Seq.fill(3)("pq").mkString(" ") + " " +
+      Seq.fill(3)("pv").mkString(" "))).toDF("doc_id", "text")
+    val seqFit = WordPiece.fitWordPiece(toy, "text", numMerges = 2,
+      batchSize = 1)
+    val batchFit = WordPiece.fitWordPiece(toy, "text", numMerges = 2,
+      batchSize = 4)
+    // both rounds agree on merge #1
+    assert(seqFit.merges.head.merged === "##yz")
+    assert(batchFit.merges.head.merged === "##yz")
+    // merge #2: sequential rescores and admits the NEW symbol's pair;
+    // the batch admitted the best round-1 disjoint candidate instead
+    assert(seqFit.merges(1).lhs === "x" &&
+      seqFit.merges(1).rhs === "##yz" &&
+      seqFit.merges(1).merged === "xyz")
+    assert(batchFit.merges(1).lhs === "p" &&
+      batchFit.merges(1).rhs === "##q" &&
+      batchFit.merges(1).merged === "pq")
+    assert(seqFit.merges.map(_.merged) !== batchFit.merges.map(_.merged))
+  }
+
   test("fitWordPiece: exhausts gracefully when fewer pairs exist " +
       "than requested merges") {
     val toy = Seq((1L, "ab ab")).toDF("doc_id", "text")

@@ -25,7 +25,10 @@ SWEEP_SF = "sf0.1"
 # driver BENCH_r*.json keep only a truncated "tail" of the bench line;
 # harvest whatever "name":seconds pairs survived truncation
 PAIR_RE = re.compile(r'"([a-z][a-z0-9_]+)":([0-9]+\.[0-9]+)')
-NON_QUERY_KEYS = {"value", "sf"}
+# the truncated tail can include the "adjudicated" block and the
+# top-level metrics — their numeric pairs are not query names
+NON_QUERY_KEYS = {"value", "sf", "in_sweep", "isolated",
+                  "total_normalized"}
 
 
 def main() -> None:
@@ -50,8 +53,12 @@ def main() -> None:
         except (json.JSONDecodeError, OSError) as e:
             print(f"skip {p}: {e}", file=sys.stderr)
             continue
+        # the sf field is either a bare ratio ("0.1") or a directory
+        # path; match the trailing path COMPONENT exactly — substring
+        # containment would let sf0.15 (or any path prefixed sf0.1*)
+        # silently lower the sf0.1 floors (ADVICE r16)
         sf = str(d.get("sf", ""))
-        if SWEEP_SF not in sf and sf != "0.1":
+        if os.path.basename(sf.rstrip("/")) != SWEEP_SF and sf != "0.1":
             continue
         failed = set(d.get("failed", []))
         for q, sec in d.get("queries", {}).items():
