@@ -1371,6 +1371,28 @@ object Similarity {
     * Output: one row per corpus vector —
     * (id, cell, centroid_sim rounded 4, cluster_id, keep).
     */
+  /** [[semDedup]] with the cell count derived from the corpus — the
+    * scale path (the triangleCountsBudgeted convention): SemDeDup's
+    * within-cell compare is exact pairwise, so per-cell cost is
+    * (n/nlist)² and a FIXED nlist is quadratic in the corpus; the
+    * paper scales clusters with data (50k for LAION). nlist =
+    * ceil(n / targetCellSize) clamped to [1, 65536] keeps expected
+    * cell size — and therefore per-cell pair cost — constant as the
+    * corpus grows. The count comes from one `count()`; the fit stays
+    * the sample-capped portable Lloyd. */
+  def semDedupAutoCells(corpus: DataFrame, minSim: Double,
+      targetCellSize: Long = 1024L, idCol: String = "vec_id",
+      vecCol: String = "embedding", iters: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    require(targetCellSize >= 1, "targetCellSize must be >= 1")
+    val n = corpus.count()
+    val nlist = math.max(1L,
+      math.min(65536L, (n + targetCellSize - 1) / targetCellSize)).toInt
+    semDedup(corpus,
+      fitCentroids(corpus, idCol, vecCol, nlist, iters, seed),
+      minSim, idCol, vecCol)
+  }
+
   def semDedup(corpus: DataFrame, coarse: Array[Array[Float]],
       minSim: Double, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {

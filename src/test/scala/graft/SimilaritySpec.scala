@@ -998,6 +998,38 @@ class SimilaritySpec extends SparkSpec {
     assert(dd.getLong(1) == 1L && dd.getDouble(2) == 0.625) // W(1) once
   }
 
+  test("semDedupAutoCells: nlist derives from corpus/targetCellSize " +
+      "and the result equals semDedup over the same explicit fit") {
+    // 30 vectors in 3 well-separated directions -> targetCellSize 10
+    // must fit nlist = 3
+    val rnd = new scala.util.Random(7)
+    val corpus = (0 until 30).map { i =>
+      val axis = i % 3
+      val v = Array.tabulate(8)(d =>
+        (if (d == axis) 1f else 0f) + rnd.nextFloat() * 0.05f)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val auto = Similarity.semDedupAutoCells(corpus, minSim = 0.95,
+        targetCellSize = 10L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    val manual = Similarity.semDedup(corpus,
+        Similarity.fitCentroids(corpus, "vec_id", "embedding",
+          nlist = 3, iters = 2, seed = 42L), minSim = 0.95)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    assert(auto === manual)
+    assert(auto.size === 30)
+    // keep-set non-trivial: at least one cluster collapsed, and every
+    // cluster keeps exactly one member
+    assert(auto.count(_._5) < 30)
+    auto.groupBy(_._4).foreach { case (_, rows) =>
+      assert(rows.count(_._5) == 1)
+    }
+    intercept[IllegalArgumentException](
+      Similarity.semDedupAutoCells(corpus, 0.9, targetCellSize = 0L))
+  }
+
   test("semDedup: planted paraphrases collapse to ONE keep-low " +
       "survivor, singletons keep themselves, keep-set covers every " +
       "cluster exactly once") {
