@@ -2665,12 +2665,22 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_partkey"))
       val a = li.select(col("l_orderkey"), col("l_partkey").as("src"))
       val b = li.select(col("l_orderkey"), col("l_partkey").as("dst"))
-      // SPARK_GRAFT_TRI_WAVES bounds peak spill for big-SF probes
-      // (bit-identical output; 1 = the driver-gate single-job plan)
-      Graph.triangleCounts(
-        a.join(b, "l_orderkey").where(col("src") < col("dst"))
-          .select(col("src"), col("dst")),
-        apexWaves = sys.env.getOrElse("SPARK_GRAFT_TRI_WAVES", "1").toInt)
+      // big-SF single-box probes bound peak spill WITHOUT hand tuning:
+      // SPARK_GRAFT_TRI_SPILL_BUDGET (bytes — the per-wave wedge-
+      // shuffle target, ~1/4 of free scratch to leave room for the
+      // wave's other exchanges) derives W from the exact wedge count
+      // (Graph.triangleCountsBudgeted, judge-r16 task 2). The manual
+      // SPARK_GRAFT_TRI_WAVES knob remains for bit-identity checks;
+      // both unset = the driver-gate single-job W=1 cluster plan
+      val triEdges = a.join(b, "l_orderkey")
+        .where(col("src") < col("dst"))
+        .select(col("src"), col("dst"))
+      sys.env.get("SPARK_GRAFT_TRI_SPILL_BUDGET") match {
+        case Some(budget) =>
+          Graph.triangleCountsBudgeted(triEdges, budget.toLong)
+        case None => Graph.triangleCounts(triEdges, apexWaves =
+          sys.env.getOrElse("SPARK_GRAFT_TRI_WAVES", "1").toInt)
+      }
     }),
     "graph_labelprop" -> ((s, d) => {
       // deterministic synchronous LPA over the same co-purchase graph:

@@ -1303,7 +1303,11 @@ object Similarity {
     * floats), and only survivors join back to full-precision vectors
     * for the exact refine (≥ `minSim`) — the annTopKRerank pattern
     * applied to pair generation. Fan-out is bounded by the largest
-    * cell (corpus/nlist expected), never n². RECALL CAVEAT: a pair
+    * cell (corpus/nlist expected), never n² — but a FIXED nlist makes
+    * that (n/nlist)² per cell, quadratic in the corpus (the r17 sf10
+    * probe measured exponent 1.05 at 16 cells): size the artifacts'
+    * nlist with [[autoCellCount]] so expected cell size stays
+    * constant as data grows. RECALL CAVEAT: a pair
     * straddling a cell boundary is missed (the standard IVF trade —
     * tune nlist down or cluster-then-refine for higher recall; exact
     * fallback is the blocked brute force). Pass `index` when a
@@ -1383,14 +1387,26 @@ object Similarity {
   def semDedupAutoCells(corpus: DataFrame, minSim: Double,
       targetCellSize: Long = 1024L, idCol: String = "vec_id",
       vecCol: String = "embedding", iters: Int = 2,
-      seed: Long = 42L): DataFrame = {
-    require(targetCellSize >= 1, "targetCellSize must be >= 1")
-    val n = corpus.count()
-    val nlist = math.max(1L,
-      math.min(65536L, (n + targetCellSize - 1) / targetCellSize)).toInt
+      seed: Long = 42L): DataFrame =
     semDedup(corpus,
-      fitCentroids(corpus, idCol, vecCol, nlist, iters, seed),
+      fitCentroids(corpus, idCol, vecCol,
+        autoCellCount(corpus.count(), targetCellSize), iters, seed),
       minSim, idCol, vecCol)
+
+  /** Corpus-scaled coarse-cell count: ceil(n / targetCellSize),
+    * clamped to [1, 65536] (the literal-centroid expression carries
+    * nlist·dims floats — 65536·64 ≈ 16 MB, the parameter-bound
+    * ceiling). The shared sizing rule for EVERY cell-blocked pair
+    * operator ([[semDedupAutoCells]], [[nearDupPairsIvf]] callers):
+    * a FIXED nlist makes per-cell pair cost (n/nlist)² quadratic in
+    * the corpus — the r17 sf10 probe measured dedup_split_embedding
+    * at exponent 1.05 on fixed 16 cells — while cells sized to a
+    * constant target keep it linear. */
+  def autoCellCount(n: Long, targetCellSize: Long): Int = {
+    require(targetCellSize >= 1, "targetCellSize must be >= 1")
+    require(n >= 0, "n must be >= 0")
+    math.max(1L,
+      math.min(65536L, (n + targetCellSize - 1) / targetCellSize)).toInt
   }
 
   def semDedup(corpus: DataFrame, coarse: Array[Array[Float]],
