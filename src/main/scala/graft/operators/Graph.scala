@@ -296,9 +296,11 @@ object Graph {
     * apart).
     *
     * Scale shape per round: ONE sym⋈labels equi-join on the neighbor
-    * key + ONE (node, label) count aggregate + ONE argmax window
-    * partitioned by node — per-node window state is one row, and the
-    * window rides the aggregate's hash partitioning on node. Lineage
+    * key + ONE (node, label) count aggregate + ONE per-node argmax
+    * AGGREGATE (min over struct(−cnt, label) — max count, ties to the
+    * min label; r17: this replaced a row_number window, which cost an
+    * exchange PLUS a per-partition sort where the agg is map-side
+    * combinable and sort-free). Per-node state is one struct. Lineage
     * truncated per round (the pageRank conventions); iteration count
     * is the only loop bound.
     *
@@ -327,12 +329,15 @@ object Graph {
           .join(labels.select(col("node").as("nbr"), col("label")), "nbr")
           .groupBy(col("node"), col("label"))
           .agg(count(lit(1)).as("__cnt"))
-        val byMajority = Window.partitionBy(col("node"))
-          .orderBy(col("__cnt").desc, col("label").asc)
+        // majority with min-label tie-break as ONE aggregate:
+        // min(struct(−cnt, label)) — −cnt is overflow-safe (cnt ≥ 1)
+        // where −label would not be; identical argmax to the window
+        // formulation (ORDER BY cnt DESC, label ASC, row 1)
         val next = counts
-          .withColumn("__rn", row_number().over(byMajority))
-          .where(col("__rn") === 1)
-          .select(col("node"), col("label"))
+          .groupBy(col("node"))
+          .agg(min(struct((-col("__cnt")).as("nc"),
+            col("label").as("l"))).as("__b"))
+          .select(col("node"), col("__b").getField("l").as("label"))
           .localCheckpoint(true)
         Checkpoints.releaseIntermediate(labels)
         labels = next
