@@ -61,6 +61,9 @@ object GraftConfig {
     // <= 0 disables the HTTP server; 0 would bind an ephemeral port,
     // only useful under tests that read it back off the server
     "graft.dashboard.port" -> "-1",
+    // non-empty = read the StreamMetrics parquet log here and render
+    // the "stream freshness" panel (latest batch + lag per query run)
+    "graft.dashboard.metricsDir" -> "",
     "graft.consumer.spark.appName" -> "graft-stream",
     "graft.consumer.spark.shufflePartitions" -> "8",
     "graft.consumer.source.directory" -> "/tmp/graft_stream_demo/incoming",
@@ -70,7 +73,10 @@ object GraftConfig {
     "graft.consumer.output.format" -> "parquet",
     "graft.consumer.output.checkpointDir" -> "/tmp/graft_stream_demo/checkpoint",
     "graft.consumer.output.triggerSeconds" -> "1",
-    "graft.consumer.output.drainOnce" -> "false")
+    "graft.consumer.output.drainOnce" -> "false",
+    // non-empty = attach a StreamMetrics listener to the consumer
+    // query, appending one metrics row per micro-batch here
+    "graft.consumer.output.metricsDir" -> "")
 
   /** Parse HOCON-subset text into dotted-path entries. */
   def parse(text: String): GraftConfig = {

@@ -149,9 +149,11 @@ object Dashboard {
     * Values are HTML-escaped; bars are proportional-width divs. */
   def renderHtml(spark: SparkSession, processedDir: String,
       nBatches: Int = 2, topK: Int = 10, previewRows: Int = 10,
-      refreshSeconds: Long = 5L): String =
+      refreshSeconds: Long = 5L,
+      metricsDir: Option[String] = None): String =
     renderHtmlFromPanels(
-      collectPanels(spark, processedDir, nBatches, topK, previewRows),
+      collectPanels(spark, processedDir, nBatches, topK, previewRows,
+        metricsDir),
       refreshSeconds)
 
   /** HTML face over already-collected panels (see [[renderPanelsText]]). */
@@ -219,7 +221,9 @@ object Dashboard {
     * at. */
   def serve(spark: SparkSession, processedDir: String, port: Int,
       nBatches: Int = 2, topK: Int = 10, previewRows: Int = 10,
-      refreshSeconds: Long = 5L): com.sun.net.httpserver.HttpServer = {
+      refreshSeconds: Long = 5L,
+      metricsDir: Option[String] = None)
+      : com.sun.net.httpserver.HttpServer = {
     import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
     val server = HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", port), 0)
@@ -246,8 +250,12 @@ object Dashboard {
             cached match {
               case Some((k, h)) if k == key => h
               case _ =>
+                // the freshness panel rides the same batch-frontier
+                // cache: metrics rows advance exactly when batches do,
+                // and a cached page's lag_s only ages by the client's
+                // own refresh period
                 val h = renderHtml(spark, processedDir, nBatches, topK,
-                  previewRows, refreshSeconds)
+                  previewRows, refreshSeconds, metricsDir)
                 cached = Some((key, h))
                 h
             }

@@ -21,20 +21,24 @@ object DashboardDemo {
     val topK = d("graft.dashboard.topK").toInt
     val htmlFile = d("graft.dashboard.htmlFile")
     val port = d("graft.dashboard.port").toInt
+    val metricsDir = Some(d("graft.dashboard.metricsDir"))
+      .filter(_.nonEmpty)
     val spark = graft.GraftSession.build("4")
     // the SERVED face (reference: Streamlit on :8501): every GET /
     // re-collects panels live; runs alongside the tick loop below
     val server =
       if (port >= 0) {
         val s = Dashboard.serve(spark, processed, port,
-          topK = topK, refreshSeconds = refreshSeconds)
+          topK = topK, refreshSeconds = refreshSeconds,
+          metricsDir = metricsDir)
         println(s"DASHBOARD_URL=http://127.0.0.1:${s.getAddress.getPort}/")
         Some(s)
       } else None
     (1 to ticks).foreach { i =>
       println(s"--- refresh $i/$ticks (${java.time.Instant.now()}) ---")
       // collect once per tick; both faces render from the same panels
-      val panels = Dashboard.collectPanels(spark, processed, topK = topK)
+      val panels = Dashboard.collectPanels(spark, processed, topK = topK,
+        metricsDir = metricsDir)
       println(Dashboard.renderPanelsText(panels))
       // the web face of the same panels: a static file any browser (or
       // file server) re-reads on its own meta-refresh cadence — the

@@ -66,7 +66,9 @@ object MultiSink {
         keyA = keyA, tagA = tagA, keyB = keyB, tagB = tagB,
         format = d("graft.consumer.output.format"),
         triggerSeconds = d("graft.consumer.output.triggerSeconds").toLong,
-        drainOnce = d("graft.consumer.output.drainOnce").toBoolean)
+        drainOnce = d("graft.consumer.output.drainOnce").toBoolean,
+        metricsDir = Some(d("graft.consumer.output.metricsDir"))
+          .filter(_.nonEmpty))
     }
   }
 

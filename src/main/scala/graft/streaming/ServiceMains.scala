@@ -100,6 +100,24 @@ object ConsumerMain {
     // AvailableNow self-terminates once caught up; ProcessingTime runs
     // until the container is stopped — both are one awaitTermination
     q.awaitTermination()
+    // metrics are delivered on the ASYNC listener bus: stopping the
+    // session right after termination can drop the final batches'
+    // rows (observed: a 3-trigger drain recorded 2). Settle until the
+    // log's max batch_id reaches the query's last progress (bounded —
+    // a wedged bus must not hang the drain-and-exit shape)
+    val metricsDir = c.str("graft.consumer.output.metricsDir",
+      GraftConfig.Defaults("graft.consumer.output.metricsDir"))
+    if (metricsDir.nonEmpty && q.lastProgress != null) {
+      val want = q.lastProgress.batchId
+      val deadline = System.currentTimeMillis() + 30000
+      def seen(): Long =
+        try spark.read.parquet(metricsDir)
+          .agg(org.apache.spark.sql.functions.max("batch_id"))
+          .head().getLong(0)
+        catch { case scala.util.control.NonFatal(_) => -1L }
+      while (seen() < want && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+    }
     spark.stop()
   }
 }
