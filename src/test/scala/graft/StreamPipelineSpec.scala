@@ -390,4 +390,39 @@ class StreamPipelineSpec extends SparkSpec {
       case _ => false
     })
   }
+
+  test("StreamMetrics state_rows: POSITIVE control — a stateful " +
+      "running aggregate reports its state store rows (the stateless " +
+      "test's ==0 is not vacuous)") {
+    import graft.streaming.StreamMetrics
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Files.createTempDirectory("graft_state_metrics").toString
+    val in = MemoryStream[(Long, String)]
+    val name = "graft_state_metrics_q"
+    val listener = StreamMetrics.attach(spark, s"$base/metrics",
+      onlyName = Some(name))
+    try {
+      val q = in.toDF().toDF("user_id", "event_type")
+        .groupBy(col("user_id")).count()
+        .writeStream.queryName(name).outputMode("update")
+        .option("checkpointLocation", s"$base/checkpoint")
+        .format("noop").start()
+      try {
+        in.addData((1L, "a"), (2L, "b"), (1L, "c"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val deadline = System.currentTimeMillis() + 60000
+      while (System.currentTimeMillis() < deadline &&
+          scala.util.Try(spark.read.parquet(s"$base/metrics").count())
+            .getOrElse(0L) < 1L)
+        Thread.sleep(200)
+      val m = spark.read.parquet(s"$base/metrics")
+        .select("state_rows", "rows").as[(Long, Long)].collect()
+      assert(m.nonEmpty)
+      // two distinct user keys live in the state store
+      assert(m.map(_._1).max === 2L,
+        s"stateful query must report state rows: ${m.toSeq}")
+    } finally StreamMetrics.detach(spark, listener)
+  }
 }
