@@ -114,36 +114,61 @@ object Bench {
         } catch { case _: Throwable => Double.MaxValue }
       }
       name -> (inSweep, math.min(once(), once()))
-    }.toMap.filter { case (name, (_, iso)) =>
-      // both isolated reruns threw: keep the sweep number, note it
-      // out-of-band, and do NOT serialize a MaxValue into the JSON
+    }.toMap
+    adjudicated.foreach { case (name, (_, iso)) =>
+      // both isolated reruns threw: keep the sweep number, but KEEP the
+      // entry in the JSON with isolated:null — the machine-readable
+      // record must show the query was flagged as drifting but
+      // unverifiable, or downstream floor/drift tooling reads it as a
+      // never-drifting query (ADVICE r17)
       if (iso == Double.MaxValue)
         System.err.println(s"[bench] adjudication rerun failed for $name; keeping in-sweep time")
-      iso != Double.MaxValue
     }
     val results = swept.map { case (k, v) =>
-      k -> adjudicated.get(k).fold(v) { case (_, iso) => math.min(v, iso) }
+      k -> adjudicated.get(k)
+        .fold(v) { case (_, iso) => math.min(v, iso) }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // CANARY-NORMALIZED TOTAL (judge r16 task 4): every cross-round
-    // delta so far needed a "quiet window" adjudication because the
-    // shared box's load swings totals 10-20%. rel_pricing_summary is a
-    // plan that never changes (one pushed filter + one 4-group hash
-    // agg), so its drift vs its recorded floor measures the WINDOW, not
-    // the code: total_normalized = total * (canary_floor / canary_now)
-    // rescales the sweep as if run at floor conditions. Emitted beside
-    // the raw total, never instead of it; absent when floors are
-    // unavailable (partial sweep, SF mismatch) or the canary failed.
-    val canary = "rel_pricing_summary"
-    val normalized = for {
-      floor <- floors.get(canary)
-      now <- results.collectFirst { case (k, v) if k == canary => v }
-      if now > 0 && !failed.contains(canary)
-    } yield total * (floor / now)
+    // CANARY-NORMALIZED TOTAL (judge r16 task 4, widened per judge r17
+    // task 2): the shared box's load swings totals 10-20%, so the raw
+    // total needs a window estimate beside it. One scan+agg canary
+    // over-corrected — r17's own sweeps swung normalized MORE than raw
+    // because scan load doesn't track the shuffle-heavy tail — so the
+    // window factor is now the MEDIAN floor-ratio over four fixed-plan
+    // canaries spanning the sweep's plan shapes: scan+agg
+    // (rel_pricing_summary), join/shuffle (join_brand_revenue), window
+    // (win_ranking_suite), and pair-join (dedup_minhash_bands).
+    // total_normalized = total * median(floor_i / now_i) rescales the
+    // sweep as if run at floor conditions. Emitted beside the raw
+    // total, never instead of it; per-canary ratios land in the JSON
+    // so the spread itself is auditable. Canaries missing a floor or
+    // failed this sweep drop out; absent entirely when none qualify
+    // (partial sweep, SF mismatch).
+    val canaries = Seq("rel_pricing_summary", "join_brand_revenue",
+      "win_ranking_suite", "dedup_minhash_bands")
+    val canaryRatios = canaries.flatMap { c =>
+      for {
+        floor <- floors.get(c)
+        now <- results.collectFirst { case (k, v) if k == c => v }
+        if now > 0 && !failed.contains(c)
+      } yield c -> (floor / now)
+    }
+    val normalized =
+      if (canaryRatios.isEmpty) None
+      else {
+        val rs = canaryRatios.map(_._2).sorted
+        val mid = rs.length / 2
+        val med = if (rs.length % 2 == 1) rs(mid)
+          else (rs(mid - 1) + rs(mid)) / 2
+        Some(total * med)
+      }
     val normMark = normalized.fold("") { n =>
-      s""","total_normalized":$n,"canary":"$canary""""
+      val ratios = canaryRatios
+        .map { case (c, r) => s"\"" + c + s"\":$r" }
+        .mkString("{", ",", "}")
+      s""","total_normalized":$n,"canary_ratios":$ratios"""
     }
     // failed queries are NAMED, not silently timed-to-exception — a
     // broken query must never read as a performance win
@@ -153,7 +178,10 @@ object Bench {
     val partialMark =
       if (only.isDefined) ""","partial":true""" else ""
     val adj = adjudicated.map { case (k, (s, i)) =>
-      s"\"" + k + s"""\":{"in_sweep":$s,"isolated":$i}"""
+      // a failed rerun serializes isolated:null — flagged-but-
+      // unverifiable stays distinguishable from never-drifting
+      val iso = if (i == Double.MaxValue) "null" else i.toString
+      s"\"" + k + s"""\":{"in_sweep":$s,"isolated":$iso}"""
     }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec"$normMark,"queries":$qs,"failed":$fails,"adjudicated":$adj$partialMark,"sf":"$sfDir"}"""

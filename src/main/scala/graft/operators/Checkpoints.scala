@@ -29,4 +29,27 @@ private[graft] object Checkpoints {
       case _ => ()
     }
   }
+
+  /** Strip the size-estimate stats a localCheckpoint preserves, keeping
+    * the SAME materialized blocks — required whenever an iterative fit
+    * SELF-JOINS its checkpointed state: localCheckpoint stores the
+    * plan's estimated sizeInBytes in the LogicalRDD it returns, and
+    * the simple (non-CBO) stats visitor estimates a join as the
+    * PRODUCT of its children, so a state×state round SQUARES the
+    * stored estimate — the BigInt's bit-length doubles per round and
+    * Catalyst stats visits degrade into minutes of BigInteger
+    * multiplication by ~25 cumulative rounds (measured in the CC
+    * pointer-jumping loop: 0.2 s → 76 s per pass on a 400-row table).
+    * Rebuilding the frame over the checkpointed RDD resets the
+    * estimate to the leaf default; AQE re-plans join strategies from
+    * RUNTIME sizes, so nothing downstream depends on the discarded
+    * number. State referenced ONCE per round (edges ⋈ state) only
+    * multiplies by a constant — linear bit growth, harmless — and
+    * does not need this.
+    *
+    * The returned frame's root owns NO blocks: hand
+    * [[releaseIntermediate]] the original checkpointed frame, not the
+    * wrapper. */
+  def stripStats(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
 }

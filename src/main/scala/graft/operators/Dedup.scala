@@ -871,8 +871,19 @@ object Dedup {
     * candidate pair.
     *
     * Scale: each round is one join + one min-aggregate over the edge
-    * list — rounds needed = component diameter, and duplicate clusters
-    * are shallow (near-cliques), so a handful of rounds converges;
+    * list, followed by POINTER-JUMPING compression (label ←
+    * label∘label, a self-join over the n-row label table, iterated to
+    * its own fixpoint — each step halves remaining chain depth): outer
+    * rounds needed drop from the component diameter to O(log diameter)
+    * — the difference between 20 and ~7 edge-list joins on the
+    * long-chain components a dense ε-ball pair graph produces (the
+    * auto-cell semDedup geometry surfaced exactly this: a sparse
+    * sf0.001 similarity graph with diameter > 20). Compression never
+    * moves a label outside its component and never below the component
+    * minimum (labels are ids with lab(x) ≤ x), so the fixpoint — and
+    * therefore the output — is bit-identical to plain propagation;
+    * duplicate near-cliques still converge in a handful of rounds
+    * (their first compress pass is already stable).
     * `maxIters` caps pathological chains. If the FINAL permitted round
     * still changed labels, convergence is unconfirmed (the result may be
     * truncated, or may have reached the fixpoint on exactly that round —
@@ -918,6 +929,21 @@ object Dedup {
       def labelSum(df: DataFrame): java.math.BigDecimal =
         df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
       var curSum = labelSum(labels)
+      // the frame whose BLOCKS back the current `labels` plan — what
+      // releaseIntermediate must be handed (only a plan-root
+      // LogicalRDD releases; the stats-stripped wrapper below is a
+      // derived plan whose root owns no blocks)
+      var labelsBk = labels
+      def sumsEqual(a: java.math.BigDecimal,
+          b: java.math.BigDecimal): Boolean =
+        (a == null && b == null) ||
+          (a != null && b != null && a.compareTo(b) == 0)
+      // pointer jumping SELF-JOINS the checkpointed label table, so
+      // each pass must strip the compounding size estimate — see
+      // Checkpoints.stripStats (squared stats = bit-length doubling =
+      // minutes of BigInteger math by ~25 cumulative passes, measured
+      // here first)
+      def stripStats(df: DataFrame): DataFrame = Checkpoints.stripStats(df)
       var iters = 0
       var converged = false
       while (!converged && iters < maxIters) {
@@ -932,16 +958,49 @@ object Dedup {
         // composing the IVFPQ split). The checkpoint makes every
         // round's plan constant-size; labelSum was already
         // materializing each round, so the job count is unchanged.
-        val next = nbr.groupBy(col("id"))
+        var nextBk = nbr.groupBy(col("id"))
           .agg(min(col("cluster_id")).as("cluster_id"))
           .localCheckpoint(true)
-        val nextSum = labelSum(next)
-        converged = (curSum == null && nextSum == null) ||
-          (curSum != null && nextSum != null &&
-            curSum.compareTo(nextSum) == 0)
+        var next: DataFrame = nextBk
+        var nextSum = labelSum(next)
+        // convergence is proven by a ZERO-CHANGE HOP (edge-consistent
+        // labels are constant per component) — compression alone can't
+        // prove it, so the flag compares across the hop only
+        converged = sumsEqual(curSum, nextSum)
+        if (!converged) {
+          // pointer jumping: lab ← lab(lab(id)) to the inner fixpoint.
+          // Every label IS a member id, so composing stays inside the
+          // component and ≤ the current label (lab(x) ≤ x invariant);
+          // each pass halves remaining chain depth, so outer rounds
+          // track log(diameter). Each pass touches only the n-row
+          // label table — no edge scan. Labels only decrease → the
+          // same sum-based change witness applies. The guard bound is
+          // unreachable (2^64 chain depth); it only fences a cycle bug.
+          var stable = false
+          var guard = 0
+          while (!stable && guard < 64) {
+            val parents = next.select(col("id").as("__pid"),
+              col("cluster_id").as("__plab"))
+            val compBk = next
+              .join(parents, next("cluster_id") === col("__pid"), "left")
+              .select(next("id"),
+                coalesce(col("__plab"), next("cluster_id"))
+                  .as("cluster_id"))
+              .localCheckpoint(true)
+            val comp = stripStats(compBk)
+            val compSum = labelSum(comp)
+            stable = sumsEqual(nextSum, compSum)
+            if (nextBk ne labelsBk) releaseIntermediate(nextBk)
+            nextBk = compBk
+            next = comp
+            nextSum = compSum
+            guard += 1
+          }
+        }
         curSum = nextSum
-        releaseIntermediate(labels)
+        if (labelsBk ne nextBk) releaseIntermediate(labelsBk)
         labels = next
+        labelsBk = nextBk
         iters += 1
       }
       if (!converged) {
@@ -949,14 +1008,14 @@ object Dedup {
           "labels still changing in the final round — convergence NOT " +
           "confirmed (no fixpoint round observed); raise maxIters to " +
           "verify or accept possibly-truncated clusters"
-        if (requireConvergence) { releaseIntermediate(labels); sys.error(msg) }
+        if (requireConvergence) { releaseIntermediate(labelsBk); sys.error(msg) }
         org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
       }
       // materialize + truncate lineage, then release the iteration
       // blocks (the caller owns only `out`; its blocks are freed when
       // the caller drops the frame and the ContextCleaner runs)
       val out = labels.localCheckpoint(true)
-      releaseIntermediate(labels)
+      releaseIntermediate(labelsBk)
       out
     } finally { releaseIntermediate(edges) }
   }

@@ -141,12 +141,20 @@ object Preference {
         if (portable)
           c => aggregate(sort_array(collect_list(c)), lit(0.0), _ + _)
         else c => sum(c)
-      var ratings = players
+      // each MM round SELF-JOINS ratings (the i- and j-sides of denom),
+      // so the checkpointed frame must be stats-stripped per round —
+      // squared size estimates double their bit-length every round and
+      // stall Catalyst in BigInteger math past ~20 rounds
+      // (Checkpoints.stripStats; harmless at the registered 3 rounds,
+      // a wall for a user running the knob higher). The wrapper owns
+      // no blocks: release the BACKING frame.
+      var ratingsBk = players
         .join(wins, Seq("player"), "left")
         .select(col("player"),
           coalesce(col("n_wins"), lit(0L)).as("n_wins"),
           lit(1.0).as("rating"))
         .localCheckpoint(true)
+      var ratings = Checkpoints.stripStats(ratingsBk)
       var it = 0
       while (it < iters) {
         val denom = sym
@@ -162,20 +170,21 @@ object Preference {
           .select(col("player"), col("n_wins"),
             (col("n_wins").cast("double") / col("__den")).as("__u"))
         val total = unnorm.agg(fold(col("__u")).as("__tot"))
-        val next = unnorm
+        val nextBk = unnorm
           .crossJoin(broadcast(total))
           .crossJoin(broadcast(np))
           .select(col("player"), col("n_wins"),
             (col("__u") * col("__np").cast("double") / col("__tot"))
               .as("rating"))
           .localCheckpoint(true)
-        Checkpoints.releaseIntermediate(ratings)
-        ratings = next
+        Checkpoints.releaseIntermediate(ratingsBk)
+        ratingsBk = nextBk
+        ratings = Checkpoints.stripStats(nextBk)
         it += 1
       }
       val out = ratings.select(col("player"), col("n_wins"), col("rating"))
         .localCheckpoint(true)
-      Checkpoints.releaseIntermediate(ratings)
+      Checkpoints.releaseIntermediate(ratingsBk)
       out
     } finally Checkpoints.releaseIntermediate(cmp)
   }

@@ -1346,6 +1346,91 @@ object Similarity {
         round(col("__sim"), 4).as("cosine_sim"))
   }
 
+  /** Incremental SEMANTIC near-dup detection — [[nearDupPairsIvf]]'s
+    * arrival path over a MAINTAINED [[buildIvfPqIndex]] (the embedding
+    * face of Dedup.incrementalNearDups, closing the incremental-index
+    * family: exact / LSH / simhash / winnow / semantic): each NEW
+    * vector assigns its coarse cell (one per-row argmin over the
+    * frozen artifacts — the same nprobe=1 blocking, and therefore the
+    * same recall contract, as the batch pair operator), equi-joins the
+    * persisted index on cell, prefilters in the compressed domain
+    * (ADC cosine ≥ `candSim` — candidates ship m codes, not floats),
+    * and only survivors join the full-precision `corpus` vectors for
+    * the exact refine (≥ `minSim`). Nothing over the corpus recomputes
+    * per batch: per-arrival cost is the expected cell size (constant
+    * when the artifacts' nlist is [[autoCellCount]]-sized), not the
+    * corpus. A batch's INTERNAL near-dups are not flagged against each
+    * other (the index is the reference corpus, not the batch — the
+    * family contract). `corpus` must be the vector table the index
+    * was built/advanced from; artifacts must be the index's fit.
+    * Output: (new_id, dup_of, cosine_sim rounded), one row per
+    * matching corpus vector — anti-join on new_id to admit novelty.
+    */
+  def incrementalSemanticDups(newVecs: DataFrame, index: DataFrame,
+      corpus: DataFrame, coarse: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]],
+      candSim: Double, minSim: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val probe = newVecs.select(col(idCol).as("new_id"),
+        col(vecCol).as("q_vec"), VectorFns.norm2(col(vecCol)).as("q_norm"))
+      .withColumn("cell",
+        nearestCellExpr(coarse, col("q_vec"), col("q_norm")))
+      .withColumn("dt", pqDtCol(codebooks, col("q_vec")))
+    val cand = probe
+      .join(index.withColumnRenamed("corpus_id", "dup_of"), Seq("cell"))
+      .filter(col("dup_of") =!= col("new_id"))
+      .filter(pqAdcSim(codebooks) >= candSim)
+      .select(col("new_id"), col("dup_of"))
+    val va = newVecs.select(col(idCol).as("new_id"),
+      col(vecCol).as("a_vec"), VectorFns.norm2(col(vecCol)).as("a_norm"))
+    val vb = corpus.select(col(idCol).as("dup_of"),
+      col(vecCol).as("b_vec"), VectorFns.norm2(col(vecCol)).as("b_norm"))
+    cand.join(va, "new_id").join(vb, "dup_of")
+      .withColumn("__sim", VectorFns.simDiv(
+        VectorFns.dot(col("a_vec"), col("b_vec")),
+        col("a_norm") * col("b_norm")))
+      .filter(col("__sim") >= minSim)
+      .select(col("new_id"), col("dup_of"),
+        round(col("__sim"), 4).as("cosine_sim"))
+  }
+
+  /** One probe→admit→advance step of the incremental SEMANTIC dedup
+    * loop — Dedup.probeAdmitAdvance's shape with the exact-refined
+    * embedding probe: flag arrivals semantically duplicating the
+    * indexed corpus ([[incrementalSemanticDups]]), anti-join to admit
+    * only novel vectors (keep-first admission — the indexed member
+    * stays the cluster's representative, arriving duplicates drop),
+    * then fold the admitted ones into BOTH halves of the maintained
+    * state — [[advanceIvfPqIndex]] for the index, a pure union for the
+    * corpus vector table the exact refine reads — so the NEXT batch
+    * sees them. Returns (flags, advancedIndex, advancedCorpus);
+    * MATERIALIZE both between batches (localCheckpoint, or overwrite
+    * the parquet) — the family's lineage contract. SimilaritySpec pins
+    * probe∘advance ≡ rebuild (the four-text-family convention):
+    * advancing then probing equals probing an index rebuilt from
+    * scratch over corpus ∪ admitted. */
+  def semanticProbeAdmitAdvance(batch: DataFrame, index: DataFrame,
+      corpus: DataFrame, coarse: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]],
+      candSim: Double, minSim: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, DataFrame, DataFrame) = {
+    val flags = incrementalSemanticDups(batch, index, corpus, coarse,
+      codebooks, candSim, minSim, idCol, vecCol)
+    val novel = batch.join(flags.select(col("new_id")).distinct(),
+      batch(idCol) === col("new_id"), "left_anti")
+    (flags,
+      advanceIvfPqIndex(index, novel, coarse, codebooks, idCol, vecCol),
+      // replay idempotency matches advanceIvfPqIndex's: a replayed
+      // batch re-derives value-identical rows under the reserved-id
+      // contract, so the id dedup is value-deterministic — one dedup
+      // agg over corpus ∪ novel, the same cost shape the index
+      // advance already pays
+      corpus.select(col(idCol), col(vecCol))
+        .unionByName(novel.select(col(idCol), col(vecCol)))
+        .dropDuplicates(idCol))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — the published
     * semantic-deduplication recipe as a named operator: k-means cells
     * partition the corpus, exact pairwise cosine WITHIN each cell
@@ -1430,7 +1515,12 @@ object Similarity {
         VectorFns.dot(col("a_vec"), col("b_vec")),
         col("a_norm") * col("b_norm")) >= minSim)
       .select(col("a_id"), col("b_id"))
-    val clusters = Dedup.duplicateClusters(pairs)
+    // requireConvergence: the DuckDB oracle's recursive CC is exact, so
+    // a duplicate chain whose component diameter exceeds the iteration
+    // cap must fail loudly here, not ship silently-unconverged
+    // cluster_ids (and wrong keep sets) that diverge from the oracle
+    // only at corpora larger than the tested SFs (ADVICE r17)
+    val clusters = Dedup.duplicateClusters(pairs, requireConvergence = true)
     val labeled = assigned
       .join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("cluster_id",

@@ -105,16 +105,25 @@ object Dashboard {
     // query run from the StreamMetrics parquet log — batch id, rows,
     // wall and LAG vs now; the reference sidebar's last-refresh panel
     // (taxi_dashboard.py:83-104) backed by engine metrics instead of
-    // file mtimes. Missing/empty log → the "no data yet" convention
+    // file mtimes. ONLY a missing/empty log maps to the "no data yet"
+    // convention; a genuine read error (corrupt parquet, permission,
+    // schema drift) surfaces its message in the panel instead of
+    // masquerading as an empty log (ADVICE r17)
     val freshness = metricsDir.map { dir =>
       val title = "stream freshness"
-      scala.util.Try {
+      val logFiles = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      if (logFiles.isEmpty) NoticePanel(title, "no metrics yet"): Panel
+      else scala.util.Try {
         val f = StreamMetrics
           .freshness(spark, dir, System.currentTimeMillis())
           .orderBy(col("name"), col("batch_id"))
         TablePanel(title, f.columns.toSeq,
           f.collect().map(_.toSeq.map(String.valueOf)).toSeq): Panel
-      }.getOrElse(NoticePanel(title, "no metrics yet"))
+      }.recover { case scala.util.control.NonFatal(e) =>
+        NoticePanel(title, s"metrics read FAILED: ${e.getMessage}"): Panel
+      }.get
     }
     main ++ freshness
   }

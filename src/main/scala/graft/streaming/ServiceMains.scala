@@ -109,11 +109,21 @@ object ConsumerMain {
       GraftConfig.Defaults("graft.consumer.output.metricsDir"))
     if (metricsDir.nonEmpty && q.lastProgress != null) {
       val want = q.lastProgress.batchId
+      // filter by THIS query's runId: the metrics dir is append-only
+      // across runs, so after a checkpoint wipe (batch ids restart at
+      // 0) a stale prior-run row would satisfy the global max
+      // immediately and the final batches' async appends could still
+      // drop — the exact loss this loop prevents (ADVICE r17)
+      val runId = q.lastProgress.runId.toString
       val deadline = System.currentTimeMillis() + 30000
       def seen(): Long =
-        try spark.read.parquet(metricsDir)
-          .agg(org.apache.spark.sql.functions.max("batch_id"))
-          .head().getLong(0)
+        try {
+          val r = spark.read.parquet(metricsDir)
+            .filter(org.apache.spark.sql.functions.col("run_id") === runId)
+            .agg(org.apache.spark.sql.functions.max("batch_id"))
+            .head()
+          if (r.isNullAt(0)) -1L else r.getLong(0)
+        }
         catch { case scala.util.control.NonFatal(_) => -1L }
       while (seen() < want && System.currentTimeMillis() < deadline)
         Thread.sleep(200)

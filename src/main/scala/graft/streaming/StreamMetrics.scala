@@ -41,10 +41,13 @@ object StreamMetrics {
   /** Build and register a listener appending every progress event —
     * optionally only those whose query NAME matches — to
     * `metricsDir`. Returns the listener for [[detach]];
-    * `detachOnTerminate` self-removes when a recorded query
-    * terminates (best-effort: a query that dies before its first
-    * progress event leaves an idle name-filtered listener, which
-    * records nothing). */
+    * `detachOnTerminate` self-removes when one of ITS queries
+    * terminates — a query it recorded progress for, or (name-filtered)
+    * one it saw START under the watched name, so a query that dies
+    * before its first progress event still detaches its listener
+    * instead of accumulating idle under repeated attaches; an
+    * unfiltered listener never detaches on a query it did not record
+    * (ADVICE r17). */
   def attach(spark: SparkSession, metricsDir: String,
       onlyName: Option[String] = None,
       detachOnTerminate: Boolean = false): StreamingQueryListener = {
@@ -53,7 +56,12 @@ object StreamMetrics {
         java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
 
       override def onQueryStarted(
-          event: StreamingQueryListener.QueryStartedEvent): Unit = ()
+          event: StreamingQueryListener.QueryStartedEvent): Unit =
+        // the started event carries the name, so a name-filtered
+        // listener claims its query BEFORE any progress arrives —
+        // progress-less terminations then detach like any other
+        if (onlyName.contains(Option(event.name).getOrElse("")))
+          { myIds.add(event.id); () }
 
       override def onQueryProgress(
           event: StreamingQueryListener.QueryProgressEvent): Unit = {
@@ -82,8 +90,10 @@ object StreamMetrics {
 
       override def onQueryTerminated(
           event: StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (detachOnTerminate &&
-            (onlyName.isEmpty || myIds.contains(event.id)))
+        // detach ONLY on a query this listener claimed — an unfiltered
+        // listener observing several queries must not vanish when the
+        // first unrelated one stops (ADVICE r17)
+        if (detachOnTerminate && myIds.contains(event.id))
           spark.streams.removeListener(this)
     }
     spark.streams.addListener(listener)

@@ -360,6 +360,93 @@ class SimilaritySpec extends SparkSpec {
         .as[(Long, Long, Long, Double)].collect().toSet)
   }
 
+  test("incremental semantic dedup: duplicates flag and drop, novelty " +
+      "admits, probe∘advance == rebuild, replay-idempotent") {
+    // the EMBEDDING member of the incremental-index family, pinned to
+    // the four-text-family convention (DedupSpec's advance == rebuild
+    // bar): arrivals probe a maintained IVFPQ index + corpus table,
+    // duplicates are flagged against the indexed member (keep-first),
+    // novel vectors fold into BOTH halves of the state, and the
+    // advanced state is row-identical to a from-scratch rebuild
+    val rnd = new scala.util.Random(31)
+    def jitter(c: Int): Array[Float] = {
+      val v = Array.tabulate(8)(i => if (i == c) 1f else 0f)
+      (0 until 8).foreach(j => v(j) += (rnd.nextFloat() - 0.5f) * 0.1f)
+      v
+    }
+    val corpus0 = (0 until 48).map(i => (i.toLong, jitter(i % 8)))
+      .toDF("vec_id", "embedding")
+    // batch 1: 4 near-duplicates of corpus clusters 0..3 and 4 NOVEL
+    // vectors — equal mixtures of two adjacent cluster directions:
+    // cosine ≈ 0.71 to their nearest corpus cluster (below minSim, so
+    // nothing flags them) yet still INSIDE the frozen quantizer's
+    // representable space, so their codes reconstruct well enough for
+    // a later copy to pass the ADC prefilter (a negated/off-manifold
+    // novel vector would be admitted but invisible to future probes —
+    // the documented frozen-artifact recall caveat)
+    def mix(c: Int): Array[Float] = {
+      val v = jitter(c)
+      val w = Array.tabulate(8)(j =>
+        ((v(j) + (if (j == (c + 1) % 8) 1f else 0f)) / math.sqrt(2.0))
+          .toFloat)
+      w
+    }
+    val b1 = ((100 until 104).map(i => (i.toLong, jitter(i % 4))) ++
+      (104 until 108).map(i => (i.toLong, mix(i % 4))))
+      .toDF("vec_id", "embedding")
+    val (coarse, cb) = Similarity.fitIvfPq(corpus0, "vec_id",
+      "embedding", dims = 8, nlist = 8, m = 4, ksub = 4, iters = 2,
+      seed = 42L)
+    val idx0 = Similarity.buildIvfPqIndex(corpus0, coarse, cb,
+      "vec_id", "embedding")
+    val (flags1, idx1, corp1) = Similarity.semanticProbeAdmitAdvance(
+      b1, idx0, corpus0, coarse, cb, candSim = 0.5, minSim = 0.9)
+    val flagged1 = flags1.select("new_id").distinct()
+      .as[Long].collect().toSet
+    assert(flagged1 === Set(100L, 101L, 102L, 103L),
+      "duplicates flag, novelty does not")
+    // every flag names an indexed duplicate at high exact cosine
+    val fr = flags1.select("new_id", "dup_of", "cosine_sim")
+      .as[(Long, Long, Double)].collect()
+    assert(fr.forall(_._3 >= 0.9))
+    assert(fr.forall(r => r._2 < 48L))
+    // advanced corpus = corpus ∪ novel only
+    assert(corp1.select("vec_id").as[Long].collect().toSet ===
+      (0L until 48L).toSet ++ Set(104L, 105L, 106L, 107L))
+    // advanced index == index rebuilt from scratch over the advanced
+    // corpus with the SAME frozen artifacts
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("corpus_id", "cell", "codes")
+        .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(rows(idx1) === rows(Similarity.buildIvfPqIndex(corp1,
+      coarse, cb, "vec_id", "embedding")))
+    // probe AFTER advance == probe against the rebuild: batch 2 holds
+    // a near-copy of a vector admitted in batch 1 — only a LIVE
+    // advanced index can flag it
+    val b2 = Seq((200L,
+      corp1.filter(col("vec_id") === 104L)
+        .select("embedding").as[Array[Float]].head()))
+      .toDF("vec_id", "embedding")
+    def probe(idx: org.apache.spark.sql.DataFrame,
+        corp: org.apache.spark.sql.DataFrame) =
+      Similarity.incrementalSemanticDups(b2, idx, corp, coarse, cb,
+          candSim = 0.5, minSim = 0.9)
+        .select("new_id", "dup_of", "cosine_sim")
+        .as[(Long, Long, Double)].collect().toSet
+    val viaAdvance = probe(idx1, corp1)
+    assert(viaAdvance.exists(r => r._1 === 200L && r._2 === 104L),
+      s"batch-2 copy of an admitted vector must flag against it: $viaAdvance")
+    assert(viaAdvance === probe(Similarity.buildIvfPqIndex(corp1,
+      coarse, cb, "vec_id", "embedding"), corp1))
+    // replaying batch 1 (at-least-once upstream) changes neither half:
+    // its duplicates re-flag, its novel ids now match THEMSELVES in
+    // the index (excluded) and dedup out of the corpus union
+    val (_, idx1r, corp1r) = Similarity.semanticProbeAdmitAdvance(
+      b1, idx1, corp1, coarse, cb, candSim = 0.5, minSim = 0.9)
+    assert(rows(idx1r) === rows(idx1))
+    assert(corp1r.count() === corp1.count())
+  }
+
   test("deleteFromIvfPqIndex: delete∘advance == rebuild over " +
       "corpus∖ids with the same frozen artifacts; probe-equal") {
     val rnd = new scala.util.Random(23)
