@@ -1431,6 +1431,55 @@ object Similarity {
         .dropDuplicates(idCol))
   }
 
+  /** Streaming SEMANTIC near-dup probe against a maintained IVFPQ
+    * index + corpus vector table — the streaming face of
+    * [[incrementalSemanticDups]], completing the incremental-dedup
+    * family's batch+stream convention for the embedding member: each
+    * arriving vector assigns its coarse cell and ADC dot tables as
+    * pure per-row expressions over the FROZEN artifacts (windowless —
+    * stream-legal), stream-static equi-joins the index on cell,
+    * prefilters in the compressed domain (ADC cosine >= candSim), and
+    * exact-refines survivors against the corpus vector table — a
+    * second stream-static join on dup_of. The arrival's own vector is
+    * CARRIED through the candidate join instead of re-joined (the
+    * batch operator's refine re-join of newVecs would be an illegal
+    * stream-stream self-join); the carry costs dims floats per
+    * candidate row beside the m·ksub dt tables already traveling.
+    * STATELESS end-to-end: a corpus vector lives in exactly ONE cell
+    * and the arrival probes exactly one cell, so a (new_id, dup_of)
+    * pair cannot repeat — no emit-dedup, no watermark, no state store
+    * (the incrementalExactDupFlags argument). Emits
+    * (new_id, tsCol, dup_of, cosine_sim) for flagged arrivals only —
+    * anti-join the source stream on new_id to admit novelty; advance
+    * index + corpus between batches with [[semanticProbeAdmitAdvance]]
+    * inside foreachBatch.
+    */
+  private[graft] def incrementalSemanticDupFlags(stream: DataFrame,
+      index: DataFrame, corpus: DataFrame,
+      coarse: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]],
+      candSim: Double, minSim: Double,
+      idCol: String, vecCol: String, tsCol: String): DataFrame = {
+    val probe = stream.select(col(idCol).as("new_id"), col(tsCol),
+        col(vecCol).as("q_vec"), VectorFns.norm2(col(vecCol)).as("q_norm"))
+      .withColumn("cell",
+        nearestCellExpr(coarse, col("q_vec"), col("q_norm")))
+      .withColumn("dt", pqDtCol(codebooks, col("q_vec")))
+    val vb = corpus.select(col(idCol).as("dup_of"),
+      col(vecCol).as("b_vec"), VectorFns.norm2(col(vecCol)).as("b_norm"))
+    probe
+      .join(index.withColumnRenamed("corpus_id", "dup_of"), Seq("cell"))
+      .filter(col("dup_of") =!= col("new_id"))
+      .filter(pqAdcSim(codebooks) >= candSim)
+      .join(vb, Seq("dup_of"))
+      .withColumn("__sim", VectorFns.simDiv(
+        VectorFns.dot(col("q_vec"), col("b_vec")),
+        col("q_norm") * col("b_norm")))
+      .filter(col("__sim") >= minSim)
+      .select(col("new_id"), col(tsCol), col("dup_of"),
+        round(col("__sim"), 4).as("cosine_sim"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — the published
     * semantic-deduplication recipe as a named operator: k-means cells
     * partition the corpus, exact pairwise cosine WITHIN each cell

@@ -344,6 +344,33 @@ object StreamOps {
         Seq(tsCol), nprobe)
       .filter(col("adc_sim") >= minSim)
 
+  /** Streaming SEMANTIC dedup probe against a maintained IVFPQ index +
+    * corpus vector table — the embedding face of
+    * [[incrementalNearDupFlags]], completing the incremental family's
+    * batch+stream convention (exact / LSH / simhash / semantic):
+    * per-row cell assign + ADC dot tables over FROZEN artifacts,
+    * stream-static join on cell, compressed-domain prefilter
+    * (candidates ship m codes), exact cosine refine against the
+    * corpus vectors — stateless end-to-end, no watermark (an arrival
+    * probes exactly one cell and index rows are cell-disjoint, so a
+    * (new, corpus) pair cannot repeat). `coarse`/`codebooks`/`index`/
+    * `corpus` MUST be one maintained set — advance all of it between
+    * batches with Similarity.semanticProbeAdmitAdvance inside
+    * foreachBatch. Output: (new_id, tsCol, dup_of, cosine_sim);
+    * inner-join semantics (only flagged arrivals emit — anti-join the
+    * source on new_id for the novel ones). Spec ties stream output ==
+    * the batch Similarity.incrementalSemanticDups over the same
+    * arrivals.
+    */
+  def incrementalSemanticDupFlags(stream: DataFrame, index: DataFrame,
+      corpus: DataFrame, coarse: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]],
+      idCol: String, vecCol: String, tsCol: String,
+      candSim: Double, minSim: Double): DataFrame =
+    graft.operators.Similarity.incrementalSemanticDupFlags(stream,
+      index, corpus, coarse, codebooks, candSim, minSim,
+      idCol, vecCol, tsCol)
+
   /** Streaming anomaly scores against FROZEN per-key stats — the
     * reference's designed-but-never-built ML stage (diagram.xml:10-17:
     * CSV → stream → "ML anomaly detection" → sinks) realized as the

@@ -490,6 +490,58 @@ class StreamingSpec extends SparkSpec {
     assert(got.forall(_._3 >= 0.9))
   }
 
+  test("incrementalSemanticDupFlags probes index + corpus statelessly, " +
+      "equals the batch operator") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Similarity
+    // same sub-space-separated two-cluster corpus as the ANN probe
+    // test (PQ codebooks are per-sub-space fits — clean quantization
+    // at ksub = 2); fit + index ONCE, the maintained-state shape
+    val corpus = Seq(
+      (1L, Array(1f, 0.05f, 0.9f, 0f)), (2L, Array(0.95f, 0f, 1f, 0.05f)),
+      (3L, Array(0f, 0.9f, 0.05f, 1f)), (4L, Array(0.05f, 1f, 0f, 0.95f)))
+      .toDF("vec_id", "embedding")
+    val (coarse, cb) = Similarity.fitIvfPq(corpus, "vec_id", "embedding",
+      dims = 4, nlist = 2, m = 2, ksub = 2, iters = 2, seed = 7L)
+    val index = Similarity.buildIvfPqIndex(corpus, coarse, cb,
+      "vec_id", "embedding")
+    val arrivals = Seq(
+      // semantic re-post of cluster (1, 2)'s direction — exact cosine
+      // vs both members clears minSim after the ADC prefilter
+      TestVec(10, ts("2024-01-01 00:00:00"), Array(1f, 0f, 1f, 0f)),
+      // between-clusters drifter: whatever cell it lands in, the
+      // EXACT refine scores ≈ 0.7 < minSim — not flagged
+      TestVec(20, ts("2024-01-01 00:05:00"), Array(0.5f, 0.5f, 0.5f, 0.5f)))
+    val in = MemoryStream[TestVec]
+    val out = StreamOps.incrementalSemanticDupFlags(in.toDF(), index,
+      corpus, coarse, cb, "vec_id", "embedding", "ts",
+      candSim = 0.5, minSim = 0.9)
+    val name = fresh()
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    in.addData(arrivals: _*)
+    q.processAllAvailable()
+    // stateless contract: two stream-static joins, no watermark —
+    // the state store must hold ZERO rows
+    val state = Option(q.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    q.stop()
+    assert(state === 0L, "semantic probe must keep no state store rows")
+    val got = spark.table(name)
+      .select("new_id", "dup_of", "cosine_sim")
+      .as[(Long, Long, Double)].collect().toSet
+    // ground truth: the batch operator over the same arrivals — same
+    // cell assign, same ADC prefilter, same exact refine
+    val want = Similarity.incrementalSemanticDups(
+        arrivals.toDF("vec_id", "ts", "embedding"), index, corpus,
+        coarse, cb, candSim = 0.5, minSim = 0.9, "vec_id", "embedding")
+      .select("new_id", "dup_of", "cosine_sim")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === want)
+    assert(got.map(_._1) === Set(10L)) // re-post flagged, drifter not
+    assert(got.forall(_._3 >= 0.9))
+  }
+
   test("annProbeAdmitAdvance inside foreachBatch runs the full ANN loop") {
     implicit val ctx = spark.sqlContext
     import graft.operators.Similarity
