@@ -3606,7 +3606,15 @@ object SparkEntry {
       // ids (gid = group min), so min-label CC still yields the true
       // min-member cluster_id.
       "grp AS (SELECT embedding AS gvec, min(vec_id) AS gid FROM emb GROUP BY embedding), " +
-      "gmap AS (SELECT e.vec_id, g.gid FROM emb e JOIN grp g ON e.embedding = g.gvec), " +
+      // IS NOT DISTINCT FROM: a NULL embedding must still land in its
+      // (all-NULL) group — plain equality drops the row from gmap and
+      // the oracle's output entirely, diverging from the Spark side
+      // (clusterSafeSplit emits every emb row; NULL vectors form no
+      // pairs so they keep split_key = vec_id, which the no-selfc path
+      // below reproduces). Latent on generated data (no NULLs) but a
+      // real fixture hazard.
+      "gmap AS (SELECT e.vec_id, g.gid FROM emb e " +
+      "JOIN grp g ON e.embedding IS NOT DISTINCT FROM g.gvec), " +
       "selfc AS (SELECT DISTINCT m1.gid FROM epairs p " +
       "JOIN gmap m1 ON m1.vec_id = p.a_id " +
       "JOIN gmap m2 ON m2.vec_id = p.b_id WHERE m1.gid = m2.gid), " +

@@ -111,18 +111,31 @@ object Dashboard {
     // masquerading as an empty log (ADVICE r17)
     val freshness = metricsDir.map { dir =>
       val title = "stream freshness"
-      val logFiles = Option(new java.io.File(dir).listFiles())
-        .getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      if (logFiles.isEmpty) NoticePanel(title, "no metrics yet"): Panel
-      else scala.util.Try {
+      // classify by the read's OWN failure, not a local-FS pre-check:
+      // metricsDir is a Hadoop path (file:/, hdfs://, s3a:// all
+      // legal), so java.io.File emptiness tests would misread every
+      // URI-schemed dir as forever-empty. Missing path / no parquet
+      // yet (Spark's PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA) → the
+      // "no data yet" convention; anything else is a genuine error
+      // and surfaces its message instead of masquerading as an empty
+      // log (ADVICE r17).
+      def noDataYet(e: Throwable): Boolean = e match {
+        case a: org.apache.spark.sql.AnalysisException =>
+          val c = Option(a.getCondition).getOrElse("")
+          c.contains("PATH_NOT_FOUND") ||
+            c.contains("UNABLE_TO_INFER_SCHEMA")
+        case _ => false
+      }
+      scala.util.Try {
         val f = StreamMetrics
           .freshness(spark, dir, System.currentTimeMillis())
           .orderBy(col("name"), col("batch_id"))
         TablePanel(title, f.columns.toSeq,
           f.collect().map(_.toSeq.map(String.valueOf)).toSeq): Panel
-      }.recover { case scala.util.control.NonFatal(e) =>
-        NoticePanel(title, s"metrics read FAILED: ${e.getMessage}"): Panel
+      }.recover {
+        case e if noDataYet(e) => NoticePanel(title, "no metrics yet")
+        case scala.util.control.NonFatal(e) =>
+          NoticePanel(title, s"metrics read FAILED: ${e.getMessage}")
       }.get
     }
     main ++ freshness

@@ -43,11 +43,17 @@ object StreamMetrics {
     * `metricsDir`. Returns the listener for [[detach]];
     * `detachOnTerminate` self-removes when one of ITS queries
     * terminates — a query it recorded progress for, or (name-filtered)
-    * one it saw START under the watched name, so a query that dies
-    * before its first progress event still detaches its listener
-    * instead of accumulating idle under repeated attaches; an
+    * one it saw START under the watched name, so a name-filtered
+    * listener whose query dies before its first progress event still
+    * detaches instead of accumulating idle under repeated attaches; an
     * unfiltered listener never detaches on a query it did not record
-    * (ADVICE r17). */
+    * (ADVICE r17 — detaching on arbitrary terminations silently
+    * removed a listener observing several queries when the first
+    * unrelated one stopped). The residual case: an UNFILTERED
+    * detachOnTerminate listener whose only query fails before any
+    * progress stays attached (it cannot tell that query from an
+    * unrelated one) — prefer onlyName when detachOnTerminate matters,
+    * or detach explicitly. */
   def attach(spark: SparkSession, metricsDir: String,
       onlyName: Option[String] = None,
       detachOnTerminate: Boolean = false): StreamingQueryListener = {

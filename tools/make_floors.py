@@ -65,7 +65,11 @@ def main() -> None:
             if q not in failed:
                 feed(q, float(sec))
         for q, pair in d.get("adjudicated", {}).items():
-            feed(q, float(pair.get("isolated", 0)))
+            # "isolated": null marks a flagged-but-unverifiable rerun
+            # (both isolated attempts threw) — no floor evidence, skip
+            iso = pair.get("isolated")
+            if iso is not None:
+                feed(q, float(iso))
         for q, sec in PAIR_RE.findall(d.get("tail", "")):
             if q not in failed and q not in NON_QUERY_KEYS:
                 feed(q, float(sec))
