@@ -22,6 +22,18 @@ import re
 import sys
 
 SWEEP_SF = "sf0.1"
+# Queries REDEFINED mid-history: the registered plan changed in the
+# named round, so sweeps from EARLIER rounds measured a different
+# query and their times must not fold into this one's floor (a stale
+# floor triggers a pointless adjudication rerun every sweep and reads
+# as a standing 6x "offender" in floor audits). Value = first round
+# whose BENCH file reflects the current definition.
+REDEFINED_SINCE = {
+    "rel_approx_distinct": 9,  # f2e6fe6: in-plan tolerance booleans
+    "rel_hll_distinct": 9,     # f2e6fe6: same commit
+    "rel_batch_slice": 2,      # 4155ec0: scalable range-partitioned ordinal
+}
+ROUND_RE = re.compile(r"BENCH_r0*(\d+)\.json$")
 # driver BENCH_r*.json keep only a truncated "tail" of the bench line;
 # harvest whatever "name":seconds pairs survived truncation
 PAIR_RE = re.compile(r'"([a-z][a-z0-9_]+)":([0-9]+\.[0-9]+)')
@@ -35,8 +47,12 @@ def main() -> None:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     floors: dict[str, float] = {}
 
-    def feed(name: str, sec: float) -> None:
+    def feed(name: str, sec: float, rnd: int | None = None) -> None:
         if sec <= 0:
+            return
+        # a measurement from before the query's current definition
+        # landed describes a different plan — not floor evidence
+        if rnd is not None and rnd < REDEFINED_SINCE.get(name, 0):
             return
         floors[name] = min(floors.get(name, sec), sec)
 
@@ -60,19 +76,21 @@ def main() -> None:
         sf = str(d.get("sf", ""))
         if os.path.basename(sf.rstrip("/")) != SWEEP_SF and sf != "0.1":
             continue
+        m = ROUND_RE.search(os.path.basename(p))
+        rnd = int(m.group(1)) if m else None
         failed = set(d.get("failed", []))
         for q, sec in d.get("queries", {}).items():
             if q not in failed:
-                feed(q, float(sec))
+                feed(q, float(sec), rnd)
         for q, pair in d.get("adjudicated", {}).items():
             # "isolated": null marks a flagged-but-unverifiable rerun
             # (both isolated attempts threw) — no floor evidence, skip
             iso = pair.get("isolated")
             if iso is not None:
-                feed(q, float(iso))
+                feed(q, float(iso), rnd)
         for q, sec in PAIR_RE.findall(d.get("tail", "")):
             if q not in failed and q not in NON_QUERY_KEYS:
-                feed(q, float(sec))
+                feed(q, float(sec), rnd)
         used.append(os.path.basename(p))
 
     out = os.path.join(root, "bench_floors.json")
