@@ -391,6 +391,37 @@ class StreamPipelineSpec extends SparkSpec {
     })
   }
 
+  test("freshness panel failure classification: empty/missing dirs " +
+      "(any path scheme) read as 'no metrics yet'; a corrupt log " +
+      "surfaces the read error instead of masquerading as empty") {
+    // positive control for the ADVICE-r17 fix: the panel classifies
+    // the Spark read's OWN failure, so the three outcomes must stay
+    // distinguishable — and the URI-schemed case pins that no local
+    // java.io.File pre-check sneaks back in (it would misread every
+    // file:/-schemed dir as forever-empty)
+    val base = Files.createTempDirectory("graft_fresh_cls").toString
+    def freshPanel(dir: String): Dashboard.Panel =
+      Dashboard.collectPanels(spark, s"$base/processed",
+        metricsDir = Some(dir)).last
+    val empty = s"$base/metrics_empty"
+    new java.io.File(empty).mkdirs()
+    assert(freshPanel(empty) ===
+      Dashboard.NoticePanel("stream freshness", "no metrics yet"))
+    assert(freshPanel(s"file:$base/metrics_nope") ===
+      Dashboard.NoticePanel("stream freshness", "no metrics yet"))
+    val bad = s"$base/metrics_bad"
+    new java.io.File(bad).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$bad/part-00000.parquet"),
+      "not a parquet file".getBytes("UTF-8"))
+    freshPanel(bad) match {
+      case Dashboard.NoticePanel("stream freshness", txt) =>
+        assert(txt.startsWith("metrics read FAILED"),
+          s"corrupt log must surface, got: $txt")
+      case p => fail(s"expected a failure notice, got $p")
+    }
+  }
+
   test("SOAK: 100 sustained micro-batches through the compose " +
       "pipeline — no metrics drop, wall time does not trend up, " +
       "stateful leg's state_rows plateaus at the key domain") {
