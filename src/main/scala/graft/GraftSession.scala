@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def build(defaultCpus: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
-    val s = SparkSession.builder()
+    val base = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -25,7 +25,19 @@ object GraftSession {
       // earlier queries' dead shuffles still held it). Default is
       // 30min; 5min bounds the dead-file window at negligible GC cost
       .config("spark.cleaner.periodicGC.interval", "5min")
-      .getOrCreate()
+    // deployment-tuning seam (r18): extra session confs as
+    // `key=value;key=value` — cluster values (shuffle partitions,
+    // codecs, join-strategy preferences) stay parameterised per the
+    // optimization contract instead of hard-coding local-mode wins;
+    // unset = the defaults above, so the driver's bench is unchanged
+    val extra = sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONF", "")
+    val withExtra = extra.split(";").map(_.trim).filter(_.nonEmpty)
+      .foldLeft(base) { (b, kv) =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"SPARK_GRAFT_EXTRA_CONF entry not key=value: $kv")
+        b.config(kv.take(i).trim, kv.drop(i + 1).trim)
+      }
+    val s = withExtra.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

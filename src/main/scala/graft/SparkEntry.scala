@@ -802,10 +802,14 @@ object SparkEntry {
       // point and the oracle replays all three layouts exactly.
       // clustering dims are modulo-derived so one literal box predicate
       // stays selective at every SF (raw key ranges grow with SF)
+      // pin the projected input once: three layout witnesses each
+      // re-scanned + re-derived it (count, sort, zone map) un-pinned
+      // (r18 plan audit)
       val li = t(s, d, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
         pmod(col("l_partkey"), lit(128)).as("px"),
         pmod(col("l_suppkey"), lit(8)).as("sy"))
+        .localCheckpoint(true)
       val tie = Seq(col("l_orderkey"), col("l_linenumber"))
       val z = Layout.zorderValue(col("px"), col("sy"), ZorderBits)
       val dims = Seq("px", "sy")
@@ -888,6 +892,7 @@ object SparkEntry {
         pmod(col("l_partkey"), lit(32)).as("px"),
         pmod(col("l_suppkey"), lit(8)).as("sy"),
         col("l_linenumber").as("ln"))
+        .localCheckpoint(true)
       val tie = Seq(col("l_orderkey"), col("l_linenumber"))
       val z = Layout.zorderValueN(
         Seq(col("px"), col("sy"), col("ln")), Zorder3Bits)
@@ -1625,10 +1630,12 @@ object SparkEntry {
       val corpus = docs.filter(col("doc_id") % 10 =!= 0)
       val arrivals = docs.filter(col("doc_id") % 10 === 0)
         .withColumn("arrival_ts", col("doc_id"))
-      val idx = TextAnalysis.winnowIndex(corpus, "doc_id", "text",
-        WinnowK, WinnowW)
+      // ONE pinned fingerprint pass feeds both the index election and
+      // the delete's occurrence posting (un-pinned, the corpus was
+      // fingerprinted twice; r18)
       val occ = TextAnalysis.winnowFingerprints(corpus, "doc_id",
-        "text", WinnowK, WinnowW)
+        "text", WinnowK, WinnowW).localCheckpoint(true)
+      val idx = TextAnalysis.winnowIndexOfFps(occ, "doc_id")
       val vacuumed = TextAnalysis.deleteFromWinnowIndex(idx, occ,
         "doc_id",
         corpus.where(col("doc_id") % 7 === 0).select(col("doc_id")))
@@ -1924,8 +1931,14 @@ object SparkEntry {
       // the calibrated log-odds sign; the DAG itself still scans the
       // corpus once (spec-pinned), the model rides in as a broadcast
       // join
+      // materialize the model artifact ONCE (it IS an artifact — the
+      // production pipeline passes a persisted table): the scorer
+      // references it 2x (consts + term join) and the gated frame is
+      // consumed 3x downstream — un-pinned, every reference re-ran
+      // the NB fit including its corpus scan (r18 final-plan audit:
+      // 79 document scans in this one query; plans/r18)
       val model = TextAnalysis.nbQualityModel(
-        gopherLabeledDocs(s, d), "text", "keep")
+        gopherLabeledDocs(s, d), "text", "keep").localCheckpoint(true)
       Packing.curateAndPack(t(s, d, "documents"), "doc_id", "source",
         "text", TokenBudgets, PackBudget, PackGroups, delim = " ",
         minWords = GopherMinWords, maxWords = GopherMaxWords,
@@ -2296,16 +2309,23 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") < 10)
       val (coarse, cb) = ivfPqArtifacts(s, d)
       val idx = ivfPqIndex(s, d)
+      // materialize each retrieval facet ONCE (the sim_ann_recall_
+      // clustered convention, r18): annRecallFacets references `exact`
+      // ~7x and the probes 2-3x inside its union — un-pinned, the
+      // brute-force truth leg re-ran per reference (final-plan audit:
+      // 46 scans / 61 exchanges; plans/r18)
       val exact = Similarity.bruteForceTopK(emb, q, 5)
+        .localCheckpoint(true)
       val adcFull = Similarity.ivfPqProbeIndex(idx, q, 5,
-        nprobe = IvfNlist, coarse, cb)
+        nprobe = IvfNlist, coarse, cb).localCheckpoint(true)
       val ivfpq = Similarity.ivfPqProbeIndex(idx, q, 5,
-        nprobe = IvfNprobe, coarse, cb)
+        nprobe = IvfNprobe, coarse, cb).localCheckpoint(true)
       // share the memoized joint fit's coarse (== fitCentroids at
       // (nlist, iters 2, seed), spec-asserted) — skips a redundant
       // Lloyd re-fit per sweep, result bit-identical
       val ivf = Similarity.ivfTopK(emb, q, 5,
         nlist = IvfNlist, nprobe = IvfNprobe, coarse = Some(coarse))
+        .localCheckpoint(true)
       annRecallFacets(exact, adcFull, ivfpq, ivf,
         ivfFloor = 30, pruningFloor = 20, quantFloor = 4, e2eFloor = 2)
     }),
@@ -3199,10 +3219,14 @@ object SparkEntry {
       // tokenizer choice is judged by; chars/piece uses the shared
       // word-char total so the four flavors divide the same numerator
       val docs = t(s, d, "documents")
+      // pinned 1-row frame: each of the four flavor rows broadcasts
+      // it, and un-pinned each broadcast re-ran the corpus word
+      // explode+agg (r18 plan audit)
       val base = docs
         .select(explode(TextFns.words(col("text"))).as("w"))
         .agg(count(lit(1)).as("__nw"),
           sum(length(col("w"))).as("__nc"))
+        .localCheckpoint(true)
       def row(flavor: String, perDoc: DataFrame, np: String) =
         perDoc.agg(count(lit(1)).as("n_docs"),
             sum(col(np)).as("total_pieces"))

@@ -870,27 +870,38 @@ object Dedup {
     * deduplicate {A,B,C} together even though (A,C) was never a
     * candidate pair.
     *
-    * Scale: each round is one join + one min-aggregate over the edge
-    * list, followed by POINTER-JUMPING compression (label ←
-    * label∘label, a self-join over the n-row label table, iterated to
-    * its own fixpoint — each step halves remaining chain depth): outer
-    * rounds needed drop from the component diameter to O(log diameter)
-    * — the difference between 20 and ~7 edge-list joins on the
-    * long-chain components a dense ε-ball pair graph produces (the
-    * auto-cell semDedup geometry surfaced exactly this: a sparse
-    * sf0.001 similarity graph with diameter > 20). Compression never
-    * moves a label outside its component and never below the component
-    * minimum (labels are ids with lab(x) ≤ x), so the fixpoint — and
-    * therefore the output — is bit-identical to plain propagation;
-    * duplicate near-cliques still converge in a handful of rounds
-    * (their first compress pass is already stable).
-    * `maxIters` caps pathological chains. If the FINAL permitted round
-    * still changed labels, convergence is unconfirmed (the result may be
-    * truncated, or may have reached the fixpoint on exactly that round —
-    * only a zero-change round proves it): a WARN is logged, and
-    * `requireConvergence` escalates it to an exception so an unproven
-    * clustering can't masquerade as a clean one. The driver sees only
-    * the per-round change COUNT.
+    * Scale: the edge table is SELF-LOOPED once up front (min over
+    * neighbors ∪ self ≡ min over neighbors of the self-looped graph),
+    * which makes one hop a SINGLE-REFERENCE plan — join + min-agg,
+    * no `∪ labels` term — so each round composes TWO hops in one
+    * materialization with nothing recomputed (r18: rounds for a given
+    * propagation depth halve; measured −33% wall on the semantic pair
+    * graph, output bit-identical). Hops are followed by
+    * POINTER-JUMPING compression (label ← label∘label, a self-join
+    * over the n-row label table, iterated to its own fixpoint — each
+    * step halves remaining chain depth): edge-list joins needed drop
+    * from the component diameter to O(log diameter) — the difference
+    * between 20 and ~7 on the long-chain components a dense ε-ball
+    * pair graph produces (the auto-cell semDedup geometry surfaced
+    * exactly this: a sparse sf0.001 similarity graph with diameter
+    * > 20). Compression never moves a label outside its component and
+    * never below the component minimum (labels are ids with
+    * lab(x) ≤ x), so the fixpoint — and therefore the output — is
+    * bit-identical to plain propagation; duplicate near-cliques still
+    * converge in a handful of rounds (their first compress pass is
+    * already stable). Every round/pass intermediate is a LAZY local
+    * checkpoint whose blocks the convergence-witness aggregate itself
+    * materializes — one job per pass where eager-checkpoint + sum was
+    * two (r18).
+    * `maxIters` caps pathological chains (one iter = one double-hop
+    * round). If the FINAL permitted round still changed labels,
+    * convergence is unconfirmed (the result may be truncated, or may
+    * have reached the fixpoint on exactly that round — only a
+    * zero-change round proves it; labels are monotone non-increasing,
+    * so a sum-unchanged DOUBLE hop proves the single-hop fixpoint
+    * too): a WARN is logged, and `requireConvergence` escalates it to
+    * an exception so an unproven clustering can't masquerade as a
+    * clean one. The driver sees only the per-round change COUNT.
     * Output: (id, cluster_id), returned as an eager local checkpoint —
     * every iteration cache is released before returning, and the
     * result's blocks are freed when the caller drops the frame.
@@ -900,82 +911,50 @@ object Dedup {
   private def releaseIntermediate(df: DataFrame): Unit =
     Checkpoints.releaseIntermediate(df)
 
-  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20,
+  def duplicateClusters(pairs: DataFrame,
+      maxIters: Int = 20,
       requireConvergence: Boolean = false): DataFrame = {
-    // symmetrize ONCE (src -> dst and back), so each round is a single
-    // join instead of two passes over the directed pair list.
-    // localCheckpoint, not persist: persist caches BLOCKS but keeps the
-    // LINEAGE, and every fixpoint round joins edges into the next
-    // labels plan — labels' plan then contains the upstream pair plan
-    // a number of times exponential in round depth. Harmless for small
-    // pair plans (the LSH chain), but a literal-heavy upstream (the
-    // IVFPQ near-dup pair plan: embedded codebooks/centroids) blew the
-    // plan STRING past 2 GB and OOM'd the driver at round ~4 — the
-    // checkpoint truncates lineage so every round starts from a scan
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+    val trace = sys.env.contains("SPARK_GRAFT_CC_TRACE")
+    val sym = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // self-loops replace the per-round `∪ labels` term: min over
+    // (neighbors ∪ self) ≡ min over neighbors in the self-looped
+    // graph, and a single-reference hop plan lets two hops compose in
+    // ONE materialization without recomputing the inner hop
+    val edges = sym.unionByName(
+        sym.select(col("src"), col("src").as("dst")).distinct())
       .localCheckpoint(true)
     try {
       var labels = edges.select(col("src").as("id"))
         .distinct()
         .withColumn("cluster_id", col("id"))
         .persist()
-      // fixpoint witness: labels only ever DECREASE (min over the
-      // neighborhood including self), so the label sum strictly
-      // decreases iff any label changed — one narrow agg on the
-      // persisted frame per round instead of a join+filter+count job
-      // (cuts the per-round job count; measured 2.50 s → see commit).
-      // decimal(38,0): a long sum could overflow on wide-id corpora.
       def labelSum(df: DataFrame): java.math.BigDecimal =
         df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
       var curSum = labelSum(labels)
-      // the frame whose BLOCKS back the current `labels` plan — what
-      // releaseIntermediate must be handed (only a plan-root
-      // LogicalRDD releases; the stats-stripped wrapper below is a
-      // derived plan whose root owns no blocks)
       var labelsBk = labels
       def sumsEqual(a: java.math.BigDecimal,
           b: java.math.BigDecimal): Boolean =
         (a == null && b == null) ||
           (a != null && b != null && a.compareTo(b) == 0)
-      // pointer jumping SELF-JOINS the checkpointed label table, so
-      // each pass must strip the compounding size estimate — see
-      // Checkpoints.stripStats (squared stats = bit-length doubling =
-      // minutes of BigInteger math by ~25 cumulative passes, measured
-      // here first)
       def stripStats(df: DataFrame): DataFrame = Checkpoints.stripStats(df)
+      def hop(l: DataFrame): DataFrame = edges
+        .join(l, edges("src") === l("id"))
+        .select(edges("dst").as("id"), col("cluster_id"))
+        .groupBy(col("id"))
+        .agg(min(col("cluster_id")).as("cluster_id"))
       var iters = 0
       var converged = false
       while (!converged && iters < maxIters) {
-        val nbr = edges.join(labels, edges("src") === labels("id"))
-          .select(edges("dst").as("id"), col("cluster_id"))
-          .unionByName(labels)
-        // localCheckpoint each round, not persist: the round's plan
-        // references `labels` TWICE (the neighborhood join and the
-        // union), so an un-truncated lineage doubles per round —
-        // exponential plan size, and AQE renders the plan STRING on
-        // every update (explainString OOM'd the driver at depth ~10
-        // composing the IVFPQ split). The checkpoint makes every
-        // round's plan constant-size; labelSum was already
-        // materializing each round, so the job count is unchanged.
-        var nextBk = nbr.groupBy(col("id"))
-          .agg(min(col("cluster_id")).as("cluster_id"))
-          .localCheckpoint(true)
+        // two hops per materialization (each level references its
+        // input exactly once, so nothing recomputes); monotone labels
+        // mean sum-unchanged across the DOUBLE hop proves the single-
+        // hop fixpoint too
+        var nextBk = hop(hop(labels)).localCheckpoint(false)
         var next: DataFrame = nextBk
         var nextSum = labelSum(next)
-        // convergence is proven by a ZERO-CHANGE HOP (edge-consistent
-        // labels are constant per component) — compression alone can't
-        // prove it, so the flag compares across the hop only
         converged = sumsEqual(curSum, nextSum)
         if (!converged) {
-          // pointer jumping: lab ← lab(lab(id)) to the inner fixpoint.
-          // Every label IS a member id, so composing stays inside the
-          // component and ≤ the current label (lab(x) ≤ x invariant);
-          // each pass halves remaining chain depth, so outer rounds
-          // track log(diameter). Each pass touches only the n-row
-          // label table — no edge scan. Labels only decrease → the
-          // same sum-based change witness applies. The guard bound is
-          // unreachable (2^64 chain depth); it only fences a cycle bug.
           var stable = false
           var guard = 0
           while (!stable && guard < 64) {
@@ -986,7 +965,7 @@ object Dedup {
               .select(next("id"),
                 coalesce(col("__plab"), next("cluster_id"))
                   .as("cluster_id"))
-              .localCheckpoint(true)
+              .localCheckpoint(false)
             val comp = stripStats(compBk)
             val compSum = labelSum(comp)
             stable = sumsEqual(nextSum, compSum)
@@ -996,6 +975,7 @@ object Dedup {
             nextSum = compSum
             guard += 1
           }
+          if (trace) println(s"CC round=$iters passes=$guard")
         }
         curSum = nextSum
         if (labelsBk ne nextBk) releaseIntermediate(labelsBk)
@@ -1003,6 +983,7 @@ object Dedup {
         labelsBk = nextBk
         iters += 1
       }
+      if (trace) println(s"CC rounds=$iters converged=$converged")
       if (!converged) {
         val msg = s"duplicateClusters stopped at maxIters=$maxIters with " +
           "labels still changing in the final round — convergence NOT " +
@@ -1011,9 +992,6 @@ object Dedup {
         if (requireConvergence) { releaseIntermediate(labelsBk); sys.error(msg) }
         org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
       }
-      // materialize + truncate lineage, then release the iteration
-      // blocks (the caller owns only `out`; its blocks are freed when
-      // the caller drops the frame and the ContextCleaner runs)
       val out = labels.localCheckpoint(true)
       releaseIntermediate(labelsBk)
       out
@@ -1260,10 +1238,15 @@ object Dedup {
       floorPct: Int = 90): DataFrame = {
     require(floorPct >= 0 && floorPct <= 100,
       s"lshRecallReport: floorPct in [0,100], got $floorPct")
+    // pin both pair tables: each is referenced twice below (its count
+    // + the semi-join), and un-pinned the exact prefix-join — the
+    // witness's expensive leg — ran twice (r18 final-plan audit)
     val truth = jaccardPairsPrefix(df, idCol, textCol, minJaccard)
       .select(col("a_id"), col("b_id"))
+      .localCheckpoint(true)
     val cand = lshCandidatePairs(df, idCol, textCol, k, bands)
       .select(col("a_id"), col("b_id"))
+      .localCheckpoint(true)
     val nTrue = truth.agg(count(lit(1)).as("n_true"))
     val nCand = cand.agg(count(lit(1)).as("n_candidates"))
     val nHit = truth.join(cand, Seq("a_id", "b_id"), "left_semi")

@@ -81,7 +81,15 @@ object Dsir {
     * rows; persistable; broadcast at scoring time. */
   def dsirModel(target: DataFrame, raw: DataFrame, textCol: String,
       buckets: Int): DataFrame = {
+    // pin the bucket counts (≤ `buckets` rows): the totals aggregate
+    // and the output projection both consume them, and scoring
+    // consumes the model twice more (consts + term join) — un-pinned,
+    // every reference re-tokenized BOTH corpus sides (r18 final-plan
+    // audit: 36 corpus scans in text_dsir_score). The fit becomes
+    // eager, which is the artifact contract anyway ("frozen;
+    // persistable").
     val counts = dsirCounts(target, raw, textCol, buckets)
+      .localCheckpoint(true)
     val totals = counts.agg(sum(col("n_target")).as("__tt"),
       sum(col("n_raw")).as("__tr"))
     val lnD = (c: Column) => log(c.cast("double"))

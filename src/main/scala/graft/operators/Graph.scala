@@ -136,7 +136,7 @@ object Graph {
     * result bit-identical (every apex lands in exactly one wave; the
     * final per-node sum reassembles corners across waves). W = 1 (the
     * default, and the right setting on a real cluster) is the
-    * unchanged single-job plan. */
+    * one-wave plan over the same pinned tables. */
   def triangleCounts(edges: DataFrame, apexWaves: Int = 1): DataFrame = {
     require(apexWaves >= 1, s"apexWaves must be >= 1, got $apexWaves")
     val canon0 = edges
@@ -145,15 +145,21 @@ object Graph {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-    // waves re-read canon/oriented once per wave — pin them (edge-
-    // bounded) so the distinct/orient work runs once; the single-wave
-    // path keeps the pure single-job plan untouched
-    val canon =
-      if (apexWaves == 1) canon0 else canon0.localCheckpoint(true)
-    val deg0 = canon.select(col("a").as("node"))
+    // pin canon/deg/oriented (all edge-bounded) so the distinct /
+    // degree / orientation work runs ONCE. r18 finding: at W=1 the
+    // un-pinned plan re-derives canon for every consumer — exchange
+    // reuse does NOT fire across them (each consumer pushes different
+    // filters into the shared subtree, breaking canonicalized
+    // equality) — so the runtime plan scanned the edge source 31
+    // times and re-ran the distinct ~6 times (final-plan audit,
+    // plans/r18). Pinning cut sf0.1 wall ~25% (interleaved trials,
+    // bit-identical output) and at 100 TB turns 31 scans of the edge
+    // table into 2.
+    val canon = canon0.localCheckpoint(true)
+    val deg = canon.select(col("a").as("node"))
       .unionByName(canon.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
-    val deg = if (apexWaves == 1) deg0 else deg0.localCheckpoint(true)
+      .localCheckpoint(true)
     // orient each canonical edge from its lower-(degree, id) endpoint
     val lowFirst = canon
       .join(deg.select(col("node").as("a"), col("degree").as("__da")), "a")
@@ -161,11 +167,10 @@ object Graph {
       .select(col("a"), col("b"),
         (col("__da") < col("__db") ||
           (col("__da") === col("__db") && col("a") < col("b"))).as("__fwd"))
-    val oriented0 = lowFirst.select(
+    val oriented = lowFirst.select(
       when(col("__fwd"), col("a")).otherwise(col("b")).as("src"),
       when(col("__fwd"), col("b")).otherwise(col("a")).as("dst"))
-    val oriented =
-      if (apexWaves == 1) oriented0 else oriented0.localCheckpoint(true)
+      .localCheckpoint(true)
     // wedges at the low endpoint; closing edge looked up in canonical
     // (a < b) form because orientation does not preserve id order
     def perNodeFor(wave: Int): DataFrame = {

@@ -597,8 +597,12 @@ object Packing {
         val pass =
           if (nbThreshold == 0.0) col("predicted_keep")
           else col("log_odds") > nbThreshold
+        // pin the gate's output: keepBest + the survivors join consume
+        // `gated` three times, and un-pinned each consumer re-ran the
+        // NB scoring aggregate (r18 final-plan audit)
         enriched.join(scored.filter(pass).select(col(idCol)), idCol)
           .drop("__raw")
+          .localCheckpoint(true)
       case None => enriched
     }
     val kept = Dedup.keepBest(gated,

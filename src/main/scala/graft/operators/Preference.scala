@@ -136,7 +136,10 @@ object Preference {
       val wins = pr.groupBy(col("__w").as("player"))
         .agg(count(lit(1)).as("n_wins"))
       val players = sym.select(col("i").as("player")).distinct()
+      // loop-invariant 1-row frame: un-pinned it re-ran the players
+      // distinct inside EVERY round's broadcast (r18 plan audit)
       val np = players.agg(count(lit(1)).as("__np"))
+        .localCheckpoint(true)
       val fold: Column => Column =
         if (portable)
           c => aggregate(sort_array(collect_list(c)), lit(0.0), _ + _)
@@ -165,10 +168,16 @@ object Preference {
           .groupBy(col("i").as("player"))
           .agg(fold(col("n").cast("double") /
             (col("__pi") + col("__pj"))).as("__den"))
+        // LAZY checkpoint: `unnorm` feeds both the broadcast total and
+        // the rating projection in the same round plan — un-pinned,
+        // the denominator joins executed TWICE per round (r18 plan
+        // audit); the broadcast stage materializes the blocks, the
+        // probe side reads them
         val unnorm = ratings.select(col("player"), col("n_wins"))
           .join(denom, "player")
           .select(col("player"), col("n_wins"),
             (col("n_wins").cast("double") / col("__den")).as("__u"))
+          .localCheckpoint(false)
         val total = unnorm.agg(fold(col("__u")).as("__tot"))
         val nextBk = unnorm
           .crossJoin(broadcast(total))
@@ -177,6 +186,8 @@ object Preference {
             (col("__u") * col("__np").cast("double") / col("__tot"))
               .as("rating"))
           .localCheckpoint(true)
+        // nextBk is materialized: the round's unnorm blocks are dead
+        Checkpoints.releaseIntermediate(unnorm)
         Checkpoints.releaseIntermediate(ratingsBk)
         ratingsBk = nextBk
         ratings = Checkpoints.stripStats(nextBk)

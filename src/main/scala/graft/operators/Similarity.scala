@@ -1546,6 +1546,9 @@ object Similarity {
   def semDedup(corpus: DataFrame, coarse: Array[Array[Float]],
       minSim: Double, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    // pinned: the pair join reads it twice and the labeled tail once
+    // more — un-pinned, the per-row argmin over nlist·dims centroid
+    // literals ran 3x over the corpus (r18 plan audit)
     val assigned = corpus
       .select(col(idCol), col(vecCol),
         VectorFns.norm2(col(vecCol)).as("__vn"))
@@ -1554,6 +1557,7 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("__vn"),
         col("__nc").getField("c").as("cell"),
         (-col("__nc").getField("nd")).as("csim"))
+      .localCheckpoint(true)
     val a = assigned.select(col("cell"), col(idCol).as("a_id"),
       col(vecCol).as("a_vec"), col("__vn").as("a_norm"))
     val b = assigned.select(col("cell"), col(idCol).as("b_id"),

@@ -808,12 +808,19 @@ object TextAnalysis {
     * N1+(·uw)); "u2" (u, N1+(·u·), N1+(u·) over continuation types);
     * "c1" (w, N1+(·w)); "tt" (N1+(··)). */
   def kneserNeyTrigramModel(df: DataFrame, textCol: String): DataFrame = {
+    // pin the tokenizing subtrees AND the bundle (all type-bounded —
+    // the fit is a persistable artifact): t3types feeds 4 bundle
+    // parts, bgTypes 2, and the scorer filters the bundle once per
+    // part — un-pinned, each reference re-tokenized the corpus (r18
+    // final-plan audit: 14 corpus scans in text_self_info_kn3)
     val t3types = triRows(df, textCol)
       .groupBy(col("__v"), col("__u"), col("__w"))
       .agg(count(lit(1)).as("__c3"))
+      .localCheckpoint(true)
     val bgTypes = bigramRows(df, textCol)
       .select(col("__prev").as("__u"), col("__tok2").as("__w"))
       .distinct()
+      .localCheckpoint(true)
     val nullS = lit(null).cast("string")
     val nullL = lit(null).cast("long")
     def part(name: String, d: DataFrame, v: Column, u: Column,
@@ -840,6 +847,7 @@ object TextAnalysis {
         nullS, nullS, col("__w"), col("a"), nullL))
       .unionByName(part("tt", bgTypes.agg(count(lit(1)).as("a")),
         nullS, nullS, nullS, col("a"), nullL))
+      .localCheckpoint(true)
   }
 
   /** Score documents against a FROZEN [[kneserNeyTrigramModel]] —
@@ -1160,7 +1168,9 @@ object TextAnalysis {
     val uni = selfInfoModel(df, textCol)
       .select(lit(1).as("__order"), lit("").as("__fprev"), col("__ftok"),
         col("__info").as("__info_bo"))
-    (orders :+ uni).reduce(_ unionByName _)
+    // pin the bundle: the backoff scorer left-joins one ORDER SLICE
+    // per rung, and un-pinned each slice re-ran its order's fit
+    (orders :+ uni).reduce(_ unionByName _).localCheckpoint(true)
   }
 
   /** Score documents against a FROZEN [[backoffNgramModel]] with
@@ -1254,9 +1264,12 @@ object TextAnalysis {
     * (w, N1+(·,w)); "tot" (N1+(·,·)). All exact integers — the fit
     * is fully SQL-replayable; row count is bigram-TYPE-bounded. */
   def kneserNeyModel(df: DataFrame, textCol: String): DataFrame = {
+    // pin bg (4 bundle parts read it) and the bundle (the scorer
+    // filters it once per part) — the trigram builder's convention
     val bg = bigramRows(df, textCol)
       .groupBy(col("__prev").as("__u"), col("__tok2").as("__w"))
       .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true)
     val nullS = lit(null).cast("string")
     val nullL = lit(null).cast("long")
     bg.select(lit("bg").as("__part"), col("__u"), col("__w"),
@@ -1272,6 +1285,7 @@ object TextAnalysis {
       .unionByName(bg.agg(count(lit(1)).as("__c1"))
         .select(lit("tot").as("__part"), nullS.as("__u"),
           nullS.as("__w"), col("__c1"), nullL.as("__c2")))
+      .localCheckpoint(true)
   }
 
   /** Score documents against a FROZEN [[kneserNeyModel]]:
@@ -2040,8 +2054,18 @@ object TextAnalysis {
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int, maxBucket: Int, delim: String = " "): DataFrame = {
     require(maxBucket >= 2, "maxBucket must allow at least a pair")
-    val fps = winnowFingerprints(df, idCol, textCol, k, w, delim)
-      .select(col(idCol).as("__id"), col("fp")).distinct()
+    winnowPairsOfDistinctFps(
+      winnowFingerprints(df, idCol, textCol, k, w, delim)
+        .select(col(idCol).as("__id"), col("fp")).distinct(),
+      maxBucket)
+  }
+
+  /** [[winnowPairs]]' tail over an already-built distinct (doc, fp)
+    * table — split out (r18) so [[winnowContainment]] can share ONE
+    * fingerprint pass between the pair join and the per-doc budgets
+    * instead of re-fingerprinting the corpus per consumer. */
+  private def winnowPairsOfDistinctFps(fps: DataFrame,
+      maxBucket: Int): DataFrame = {
     val capped = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("__df"),
         collect_list(col("__id")).as("__ids"))
@@ -2067,10 +2091,17 @@ object TextAnalysis {
     * right_id, n_shared, n_a, n_b, containment). */
   def winnowContainment(df: DataFrame, idCol: String, textCol: String,
       k: Int, w: Int, maxBucket: Int, delim: String = " "): DataFrame = {
-    val counts = winnowFingerprints(df, idCol, textCol, k, w, delim)
-      .select(col(idCol).as("__cid"), col("fp")).distinct()
+    require(maxBucket >= 2, "maxBucket must allow at least a pair")
+    // ONE pinned fingerprint pass feeds both the pair join and the
+    // per-doc budgets (un-pinned, the corpus was fingerprinted 3x:
+    // r18 final-plan audit)
+    val fpsD = winnowFingerprints(df, idCol, textCol, k, w, delim)
+      .select(col(idCol).as("__id"), col("fp")).distinct()
+      .localCheckpoint(true)
+    val counts = fpsD
+      .select(col("__id").as("__cid"), col("fp"))
       .groupBy(col("__cid")).agg(count(lit(1)).as("__nf"))
-    winnowPairs(df, idCol, textCol, k, w, maxBucket, delim)
+    winnowPairsOfDistinctFps(fpsD, maxBucket)
       .join(counts.select(col("__cid").as("left_id"),
         col("__nf").as("n_a")), "left_id")
       .join(counts.select(col("__cid").as("right_id"),
@@ -2113,8 +2144,12 @@ object TextAnalysis {
       k: Int, w: Int, maxBucket: Int, delim: String = " "): DataFrame = {
     require(maxBucket >= 2, "maxBucket must allow at least a pair")
     import org.apache.spark.sql.expressions.Window
+    // pinned: referenced three times below (the df-cap distinct and
+    // both sides of the alignment self-join) — un-pinned, the corpus
+    // was fingerprinted 3x (r18 final-plan audit)
     val fps = winnowFingerprints(df, idCol, textCol, k, w, delim)
       .select(col(idCol).as("__id"), col("fpos"), col("fp"))
+      .localCheckpoint(true)
     val cap = fps.select(col("__id"), col("fp")).distinct()
       .groupBy(col("fp")).agg(count(lit(1)).as("__df"))
       .where(col("__df") <= maxBucket)
@@ -2158,11 +2193,19 @@ object TextAnalysis {
     * w+k−1 detection guarantee. The production containment-detection
     * index (build once, persist, probe arrivals). */
   def winnowIndex(df: DataFrame, idCol: String, textCol: String,
-      k: Int, w: Int, delim: String = " "): DataFrame = {
+      k: Int, w: Int, delim: String = " "): DataFrame =
+    winnowIndexOfFps(
+      winnowFingerprints(df, idCol, textCol, k, w, delim), idCol)
+
+  /** [[winnowIndex]]' canonical-election tail over an already-built
+    * fingerprint posting — split out (r18) so a caller that needs
+    * BOTH the index and the raw occurrences (the delete/vacuum loop)
+    * can fingerprint the corpus once and share the frame. */
+  def winnowIndexOfFps(fps: DataFrame, idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val win = Window.partitionBy(col("fp"))
       .orderBy(col(idCol), col("fpos"))
-    winnowFingerprints(df, idCol, textCol, k, w, delim)
+    fps
       .withColumn("__rn", row_number().over(win))
       .filter(col("__rn") === 1)
       .select(col("fp"), col(idCol).as("corpus_id"),
