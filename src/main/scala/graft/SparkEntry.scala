@@ -55,6 +55,13 @@ object SparkEntry {
     * as text_gopher, which pins the label math to its own oracle). */
   private def gopherLabeledDocs(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
+    // pinned: every NB-distillation query consumes this frame 3-4x
+    // (model fit tokenization + doc totals, scoring pass, and the
+    // eval queries' label join) and each un-pinned reference re-ran
+    // the WHOLE gopher labeling — rule stats over the corpus plus the
+    // corpus scan itself (r18 final-plan audit: 32 document scans per
+    // nb-family query). One materialization, corpus-bounded — the
+    // curateAndPack gated-frame convention.
     docs.join(
       TextAnalysis.gopherRules(docs, "doc_id", "text",
         minWords = GopherMinWords, maxWords = GopherMaxWords,
@@ -63,7 +70,7 @@ object SparkEntry {
         maxSymbolRatio = GopherMaxSymbolRatio,
         minStopwords = GopherMinStopwords)
         .select(col("doc_id"), col("keep")),
-      "doc_id")
+      "doc_id").localCheckpoint(true)
   }
 
   val MinhashK = 16
@@ -2488,13 +2495,20 @@ object SparkEntry {
       // per pair. Cross-base hashes sit > maxHamming bits apart
       // (MultimodalSpec pins min cross-base distance), so the banded
       // join admits no false pairs
+      // corpus pinned (consumed by the even/odd filters — un-pinned,
+      // the synthesis codec ran twice); media pinned (consumed by the
+      // hash pass and the signature projection); sigs pinned (both
+      // pair-annotation joins). 200 bounded rows each — the pins cut
+      // this query from 24 document scans to 1 (r18 final-plan audit)
       val corpus = Multimodal.synthesizePpm(s,
         t(s, d, "documents").filter(col("doc_id") < 200), "doc_id",
-        Some(25L)).toDF
+        Some(25L)).toDF.localCheckpoint(true)
       val media = corpus.filter(col("media_id") % 2 === 0).unionByName(
         Multimodal.upscalePpm(s,
           corpus.filter(col("media_id") % 2 === 1), 2).toDF)
+        .localCheckpoint(true)
       val sigs = media.select(col("media_id"), md5(col("payload")).as("__sig"))
+        .localCheckpoint(true)
       Multimodal.phashNearDups(
           Multimodal.perceptualHashes(s, media), maxHamming = 2)
         .join(sigs.select(col("media_id").as("a_id"),
@@ -2515,13 +2529,17 @@ object SparkEntry {
       // pairs (cross-format blobs can't be byte-equal). The
       // cross_format column witnesses which pairs NO byte-level
       // fingerprint could have caught
+      // same pin set as media_near_dups_phash (corpus / media / sigs
+      // each multiply consumed; 200 bounded rows each)
       val corpus = Multimodal.synthesizePpm(s,
         t(s, d, "documents").filter(col("doc_id") < 200), "doc_id",
-        Some(25L)).toDF
+        Some(25L)).toDF.localCheckpoint(true)
       val media = corpus.filter(col("media_id") % 2 === 0).unionByName(
         Multimodal.transcode(s,
           corpus.filter(col("media_id") % 2 === 1), "png").toDF)
+        .localCheckpoint(true)
       val sigs = media.select(col("media_id"), md5(col("payload")).as("__sig"))
+        .localCheckpoint(true)
       Multimodal.phashNearDups(
           Multimodal.perceptualHashes(s, media), maxHamming = 2)
         .join(sigs.select(col("media_id").as("a_id"),
@@ -2543,9 +2561,14 @@ object SparkEntry {
       // 2 (measured 0 on this fixture); mean luma within 1.0 gray
       // level. A codec regression (or a decoder that silently returns
       // garbage) flips the booleans and fails the hash-match
+      // orig consumed 3x (transcode, features, hashes) and jpeg 2x —
+      // pinned so the synthesis/codec passes run once (100 bounded
+      // rows each)
       val orig = Multimodal.synthesizeGradientPpm(s,
         t(s, d, "documents").filter(col("doc_id") < 100), "doc_id").toDF
+        .localCheckpoint(true)
       val jpeg = Multimodal.transcode(s, orig, "jpg").toDF
+        .localCheckpoint(true)
       val fo = Multimodal.decodeImageFeatures(s, orig).toDF
       val fj = Multimodal.decodeImageFeatures(s, jpeg).toDF
       val ho = Multimodal.perceptualHashes(s, orig)
@@ -2636,9 +2659,11 @@ object SparkEntry {
       // keys on what the clip SOUNDS like (content_sig over decoded
       // samples), so the re-tagged copies pair with their originals
       // while same_bytes exposes the container difference
+      // base pinned: the even/odd filters each re-ran the WAV
+      // synthesis un-pinned (200 bounded rows)
       val base = Audio.synthesizeWav(s,
         t(s, d, "documents").filter(col("doc_id") < 200), "doc_id",
-        Some(25L)).toDF
+        Some(25L)).toDF.localCheckpoint(true)
       Audio.contentNearDups(s,
         base.filter(col("media_id") % 2 === 0).unionByName(
           Audio.withInfoChunk(s,

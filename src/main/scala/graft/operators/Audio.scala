@@ -332,12 +332,18 @@ object Audio {
     * same_bytes). */
   def contentNearDups(spark: SparkSession, media: DataFrame,
       maxPerSig: Int = 64): DataFrame = {
-    val sigs = contentSignatures(spark, media)
+    // sigs PINNED: consumed by the cap-filter aggregate and the kept
+    // join — un-pinned, each reference re-ran the decode+hash pass
+    // over the payload corpus; `kept` PINNED: both pair-join sides
+    // (r18 final-plan audit: media_audio_near_dups carried 16 corpus
+    // scans). Rows are (media_id, 2 hashes) — payload-free, linear.
+    val sigs = contentSignatures(spark, media).localCheckpoint(true)
     val kept = sigs.join(
       sigs.groupBy(col("content_sig")).agg(count(lit(1)).as("__n"))
         .filter(col("__n") <= maxPerSig)
         .select(col("content_sig")),
       "content_sig")
+      .localCheckpoint(true)
     kept.select(col("content_sig"), col("media_id").as("a_id"),
         col("payload_sig").as("__pa"))
       .join(kept.select(col("content_sig"), col("media_id").as("b_id"),

@@ -376,6 +376,12 @@ object Multimodal {
       s"maxHamming out of range: $maxHamming")
     val nBands = maxHamming + 1
     val width = 64 / nBands
+    // bands PINNED: consumed by the cap-filter aggregate and the band
+    // join's two sides — un-pinned, each reference re-ran the hashes
+    // subtree, i.e. the whole decode+dHash pass (r18 final-plan
+    // audit: media_near_dups_phash carried 24 corpus scans). Rows are
+    // (maxHamming+1)·n — linear, no payloads. `eligible` likewise
+    // (both pair-join sides).
     val bands = hashes.select(col("media_id"), col("phash"),
         posexplode(array((0 until nBands).map { b =>
           val off = b * width
@@ -385,12 +391,14 @@ object Multimodal {
         }: _*)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_val")
+      .localCheckpoint(true)
     val eligible = bands.join(
       bands.groupBy(col("band_idx"), col("band_val"))
         .agg(count(lit(1)).as("__nm"))
         .filter(col("__nm") <= maxBandMedia)
         .select(col("band_idx"), col("band_val")),
       Seq("band_idx", "band_val"))
+      .localCheckpoint(true)
     eligible.select(col("band_idx"), col("band_val"),
         col("media_id").as("a_id"), col("phash").as("__ha"))
       .join(eligible.select(col("band_idx"), col("band_val"),
@@ -423,14 +431,22 @@ object Multimodal {
       minShared: Long, maxMediaPerFrame: Long = 64L): DataFrame = {
     require(minShared >= 1 && maxMediaPerFrame >= 2,
       "minShared >= 1 and maxMediaPerFrame >= 2 required")
+    // frames PINNED: consumed by the cap-filter aggregate and the
+    // eligible join — un-pinned, each reference re-ran the frame
+    // sampling over the payload corpus; `eligible` PINNED: consumed
+    // 3x (per-media counts + both pair-join sides). Both are
+    // (media_id, chunk_sig) rows — payload-free, frame-bounded (r18
+    // final-plan audit: media_near_dups carried 24 corpus scans).
     val frames = sampleFrames(media, chunkBytes, everyN)
       .select(col("media_id"), col("chunk_sig")).distinct()
+      .localCheckpoint(true)
     val eligible = frames.join(
       frames.groupBy(col("chunk_sig"))
         .agg(count(lit(1)).as("__nm"))
         .filter(col("__nm") <= maxMediaPerFrame)
         .select(col("chunk_sig")),
       "chunk_sig")
+      .localCheckpoint(true)
     val counts = eligible.groupBy(col("media_id"))
       .agg(count(lit(1)).as("__nf"))
     eligible.select(col("media_id").as("a_id"), col("chunk_sig"))

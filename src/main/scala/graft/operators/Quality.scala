@@ -435,6 +435,14 @@ object Quality {
           col("bin").cast("string"))))
         .otherwise(col("bin")).as("bin"),
       col("n").as("n_old"))
+    // PINNED (≤ bins+1 rows): `joined` feeds both the totals
+    // aggregate and the smoothed projection, and the term frame above
+    // it is itself consumed twice (per-bin rows + the bin = −1 total)
+    // — un-pinned, the corpus-scanning bin counts on BOTH sides
+    // re-ran 4x (r18 final-plan audit: rel_quality_psi carried 16
+    // orders scans). Batch-only is fine: the streaming face
+    // (StreamOps.psiBatches) applies this inside foreachBatch, where
+    // the micro-batch is a regular batch frame.
     val joined = spine
       .join(oldChecked, Seq("bin"), "left")
       .join(binCounts(newDf, c, edges)
@@ -442,6 +450,7 @@ object Quality {
       .select(col("bin"),
         coalesce(col("n_old"), lit(0L)).as("n_old"),
         coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .localCheckpoint(true)
     // totals via a 1-row cross join (bounded; a global window here
     // would trip the fleet-wide unpartitioned-window audit)
     val totals = joined.agg(sum(col("n_old")).as("tot_old"),
@@ -512,8 +521,14 @@ object Quality {
         edges.map(e => when(col(c) >= lit(e), 1L).otherwise(0L))
           .reduce(_ + _).as("bin"))
       .groupBy(col("g"), col("bin")).agg(count(lit(1)).as(alias))
-    val oc = counts(oldDf, "n_old")
-    val nc = counts(newDf, "n_new")
+    // oc/nc PINNED (groups × bins rows): each is consumed by the
+    // group spine AND the joined frame, and everything above `bins`
+    // is consumed twice more (per-bin rows + per-group totals) —
+    // un-pinned, the corpus-scanning counts re-ran ~8x (r18
+    // final-plan audit: rel_quality_psi_grouped carried 32 orders
+    // scans).
+    val oc = counts(oldDf, "n_old").localCheckpoint(true)
+    val nc = counts(newDf, "n_new").localCheckpoint(true)
     val groups = oc.select(col("g")).union(nc.select(col("g"))).distinct()
     val spine = groups.crossJoin(
       oldDf.sparkSession.range(nb.toLong).select(col("id").as("bin")))
@@ -533,6 +548,9 @@ object Quality {
       .withColumn("psi_term",
         round((col("p_new") - col("p_old")) *
           log(col("p_new") / col("p_old")), 4))
+      // pinned: consumed by the per-group total and the union —
+      // groups × (bins+1) rows
+      .localCheckpoint(true)
     val total = bins.groupBy(col("g")).agg(
       sum(col("n_old")).as("n_old"), sum(col("n_new")).as("n_new"),
       round(aggregate(sort_array(collect_list(col("psi_term"))),

@@ -220,12 +220,18 @@ object Similarity {
     val first = ranked.where(col("rel") && col("rank") <= k)
       .groupBy(col("q_id"))
       .agg(min(col("rank")).cast("long").as("first_rel_rank"))
+    // PINNED (eval-bounded — one row per labeled query): perQ feeds
+    // both the mean row and the union, and `ranked`/`nRel` are
+    // typically computed retrieval legs (a brute-force truth leg in
+    // sim_mrr) — un-pinned, both legs re-ran per reference (r18
+    // final-plan audit: sim_mrr carried 24 embeddings scans).
     val perQ = nRel.join(first, Seq("q_id"), "left")
       .select(col("q_id"), col("n_rel"), col("first_rel_rank"),
         when(col("n_rel") === 0L, lit(null).cast("double"))
           .when(col("first_rel_rank").isNull, lit(0.0))
           .otherwise(lit(1.0) / col("first_rel_rank").cast("double"))
           .as("rr"))
+      .localCheckpoint(true)
     // when NO query has n_rel > 0 the mean is 0.0/0 = NaN under
     // Spark's IEEE double division, while DuckDB's list() over zero
     // rows yields NULL — guard to NULL (the ndcgBinary idcg>0
@@ -279,8 +285,13 @@ object Similarity {
         .where(col("rank") <= k)
         .groupBy(col("q_id"), col("n_id"))
         .agg(min(col("rank")).as(rank))
-    val a = dedupLeg(legA, "__ra")
-    val b = dedupLeg(legB, "__rb")
+    // PINNED (eval-bounded — ≤ k rows per query): each leg feeds the
+    // query spine AND the match join; the legs are computed rankings
+    // (brute-force + matryoshka in sim_rbo) that re-ran per reference
+    // un-pinned (r18 final-plan audit: sim_rbo carried 16 embeddings
+    // scans).
+    val a = dedupLeg(legA, "__ra").localCheckpoint(true)
+    val b = dedupLeg(legB, "__rb").localCheckpoint(true)
     val m = greatest(col("__ra"), col("__rb")).cast("int")
     val weight = (1 to k).foldLeft(lit(0.0)) {
       case (acc, mm) => when(m === mm, lit(w(mm))).otherwise(acc)

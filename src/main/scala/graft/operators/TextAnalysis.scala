@@ -955,11 +955,17 @@ object TextAnalysis {
     * unranked rows as `tail` would fabricate a ranking. */
   def pplBuckets(scored: DataFrame, groupCol: String,
       scoreCol: String): DataFrame = {
-    val cuts = scored.where(col(scoreCol).isNotNull)
+    // pinned: consumed by BOTH the percentile aggregate and the join
+    // back — un-pinned, a computed `scored` subtree (fit-on-self LM
+    // scoring is several corpus scans) re-ran per reference (r18
+    // final-plan audit: text_ppl_buckets carried 16 document scans).
+    // Materialization is bounded by the scored frame itself.
+    val pinned = scored.localCheckpoint(true)
+    val cuts = pinned.where(col(scoreCol).isNotNull)
       .groupBy(col(groupCol))
       .agg(round(expr(s"percentile($scoreCol, 0.3333)"), 4).as("t1"),
         round(expr(s"percentile($scoreCol, 0.6667)"), 4).as("t2"))
-    scored.join(broadcast(cuts), groupCol)
+    pinned.join(broadcast(cuts), groupCol)
       .withColumn("bucket",
         when(col(scoreCol).isNull, "tail") // explicit, not via NULL<=t fallthrough
           .when(col(scoreCol) <= col("t1"), "head")
@@ -2421,13 +2427,21 @@ object TextAnalysis {
     * earns its keep on NEW arrivals. */
   def nbQualityScore(df: DataFrame, idCol: String, textCol: String,
       labelCol: String): DataFrame =
-    scoreAgainstNbModel(df, nbQualityModel(df, textCol, labelCol),
+    // the model is PINNED: the scorer references it twice (consts +
+    // term join) and exchange reuse does not fire across the two
+    // (different projections) — un-pinned, the fit (with its corpus
+    // scan) re-ran per reference (r18 final-plan audit: the nb family
+    // carried 32 document scans per query). Vocabulary-bounded rows.
+    scoreAgainstNbModel(df,
+      nbQualityModel(df, textCol, labelCol).localCheckpoint(true),
       idCol, textCol)
 
   /** Portable fit-on-self flavor (the oracle mirror). */
   def nbQualityScorePortable(df: DataFrame, idCol: String, textCol: String,
       labelCol: String): DataFrame =
-    scoreAgainstNbModelPortable(df, nbQualityModel(df, textCol, labelCol),
+    // pinned for the same reason as [[nbQualityScore]]
+    scoreAgainstNbModelPortable(df,
+      nbQualityModel(df, textCol, labelCol).localCheckpoint(true),
       idCol, textCol)
 
   /** Shared body of the NB scoring flavors; `fold` builds the per-doc

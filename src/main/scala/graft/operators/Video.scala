@@ -228,12 +228,19 @@ object Video {
     * guard), `overlap_frac` = shared / min(frame counts). */
   def videoFrameNearDups(spark: SparkSession, media: DataFrame,
       minShared: Long = 1L, maxMediaPerFrame: Int = 64): DataFrame = {
-    val sigs = frameSignatures(spark, media)
+    // sigs PINNED: consumed by the cap-filter aggregate and the kept
+    // join — un-pinned, each reference re-ran the clip decode + per-
+    // frame hashing; `kept` PINNED: consumed 3x (per-media counts +
+    // both pair-join sides). Rows are (media_id, frame_sig) —
+    // payload-free, frame-bounded (r18 final-plan audit:
+    // media_video_near_dups carried 16 corpus scans).
+    val sigs = frameSignatures(spark, media).localCheckpoint(true)
     val kept = sigs.join(
       sigs.groupBy(col("frame_sig")).agg(count(lit(1)).as("__nm"))
         .filter(col("__nm") <= maxMediaPerFrame)
         .select(col("frame_sig")),
       "frame_sig")
+      .localCheckpoint(true)
     val counts = kept.groupBy(col("media_id"))
       .agg(count(lit(1)).as("__nf"))
     val pairs = kept.select(col("frame_sig"), col("media_id").as("a_id"))
