@@ -128,8 +128,6 @@ object Bench {
       k -> adjudicated.get(k)
         .fold(v) { case (_, iso) => math.min(v, iso) }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // CANARY-NORMALIZED TOTAL (judge r16 task 4, widened per judge r17
     // task 2): the shared box's load swings totals 10-20%, so the raw
@@ -164,12 +162,6 @@ object Bench {
           else (rs(mid - 1) + rs(mid)) / 2
         Some(total * med)
       }
-    val normMark = normalized.fold("") { n =>
-      val ratios = canaryRatios
-        .map { case (c, r) => s"\"" + c + s"\":$r" }
-        .mkString("{", ",", "}")
-      s""","total_normalized":$n,"canary_ratios":$ratios"""
-    }
     // failed queries are NAMED, not silently timed-to-exception — a
     // broken query must never read as a performance win
     val fails = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -177,15 +169,35 @@ object Bench {
     // downstream can mistake it for a full sweep, wherever it lands
     val partialMark =
       if (only.isDefined) ""","partial":true""" else ""
-    val adj = adjudicated.map { case (k, (s, i)) =>
-      // a failed rerun serializes isolated:null — flagged-but-
-      // unverifiable stays distinguishable from never-drifting
-      val iso = if (i == Double.MaxValue) "null" else i.toString
-      s"\"" + k + s"""\":{"in_sweep":$s,"isolated":$iso}"""
-    }.mkString("{", ",", "}")
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec"$normMark,"queries":$qs,"failed":$fails,"adjudicated":$adj$partialMark,"sf":"$sfDir"}"""
-    println(json)
+    // the JSON line is built twice from the SAME numbers: full
+    // precision for the archive file, 3-decimal for the PRINTED line.
+    // The driver's stdout capture keeps only a tail, and r17's
+    // 246-query full-precision line (~14 KB) was truncated there,
+    // losing the round's per-query PERF table — 3 decimals (noise is
+    // ±10-20%, so nothing real lives below a millisecond) halves the
+    // line and keeps it robustly inside the capture window. Not a
+    // timing-methodology change: the measured values are identical.
+    def mkJson(fmt: Double => String): String = {
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val normMark = normalized.fold("") { n =>
+        val ratios = canaryRatios
+          .map { case (c, r) => s"\"" + c + "\":" + fmt(r) }
+          .mkString("{", ",", "}")
+        s""","total_normalized":${fmt(n)},"canary_ratios":$ratios"""
+      }
+      val adj = adjudicated.map { case (k, (s, i)) =>
+        // a failed rerun serializes isolated:null — flagged-but-
+        // unverifiable stays distinguishable from never-drifting
+        val iso = if (i == Double.MaxValue) "null" else fmt(i)
+        s"\"" + k + s"""\":{"in_sweep":${fmt(s)},"isolated":$iso}"""
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"$normMark,"queries":$qs,"failed":$fails,"adjudicated":$adj$partialMark,"sf":"$sfDir"}"""
+    }
+    val json = mkJson(_.toString)
+    // Locale.ROOT: a comma decimal separator would corrupt the JSON
+    println(mkJson(v => String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(v))))
     // the driver's stdout capture keeps only a tail — at 100+ queries
     // that truncates the per-query map, so the full line ALSO lands in
     // a file the round archive picks up (cwd = the repo). A BENCH_ONLY-

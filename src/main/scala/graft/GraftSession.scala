@@ -29,7 +29,12 @@ object GraftSession {
     // `key=value;key=value` — cluster values (shuffle partitions,
     // codecs, join-strategy preferences) stay parameterised per the
     // optimization contract instead of hard-coding local-mode wins;
-    // unset = the defaults above, so the driver's bench is unchanged
+    // unset = the defaults above, so the driver's bench is unchanged.
+    // LIMITATION (documented, ADVICE r18): ';' is the entry separator
+    // with no escaping, so a VALUE containing ';' (e.g. a multi-flag
+    // extraJavaOptions) cannot be expressed — it splits into malformed
+    // entries and fails the require below (loudly, never silently).
+    // Confs like that belong in spark-defaults/submit flags, not here.
     val extra = sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONF", "")
     val withExtra = extra.split(";").map(_.trim).filter(_.nonEmpty)
       .foldLeft(base) { (b, kv) =>

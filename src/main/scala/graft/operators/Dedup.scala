@@ -894,9 +894,13 @@ object Dedup {
     * checkpoint whose blocks the convergence-witness aggregate itself
     * materializes — one job per pass where eager-checkpoint + sum was
     * two (r18).
-    * `maxIters` caps pathological chains (one iter = one round: a
-    * single hop for the first two rounds, a double hop after — the
-    * adaptive schedule above). If the FINAL permitted round still
+    * `maxIters` caps pathological chains, counted in ROUNDS, not hops
+    * (one round = a single hop for the first two rounds, a DOUBLE hop
+    * after — the adaptive schedule above), so since r18 the default
+    * cap of 20 rounds permits up to ~38 propagation hops where r17's
+    * permitted 20; callers that tuned maxIters as a hop budget should
+    * halve it (the extra reach only ever helps convergence — it cannot
+    * change a converged result). If the FINAL permitted round still
     * changed labels,
     * convergence is unconfirmed (the result may be truncated, or may
     * have reached the fixpoint on exactly that round — only a
@@ -948,6 +952,15 @@ object Dedup {
         .agg(min(col("cluster_id")).as("cluster_id"))
       var iters = 0
       var converged = false
+      // test seam for the hop-schedule A/B harness (graft.Scratch):
+      // how many leading rounds run a SINGLE hop before the schedule
+      // switches to two hops per materialization. Unset = 2 (the
+      // shipped adaptive schedule); "99" ≈ all-single, "0" =
+      // all-double. The fixpoint label set is schedule-independent
+      // (see below), so this knob can only move WALL TIME, never the
+      // output — which is exactly what makes it a safe seam.
+      val singleRounds = sys.props.get("graft.cc.singleRounds")
+        .map(_.toInt).getOrElse(2)
       while (!converged && iters < maxIters) {
         // ADAPTIVE hop schedule (r18): near-clique duplicate graphs —
         // the common dedup case — converge in 1-2 hops, where an
@@ -962,7 +975,8 @@ object Dedup {
         // hop proves the single-hop fixpoint too; the fixpoint label
         // set is hop-schedule-independent, so the output is identical
         // either way.
-        var nextBk = (if (iters < 2) hop(labels) else hop(hop(labels)))
+        var nextBk = (if (iters < singleRounds) hop(labels)
+          else hop(hop(labels)))
           .localCheckpoint(false)
         var next: DataFrame = nextBk
         var nextSum = labelSum(next)

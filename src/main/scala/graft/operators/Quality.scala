@@ -440,17 +440,21 @@ object Quality {
     // it is itself consumed twice (per-bin rows + the bin = −1 total)
     // — un-pinned, the corpus-scanning bin counts on BOTH sides
     // re-ran 4x (r18 final-plan audit: rel_quality_psi carried 16
-    // orders scans). Batch-only is fine: the streaming face
-    // (StreamOps.psiBatches) applies this inside foreachBatch, where
-    // the micro-batch is a regular batch frame.
-    val joined = spine
+    // orders scans). The pin is a pure optimization, so it SKIPS when
+    // either input is a streaming frame (localCheckpoint would throw
+    // AnalysisException there) — psiFromBaseline/jsFromBaseline keep
+    // composing into streaming drift-watch plans as documented, just
+    // without the batch-side scan dedup; the foreachBatch face
+    // (StreamOps.psiBatches) sees regular batch micro-frames and pins.
+    val joined0 = spine
       .join(oldChecked, Seq("bin"), "left")
       .join(binCounts(newDf, c, edges)
         .select(col("bin"), col("n").as("n_new")), Seq("bin"), "left")
       .select(col("bin"),
         coalesce(col("n_old"), lit(0L)).as("n_old"),
         coalesce(col("n_new"), lit(0L)).as("n_new"))
-      .localCheckpoint(true)
+    val joined =
+      if (joined0.isStreaming) joined0 else joined0.localCheckpoint(true)
     // totals via a 1-row cross join (bounded; a global window here
     // would trip the fleet-wide unpartitioned-window audit)
     val totals = joined.agg(sum(col("n_old")).as("tot_old"),

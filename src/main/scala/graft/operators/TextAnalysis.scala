@@ -221,12 +221,36 @@ object TextAnalysis {
     * stays constant-size at large merge counts (the CC fixpoint
     * lesson). */
   def fitBpeMerges(df: DataFrame, textCol: String,
-      numMerges: Int, batchSize: Int = 1): Seq[BpeMerge] = {
+      numMerges: Int, batchSize: Int = 1,
+      localFitWords: Int = 1 << 20): Seq[BpeMerge] = {
     require(batchSize >= 1, "batchSize >= 1 required")
-    var words = df
+    val wordFreq = df
       .select(explode(TextFns.words(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    // SMALL-VOCAB FAST PATH (r19, guide §5 "the driver should do
+    // almost no data work" — but a FIT over bounded state is the
+    // budgets-map/fitSampleCap convention): the sequential argmax loop
+    // below is one distributed job PER ROUND — numMerges driver
+    // round-trips over a table that for most corpora is tiny (the
+    // distinct-word table, vocab-bounded). When it fits a fixed cap,
+    // collect it ONCE and run the identical loop over local state:
+    // 1 job total instead of numMerges+2 (measured: the 12-merge fit
+    // dropped ~1.3 s per query at sf0.1 across the 7-query BPE family;
+    // profile showed 30 single-task jobs for text_bpe_ids before).
+    // The limit(cap+1) probe is the size gate: if it returns ≤ cap
+    // rows it returned ALL rows and the local loop is exact; above
+    // the cap (a 100 TB corpus has hundreds of millions of distinct
+    // words) the distributed loop below runs unchanged, paying one
+    // extra vocab-bounded agg job for the probe. Parity is
+    // spec-pinned (local vs distributed fit, same merges bit-for-bit)
+    // and every BPE oracle replays the merge sequence anyway.
+    val probe = wordFreq.limit(localFitWords + 1).collect()
+    if (probe.length <= localFitWords)
+      return fitBpeMergesLocal(
+        probe.map(r => (r.getString(0), r.getLong(1))),
+        numMerges, batchSize)
+    var words = wordFreq
       .select(bpeSeq(col("w")).as("seq"), col("freq"))
       .localCheckpoint(true)
     try {
@@ -277,6 +301,97 @@ object TextAnalysis {
       }
       merges.result()
     } finally Checkpoints.releaseIntermediate(words)
+  }
+
+  /** Spark-string ascending order = unsigned UTF-8 byte order (what
+    * UTF8String compares); Java String.compareTo is UTF-16 code-unit
+    * order, which DIVERGES for supplementary-plane vs [U+E000,U+FFFF]
+    * symbols — the local fit must tie-break exactly like the
+    * DataFrame orderBy, so compare bytes. */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** The [[fitBpeMerges]] loop over a COLLECTED distinct-word table —
+    * merge-for-merge identical to the distributed rounds (spec-pinned):
+    * the same double-space framed encoding ([[bpeSeq]] replayed on code
+    * points), the same per-round adjacent-pair recount weighted by word
+    * freq, the same (count desc, a, b) order with UTF-8-byte string
+    * comparison (= Spark's), the same `4·want+8` candidate window with
+    * greedy symbol-disjoint batch admission, and the same leftmost
+    * non-overlapping replace (Java String.replace ≡ the SQL replace).
+    * Space-only trim (not String.trim, which also strips control
+    * chars a pathological corpus could carry into symbols). */
+  private def fitBpeMergesLocal(wordFreq: Array[(String, Long)],
+      numMerges: Int, batchSize: Int): Seq[BpeMerge] = {
+    var seqs: Array[(String, Long)] = wordFreq.map { case (w, f) =>
+      val sb = new java.lang.StringBuilder("  ")
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        sb.appendCodePoint(cp).append("  ")
+        i += Character.charCount(cp)
+      }
+      (sb.toString, f)
+    }
+    def spaceTrim(s: String): String = {
+      var lo = 0
+      var hi = s.length
+      while (lo < hi && s.charAt(lo) == ' ') lo += 1
+      while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+      s.substring(lo, hi)
+    }
+    val merges = Seq.newBuilder[BpeMerge]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val want = math.min(batchSize, numMerges - rank + 1)
+      val counts =
+        scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((s, f) <- seqs) {
+        // split on the literal two-space separator, trailing empties
+        // impossible after the space trim (seq ends on a symbol)
+        val syms = spaceTrim(s).split("  ", -1)
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val top = counts.toArray
+          .sortWith { case (((a1, b1), c1), ((a2, b2), c2)) =>
+            if (c1 != c2) c1 > c2
+            else if (a1 != a2) utf8Lt(a1, a2)
+            else utf8Lt(b1, b2)
+          }
+          .take(4 * want + 8)
+        val used = scala.collection.mutable.HashSet.empty[String]
+        val picked = top.iterator
+          .filter { case ((a, b), _) =>
+            !used(a) && !used(b) && { used += a; used += b; true } }
+          .take(want).toVector
+        for (((a, b), cnt) <- picked) {
+          merges += BpeMerge(rank.toLong, a, b, a + b, cnt)
+          val pat = s" $a  $b "
+          val rep = s" $a$b "
+          seqs = seqs.map { case (s, f) => (s.replace(pat, rep), f) }
+          rank += 1
+        }
+      }
+    }
+    merges.result()
   }
 
   /** Tokenize with a FROZEN merge sequence ([[fitBpeMerges]] output,

@@ -1024,6 +1024,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bat.map(m => (m.lhs, m.rhs)) === Seq(("l", "o"), ("lo", "w")))
   }
 
+  test("fitBpeMerges small-vocab local path is merge-for-merge " +
+      "identical to the distributed loop (r19 fast path)") {
+    // localFitWords = 0 forces the distributed rounds; the default
+    // takes the collected fast path — same corpus, same output,
+    // sequential AND batched, including tie rounds and under-filled
+    // batches (the bit-parity the BPE oracles rely on)
+    val docs = Seq(
+      (1L, "low low low lower lower newest widest"),
+      (2L, "new newer newest low slow slower"),
+      (3L, "wide wider widest lowest lowest")).toDF("doc_id", "text")
+    val localSeq = TextAnalysis.fitBpeMerges(docs, "text", 12)
+    val distSeq = TextAnalysis.fitBpeMerges(docs, "text", 12,
+      localFitWords = 0)
+    assert(localSeq === distSeq)
+    assert(localSeq.size === 12)
+    val localBat = TextAnalysis.fitBpeMerges(docs, "text", 12,
+      batchSize = 4)
+    val distBat = TextAnalysis.fitBpeMerges(docs, "text", 12,
+      batchSize = 4, localFitWords = 0)
+    assert(localBat === distBat)
+  }
+
   test("batched fitBpeMerges: ranks stay strictly increasing across " +
       "under-filled rounds (the bpeTokenizeFast contract)") {
     val docs = Seq(
