@@ -18,6 +18,7 @@ object Scratch {
     }
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    if (args.headOption.contains("tri")) { triAb(spark, d); spark.stop(); return }
     val docs = Tables(spark, d, "documents")
     val lshPairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", 16, 4)
       .localCheckpoint(true)
@@ -54,4 +55,31 @@ object Scratch {
     }
     spark.stop()
   }
+
+  /** Interleaved A/B for the graph_triangles closing-join Bloom
+    * prefilter (graft.tri.bloom seam): off vs on, 3 trials each, plus
+    * a one-time exceptAll equality check. */
+  private def triAb(spark: org.apache.spark.sql.SparkSession,
+      d: String): Unit = {
+    def time[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"TIME $tag ${(System.nanoTime() - t0) / 1e9}%.3f"); r
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def run(bloom: String): DataFrame = {
+      System.setProperty("graft.tri.bloom", bloom)
+      SparkEntry.queries("graph_triangles")(spark, d)
+    }
+    val off = run("off")
+    val on = run("on")
+    println("DIFF rows: " + off.exceptAll(on).count() +
+      " / " + on.exceptAll(off).count())
+    noop(off); noop(on) // warmup both shapes
+    (1 to 3).foreach { i =>
+      time(s"tri_off_$i") { noop(run("off")) }
+      time(s"tri_on_$i") { noop(run("on")) }
+    }
+  }
+
 }

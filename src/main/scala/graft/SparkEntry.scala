@@ -2351,8 +2351,17 @@ object SparkEntry {
       // materialize ONCE (lineage-truncating) so the fit's per-iteration
       // jobs and the four retrieval facets read cached blocks instead of
       // re-deriving the md5 generation expressions per job
+      // ONE partition for the generator (r19): the fixture is a
+      // CONSTANT 112 rows at every SF by design, but s.range(112)
+      // defaults to defaultParallelism partitions, so every stage over
+      // it ran 32 near-empty tasks — and the probe stages ship ~1 MB
+      // task binaries (the unrolled centroid/codebook literals), so
+      // each empty task still paid the deserialize (profile: 739
+      // tasks, Σ task 134 s, ~181 ms/task average for a 112-row
+      // query). A single partition is scale-INDEPENDENT here — the
+      // witness never grows with the corpus
       val emb = Similarity.clusteredEmbeddings(
-        s.range(112).toDF("id"), "id", dims = 64, nClusters = 16)
+        s.range(0, 112, 1, 1).toDF("id"), "id", dims = 64, nClusters = 16)
         .localCheckpoint(true)
       val q = emb.filter(col("vec_id") < 10)
       val (coarse, cb) = Similarity.fitIvfPq(emb, "vec_id", "embedding",
