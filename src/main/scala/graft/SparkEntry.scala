@@ -825,9 +825,14 @@ object SparkEntry {
           Layout.zoneMap(
             Layout.bucketByOrder(li, order, ZorderBuckets), "bucket", dims),
           layout, ZorderBox)
-      witness("zorder", z +: tie)
-        .unionByName(witness("px_sort", col("px") +: tie))
-        .unionByName(witness("arrival", tie))
+      // the three witnesses are independent legs over the pinned
+      // projection and each is EAGER inside bucketByOrder (count +
+      // ordinal sort) — construct them concurrently (guide §2.6, r19)
+      val Seq(wz, wp, wa) = Checkpoints.parEager(
+        () => witness("zorder", z +: tie),
+        () => witness("px_sort", col("px") +: tie),
+        () => witness("arrival", tie))
+      wz.unionByName(wp).unionByName(wa)
     }),
     "rel_bloom_skip" -> ((s, d) => {
       // bloom-filter layout witness — the POINT-predicate complement
@@ -909,7 +914,11 @@ object SparkEntry {
           Layout.zoneMap(
             Layout.bucketByOrder(li, order, Zorder3Buckets), "bucket",
             dims), layout, Zorder3Box)
-      witness("zorder3", z +: tie).unionByName(witness("arrival", tie))
+      // independent eager legs — concurrent (the rel_zorder_skip shape)
+      val Seq(w3, wa3) = Checkpoints.parEager(
+        () => witness("zorder3", z +: tie),
+        () => witness("arrival", tie))
+      w3.unionByName(wa3)
     }),
     "rel_quality_verdicts" -> ((s, d) =>
       // Deequ-shaped constraint suite: 7 named constraints = ONE
@@ -2320,19 +2329,21 @@ object SparkEntry {
       // clustered convention, r18): annRecallFacets references `exact`
       // ~7x and the probes 2-3x inside its union — un-pinned, the
       // brute-force truth leg re-ran per reference (final-plan audit:
-      // 46 scans / 61 exchanges; plans/r18)
-      val exact = Similarity.bruteForceTopK(emb, q, 5)
-        .localCheckpoint(true)
-      val adcFull = Similarity.ivfPqProbeIndex(idx, q, 5,
-        nprobe = IvfNlist, coarse, cb).localCheckpoint(true)
-      val ivfpq = Similarity.ivfPqProbeIndex(idx, q, 5,
-        nprobe = IvfNprobe, coarse, cb).localCheckpoint(true)
-      // share the memoized joint fit's coarse (== fitCentroids at
-      // (nlist, iters 2, seed), spec-asserted) — skips a redundant
-      // Lloyd re-fit per sweep, result bit-identical
-      val ivf = Similarity.ivfTopK(emb, q, 5,
-        nlist = IvfNlist, nprobe = IvfNprobe, coarse = Some(coarse))
-        .localCheckpoint(true)
+      // 46 scans / 61 exchanges; plans/r18). The four facets are
+      // INDEPENDENT given (emb, idx, artifacts), so they materialize
+      // concurrently (guide §2.6 — r19); `ivf` shares the memoized
+      // joint fit's coarse (== fitCentroids at (nlist, iters 2, seed),
+      // spec-asserted) — skips a redundant Lloyd re-fit, bit-identical
+      val Seq(exact, adcFull, ivfpq, ivf) = Checkpoints.parEager(
+        () => Similarity.bruteForceTopK(emb, q, 5)
+          .localCheckpoint(true),
+        () => Similarity.ivfPqProbeIndex(idx, q, 5,
+          nprobe = IvfNlist, coarse, cb).localCheckpoint(true),
+        () => Similarity.ivfPqProbeIndex(idx, q, 5,
+          nprobe = IvfNprobe, coarse, cb).localCheckpoint(true),
+        () => Similarity.ivfTopK(emb, q, 5,
+          nlist = IvfNlist, nprobe = IvfNprobe, coarse = Some(coarse))
+          .localCheckpoint(true))
       annRecallFacets(exact, adcFull, ivfpq, ivf,
         ivfFloor = 30, pruningFloor = 20, quantFloor = 4, e2eFloor = 2)
     }),
@@ -2373,18 +2384,21 @@ object SparkEntry {
       // re-running the probes (and rebuilding the index) per reference
       val idx = Similarity.buildIvfPqIndex(emb, coarse, cb,
         "vec_id", "embedding").localCheckpoint(true)
-      val exact = Similarity.bruteForceTopK(emb, q, 5).localCheckpoint(true)
-      val adcFull = Similarity.ivfPqProbeIndex(idx, q, 5,
-        nprobe = IvfNlist, coarse, cb).localCheckpoint(true)
-      val ivfpq = Similarity.ivfPqProbeIndex(idx, q, 5,
-        nprobe = IvfNprobe, coarse, cb).localCheckpoint(true)
-      // share the joint fit's coarse quantizer: fitIvfPq's coarse IS
-      // fitCentroids at (nlist, iters 2, seed) bit-for-bit
-      // (spec-asserted), so the short-circuit cannot move the result —
-      // it only skips a second Lloyd fit over the same fixture
-      val ivf = Similarity.ivfTopK(emb, q, 5,
-        nlist = IvfNlist, nprobe = IvfNprobe, coarse = Some(coarse))
-        .localCheckpoint(true)
+      // the four facets are independent given (emb, idx, fit) —
+      // materialize concurrently (guide §2.6, the sim_ann_recall
+      // shape); `ivf` shares the joint fit's coarse quantizer:
+      // fitIvfPq's coarse IS fitCentroids at (nlist, iters 2, seed)
+      // bit-for-bit (spec-asserted), so the short-circuit cannot move
+      // the result — it only skips a second Lloyd fit
+      val Seq(exact, adcFull, ivfpq, ivf) = Checkpoints.parEager(
+        () => Similarity.bruteForceTopK(emb, q, 5).localCheckpoint(true),
+        () => Similarity.ivfPqProbeIndex(idx, q, 5,
+          nprobe = IvfNlist, coarse, cb).localCheckpoint(true),
+        () => Similarity.ivfPqProbeIndex(idx, q, 5,
+          nprobe = IvfNprobe, coarse, cb).localCheckpoint(true),
+        () => Similarity.ivfTopK(emb, q, 5,
+          nlist = IvfNlist, nprobe = IvfNprobe, coarse = Some(coarse))
+          .localCheckpoint(true))
       annRecallFacets(exact, adcFull, ivfpq, ivf,
         ivfFloor = 70, pruningFloor = 50, quantFloor = 50, e2eFloor = 50)
     }),

@@ -30,6 +30,37 @@ private[graft] object Checkpoints {
     }
   }
 
+  /** Evaluate independent EAGER-constructing thunks concurrently
+    * (guide §2.6: overlap independent jobs). Several composed queries
+    * materialize two or more independent pinned subtrees (truth +
+    * candidates, the four retrieval facets, the per-layout witnesses)
+    * strictly back to back — each pin is a Spark job whose tail leaves
+    * the cluster idle while the driver waits to submit the next. A
+    * bounded pool submits them together; FIFO scheduling back-fills
+    * one job's straggler tail with the next job's tasks. Results keep
+    * argument order; the first failure propagates (remaining thunks
+    * still run to completion — they are Spark jobs already in flight).
+    * Use ONLY for genuinely independent frames: a thunk must not read
+    * another thunk's result. */
+  def parEager[T](thunks: (() => T)*): Seq[T] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(thunks.size, 4))
+    try {
+      val futs = thunks.map { t =>
+        pool.submit(new java.util.concurrent.Callable[T] {
+          def call(): T = t()
+        })
+      }
+      futs.map { f =>
+        try f.get()
+        catch { // surface the thunk's own exception, not the wrapper
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        }
+      }
+    } finally pool.shutdown()
+  }
+
   /** Strip the size-estimate stats a localCheckpoint preserves, keeping
     * the SAME materialized blocks — required whenever an iterative fit
     * SELF-JOINS its checkpointed state: localCheckpoint stores the

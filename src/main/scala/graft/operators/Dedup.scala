@@ -927,7 +927,15 @@ object Dedup {
     // self-loops replace the per-round `∪ labels` term: min over
     // (neighbors ∪ self) ≡ min over neighbors in the self-looped
     // graph, and a single-reference hop plan lets two hops compose in
-    // ONE materialization without recomputing the inner hop
+    // ONE materialization without recomputing the inner hop.
+    // MEASURED NON-WIN (r19, kept out): repartition(src)+persist for
+    // the edges (cached partitioning would delete the per-hop edges
+    // exchange) read SLOWER than the checkpoint on both pair graphs
+    // (lsh 0.8-1.0 → 0.8-1.1 s, sem 3.0-3.8 → 3.4-4.2 s interleaved)
+    // — the same result as r18's pageRank persist attempt: at these
+    // row counts the InMemoryRelation scan overhead costs more than
+    // the exchange it saves, and AQE cannot coalesce through a cached
+    // plan.
     val edges = sym.unionByName(
         sym.select(col("src"), col("src").as("dst")).distinct())
       .localCheckpoint(true)
@@ -1267,13 +1275,17 @@ object Dedup {
       s"lshRecallReport: floorPct in [0,100], got $floorPct")
     // pin both pair tables: each is referenced twice below (its count
     // + the semi-join), and un-pinned the exact prefix-join — the
-    // witness's expensive leg — ran twice (r18 final-plan audit)
-    val truth = jaccardPairsPrefix(df, idCol, textCol, minJaccard)
-      .select(col("a_id"), col("b_id"))
-      .localCheckpoint(true)
-    val cand = lshCandidatePairs(df, idCol, textCol, k, bands)
-      .select(col("a_id"), col("b_id"))
-      .localCheckpoint(true)
+    // witness's expensive leg — ran twice (r18 final-plan audit).
+    // The two pins are INDEPENDENT (different plans over the same
+    // input), so they materialize concurrently (guide §2.6 — r19):
+    // sequentially each job's straggler tail left the box idle
+    val Seq(truth, cand) = Checkpoints.parEager(
+      () => jaccardPairsPrefix(df, idCol, textCol, minJaccard)
+        .select(col("a_id"), col("b_id"))
+        .localCheckpoint(true),
+      () => lshCandidatePairs(df, idCol, textCol, k, bands)
+        .select(col("a_id"), col("b_id"))
+        .localCheckpoint(true))
     val nTrue = truth.agg(count(lit(1)).as("n_true"))
     val nCand = cand.agg(count(lit(1)).as("n_candidates"))
     val nHit = truth.join(cand, Seq("a_id", "b_id"), "left_semi")

@@ -928,14 +928,17 @@ object TextAnalysis {
     // parts, bgTypes 2, and the scorer filters the bundle once per
     // part — un-pinned, each reference re-tokenized the corpus (r18
     // final-plan audit: 14 corpus scans in text_self_info_kn3)
-    val t3types = triRows(df, textCol)
-      .groupBy(col("__v"), col("__u"), col("__w"))
-      .agg(count(lit(1)).as("__c3"))
-      .localCheckpoint(true)
-    val bgTypes = bigramRows(df, textCol)
-      .select(col("__prev").as("__u"), col("__tok2").as("__w"))
-      .distinct()
-      .localCheckpoint(true)
+    // the two tokenizing pins are independent corpus passes —
+    // materialize concurrently (guide §2.6, r19)
+    val Seq(t3types, bgTypes) = Checkpoints.parEager(
+      () => triRows(df, textCol)
+        .groupBy(col("__v"), col("__u"), col("__w"))
+        .agg(count(lit(1)).as("__c3"))
+        .localCheckpoint(true),
+      () => bigramRows(df, textCol)
+        .select(col("__prev").as("__u"), col("__tok2").as("__w"))
+        .distinct()
+        .localCheckpoint(true))
     val nullS = lit(null).cast("string")
     val nullL = lit(null).cast("long")
     def part(name: String, d: DataFrame, v: Column, u: Column,
