@@ -45,6 +45,20 @@ object Scratch {
       noop(Dedup.duplicateClusters(p, requireConvergence = true))
     }
     cc("2", lshPairs); cc("2", semPairs) // warmup
+    if (args.headOption.contains("ccj")) {
+      def ccj(sj: String, p: DataFrame): Unit = {
+        System.setProperty("graft.cc.singleJumpPasses", sj)
+        try cc("2", p)
+        finally System.setProperty("graft.cc.singleJumpPasses", "1")
+      }
+      (1 to 3).foreach { i =>
+        time(s"lsh_jump1_$i") { ccj("99", lshPairs) }
+        time(s"lsh_jump2_$i") { ccj("1", lshPairs) }
+        time(s"sem_jump1_$i") { ccj("99", semPairs) }
+        time(s"sem_jump2_$i") { ccj("1", semPairs) }
+      }
+      spark.stop(); return
+    }
     (1 to 3).foreach { i =>
       time(s"lsh_single_$i") { cc("99", lshPairs) }
       time(s"lsh_adapt_$i") { cc("2", lshPairs) }

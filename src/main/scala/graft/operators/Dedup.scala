@@ -992,19 +992,42 @@ object Dedup {
         if (!converged) {
           var stable = false
           var guard = 0
-          while (!stable && guard < 64) {
-            val parents = next.select(col("id").as("__pid"),
+          // pointer-jump pass: label ← label∘label (self-join)
+          def jump(l: DataFrame): DataFrame = {
+            val parents = l.select(col("id").as("__pid"),
               col("cluster_id").as("__plab"))
-            val compBk = next
-              .join(parents, next("cluster_id") === col("__pid"), "left")
-              .select(next("id"),
-                coalesce(col("__plab"), next("cluster_id"))
+            l.join(parents, l("cluster_id") === col("__pid"), "left")
+              .select(l("id"),
+                coalesce(col("__plab"), l("cluster_id"))
                   .as("cluster_id"))
-              .localCheckpoint(false)
+          }
+          // ADAPTIVE double jump (r19, the hop schedule mirrored):
+          // the first pass per round stays single — near-clique
+          // rounds' first compress is already stable and a composed
+          // pass would pay a wasted join to prove it — later passes
+          // compose TWO jumps per materialization (the inner one a
+          // lazy checkpoint the outer's self-join reads), halving the
+          // convergence-witness actions on the long-chain graphs that
+          // jump many times. Monotone labels: a sum-unchanged DOUBLE
+          // jump proves the single-jump fixpoint, so stability
+          // detection is exact either way and the fixpoint labels are
+          // identical. graft.cc.singleJumpPasses overrides for A/B
+          // (99 ≈ the r18 all-single shape).
+          val singleJumps = sys.props.get("graft.cc.singleJumpPasses")
+            .map(_.toInt).getOrElse(1)
+          while (!stable && guard < 64) {
+            val (compBk, innerBk) =
+              if (guard < singleJumps) (jump(next).localCheckpoint(false),
+                None)
+              else {
+                val j1Bk = jump(next).localCheckpoint(false)
+                (jump(stripStats(j1Bk)).localCheckpoint(false), Some(j1Bk))
+              }
             val comp = stripStats(compBk)
             val compSum = labelSum(comp)
             stable = sumsEqual(nextSum, compSum)
             if (nextBk ne labelsBk) releaseIntermediate(nextBk)
+            innerBk.foreach(releaseIntermediate)
             nextBk = compBk
             next = comp
             nextSum = compSum
