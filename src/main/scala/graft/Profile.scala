@@ -32,8 +32,18 @@ object Profile {
           j.stageInfos.map(_.name).mkString(" | "))
       }
       override def onStageCompleted(
-          s: SparkListenerStageCompleted): Unit =
+          s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
+        // SPARK_GRAFT_PROFILE_STAGES: per-stage Σ executor-run time —
+        // names the hot stage when the totals say "compute-bound"
+        if (sys.env.contains("SPARK_GRAFT_PROFILE_STAGES")) {
+          val info = s.stageInfo
+          val ms = info.taskMetrics.executorRunTime
+          if (ms > 200)
+            println(f"STAGE ${info.stageId}%5d ${ms / 1e3}%8.2fs " +
+              f"tasks=${info.numTasks}%4d ${info.name.take(90)}")
+        }
+      }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
         taskMs.addAndGet(t.taskInfo.duration)
